@@ -1,0 +1,215 @@
+"""Vectorized row-local checks over Arrow batches of tokenized sequences.
+
+Each check consumes a *prepared batch view* (numpy/Arrow views computed once
+per batch by the stage — see ``prepare_view``) and returns the violating row
+positions plus byte-exact detail strings in the reference message grammar.
+Hot path is fully vectorized (pyarrow.compute / numpy); Python touches only
+the violating rows (rare) to format messages.
+
+Reference analogues per check are cited inline; the overall taxonomy follows
+SURVEY.md §2.2 (P1-P10) and §2.5 (A2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hepdata_validator_ray import messages as M
+from hepdata_validator_ray.checks.base import Check, CheckContext, CheckResult, CheckSuite
+
+_EMPTY = CheckResult(np.empty(0, dtype=np.int64), [])
+
+
+def prepare_view(batch: pa.Table) -> dict:
+    """Compute shared per-batch views once: flattened token buffer, offsets,
+    list lengths, numpy casts.  All zero-copy or O(batch) numpy ops."""
+    batch = batch.combine_chunks()
+    view: dict = {"n": batch.num_rows, "batch": batch}
+
+    if "doc_id" in batch.column_names:
+        doc = batch.column("doc_id")
+        doc = doc.combine_chunks() if isinstance(doc, pa.ChunkedArray) else doc
+        view["doc_id"] = doc
+        view["doc_null"] = pc.is_null(doc).to_numpy(zero_copy_only=False)
+
+    if "tokens" in batch.column_names:
+        toks = batch.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # null list → length -1 sentinel
+        lens = np.where(np.isnan(lens), -1, lens).astype(np.int64) if lens.dtype.kind == "f" else lens.astype(np.int64)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(np.maximum(lens, 0), out=offsets[1:])
+        view["tokens"] = toks
+        view["lens"] = lens
+        view["offsets"] = offsets
+        # flatten() drops null entries' values → offsets above stay aligned
+        view["flat"] = toks.flatten().to_numpy(zero_copy_only=False)
+
+    if "n_tok" in batch.column_names:
+        ntk = batch.column("n_tok")
+        ntk = ntk.combine_chunks() if isinstance(ntk, pa.ChunkedArray) else ntk
+        view["n_tok_null"] = pc.is_null(ntk).to_numpy(zero_copy_only=False)
+        view["n_tok"] = ntk.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if "source" in batch.column_names:
+        src = batch.column("source")
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        view["source"] = src
+
+    return view
+
+
+def _segment_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row count of True positions in the flat buffer — cumsum-gather
+    trick, O(total tokens), no Python loop."""
+    cum = np.zeros(len(mask) + 1, dtype=np.int64)
+    np.cumsum(mask, out=cum[1:])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def _result(idx: np.ndarray, details: list[str], level: str = "error") -> CheckResult:
+    return CheckResult(idx.astype(np.int64), details, level)
+
+
+# ---------------------------------------------------------------------------
+# Schema-keyword checks (P1/P2 family — jsonschema type/pattern/enum/minimum)
+# ---------------------------------------------------------------------------
+
+def check_doc_id_non_null(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ required/type keyword: "None is not of type 'string'"
+    idx = np.flatnonzero(v["doc_null"])
+    if not len(idx):
+        return _EMPTY
+    return _result(idx, [M.msg_non_null("doc_id", {"type": "string"})] * len(idx))
+
+
+def check_doc_id_format(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ pattern keyword (submission_schema.json related-DOI patterns,
+    # tested at reference test_submission_validator.py:342-393)
+    ok = pc.match_substring_regex(v["doc_id"], ctx.doc_id_pattern)
+    bad = np.flatnonzero(pc.and_kleene(pc.is_valid(v["doc_id"]), pc.invert(ok)).to_numpy(zero_copy_only=False))
+    if not len(bad):
+        return _EMPTY
+    vals = v["doc_id"].take(pa.array(bad)).to_pylist()
+    return _result(bad, [M.msg_pattern(s, ctx.doc_id_pattern, "doc_id") for s in vals])
+
+
+def check_doc_id_max_length(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ maxLength keyword (additional_info_schema.json:56-60)
+    lens = pc.utf8_length(v["doc_id"])
+    bad = np.flatnonzero(
+        pc.and_kleene(pc.is_valid(v["doc_id"]), pc.greater(lens, ctx.doc_id_max_length)).to_numpy(zero_copy_only=False)
+    )
+    if not len(bad):
+        return _EMPTY
+    vals = v["doc_id"].take(pa.array(bad)).to_pylist()
+    return _result(bad, [M.msg_max_length(s, ctx.doc_id_max_length, "doc_id") for s in vals])
+
+
+def check_source_membership(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ enum keyword + broadcast-manifest membership (J1 semi-join,
+    # full_submission_validator.py:294-316)
+    allowed = pa.array(list(ctx.sources), type=pa.string())
+    member = pc.is_in(v["source"], value_set=allowed)
+    bad = np.flatnonzero(
+        pc.or_kleene(pc.is_null(v["source"]), pc.invert(member)).to_numpy(zero_copy_only=False)
+    )
+    if not len(bad):
+        return _EMPTY
+    vals = v["source"].take(pa.array(bad)).to_pylist()
+    return _result(bad, [M.msg_enum(s, ctx.sources, "source") for s in vals])
+
+
+def check_n_tok_non_negative(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ minimum keyword (data_schema.json numeric constraints)
+    bad = np.flatnonzero((v["n_tok"] < 0) & ~v["n_tok_null"])
+    if not len(bad):
+        return _EMPTY
+    return _result(bad, [M.msg_minimum(int(v["n_tok"][i]), 0, "n_tok") for i in bad])
+
+
+def check_token_id_range(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ range constraint on every list element (P2); segmented any() via
+    # cumsum-gather — no Python loop over rows
+    flat, offsets = v["flat"], v["offsets"]
+    bad_mask = (flat < 0) | (flat >= ctx.vocab_size)
+    if not bad_mask.any():
+        return _EMPTY
+    per_row = _segment_counts(bad_mask, offsets)
+    rows = np.flatnonzero(per_row > 0)
+    details = []
+    for r in rows:
+        seg = bad_mask[offsets[r] : offsets[r + 1]]
+        pos = int(np.flatnonzero(seg)[0])
+        details.append(M.msg_token_range(int(flat[offsets[r] + pos]), pos, ctx.vocab_size))
+    return _result(rows, details)
+
+
+# ---------------------------------------------------------------------------
+# Semantic checks (P3/P4/P10, A2 family)
+# ---------------------------------------------------------------------------
+
+def check_token_length_consistency(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ check_length_values (data_file_validator.py:286-309): the per-row
+    # token-array-equality invariant from BASELINE.json input_hint
+    lens, n_tok = v["lens"], v["n_tok"]
+    bad = np.flatnonzero((lens >= 0) & ~v["n_tok_null"] & (n_tok != lens))
+    if not len(bad):
+        return _EMPTY
+    return _result(bad, [M.msg_length_mismatch(int(n_tok[i]), int(lens[i])) for i in bad])
+
+
+def check_tokens_not_empty(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ "symerror cannot be empty" (data_file_validator.py:264)
+    bad = np.flatnonzero(v["lens"] == 0)
+    if not len(bad):
+        return _EMPTY
+    return _result(bad, [M.msg_empty("tokens")] * len(bad))
+
+
+def check_tokens_not_all_zero(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ "Uncertainties should not all be zero" (data_file_validator.py:273-284):
+    # segmented all-zero over the list column, cumsum-gather
+    flat, offsets, lens = v["flat"], v["offsets"], v["lens"]
+    nonzero_per_row = _segment_counts(flat != 0, offsets)
+    bad = np.flatnonzero((lens > 0) & (nonzero_per_row == 0))
+    if not len(bad):
+        return _EMPTY
+    return _result(bad, [M.msg_all_zero()] * len(bad))
+
+
+def check_sequence_length_limit(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ 10 MiB data-file size cap (full_submission_validator.py:18,318-325),
+    # version-gated ≥1.1.0 exactly like the reference
+    bad = np.flatnonzero(v["lens"] > ctx.max_seq_len)
+    if not len(bad):
+        return _EMPTY
+    return _result(bad, [M.msg_too_long_sequence(int(v["lens"][i]), ctx.max_seq_len) for i in bad])
+
+
+# ---------------------------------------------------------------------------
+# Default suite (ordered: schema checks first, then semantic — reference runs
+# jsonschema validation before semantic checks, data_file_validator.py:134-152)
+# ---------------------------------------------------------------------------
+
+DEFAULT_ROW_CHECKS: list[Check] = [
+    Check("doc_id_non_null", check_doc_id_non_null, kind="schema", columns=("doc_id",)),
+    Check("doc_id_format", check_doc_id_format, kind="schema", columns=("doc_id",)),
+    Check("doc_id_max_length", check_doc_id_max_length, kind="schema", columns=("doc_id",)),
+    Check("source_membership", check_source_membership, kind="schema", columns=("source",)),
+    Check("n_tok_non_negative", check_n_tok_non_negative, kind="schema", columns=("n_tok",)),
+    Check("token_id_range", check_token_id_range, kind="schema", columns=("tokens",)),
+    # semantic checks are version-gated like check_independent_variable_values
+    # (only ≥1.1.0, data_file_validator.py:141-142)
+    Check("token_length_consistency", check_token_length_consistency, kind="semantic", columns=("tokens", "n_tok")),
+    Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", min_version="1.1.0", columns=("tokens",)),
+    Check("tokens_not_all_zero", check_tokens_not_all_zero, kind="semantic", min_version="1.0.0", columns=("tokens",)),
+    Check("sequence_length_limit", check_sequence_length_limit, kind="semantic", min_version="1.1.0", columns=("tokens",)),
+]
+
+
+def build_default_suite(version: str = "1.1.1") -> CheckSuite:
+    return CheckSuite(name="sequence_default", checks=DEFAULT_ROW_CHECKS).for_version(version)

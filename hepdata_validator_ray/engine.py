@@ -1,0 +1,622 @@
+"""ValidationEngine — the Ray-Data-native pipeline orchestrator.
+
+Physical plan (one heavy pass + one cheap key-only pass; SURVEY.md §3.4):
+
+    PASS 1 (reads every needed column once):
+      read_parquet(files, include_paths=True)
+        → map_batches(CheckStage, batch_format='pyarrow', zero_copy_batch=True,
+                      concurrency=actor pool)       # all row-local checks +
+                                                    # per-batch sketch partials
+        → mixed stream {violation | batch_stats | sketch} rows  (≈1-3% of input)
+        → materialize (small) → split:
+             violations  → write_parquet(out/violations/chunk=K)
+             stats       → per-partition verdicts (groupby partition_id)
+             sketches    → per-partition merge (groupby + map_groups) → drift
+                           verdicts; tree-reduced global SketchBundle
+
+    PASS 2 (reads ONLY the doc_id column — column-pruned at the Parquet read):
+      read_parquet(files, columns=['doc_id'])
+        → map_batches(per-batch value_counts)        # map-side combine
+        → groupby('doc_id').sum() → filter count>1   # the one global shuffle
+        → duplicate-violation rows
+
+    Chunked over the input file list; each chunk appends a checkpoint-manifest
+    line (lineage + metrics + serialized sketch state) → resumable: a re-run
+    skips completed chunks (north_rule requirement; the reference re-runs from
+    scratch, full_submission_validator.py:62-68).
+
+Scale notes (100 TB / 256 nodes):
+- The only all-to-all shuffle is the doc_id duplicate groupby, over a single
+  pruned column with per-batch pre-aggregation (map-side combine) so hot
+  duplicate classes collapse before the exchange.
+- Sketch partials are fixed-size per batch and merged per-partition via a
+  small groupby, then tree-reduced — never concentrated on the driver.
+- The mixed stream materialization holds ~1-3% of input bytes spread across
+  the cluster object store (spillable); violations write out per chunk so
+  object-store retention is bounded by chunk size.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from hepdata_validator_ray import messages as M
+from hepdata_validator_ray.checks.base import CheckContext, CheckSuite
+from hepdata_validator_ray.checks.row_checks import build_default_suite, prepare_view
+from hepdata_validator_ray.schema import (
+    KIND_BATCH_STATS,
+    KIND_SKETCH,
+    KIND_VIOLATION,
+    VIOLATION_SCHEMA,
+)
+from hepdata_validator_ray.sketches import (
+    HistogramSketch,
+    SketchBundle,
+    UnigramHistogram,
+    kl_divergence,
+)
+from hepdata_validator_ray.state.manifest import CheckpointManifest, chunk_key
+
+# Stable Arrow schema for the mixed check-stage output stream.
+MIXED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("partition_id", pa.string()),
+        ("row_idx", pa.int64()),
+        ("doc_id", pa.string()),
+        ("check_name", pa.string()),
+        ("level", pa.string()),
+        ("detail", pa.string()),
+        ("n_rows", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+@dataclass
+class ValidationConfig:
+    ctx: CheckContext = field(default_factory=CheckContext)
+    suite: CheckSuite | None = None  # default: build_default_suite(ctx.schema_version)
+    batch_size: int = 8192
+    concurrency: Any = None  # None → stateless-task autoscale; int/tuple → actor pool
+    enable_sketches: bool = True
+    enable_unigram: bool = True
+    unigram_buckets: int | None = None  # None → full vocab (exact); set for 10^12 scale
+    dup_check: bool = True
+    drift_profile_bytes: bytes | None = None  # serialized SketchBundle reference profile
+    drift_kl_threshold: float = 0.15
+    chunk_files: int = 64  # files per resumable chunk
+    preserve_order: bool = False
+
+
+@dataclass
+class ValidationResult:
+    valid: bool
+    n_rows: int
+    n_violations: int
+    violation_counts: dict[str, int]
+    verdicts: pd.DataFrame  # per (partition_id, check_name)
+    violations_path: str | None
+    sketch: SketchBundle | None
+    wall_s: float
+    rows_per_s: float
+
+    def summary(self) -> str:
+        # mirrors the reference CLI verdict style (cli.py:20-30)
+        lines = []
+        if self.valid:
+            lines.append("Validation successful.")
+        else:
+            lines.append("Invalid:")
+            for name, cnt in sorted(self.violation_counts.items()):
+                lines.append(f"\t error - {name}: {cnt} violation(s)")
+        lines.append(f"{self.n_rows} rows validated in {self.wall_s:.2f}s ({self.rows_per_s:,.0f} rows/s)")
+        return "\n".join(lines)
+
+
+class CheckStage:
+    """Callable class for ``map_batches`` — an actor when concurrency is set.
+
+    ``__init__`` (once per actor): resolve the broadcast CheckContext, select
+    version-active checks, pre-build the allowed-source value set.  (ST1
+    pattern — the reference loads schemas once per validator instance,
+    data_file_validator.py:49-61.)
+    ``__call__`` (per batch): run every check vectorized, emit violation rows
+    + one stats row and one sketch-partial row per (batch, partition).
+    """
+
+    def __init__(
+        self,
+        ctx: CheckContext,
+        suite: CheckSuite,
+        enable_sketches: bool = True,
+        enable_unigram: bool = True,
+        unigram_buckets: int | None = None,
+    ):
+        if isinstance(ctx, ray.ObjectRef):  # broadcast via ray.put
+            ctx = ray.get(ctx)
+        self.ctx = ctx
+        self.checks = list(suite.for_version(ctx.schema_version).checks)
+        self.enable_sketches = enable_sketches
+        self.enable_unigram = enable_unigram
+        self.unigram_buckets = unigram_buckets
+
+    def _new_bundle(self) -> SketchBundle:
+        b = SketchBundle()
+        if self.enable_unigram:
+            b.unigram = UnigramHistogram(self.ctx.vocab_size, self.unigram_buckets)
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = None
+        if "path" in batch.column_names:
+            paths = batch.column("path")
+            batch = batch.drop_columns(["path"])
+        view = prepare_view(batch)
+        n = view["n"]
+
+        # ---- run checks (vectorized) ----------------------------------
+        out_idx: list[np.ndarray] = []
+        out_check: list[str] = []
+        out_level: list[str] = []
+        out_detail: list[str] = []
+        schema_failed: np.ndarray | None = None
+        for check in self.checks:
+            res = check.fn(view, self.ctx)
+            idx = res.indices
+            if self.ctx.suppress_semantic_on_schema_error and check.kind == "semantic" and schema_failed is not None:
+                keep = ~np.isin(idx, np.flatnonzero(schema_failed))
+                idx = idx[keep]
+                details = [d for d, k in zip(res.details, keep) if k]
+            else:
+                details = res.details
+            if check.kind == "schema" and len(idx):
+                if schema_failed is None:
+                    schema_failed = np.zeros(n, dtype=bool)
+                schema_failed[idx] = True
+            if len(idx):
+                out_idx.append(idx)
+                out_check.extend([check.name] * len(idx))
+                out_level.extend([res.level] * len(idx))
+                out_detail.extend(details)
+
+        # ---- partition segmentation -----------------------------------
+        if paths is not None:
+            enc = pc.dictionary_encode(paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths)
+            path_codes = enc.indices.to_numpy(zero_copy_only=False)
+            uniq_paths = enc.dictionary.to_pylist()
+        else:
+            path_codes = np.zeros(n, dtype=np.int64)
+            uniq_paths = ["<unknown>"]
+
+        doc_arr = view.get("doc_id")
+
+        rows: dict[str, list] = {k: [] for k in MIXED_SCHEMA.names}
+
+        def emit(kind, partition_id, row_idx, doc_id, check_name, level, detail, n_rows, payload):
+            rows["kind"].append(kind)
+            rows["partition_id"].append(partition_id)
+            rows["row_idx"].append(row_idx)
+            rows["doc_id"].append(doc_id)
+            rows["check_name"].append(check_name)
+            rows["level"].append(level)
+            rows["detail"].append(detail)
+            rows["n_rows"].append(n_rows)
+            rows["payload"].append(payload)
+
+        # violation rows
+        if out_idx:
+            all_idx = np.concatenate(out_idx)
+            doc_vals = (
+                doc_arr.take(pa.array(all_idx)).to_pylist() if doc_arr is not None else [None] * len(all_idx)
+            )
+            for i, (ri, cn, lv, dt) in enumerate(zip(all_idx, out_check, out_level, out_detail)):
+                emit(
+                    KIND_VIOLATION,
+                    uniq_paths[path_codes[ri]],
+                    int(ri),
+                    doc_vals[i],
+                    cn,
+                    lv,
+                    dt,
+                    None,
+                    None,
+                )
+
+        # per-partition stats + sketch partials
+        for code, pth in enumerate(uniq_paths):
+            mask = path_codes == code
+            cnt = int(mask.sum())
+            emit(KIND_BATCH_STATS, pth, None, None, None, None, None, cnt, None)
+            if self.enable_sketches:
+                bundle = self._new_bundle()
+                bundle.n_rows = cnt
+                if doc_arr is not None:
+                    docs = np.asarray(doc_arr.to_numpy(zero_copy_only=False))[mask]
+                    bundle.hll_doc_id.add(docs[pd.notna(docs)])
+                if "n_tok" in view:
+                    bundle.n_tok_hist.add(view["n_tok"][mask & ~view["n_tok_null"]])
+                if "source" in view:
+                    src = np.asarray(view["source"].to_numpy(zero_copy_only=False))[mask]
+                    bundle.source_freq.add(src[pd.notna(src)])
+                if bundle.unigram is not None and "flat" in view:
+                    offs, lens = view["offsets"], view["lens"]
+                    if mask.all():
+                        bundle.unigram.add(view["flat"])
+                    else:
+                        segs = [view["flat"][offs[r] : offs[r + 1]] for r in np.flatnonzero(mask & (lens > 0))]
+                        if segs:
+                            bundle.unigram.add(np.concatenate(segs))
+                emit(KIND_SKETCH, pth, None, None, None, None, None, cnt, bundle.to_bytes())
+
+        return pa.Table.from_pydict(rows, schema=MIXED_SCHEMA)
+
+
+def dup_count_batch(batch: pa.Table) -> pa.Table:
+    """Map-side combine for the duplicate shuffle: per-batch doc_id value
+    counts → (doc_id, cnt) rows.  Collapses hot duplicate classes before the
+    exchange (the salting/pre-aggregation lever from SURVEY.md §4.2).
+    Stateless → task pool, not actors."""
+    col = batch.column("doc_id")
+    vc = pc.value_counts(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    values = vc.field("values")
+    counts = vc.field("counts")
+    valid = pc.is_valid(values)
+    return pa.Table.from_arrays(
+        [values.filter(valid), pc.cast(counts.filter(valid), pa.int64())],
+        names=["doc_id", "cnt"],
+    )
+
+
+def _merge_sketch_batch(batch: pa.Table) -> pa.Table:
+    """Merge all sketch payload rows in a batch into one row (per partition
+    set) — a tree-reduce step."""
+    payloads = batch.column("payload").to_pylist()
+    if not payloads:
+        return batch
+    merged = SketchBundle.from_bytes(payloads[0])
+    for p in payloads[1:]:
+        merged = merged.merge(SketchBundle.from_bytes(p))
+    return pa.Table.from_pydict(
+        {"payload": [merged.to_bytes()], "n_rows": [int(merged.n_rows)]},
+        schema=pa.schema([("payload", pa.binary()), ("n_rows", pa.int64())]),
+    )
+
+
+def reduce_sketches(ds: "ray.data.Dataset", fanin: int = 32) -> SketchBundle | None:
+    """Distributed tree-reduce of sketch rows → one SketchBundle.
+
+    Each level merges ``fanin`` rows per task; the driver only ever sees the
+    final handful of partials."""
+    ds = ds.select_columns(["payload", "n_rows"])
+    cnt = ds.count()
+    if cnt == 0:
+        return None
+    while cnt > fanin:
+        ds = ds.map_batches(_merge_sketch_batch, batch_format="pyarrow", batch_size=fanin)
+        ds = ds.materialize()
+        cnt = ds.count()
+    payloads = [r["payload"] for r in ds.take_all()]
+    out = SketchBundle.from_bytes(payloads[0])
+    for p in payloads[1:]:
+        out = out.merge(SketchBundle.from_bytes(p))
+    return out
+
+
+class ValidationEngine:
+    def __init__(self, config: ValidationConfig | None = None):
+        self.config = config or ValidationConfig()
+        if self.config.suite is None:
+            self.config.suite = build_default_suite(self.config.ctx.schema_version)
+
+    # -- input handling -----------------------------------------------------
+    @staticmethod
+    def _list_files(input_path: str | list[str]) -> list[str]:
+        if isinstance(input_path, list):
+            return sorted(input_path)
+        p = Path(input_path)
+        if p.is_dir():
+            return sorted(str(f) for f in p.rglob("*.parquet"))
+        return [str(p)]
+
+    # -- main entry ----------------------------------------------------------
+    def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
+        cfg = self.config
+        files = self._list_files(input_path)
+        out_dir = Path(output_dir) if output_dir else None
+        manifest = CheckpointManifest(out_dir / "manifest.jsonl") if out_dir else None
+        completed = manifest.completed_chunks() if manifest else set()
+
+        chunks = [files[i : i + cfg.chunk_files] for i in range(0, len(files), cfg.chunk_files)]
+        t0 = time.perf_counter()
+        total_rows = 0
+        total_violations = 0
+        violation_counts: dict[str, int] = {}
+        verdict_frames: list[pd.DataFrame] = []
+        bundles: list[SketchBundle] = []
+
+        # replay completed chunks from the manifest (resume path)
+        if manifest:
+            for e in manifest.get_all("chunk"):
+                total_rows += e["n_rows"]
+                total_violations += e["n_violations"]
+                for k, v in e.get("violation_counts", {}).items():
+                    violation_counts[k] = violation_counts.get(k, 0) + v
+                if e.get("bundle_b64"):
+                    bundles.append(SketchBundle.from_bytes(CheckpointManifest.decode_bundle(e["bundle_b64"])))
+                if e.get("verdicts"):
+                    verdict_frames.append(pd.DataFrame(e["verdicts"]))
+
+        for ci, chunk in enumerate(chunks):
+            ckey = chunk_key(chunk)
+            if ckey in completed:
+                continue  # resume: already done
+            res = self._run_chunk(chunk, ci, out_dir)
+            total_rows += res["n_rows"]
+            total_violations += res["n_violations"]
+            for k, v in res["violation_counts"].items():
+                violation_counts[k] = violation_counts.get(k, 0) + v
+            if res["bundle"] is not None:
+                bundles.append(res["bundle"])
+            verdict_frames.append(res["verdicts"])
+            if manifest:
+                manifest.append(
+                    {
+                        "type": "chunk",
+                        "chunk_key": ckey,
+                        "chunk_index": ci,
+                        "files": chunk,
+                        "n_rows": res["n_rows"],
+                        "n_violations": res["n_violations"],
+                        "violation_counts": res["violation_counts"],
+                        "wall_s": res["wall_s"],
+                        "rows_per_s": res["n_rows"] / res["wall_s"] if res["wall_s"] else 0.0,
+                        "bundle_b64": (
+                            CheckpointManifest.encode_bundle(res["bundle"].to_bytes()) if res["bundle"] else None
+                        ),
+                        "verdicts": res["verdicts"].to_dict(orient="list"),
+                    }
+                )
+
+        # ---- PASS 2: duplicate doc_id detection (column-pruned) ------------
+        if cfg.dup_check:
+            dup_df = self._dup_pass(files, out_dir, manifest)
+            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            if n_dup:
+                violation_counts["doc_id_duplicates"] = violation_counts.get("doc_id_duplicates", 0) + n_dup
+                total_violations += n_dup
+
+        wall = time.perf_counter() - t0
+        verdicts = (
+            pd.concat(verdict_frames, ignore_index=True)
+            if verdict_frames
+            else pd.DataFrame(columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
+        )
+        sketch = None
+        if bundles:
+            sketch = bundles[0]
+            for b in bundles[1:]:
+                sketch = sketch.merge(b)
+        return ValidationResult(
+            valid=total_violations == 0,
+            n_rows=total_rows,
+            n_violations=total_violations,
+            violation_counts=violation_counts,
+            verdicts=verdicts,
+            violations_path=str(out_dir / "violations") if out_dir else None,
+            sketch=sketch,
+            wall_s=wall,
+            rows_per_s=total_rows / wall if wall else 0.0,
+        )
+
+    # -- one resumable chunk -------------------------------------------------
+    def _run_chunk(self, files: list[str], chunk_index: int, out_dir: Path | None) -> dict:
+        cfg = self.config
+        t0 = time.perf_counter()
+        cols = cfg.suite.required_columns()
+        ds = ray.data.read_parquet(files, columns=cols or None, include_paths=True)
+
+        kwargs: dict[str, Any] = dict(
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+            fn_constructor_kwargs=dict(
+                ctx=cfg.ctx,
+                suite=cfg.suite,
+                enable_sketches=cfg.enable_sketches,
+                enable_unigram=cfg.enable_unigram,
+                unigram_buckets=cfg.unigram_buckets,
+            ),
+        )
+        if cfg.concurrency is not None:
+            kwargs["concurrency"] = cfg.concurrency
+        else:
+            # actor pool sized to leave headroom for read tasks so the pool
+            # doesn't starve the upstream stage (SURVEY.md §4.2)
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            kwargs["concurrency"] = max(2, cpus - 2)
+        mixed = ds.map_batches(CheckStage, **kwargs).materialize()
+
+        violations = mixed.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(
+                ["partition_id", "row_idx", "doc_id", "check_name", "level", "detail"]
+            ),
+            batch_format="pyarrow",
+        )
+        if out_dir is not None:
+            vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
+            vdir.mkdir(parents=True, exist_ok=True)
+            violations.write_parquet(str(vdir))
+
+        # per-(partition, check) violation counts — small grouped aggregate
+        vio_counts_df = (
+            mixed.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(["partition_id", "check_name"]),
+                batch_format="pyarrow",
+            )
+            .groupby(["partition_id", "check_name"])
+            .count()
+            .to_pandas()
+        )
+        # per-partition row counts from stats rows
+        stats_df = (
+            mixed.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], KIND_BATCH_STATS)).select(["partition_id", "n_rows"]),
+                batch_format="pyarrow",
+            )
+            .groupby("partition_id")
+            .sum("n_rows")
+            .to_pandas()
+        )
+        stats_df = stats_df.rename(columns={"sum(n_rows)": "n_rows"})
+
+        verdicts = self._build_verdicts(stats_df, vio_counts_df)
+
+        # sketches: per-partition merge for drift + global tree reduce
+        bundle = None
+        if cfg.enable_sketches:
+            sketch_rows = mixed.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], KIND_SKETCH)).select(["partition_id", "n_rows", "payload"]),
+                batch_format="pyarrow",
+            ).materialize()
+            if cfg.drift_profile_bytes is not None:
+                drift_df = self._drift_verdicts(sketch_rows)
+                verdicts = pd.concat([verdicts, drift_df], ignore_index=True)
+            bundle = reduce_sketches(sketch_rows)
+
+        n_rows = int(stats_df["n_rows"].sum()) if len(stats_df) else 0
+        vc = (
+            vio_counts_df.groupby("check_name")["count()"].sum().astype(int).to_dict()
+            if len(vio_counts_df)
+            else {}
+        )
+        wall = time.perf_counter() - t0
+        return {
+            "n_rows": n_rows,
+            "n_violations": int(sum(vc.values())),
+            "violation_counts": vc,
+            "verdicts": verdicts,
+            "bundle": bundle,
+            "wall_s": wall,
+        }
+
+    def _build_verdicts(self, stats_df: pd.DataFrame, vio_counts_df: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.config
+        recs: list[dict] = []
+        counts = {}
+        if len(vio_counts_df):
+            for _, r in vio_counts_df.iterrows():
+                counts[(r["partition_id"], r["check_name"])] = int(r["count()"])
+        for _, srow in stats_df.iterrows():
+            pid, nrows = srow["partition_id"], int(srow["n_rows"])
+            for check in cfg.suite.checks:
+                nv = counts.get((pid, check.name), 0)
+                recs.append(
+                    dict(
+                        partition_id=pid,
+                        check_name=check.name,
+                        passed=nv == 0,
+                        n_rows=nrows,
+                        n_violations=nv,
+                        detail="" if nv == 0 else f"{nv} violation(s)",
+                    )
+                )
+        return pd.DataFrame(recs, columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
+
+    def _drift_verdicts(self, sketch_rows: "ray.data.Dataset") -> pd.DataFrame:
+        """Per-partition KL drift of n_tok and token-unigram histograms vs the
+        broadcast reference profile (A5).  groupby(partition_id) is a small
+        shuffle of fixed-size partial rows, not of data."""
+        cfg = self.config
+        profile = SketchBundle.from_bytes(cfg.drift_profile_bytes)
+        ref_ntok = profile.n_tok_hist.normalized()
+        ref_uni = profile.unigram.normalized() if profile.unigram is not None else None
+        thr = cfg.drift_kl_threshold
+
+        def score_group(g: pd.DataFrame) -> pd.DataFrame:
+            merged = SketchBundle.from_bytes(g["payload"].iloc[0])
+            for p in g["payload"].iloc[1:]:
+                merged = merged.merge(SketchBundle.from_bytes(p))
+            recs = []
+            kl_ntok = kl_divergence(merged.n_tok_hist.normalized(), ref_ntok)
+            recs.append(
+                dict(
+                    partition_id=g["partition_id"].iloc[0],
+                    check_name="drift_n_tok",
+                    passed=bool(kl_ntok <= thr),
+                    n_rows=int(merged.n_rows),
+                    n_violations=0 if kl_ntok <= thr else 1,
+                    detail=f"KL(n_tok)={kl_ntok:.6f} threshold={thr}",
+                )
+            )
+            if ref_uni is not None and merged.unigram is not None:
+                kl_uni = kl_divergence(merged.unigram.normalized(), ref_uni)
+                recs.append(
+                    dict(
+                        partition_id=g["partition_id"].iloc[0],
+                        check_name="drift_token_unigram",
+                        passed=bool(kl_uni <= thr),
+                        n_rows=int(merged.n_rows),
+                        n_violations=0 if kl_uni <= thr else 1,
+                        detail=f"KL(unigram)={kl_uni:.6f} threshold={thr}",
+                    )
+                )
+            return pd.DataFrame(recs)
+
+        return sketch_rows.groupby("partition_id").map_groups(score_group, batch_format="pandas").to_pandas()
+
+    # -- duplicate pass ------------------------------------------------------
+    def _dup_pass(self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None) -> pd.DataFrame:
+        if manifest and manifest.has("dup_pass"):
+            e = manifest.get_all("dup_pass")[-1]
+            return pd.DataFrame(e["dups"]) if e.get("dups") else pd.DataFrame(columns=["doc_id", "cnt"])
+        t0 = time.perf_counter()
+        ds = ray.data.read_parquet(files, columns=["doc_id"])
+        dup = (
+            ds.map_batches(dup_count_batch, batch_format="pyarrow", batch_size=65536)
+            .groupby("doc_id")
+            .sum("cnt")
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)).rename_columns(["doc_id", "cnt"]),
+                batch_format="pyarrow",
+            )
+        )
+        dup_df = dup.to_pandas()
+        if out_dir is not None and len(dup_df):
+            vio = pa.Table.from_pydict(
+                {
+                    "partition_id": ["<global>"] * len(dup_df),
+                    "row_idx": pa.nulls(len(dup_df), pa.int64()),
+                    "doc_id": dup_df["doc_id"].tolist(),
+                    "check_name": ["doc_id_duplicates"] * len(dup_df),
+                    "level": ["error"] * len(dup_df),
+                    "detail": [M.msg_duplicate("doc_id", d) for d in dup_df["doc_id"]],
+                },
+                schema=VIOLATION_SCHEMA,
+            )
+            ddir = out_dir / "violations" / "duplicates"
+            ddir.mkdir(parents=True, exist_ok=True)
+            import pyarrow.parquet as pq
+
+            pq.write_table(vio, ddir / "dups.parquet")
+        if manifest:
+            manifest.append(
+                {
+                    "type": "dup_pass",
+                    "n_duplicate_ids": int(len(dup_df)),
+                    "wall_s": time.perf_counter() - t0,
+                    "dups": dup_df.to_dict(orient="list"),
+                }
+            )
+        return dup_df

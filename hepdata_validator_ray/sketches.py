@@ -1,0 +1,276 @@
+"""Mergeable column-statistic sketches (SURVEY.md §2.3 ST3).
+
+The reference computes exact small-scale equivalents in memory (a ``seen``
+set for duplicates, submission_file_validator.py:142-149; overflow/underflow
+lists, data_file_validator.py:173-208).  At 10^12 rows those become mergeable
+sketches accumulated per batch inside the check stage and combined by
+associative ``merge`` — per-partition first (drift checks), then globally
+(tree reduce).
+
+All sketches are numpy-vectorized on update, associatively mergeable, and
+serializable (``to_bytes``/``from_bytes``) so they can live in the checkpoint
+manifest across resume boundaries.
+
+Algorithms are the standard public constructions: HyperLogLog (Flajolet et
+al. 2007), count-min sketch (Cormode & Muthukrishnan 2005), and a fixed
+log-spaced histogram as the quantile sketch (mergeable by construction, the
+role a t-digest plays; exact-merge semantics make resume reproducible).
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash (stable across processes /
+    PYTHONHASHSEED, unlike builtin hash)."""
+    return pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+class HyperLogLog:
+    """HLL with 2**p registers; vectorized adds; standard bias-corrected
+    estimate.  Used for the doc_id distinct-count check."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        h = hash64(values)
+        reg = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        bit = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        # vectorized leading-zero count via float log2 (exact for uint64 here)
+        nz = cur != 0
+        lz[nz] = (63 - np.floor(np.log2(cur[nz].astype(np.float64))).astype(np.int64)).astype(np.uint8)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, reg, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting small-range correction
+        return float(est)
+
+
+class CountMin:
+    """Count-min sketch over hashable keys; used for source-frequency
+    estimates when the source cardinality is too high for an exact map."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def add(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(values) == 0:
+            return
+        if counts is None:
+            counts = np.ones(len(values), dtype=np.int64)
+        h = hash64(values)
+        for d in range(self.depth):
+            # d-th hash via splitmix-style remix of the base hash
+            hd = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(d + 1)) >> np.uint64(17)
+            np.add.at(self.table[d], (hd % np.uint64(self.width)).astype(np.int64), counts)
+
+    def query(self, value) -> int:
+        h = hash64(np.array([value], dtype=object))
+        est = np.iinfo(np.int64).max
+        for d in range(self.depth):
+            hd = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(d + 1)) >> np.uint64(17)
+            est = min(est, int(self.table[d][int(hd[0] % np.uint64(self.width))]))
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        out = CountMin(self.width, self.depth)
+        out.table = self.table + other.table
+        return out
+
+
+class HistogramSketch:
+    """Fixed-bucket histogram over a bounded integer domain; serves as the
+    mergeable quantile sketch for n_tok and the drift histogram."""
+
+    def __init__(self, n_buckets: int = 256, lo: int = 0, hi: int = 16384):
+        self.n_buckets = n_buckets
+        self.lo = lo
+        self.hi = hi
+        self.counts = np.zeros(n_buckets + 2, dtype=np.int64)  # +under/overflow
+        self.total = 0
+        self.sum = 0
+        self.min = None
+        self.max = None
+
+    def _bucket(self, x: np.ndarray) -> np.ndarray:
+        scaled = ((x - self.lo) * self.n_buckets) // max(1, (self.hi - self.lo))
+        return np.clip(scaled + 1, 0, self.n_buckets + 1).astype(np.int64)
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        v = values.astype(np.int64)
+        np.add.at(self.counts, self._bucket(v), 1)
+        self.total += len(v)
+        self.sum += int(v.sum())
+        mn, mx = int(v.min()), int(v.max())
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+
+    def merge(self, other: "HistogramSketch") -> "HistogramSketch":
+        assert (self.n_buckets, self.lo, self.hi) == (other.n_buckets, other.lo, other.hi)
+        out = HistogramSketch(self.n_buckets, self.lo, self.hi)
+        out.counts = self.counts + other.counts
+        out.total = self.total + other.total
+        out.sum = self.sum + other.sum
+        mins = [m for m in (self.min, other.min) if m is not None]
+        maxs = [m for m in (self.max, other.max) if m is not None]
+        out.min = min(mins) if mins else None
+        out.max = max(maxs) if maxs else None
+        return out
+
+    def quantile(self, q: float) -> float:
+        if self.total == 0:
+            return float("nan")
+        target = q * self.total
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, target))
+        width = (self.hi - self.lo) / self.n_buckets
+        if b == 0:
+            return float(self.lo)
+        if b >= self.n_buckets + 1:
+            return float(self.max if self.max is not None else self.hi)
+        return float(self.lo + (b - 1) * width + width / 2)
+
+    def mean(self) -> float:
+        return self.sum / self.total if self.total else float("nan")
+
+    def normalized(self) -> np.ndarray:
+        return self.counts / max(1, self.total)
+
+
+class UnigramHistogram:
+    """Token-unigram frequency histogram.  ``n_buckets >= vocab_size`` gives
+    exact per-token counts; smaller bucketing (token_id % n_buckets) bounds
+    partial size at 10^12 scale — drift statistics tolerate bucketing."""
+
+    def __init__(self, vocab_size: int, n_buckets: int | None = None):
+        self.vocab_size = vocab_size
+        self.n_buckets = n_buckets or vocab_size
+        self.counts = np.zeros(self.n_buckets, dtype=np.int64)
+        self.total = 0
+
+    def add(self, token_ids: np.ndarray) -> None:
+        if len(token_ids) == 0:
+            return
+        ids = token_ids[(token_ids >= 0) & (token_ids < self.vocab_size)]
+        b = ids.astype(np.int64) % self.n_buckets
+        self.counts += np.bincount(b, minlength=self.n_buckets)
+        self.total += len(ids)
+
+    def merge(self, other: "UnigramHistogram") -> "UnigramHistogram":
+        assert self.n_buckets == other.n_buckets
+        out = UnigramHistogram(self.vocab_size, self.n_buckets)
+        out.counts = self.counts + other.counts
+        out.total = self.total + other.total
+        return out
+
+    def normalized(self) -> np.ndarray:
+        return self.counts / max(1, self.total)
+
+
+class ExactFrequency:
+    """Exact frequency map for low-cardinality keys (source column)."""
+
+    def __init__(self):
+        self.counts: dict = {}
+
+    def add(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if counts is None:
+            uniq, cnt = np.unique(np.asarray(values, dtype=object), return_counts=True)
+        else:
+            uniq, cnt = values, counts
+        for k, c in zip(uniq, cnt):
+            self.counts[k] = self.counts.get(k, 0) + int(c)
+
+    def merge(self, other: "ExactFrequency") -> "ExactFrequency":
+        out = ExactFrequency()
+        out.counts = dict(self.counts)
+        for k, c in other.counts.items():
+            out.counts[k] = out.counts.get(k, 0) + c
+        return out
+
+
+@dataclass
+class SketchBundle:
+    """All sketches the check stage accumulates per batch/partition, with a
+    single associative merge — the unit the drift check and the global-stats
+    reduction operate on."""
+
+    hll_doc_id: HyperLogLog = field(default_factory=lambda: HyperLogLog(12))
+    n_tok_hist: HistogramSketch = field(default_factory=lambda: HistogramSketch(256, 0, 16384))
+    source_freq: ExactFrequency = field(default_factory=ExactFrequency)
+    unigram: UnigramHistogram | None = None
+    n_rows: int = 0
+
+    def merge(self, other: "SketchBundle") -> "SketchBundle":
+        out = SketchBundle(
+            hll_doc_id=self.hll_doc_id.merge(other.hll_doc_id),
+            n_tok_hist=self.n_tok_hist.merge(other.n_tok_hist),
+            source_freq=self.source_freq.merge(other.source_freq),
+            unigram=(
+                self.unigram.merge(other.unigram)
+                if self.unigram is not None and other.unigram is not None
+                else (self.unigram or other.unigram)
+            ),
+            n_rows=self.n_rows + other.n_rows,
+        )
+        return out
+
+    def to_bytes(self) -> bytes:
+        return zlib.compress(pickle.dumps(self), 1)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "SketchBundle":
+        return pickle.loads(zlib.decompress(b))
+
+
+# ---------------------------------------------------------------------------
+# Drift statistics (A5): KL divergence and chi-squared vs a reference profile
+# ---------------------------------------------------------------------------
+
+def kl_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-9) -> float:
+    p = p / max(p.sum(), eps)
+    q = q / max(q.sum(), eps)
+    mask = p > 0
+    return float(np.sum(p[mask] * np.log((p[mask] + eps) / (q[mask] + eps))))
+
+
+def chi_squared(observed: np.ndarray, expected_frac: np.ndarray, eps: float = 1e-9) -> float:
+    n = observed.sum()
+    if n == 0:
+        return 0.0
+    exp = expected_frac / max(expected_frac.sum(), eps) * n
+    mask = exp > eps
+    return float(np.sum((observed[mask] - exp[mask]) ** 2 / exp[mask]))

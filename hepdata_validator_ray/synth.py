@@ -1,0 +1,218 @@
+"""Deterministic synthetic generator for the pre-tokenized sequence table.
+
+BASELINE.json ``input_hint`` fixes the input shape::
+
+    (doc_id: string, tokens: list<int32>, n_tok: int32, source: string)
+
+No external data exists at this shape, so tests and benchmarks synthesise it
+deterministically (seeded numpy; same tag → byte-identical files) at a small
+scale of the 10^12-sequence layout.  A known fraction of rows carries
+*injected violations* — one family per check in the suite — with closed-form
+ground truth (``expected_violation_rows``) so conformance tests can assert
+exact violation sets, mirroring the reference's valid/invalid fixture-pair
+strategy (reference testsuite/test_data/*.yaml pairs).
+
+Output is a multi-file Parquet directory (``part-NNNNN.parquet``); each file
+is one lineage partition, which the engine's checkpoint manifest and resume
+path key on.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hepdata_validator_ray.schema import (
+    DEFAULT_MAX_SEQ_LEN,
+    DEFAULT_SOURCES,
+    DEFAULT_VOCAB_SIZE,
+    SEQUENCE_SCHEMA,
+)
+
+#: bump to invalidate previously cached synthetic dirs
+SYNTH_VERSION = 3
+
+SYNTH_ROOT = Path(os.environ.get("HVR_SYNTH_ROOT", "/tmp/hvr_synth"))
+
+#: rows per scale-factor tag (tag = basename of the testdata dir)
+ROWS_BY_TAG = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+# Injection rule: (row_idx % modulus == residue) → violation family.
+# Moduli are pairwise-coprime-ish primes so families overlap rarely but
+# deterministically.  Priority order matters: later rules in INJECTIONS win
+# when they rewrite the same field.
+INJ_LEN_MISMATCH = (101, 7)      # n_tok = len(tokens) + 3
+INJ_TOKEN_RANGE = (211, 13)      # one token set to vocab_size + 5
+INJ_BAD_SOURCE = (307, 17)       # source = 'crawlz'
+INJ_BAD_DOC_FMT = (401, 19)      # doc_id uppercased (fails ^doc-[a-z0-9]+-\d{8}$)
+INJ_NULL_DOC = (997, 23)         # doc_id = null
+INJ_ALL_ZERO = (503, 29)         # tokens all zero
+INJ_EMPTY = (1009, 31)           # tokens empty (n_tok=0, consistent)
+INJ_DUP_DOC = (769, 37)          # doc_id collapsed onto a shared class id
+DUP_CLASS_MOD = 1538             # rows hitting INJ_DUP_DOC share doc-dup-<i % 1538>
+INJ_NEG_NTOK = (1213, 41)        # n_tok = -1
+INJ_TOO_LONG = (1511, 43)        # sequence of MAX_SEQ_LEN + 50 tokens
+
+BAD_SOURCE_VALUE = "crawlz"
+
+
+def _hits(idx: np.ndarray, rule: tuple[int, int]) -> np.ndarray:
+    mod, res = rule
+    return (idx % mod) == res
+
+
+def generate_sequences_table(
+    n_rows: int,
+    seed: int = 42,
+    sources: tuple[str, ...] = DEFAULT_SOURCES,
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    mean_len: int = 192,
+    inject: bool = True,
+    row_offset: int = 0,
+) -> pa.Table:
+    """Build one Arrow table of synthetic sequences.
+
+    ``row_offset`` lets multi-file generation keep a single global row index
+    so injection ground truth is file-layout independent.
+    """
+    rng = np.random.default_rng(seed + row_offset)
+    idx = np.arange(row_offset, row_offset + n_rows, dtype=np.int64)
+
+    # -- lengths: lognormal-ish, clipped to [1, 4*mean_len] -----------------
+    lens = np.clip(
+        rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=n_rows).astype(np.int64),
+        1,
+        mean_len * 4,
+    )
+    if inject:
+        lens[_hits(idx, INJ_EMPTY)] = 0
+        lens[_hits(idx, INJ_TOO_LONG)] = DEFAULT_MAX_SEQ_LEN + 50
+
+    # -- flat token buffer: ids in [5, vocab) so 0 stays a pad sentinel -----
+    total = int(lens.sum())
+    flat = rng.integers(5, vocab_size, size=total, dtype=np.int32)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    if inject:
+        starts = offsets[:-1]
+        # one out-of-range token at position 0 of the row
+        m = _hits(idx, INJ_TOKEN_RANGE) & (lens > 0)
+        flat[starts[m]] = vocab_size + 5
+        # all-zero rows
+        for s, e in zip(starts[_hits(idx, INJ_ALL_ZERO)], offsets[1:][_hits(idx, INJ_ALL_ZERO)]):
+            flat[s:e] = 0
+
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
+
+    # -- n_tok --------------------------------------------------------------
+    n_tok = lens.astype(np.int32).copy()
+    if inject:
+        n_tok[_hits(idx, INJ_LEN_MISMATCH)] += 3
+        n_tok[_hits(idx, INJ_NEG_NTOK)] = -1
+
+    # -- source -------------------------------------------------------------
+    src_pick = rng.integers(0, len(sources), size=n_rows)
+    source = np.array(sources, dtype=object)[src_pick]
+    if inject:
+        source[_hits(idx, INJ_BAD_SOURCE)] = BAD_SOURCE_VALUE
+
+    # -- doc_id -------------------------------------------------------------
+    doc_ids: list[str | None] = [f"doc-{s}-{i:08d}" for i, s in zip(idx, source)]
+    if inject:
+        for j in np.flatnonzero(_hits(idx, INJ_BAD_DOC_FMT)):
+            doc_ids[j] = doc_ids[j].upper()
+        # layout-independent duplicates: all hit rows with the same
+        # (global_idx % DUP_CLASS_MOD) share one doc_id → duplicate groups
+        # that are also deliberately hot keys (skew exercise for the shuffle)
+        for j in np.flatnonzero(_hits(idx, INJ_DUP_DOC)):
+            doc_ids[j] = f"doc-dup-{int(idx[j]) % DUP_CLASS_MOD:08d}"
+        for j in np.flatnonzero(_hits(idx, INJ_NULL_DOC)):
+            doc_ids[j] = None
+
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, type=pa.string()), tokens, pa.array(n_tok), pa.array(source, type=pa.string())],
+        schema=SEQUENCE_SCHEMA,
+    )
+
+
+def synth_dir_for(sf_dir: str, inject: bool = True) -> Path:
+    tag = Path(sf_dir).name or "default"
+    suffix = "" if inject else "-clean"
+    return SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}{suffix}" / "sequences"
+
+
+def ensure_sequences_parquet(
+    sf_dir: str,
+    n_files: int = 8,
+    seed: int = 42,
+    inject: bool = True,
+    n_rows: int | None = None,
+) -> str:
+    """Idempotently materialize the synthetic sequence table for a testdata
+    scale factor.  Returns the Parquet directory path.
+
+    Deterministic: same (tag, seed, n_files) → identical bytes, so the DuckDB
+    oracle and the Ray pipeline read the very same files.
+    """
+    tag = Path(sf_dir).name or "default"
+    rows = n_rows if n_rows is not None else ROWS_BY_TAG.get(tag, 2_000)
+    out = synth_dir_for(sf_dir, inject=inject)
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    per_file = (rows + n_files - 1) // n_files
+    off = 0
+    for f in range(n_files):
+        n = min(per_file, rows - off)
+        if n <= 0:
+            break
+        tbl = generate_sequences_table(n, seed=seed, inject=inject, row_offset=off)
+        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536)
+        off += n
+    done.touch()
+    return str(out)
+
+
+# ---------------------------------------------------------------------------
+# Ground truth for tests
+# ---------------------------------------------------------------------------
+
+def expected_violation_doc_rows(n_rows: int) -> dict[str, set[int]]:
+    """Row indices expected to violate each check, given the injection rules.
+
+    Computed independently from the check implementations (closed form over
+    the moduli), so tests compare two derivations.
+    """
+    idx = np.arange(n_rows, dtype=np.int64)
+    empty = _hits(idx, INJ_EMPTY)
+    too_long = _hits(idx, INJ_TOO_LONG)
+    all_zero = _hits(idx, INJ_ALL_ZERO)
+    null_doc = _hits(idx, INJ_NULL_DOC)
+    dup = _hits(idx, INJ_DUP_DOC) & ~null_doc
+    out: dict[str, set[int]] = {}
+    out["doc_id_non_null"] = set(np.flatnonzero(null_doc).tolist())
+    # dup/null injections overwrite the bad-format id, so exclude them
+    fmt = _hits(idx, INJ_BAD_DOC_FMT) & ~null_doc & ~_hits(idx, INJ_DUP_DOC)
+    out["doc_id_format"] = set(np.flatnonzero(fmt).tolist())
+    out["token_length_consistency"] = set(
+        np.flatnonzero(_hits(idx, INJ_LEN_MISMATCH) | _hits(idx, INJ_NEG_NTOK)).tolist()
+    )
+    out["n_tok_non_negative"] = set(np.flatnonzero(_hits(idx, INJ_NEG_NTOK)).tolist())
+    # all-zero injection overwrites the out-of-range token; empty rows have none
+    out["token_id_range"] = set(np.flatnonzero(_hits(idx, INJ_TOKEN_RANGE) & ~empty & ~all_zero).tolist())
+    out["tokens_not_all_zero"] = set(np.flatnonzero(all_zero & ~empty).tolist())
+    out["tokens_not_empty"] = set(np.flatnonzero(empty).tolist())
+    out["source_membership"] = set(np.flatnonzero(_hits(idx, INJ_BAD_SOURCE)).tolist())
+    out["sequence_length_limit"] = set(np.flatnonzero(too_long).tolist())
+    # duplicate groups: hit rows sharing (idx % DUP_CLASS_MOD); groups of ≥2
+    classes: dict[int, list[int]] = {}
+    for j in np.flatnonzero(dup):
+        classes.setdefault(int(idx[j]) % DUP_CLASS_MOD, []).append(int(j))
+    out["doc_id_duplicates"] = {j for grp in classes.values() if len(grp) >= 2 for j in grp}
+    return out
