@@ -34,7 +34,7 @@ from hepdata_validator_ray.schema import (
 )
 
 #: bump to invalidate previously cached synthetic dirs
-SYNTH_VERSION = 3
+SYNTH_VERSION = 4
 
 SYNTH_ROOT = Path(os.environ.get("HVR_SYNTH_ROOT", "/tmp/hvr_synth"))
 
@@ -65,6 +65,16 @@ def _hits(idx: np.ndarray, rule: tuple[int, int]) -> np.ndarray:
     return (idx % mod) == res
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based 64-bit mix (public splitmix64 constants) — per-row
+    randomness derived from the GLOBAL row index, so generated content is
+    identical for any file layout / chunking of the same row range."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def generate_sequences_table(
     n_rows: int,
     seed: int = 42,
@@ -79,24 +89,28 @@ def generate_sequences_table(
     ``row_offset`` lets multi-file generation keep a single global row index
     so injection ground truth is file-layout independent.
     """
-    rng = np.random.default_rng(seed + row_offset)
     idx = np.arange(row_offset, row_offset + n_rows, dtype=np.int64)
+    s64 = np.uint64(seed)
 
-    # -- lengths: lognormal-ish, clipped to [1, 4*mean_len] -----------------
-    lens = np.clip(
-        rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=n_rows).astype(np.int64),
-        1,
-        mean_len * 4,
-    )
+    # -- lengths: uniform in [1, 2*mean_len-1] (mean ≈ mean_len), counter-based
+    h_len = _splitmix64(idx.astype(np.uint64) * np.uint64(0xA24BAED4963EE407) + s64)
+    lens = (1 + (h_len % np.uint64(2 * mean_len - 1))).astype(np.int64)
     if inject:
         lens[_hits(idx, INJ_EMPTY)] = 0
         lens[_hits(idx, INJ_TOO_LONG)] = DEFAULT_MAX_SEQ_LEN + 50
 
     # -- flat token buffer: ids in [5, vocab) so 0 stays a pad sentinel -----
     total = int(lens.sum())
-    flat = rng.integers(5, vocab_size, size=total, dtype=np.int32)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    row_of_flat = np.repeat(idx, lens)
+    pos_of_flat = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    h_tok = _splitmix64(
+        row_of_flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + pos_of_flat.astype(np.uint64) * np.uint64(0xD1B54A32D192ED03)
+        + s64
+    )
+    flat = (5 + (h_tok % np.uint64(vocab_size - 5))).astype(np.int32)
 
     if inject:
         starts = offsets[:-1]
@@ -116,7 +130,8 @@ def generate_sequences_table(
         n_tok[_hits(idx, INJ_NEG_NTOK)] = -1
 
     # -- source -------------------------------------------------------------
-    src_pick = rng.integers(0, len(sources), size=n_rows)
+    h_src = _splitmix64(idx.astype(np.uint64) * np.uint64(0x2545F4914F6CDD1D) + s64)
+    src_pick = (h_src % np.uint64(len(sources))).astype(np.int64)
     source = np.array(sources, dtype=object)[src_pick]
     if inject:
         source[_hits(idx, INJ_BAD_SOURCE)] = BAD_SOURCE_VALUE

@@ -1,0 +1,121 @@
+"""Sketch correctness: accuracy envelopes, associative merge, serialization."""
+
+import numpy as np
+import pytest
+
+from hepdata_validator_ray.sketches import (
+    CountMin,
+    ExactFrequency,
+    HistogramSketch,
+    HyperLogLog,
+    SketchBundle,
+    UnigramHistogram,
+    chi_squared,
+    hash64,
+    kl_divergence,
+)
+
+
+def test_hash64_deterministic():
+    a = hash64(np.array(["x", "y", "x"], dtype=object))
+    b = hash64(np.array(["x", "y", "x"], dtype=object))
+    assert (a == b).all()
+    assert a[0] == a[2] and a[0] != a[1]
+
+
+def test_hll_estimate_within_error():
+    hll = HyperLogLog(12)
+    vals = np.array([f"doc-{i}" for i in range(100_000)], dtype=object)
+    hll.add(vals)
+    est = hll.estimate()
+    # standard error ~1.04/sqrt(4096) ≈ 1.6%; allow 5%
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add(np.array([f"a{i}" for i in range(5000)], dtype=object))
+    b.add(np.array([f"b{i}" for i in range(5000)], dtype=object))
+    both = HyperLogLog(12)
+    both.add(np.array([f"a{i}" for i in range(5000)] + [f"b{i}" for i in range(5000)], dtype=object))
+    assert a.merge(b).estimate() == pytest.approx(both.estimate())
+
+
+def test_hll_duplicates_dont_inflate():
+    hll = HyperLogLog(12)
+    hll.add(np.array(["same"] * 10_000, dtype=object))
+    assert hll.estimate() < 10
+
+
+def test_countmin_overestimates_only():
+    cm = CountMin(width=2048, depth=4)
+    rng = np.random.default_rng(0)
+    keys = np.array([f"k{i % 50}" for i in range(10_000)], dtype=object)
+    cm.add(keys)
+    for i in range(50):
+        assert cm.query(f"k{i}") >= 200  # true count
+    merged = cm.merge(cm)
+    assert merged.query("k0") >= 2 * cm.query("k0") - 1
+
+
+def test_histogram_quantiles_and_merge():
+    h = HistogramSketch(256, 0, 16384)
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 1000, 50_000)
+    h.add(data)
+    assert h.total == 50_000
+    assert h.min == data.min() and h.max == data.max()
+    assert h.mean() == pytest.approx(data.mean(), rel=1e-9)
+    # bucket width is 64 → quantile within one bucket of truth
+    assert abs(h.quantile(0.5) - np.quantile(data, 0.5)) <= 64
+    h2 = HistogramSketch(256, 0, 16384)
+    h2.add(data + 200)
+    merged = h.merge(h2)
+    assert merged.total == 100_000
+    assert merged.sum == h.sum + h2.sum
+
+
+def test_unigram_exact_and_bucketed():
+    u = UnigramHistogram(vocab_size=100)
+    u.add(np.array([1, 1, 2, 99, 100, -5], dtype=np.int64))  # 100 and -5 ignored
+    assert u.total == 4
+    assert u.counts[1] == 2 and u.counts[2] == 1 and u.counts[99] == 1
+    b = UnigramHistogram(vocab_size=100, n_buckets=10)
+    b.add(np.array([1, 11, 21], dtype=np.int64))
+    assert b.counts[1] == 3  # all collapse to bucket 1
+
+
+def test_exact_frequency_merge():
+    a, b = ExactFrequency(), ExactFrequency()
+    a.add(np.array(["x", "x", "y"], dtype=object))
+    b.add(np.array(["y", "z"], dtype=object))
+    m = a.merge(b)
+    assert m.counts == {"x": 2, "y": 2, "z": 1}
+
+
+def test_bundle_roundtrip_and_merge():
+    b1, b2 = SketchBundle(), SketchBundle()
+    b1.unigram = UnigramHistogram(50)
+    b2.unigram = UnigramHistogram(50)
+    b1.hll_doc_id.add(np.array(["a", "b"], dtype=object))
+    b2.hll_doc_id.add(np.array(["b", "c"], dtype=object))
+    b1.n_tok_hist.add(np.array([10, 20]))
+    b2.n_tok_hist.add(np.array([30]))
+    b1.n_rows, b2.n_rows = 2, 1
+    m = b1.merge(b2)
+    assert m.n_rows == 3
+    assert m.n_tok_hist.total == 3
+    rt = SketchBundle.from_bytes(m.to_bytes())
+    assert rt.n_rows == 3
+    assert rt.n_tok_hist.total == 3
+    assert (rt.hll_doc_id.registers == m.hll_doc_id.registers).all()
+
+
+def test_kl_and_chisq():
+    p = np.array([0.5, 0.5, 0.0])
+    assert kl_divergence(p, p) == pytest.approx(0.0, abs=1e-6)
+    q = np.array([0.9, 0.1, 0.0])
+    assert kl_divergence(p, q) > 0.2
+    obs = np.array([50, 50])
+    assert chi_squared(obs, np.array([0.5, 0.5])) == pytest.approx(0.0)
+    assert chi_squared(obs, np.array([0.9, 0.1])) > 100
