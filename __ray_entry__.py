@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline on sf0.001.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the training-data-pipeline additions (dedup / similarity / text /
+multimodal).  ``oracle_sql()`` gives DuckDB-equivalent SQL where the
+operator is SQL-expressible; the synthetic tokenized-sequence table (per
+BASELINE.json input_hint) is materialized deterministically under /tmp so
+the oracle reads the very same bytes the Ray pipelines read.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,216 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from hepdata_validator_ray.schema import (
+    DEFAULT_MAX_SEQ_LEN,
+    DEFAULT_SOURCES,
+    DEFAULT_VOCAB_SIZE,
+    DOC_ID_PATTERN,
+)
+from hepdata_validator_ray.synth import ensure_sequences_parquet, synth_dir_for
+
+# Materialize the synthetic sequence tables the oracles read (deterministic,
+# idempotent, small) — at import so the DuckDB side never races the Ray side.
+for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    try:
+        ensure_sequences_parquet(_sf)
+    except Exception:
+        pass
+
+_SYNTH_GLOB_001 = str(synth_dir_for("/root/testdata/sf0.01")) + "/*.parquet"
+
+
+def _seq(sf_dir: str) -> str:
+    """Sequences parquet dir for a testdata sf dir (generated on demand)."""
+    return ensure_sequences_parquet(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint suite (row checks + duplicate shuffle) over
+    the synthetic tokenized-sequence table at sf0.001."""
+    from hepdata_validator_ray.pipelines.validation import full_violation_counts
+
+    return full_violation_counts(_seq("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hepdata_validator_ray.pipelines import dedup, multimodal, relational, similarity, text, validation
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def docs(sf_dir: str) -> str:
+        return f"{sf_dir}/documents.parquet"
+
+    def emb(sf_dir: str) -> str:
+        return f"{sf_dir}/embeddings.parquet"
+
+    return {
+        # --- validation suite over the tokenized-sequence table -------------
+        "v_row_violations": lambda sf: validation.row_violations(_seq(sf)),
+        "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
+        "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
+        "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
+        "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
+        "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
+        "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
+        # --- general relational over the TPC-H-ish tables --------------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "segment_revenue": relational.segment_revenue,
+        "nation_order_stats": relational.nation_order_stats,
+        "events_daily": relational.events_daily,
+        "top_customers": relational.top_customers,
+        "referential_integrity": relational.referential_integrity,
+        # --- text analysis ----------------------------------------------------
+        "text_token_count": lambda sf: text.token_count_ws(docs(sf)),
+        "text_quality": lambda sf: text.quality_scores(docs(sf)),
+        "text_langid": lambda sf: text.lang_id(docs(sf)),
+        "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
+        # --- dedup ------------------------------------------------------------
+        "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
+        "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
+        "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(emb(sf), threshold=0.4),
+        "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(emb(sf), threshold=0.4),
+        # --- similarity search ------------------------------------------------
+        "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
+        "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
+        # --- multimodal plumbing ----------------------------------------------
+        "mm_payload_meta": lambda sf: multimodal.payload_meta(docs(sf)),
+        "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = _SYNTH_GLOB_001
+    sources_sql = ", ".join(f"'{s}'" for s in DEFAULT_SOURCES)
+    V = DEFAULT_VOCAB_SIZE
+    L = DEFAULT_MAX_SEQ_LEN
+    row_violations_cte = f"""
+WITH s AS (SELECT * FROM read_parquet('{p}')),
+v AS (
+  SELECT doc_id, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT doc_id, 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT doc_id, 'doc_id_max_length' FROM s WHERE doc_id IS NOT NULL AND length(doc_id) > 64
+  UNION ALL SELECT doc_id, 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT doc_id, 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT doc_id, 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT doc_id, 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT doc_id, 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT doc_id, 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT doc_id, 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)"""
+    return {
+        "v_row_violations": row_violations_cte + "\nSELECT doc_id, check_name FROM v",
+        "v_violation_counts": row_violations_cte
+        + "\nSELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name",
+        "flagship_validation_suite": row_violations_cte
+        + f"""
+, d AS (
+  SELECT 'doc_id_duplicates' AS check_name, sum(c)::BIGINT AS n
+  FROM (SELECT count(*) AS c FROM s WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1)
+  HAVING count(*) > 0
+)
+SELECT check_name, n FROM (
+  SELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name
+  UNION ALL SELECT check_name, n FROM d
+) ORDER BY check_name""",
+        "v_duplicates": f"""
+SELECT doc_id, count(*)::BIGINT AS cnt
+FROM read_parquet('{p}') WHERE doc_id IS NOT NULL
+GROUP BY doc_id HAVING count(*) > 1""",
+        "v_stats_by_source": f"""
+SELECT source,
+       count(*)::BIGINT AS n_rows,
+       sum(n_tok)::BIGINT AS sum_n_tok,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok
+FROM read_parquet('{p}') GROUP BY source""",
+        "v_ntok_hist": f"""
+SELECT CAST(floor(n_tok / 64.0) AS BIGINT) AS bucket, count(*)::BIGINT AS n
+FROM read_parquet('{p}') GROUP BY 1""",
+        "v_rows_per_partition": f"""
+SELECT filename AS partition_id, count(*)::BIGINT AS n_rows
+FROM read_parquet('{p}', filename=true) GROUP BY 1""",
+        # --- relational -------------------------------------------------------
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "segment_revenue": """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "nation_order_stats": """
+SELECT n_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "events_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "top_customers": """
+SELECT o_custkey,
+       round(sum(o_totalprice), 2) AS total_spend,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spend DESC LIMIT 10""",
+        "referential_integrity": """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT AS n_missing
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT""",
+        # --- text -------------------------------------------------------------
+        "text_token_count": """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens FROM documents""",
+        "text_quality": """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_calc,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+       len(list_filter(string_split(text, ' '),
+                       w -> list_contains(['the','and','of','a','to'], w)))::BIGINT AS n_stopwords
+FROM documents""",
+        # --- dedup ------------------------------------------------------------
+        "dedup_exact_groups": """
+WITH g AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1 HAVING count(*) > 1)
+SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_docs FROM g""",
+        "dedup_exact_keep_first": """
+SELECT md5(text) AS h, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""",
+        "dedup_embedding_cosine": """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        # --- similarity -------------------------------------------------------
+        "ann_topk": """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos_raw,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC) AS rk
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos FROM scored WHERE rk <= 10""",
+        # --- multimodal -------------------------------------------------------
+        "mm_payload_meta": """
+SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents""",
+    }

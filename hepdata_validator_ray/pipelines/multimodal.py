@@ -1,0 +1,74 @@
+"""Multimodal-column plumbing: opaque binary payloads with typed metadata.
+
+The container has no image/audio codecs, so the *decode* kernel is stubbed
+(deterministic fake features, or NotImplementedError in strict mode) — but
+the Ray-side plumbing is real and tested: binary column schema, actor-pool
+decode stage with per-actor init, byte-aware small batches, stable output
+layout.  Swapping ``_fake_decode`` for a real PIL/ffmpeg call is the only
+change needed on a cluster with codecs installed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def payload_table(docs_path: str) -> "ray.data.Dataset":
+    """Materialize an opaque-binary payload column (utf-8 bytes of text as a
+    stand-in blob) + typed metadata — the multimodal input shape."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        blobs = pa.array([s.encode() for s in t["text"].to_pylist()], type=pa.binary())
+        return pa.Table.from_arrays(
+            [t["doc_id"], blobs, pa.compute.binary_length(blobs), pa.array(["text/plain"] * t.num_rows)],
+            names=["doc_id", "payload", "n_bytes", "media_type"],
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=1024
+    )
+
+
+class DecodeStage:
+    """Actor-pool decode/feature-extract stage.
+
+    ``strict=True`` raises NotImplementedError (no codecs in this container);
+    default mode computes a deterministic fake feature: 16-bin byte histogram
+    — exercising the exact batch/actor/schema path a real decoder would."""
+
+    def __init__(self, strict: bool = False, n_bins: int = 16):
+        self.strict = strict
+        self.n_bins = n_bins
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires image/audio codecs not present in this container"
+            )
+        feats = []
+        for blob in t["payload"].to_pylist():
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            hist = np.bincount(arr // (256 // self.n_bins), minlength=self.n_bins).astype(np.int64)
+            feats.append(hist.tolist())
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["n_bytes"], pa.array(feats, type=pa.list_(pa.int64()))],
+            names=["doc_id", "n_bytes", "byte_hist"],
+        )
+
+
+def payload_meta(docs_path: str) -> "ray.data.Dataset":
+    """(doc_id, n_bytes) — the oracle-checkable metadata projection."""
+    return payload_table(docs_path).select_columns(["doc_id", "n_bytes"])
+
+
+def decoded_features(docs_path: str, concurrency: int = 2, strict: bool = False) -> "ray.data.Dataset":
+    # small batch_size: binary payload batches sized by bytes, not rows
+    return payload_table(docs_path).map_batches(
+        DecodeStage,
+        fn_constructor_kwargs=dict(strict=strict),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )

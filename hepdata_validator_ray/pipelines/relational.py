@@ -1,0 +1,217 @@
+"""General relational pipelines over the TPC-H-ish testdata tables.
+
+These demonstrate the engine's generic query capability (the reference's
+validation checks are predicates + aggregates; the same Ray Data operators
+compose into arbitrary analytics).  Patterns used:
+
+- column-pruned ``read_parquet``
+- vectorized per-batch compute (pyarrow.compute)
+- broadcast hash joins for small dimension tables (``ray.put`` once,
+  pandas merge per batch inside ``map_batches``) — no shuffle join for
+  dim tables (SURVEY.md §2.4 J1)
+- grouped aggregates with named aliases so the DuckDB oracle matches by
+  column name
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1 shape over lineitem: grouped sums of derived expressions."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.Table.from_arrays(
+            [t["l_returnflag"], t["l_linestatus"], t["l_quantity"], t["l_extendedprice"], disc_price, charge],
+            names=["l_returnflag", "l_linestatus", "qty", "base_price", "disc_price", "charge"],
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_price", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        # float sums rounded for cross-engine bit-stability (summation order
+        # differs between Ray partial aggregation and DuckDB)
+        for col in ["sum_base_price", "sum_disc_price", "sum_charge"]:
+            t = t.set_column(t.column_names.index(col), col, pc.round(t[col], 2))
+        t = t.set_column(t.column_names.index("sum_qty"), "sum_qty", pc.round(t["sum_qty"], 2))
+        return t
+
+    return ds.map_batches(round_cols, batch_format="pyarrow")
+
+
+def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue by customer market segment: broadcast-join lineitem→orders→
+    customer.  orders+customer are small → broadcast dict lookups inside
+    map_batches; lineitem streams."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = pd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    o2seg = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    lookup_ref = ray.put(dict(zip(o2seg.o_orderkey.to_numpy(), o2seg.c_mktsegment.to_numpy())))
+
+    class JoinStage:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            seg = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])).to_numpy(
+                zero_copy_only=False
+            )
+            keep = pd.notna(seg)
+            return pa.Table.from_pydict(
+                {
+                    "c_mktsegment": pa.array(seg[keep], type=pa.string()),
+                    "revenue": pa.array(rev[keep]),
+                }
+            )
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(JoinStage, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_lines"))
+        .map_batches(
+            lambda t: t.set_column(t.column_names.index("revenue"), "revenue", pc.round(t["revenue"], 2)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def nation_order_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Orders per customer nation (region→nation→customer→orders broadcast
+    chain): grouped count + rounded sum of totalprice."""
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    c2n = dict(
+        zip(
+            cust.c_custkey.to_numpy(),
+            cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").set_index("c_custkey").loc[
+                cust.c_custkey
+            ]["n_name"].to_numpy(dtype=object),
+        )
+    )
+    ref = ray.put(c2n)
+
+    class Stage:
+        def __init__(self, r):
+            self.lookup = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            return pa.Table.from_pydict(
+                {"n_name": pa.array(names, type=pa.string()), "o_totalprice": t["o_totalprice"]}
+            )
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(Stage, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_spend"), "total_spend", pc.round(t["total_spend"], 2)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_daily(sf_dir: str) -> "ray.data.Dataset":
+    """Per-day per-type event rollup (the streaming-table analytics shape)."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.Table.from_arrays(
+            [day, t["event_type"], t["value"]], names=["day", "event_type", "value"]
+        )
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(
+            lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k customers by total spend — grouped aggregate + sort + limit."""
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"), Count(alias_name="n_orders"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_spend"), "total_spend", pc.round(t["total_spend"], 2)
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("total_spend", descending=True)
+        .limit(k)
+    )
+
+
+def referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential anti-join checks (SURVEY.md §2.4 J2): count of child rows
+    whose foreign key has no parent — broadcast key-set membership filter
+    inside map_batches, no shuffle.  One summary row per relation so the
+    result schema is stable even with zero violations."""
+
+    def missing_count(child_tbl: str, child_key: str, parent_tbl: str, parent_key: str) -> int:
+        parent = pd.read_parquet(_pq(sf_dir, parent_tbl), columns=[parent_key])[parent_key].to_numpy()
+        ref = ray.put(np.sort(parent))
+
+        class AntiJoin:
+            def __init__(self, r):
+                self.keys = ray.get(r)  # sorted ndarray, once per actor
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = t[child_key].to_numpy(zero_copy_only=False)
+                n = int((~np.isin(keys, self.keys)).sum())  # vectorized membership
+                return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
+
+        parts = (
+            ray.data.read_parquet(_pq(sf_dir, child_tbl), columns=[child_key])
+            .map_batches(AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+            .sum("n")
+        )
+        return int(parts)
+
+    return pd.DataFrame(
+        [
+            {"relation": "lineitem->orders", "n_missing": missing_count("lineitem", "l_orderkey", "orders", "o_orderkey")},
+            {"relation": "orders->customer", "n_missing": missing_count("orders", "o_custkey", "customer", "c_custkey")},
+        ]
+    )

@@ -1,0 +1,162 @@
+"""Validation pipelines exposed as queries over the synthetic sequence table.
+
+Each function takes the *sequences parquet directory* and returns a Ray
+Dataset / pandas DataFrame whose shape matches a DuckDB oracle exactly
+(column names included — the driver hash-compares by sorted column name).
+
+All pipelines are Ray-Data-first: read_parquet (column-pruned) →
+vectorized map_batches → (optionally) a small groupby.  Python-level work
+touches only violating rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from hepdata_validator_ray.checks.base import CheckContext
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, prepare_view
+from hepdata_validator_ray.engine import dup_count_batch
+
+
+def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext) -> pa.Table:
+    """(doc_id, check_name) for every row-local violation in the batch."""
+    view = prepare_view(batch)
+    doc = view.get("doc_id")
+    ids: list = []
+    checks: list[str] = []
+    for check in DEFAULT_ROW_CHECKS:
+        res = check.fn(view, ctx)
+        if len(res.indices):
+            vals = doc.take(pa.array(res.indices)).to_pylist() if doc is not None else [None] * len(res.indices)
+            ids.extend(vals)
+            checks.extend([check.name] * len(res.indices))
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids, type=pa.string()), "check_name": pa.array(checks, type=pa.string())}
+    )
+
+
+def row_violations(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """All row-local violations as (doc_id, check_name) pairs."""
+    ctx = ctx or CheckContext()
+    return ray.data.read_parquet(seq_path).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
+    )
+
+
+def violation_counts(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Violations per check — pre-aggregated per batch, then a tiny groupby
+    (combiner pattern: the shuffle moves ≤ n_checks rows per batch)."""
+    ctx = ctx or CheckContext()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        names, counts = [], []
+        for check in DEFAULT_ROW_CHECKS:
+            res = check.fn(view, ctx)
+            if len(res.indices):
+                names.append(check.name)
+                counts.append(len(res.indices))
+        return pa.Table.from_pydict(
+            {"check_name": pa.array(names, type=pa.string()), "n": pa.array(counts, type=pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(seq_path)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True)
+        .groupby("check_name")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["check_name", "n"]), batch_format="pyarrow")
+    )
+
+
+def duplicate_doc_ids(seq_path: str) -> "ray.data.Dataset":
+    """doc_ids appearing more than once: column-pruned read + map-side
+    combine + the one global shuffle (SURVEY.md §2.5 A1)."""
+    return (
+        ray.data.read_parquet(seq_path, columns=["doc_id"])
+        .map_batches(dup_count_batch, batch_format="pyarrow", batch_size=65536)
+        .groupby("doc_id")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)).rename_columns(["doc_id", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def stats_by_source(seq_path: str) -> "ray.data.Dataset":
+    """Per-source column stats (count / sum / min / max of n_tok) — the
+    column-stats check family (A3/ST3), integer-exact for oracle parity."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Sum("n_tok", alias_name="sum_n_tok"),
+            Min("n_tok", alias_name="min_n_tok"),
+            Max("n_tok", alias_name="max_n_tok"),
+        )
+    )
+
+
+def ntok_histogram(seq_path: str, bucket_width: int = 64) -> "ray.data.Dataset":
+    """n_tok histogram: per-batch bincount partials → tiny groupby sum.
+    The drift-check building block (A5) exposed as a query."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = np.floor_divide(n_tok, bucket_width)
+        uniq, cnt = np.unique(buckets, return_counts=True)
+        return pa.Table.from_pydict(
+            {"bucket": pa.array(uniq, type=pa.int64()), "n": pa.array(cnt, type=pa.int64())}
+        )
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["n_tok"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["bucket", "n"]), batch_format="pyarrow")
+    )
+
+
+def rows_per_partition(seq_path: str) -> "ray.data.Dataset":
+    """Per-input-file row counts — the per-partition lineage/verdict basis."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column("path").combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.Table.from_pydict(
+            {
+                "partition_id": enc.dictionary,
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["doc_id"], include_paths=True)
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("partition_id")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["partition_id", "n_rows"]), batch_format="pyarrow")
+    )
+
+
+def full_violation_counts(seq_path: str, ctx: CheckContext | None = None) -> pd.DataFrame:
+    """Flagship: row-local counts + cross-partition duplicate count in one
+    result — the complete constraint suite summary."""
+    rc = violation_counts(seq_path, ctx).to_pandas()
+    dups = duplicate_doc_ids(seq_path).to_pandas()
+    n_dup = int(dups["cnt"].sum()) if len(dups) else 0
+    if n_dup:
+        rc = pd.concat(
+            [rc, pd.DataFrame([{"check_name": "doc_id_duplicates", "n": n_dup}])], ignore_index=True
+        )
+    return rc.sort_values("check_name").reset_index(drop=True)
