@@ -75,18 +75,18 @@ def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1  # 31-bit prime: (a*x+b) fits in uint64 → vectorized
 
 
 def _stable_shingle_hashes(words: list[str], k: int) -> np.ndarray:
-    """Hash each k-word shingle to uint64 (md5-based for determinism)."""
+    """Hash each k-word shingle to 31-bit uint (md5-based for determinism)."""
     if len(words) < k:
         shingles = [" ".join(words)] if words else []
     else:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little") % _MERSENNE
     return out
 
 
@@ -99,12 +99,12 @@ def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarra
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm-wide signature: min over shingles of (a*x+b) mod p.
-    Vectorized as an (n_shingles × num_perm) outer product."""
+    Vectorized as an (n_shingles × num_perm) uint64 outer product — both
+    operands < 2^31 so the product never overflows."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    x = shingle_hashes.astype(object)[:, None]  # object → exact big-int modmul
-    vals = (x * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE
-    return np.min(vals.astype(np.uint64), axis=0)
+    vals = (shingle_hashes[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return np.min(vals, axis=0)
 
 
 class MinHashStage:
@@ -161,17 +161,21 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    concurrency: int = 2,
+    concurrency: int | None = None,
 ) -> "ray.data.Dataset":
-    """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold."""
+    """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
+
+    The minhash stage runs as stateless tasks (its state — permutation
+    params — is tiny and driver-built, shipped in the task closure), so the
+    pipeline never reserves CPU for idle pools; with map_groups shuffle
+    stages downstream this also avoids pool-starvation on small clusters."""
+    stage = MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     ds = (
         ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
         .map_batches(
-            MinHashStage,
-            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+            lambda df: stage(df),
             batch_format="pandas",
             batch_size=2048,
-            concurrency=concurrency,
         )
         .groupby(["band", "bucket"])
         .map_groups(_pairs_from_bucket, batch_format="pandas")
@@ -212,11 +216,11 @@ class SimHashStage:
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": pd.array(sh, dtype="uint64")})
 
 
-def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int = 2) -> "ray.data.Dataset":
+def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int | None = None) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band
     buckets (pigeonhole: distance ≤3 ⇒ one band equal)."""
     sh = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        SimHashStage, batch_format="pandas", batch_size=2048, concurrency=concurrency
+        SimHashStage(), batch_format="pandas", batch_size=2048
     )
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -256,14 +260,16 @@ def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int = 2) ->
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    docs_path: str, threshold: float = 0.3, shingle_k: int = 3, concurrency: int = 2
+    docs_path: str, threshold: float = 0.3, shingle_k: int = 3, concurrency: int | None = None
 ) -> "ray.data.Dataset":
     """Exact word-shingle Jaccard for MinHash-LSH candidate pairs.
 
     Small scale: the shingle-set table is broadcast (ray.put) into the verify
-    stage.  At 10^12 docs the same verify becomes a repartition join of
-    (pair → both shingle sets) on doc_id — noted here as the scale path."""
-    cands = minhash_lsh_pairs(docs_path, threshold=0.0, shingle_k=shingle_k, concurrency=concurrency)
+    stage, which runs as stateless tasks (ray.get of a shared object is
+    plasma-cached per node).  At 10^12 docs the same verify becomes a
+    repartition join of (pair → both shingle sets) on doc_id — noted here as
+    the scale path."""
+    cands = minhash_lsh_pairs(docs_path, threshold=0.0, shingle_k=shingle_k)
 
     docs = pd.read_parquet(docs_path, columns=["doc_id", "text"])
     sets = {
@@ -275,21 +281,18 @@ def ngram_jaccard_pairs(
     }
     ref = ray.put(sets)
 
-    class Verify:
-        def __init__(self, r):
-            self.sets = ray.get(r)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(ref)
+        jac = []
+        for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac.append(inter / union if union else 0.0)
+        out = pd.DataFrame({"doc_id_a": df["doc_id_a"], "doc_id_b": df["doc_id_b"], "jaccard": jac})
+        return out[out.jaccard >= threshold]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            jac = []
-            for a, b in zip(df["doc_id_a"], df["doc_id_b"]):
-                sa, sb = self.sets[a], self.sets[b]
-                inter = len(sa & sb)
-                union = len(sa | sb)
-                jac.append(inter / union if union else 0.0)
-            out = pd.DataFrame({"doc_id_a": df["doc_id_a"], "doc_id_b": df["doc_id_b"], "jaccard": jac})
-            return out[out.jaccard >= threshold]
-
-    return cands.map_batches(Verify, fn_constructor_args=(ref,), batch_format="pandas", concurrency=concurrency)
+    return cands.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -380,9 +383,10 @@ def embedding_lsh_pairs(
             recs.append((a, b, round(float(sims[i, j]), 6)))
         return pd.DataFrame(recs, columns=["vec_id_a", "vec_id_b", "cos"])
 
+    stage = BucketStage()
     out = (
         ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
-        .map_batches(BucketStage, batch_format="pandas", batch_size=2048, concurrency=2)
+        .map_batches(lambda df: stage(df), batch_format="pandas", batch_size=2048)
         .groupby(["table", "bucket"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()

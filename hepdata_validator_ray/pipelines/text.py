@@ -96,20 +96,22 @@ def lang_id(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
     )
 
 
-FP_BASE = np.uint64(1099511628211)  # FNV-ish word-rolling base
-FP_SEED = np.uint64(0xCBF29CE484222325)
+FP_BASE = 1099511628211  # FNV-ish word-rolling base
+FP_SEED = 0xCBF29CE484222325
+_MASK64 = 0xFFFFFFFFFFFFFFFF
 
 
 def fingerprint_words(words: list[str]) -> int:
     """Deterministic rolling hash over the word sequence (document
-    fingerprint — order-sensitive, unlike a bag-of-words hash)."""
+    fingerprint — order-sensitive, unlike a bag-of-words hash).  Plain-int
+    modular arithmetic: wraparound is intended."""
     h = FP_SEED
     for w in words:
-        wh = np.uint64(0)
+        wh = 0
         for b in w.encode():
-            wh = (wh * np.uint64(131) + np.uint64(b)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        h = ((h ^ wh) * FP_BASE) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return int(h)
+            wh = (wh * 131 + b) & _MASK64
+        h = ((h ^ wh) * FP_BASE) & _MASK64
+    return h
 
 
 def fingerprints(docs_path: str) -> "ray.data.Dataset":
