@@ -26,6 +26,8 @@ Public surface:
                          (hepdata_validator/__init__.py:159-182).
 """
 
+import hepdata_validator_ray.tuning  # noqa: F401  (allocator tuning, import side effect)
+
 from hepdata_validator_ray.schema import (
     SEQUENCE_SCHEMA,
     VIOLATION_SCHEMA,

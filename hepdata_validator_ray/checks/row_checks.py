@@ -40,13 +40,19 @@ def prepare_view(batch: pa.Table) -> dict:
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         # null list → length -1 sentinel
         lens = np.where(np.isnan(lens), -1, lens).astype(np.int64) if lens.dtype.kind == "f" else lens.astype(np.int64)
-        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(np.maximum(lens, 0), out=offsets[1:])
         view["tokens"] = toks
         view["lens"] = lens
-        view["offsets"] = offsets
-        # flatten() drops null entries' values → offsets above stay aligned
-        view["flat"] = toks.flatten().to_numpy(zero_copy_only=False)
+        if toks.null_count == 0 and isinstance(toks, pa.ListArray):
+            # zero-copy hot path: Arrow's own offsets + child values buffer
+            # (no flatten allocation, no cumsum temp)
+            view["offsets"] = toks.offsets.to_numpy(zero_copy_only=True).astype(np.int64, copy=False)
+            view["flat"] = toks.values.to_numpy(zero_copy_only=True)
+        else:
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(np.maximum(lens, 0), out=offsets[1:])
+            view["offsets"] = offsets
+            # flatten() drops null entries' values → offsets above stay aligned
+            view["flat"] = toks.flatten().to_numpy(zero_copy_only=False)
 
     if "n_tok" in batch.column_names:
         ntk = batch.column("n_tok")
@@ -62,12 +68,21 @@ def prepare_view(batch: pa.Table) -> dict:
     return view
 
 
-def _segment_counts(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-row count of True positions in the flat buffer — cumsum-gather
-    trick, O(total tokens), no Python loop."""
-    cum = np.zeros(len(mask) + 1, dtype=np.int64)
-    np.cumsum(mask, out=cum[1:])
-    return cum[offsets[1:]] - cum[offsets[:-1]]
+def _segment_any(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row any(True) over the flat buffer's segments — logical_or.reduceat,
+    O(total tokens), no Python loop, no large temporaries (allocation-light
+    for page-fault-expensive kernels; see tuning.py)."""
+    n = len(offsets) - 1
+    if n <= 0 or len(mask) == 0:
+        return np.zeros(max(n, 0), dtype=bool)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    # reduceat quirk: an empty segment yields mask[starts[i]], and a start at
+    # len(mask) is out of bounds — clip, then force empty rows to False
+    safe_starts = np.minimum(starts, len(mask) - 1)
+    out = np.logical_or.reduceat(mask, safe_starts)
+    out[lens <= 0] = False
+    return out
 
 
 def _result(idx: np.ndarray, details: list[str], level: str = "error") -> CheckResult:
@@ -138,8 +153,7 @@ def check_token_id_range(v: dict, ctx: CheckContext) -> CheckResult:
     bad_mask = (flat < 0) | (flat >= ctx.vocab_size)
     if not bad_mask.any():
         return _EMPTY
-    per_row = _segment_counts(bad_mask, offsets)
-    rows = np.flatnonzero(per_row > 0)
+    rows = np.flatnonzero(_segment_any(bad_mask, offsets))
     details = []
     for r in rows:
         seg = bad_mask[offsets[r] : offsets[r + 1]]
@@ -174,8 +188,8 @@ def check_tokens_not_all_zero(v: dict, ctx: CheckContext) -> CheckResult:
     # ≙ "Uncertainties should not all be zero" (data_file_validator.py:273-284):
     # segmented all-zero over the list column, cumsum-gather
     flat, offsets, lens = v["flat"], v["offsets"], v["lens"]
-    nonzero_per_row = _segment_counts(flat != 0, offsets)
-    bad = np.flatnonzero((lens > 0) & (nonzero_per_row == 0))
+    has_nonzero = _segment_any(flat != 0, offsets)
+    bad = np.flatnonzero((lens > 0) & ~has_nonzero)
     if not len(bad):
         return _EMPTY
     return _result(bad, [M.msg_all_zero()] * len(bad))

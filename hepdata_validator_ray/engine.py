@@ -263,20 +263,16 @@ class CheckStage:
         return pa.Table.from_pydict(rows, schema=MIXED_SCHEMA)
 
 
-def dup_count_batch(batch: pa.Table) -> pa.Table:
-    """Map-side combine for the duplicate shuffle: per-batch doc_id value
-    counts → (doc_id, cnt) rows.  Collapses hot duplicate classes before the
-    exchange (the salting/pre-aggregation lever from SURVEY.md §4.2).
-    Stateless → task pool, not actors."""
-    col = batch.column("doc_id")
-    vc = pc.value_counts(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-    values = vc.field("values")
-    counts = vc.field("counts")
-    valid = pc.is_valid(values)
-    return pa.Table.from_arrays(
-        [values.filter(valid), pc.cast(counts.filter(valid), pa.int64())],
-        names=["doc_id", "cnt"],
-    )
+def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Cross-partition duplicate doc_ids (the A1 global check): column-pruned
+    read → per-batch value_counts (map-side combine, collapses hot duplicate
+    classes before the exchange) → bucketed vectorized sum → count > 1.
+    The one true all-to-all shuffle in the engine, and it moves only
+    pre-combined (doc_id, cnt) partials keyed by a small int bucket."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    ds = ray.data.read_parquet(files, columns=["doc_id"])
+    return grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
 
 
 def _merge_sketch_batch(batch: pa.Table) -> pa.Table:
@@ -431,22 +427,32 @@ class ValidationEngine:
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             zero_copy_batch=True,
-            fn_constructor_kwargs=dict(
+        )
+        if cfg.concurrency is not None:
+            # explicit actor pool: state (compiled suite + broadcast manifest)
+            # built once per actor (ST1 pattern); size it to leave headroom
+            # for read tasks so the pool doesn't starve upstream
+            kwargs["concurrency"] = cfg.concurrency
+            kwargs["fn_constructor_kwargs"] = dict(
                 ctx=cfg.ctx,
                 suite=cfg.suite,
                 enable_sketches=cfg.enable_sketches,
                 enable_unigram=cfg.enable_unigram,
                 unigram_buckets=cfg.unigram_buckets,
-            ),
-        )
-        if cfg.concurrency is not None:
-            kwargs["concurrency"] = cfg.concurrency
+            )
+            mixed = ds.map_batches(CheckStage, **kwargs).materialize()
         else:
-            # actor pool sized to leave headroom for read tasks so the pool
-            # doesn't starve the upstream stage (SURVEY.md §4.2)
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-            kwargs["concurrency"] = max(2, cpus - 2)
-        mixed = ds.map_batches(CheckStage, **kwargs).materialize()
+            # default: stateless tasks with the stage object shipped in the
+            # closure (state is small) — elastic, reuses Ray's long-lived
+            # default workers instead of paying per-run actor startup
+            stage = CheckStage(
+                ctx=cfg.ctx,
+                suite=cfg.suite,
+                enable_sketches=cfg.enable_sketches,
+                enable_unigram=cfg.enable_unigram,
+                unigram_buckets=cfg.unigram_buckets,
+            )
+            mixed = ds.map_batches(lambda b: stage(b), **kwargs).materialize()
 
         violations = mixed.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(
@@ -582,17 +588,7 @@ class ValidationEngine:
             e = manifest.get_all("dup_pass")[-1]
             return pd.DataFrame(e["dups"]) if e.get("dups") else pd.DataFrame(columns=["doc_id", "cnt"])
         t0 = time.perf_counter()
-        ds = ray.data.read_parquet(files, columns=["doc_id"])
-        dup = (
-            ds.map_batches(dup_count_batch, batch_format="pyarrow", batch_size=65536)
-            .groupby("doc_id")
-            .sum("cnt")
-            .map_batches(
-                lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)).rename_columns(["doc_id", "cnt"]),
-                batch_format="pyarrow",
-            )
-        )
-        dup_df = dup.to_pandas()
+        dup_df = duplicate_ids_dataset(files).to_pandas()
         if out_dir is not None and len(dup_df):
             vio = pa.Table.from_pydict(
                 {

@@ -1,0 +1,166 @@
+"""Distributed operator utilities — the shuffle-efficient building blocks.
+
+Ray Data's built-in ``groupby().aggregate()`` merges sorted rows in a Python
+loop (≈20µs/row) and ``map_groups`` pays a per-group UDF call — both
+pathological for high-cardinality keys.  The utilities here implement the
+classic two-phase exchange explicitly:
+
+1. map-side: per-batch partial aggregation (combiner) + a small integer
+   ``__bucket__`` column = hash(key) % num_buckets;
+2. one shuffle on the *bucket* (few distinct values → the sort/merge is
+   cheap), then a **vectorized** Arrow/pandas aggregation inside each bucket.
+
+The shuffle therefore moves pre-combined partials keyed by a small int, and
+all per-key work is C-speed.  ``num_buckets`` is the reduce parallelism —
+size it to the cluster (default 64; at 10^12 rows use thousands).  Hot keys
+are pre-collapsed by the map-side combine, the salting lever when a single
+key's partials still dominate a bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+BUCKET_COL = "__bucket__"
+
+
+def _hash_mod(arr: pa.Array, num_buckets: int) -> np.ndarray:
+    np_vals = arr.to_numpy(zero_copy_only=False)
+    if np_vals.dtype.kind in ("i", "u"):
+        h = pd.util.hash_array(np_vals)
+    else:
+        h = pd.util.hash_array(np.asarray(np_vals, dtype=object), categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def with_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    col = batch.column(key)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return batch.append_column(BUCKET_COL, pa.array(_hash_mod(arr, num_buckets)))
+
+
+def bucketed_aggregate(
+    ds: "ray.data.Dataset",
+    key: str,
+    partial_fn: Callable[[pa.Table], pa.Table] | None,
+    combine_fn: Callable[[pa.Table], pa.Table],
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Two-phase grouped aggregation.
+
+    ``partial_fn``: per-batch map-side combine (None → identity).  Its output
+    must contain ``key``.  ``combine_fn``: vectorized per-bucket aggregation
+    (receives every partial row of the bucket as ONE Arrow table, bucket
+    column removed — do the real group_by(key) inside with pyarrow/pandas).
+    """
+
+    def map_side(batch: pa.Table) -> pa.Table:
+        if partial_fn is not None:
+            batch = partial_fn(batch)
+        return with_bucket(batch, key, num_buckets)
+
+    def reduce_side(batch: pa.Table) -> pa.Table:
+        return combine_fn(batch.drop_columns([BUCKET_COL]))
+
+    return (
+        ds.map_batches(map_side, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(BUCKET_COL)
+        .map_groups(reduce_side, batch_format="pyarrow")
+    )
+
+
+def value_counts_partial(key: str) -> Callable[[pa.Table], pa.Table]:
+    """Map-side combine: per-batch value counts of ``key`` → (key, cnt)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vc = pc.value_counts(arr)
+        vals = vc.field("values")
+        cnts = pc.cast(vc.field("counts"), pa.int64())
+        valid = pc.is_valid(vals)
+        return pa.Table.from_arrays([vals.filter(valid), cnts.filter(valid)], names=[key, "cnt"])
+
+    return fn
+
+
+def sum_counts_combine(key: str, min_count: int = 0) -> Callable[[pa.Table], pa.Table]:
+    """Per-bucket combine: Arrow hash aggregate summing ``cnt`` per key."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([("cnt", "sum")])
+        if min_count > 1:
+            g = g.filter(pc.greater_equal(g["cnt_sum"], min_count))
+        return g.rename_columns([key, "cnt"])
+
+    return fn
+
+
+def grouped_value_counts(
+    ds: "ray.data.Dataset", key: str, min_count: int = 0, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Distributed value_counts(key) with map-side combine; optionally keep
+    only keys with count ≥ min_count (min_count=2 → duplicate detection)."""
+    return bucketed_aggregate(
+        ds,
+        key,
+        value_counts_partial(key),
+        sum_counts_combine(key, min_count),
+        num_buckets=num_buckets,
+    )
+
+
+def grouped_pairs(
+    ds: "ray.data.Dataset",
+    fine_keys: list[str],
+    pair_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+    empty: pd.DataFrame | None = None,
+) -> "ray.data.Dataset":
+    """Bucketed candidate-pair generation for LSH-style pipelines.
+
+    Rows are shuffled by hash(fine_keys[0..]) into coarse buckets; inside a
+    bucket, only *fine-key collisions* (≥2 rows sharing all fine_keys) are
+    passed to ``pair_fn`` — located vectorized via pandas duplicated(), so
+    the per-group Python overhead is paid only for actual collisions, not
+    for every singleton bucket."""
+
+    def map_side(batch: pa.Table) -> pa.Table:
+        # composite hash over all fine keys
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in fine_keys:
+            col = batch.column(k)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            np_vals = arr.to_numpy(zero_copy_only=False)
+            if np_vals.dtype.kind in ("i", "u"):
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(np_vals)
+            else:
+                h = h * np.uint64(1099511628211) + pd.util.hash_array(
+                    np.asarray(np_vals, dtype=object), categorize=False
+                )
+        return batch.append_column(BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def reduce_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        dup_mask = df.duplicated(subset=fine_keys, keep=False)
+        coll = df[dup_mask]
+        if not len(coll):
+            return empty.iloc[0:0] if empty is not None else pd.DataFrame()
+        outs = [pair_fn(g) for _, g in coll.groupby(fine_keys, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return empty.iloc[0:0] if empty is not None else pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(map_side, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(reduce_side, batch_format="pandas")
+    )

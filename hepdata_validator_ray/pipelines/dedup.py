@@ -42,17 +42,12 @@ def exact_dup_groups(docs_path: str) -> pd.DataFrame:
     """Exact-duplicate summary: number of content-hash groups with >1 member
     and total duplicate docs.  Returned as a one-row summary so the result
     schema is stable even when the corpus has no exact dups."""
-    groups = (
-        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
-        .groupby("h")
-        .count()
-        .map_batches(
-            lambda t: t.filter(pa.compute.greater(t["count()"], 1)).rename_columns(["h", "cnt"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _md5_batch, batch_format="pandas", batch_size=4096
     )
+    groups = grouped_value_counts(hashed, "h", min_count=2).to_pandas()
     n_groups = int(len(groups))
     n_docs = int(groups["cnt"].sum()) if n_groups else 0
     return pd.DataFrame([{"n_dup_groups": n_groups, "n_dup_docs": n_docs}])
@@ -61,14 +56,18 @@ def exact_dup_groups(docs_path: str) -> pd.DataFrame:
 def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
     """Survivor per content-hash group: min(doc_id) — deterministic
     keep-first semantics (reference first-occurrence duplicate reporting,
-    submission_file_validator.py:142-149, generalized to content identity)."""
-    return (
-        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
-        .groupby("h")
-        .min("doc_id")
-        .map_batches(lambda t: t.rename_columns(["h", "keep_doc_id"]), batch_format="pyarrow")
+    submission_file_validator.py:142-149, generalized to content identity).
+    Bucketed exchange + Arrow hash aggregate per bucket (ops.py)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("doc_id", "min")])
+        return g.rename_columns(["h", "keep_doc_id"])
+
+    hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _md5_batch, batch_format="pandas", batch_size=4096
     )
+    return bucketed_aggregate(hashed, "h", None, combine)
 
 
 # ---------------------------------------------------------------------------
@@ -138,13 +137,16 @@ class MinHashStage:
         )
 
 
+_PAIR_EMPTY = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+
+
 def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """All (a<b) pairs within one LSH bucket with signature-estimated
     Jaccard.  Bucket sizes are small by construction; a hot bucket indicates
     a hot near-dup cluster (report it rather than exploding pairs)."""
     rows = g.drop_duplicates("doc_id")
     if len(rows) < 2 or len(rows) > 200:  # hot-bucket guard
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "est_jaccard": []})
+        return _PAIR_EMPTY
     recs = []
     docs = rows["doc_id"].tolist()
     sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
@@ -169,17 +171,18 @@ def minhash_lsh_pairs(
     params — is tiny and driver-built, shipped in the task closure), so the
     pipeline never reserves CPU for idle pools; with map_groups shuffle
     stages downstream this also avoids pool-starvation on small clusters."""
+    from hepdata_validator_ray.ops import grouped_pairs
+
     stage = MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
-    ds = (
-        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(
-            lambda df: stage(df),
-            batch_format="pandas",
-            batch_size=2048,
-        )
-        .groupby(["band", "bucket"])
-        .map_groups(_pairs_from_bucket, batch_format="pandas")
+    sig_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        lambda df: stage(df),
+        batch_format="pandas",
+        batch_size=2048,
     )
+    # coarse-bucketed shuffle: fine (band, bucket) collisions located
+    # vectorized inside each coarse bucket — per-group Python cost is paid
+    # only for actual candidate clusters (ops.grouped_pairs)
+    ds = grouped_pairs(sig_rows, ["band", "bucket"], _pairs_from_bucket, empty=_PAIR_EMPTY)
     # a pair can surface from several bands → dedupe, keep max estimate
     return (
         ds.groupby(["doc_id_a", "doc_id_b"])
@@ -231,10 +234,14 @@ def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int | None 
                 recs.append((band, (h >> (band * 16)) & 0xFFFF, doc_id, h))
         return pd.DataFrame(recs, columns=["band", "bucket", "doc_id", "simhash"])
 
+    empty = pd.DataFrame(
+        {"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+    )
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = g.drop_duplicates("doc_id")
         if len(rows) < 2 or len(rows) > 200:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "hamming": []})
+            return empty
         recs = []
         docs = rows["doc_id"].tolist()
         hs = [int(h) for h in rows["simhash"]]
@@ -243,12 +250,12 @@ def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int | None 
             if d <= max_hamming:
                 a, b = sorted((docs[i], docs[j]))
                 recs.append((a, b, d))
-        return pd.DataFrame(recs, columns=["doc_id_a", "doc_id_b", "hamming"])
+        return pd.DataFrame(recs, columns=["doc_id_a", "doc_id_b", "hamming"]) if recs else empty
+
+    from hepdata_validator_ray.ops import grouped_pairs
 
     return (
-        sh.map_batches(bands, batch_format="pandas")
-        .groupby(["band", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+        grouped_pairs(sh.map_batches(bands, batch_format="pandas"), ["band", "bucket"], verify, empty=empty)
         .groupby(["doc_id_a", "doc_id_b"])
         .min("hamming")
         .map_batches(lambda t: t.rename_columns(["doc_id_a", "doc_id_b", "hamming"]), batch_format="pyarrow")

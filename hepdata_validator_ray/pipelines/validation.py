@@ -19,7 +19,7 @@ import ray.data
 
 from hepdata_validator_ray.checks.base import CheckContext
 from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, prepare_view
-from hepdata_validator_ray.engine import dup_count_batch
+from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
 def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext) -> pa.Table:
@@ -76,16 +76,7 @@ def violation_counts(seq_path: str, ctx: CheckContext | None = None) -> "ray.dat
 def duplicate_doc_ids(seq_path: str) -> "ray.data.Dataset":
     """doc_ids appearing more than once: column-pruned read + map-side
     combine + the one global shuffle (SURVEY.md §2.5 A1)."""
-    return (
-        ray.data.read_parquet(seq_path, columns=["doc_id"])
-        .map_batches(dup_count_batch, batch_format="pyarrow", batch_size=65536)
-        .groupby("doc_id")
-        .sum("cnt")
-        .map_batches(
-            lambda t: t.filter(pc.greater(t["sum(cnt)"], 1)).rename_columns(["doc_id", "cnt"]),
-            batch_format="pyarrow",
-        )
-    )
+    return duplicate_ids_dataset(seq_path)
 
 
 def stats_by_source(seq_path: str) -> "ray.data.Dataset":
