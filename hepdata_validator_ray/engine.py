@@ -98,6 +98,14 @@ class ValidationConfig:
     drift_kl_threshold: float = 0.15
     chunk_files: int = 64  # files per resumable chunk
     preserve_order: bool = False
+    #: when a chunk's mixed stream has fewer rows than this, finish it on the
+    #: driver in one pull (the stream is 1-3% of input bytes; the distributed
+    #: path kicks in for dirty or huge chunks)
+    driver_collect_rows: int = 200_000
+    #: fuse read+check into one whole-file task (FileCheckReader).  False →
+    #: classic read_parquet → map_batches plan (used when input is a Dataset
+    #: or when block-level splitting of huge files is needed)
+    inline_read: bool = True
 
 
 @dataclass
@@ -263,6 +271,30 @@ class CheckStage:
         return pa.Table.from_pydict(rows, schema=MIXED_SCHEMA)
 
 
+class FileCheckReader:
+    """Whole-file check task: reads one parquet file row-group-wise (column
+    pruned) and runs CheckStage on each slab — the fused read+check operator
+    of the inline physical plan."""
+
+    def __init__(self, batch_size: int = 16384, columns: list[str] | None = None, **stage_kwargs):
+        self.batch_size = batch_size
+        self.columns = columns
+        self.stage = CheckStage(**stage_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs: list[pa.Table] = []
+        for path in batch.column(batch.column_names[0]).to_pylist():
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
+                tbl = pa.Table.from_batches([rb])
+                tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
+                outs.append(self.stage(tbl))
+            pf.close()
+        return pa.concat_tables(outs) if outs else MIXED_SCHEMA.empty_table()
+
+
 def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray.data.Dataset":
     """Cross-partition duplicate doc_ids (the A1 global check): column-pruned
     read → per-batch value_counts (map-side combine, collapses hot duplicate
@@ -271,7 +303,10 @@ def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray
     pre-combined (doc_id, cnt) partials keyed by a small int bucket."""
     from hepdata_validator_ray.ops import grouped_value_counts
 
-    ds = ray.data.read_parquet(files, columns=["doc_id"])
+    if isinstance(files, list):
+        ds = ray.data.read_parquet(files, columns=["doc_id"], override_num_blocks=len(files))
+    else:
+        ds = ray.data.read_parquet(files, columns=["doc_id"])
     return grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
 
 
@@ -421,85 +456,143 @@ class ValidationEngine:
         cfg = self.config
         t0 = time.perf_counter()
         cols = cfg.suite.required_columns()
-        ds = ray.data.read_parquet(files, columns=cols or None, include_paths=True)
-
-        kwargs: dict[str, Any] = dict(
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            zero_copy_batch=True,
+        stage_kwargs = dict(
+            ctx=cfg.ctx,
+            suite=cfg.suite,
+            enable_sketches=cfg.enable_sketches,
+            enable_unigram=cfg.enable_unigram,
+            unigram_buckets=cfg.unigram_buckets,
         )
-        if cfg.concurrency is not None:
-            # explicit actor pool: state (compiled suite + broadcast manifest)
-            # built once per actor (ST1 pattern); size it to leave headroom
-            # for read tasks so the pool doesn't starve upstream
-            kwargs["concurrency"] = cfg.concurrency
-            kwargs["fn_constructor_kwargs"] = dict(
-                ctx=cfg.ctx,
-                suite=cfg.suite,
-                enable_sketches=cfg.enable_sketches,
-                enable_unigram=cfg.enable_unigram,
-                unigram_buckets=cfg.unigram_buckets,
+        if cfg.inline_read:
+            # default physical plan: one task per input file; the task reads
+            # its file ROW-GROUP-WISE (pruned to the check columns) and runs
+            # the check suite in-place, emitting only the tiny mixed stream.
+            # The 770MB-per-GB raw token data never round-trips the object
+            # store, the file is the lineage/retry unit, and worker demand
+            # is capped at #files (no block-split worker-churn storms).
+            reader = FileCheckReader(batch_size=cfg.batch_size, columns=cols or None, **stage_kwargs)
+            mixed = (
+                ray.data.from_items(files, override_num_blocks=max(1, len(files)))
+                .map_batches(reader, batch_size=1, batch_format="pyarrow")
+                .materialize()
             )
-            mixed = ds.map_batches(CheckStage, **kwargs).materialize()
         else:
-            # default: stateless tasks with the stage object shipped in the
-            # closure (state is small) — elastic, reuses Ray's long-lived
-            # default workers instead of paying per-run actor startup
-            stage = CheckStage(
-                ctx=cfg.ctx,
-                suite=cfg.suite,
-                enable_sketches=cfg.enable_sketches,
-                enable_unigram=cfg.enable_unigram,
-                unigram_buckets=cfg.unigram_buckets,
+            ds = ray.data.read_parquet(
+                files, columns=cols or None, include_paths=True, override_num_blocks=len(files)
             )
-            mixed = ds.map_batches(lambda b: stage(b), **kwargs).materialize()
+            kwargs: dict[str, Any] = dict(
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                zero_copy_batch=True,
+            )
+            if cfg.concurrency is not None:
+                # explicit actor pool: state (compiled suite + broadcast
+                # manifest) built once per actor (ST1 pattern)
+                kwargs["concurrency"] = cfg.concurrency
+                kwargs["fn_constructor_kwargs"] = stage_kwargs
+                mixed = ds.map_batches(CheckStage, **kwargs).materialize()
+            else:
+                stage = CheckStage(**stage_kwargs)
+                mixed = ds.map_batches(lambda b: stage(b), **kwargs).materialize()
 
-        violations = mixed.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(
+        # The mixed stream is tiny relative to the input (violations +
+        # fixed-size partials).  When a chunk's stream fits comfortably on
+        # the driver, pull it ONCE and finish driver-side (one execution
+        # instead of five); otherwise use the distributed path.  count() on
+        # a materialized dataset is metadata-only.
+        if mixed.count() <= cfg.driver_collect_rows:
+            refs = mixed.to_arrow_refs()
+            tables = ray.get(refs) if refs else []
+            mixed_tbl = (
+                pa.concat_tables(tables).combine_chunks() if tables else MIXED_SCHEMA.empty_table()
+            )
+            vio_tbl = mixed_tbl.filter(pc.equal(mixed_tbl["kind"], KIND_VIOLATION)).select(
                 ["partition_id", "row_idx", "doc_id", "check_name", "level", "detail"]
-            ),
-            batch_format="pyarrow",
-        )
-        if out_dir is not None:
-            vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
-            vdir.mkdir(parents=True, exist_ok=True)
-            violations.write_parquet(str(vdir))
+            )
+            if out_dir is not None:
+                vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
+                vdir.mkdir(parents=True, exist_ok=True)
+                import pyarrow.parquet as pq
 
-        # per-(partition, check) violation counts — small grouped aggregate
-        vio_counts_df = (
-            mixed.map_batches(
-                lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(["partition_id", "check_name"]),
+                pq.write_table(vio_tbl, vdir / "part-0.parquet")
+            vio_df = vio_tbl.select(["partition_id", "check_name"]).to_pandas()
+            vio_counts_df = (
+                vio_df.groupby(["partition_id", "check_name"], as_index=False).size().rename(columns={"size": "count()"})
+            )
+            stats_tbl = mixed_tbl.filter(pc.equal(mixed_tbl["kind"], KIND_BATCH_STATS))
+            stats_df = (
+                stats_tbl.select(["partition_id", "n_rows"])
+                .to_pandas()
+                .groupby("partition_id", as_index=False)["n_rows"]
+                .sum()
+            )
+            verdicts = self._build_verdicts(stats_df, vio_counts_df)
+            bundle = None
+            if cfg.enable_sketches:
+                sk_df = mixed_tbl.filter(pc.equal(mixed_tbl["kind"], KIND_SKETCH)).select(
+                    ["partition_id", "n_rows", "payload"]
+                ).to_pandas()
+                per_part: dict[str, SketchBundle] = {}
+                for _, r in sk_df.iterrows():
+                    b = SketchBundle.from_bytes(r["payload"])
+                    per_part[r["partition_id"]] = (
+                        per_part[r["partition_id"]].merge(b) if r["partition_id"] in per_part else b
+                    )
+                if cfg.drift_profile_bytes is not None:
+                    verdicts = pd.concat(
+                        [verdicts, self._drift_from_bundles(per_part)], ignore_index=True
+                    )
+                for b in per_part.values():
+                    bundle = b if bundle is None else bundle.merge(b)
+        else:
+            violations = mixed.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(
+                    ["partition_id", "row_idx", "doc_id", "check_name", "level", "detail"]
+                ),
                 batch_format="pyarrow",
             )
-            .groupby(["partition_id", "check_name"])
-            .count()
-            .to_pandas()
-        )
-        # per-partition row counts from stats rows
-        stats_df = (
-            mixed.map_batches(
-                lambda t: t.filter(pc.equal(t["kind"], KIND_BATCH_STATS)).select(["partition_id", "n_rows"]),
-                batch_format="pyarrow",
+            if out_dir is not None:
+                vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
+                vdir.mkdir(parents=True, exist_ok=True)
+                violations.write_parquet(str(vdir))
+
+            # per-(partition, check) violation counts — small grouped aggregate
+            vio_counts_df = (
+                mixed.map_batches(
+                    lambda t: t.filter(pc.equal(t["kind"], KIND_VIOLATION)).select(["partition_id", "check_name"]),
+                    batch_format="pyarrow",
+                )
+                .groupby(["partition_id", "check_name"])
+                .count()
+                .to_pandas()
             )
-            .groupby("partition_id")
-            .sum("n_rows")
-            .to_pandas()
-        )
-        stats_df = stats_df.rename(columns={"sum(n_rows)": "n_rows"})
+            # per-partition row counts from stats rows
+            stats_df = (
+                mixed.map_batches(
+                    lambda t: t.filter(pc.equal(t["kind"], KIND_BATCH_STATS)).select(["partition_id", "n_rows"]),
+                    batch_format="pyarrow",
+                )
+                .groupby("partition_id")
+                .sum("n_rows")
+                .to_pandas()
+            )
+            stats_df = stats_df.rename(columns={"sum(n_rows)": "n_rows"})
 
-        verdicts = self._build_verdicts(stats_df, vio_counts_df)
+            verdicts = self._build_verdicts(stats_df, vio_counts_df)
 
-        # sketches: per-partition merge for drift + global tree reduce
-        bundle = None
-        if cfg.enable_sketches:
-            sketch_rows = mixed.map_batches(
-                lambda t: t.filter(pc.equal(t["kind"], KIND_SKETCH)).select(["partition_id", "n_rows", "payload"]),
-                batch_format="pyarrow",
-            ).materialize()
-            if cfg.drift_profile_bytes is not None:
-                drift_df = self._drift_verdicts(sketch_rows)
-                verdicts = pd.concat([verdicts, drift_df], ignore_index=True)
-            bundle = reduce_sketches(sketch_rows)
+            # sketches: per-partition merge for drift + global tree reduce
+            bundle = None
+            if cfg.enable_sketches:
+                sketch_rows = mixed.map_batches(
+                    lambda t: t.filter(pc.equal(t["kind"], KIND_SKETCH)).select(
+                        ["partition_id", "n_rows", "payload"]
+                    ),
+                    batch_format="pyarrow",
+                ).materialize()
+                if cfg.drift_profile_bytes is not None:
+                    drift_df = self._drift_verdicts(sketch_rows)
+                    verdicts = pd.concat([verdicts, drift_df], ignore_index=True)
+                bundle = reduce_sketches(sketch_rows)
 
         n_rows = int(stats_df["n_rows"].sum()) if len(stats_df) else 0
         vc = (
@@ -540,45 +633,54 @@ class ValidationEngine:
                 )
         return pd.DataFrame(recs, columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
 
+    def _drift_score_bundle(self, partition_id: str, merged: SketchBundle, profile: SketchBundle) -> list[dict]:
+        cfg = self.config
+        thr = cfg.drift_kl_threshold
+        recs = []
+        kl_ntok = kl_divergence(merged.n_tok_hist.normalized(), profile.n_tok_hist.normalized())
+        recs.append(
+            dict(
+                partition_id=partition_id,
+                check_name="drift_n_tok",
+                passed=bool(kl_ntok <= thr),
+                n_rows=int(merged.n_rows),
+                n_violations=0 if kl_ntok <= thr else 1,
+                detail=f"KL(n_tok)={kl_ntok:.6f} threshold={thr}",
+            )
+        )
+        if profile.unigram is not None and merged.unigram is not None:
+            kl_uni = kl_divergence(merged.unigram.normalized(), profile.unigram.normalized())
+            recs.append(
+                dict(
+                    partition_id=partition_id,
+                    check_name="drift_token_unigram",
+                    passed=bool(kl_uni <= thr),
+                    n_rows=int(merged.n_rows),
+                    n_violations=0 if kl_uni <= thr else 1,
+                    detail=f"KL(unigram)={kl_uni:.6f} threshold={thr}",
+                )
+            )
+        return recs
+
+    def _drift_from_bundles(self, per_part: dict[str, SketchBundle]) -> pd.DataFrame:
+        profile = SketchBundle.from_bytes(self.config.drift_profile_bytes)
+        recs: list[dict] = []
+        for pid in sorted(per_part):
+            recs.extend(self._drift_score_bundle(pid, per_part[pid], profile))
+        return pd.DataFrame(recs, columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
+
     def _drift_verdicts(self, sketch_rows: "ray.data.Dataset") -> pd.DataFrame:
         """Per-partition KL drift of n_tok and token-unigram histograms vs the
         broadcast reference profile (A5).  groupby(partition_id) is a small
         shuffle of fixed-size partial rows, not of data."""
-        cfg = self.config
-        profile = SketchBundle.from_bytes(cfg.drift_profile_bytes)
-        ref_ntok = profile.n_tok_hist.normalized()
-        ref_uni = profile.unigram.normalized() if profile.unigram is not None else None
-        thr = cfg.drift_kl_threshold
+        profile = SketchBundle.from_bytes(self.config.drift_profile_bytes)
+        score = self._drift_score_bundle
 
         def score_group(g: pd.DataFrame) -> pd.DataFrame:
             merged = SketchBundle.from_bytes(g["payload"].iloc[0])
             for p in g["payload"].iloc[1:]:
                 merged = merged.merge(SketchBundle.from_bytes(p))
-            recs = []
-            kl_ntok = kl_divergence(merged.n_tok_hist.normalized(), ref_ntok)
-            recs.append(
-                dict(
-                    partition_id=g["partition_id"].iloc[0],
-                    check_name="drift_n_tok",
-                    passed=bool(kl_ntok <= thr),
-                    n_rows=int(merged.n_rows),
-                    n_violations=0 if kl_ntok <= thr else 1,
-                    detail=f"KL(n_tok)={kl_ntok:.6f} threshold={thr}",
-                )
-            )
-            if ref_uni is not None and merged.unigram is not None:
-                kl_uni = kl_divergence(merged.unigram.normalized(), ref_uni)
-                recs.append(
-                    dict(
-                        partition_id=g["partition_id"].iloc[0],
-                        check_name="drift_token_unigram",
-                        passed=bool(kl_uni <= thr),
-                        n_rows=int(merged.n_rows),
-                        n_violations=0 if kl_uni <= thr else 1,
-                        detail=f"KL(unigram)={kl_uni:.6f} threshold={thr}",
-                    )
-                )
-            return pd.DataFrame(recs)
+            return pd.DataFrame(score(g["partition_id"].iloc[0], merged, profile))
 
         return sketch_rows.groupby("partition_id").map_groups(score_group, batch_format="pandas").to_pandas()
 

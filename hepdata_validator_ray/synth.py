@@ -155,9 +155,13 @@ def generate_sequences_table(
     )
 
 
-def synth_dir_for(sf_dir: str, inject: bool = True) -> Path:
+def synth_dir_for(
+    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int | None = None
+) -> Path:
     tag = Path(sf_dir).name or "default"
     suffix = "" if inject else "-clean"
+    if n_rows is not None:
+        suffix += f"-r{n_rows}-f{n_files or 8}"
     return SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}{suffix}" / "sequences"
 
 
@@ -176,20 +180,44 @@ def ensure_sequences_parquet(
     """
     tag = Path(sf_dir).name or "default"
     rows = n_rows if n_rows is not None else ROWS_BY_TAG.get(tag, 2_000)
-    out = synth_dir_for(sf_dir, inject=inject)
+    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files if n_rows is not None else None)
     done = out / "_DONE"
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     per_file = (rows + n_files - 1) // n_files
+    jobs: list[tuple[int, int, int]] = []  # (file_idx, row_offset, n)
     off = 0
     for f in range(n_files):
         n = min(per_file, rows - off)
         if n <= 0:
             break
-        tbl = generate_sequences_table(n, seed=seed, inject=inject, row_offset=off)
-        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536)
+        jobs.append((f, off, n))
         off += n
+
+    def _write_one(f: int, offset: int, n: int) -> None:
+        tbl = generate_sequences_table(n, seed=seed, inject=inject, row_offset=offset)
+        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536)
+
+    # parallel generation when a Ray session exists (content is counter-based
+    # per global row index, so per-file generation is order-independent)
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(jobs) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(f, offset, n):
+            _write_one(f, offset, n)
+
+        ray.get([_gen.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _write_one(*j)
     done.touch()
     return str(out)
 
