@@ -227,3 +227,12 @@ DEFAULT_ROW_CHECKS: list[Check] = [
 
 def build_default_suite(version: str = "1.1.1") -> CheckSuite:
     return CheckSuite(name="sequence_default", checks=DEFAULT_ROW_CHECKS).for_version(version)
+
+
+# bootstrap the registry with the default suite + versioned profiles
+# (≙ the reference's pinned schema-version dirs, __init__.py:51-52)
+from hepdata_validator_ray.checks.base import KNOWN_VERSIONS, register_check_suite  # noqa: E402
+
+register_check_suite("sequence_default", build_default_suite())
+for _v in KNOWN_VERSIONS:
+    register_check_suite(f"sequence_default@{_v}", build_default_suite(_v))

@@ -1,0 +1,103 @@
+"""CLI entrypoint — mirrors the reference's ``hepdata-validate`` UX
+(reference cli.py:12-30): validate a path, print the verdict and the
+per-partition errors, exit 1 when invalid.
+
+Usage:
+    python -m hepdata_validator_ray.cli validate PATH [--output DIR]
+        [--schema-version V] [--suite NAME] [--resume/--no-dup] ...
+    python -m hepdata_validator_ray.cli synth SF_DIR [--rows N] [--files K]
+
+Owns its Ray session (guarded init; the library itself never calls
+ray.init, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import replace
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    _ray_session()
+    from hepdata_validator_ray.checks.base import CheckContext, get_check_suite
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+
+    ctx = CheckContext(schema_version=args.schema_version)
+    suite = get_check_suite(args.suite) if args.suite else None
+    cfg = ValidationConfig(
+        ctx=ctx,
+        suite=suite,
+        dup_check=not args.no_dup,
+        enable_unigram=not args.no_unigram,
+        chunk_files=args.chunk_files,
+    )
+    eng = ValidationEngine(cfg)
+    res = eng.validate(args.path, output_dir=args.output)
+    # verdict format mirrors cli.py:20-30 ("{path} is valid/invalid HEPData")
+    if res.valid:
+        print(f"{args.path} is valid.")
+    else:
+        print(f"{args.path} is invalid.")
+    print(res.summary())
+    if not res.valid and args.show_errors:
+        failed = res.verdicts[~res.verdicts.passed]
+        for pid, grp in failed.groupby("partition_id"):
+            print(f"\t{pid}")
+            for _, r in grp.iterrows():
+                print(f"\t\t error - {r.check_name}: {r.n_violations} violation(s)")
+    import ray
+
+    ray.shutdown()
+    return 0 if res.valid else 1
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(args.sf_dir, n_files=args.files, n_rows=args.rows, inject=not args.clean)
+    print(p)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hepdata-validator-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate a parquet sequence table")
+    v.add_argument("path")
+    v.add_argument("--output", default=None, help="output dir (violations/verdicts/manifest); enables resume")
+    v.add_argument("--schema-version", default="1.1.1")
+    v.add_argument("--suite", default=None, help="registered custom check-suite name")
+    v.add_argument("--no-dup", action="store_true")
+    v.add_argument("--no-unigram", action="store_true")
+    v.add_argument("--chunk-files", type=int, default=64)
+    v.add_argument("--show-errors", action="store_true", default=True)
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("synth", help="materialize the synthetic sequence table")
+    s.add_argument("sf_dir")
+    s.add_argument("--rows", type=int, default=None)
+    s.add_argument("--files", type=int, default=8)
+    s.add_argument("--clean", action="store_true")
+    s.set_defaults(fn=cmd_synth)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,10 @@ class ValidationConfig:
     dup_check: bool = True
     drift_profile_bytes: bytes | None = None  # serialized SketchBundle reference profile
     drift_kl_threshold: float = 0.15
+    #: per-partition cap on all-padding rows — the A3 analogue of the
+    #: reference's "≤1 underflow and ≤1 overflow bin per variable" rule
+    #: (data_file_validator.py:173-222); None disables the partition check
+    max_padding_rows_per_partition: int | None = 1
     chunk_files: int = 64  # files per resumable chunk
     preserve_order: bool = False
     #: when a chunk's mixed stream has fewer rows than this, finish it on the
@@ -619,6 +623,21 @@ class ValidationEngine:
                 counts[(r["partition_id"], r["check_name"])] = int(r["count()"])
         for _, srow in stats_df.iterrows():
             pid, nrows = srow["partition_id"], int(srow["n_rows"])
+            if cfg.max_padding_rows_per_partition is not None:
+                # partition-level sentinel-count rule (A3): at most K
+                # all-padding rows per partition
+                n_pad = counts.get((pid, "tokens_not_all_zero"), 0)
+                k = cfg.max_padding_rows_per_partition
+                recs.append(
+                    dict(
+                        partition_id=pid,
+                        check_name="partition_padding_limit",
+                        passed=n_pad <= k,
+                        n_rows=nrows,
+                        n_violations=0 if n_pad <= k else n_pad,
+                        detail="" if n_pad <= k else f"{n_pad} all-padding rows exceed limit of {k}",
+                    )
+                )
             for check in cfg.suite.checks:
                 nv = counts.get((pid, check.name), 0)
                 recs.append(

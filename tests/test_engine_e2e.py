@@ -67,13 +67,15 @@ def test_verdicts_per_partition(result):
     res, _ = result
     v = res.verdicts
     assert set(v.columns) == {"partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"}
-    # 4 files × 10 checks
-    assert len(v) == 40
+    # 4 files × (10 row checks + 1 partition-level padding-limit check)
+    assert len(v) == 44
     assert v.groupby("partition_id").n_rows.first().sum() == N
-    # every check with ground-truth violations fails in at least one partition
+    # every check with ground-truth violations fails in at least one partition;
+    # the padding-limit check passes (1 all-padding row per file ≤ limit 1)
     failed_checks = set(v[~v.passed].check_name)
     gt = expected_violation_doc_rows(N)
     assert {k for k, r in gt.items() if r and k != "doc_id_duplicates"} == failed_checks
+    assert v[v.check_name == "partition_padding_limit"].passed.all()
 
 
 def test_sketch_summary(result):
