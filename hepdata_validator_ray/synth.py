@@ -34,7 +34,7 @@ from hepdata_validator_ray.schema import (
 )
 
 #: bump to invalidate previously cached synthetic dirs
-SYNTH_VERSION = 4
+SYNTH_VERSION = 5
 
 SYNTH_ROOT = Path(os.environ.get("HVR_SYNTH_ROOT", "/tmp/hvr_synth"))
 
@@ -197,7 +197,9 @@ def ensure_sequences_parquet(
 
     def _write_one(f: int, offset: int, n: int) -> None:
         tbl = generate_sequences_table(n, seed=seed, inject=inject, row_offset=offset)
-        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536)
+        # random token ids don't compress (snappy ratio ~0.5% measured) —
+        # uncompressed skips a decode-side buffer copy per read
+        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536, compression="NONE")
 
     # parallel generation when a Ray session exists (content is counter-based
     # per global row index, so per-file generation is order-independent)
