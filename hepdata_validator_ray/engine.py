@@ -296,7 +296,35 @@ class FileCheckReader:
                 tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
                 outs.append(self.stage(tbl))
             pf.close()
-        return pa.concat_tables(outs) if outs else MIXED_SCHEMA.empty_table()
+        if not outs:
+            return MIXED_SCHEMA.empty_table()
+        merged = pa.concat_tables(outs).combine_chunks()
+        # collapse per-batch sketch partials to ONE row per file here, in the
+        # task — the driver/reducer then merges #files payloads, not #batches
+        is_sketch = pc.equal(merged["kind"], KIND_SKETCH)
+        if pc.sum(pc.cast(is_sketch, pa.int64())).as_py() or 0:
+            rest = merged.filter(pc.invert(is_sketch))
+            sk = merged.filter(is_sketch)
+            rows: dict[str, SketchBundle] = {}
+            for pid, payload in zip(sk["partition_id"].to_pylist(), sk["payload"].to_pylist()):
+                b = SketchBundle.from_bytes(payload)
+                rows[pid] = rows[pid].merge(b) if pid in rows else b
+            sk_tbl = pa.Table.from_pydict(
+                {
+                    "kind": [KIND_SKETCH] * len(rows),
+                    "partition_id": list(rows),
+                    "row_idx": pa.nulls(len(rows), pa.int64()),
+                    "doc_id": pa.nulls(len(rows), pa.string()),
+                    "check_name": pa.nulls(len(rows), pa.string()),
+                    "level": pa.nulls(len(rows), pa.string()),
+                    "detail": pa.nulls(len(rows), pa.string()),
+                    "n_rows": [int(b.n_rows) for b in rows.values()],
+                    "payload": [b.to_bytes() for b in rows.values()],
+                },
+                schema=MIXED_SCHEMA,
+            )
+            merged = pa.concat_tables([rest, sk_tbl])
+        return merged
 
 
 def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray.data.Dataset":

@@ -156,12 +156,13 @@ def generate_sequences_table(
 
 
 def synth_dir_for(
-    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int | None = None
+    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int = 8
 ) -> Path:
     tag = Path(sf_dir).name or "default"
     suffix = "" if inject else "-clean"
     if n_rows is not None:
-        suffix += f"-r{n_rows}-f{n_files or 8}"
+        suffix += f"-r{n_rows}"
+    suffix += f"-f{n_files}"
     return SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}{suffix}" / "sequences"
 
 
@@ -180,7 +181,7 @@ def ensure_sequences_parquet(
     """
     tag = Path(sf_dir).name or "default"
     rows = n_rows if n_rows is not None else ROWS_BY_TAG.get(tag, 2_000)
-    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files if n_rows is not None else None)
+    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files)
     done = out / "_DONE"
     if done.exists():
         return str(out)
