@@ -421,6 +421,23 @@ class ValidationEngine:
                 if e.get("verdicts"):
                     verdict_frames.append(pd.DataFrame(e["verdicts"]))
 
+        # ---- PASS 2 launched CONCURRENTLY: duplicate doc_id detection ------
+        # (column-pruned, independent of the chunk outputs — overlapping it
+        # with the heavy pass removes a serialized phase from the wall)
+        dup_result: dict = {}
+        dup_thread = None
+        if cfg.dup_check:
+            import threading
+
+            def _dup_worker():
+                try:
+                    dup_result["df"] = self._dup_pass(files, out_dir, manifest)
+                except BaseException as e:  # surfaced after join
+                    dup_result["error"] = e
+
+            dup_thread = threading.Thread(target=_dup_worker, daemon=True)
+            dup_thread.start()
+
         for ci, chunk in enumerate(chunks):
             ckey = chunk_key(chunk)
             if ckey in completed:
@@ -452,9 +469,11 @@ class ValidationEngine:
                     }
                 )
 
-        # ---- PASS 2: duplicate doc_id detection (column-pruned) ------------
         if cfg.dup_check:
-            dup_df = self._dup_pass(files, out_dir, manifest)
+            dup_thread.join()
+            if "error" in dup_result:
+                raise dup_result["error"]
+            dup_df = dup_result["df"]
             n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
             if n_dup:
                 violation_counts["doc_id_duplicates"] = violation_counts.get("doc_id_duplicates", 0) + n_dup

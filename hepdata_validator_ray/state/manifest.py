@@ -21,6 +21,7 @@ import base64
 import hashlib
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Any, Iterable
 
@@ -37,6 +38,7 @@ class CheckpointManifest:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self.entries: list[dict] = []
+        self._lock = threading.Lock()  # chunk loop + concurrent dup pass
         if self.path.exists():
             with open(self.path) as fh:
                 for line in fh:
@@ -57,13 +59,14 @@ class CheckpointManifest:
         return [e for e in self.entries if e.get("type") == type_]
 
     def append(self, entry: dict[str, Any]) -> None:
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        line = json.dumps(entry, sort_keys=True) + "\n"
-        with open(self.path, "a") as fh:
-            fh.write(line)
-            fh.flush()
-            os.fsync(fh.fileno())
-        self.entries.append(entry)
+        with self._lock:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            line = json.dumps(entry, sort_keys=True) + "\n"
+            with open(self.path, "a") as fh:
+                fh.write(line)
+                fh.flush()
+                os.fsync(fh.fileno())
+            self.entries.append(entry)
 
     @staticmethod
     def encode_bundle(b: bytes) -> str:
