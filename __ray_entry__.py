@@ -30,10 +30,14 @@ from hepdata_validator_ray.synth import ensure_sequences_parquet, synth_dir_for
 for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
     try:
         ensure_sequences_parquet(_sf)
+        from hepdata_validator_ray.sources.jsonl import ensure_sequences_jsonl as _ej
+
+        _ej(_sf)
     except Exception:
         pass
 
 _SYNTH_GLOB_001 = str(synth_dir_for("/root/testdata/sf0.01")) + "/*.parquet"
+_JSONL_GLOB_001 = str(synth_dir_for("/root/testdata/sf0.01").parent / "jsonl") + "/*.jsonl"
 
 
 def _seq(sf_dir: str) -> str:
@@ -47,6 +51,19 @@ def entry() -> Any:
     from hepdata_validator_ray.pipelines.validation import full_violation_counts
 
     return full_violation_counts(_seq("/root/testdata/sf0.001"))
+
+
+def _jsonl_violations(sf_dir: str):
+    """Same check suite over the JSONL wire format (source breadth, S1/S2)."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.pipelines.validation import _violation_pairs_batch
+    from hepdata_validator_ray.sources.jsonl import ensure_sequences_jsonl, read_sequences_jsonl
+
+    path = ensure_sequences_jsonl(sf_dir)
+    ctx = CheckContext()
+    return read_sequences_jsonl(path).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=4096
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -66,12 +83,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
         "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
+        "v_row_violations_jsonl": _jsonl_violations,
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "segment_revenue": relational.segment_revenue,
         "nation_order_stats": relational.nation_order_stats,
         "events_daily": relational.events_daily,
+        "events_sessionize": relational.events_sessionize,
         "top_customers": relational.top_customers,
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
@@ -153,6 +172,27 @@ FROM read_parquet('{p}') GROUP BY 1""",
         "v_rows_per_partition": f"""
 SELECT filename AS partition_id, count(*)::BIGINT AS n_rows
 FROM read_parquet('{p}', filename=true) GROUP BY 1""",
+        "v_row_violations_jsonl": f"""
+WITH s AS (SELECT * FROM read_json_auto('{_JSONL_GLOB_001}')),
+v AS (
+  SELECT doc_id, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT doc_id, 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT doc_id, 'doc_id_max_length' FROM s WHERE doc_id IS NOT NULL AND length(doc_id) > 64
+  UNION ALL SELECT doc_id, 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT doc_id, 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT doc_id, 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT doc_id, 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT doc_id, 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT doc_id, 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT doc_id, 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)
+SELECT doc_id, check_name FROM v""",
         # --- relational -------------------------------------------------------
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -181,6 +221,25 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "top_customers": """
 SELECT o_custkey,
        round(sum(o_totalprice), 2) AS total_spend,

@@ -110,6 +110,12 @@ class ValidationConfig:
     #: classic read_parquet → map_batches plan (used when input is a Dataset
     #: or when block-level splitting of huge files is needed)
     inline_read: bool = True
+    #: expected input file list (a submission manifest).  When set, the
+    #: engine runs the reference's linkage checks (J1/J2,
+    #: full_submission_validator.py:200-316): files on disk but not expected
+    #: → "is not referenced" violations; expected but absent → "Missing
+    #: data_file" violations.  Metadata-only, driver-side set diff.
+    expected_files: list[str] | None = None
 
 
 @dataclass
@@ -290,12 +296,51 @@ class FileCheckReader:
 
         outs: list[pa.Table] = []
         for path in batch.column(batch.column_names[0]).to_pylist():
-            pf = pq.ParquetFile(path)
-            for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
-                tbl = pa.Table.from_batches([rb])
-                tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
-                outs.append(self.stage(tbl))
-            pf.close()
+            try:
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
+                    tbl = pa.Table.from_batches([rb])
+                    tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
+                    outs.append(self.stage(tbl))
+                pf.close()
+            except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+                # parse errors become violations, not crashes — the
+                # reference's YAML parse-error capture semantics
+                # (data_file_validator.py:99-114: "There was a problem
+                # parsing the file")
+                outs.append(
+                    pa.Table.from_pydict(
+                        {
+                            "kind": [KIND_VIOLATION],
+                            "partition_id": [path],
+                            "row_idx": pa.nulls(1, pa.int64()),
+                            "doc_id": pa.nulls(1, pa.string()),
+                            "check_name": ["partition_readable"],
+                            "level": ["error"],
+                            "detail": [f"There was a problem parsing the file: {e}"],
+                            "n_rows": pa.nulls(1, pa.int64()),
+                            "payload": pa.nulls(1, pa.binary()),
+                        },
+                        schema=MIXED_SCHEMA,
+                    )
+                )
+                # stats row so the partition appears in verdicts with 0 rows
+                outs.append(
+                    pa.Table.from_pydict(
+                        {
+                            "kind": [KIND_BATCH_STATS],
+                            "partition_id": [path],
+                            "row_idx": pa.nulls(1, pa.int64()),
+                            "doc_id": pa.nulls(1, pa.string()),
+                            "check_name": pa.nulls(1, pa.string()),
+                            "level": pa.nulls(1, pa.string()),
+                            "detail": pa.nulls(1, pa.string()),
+                            "n_rows": [0],
+                            "payload": pa.nulls(1, pa.binary()),
+                        },
+                        schema=MIXED_SCHEMA,
+                    )
+                )
         if not outs:
             return MIXED_SCHEMA.empty_table()
         merged = pa.concat_tables(outs).combine_chunks()
@@ -409,6 +454,31 @@ class ValidationEngine:
         verdict_frames: list[pd.DataFrame] = []
         bundles: list[SketchBundle] = []
 
+        # file↔manifest linkage checks (J1/J2) — metadata-only set diff
+        if cfg.expected_files is not None:
+            expected = set(cfg.expected_files)
+            found = set(files)
+            linkage = []
+            for f in sorted(found - expected):
+                # ≙ "'X' is not referenced in the submission"
+                # (full_submission_validator.py:218-228)
+                linkage.append(
+                    dict(partition_id=f, check_name="partition_referenced", passed=False,
+                         n_rows=0, n_violations=1,
+                         detail=f"'{f}' is not referenced in the manifest")
+                )
+            for f in sorted(expected - found):
+                # ≙ "Missing data_file 'X'" (full_submission_validator.py:294-316)
+                linkage.append(
+                    dict(partition_id=f, check_name="partition_present", passed=False,
+                         n_rows=0, n_violations=1, detail=f"Missing data_file '{f}'")
+                )
+            if linkage:
+                verdict_frames.append(pd.DataFrame(linkage))
+                for r in linkage:
+                    violation_counts[r["check_name"]] = violation_counts.get(r["check_name"], 0) + 1
+                    total_violations += 1
+
         # replay completed chunks from the manifest (resume path)
         if manifest:
             for e in manifest.get_all("chunk"):
@@ -490,6 +560,13 @@ class ValidationEngine:
             sketch = bundles[0]
             for b in bundles[1:]:
                 sketch = sketch.merge(b)
+        if out_dir is not None and len(verdicts):
+            # verdict table sink (≙ S5 data-file writer / valid_files output)
+            import pyarrow.parquet as pq
+
+            vdir = out_dir / "verdicts"
+            vdir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), vdir / "verdicts.parquet")
         return ValidationResult(
             valid=total_violations == 0,
             n_rows=total_rows,
@@ -695,6 +772,18 @@ class ValidationEngine:
                         n_rows=nrows,
                         n_violations=nv,
                         detail="" if nv == 0 else f"{nv} violation(s)",
+                    )
+                )
+            n_unreadable = counts.get((pid, "partition_readable"), 0)
+            if n_unreadable:
+                recs.append(
+                    dict(
+                        partition_id=pid,
+                        check_name="partition_readable",
+                        passed=False,
+                        n_rows=nrows,
+                        n_violations=n_unreadable,
+                        detail="file could not be parsed",
                     )
                 )
         return pd.DataFrame(recs, columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])

@@ -183,6 +183,42 @@ def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     )
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Sessionize the event stream: per user, a new session starts when the
+    gap to the previous event exceeds ``gap_minutes`` (the classic streaming
+    window op the reference lacks — SURVEY.md §2.8).
+
+    Physical plan: users are hash-bucketed (small-int shuffle key, ops.py);
+    inside a bucket the session assignment is a vectorized pandas
+    sort + diff + cumsum over ALL the bucket's users at once — no per-user
+    Python dispatch.  Partitioning assumption: one user's events fit in one
+    bucket task (true by construction of the hash bucket)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts"], kind="mergesort")
+        prev_ts = df.groupby("user_id")["ts"].shift()
+        new_session = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+        df["sid"] = new_session.cumsum()  # globally increasing within bucket
+        out = (
+            df.groupby(["user_id", "sid"], as_index=False)
+            .agg(session_start=("ts", "min"), n_events=("ts", "size"), sum_value=("value", "sum"))
+        )
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(4)
+        return out[["user_id", "session_start", "n_events", "sum_value"]]
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+        .map_batches(lambda t: with_bucket(t, "user_id", 32), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(sessionify, batch_format="pandas")
+    )
+
+
 def referential_integrity(sf_dir: str) -> pd.DataFrame:
     """Referential anti-join checks (SURVEY.md §2.4 J2): count of child rows
     whose foreign key has no parent — broadcast key-set membership filter

@@ -1,0 +1,108 @@
+"""Check-suite config loading — the analogue of the reference's remote/custom
+schema machinery (SURVEY.md §2.1 S6/S7, §2.9):
+
+- ``load_custom_schema(type, path)`` registry → JSON suite configs resolved
+  into ``CheckSuite`` objects and registered by name.
+- remote ``data_schema`` autoload + ``autoload_remote_schemas=False`` opt-out
+  (full_submission_validator.py:42-45,330-347) → URL sources are refused with
+  the reference's exact message when autoload is off; with autoload on, the
+  download is attempted (no network in this sandbox → the FileNotFoundError
+  path, mirrored as "Remote schema ... not found.").
+- ``$ref``-style composition (schema_resolver.py:102-163) → a config may
+  ``"extends"`` another registered suite or config file; refs are resolved
+  recursively driver-side (pure config, no distributed analogue needed).
+
+Config shape::
+
+    {"name": "my_suite", "version": "1.1.1",
+     "extends": "sequence_default",          # optional: registered name or path
+     "checks": ["doc_id_non_null", ...],     # subset filter (optional)
+     "exclude": ["tokens_not_all_zero"],     # optional
+     "context": {"vocab_size": 32000, "sources": ["web"], ...}}  # optional
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from pathlib import Path
+
+from hepdata_validator_ray.checks.base import (
+    CheckContext,
+    CheckSuite,
+    get_check_suite,
+    register_check_suite,
+)
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS
+
+
+class RemoteSchemaNotAllowed(Exception):
+    pass
+
+
+class RemoteSchemaNotFound(Exception):
+    pass
+
+
+def _is_url(source: str) -> bool:
+    return source.startswith(("http://", "https://"))
+
+
+def load_suite_config(
+    source: str, autoload_remote: bool = True, register: bool = True
+) -> tuple[CheckSuite, CheckContext | None]:
+    """Load a suite config from a local path or URL; returns (suite, context
+    override or None) and registers the suite by name."""
+    if _is_url(source):
+        if not autoload_remote:
+            # byte-matches full_submission_validator.py:340
+            raise RemoteSchemaNotAllowed(f"Autoloading of remote schema {source} is not allowed.")
+        try:  # no network in this sandbox → mirrored not-found path (:344-346)
+            from urllib.request import urlopen
+
+            with urlopen(source, timeout=5) as resp:  # pragma: no cover - no network
+                cfg = json.loads(resp.read())
+        except Exception as e:
+            raise RemoteSchemaNotFound(f"Remote schema {source} not found.") from e
+    else:
+        p = Path(source)
+        if not p.exists():
+            raise RemoteSchemaNotFound(f"Remote schema {source} not found.")
+        cfg = json.loads(p.read_text())
+    suite, ctx = resolve_suite_refs(cfg, autoload_remote=autoload_remote)
+    if register:
+        register_check_suite(suite.name, suite)
+    return suite, ctx
+
+
+def resolve_suite_refs(cfg: dict, autoload_remote: bool = True, _depth: int = 0) -> tuple[CheckSuite, CheckContext | None]:
+    """Recursively resolve ``extends`` refs ($ref analogue) and apply
+    subset/exclude filters."""
+    if _depth > 16:
+        raise ValueError("suite config 'extends' chain too deep (cycle?)")
+    base_checks = list(DEFAULT_ROW_CHECKS)
+    version = cfg.get("version", "1.1.1")
+    if "extends" in cfg:
+        ref = cfg["extends"]
+        if isinstance(ref, str) and (Path(ref).exists() or _is_url(ref)):
+            parent, _ = load_suite_config(ref, autoload_remote=autoload_remote, register=False)
+        else:
+            parent = get_check_suite(ref)
+        base_checks = list(parent.checks)
+    by_name = {c.name: c for c in base_checks}
+    names = cfg.get("checks")
+    if names is not None:
+        missing = [n for n in names if n not in by_name]
+        if missing:
+            raise KeyError(f"There is no schema defined for the '{missing[0]}' data type.")
+        base_checks = [by_name[n] for n in names]
+    excl = set(cfg.get("exclude", ()))
+    base_checks = [c for c in base_checks if c.name not in excl]
+    suite = CheckSuite(name=cfg.get("name", "custom"), checks=base_checks, version=version).for_version(version)
+    ctx = None
+    if "context" in cfg:
+        c = dict(cfg["context"])
+        if "sources" in c:
+            c["sources"] = tuple(c["sources"])
+        ctx = replace(CheckContext(schema_version=version), **c)
+    return suite, ctx

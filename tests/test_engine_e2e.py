@@ -190,6 +190,66 @@ def test_drift_detection(synth_path):
     assert (~drift_rows.passed).all()
 
 
+def test_corrupt_file_becomes_violation(tmp_path):
+    """Parse errors become violations, not crashes (reference
+    data_file_validator.py:99-114 'There was a problem parsing the file')."""
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.synth import generate_sequences_table
+
+    good = tmp_path / "good.parquet"
+    pq.write_table(generate_sequences_table(100, seed=3, inject=False), good)
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"this is not a parquet file")
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate(str(tmp_path))
+    assert not res.valid
+    assert res.violation_counts == {"partition_readable": 1}
+    assert res.n_rows == 100
+    vrow = res.verdicts[res.verdicts.check_name == "partition_readable"]
+    assert len(vrow) == 1 and not vrow.passed.iloc[0]
+
+
+def test_expected_files_linkage(tmp_path):
+    """J1/J2 manifest linkage: unreferenced + missing file checks
+    (full_submission_validator.py:200-316)."""
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.synth import generate_sequences_table
+
+    present = tmp_path / "a.parquet"
+    pq.write_table(generate_sequences_table(50, seed=5, inject=False), present)
+    extra = tmp_path / "extra.parquet"
+    pq.write_table(generate_sequences_table(10, seed=6, inject=False), extra)
+    missing = str(tmp_path / "gone.parquet")
+
+    eng = ValidationEngine(
+        ValidationConfig(
+            enable_sketches=False,
+            dup_check=False,
+            expected_files=[str(present), missing],
+        )
+    )
+    res = eng.validate(str(tmp_path))
+    assert res.violation_counts["partition_referenced"] == 1
+    assert res.violation_counts["partition_present"] == 1
+    v = res.verdicts
+    ref = v[v.check_name == "partition_referenced"]
+    assert ref.detail.iloc[0] == f"'{extra}' is not referenced in the manifest"
+    mis = v[v.check_name == "partition_present"]
+    assert mis.detail.iloc[0] == f"Missing data_file '{missing}'"
+
+
+def test_verdicts_parquet_written(result):
+    import pyarrow.parquet as pq
+
+    _, out = result
+    t = pq.read_table(out / "verdicts" / "verdicts.parquet")
+    assert t.num_rows == 44
+    assert set(t.column_names) == {"partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"}
+
+
 def test_suppression_semantics(synth_path):
     """suppress_semantic_on_schema_error=True drops semantic violations for
     rows that already failed a schema check (reference
