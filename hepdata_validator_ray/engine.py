@@ -142,6 +142,44 @@ class ValidationResult:
         lines.append(f"{self.n_rows} rows validated in {self.wall_s:.2f}s ({self.rows_per_s:,.0f} rows/s)")
         return "\n".join(lines)
 
+    def valid_partitions(self) -> list[str]:
+        """Partitions with every check passed — ≙ the reference's
+        ``valid_files`` bookkeeping (full_submission_validator.py:378-387)."""
+        if not len(self.verdicts):
+            return []
+        ok = self.verdicts.groupby("partition_id").passed.all()
+        return sorted(ok[ok].index)
+
+    def print_errors(self, partition_id: str) -> None:
+        """≙ ``Validator.print_errors`` (reference __init__.py:195-200):
+        prints '\\t <level> - <message>' per failed check of one partition."""
+        failed = self.verdicts[(self.verdicts.partition_id == partition_id) & (~self.verdicts.passed)]
+        for _, r in failed.iterrows():
+            print("\t", f"error - {r.check_name}: {r.detail or str(r.n_violations) + ' violation(s)'}")
+
+    def drift_profile_bytes(self) -> bytes | None:
+        """Serialize this run's global sketch as a drift reference profile
+        for future runs (ValidationConfig.drift_profile_bytes)."""
+        return self.sketch.to_bytes() if self.sketch else None
+
+    def load_violations(self, sort: bool = True) -> "pa.Table | None":
+        """Read back the violations parquet; ``sort=True`` applies the
+        deterministic (partition_id, row_idx, check_name) order — the
+        explicit ordering contract replacing the reference's insertion order
+        (SURVEY.md §2.6)."""
+        if not self.violations_path or not Path(self.violations_path).exists():
+            return None
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(self.violations_path).to_table()
+        if sort and tbl.num_rows:
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[("partition_id", "ascending"), ("row_idx", "ascending"), ("check_name", "ascending")],
+            )
+            tbl = tbl.take(idx)
+        return tbl
+
 
 class CheckStage:
     """Callable class for ``map_batches`` — an actor when concurrency is set.
@@ -176,7 +214,11 @@ class CheckStage:
             b.unigram = UnigramHistogram(self.ctx.vocab_size, self.unigram_buckets)
         return b
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, row_offset: int = 0) -> pa.Table:
+        """``row_offset``: index of this batch's first row within its file —
+        supplied by FileCheckReader so violation ``row_idx`` is a
+        deterministic file-absolute position (the ordering contract of
+        SURVEY.md §2.6); 0 (batch-local) in the classic map_batches plan."""
         paths = None
         if "path" in batch.column_names:
             paths = batch.column("path")
@@ -243,7 +285,7 @@ class CheckStage:
                 emit(
                     KIND_VIOLATION,
                     uniq_paths[path_codes[ri]],
-                    int(ri),
+                    row_offset + int(ri),
                     doc_vals[i],
                     cn,
                     lv,
@@ -298,10 +340,12 @@ class FileCheckReader:
         for path in batch.column(batch.column_names[0]).to_pylist():
             try:
                 pf = pq.ParquetFile(path)
+                off = 0
                 for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
                     tbl = pa.Table.from_batches([rb])
                     tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
-                    outs.append(self.stage(tbl))
+                    outs.append(self.stage(tbl, row_offset=off))
+                    off += tbl.num_rows
                 pf.close()
             except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
                 # parse errors become violations, not crashes — the

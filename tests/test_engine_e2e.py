@@ -241,6 +241,35 @@ def test_expected_files_linkage(tmp_path):
     assert mis.detail.iloc[0] == f"Missing data_file '{missing}'"
 
 
+def test_row_idx_deterministic_and_ordering(result):
+    """Inline reader emits file-absolute row_idx: 'doc-…-NNNNNNNN' encodes
+    the global index, so row_idx == global_idx % rows_per_file (500 here);
+    load_violations(sort=True) applies the deterministic ordering contract."""
+    res, _ = result
+    tbl = res.load_violations(sort=True)
+    assert tbl is not None and tbl.num_rows > 0
+    df = tbl.to_pandas()
+    rows_per_file = 500
+    checkable = df[df.doc_id.notna() & df.doc_id.str.match(r"doc-[a-z0-9]+-\d{8}$")]
+    import re
+
+    for _, r in checkable.head(50).iterrows():
+        gidx = int(re.search(r"(\d{8})$", r.doc_id).group(1))
+        if r.check_name == "doc_id_duplicates" or r.doc_id.startswith("doc-dup-"):
+            continue  # dup ids encode the class, not the row
+        assert r.row_idx == gidx % rows_per_file, (r.doc_id, r.row_idx)
+    # sorted by (partition_id, row_idx, check_name)
+    key = list(zip(df.partition_id, df.row_idx, df.check_name))
+    assert key == sorted(key)
+
+
+def test_result_helpers(result):
+    res, _ = result
+    ok = res.valid_partitions()
+    assert ok == []  # every partition has some violation in the injected set
+    assert res.drift_profile_bytes() is not None
+
+
 def test_verdicts_parquet_written(result):
     import pyarrow.parquet as pq
 
