@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
         "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
+        "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
+        "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -169,6 +171,19 @@ FROM read_parquet('{p}') GROUP BY source""",
         "v_ntok_hist": f"""
 SELECT CAST(floor(n_tok / 64.0) AS BIGINT) AS bucket, count(*)::BIGINT AS n
 FROM read_parquet('{p}') GROUP BY 1""",
+        "v_ntok_quantiles": f"""
+SELECT round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99,
+       min(n_tok) AS min_n_tok,
+       max(n_tok) AS max_n_tok
+FROM read_parquet('{p}')""",
+        "v_embedding_integrity": """
+SELECT count(*) FILTER (len(embedding) <> 64)::BIGINT AS n_bad_dim,
+       count(*) FILTER (len(list_filter(embedding, x -> isnan(x))) > 0)::BIGINT AS n_nan_rows,
+       count(*) FILTER (list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) = 0)::BIGINT AS n_zero_norm,
+       count(*)::BIGINT AS n_rows
+FROM embeddings""",
         "v_rows_per_partition": f"""
 SELECT filename AS partition_id, count(*)::BIGINT AS n_rows
 FROM read_parquet('{p}', filename=true) GROUP BY 1""",

@@ -140,6 +140,67 @@ def rows_per_partition(seq_path: str) -> "ray.data.Dataset":
     )
 
 
+def ntok_quantiles(seq_path: str) -> pd.DataFrame:
+    """Exact n_tok quantiles via Ray's distributed Quantile aggregate —
+    the exact counterpart to the engine's approximate histogram sketch
+    (the sketch is the 10^12-scale path; this is the oracle-checkable one)."""
+    from ray.data.aggregate import Max, Mean, Min, Quantile
+
+    res = ray.data.read_parquet(seq_path, columns=["n_tok"]).aggregate(
+        Quantile("n_tok", q=0.5, alias_name="p50"),
+        Quantile("n_tok", q=0.9, alias_name="p90"),
+        Quantile("n_tok", q=0.99, alias_name="p99"),
+        Min("n_tok", alias_name="min_n_tok"),
+        Max("n_tok", alias_name="max_n_tok"),
+    )
+    df = pd.DataFrame([res])
+    for c in ("p50", "p90", "p99"):
+        df[c] = df[c].astype(float).round(6)
+    return df[["p50", "p90", "p99", "min_n_tok", "max_n_tok"]]
+
+
+def embedding_integrity(emb_path: str, expected_dim: int = 64) -> pd.DataFrame:
+    """Vector-column validation: dimension mismatches, NaN components,
+    zero-norm vectors — the schema-check family extended to embedding
+    columns (one summary row; per-batch numpy, partials summed)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        bad_dim = int((lens != expected_dim).sum())
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        nan_mask = np.isnan(flat)
+        # rows containing NaN / rows with zero norm (vectorized segment sums)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(np.maximum(lens, 0), out=offsets[1:])
+        cum_nan = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(nan_mask, out=cum_nan[1:])
+        n_nan_rows = int(((cum_nan[offsets[1:]] - cum_nan[offsets[:-1]]) > 0).sum())
+        sq = flat.astype(np.float64) ** 2
+        cum_sq = np.zeros(len(flat) + 1, dtype=np.float64)
+        np.cumsum(sq, out=cum_sq[1:])
+        norms = cum_sq[offsets[1:]] - cum_sq[offsets[:-1]]
+        n_zero_norm = int((norms == 0).sum())
+        return pa.Table.from_pydict(
+            {
+                "n_bad_dim": pa.array([bad_dim], type=pa.int64()),
+                "n_nan_rows": pa.array([n_nan_rows], type=pa.int64()),
+                "n_zero_norm": pa.array([n_zero_norm], type=pa.int64()),
+                "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(emb_path, columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    return pd.DataFrame([parts.sum().astype("int64").to_dict()])[
+        ["n_bad_dim", "n_nan_rows", "n_zero_norm", "n_rows"]
+    ]
+
+
 def full_violation_counts(seq_path: str, ctx: CheckContext | None = None) -> pd.DataFrame:
     """Flagship: row-local counts + cross-partition duplicate count in one
     result — the complete constraint suite summary."""

@@ -1,0 +1,86 @@
+"""Skew handling (north_rule): hot keys must not break or serialize the
+shuffles.  The engine's lever is map-side combine — a key occurring k times
+in a batch crosses the exchange as ONE (key, k) partial — plus the
+hot-bucket guard in pair generation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from hepdata_validator_ray.ops import grouped_pairs, grouped_value_counts
+
+
+def _hot_table(n=20_000, hot_every=2):
+    """Every ``hot_every``-th row shares one doc_id → a massively hot key."""
+    ids = [f"doc-web-{i:08d}" if i % hot_every else "doc-hot-00000000" for i in range(n)]
+    return pa.table({"doc_id": pa.array(ids, type=pa.string())})
+
+
+def test_hot_key_duplicate_detection(tmp_path):
+    tbl = _hot_table()
+    f = tmp_path / "hot.parquet"
+    pq.write_table(tbl, f)
+    ds = ray.data.read_parquet(str(f))
+    dups = grouped_value_counts(ds, "doc_id", min_count=2).to_pandas()
+    assert len(dups) == 1
+    assert dups.iloc[0].doc_id == "doc-hot-00000000"
+    assert dups.iloc[0].cnt == 10_000
+
+
+def test_hot_key_partials_are_combined(tmp_path):
+    """The map-side combine must collapse the hot key before the exchange:
+    with B batches, the shuffle carries ≤B partial rows for the hot key,
+    not 10,000 raw rows."""
+    tbl = _hot_table()
+    f = tmp_path / "hot.parquet"
+    pq.write_table(tbl, f)
+    from hepdata_validator_ray.ops import value_counts_partial
+
+    partial = value_counts_partial("doc_id")
+    out = partial(tbl)
+    hot = out.filter(pa.compute.equal(out["doc_id"], "doc-hot-00000000"))
+    assert hot.num_rows == 1  # one partial row per batch
+    assert hot["cnt"][0].as_py() == 10_000
+
+
+def test_hot_bucket_guard_in_pair_generation():
+    """grouped_pairs' hot-bucket guard: a fine-key collision cluster larger
+    than the cap yields no quadratic pair explosion."""
+    n = 500
+    df = pd.DataFrame(
+        {
+            "band": np.zeros(n, dtype=np.int64),
+            "bucket": ["same"] * n,  # everyone collides
+            "doc_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    empty = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64")})
+
+    def pair_fn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > 200:  # the guard the dedup pipelines use
+            return empty
+        import itertools
+
+        recs = [(a, b) for a, b in itertools.combinations(sorted(g.doc_id), 2)]
+        return pd.DataFrame(recs, columns=["doc_id_a", "doc_id_b"])
+
+    out = grouped_pairs(ds, ["band", "bucket"], pair_fn, empty=empty).to_pandas()
+    assert len(out) == 0  # guard fired: no 125k-pair explosion
+
+
+def test_skewed_partition_sizes(tmp_path):
+    """Straggler shape: wildly different file sizes still validate correctly."""
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.synth import generate_sequences_table
+
+    sizes = [50, 2_000, 10_000]
+    off = 0
+    for i, n in enumerate(sizes):
+        pq.write_table(generate_sequences_table(n, seed=77, inject=False, row_offset=off), tmp_path / f"p{i}.parquet")
+        off += n
+    res = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=True)).validate(str(tmp_path))
+    assert res.valid
+    assert res.n_rows == sum(sizes)
