@@ -53,6 +53,24 @@ def entry() -> Any:
     return full_violation_counts(_seq("/root/testdata/sf0.001"))
 
 
+def _seq_content_summary(sf_dir: str):
+    """Exact content dedup over token sequences — summary row (stable schema
+    even when no content dups exist, the typical case for random tokens)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import sequence_content_dedup
+
+    groups = sequence_content_dedup(_seq(sf_dir)).to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "n_dup_groups": int(len(groups)),
+                "n_dup_rows": int(groups["cnt"].sum()) if len(groups) else 0,
+            }
+        ]
+    )
+
+
 def _jsonl_violations(sf_dir: str):
     """Same check suite over the JSONL wire format (source breadth, S1/S2)."""
     from hepdata_validator_ray.checks.base import CheckContext
@@ -103,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ------------------------------------------------------------
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
+        "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),

@@ -328,10 +328,28 @@ class FileCheckReader:
     pruned) and runs CheckStage on each slab — the fused read+check operator
     of the inline physical plan."""
 
-    def __init__(self, batch_size: int = 16384, columns: list[str] | None = None, **stage_kwargs):
+    def __init__(
+        self,
+        batch_size: int = 16384,
+        columns: list[str] | None = None,
+        target_batch_bytes: int = 64 * 1024 * 1024,
+        **stage_kwargs,
+    ):
         self.batch_size = batch_size
         self.columns = columns
+        #: cap batches by BYTES, not rows: wide token rows (8k+ tokens) would
+        #: otherwise blow up batch memory (SURVEY.md §7 "wide tokens rows")
+        self.target_batch_bytes = target_batch_bytes
         self.stage = CheckStage(**stage_kwargs)
+
+    def _rows_per_batch(self, pf) -> int:
+        md = pf.metadata
+        if md.num_rows == 0:
+            return self.batch_size
+        total_bytes = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        avg_row_bytes = max(1, total_bytes // md.num_rows)
+        by_bytes = max(256, self.target_batch_bytes // avg_row_bytes)
+        return int(min(self.batch_size, by_bytes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -341,7 +359,7 @@ class FileCheckReader:
             try:
                 pf = pq.ParquetFile(path)
                 off = 0
-                for rb in pf.iter_batches(batch_size=self.batch_size, columns=self.columns):
+                for rb in pf.iter_batches(batch_size=self._rows_per_batch(pf), columns=self.columns):
                     tbl = pa.Table.from_batches([rb])
                     tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
                     outs.append(self.stage(tbl, row_offset=off))
@@ -481,6 +499,46 @@ class ValidationEngine:
         if p.is_dir():
             return sorted(str(f) for f in p.rglob("*.parquet"))
         return [str(p)]
+
+    def validate_dataset(self, ds: "ray.data.Dataset") -> ValidationResult:
+        """Validate an in-memory/lazy Dataset (e.g. mid-pipeline after a
+        transform) — the classic map_batches plan; no file lineage, no
+        checkpointing (use ``validate`` on parquet paths for those)."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        stage = CheckStage(
+            ctx=cfg.ctx,
+            suite=cfg.suite,
+            enable_sketches=cfg.enable_sketches,
+            enable_unigram=cfg.enable_unigram,
+            unigram_buckets=cfg.unigram_buckets,
+        )
+        mixed = ds.map_batches(
+            lambda b: stage(b), batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+        ).materialize()
+        res = self._postprocess_mixed(mixed, chunk_index=0, out_dir=None)
+        wall = time.perf_counter() - t0
+        total_violations = res["n_violations"]
+        dup_df = None
+        if cfg.dup_check:
+            from hepdata_validator_ray.ops import grouped_value_counts
+
+            dup_df = grouped_value_counts(ds.select_columns(["doc_id"]), "doc_id", min_count=2).to_pandas()
+            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            if n_dup:
+                res["violation_counts"]["doc_id_duplicates"] = n_dup
+                total_violations += n_dup
+        return ValidationResult(
+            valid=total_violations == 0,
+            n_rows=res["n_rows"],
+            n_violations=total_violations,
+            violation_counts=res["violation_counts"],
+            verdicts=res["verdicts"],
+            violations_path=None,
+            sketch=res["bundle"],
+            wall_s=wall,
+            rows_per_s=res["n_rows"] / wall if wall else 0.0,
+        )
 
     # -- main entry ----------------------------------------------------------
     def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
@@ -667,11 +725,18 @@ class ValidationEngine:
                 stage = CheckStage(**stage_kwargs)
                 mixed = ds.map_batches(lambda b: stage(b), **kwargs).materialize()
 
-        # The mixed stream is tiny relative to the input (violations +
-        # fixed-size partials).  When a chunk's stream fits comfortably on
-        # the driver, pull it ONCE and finish driver-side (one execution
-        # instead of five); otherwise use the distributed path.  count() on
-        # a materialized dataset is metadata-only.
+        res = self._postprocess_mixed(mixed, chunk_index, out_dir)
+        res["wall_s"] = time.perf_counter() - t0
+        return res
+
+    def _postprocess_mixed(self, mixed: "ray.data.Dataset", chunk_index: int, out_dir: Path | None) -> dict:
+        """Split the materialized mixed stream into violations / verdicts /
+        sketches.  The stream is tiny relative to the input (violations +
+        fixed-size partials): when it fits comfortably on the driver, pull it
+        ONCE and finish driver-side (one execution instead of five);
+        otherwise use the distributed path.  count() on a materialized
+        dataset is metadata-only."""
+        cfg = self.config
         if mixed.count() <= cfg.driver_collect_rows:
             refs = mixed.to_arrow_refs()
             tables = ray.get(refs) if refs else []
@@ -772,14 +837,12 @@ class ValidationEngine:
             if len(vio_counts_df)
             else {}
         )
-        wall = time.perf_counter() - t0
         return {
             "n_rows": n_rows,
             "n_violations": int(sum(vc.values())),
             "violation_counts": vc,
             "verdicts": verdicts,
             "bundle": bundle,
-            "wall_s": wall,
         }
 
     def _build_verdicts(self, stats_df: pd.DataFrame, vio_counts_df: pd.DataFrame) -> pd.DataFrame:

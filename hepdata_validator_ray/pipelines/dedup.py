@@ -70,6 +70,32 @@ def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
     return bucketed_aggregate(hashed, "h", None, combine)
 
 
+def sequence_content_dedup(seq_path: str) -> "ray.data.Dataset":
+    """Exact content dedup over token sequences: hash the raw token bytes
+    per row (stable, vectorized per batch), then the same bucketed exchange
+    as doc_id dedup — the training-pipeline 'same tokens, different doc'
+    detector.  Output: (content_hash, cnt) for groups of ≥2."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    def hash_tokens(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lens = pa.compute.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        # per-row md5 over numpy buffer slices (C-speed digest per row)
+        hashes = [
+            hashlib.md5(flat[offsets[r] : offsets[r + 1]].tobytes()).hexdigest() for r in range(len(lens))
+        ]
+        return pa.Table.from_pydict({"h": pa.array(hashes, type=pa.string())})
+
+    ds = ray.data.read_parquet(seq_path, columns=["tokens"]).map_batches(
+        hash_tokens, batch_format="pyarrow", batch_size=8192
+    )
+    return grouped_value_counts(ds, "h", min_count=2)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

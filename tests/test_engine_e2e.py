@@ -279,6 +279,36 @@ def test_verdicts_parquet_written(result):
     assert set(t.column_names) == {"partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"}
 
 
+def test_validate_dataset_mid_pipeline(synth_path):
+    """validate_dataset: the engine composes with an upstream Ray Data
+    transform (validate AFTER a map_batches, no files involved)."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(synth_path)
+    # an upstream transform: clamp n_tok to non-negative (fixes one family)
+    def clamp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fixed = pc.max_element_wise(t["n_tok"], 0)
+        return t.set_column(t.column_names.index("n_tok"), "n_tok", fixed)
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate_dataset(ds.map_batches(clamp, batch_format="pyarrow"))
+    gt = expected_violation_doc_rows(N)
+    assert "n_tok_non_negative" not in res.violation_counts
+    # clamped rows now have n_tok=0 != len → still consistency violations
+    assert res.violation_counts["token_length_consistency"] == len(gt["token_length_consistency"])
+    assert res.n_rows == N
+
+
+def test_resume_preserves_sketch(synth_path):
+    out = OUT / "resume"  # left behind by test_resume_after_partial_run
+    eng = ValidationEngine(ValidationConfig(concurrency=2, chunk_files=2))
+    res = eng.validate(synth_path, output_dir=str(out))
+    assert res.sketch is not None and res.sketch.n_rows == N
+
+
 def test_suppression_semantics(synth_path):
     """suppress_semantic_on_schema_error=True drops semantic violations for
     rows that already failed a schema check (reference
