@@ -14,8 +14,12 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hepdata_validator_ray.schema import (
     DEFAULT_MAX_SEQ_LEN,
