@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
+        "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
@@ -194,6 +195,27 @@ FROM read_parquet('{p}') GROUP BY source""",
         "v_ntok_hist": f"""
 SELECT CAST(floor(n_tok / 64.0) AS BIGINT) AS bucket, count(*)::BIGINT AS n
 FROM read_parquet('{p}') GROUP BY 1""",
+        "v_violations_by_partition": f"""
+WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
+v AS (
+  SELECT filename, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT filename, 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT filename, 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT filename, 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT filename, 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT filename, 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT filename, 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT filename, 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT filename, 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)
+SELECT filename AS partition_id, check_name, count(*)::BIGINT AS n
+FROM v GROUP BY filename, check_name""",
         "v_ntok_quantiles": f"""
 SELECT round(quantile_cont(n_tok, 0.5), 6) AS p50,
        round(quantile_cont(n_tok, 0.9), 6) AS p90,

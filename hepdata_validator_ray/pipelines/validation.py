@@ -140,6 +140,45 @@ def rows_per_partition(seq_path: str) -> "ray.data.Dataset":
     )
 
 
+def violations_by_partition(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Per-(partition, check) violation counts — the verdict-matrix basis,
+    with partition attribution oracle-checkable via filename=true."""
+    ctx = ctx or CheckContext()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path")
+        enc = pc.dictionary_encode(paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        view = prepare_view(batch.drop_columns(["path"]))
+        parts: list[str] = []
+        checks: list[str] = []
+        ns: list[int] = []
+        for check in DEFAULT_ROW_CHECKS:
+            res = check.fn(view, ctx)
+            if len(res.indices):
+                cnt = np.bincount(codes[res.indices], minlength=len(uniq))
+                for code in np.flatnonzero(cnt):
+                    parts.append(uniq[code])
+                    checks.append(check.name)
+                    ns.append(int(cnt[code]))
+        return pa.Table.from_pydict(
+            {
+                "partition_id": pa.array(parts, type=pa.string()),
+                "check_name": pa.array(checks, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(seq_path, include_paths=True)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["partition_id", "check_name"])
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["partition_id", "check_name", "n"]), batch_format="pyarrow")
+    )
+
+
 def ntok_quantiles(seq_path: str) -> pd.DataFrame:
     """Exact n_tok quantiles via Ray's distributed Quantile aggregate —
     the exact counterpart to the engine's approximate histogram sketch

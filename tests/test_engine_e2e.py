@@ -309,6 +309,37 @@ def test_resume_preserves_sketch(synth_path):
     assert res.sketch is not None and res.sketch.n_rows == N
 
 
+def test_bucketed_unigram_drift(synth_path):
+    """The 10^12-scale path: unigram histograms bucketed to 1024 bins
+    (token_id % buckets) must still detect a skewed token distribution."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hepdata_validator_ray.checks.row_checks import prepare_view
+    from hepdata_validator_ray.sketches import SketchBundle, UnigramHistogram, kl_divergence
+
+    buckets = 1024
+    eng = ValidationEngine(
+        ValidationConfig(concurrency=None, dup_check=False, unigram_buckets=buckets)
+    )
+    base = eng.validate(synth_path)
+    assert base.sketch.unigram.n_buckets == buckets
+
+    # skewed corpus: token ids concentrated in [5, 50) — different unigram shape
+    skew = generate_sequences_table(1000, seed=31, inject=False)
+    view = prepare_view(skew)
+    u = UnigramHistogram(vocab_size=50257, n_buckets=buckets)
+    u.add(view["flat"] % 45 + 5)
+    kl = kl_divergence(u.normalized(), base.sketch.unigram.normalized())
+    assert kl > 1.0  # clearly detected even after bucketing
+
+    # same-distribution corpus: low divergence
+    same = generate_sequences_table(1000, seed=32, inject=False)
+    u2 = UnigramHistogram(vocab_size=50257, n_buckets=buckets)
+    u2.add(prepare_view(same)["flat"])
+    assert kl_divergence(u2.normalized(), base.sketch.unigram.normalized()) < 0.1
+
+
 def test_suppression_semantics(synth_path):
     """suppress_semantic_on_schema_error=True drops semantic violations for
     rows that already failed a schema check (reference
