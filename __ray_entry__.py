@@ -132,6 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
         "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(emb(sf), threshold=0.4),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(emb(sf), threshold=0.4),
+        # --- sampling / splitting ---------------------------------------------
+        "split_assignment": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).split_assignment(docs(sf)),
+        "deterministic_sample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).deterministic_sample(docs(sf)),
         # --- similarity search ------------------------------------------------
         "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
@@ -334,6 +341,15 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        # --- sampling ---------------------------------------------------------
+        "split_assignment": """
+SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 10
+            THEN 'test' ELSE 'train' END AS split,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1""",
+        "deterministic_sample": """
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5""",
         # --- similarity -------------------------------------------------------
         "ann_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),

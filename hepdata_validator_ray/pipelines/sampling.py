@@ -1,0 +1,52 @@
+"""Deterministic sampling / splitting operators (training-data staples).
+
+Unlike ``ds.random_sample`` (seed-dependent on partitioning), these use a
+content-derived hash (md5 of the key), so the assignment is reproducible
+across runs, cluster sizes and file layouts — the property a 10^12-row
+train/test split must have.  The md5-prefix construction is chosen for
+cross-engine parity: DuckDB's ``('0x' || substr(md5(k),1,8))::UBIGINT``
+computes the identical bucket, giving these operators exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_of(values: list, mod: int = 100) -> list[int]:
+    return [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod for v in values]
+
+
+def split_assignment(docs_path: str, key: str = "doc_id", test_pct: int = 10) -> "ray.data.Dataset":
+    """Per-split row counts for a deterministic train/test split."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = _bucket_of(df[key].tolist())
+        split = pd.Series(["test" if b < test_pct else "train" for b in buckets])
+        out = split.value_counts().rename_axis("split").reset_index(name="n")
+        return out
+
+    return (
+        ray.data.read_parquet(docs_path, columns=[key])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("split")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["split", "n"]), batch_format="pyarrow")
+    )
+
+
+def deterministic_sample(docs_path: str, key: str = "doc_id", pct: int = 5) -> "ray.data.Dataset":
+    """The exact sampled row set (hash bucket < pct) — reproducible sampling
+    as a filter, no shuffle."""
+
+    def fil(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = _bucket_of(df[key].tolist())
+        return df[[b < pct for b in buckets]][[key]]
+
+    return ray.data.read_parquet(docs_path, columns=[key]).map_batches(
+        fil, batch_format="pandas", batch_size=8192
+    )

@@ -309,6 +309,24 @@ def test_resume_preserves_sketch(synth_path):
     assert res.sketch is not None and res.sketch.n_rows == N
 
 
+def test_classic_plan_and_actor_pool_match_inline(synth_path):
+    """The classic read_parquet→map_batches plan (inline_read=False), with
+    and without an explicit actor pool, must produce identical violation
+    counts to the default inline plan."""
+    gt = expected_violation_doc_rows(N)
+    expected = {k: len(v) for k, v in gt.items() if v and k != "doc_id_duplicates"}
+
+    classic_tasks = ValidationEngine(
+        ValidationConfig(inline_read=False, enable_sketches=False, dup_check=False)
+    ).validate(synth_path)
+    assert classic_tasks.violation_counts == expected
+
+    classic_actors = ValidationEngine(
+        ValidationConfig(inline_read=False, concurrency=2, enable_sketches=False, dup_check=False)
+    ).validate(synth_path)
+    assert classic_actors.violation_counts == expected
+
+
 def test_bucketed_unigram_drift(synth_path):
     """The 10^12-scale path: unigram histograms bucketed to 1024 bins
     (token_id % buckets) must still detect a skewed token distribution."""
