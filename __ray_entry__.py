@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
+        "clean_survivor_stats": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.clean", fromlist=["x"]
+        ).clean_survivor_stats(_seq(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "segment_revenue": relational.segment_revenue,
@@ -188,6 +191,20 @@ SELECT check_name, n FROM (
   SELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name
   UNION ALL SELECT check_name, n FROM d
 ) ORDER BY check_name""",
+        "clean_survivor_stats": row_violations_cte
+        + f"""
+, dup_ids AS (
+  SELECT doc_id FROM s WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+),
+bad_ids AS (SELECT DISTINCT doc_id FROM v WHERE doc_id IS NOT NULL)
+SELECT source,
+       count(*)::BIGINT AS n_rows,
+       sum(n_tok)::BIGINT AS sum_n_tok
+FROM s
+WHERE doc_id IS NOT NULL
+  AND doc_id NOT IN (SELECT doc_id FROM dup_ids)
+  AND doc_id NOT IN (SELECT doc_id FROM bad_ids)
+GROUP BY source""",
         "v_duplicates": f"""
 SELECT doc_id, count(*)::BIGINT AS cnt
 FROM read_parquet('{p}') WHERE doc_id IS NOT NULL

