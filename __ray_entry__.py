@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_stats": relational.nation_order_stats,
         "events_daily": relational.events_daily,
         "events_sessionize": relational.events_sessionize,
+        "filtered_lineitem_count": relational.filtered_lineitem_count,
         "top_customers": relational.top_customers,
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
         "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
+        "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(docs(sf), threshold=0.5),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
@@ -305,6 +307,10 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "filtered_lineitem_count": """
+SELECT l_returnflag, count(*)::BIGINT AS n
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag""",
         "events_sessionize": """
 WITH m AS (
   SELECT user_id, ts, value,

@@ -183,6 +183,24 @@ def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     )
 
 
+def filtered_lineitem_count(sf_dir: str, cutoff: str = "1996-01-01") -> "ray.data.Dataset":
+    """Predicate-pushdown demo: the shipdate filter is pushed into the
+    Parquet read (row-group pruning via a pyarrow dataset expression), so
+    non-matching row groups never leave storage — 'prune at the read'."""
+    import pyarrow.dataset as pads
+
+    return (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_shipdate"],
+            filter=(pads.field("l_shipdate") < pa.scalar(pd.Timestamp(cutoff))),
+        )
+        .groupby("l_returnflag")
+        .count()
+        .map_batches(lambda t: t.rename_columns(["l_returnflag", "n"]), batch_format="pyarrow")
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionize the event stream: per user, a new session starts when the
     gap to the previous event exceeds ``gap_minutes`` (the classic streaming

@@ -93,6 +93,21 @@ def test_embedding_lsh_recall_vs_bruteforce():
         assert len(approx_pairs) / len(exact_pairs) > 0.2  # recall floor at cos≈0.4
 
 
+def test_near_dup_clusters_are_consistent():
+    """Cluster invariants: every pair endpoint is clustered; pairs land in
+    the same cluster; cluster_id is the min member (deterministic)."""
+    from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    pairs = minhash_lsh_pairs(DOCS, threshold=0.5).to_pandas()
+    clusters = near_dup_clusters(DOCS, threshold=0.5)
+    cid = dict(zip(clusters.doc_id, clusters.cluster_id))
+    for _, r in pairs.iterrows():
+        assert cid[r.doc_id_a] == cid[r.doc_id_b]
+    for _, r in clusters.iterrows():
+        assert r.cluster_id <= r.doc_id
+        assert cid[r.cluster_id] == r.cluster_id  # roots are self-labeled
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
