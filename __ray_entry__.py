@@ -75,6 +75,19 @@ def _seq_content_summary(sf_dir: str):
     )
 
 
+def _frame_counts(sf_dir: str):
+    """Frames sampled per doc — deterministic from text length, so it has a
+    closed-form SQL oracle: least(8, ceil(max(1, strlen/32) / 4))."""
+    from hepdata_validator_ray.pipelines.multimodal import sampled_frames
+
+    return (
+        sampled_frames(f"{sf_dir}/documents.parquet")
+        .groupby("doc_id")
+        .count()
+        .map_batches(lambda t: t.rename_columns(["doc_id", "n_frames"]), batch_format="pyarrow")
+    )
+
+
 def _jsonl_violations(sf_dir: str):
     """Same check suite over the JSONL wire format (source breadth, S1/S2)."""
     from hepdata_validator_ray.checks.base import CheckContext
@@ -150,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ----------------------------------------------
         "mm_payload_meta": lambda sf: multimodal.payload_meta(docs(sf)),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
+        "mm_resized": lambda sf: multimodal.resized_payloads(docs(sf)).select_columns(["doc_id", "n_bytes"]),
+        "mm_frame_counts": lambda sf: _frame_counts(sf),
     }
 
 
@@ -387,4 +402,10 @@ SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos FROM scored WHERE rk <= 1
         # --- multimodal -------------------------------------------------------
         "mm_payload_meta": """
 SELECT doc_id, strlen(text)::BIGINT AS n_bytes FROM documents""",
+        "mm_resized": """
+SELECT doc_id, 64::BIGINT AS n_bytes FROM documents""",
+        "mm_frame_counts": """
+SELECT doc_id,
+       least(8, CAST(ceil(greatest(1, CAST(floor(strlen(text) / 32.0) AS BIGINT)) / 4.0) AS BIGINT))::BIGINT AS n_frames
+FROM documents""",
     }

@@ -58,6 +58,70 @@ class DecodeStage:
         )
 
 
+class ResizeStage:
+    """Image-resize plumbing stub: real impl would decode + PIL.resize; the
+    deterministic fake truncates/pads the byte payload to ``target_bytes``
+    — exercising the byte-aware batch sizing and schema contract."""
+
+    def __init__(self, target_bytes: int = 64, strict: bool = False):
+        self.target = target_bytes
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("image resize requires codecs not present in this container")
+        resized = []
+        for blob in t["payload"].to_pylist():
+            b = blob[: self.target]
+            resized.append(b + b"\x00" * (self.target - len(b)))
+        out = pa.array(resized, type=pa.binary())
+        return pa.Table.from_arrays(
+            [t["doc_id"], out, pa.compute.binary_length(out)],
+            names=["doc_id", "payload", "n_bytes"],
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling plumbing stub: real impl would ffmpeg-seek; the
+    deterministic fake takes every k-th ``frame_bytes`` window of the blob,
+    emitting one row per sampled frame (flat_map shape: 1 row in → N out)."""
+
+    def __init__(self, frame_bytes: int = 32, every_k: int = 4, max_frames: int = 8):
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for doc_id, blob in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            n_frames = max(1, len(blob) // self.frame_bytes)
+            for j, fi in enumerate(range(0, n_frames, self.every_k)):
+                if j >= self.max_frames:
+                    break
+                ids.append(doc_id)
+                idxs.append(fi)
+                frames.append(blob[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def resized_payloads(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    return payload_table(docs_path).map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )
+
+
+def sampled_frames(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    return payload_table(docs_path).map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )
+
+
 def payload_meta(docs_path: str) -> "ray.data.Dataset":
     """(doc_id, n_bytes) — the oracle-checkable metadata projection."""
     return payload_table(docs_path).select_columns(["doc_id", "n_bytes"])

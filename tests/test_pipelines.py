@@ -202,6 +202,20 @@ def test_multimodal_decode_stub():
     assert (sums == out["n_bytes"]).all()
 
 
+def test_multimodal_resize_and_frames():
+    from hepdata_validator_ray.pipelines.multimodal import resized_payloads, sampled_frames
+
+    out = resized_payloads(DOCS, concurrency=2).to_pandas()
+    assert (out.n_bytes == 64).all()
+    assert len(out) == 500
+
+    frames = sampled_frames(DOCS, concurrency=2).to_pandas()
+    assert len(frames) > 500  # flat_map shape: multiple frames per doc
+    assert set(frames.columns) == {"doc_id", "frame_idx", "frame"}
+    assert (frames.frame_idx % 4 == 0).all()
+    assert frames.frame.map(len).max() <= 32
+
+
 def test_multimodal_strict_mode_raises():
     import ray.exceptions
     from hepdata_validator_ray.pipelines.multimodal import decoded_features
