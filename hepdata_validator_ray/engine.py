@@ -142,6 +142,18 @@ class ValidationResult:
         lines.append(f"{self.n_rows} rows validated in {self.wall_s:.2f}s ({self.rows_per_s:,.0f} rows/s)")
         return "\n".join(lines)
 
+    def worst_partitions(self, k: int = 10) -> pd.DataFrame:
+        """Top-k partitions by violation count (SURVEY.md §2.6's cheap
+        addition: verdicts.sort(n_violations desc).limit(k))."""
+        if not len(self.verdicts):
+            return self.verdicts
+        agg = (
+            self.verdicts.groupby("partition_id", as_index=False)
+            .n_violations.sum()
+            .sort_values("n_violations", ascending=False, kind="mergesort")
+        )
+        return agg.head(k).reset_index(drop=True)
+
     def valid_partitions(self) -> list[str]:
         """Partitions with every check passed — ≙ the reference's
         ``valid_files`` bookkeeping (full_submission_validator.py:378-387)."""

@@ -268,6 +268,12 @@ def test_result_helpers(result):
     ok = res.valid_partitions()
     assert ok == []  # every partition has some violation in the injected set
     assert res.drift_profile_bytes() is not None
+    worst = res.worst_partitions(2)
+    assert len(worst) == 2
+    assert worst.n_violations.iloc[0] >= worst.n_violations.iloc[1]
+    # top-1 matches a full manual aggregation
+    manual = res.verdicts.groupby("partition_id").n_violations.sum()
+    assert worst.n_violations.iloc[0] == manual.max()
 
 
 def test_verdicts_parquet_written(result):
