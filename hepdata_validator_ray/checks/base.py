@@ -14,11 +14,10 @@ Reference analogues:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import numpy as np
-import pyarrow as pa
 
 from hepdata_validator_ray.schema import (
     DEFAULT_MAX_SEQ_LEN,

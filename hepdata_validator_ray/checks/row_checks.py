@@ -71,17 +71,26 @@ def prepare_view(batch: pa.Table) -> dict:
 def _segment_any(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row any(True) over the flat buffer's segments — logical_or.reduceat,
     O(total tokens), no Python loop, no large temporaries (allocation-light
-    for page-fault-expensive kernels; see tuning.py)."""
+    for page-fault-expensive kernels; see tuning.py).
+
+    reduceat runs over the NON-EMPTY segments only (their starts are strictly
+    increasing and in-bounds; consecutive selected starts exactly delimit the
+    segments because empty segments occupy no flat positions), then scatters
+    back — empty segments are False.  Naively clipping out-of-bounds starts
+    instead would corrupt the previous segment's boundary (caught by the
+    hypothesis property test)."""
     n = len(offsets) - 1
     if n <= 0 or len(mask) == 0:
         return np.zeros(max(n, 0), dtype=bool)
     starts = offsets[:-1]
     lens = offsets[1:] - starts
-    # reduceat quirk: an empty segment yields mask[starts[i]], and a start at
-    # len(mask) is out of bounds — clip, then force empty rows to False
-    safe_starts = np.minimum(starts, len(mask) - 1)
-    out = np.logical_or.reduceat(mask, safe_starts)
-    out[lens <= 0] = False
+    nonempty = lens > 0
+    out = np.zeros(n, dtype=bool)
+    if nonempty.any():
+        # cut the buffer at the last referenced position so the final
+        # segment can't bleed into unreferenced child values (sliced arrays)
+        end = int(offsets[-1])
+        out[nonempty] = np.logical_or.reduceat(mask[:end], starts[nonempty])
     return out
 
 

@@ -38,9 +38,8 @@ Scale notes (100 TB / 256 nodes):
 
 from __future__ import annotations
 
-import json
 import time
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
@@ -61,7 +60,6 @@ from hepdata_validator_ray.schema import (
     VIOLATION_SCHEMA,
 )
 from hepdata_validator_ray.sketches import (
-    HistogramSketch,
     SketchBundle,
     UnigramHistogram,
     kl_divergence,

@@ -15,9 +15,7 @@ defined by the same semantics the validator reports on.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
 

@@ -10,7 +10,6 @@ change needed on a cluster with codecs installed."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 

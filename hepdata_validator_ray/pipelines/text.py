@@ -7,9 +7,7 @@ tables + compiled regex built once per actor — ST1 pattern)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data
 
 PUNCT_CLASS = "[.,!?;:]"

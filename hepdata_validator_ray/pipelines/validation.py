@@ -183,7 +183,7 @@ def ntok_quantiles(seq_path: str) -> pd.DataFrame:
     """Exact n_tok quantiles via Ray's distributed Quantile aggregate —
     the exact counterpart to the engine's approximate histogram sketch
     (the sketch is the 10^12-scale path; this is the oracle-checkable one)."""
-    from ray.data.aggregate import Max, Mean, Min, Quantile
+    from ray.data.aggregate import Max, Min, Quantile
 
     res = ray.data.read_parquet(seq_path, columns=["n_tok"]).aggregate(
         Quantile("n_tok", q=0.5, alias_name="p50"),

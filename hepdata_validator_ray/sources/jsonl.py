@@ -16,7 +16,7 @@ from pathlib import Path
 import pyarrow.parquet as pq
 import ray.data
 
-from hepdata_validator_ray.synth import ensure_sequences_parquet, synth_dir_for
+from hepdata_validator_ray.synth import ensure_sequences_parquet
 
 
 def ensure_sequences_jsonl(sf_dir: str, compress: bool = False, n_files: int = 2) -> str:
