@@ -83,6 +83,20 @@ def test_empty_batch():
         assert len(check.fn(view, ctx).indices) == 0
 
 
+def test_sliced_batches_equal_full_table(gt):
+    """map_batches can hand the stage SLICED tables; the zero-copy offsets
+    path must stay correct under nonzero array offsets."""
+    t = generate_sequences_table(N, seed=42)
+    ctx = CheckContext()
+    got = {c.name: set() for c in DEFAULT_ROW_CHECKS}
+    for lo, n in [(0, 777), (777, 700), (1477, N - 1477)]:
+        vs = prepare_view(t.slice(lo, n))
+        for c in DEFAULT_ROW_CHECKS:
+            got[c.name] |= {lo + i for i in c.fn(vs, ctx).indices.tolist()}
+    for c in DEFAULT_ROW_CHECKS:
+        assert got[c.name] == gt.get(c.name, set()), c.name
+
+
 def test_nulls_in_every_column():
     tbl = pa.table(
         {
