@@ -554,6 +554,12 @@ class ValidationEngine:
     def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
         cfg = self.config
         files = self._list_files(input_path)
+        if not files:
+            return ValidationResult(
+                valid=True, n_rows=0, n_violations=0, violation_counts={},
+                verdicts=pd.DataFrame(columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"]),
+                violations_path=None, sketch=None, wall_s=0.0, rows_per_s=0.0,
+            )
         out_dir = Path(output_dir) if output_dir else None
         manifest = CheckpointManifest(out_dir / "manifest.jsonl") if out_dir else None
         completed = manifest.completed_chunks() if manifest else set()

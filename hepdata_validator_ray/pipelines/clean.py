@@ -48,7 +48,8 @@ def clean_sequences(
     # 1. tiny global artifact: ids occurring more than once (one shuffle,
     #    column-pruned, map-side combined) — broadcast for the semi-join
     dup_ids = duplicate_ids_dataset(seq_path).to_pandas()
-    dup_ref = ray.put(frozenset(dup_ids["doc_id"].tolist()))
+    dup_set = frozenset(dup_ids["doc_id"].tolist()) if len(dup_ids) else frozenset()
+    dup_ref = ray.put(dup_set)
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = failing_row_mask(batch, ctx)
