@@ -104,16 +104,51 @@ def sum_counts_combine(key: str, min_count: int = 0) -> Callable[[pa.Table], pa.
 
 
 def grouped_value_counts(
-    ds: "ray.data.Dataset", key: str, min_count: int = 0, num_buckets: int = 64
+    ds: "ray.data.Dataset", key: str, min_count: int = 0, num_buckets: int = 64, n_salts: int = 0
 ) -> "ray.data.Dataset":
     """Distributed value_counts(key) with map-side combine; optionally keep
-    only keys with count ≥ min_count (min_count=2 → duplicate detection)."""
-    return bucketed_aggregate(
-        ds,
-        key,
-        value_counts_partial(key),
-        sum_counts_combine(key, min_count),
+    only keys with count ≥ min_count (min_count=2 → duplicate detection).
+
+    ``n_salts > 0`` enables EXPLICIT two-level salting for adversarially hot
+    keys: level 1 groups on (key, partial_index % n_salts) so one key's
+    partials spread over ``n_salts`` reducers; level 2 merges the ≤n_salts
+    per-key subtotals.  With the map-side combine a key contributes one
+    partial per batch, so salting only matters when batches-per-key exceeds
+    one reducer's capacity (the 10^12-row regime); default off."""
+    if n_salts <= 0:
+        return bucketed_aggregate(
+            ds,
+            key,
+            value_counts_partial(key),
+            sum_counts_combine(key, min_count),
+            num_buckets=num_buckets,
+        )
+
+    partial = value_counts_partial(key)
+    rng_state = np.random.default_rng(0)  # deterministic salt stream per task
+
+    def salted_partial(batch: pa.Table) -> pa.Table:
+        t = partial(batch)
+        # composite (key, salt) level-1 key: one hot key's partials spread
+        # over n_salts distinct level-1 groups → distinct reducers
+        salts = rng_state.integers(0, n_salts, size=t.num_rows)
+        ks = [f"{k}\x00{s}" for k, s in zip(t.column(key).to_pylist(), salts)]
+        return pa.Table.from_pydict({"__ks__": pa.array(ks, type=pa.string()), "cnt": t.column("cnt")})
+
+    def level1(t: pa.Table) -> pa.Table:
+        g = t.group_by("__ks__").aggregate([("cnt", "sum")])
+        keys = pa.array([s.rsplit("\x00", 1)[0] for s in g["__ks__"].to_pylist()], type=pa.string())
+        return pa.Table.from_arrays([keys, g["cnt_sum"]], names=[key, "cnt"])
+
+    level1_ds = bucketed_aggregate(
+        ds.map_batches(salted_partial, batch_format="pyarrow", batch_size=65536),
+        "__ks__",
+        None,
+        level1,
         num_buckets=num_buckets,
+    )
+    return bucketed_aggregate(
+        level1_ds, key, None, sum_counts_combine(key, min_count), num_buckets=num_buckets
     )
 
 

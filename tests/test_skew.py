@@ -45,6 +45,28 @@ def test_hot_key_partials_are_combined(tmp_path):
     assert hot["cnt"][0].as_py() == 10_000
 
 
+def test_salted_aggregation_matches_unsalted(tmp_path):
+    """Explicit two-level salting (north_rule): identical results, hot key's
+    level-1 load spread over n_salts groups."""
+    tbl = _hot_table()
+    f = tmp_path / "hot.parquet"
+    pq.write_table(tbl, f)
+    plain = (
+        grouped_value_counts(ray.data.read_parquet(str(f)), "doc_id", min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        grouped_value_counts(ray.data.read_parquet(str(f)), "doc_id", min_count=2, n_salts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted)
+    assert salted.iloc[0].cnt == 10_000
+
+
 def test_hot_bucket_guard_in_pair_generation():
     """grouped_pairs' hot-bucket guard: a fine-key collision cluster larger
     than the cap yields no quadratic pair explosion."""
