@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": relational.events_daily,
         "events_sessionize": relational.events_sessionize,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
+        "orders_customer_native_join": relational.orders_customer_native_join,
         "top_customers": relational.top_customers,
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
@@ -326,6 +327,12 @@ FROM events GROUP BY 1, 2""",
 SELECT l_returnflag, count(*)::BIGINT AS n
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
 GROUP BY l_returnflag""",
+        "orders_customer_native_join": """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
         "events_sessionize": """
 WITH m AS (
   SELECT user_id, ts, value,

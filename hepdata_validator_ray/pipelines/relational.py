@@ -183,6 +183,27 @@ def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     )
 
 
+def orders_customer_native_join(sf_dir: str) -> "ray.data.Dataset":
+    """Both-sides-large join via Ray Data's native hash-partitioned
+    ``Dataset.join`` (the shuffle-join operator; broadcast joins elsewhere
+    cover the small-side case).  Grouped rollup per market segment."""
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spend"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("total_spend"), "total_spend", pa.compute.round(t["total_spend"], 2)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def filtered_lineitem_count(sf_dir: str, cutoff: str = "1996-01-01") -> "ray.data.Dataset":
     """Predicate-pushdown demo: the shipdate filter is pushed into the
     Parquet read (row-group pruning via a pyarrow dataset expression), so
