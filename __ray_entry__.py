@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_stats": relational.nation_order_stats,
         "events_daily": relational.events_daily,
         "events_sessionize": relational.events_sessionize,
+        "events_lag_previous": relational.events_lag_previous,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
         "top_customers": relational.top_customers,
@@ -333,6 +334,11 @@ SELECT c_mktsegment,
        round(sum(o_totalprice), 2) AS total_spend
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "events_lag_previous": """
+SELECT event_id,
+       strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS prev_ts
+FROM events""",
         "events_sessionize": """
 WITH m AS (
   SELECT user_id, ts, value,

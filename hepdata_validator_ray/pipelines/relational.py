@@ -258,6 +258,34 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def events_lag_previous(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered-window / as-of operator: for every event, the timestamp of
+    the user's previous event (merge_asof/lag semantics).  Users hash-bucket
+    into coarse groups; inside a bucket the lag is one vectorized pandas
+    groupby-shift over all the bucket's users.  Deterministic tie-break:
+    (ts, event_id)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["ts"].shift()
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "prev_ts": prev.dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+        out["prev_ts"] = out["prev_ts"].where(prev.notna(), None)
+        return out
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+        .map_batches(lambda t: with_bucket(t, "user_id", 32), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
 def referential_integrity(sf_dir: str) -> pd.DataFrame:
     """Referential anti-join checks (SURVEY.md §2.4 J2): count of child rows
     whose foreign key has no parent — broadcast key-set membership filter
