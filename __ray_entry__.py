@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_row_violations_jsonl": _jsonl_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
+        "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
         "clean_survivor_stats": lambda sf: __import__(
@@ -259,6 +260,10 @@ v AS (
 )
 SELECT filename AS partition_id, check_name, count(*)::BIGINT AS n
 FROM v GROUP BY filename, check_name""",
+        "v_longest_sequences": f"""
+SELECT doc_id, n_tok FROM read_parquet('{p}')
+WHERE doc_id IS NOT NULL
+ORDER BY n_tok DESC, doc_id ASC LIMIT 20""",
         "v_ntok_quantiles": f"""
 SELECT round(quantile_cont(n_tok, 0.5), 6) AS p50,
        round(quantile_cont(n_tok, 0.9), 6) AS p90,

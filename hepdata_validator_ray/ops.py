@@ -152,6 +152,36 @@ def grouped_value_counts(
     )
 
 
+def connected_components(
+    pairs: pd.DataFrame, a: str = "doc_id_a", b: str = "doc_id_b", max_iters: int = 50
+) -> pd.DataFrame:
+    """Connected components over an edge list by iterative min-label
+    propagation — the distributed-friendly formulation (each iteration is a
+    groupby-min, expressible as a bucketed exchange at scale; here the edge
+    list is small post-LSH so it runs vectorized in pandas).  Returns
+    (node, cluster_id=min node of component).  Converges in O(diameter)
+    iterations."""
+    if not len(pairs):
+        return pd.DataFrame(columns=["node", "cluster_id"])
+    edges = pd.concat(
+        [
+            pairs[[a, b]].rename(columns={a: "u", b: "v"}),
+            pairs[[a, b]].rename(columns={b: "u", a: "v"}),
+        ],
+        ignore_index=True,
+    )
+    label = pd.Series(index=pd.unique(edges["u"]), data=pd.unique(edges["u"]))
+    for _ in range(max_iters):
+        # candidate label per node: min over neighbors' labels and own
+        neigh = edges.assign(lbl=label.loc[edges["v"]].to_numpy()).groupby("u")["lbl"].min()
+        new = pd.concat([label, neigh], axis=1).min(axis=1)
+        if (new == label).all():
+            break
+        label = new
+    out = label.rename_axis("node").reset_index(name="cluster_id")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def grouped_pairs(
     ds: "ray.data.Dataset",
     fine_keys: list[str],

@@ -226,33 +226,15 @@ def near_dup_clusters(docs_path: str, threshold: float = 0.5, concurrency: int |
     """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
     components; cluster_id = min doc_id of the component (deterministic).
 
-    The pair set is tiny relative to the corpus (LSH prunes it), so
-    union-find runs on the driver; at 10^12 docs with huge components the
-    same result comes from a few rounds of min-label propagation
-    (groupby(doc_id).min(label) iterated to fixpoint) — noted as the scale
-    path, same output contract."""
+    Components come from iterative min-label propagation
+    (ops.connected_components) — each iteration is a groupby-min, i.e. a
+    bucketed exchange at 10^12 scale; post-LSH edge lists are small enough
+    to run it vectorized in pandas here.  Same output contract either way."""
+    from hepdata_validator_ray.ops import connected_components
+
     pairs = minhash_lsh_pairs(docs_path, threshold=threshold).to_pandas()
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # deterministic: smaller id becomes the root
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-            parent.setdefault(lo, lo)
-
-    for a, b in zip(pairs.get("doc_id_a", []), pairs.get("doc_id_b", [])):
-        union(a, b)
-    members = sorted({d for d in parent})
-    recs = [(d, find(d)) for d in members]
-    return pd.DataFrame(recs, columns=["doc_id", "cluster_id"])
+    out = connected_components(pairs)
+    return out.rename(columns={"node": "doc_id"})
 
 
 # ---------------------------------------------------------------------------

@@ -179,6 +179,19 @@ def violations_by_partition(seq_path: str, ctx: CheckContext | None = None) -> "
     )
 
 
+def longest_sequences(seq_path: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k longest sequences — explicit distributed multi-key sort + limit
+    (deterministic tie-break on doc_id)."""
+    return (
+        ray.data.read_parquet(seq_path, columns=["doc_id", "n_tok"])
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t["doc_id"])), batch_format="pyarrow"
+        )
+        .sort(["n_tok", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def ntok_quantiles(seq_path: str) -> pd.DataFrame:
     """Exact n_tok quantiles via Ray's distributed Quantile aggregate —
     the exact counterpart to the engine's approximate histogram sketch

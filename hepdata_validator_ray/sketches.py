@@ -109,6 +109,49 @@ class CountMin:
         return out
 
 
+class BloomFilter:
+    """Simple partitioned Bloom filter (k hash functions via double hashing,
+    Kirsch-Mitzenmacher).  Used for broadcast semi-joins where even the
+    duplicate-id SET is too large to ship exactly (10^12-scale `clean`):
+    membership 'no' is exact, 'yes' has FP rate ≈ (1-e^{-kn/m})^k."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h1 = hash64(values)
+        h2 = (h1 >> np.uint64(17)) | np.uint64(1)
+        idx = np.empty((self.k, len(values)), dtype=np.uint64)
+        for i in range(self.k):
+            idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+        return idx
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        pos = self._positions(np.asarray(values, dtype=object)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(values, dtype=object))
+        out = np.ones(len(values), dtype=bool)
+        for i in range(self.k):
+            p = pos[i]
+            bit = (self.bits[(p >> np.uint64(3)).astype(np.int64)] >> (p & np.uint64(7)).astype(np.uint8)) & 1
+            out &= bit.astype(bool)
+        return out
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        out = BloomFilter(self.n_bits, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+
 class HistogramSketch:
     """Fixed-bucket histogram over a bounded integer domain; serves as the
     mergeable quantile sketch for n_tok and the drift histogram."""

@@ -111,6 +111,40 @@ def test_bundle_roundtrip_and_merge():
     assert (rt.hll_doc_id.registers == m.hll_doc_id.registers).all()
 
 
+def test_bloom_filter():
+    from hepdata_validator_ray.sketches import BloomFilter
+
+    bf = BloomFilter(n_bits=1 << 16, k=5)
+    members = np.array([f"doc-{i}" for i in range(1000)], dtype=object)
+    bf.add(members)
+    assert bf.contains(members).all()  # no false negatives, ever
+    others = np.array([f"other-{i}" for i in range(10_000)], dtype=object)
+    fp_rate = bf.contains(others).mean()
+    assert fp_rate < 0.05  # m/n=65, k=5 → theoretical ~1e-5; generous bound
+    # merge = union
+    bf2 = BloomFilter(n_bits=1 << 16, k=5)
+    extra = np.array(["zzz-1", "zzz-2"], dtype=object)
+    bf2.add(extra)
+    merged = bf.merge(bf2)
+    assert merged.contains(members).all() and merged.contains(extra).all()
+
+
+def test_connected_components_label_propagation():
+    import pandas as pd
+
+    from hepdata_validator_ray.ops import connected_components
+
+    # two components: {1,2,3,4} (chain) and {10,11}; singleton 99 not in edges
+    pairs = pd.DataFrame(
+        {"doc_id_a": [1, 2, 3, 10], "doc_id_b": [2, 3, 4, 11]}
+    )
+    out = connected_components(pairs)
+    cid = dict(zip(out.node, out.cluster_id))
+    assert cid[1] == cid[2] == cid[3] == cid[4] == 1
+    assert cid[10] == cid[11] == 10
+    assert connected_components(pairs.iloc[0:0]).empty
+
+
 def test_kl_and_chisq():
     p = np.array([0.5, 0.5, 0.0])
     assert kl_divergence(p, p) == pytest.approx(0.0, abs=1e-6)
