@@ -39,24 +39,46 @@ def clean_sequences(
     seq_path: str,
     ctx: CheckContext | None = None,
     output_dir: str | None = None,
+    use_bloom: bool = False,
 ) -> "ray.data.Dataset":
     """Surviving rows: pass every row-local check AND carry a globally
     unique doc_id.  Returns the cleaned Dataset (optionally written as
-    partitioned parquet)."""
+    partitioned parquet).
+
+    ``use_bloom=True`` broadcasts a Bloom filter of the duplicate ids as a
+    prefilter and exact-verifies only the Bloom hits — the pattern for when
+    even the duplicate-id set is too large to broadcast exactly (10^12-row
+    corpora with high duplication); membership 'no' is exact, so clean rows
+    are never dropped by a false positive."""
     ctx = ctx or CheckContext()
 
     # 1. tiny global artifact: ids occurring more than once (one shuffle,
     #    column-pruned, map-side combined) — broadcast for the semi-join
     dup_ids = duplicate_ids_dataset(seq_path).to_pandas()
     dup_set = frozenset(dup_ids["doc_id"].tolist()) if len(dup_ids) else frozenset()
-    dup_ref = ray.put(dup_set)
+    if use_bloom:
+        from hepdata_validator_ray.sketches import BloomFilter
+
+        bloom = BloomFilter(n_bits=1 << 18, k=5)
+        bloom.add(np.array(list(dup_set), dtype=object))
+        dup_ref = ray.put((bloom, dup_set))
+    else:
+        dup_ref = ray.put(dup_set)
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = failing_row_mask(batch, ctx)
-        dups = ray.get(dup_ref)  # plasma-cached per worker
-        if dups:
-            docs = batch.column("doc_id").to_pylist()
-            bad |= np.array([d in dups for d in docs], dtype=bool)
+        broadcast = ray.get(dup_ref)  # plasma-cached per worker
+        docs = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), dtype=object)
+        if use_bloom:
+            bloom, exact = broadcast
+            cand = bloom.contains(docs)  # vectorized prefilter
+            for i in np.flatnonzero(cand):  # exact verify only Bloom hits
+                if docs[i] in exact:
+                    bad[i] = True
+        else:
+            dups = broadcast
+            if dups:
+                bad |= np.array([d in dups for d in docs], dtype=bool)
         return batch.filter(pa.array(~bad))
 
     cleaned = ray.data.read_parquet(seq_path).map_batches(keep, batch_format="pyarrow", batch_size=8192)

@@ -38,6 +38,13 @@ def test_survivor_stats_sum(tmp_path):
     assert set(stats.source) <= {"web", "books", "code", "wiki", "news"}
 
 
+def test_bloom_prefilter_path_identical():
+    p = ensure_sequences_parquet(SF, n_files=4)
+    exact = clean_sequences(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bloom = clean_sequences(p, use_bloom=True).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert exact.doc_id.equals(bloom.doc_id)
+
+
 def test_clean_write_roundtrip(tmp_path):
     p = ensure_sequences_parquet(SF, n_files=4)
     out = clean_sequences(p, output_dir=str(tmp_path / "clean"))
