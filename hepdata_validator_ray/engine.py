@@ -562,9 +562,17 @@ class ValidationEngine:
             )
         out_dir = Path(output_dir) if output_dir else None
         manifest = CheckpointManifest(out_dir / "manifest.jsonl") if out_dir else None
-        completed = manifest.completed_chunks() if manifest else set()
 
-        chunks = [files[i : i + cfg.chunk_files] for i in range(0, len(files), cfg.chunk_files)]
+        # resume is FILE-granular: a file inside any completed chunk is never
+        # re-read, and only pending files are re-chunked — so incremental
+        # ingest (new files appearing between runs, sorting anywhere in the
+        # listing) revalidates exactly the new files
+        completed_files: set[str] = set()
+        if manifest:
+            for e in manifest.get_all("chunk"):
+                completed_files.update(e.get("files", ()))
+        pending = [f for f in files if f not in completed_files]
+        chunks = [pending[i : i + cfg.chunk_files] for i in range(0, len(pending), cfg.chunk_files)]
         t0 = time.perf_counter()
         total_rows = 0
         total_violations = 0
@@ -626,10 +634,9 @@ class ValidationEngine:
             dup_thread = threading.Thread(target=_dup_worker, daemon=True)
             dup_thread.start()
 
-        for ci, chunk in enumerate(chunks):
+        chunk_index_base = len(manifest.get_all("chunk")) if manifest else 0
+        for ci, chunk in enumerate(chunks, start=chunk_index_base):
             ckey = chunk_key(chunk)
-            if ckey in completed:
-                continue  # resume: already done
             res = self._run_chunk(chunk, ci, out_dir)
             total_rows += res["n_rows"]
             total_violations += res["n_violations"]
@@ -964,9 +971,13 @@ class ValidationEngine:
 
     # -- duplicate pass ------------------------------------------------------
     def _dup_pass(self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None) -> pd.DataFrame:
+        files_key = chunk_key(files)
         if manifest and manifest.has("dup_pass"):
             e = manifest.get_all("dup_pass")[-1]
-            return pd.DataFrame(e["dups"]) if e.get("dups") else pd.DataFrame(columns=["doc_id", "cnt"])
+            # reuse only when the INPUT FILE SET is unchanged — incremental
+            # ingest must re-shuffle doc_ids across old+new files
+            if e.get("files_key") == files_key:
+                return pd.DataFrame(e["dups"]) if e.get("dups") else pd.DataFrame(columns=["doc_id", "cnt"])
         t0 = time.perf_counter()
         dup_df = duplicate_ids_dataset(files).to_pandas()
         if out_dir is not None and len(dup_df):
@@ -990,6 +1001,7 @@ class ValidationEngine:
             manifest.append(
                 {
                     "type": "dup_pass",
+                    "files_key": files_key,
                     "n_duplicate_ids": int(len(dup_df)),
                     "wall_s": time.perf_counter() - t0,
                     "dups": dup_df.to_dict(orient="list"),

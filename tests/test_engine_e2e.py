@@ -308,6 +308,40 @@ def test_validate_dataset_mid_pipeline(synth_path):
     assert res.n_rows == N
 
 
+def test_incremental_ingest(tmp_path):
+    """File-granular resume: adding files between runs revalidates ONLY the
+    new files (plus the cheap doc_id-column dup re-shuffle)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.synth import generate_sequences_table
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        pq.write_table(generate_sequences_table(300, seed=55, inject=False, row_offset=i * 300), data / f"f{i}.parquet")
+    out = tmp_path / "out"
+    cfg = ValidationConfig(chunk_files=2, enable_unigram=False)
+    res1 = ValidationEngine(cfg).validate(str(data), output_dir=str(out))
+    assert res1.n_rows == 600
+
+    # new file arrives, sorting FIRST in the listing (worst case for
+    # positional chunking)
+    pq.write_table(generate_sequences_table(200, seed=55, inject=False, row_offset=600), data / "a_new.parquet")
+    res2 = ValidationEngine(cfg).validate(str(data), output_dir=str(out))
+    assert res2.n_rows == 800
+
+    entries = [json.loads(l) for l in (out / "manifest.jsonl").read_text().splitlines()]
+    chunk_entries = [e for e in entries if e["type"] == "chunk"]
+    # run 1: one chunk (2 files); run 2: one new chunk with ONLY the new file
+    assert len(chunk_entries) == 2
+    assert chunk_entries[1]["files"] == [str(tmp_path / "data" / "a_new.parquet")]
+    # dup pass re-ran for the new file set
+    dup_entries = [e for e in entries if e["type"] == "dup_pass"]
+    assert len(dup_entries) == 2
+
+
 def test_resume_preserves_sketch(synth_path):
     out = OUT / "resume"  # left behind by test_resume_after_partial_run
     eng = ValidationEngine(ValidationConfig(concurrency=2, chunk_files=2))
