@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
         "text_token_count": lambda sf: text.token_count_ws(docs(sf)),
+        "text_bpe_token_count": lambda sf: text.bpe_token_count(docs(sf)),
         "text_quality": lambda sf: text.quality_scores(docs(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
@@ -378,6 +379,10 @@ SELECT 'orders->customer',
         # --- text -------------------------------------------------------------
         "text_token_count": """
 SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens FROM documents""",
+        "text_bpe_token_count": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))::BIGINT AS n_bpe_tokens
+FROM documents""",
         "text_quality": """
 SELECT doc_id,
        length(text)::BIGINT AS n_chars_calc,

@@ -64,6 +64,32 @@ def quality_scores(docs_path: str) -> "ray.data.Dataset":
     )
 
 
+#: GPT-2-style pre-tokenization pattern, simplified to ASCII classes so the
+#: Python `re` and DuckDB RE2 engines match identically (parity-tested)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+class BpeTokenCountStage:
+    """BPE-ish token counting — actor-pool stage, regex compiled once per
+    actor (ST1 pattern; the reference compiles its schemas once per
+    validator instance the same way)."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].map(lambda t: len(self.pat.findall(t))).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": n})
+
+
+def bpe_token_count(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        BpeTokenCountStage, batch_format="pandas", batch_size=4096, concurrency=concurrency
+    )
+
+
 class LangIdStage:
     """Stopword-scoring language ID — actor-pool stage: tables built once in
     ``__init__`` (once per actor), batches scored in ``__call__``."""
