@@ -554,6 +554,15 @@ class ValidationEngine:
     def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
         cfg = self.config
         files = self._list_files(input_path)
+        # BSD-tar "extended attribute" companions (._<name>, MacOS archives):
+        # excluded from validation reads; surfaced as hint verdicts with the
+        # reference's message when the actual file sits alongside
+        # (full_submission_validator.py:202-228)
+        appledouble = [
+            f for f in files
+            if Path(f).name.startswith("._") and (Path(f).parent / Path(f).name[2:]).is_file()
+        ]
+        files = [f for f in files if f not in set(appledouble)]
         if not files:
             return ValidationResult(
                 valid=True, n_rows=0, n_violations=0, violation_counts={},
@@ -579,6 +588,35 @@ class ValidationEngine:
         violation_counts: dict[str, int] = {}
         verdict_frames: list[pd.DataFrame] = []
         bundles: list[SketchBundle] = []
+
+        for f in appledouble:
+            name = Path(f).name
+            verdict_frames.append(
+                pd.DataFrame(
+                    [
+                        dict(
+                            partition_id=f,
+                            check_name="partition_referenced",
+                            passed=False,
+                            n_rows=0,
+                            n_violations=1,
+                            detail=f"{name} is not referenced in the submission.",
+                        ),
+                        dict(
+                            partition_id=f,
+                            check_name="appledouble_hint",
+                            passed=False,
+                            n_rows=0,
+                            n_violations=0,
+                            # byte-matches full_submission_validator.py:225-227
+                            detail=f"{name} might be a file created by tar on MacOS. "
+                            "Set COPYFILE_DISABLE=1 before creating the archive.",
+                        ),
+                    ]
+                )
+            )
+            violation_counts["partition_referenced"] = violation_counts.get("partition_referenced", 0) + 1
+            total_violations += 1
 
         # file↔manifest linkage checks (J1/J2) — metadata-only set diff
         if cfg.expected_files is not None:

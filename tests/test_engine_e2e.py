@@ -276,6 +276,30 @@ def test_result_helpers(result):
     assert worst.n_violations.iloc[0] == manual.max()
 
 
+def test_appledouble_files_hinted(tmp_path):
+    """'._<file>' companions next to a real file: excluded from validation,
+    flagged unreferenced + the reference's MacOS-tar hint
+    (full_submission_validator.py:202-228)."""
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.synth import generate_sequences_table
+
+    pq.write_table(generate_sequences_table(100, seed=8, inject=False), tmp_path / "data.parquet")
+    (tmp_path / "._data.parquet").write_bytes(b"\x00\x05\x16\x07 apple double junk")
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate(str(tmp_path))
+    assert res.n_rows == 100  # the companion was not read as data
+    assert res.violation_counts.get("partition_readable") is None
+    assert res.violation_counts["partition_referenced"] == 1
+    hint = res.verdicts[res.verdicts.check_name == "appledouble_hint"]
+    assert len(hint) == 1
+    assert hint.detail.iloc[0] == (
+        "._data.parquet might be a file created by tar on MacOS. "
+        "Set COPYFILE_DISABLE=1 before creating the archive."
+    )
+
+
 def test_verdicts_parquet_written(result):
     import pyarrow.parquet as pq
 
