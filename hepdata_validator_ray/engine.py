@@ -389,7 +389,8 @@ class FileCheckReader:
                             "doc_id": pa.nulls(1, pa.string()),
                             "check_name": ["partition_readable"],
                             "level": ["error"],
-                            "detail": [f"There was a problem parsing the file: {e}"],
+                            # byte-matches data_file_validator.py:112 format
+                            "detail": ["There was a problem parsing the file.\n" + str(e)],
                             "n_rows": pa.nulls(1, pa.int64()),
                             "payload": pa.nulls(1, pa.binary()),
                         },
