@@ -133,9 +133,10 @@ def msg_too_long_sequence(n_tok: int, limit: int) -> str:
 
 
 def msg_duplicate(kind: str, value: str) -> str:
-    # Mirrors "Duplicate table with name '...'" / "Duplicate data_file '...'"
-    # (submission_file_validator.py:144-156).
-    return f"Duplicate {kind} '{value}'"
+    # Byte-matches the reference grammar "Duplicate table {key}: {d}"
+    # (submission_file_validator.py:152-155; asserted at
+    # test_submission_validator.py:316 'Duplicate table name: a').
+    return f"Duplicate {kind}: {value}"
 
 
 def msg_unknown_source(value: str, manifest_name: str) -> str:

@@ -38,7 +38,8 @@ def test_semantic_message_templates():
     assert M.msg_length_mismatch(5, 3) == "Inconsistent length of 'tokens' list: n_tok 5, len(tokens) 3"
     assert M.msg_all_zero() == "Tokens should not all be zero in 'tokens'"
     assert M.msg_empty("tokens") == "tokens cannot be empty in 'tokens'"
-    assert M.msg_duplicate("doc_id", "doc-web-00000001") == "Duplicate doc_id 'doc-web-00000001'"
+    # reference grammar: "Duplicate table name: a" (test_submission_validator.py:316)
+    assert M.msg_duplicate("doc_id", "doc-web-00000001") == "Duplicate doc_id: doc-web-00000001"
     assert (
         M.msg_invalid_number("12x%")
         == "Invalid value 12x%: value must be a number (possibly ending in %)"
