@@ -625,12 +625,12 @@ class ValidationEngine:
             found = set(files)
             linkage = []
             for f in sorted(found - expected):
-                # ≙ "'X' is not referenced in the submission"
-                # (full_submission_validator.py:218-228)
+                # byte-matches "{f} is not referenced in the submission."
+                # (full_submission_validator.py:221-222)
                 linkage.append(
                     dict(partition_id=f, check_name="partition_referenced", passed=False,
                          n_rows=0, n_violations=1,
-                         detail=f"'{f}' is not referenced in the manifest")
+                         detail=f"{Path(f).name} is not referenced in the submission.")
                 )
             for f in sorted(expected - found):
                 # ≙ "Missing data_file 'X'" (full_submission_validator.py:294-316)

@@ -236,7 +236,7 @@ def test_expected_files_linkage(tmp_path):
     assert res.violation_counts["partition_present"] == 1
     v = res.verdicts
     ref = v[v.check_name == "partition_referenced"]
-    assert ref.detail.iloc[0] == f"'{extra}' is not referenced in the manifest"
+    assert ref.detail.iloc[0] == "extra.parquet is not referenced in the submission."
     mis = v[v.check_name == "partition_present"]
     assert mis.detail.iloc[0] == f"Missing data_file '{missing}'"
 
