@@ -633,10 +633,10 @@ class ValidationEngine:
                          detail=f"{Path(f).name} is not referenced in the submission.")
                 )
             for f in sorted(expected - found):
-                # ≙ "Missing data_file 'X'" (full_submission_validator.py:294-316)
+                # byte-matches "Missing data_file '%s'." (full_submission_validator.py:313-314)
                 linkage.append(
                     dict(partition_id=f, check_name="partition_present", passed=False,
-                         n_rows=0, n_violations=1, detail=f"Missing data_file '{f}'")
+                         n_rows=0, n_violations=1, detail="Missing data_file '%s'." % Path(f).name)
                 )
             if linkage:
                 verdict_frames.append(pd.DataFrame(linkage))

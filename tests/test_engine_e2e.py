@@ -238,7 +238,7 @@ def test_expected_files_linkage(tmp_path):
     ref = v[v.check_name == "partition_referenced"]
     assert ref.detail.iloc[0] == "extra.parquet is not referenced in the submission."
     mis = v[v.check_name == "partition_present"]
-    assert mis.detail.iloc[0] == f"Missing data_file '{missing}'"
+    assert mis.detail.iloc[0] == "Missing data_file 'gone.parquet'."
 
 
 def test_row_idx_deterministic_and_ordering(result):
