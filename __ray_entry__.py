@@ -392,6 +392,12 @@ SELECT doc_id,
                        w -> list_contains(['the','and','of','a','to'], w)))::BIGINT AS n_stopwords
 FROM documents""",
         # --- dedup ------------------------------------------------------------
+        "dedup_sequence_content": f"""
+WITH g AS (
+  SELECT tokens, count(*) AS cnt FROM read_parquet('{p}')
+  GROUP BY tokens HAVING count(*) > 1
+)
+SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_rows FROM g""",
         "dedup_exact_groups": """
 WITH g AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1 HAVING count(*) > 1)
 SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_docs FROM g""",

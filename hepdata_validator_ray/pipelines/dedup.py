@@ -70,45 +70,69 @@ def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
     return bucketed_aggregate(hashed, "h", None, combine)
 
 
-def _strong_content_keys(t: pa.Table) -> pa.Table:
-    """Fully vectorized 128-bit content fingerprint per row: two independent
-    position-weighted sums over splitmix-mixed token values (translation-
-    invariant via relative positions).  Identical content → identical key;
-    distinct-content collision odds ~2^-128 on natural data — the same
-    practical exactness class as a cryptographic digest, with zero per-row
-    Python."""
-    from hepdata_validator_ray.synth import _splitmix64
+#: independent 16-byte siphash keys for the two fingerprint halves
+_CONTENT_KEY_A = "hvr-content-key1"
+_CONTENT_KEY_B = "hvr-content-key2"
 
+
+def _strong_content_keys(t: pa.Table) -> pa.Table:
+    """128-bit content fingerprint per row as two uint64 columns (h1, h2).
+
+    Zero-copy: the ``list<int32>`` column's flat values buffer is re-viewed
+    as a binary array (list offsets ×4 over the SAME buffer — no token data
+    is copied), then each row's byte string is hashed twice with pandas'
+    C siphash under independent keys.  Identical content → identical key;
+    distinct-content collision odds ~2^-128 — the practical exactness class
+    of a cryptographic digest with no large temporaries (this kernel is
+    memory-bandwidth-bound territory at 10^12 rows).  Null tokens ≡ empty."""
     col = t.column("tokens")
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    lens = pa.compute.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    rel = np.arange(len(flat), dtype=np.uint64) - np.repeat(offsets[:-1], lens).astype(np.uint64)
-    m1 = _splitmix64(flat + np.uint64(0xA5A5A5A5A5A5A5A5)) * (rel + np.uint64(1))
-    m2 = _splitmix64(flat ^ np.uint64(0x5DEECE66D)) * _splitmix64(rel + np.uint64(7))
-    cum1 = np.zeros(len(flat) + 1, dtype=np.uint64)
-    np.cumsum(m1, out=cum1[1:])
-    cum2 = np.zeros(len(flat) + 1, dtype=np.uint64)
-    np.cumsum(m2, out=cum2[1:])
-    k1 = (cum1[offsets[1:]] - cum1[offsets[:-1]]) ^ (lens.astype(np.uint64) << np.uint64(1))
-    k2 = cum2[offsets[1:]] - cum2[offsets[:-1]]
-    h = [f"{a:016x}{b:016x}" for a, b in zip(k1, k2)]
-    return pa.Table.from_pydict({"h": pa.array(h, type=pa.string())})
+    vals = arr.values
+    itemsize = arr.type.value_type.bit_width // 8
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if vals.offset:
+        offs = offs + vals.offset
+    offs = offs * itemsize
+    bin_arr = pa.Array.from_buffers(
+        pa.large_binary(), len(arr), [None, pa.py_buffer(offs), vals.buffers()[1]]
+    )
+    obj = bin_arr.to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(obj, hash_key=_CONTENT_KEY_A, categorize=False)
+    h2 = pd.util.hash_array(obj, hash_key=_CONTENT_KEY_B, categorize=False)
+    if arr.null_count:
+        # null rows may reference arbitrary (per Arrow spec: monotonic but
+        # unspecified-width) offset ranges — pin them to the empty hash
+        null_mask = pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
+        empty = np.empty(1, dtype=object)
+        empty[0] = b""
+        h1[null_mask] = pd.util.hash_array(empty, hash_key=_CONTENT_KEY_A, categorize=False)[0]
+        h2[null_mask] = pd.util.hash_array(empty, hash_key=_CONTENT_KEY_B, categorize=False)[0]
+    return pa.Table.from_pydict(
+        {"h1": pa.array(h1, type=pa.uint64()), "h2": pa.array(h2, type=pa.uint64())}
+    )
 
 
 def sequence_content_dedup(seq_path: str) -> "ray.data.Dataset":
     """Content dedup over token sequences — single pass: vectorized 128-bit
-    fingerprint per row (no per-row Python) → bucketed value_counts → groups
-    of ≥2.  The training-pipeline 'same tokens, different doc' detector.
-    Output: (h, cnt)."""
-    from hepdata_validator_ray.ops import grouped_value_counts
+    fingerprint per row (no per-row Python, no token bytes copied) → map-side
+    pair counts → bucketed exchange keyed on h1 (already a uniform hash) →
+    groups of ≥2.  The training-pipeline 'same tokens, different doc'
+    detector.  Output: (h1, h2, cnt)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["h1", "h2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["h1", "h2", "cnt"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h1", "h2"]).aggregate([("cnt", "sum")])
+        g = g.filter(pa.compute.greater_equal(g["cnt_sum"], 2))
+        return g.rename_columns(["h1", "h2", "cnt"])
 
     keyed = ray.data.read_parquet(seq_path, columns=["tokens"]).map_batches(
         _strong_content_keys, batch_format="pyarrow", batch_size=16384
     )
-    return grouped_value_counts(keyed, "h", min_count=2)
+    return bucketed_aggregate(keyed, "h1", partial, combine)
 
 
 # ---------------------------------------------------------------------------
