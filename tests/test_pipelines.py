@@ -31,6 +31,7 @@ def test_minhash_estimates_track_exact_jaccard():
     from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(DOCS, threshold=0.0, concurrency=2).to_pandas()
+    pairs = pairs[pairs.doc_id_a >= 0]  # drop hot-bucket report rows
     assert len(pairs) > 0
     sets = _exact_jaccard_sets()
     errs = []
@@ -58,6 +59,7 @@ def test_simhash_pairs_verified_hamming():
     from hepdata_validator_ray.pipelines.dedup import simhash64, simhash_pairs
 
     pairs = simhash_pairs(DOCS, max_hamming=5, concurrency=2).to_pandas()
+    pairs = pairs[pairs.doc_id_a >= 0]  # drop hot-bucket report rows
     docs = pd.read_parquet(DOCS, columns=["doc_id", "text"]).set_index("doc_id")["text"]
     for _, r in pairs.iterrows():
         d = bin(simhash64(docs[r.doc_id_a].split(" ")) ^ simhash64(docs[r.doc_id_b].split(" "))).count("1")
@@ -86,6 +88,7 @@ def test_embedding_lsh_recall_vs_bruteforce():
 
     exact = embedding_cosine_pairs(EMB, threshold=0.4).to_pandas()
     approx = embedding_lsh_pairs(EMB, threshold=0.4)
+    approx = approx[approx.vec_id_a >= 0]  # drop hot-bucket report rows
     exact_pairs = set(zip(exact.vec_id_a, exact.vec_id_b))
     approx_pairs = set(zip(approx.vec_id_a, approx.vec_id_b))
     assert approx_pairs <= exact_pairs  # no false positives (exact verify)
@@ -99,6 +102,7 @@ def test_near_dup_clusters_are_consistent():
     from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs, near_dup_clusters
 
     pairs = minhash_lsh_pairs(DOCS, threshold=0.5).to_pandas()
+    pairs = pairs[pairs.doc_id_a >= 0]
     clusters = near_dup_clusters(DOCS, threshold=0.5)
     cid = dict(zip(clusters.doc_id, clusters.cluster_id))
     for _, r in pairs.iterrows():
@@ -106,6 +110,31 @@ def test_near_dup_clusters_are_consistent():
     for _, r in clusters.iterrows():
         assert r.cluster_id <= r.doc_id
         assert cid[r.cluster_id] == r.cluster_id  # roots are self-labeled
+
+
+def test_hot_bucket_is_reported_not_dropped(tmp_path):
+    """A constructed hot near-dup cluster (> HOT_BUCKET_LIMIT docs with
+    identical text) must surface as doc_id_a == -1 report rows carrying the
+    bucket size — truncation is visible in results, never silent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.dedup import HOT_BUCKET_LIMIT, minhash_lsh_pairs
+
+    n_hot = HOT_BUCKET_LIMIT + 50
+    text = ["the same exact document text repeated verbatim many times"] * n_hot + [
+        f"unique filler document number {i} with distinct words" for i in range(20)
+    ]
+    tbl = pa.table({"doc_id": list(range(len(text))), "text": text})
+    pq.write_table(tbl, tmp_path / "docs.parquet")
+
+    pairs = minhash_lsh_pairs(str(tmp_path / "docs.parquet"), threshold=0.5).to_pandas()
+    hot = pairs[pairs.doc_id_a < 0]
+    assert len(hot) > 0, "hot bucket must be reported"
+    assert (hot.est_jaccard == n_hot).all()  # metric carries the bucket size
+    # and the truncated cluster produced no quadratic pair explosion
+    real = pairs[pairs.doc_id_a >= 0]
+    assert len(real) < n_hot * (n_hot - 1) / 2
 
 
 # ---------------------------------------------------------------------------

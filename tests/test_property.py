@@ -109,19 +109,28 @@ def test_segment_any_matches_python(lists):
 @given(st.lists(st.text(min_size=0, max_size=6), min_size=0, max_size=50))
 def test_minhash_similarity_bounds(words):
     """MinHash estimate of identical docs is 1.0; of disjoint docs ~0."""
+    import pandas as pd
+
     from hepdata_validator_ray.pipelines.dedup import (
+        _WORD_KEY_MINHASH,
         _perm_params,
-        _stable_shingle_hashes,
+        _shingle_hashes,
+        _word_hashes,
         minhash_signature,
     )
 
+    def shingles(ws):
+        wh, offs = _word_hashes(pd.Series([" ".join(ws)]), _WORD_KEY_MINHASH)
+        sh, _ = _shingle_hashes(wh, offs, 3)
+        return np.unique(sh)
+
     a, b = _perm_params(64)
-    h1 = _stable_shingle_hashes(words, 3)
+    h1 = shingles(words)
     sig1 = minhash_signature(h1, a, b)
     sig2 = minhash_signature(h1, a, b)
     assert (sig1 == sig2).all()  # deterministic
     if len(h1):
-        other = _stable_shingle_hashes([w + "xq" for w in words] + ["zz"], 3)
+        other = shingles([w + "xq" for w in words] + ["zz"])
         if len(np.intersect1d(h1, other)) == 0:
             est = float(np.mean(sig1 == minhash_signature(other, a, b)))
             assert est < 0.5
