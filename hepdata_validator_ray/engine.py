@@ -114,6 +114,12 @@ class ValidationConfig:
     #: → "is not referenced" violations; expected but absent → "Missing
     #: data_file" violations.  Metadata-only, driver-side set diff.
     expected_files: list[str] | None = None
+    #: path prefix scrubbed from partition ids + details in all outputs —
+    #: set by the archive entry mode so temp extraction dirs never leak into
+    #: messages (reference _remove_temp_directory,
+    #: full_submission_validator.py:236-249; tested
+    #: test_full_submission_validator.py:217-230)
+    scrub_prefix: str | None = None
 
 
 @dataclass
@@ -366,16 +372,32 @@ class FileCheckReader:
 
         outs: list[pa.Table] = []
         for path in batch.column(batch.column_names[0]).to_pylist():
+            # the try blocks cover ONLY parquet open/decode — an ArrowInvalid
+            # raised by check/sketch code on a successfully decoded batch is a
+            # bug and must surface, not masquerade as a parse-error violation
+            parse_error: Exception | None = None
+            off = 0
             try:
                 pf = pq.ParquetFile(path)
-                off = 0
-                for rb in pf.iter_batches(batch_size=self._rows_per_batch(pf), columns=self.columns):
+            except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+                parse_error = e
+            else:
+                it = pf.iter_batches(batch_size=self._rows_per_batch(pf), columns=self.columns)
+                while True:
+                    try:
+                        rb = next(it)
+                    except StopIteration:
+                        break
+                    except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+                        parse_error = e
+                        break
                     tbl = pa.Table.from_batches([rb])
                     tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
                     outs.append(self.stage(tbl, row_offset=off))
                     off += tbl.num_rows
                 pf.close()
-            except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
+            if parse_error is not None:
+                e = parse_error
                 # parse errors become violations, not crashes — the
                 # reference's YAML parse-error capture semantics
                 # (data_file_validator.py:99-114: "There was a problem
@@ -551,9 +573,76 @@ class ValidationEngine:
             rows_per_s=res["n_rows"] / wall if wall else 0.0,
         )
 
+    # -- archive entry mode (S3/S4) ------------------------------------------
+    @staticmethod
+    def _archive_kind(path: str) -> str | None:
+        if path.endswith((".zip", ".tar.gz", ".tgz", ".tar")):
+            return "archive"
+        if path.endswith(".parquet.gz"):
+            return "gzip"
+        return None
+
+    def _error_result(self, check_name: str, path: str, detail: str) -> ValidationResult:
+        verdicts = pd.DataFrame(
+            [dict(partition_id=path, check_name=check_name, passed=False, n_rows=0, n_violations=1, detail=detail)]
+        )
+        return ValidationResult(
+            valid=False, n_rows=0, n_violations=1, violation_counts={check_name: 1},
+            verdicts=verdicts, violations_path=None, sketch=None, wall_s=0.0, rows_per_s=0.0,
+        )
+
+    def _validate_archive(self, archive: str, output_dir: str | None) -> ValidationResult:
+        """Unpack a .zip/.tar.gz/.tgz/.tar (or single .parquet.gz) to a temp
+        dir and validate the contained parquet dataset — the reference's most
+        common entry mode (full_submission_validator.py:85-159).  Temp paths
+        are scrubbed from every output; the temp dir is removed afterwards
+        (reference :231-234)."""
+        import gzip
+        import shutil
+        import tempfile
+
+        p = Path(archive)
+        if not p.is_file():
+            # byte-matches full_submission_validator.py:90-91
+            return self._error_result("archive_exists", archive, f"File {archive} does not exist.")
+        tmp = tempfile.mkdtemp()
+        try:
+            if self._archive_kind(archive) == "gzip":
+                target = Path(tmp) / p.name[:-3]
+                try:
+                    with gzip.GzipFile(archive, "rb") as gz, open(target, "wb") as out:
+                        shutil.copyfileobj(gz, out)
+                except Exception as e:
+                    # byte-matches full_submission_validator.py:98-101
+                    return self._error_result(
+                        "archive_extract", archive, f"Unable to extract file {archive}. Error was: {e}"
+                    )
+            else:
+                try:
+                    shutil.unpack_archive(archive, tmp)
+                except Exception as e:
+                    return self._error_result(
+                        "archive_extract", archive, f"Unable to extract file {archive}. Error was: {e}"
+                    )
+            files = sorted(str(f) for f in Path(tmp).rglob("*.parquet"))
+            if not files:
+                # grammar of "No submission.yaml file found in submission."
+                # (full_submission_validator.py:110-112) over our data model
+                return self._error_result("archive_content", archive, "No parquet files found in submission.")
+            prev = self.config.scrub_prefix
+            self.config.scrub_prefix = tmp + "/"
+            try:
+                return self.validate(files, output_dir=output_dir)
+            finally:
+                self.config.scrub_prefix = prev
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # -- main entry ----------------------------------------------------------
     def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
         cfg = self.config
+        if isinstance(input_path, str) and self._archive_kind(input_path):
+            return self._validate_archive(input_path, output_dir)
         files = self._list_files(input_path)
         # BSD-tar "extended attribute" companions (._<name>, MacOS archives):
         # excluded from validation reads; surfaced as hint verdicts with the
@@ -787,6 +876,19 @@ class ValidationEngine:
                 stage = CheckStage(**stage_kwargs)
                 mixed = ds.map_batches(lambda b: stage(b), **kwargs).materialize()
 
+        if cfg.scrub_prefix:
+            # archive mode: strip the temp extraction dir from partition ids
+            # and messages before anything is written or reported
+            pref = cfg.scrub_prefix
+
+            def scrub(t: pa.Table) -> pa.Table:
+                for col in ("partition_id", "detail"):
+                    idx = t.column_names.index(col)
+                    t = t.set_column(idx, col, pc.replace_substring(t[col], pattern=pref, replacement=""))
+                return t
+
+            mixed = mixed.map_batches(scrub, batch_format="pyarrow").materialize()
+
         res = self._postprocess_mixed(mixed, chunk_index, out_dir)
         res["wall_s"] = time.perf_counter() - t0
         return res
@@ -799,6 +901,7 @@ class ValidationEngine:
         otherwise use the distributed path.  count() on a materialized
         dataset is metadata-only."""
         cfg = self.config
+        drift_df: pd.DataFrame | None = None
         if mixed.count() <= cfg.driver_collect_rows:
             refs = mixed.to_arrow_refs()
             tables = ray.get(refs) if refs else []
@@ -809,8 +912,7 @@ class ValidationEngine:
                 ["partition_id", "row_idx", "doc_id", "check_name", "level", "detail"]
             )
             if out_dir is not None:
-                vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
-                vdir.mkdir(parents=True, exist_ok=True)
+                vdir = self._fresh_chunk_dir(out_dir, chunk_index)
                 import pyarrow.parquet as pq
 
                 pq.write_table(vio_tbl, vdir / "part-0.parquet")
@@ -838,9 +940,8 @@ class ValidationEngine:
                         per_part[r["partition_id"]].merge(b) if r["partition_id"] in per_part else b
                     )
                 if cfg.drift_profile_bytes is not None:
-                    verdicts = pd.concat(
-                        [verdicts, self._drift_from_bundles(per_part)], ignore_index=True
-                    )
+                    drift_df = self._drift_from_bundles(per_part)
+                    verdicts = pd.concat([verdicts, drift_df], ignore_index=True)
                 for b in per_part.values():
                     bundle = b if bundle is None else bundle.merge(b)
         else:
@@ -851,8 +952,7 @@ class ValidationEngine:
                 batch_format="pyarrow",
             )
             if out_dir is not None:
-                vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
-                vdir.mkdir(parents=True, exist_ok=True)
+                vdir = self._fresh_chunk_dir(out_dir, chunk_index)
                 violations.write_parquet(str(vdir))
 
             # per-(partition, check) violation counts — small grouped aggregate
@@ -899,6 +999,12 @@ class ValidationEngine:
             if len(vio_counts_df)
             else {}
         )
+        # failed drift verdicts count as violations so ValidationResult.valid
+        # and summary() agree with valid_partitions() (round-1 ADVICE: drift
+        # failures previously left valid=True while excluding the partition)
+        if drift_df is not None and len(drift_df):
+            for _, r in drift_df[~drift_df["passed"]].iterrows():
+                vc[r["check_name"]] = vc.get(r["check_name"], 0) + max(int(r["n_violations"]), 1)
         return {
             "n_rows": n_rows,
             "n_violations": int(sum(vc.values())),
@@ -906,6 +1012,20 @@ class ValidationEngine:
             "verdicts": verdicts,
             "bundle": bundle,
         }
+
+    @staticmethod
+    def _fresh_chunk_dir(out_dir: Path, chunk_index: int) -> Path:
+        """Chunk violation dir, CLEARED if a stale copy exists — a run that
+        died after write_parquet but before its manifest line committed must
+        not leave part files that duplicate the rerun's output (round-1
+        ADVICE: crash-resume could double violations)."""
+        import shutil
+
+        vdir = out_dir / "violations" / f"chunk={chunk_index:05d}"
+        if vdir.exists():
+            shutil.rmtree(vdir)
+        vdir.mkdir(parents=True, exist_ok=True)
+        return vdir
 
     def _build_verdicts(self, stats_df: pd.DataFrame, vio_counts_df: pd.DataFrame) -> pd.DataFrame:
         cfg = self.config

@@ -46,9 +46,11 @@ def parse_numeric_with_percent(arr: pa.Array) -> tuple[pa.Array, np.ndarray, lis
     invalid = np.asarray(invalid, dtype=bool)
     msgs = []
     if invalid.any():
-        vals = arr.take(pa.array(np.flatnonzero(invalid))).to_pylist()
-        # byte-matches "Invalid error value {error}: value must be a number
-        # (possibly ending in %)" with our field naming
+        # byte-matches the reference: the message is formatted from the
+        # %-STRIPPED (pre-cast, untrimmed) value — error.replace('%','')
+        # happens before the float() attempt (data_file_validator.py:318-326),
+        # so "ab%c" reports "Invalid error value abc: ..."
+        vals = stripped.take(pa.array(np.flatnonzero(invalid))).to_pylist()
         msgs = [f"Invalid error value {v}: value must be a number (possibly ending in %)" for v in vals]
     return parsed, invalid, msgs
 

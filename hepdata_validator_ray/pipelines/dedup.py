@@ -370,19 +370,29 @@ def minhash_lsh_pairs(
     return ds.groupby(["doc_id_a", "doc_id_b"]).max("est_jaccard").map_batches(final, batch_format="pyarrow")
 
 
-def near_dup_clusters(docs_path: str, threshold: float = 0.5, concurrency: int | None = None) -> pd.DataFrame:
+def near_dup_clusters(
+    docs_path: str, threshold: float = 0.5, concurrency: int | None = None, distributed: bool = False
+) -> pd.DataFrame:
     """Near-duplicate clusters: MinHash-LSH candidate pairs → connected
     components; cluster_id = min doc_id of the component (deterministic).
 
-    Components come from iterative min-label propagation
-    (ops.connected_components) — each iteration is a groupby-min, i.e. a
-    bucketed exchange at 10^12 scale; post-LSH edge lists are small enough
-    to run it vectorized in pandas here.  Same output contract either way."""
-    from hepdata_validator_ray.ops import connected_components
+    Components come from iterative min-label propagation.  Default: the
+    post-LSH edge list is small → vectorized pandas on the driver.
+    ``distributed=True`` runs the same iteration as bucketed exchanges
+    (ops.connected_components_ds) — the giant-component scale path; same
+    output contract either way (equality-tested)."""
+    from hepdata_validator_ray.ops import connected_components, connected_components_ds
 
-    pairs = minhash_lsh_pairs(docs_path, threshold=threshold).to_pandas()
-    pairs = pairs[pairs.doc_id_a >= 0]  # drop hot-bucket report rows
-    out = connected_components(pairs)
+    pairs_ds = minhash_lsh_pairs(docs_path, threshold=threshold)
+    if distributed:
+        real = pairs_ds.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["doc_id_a"], 0)), batch_format="pyarrow"
+        )
+        out = connected_components_ds(real).to_pandas().sort_values("node").reset_index(drop=True)
+    else:
+        pairs = pairs_ds.to_pandas()
+        pairs = pairs[pairs.doc_id_a >= 0]  # drop hot-bucket report rows
+        out = connected_components(pairs)
     return out.rename(columns={"node": "doc_id"})
 
 

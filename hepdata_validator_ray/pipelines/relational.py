@@ -222,7 +222,7 @@ def filtered_lineitem_count(sf_dir: str, cutoff: str = "1996-01-01") -> "ray.dat
     )
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+def events_sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Sessionize the event stream: per user, a new session starts when the
     gap to the previous event exceeds ``gap_minutes`` (the classic streaming
     window op the reference lacks — SURVEY.md §2.8).
@@ -230,9 +230,11 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     Physical plan: users are hash-bucketed (small-int shuffle key, ops.py);
     inside a bucket the session assignment is a vectorized pandas
     sort + diff + cumsum over ALL the bucket's users at once — no per-user
-    Python dispatch.  Partitioning assumption: one user's events fit in one
-    bucket task (true by construction of the hash bucket)."""
-    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+    Python dispatch.  Partitioning assumption: one USER's events fit in one
+    bucket task (true by construction of the hash bucket); the bucket
+    count itself scales with input size (``ops.derive_num_buckets``) so a
+    bucket is never a fixed 1/32 of the table."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -250,21 +252,22 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         out["sum_value"] = out["sum_value"].round(4)
         return out[["user_id", "session_start", "n_events", "sum_value"]]
 
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
     return (
-        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"])
-        .map_batches(lambda t: with_bucket(t, "user_id", 32), batch_format="pyarrow")
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(sessionify, batch_format="pandas")
     )
 
 
-def events_lag_previous(sf_dir: str) -> "ray.data.Dataset":
+def events_lag_previous(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Ordered-window / as-of operator: for every event, the timestamp of
     the user's previous event (merge_asof/lag semantics).  Users hash-bucket
-    into coarse groups; inside a bucket the lag is one vectorized pandas
-    groupby-shift over all the bucket's users.  Deterministic tie-break:
-    (ts, event_id)."""
-    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+    into coarse groups (count derived from input size); inside a bucket the
+    lag is one vectorized pandas groupby-shift over all the bucket's users.
+    Deterministic tie-break: (ts, event_id)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
     def lag(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -278,9 +281,10 @@ def events_lag_previous(sf_dir: str) -> "ray.data.Dataset":
         out["prev_ts"] = out["prev_ts"].where(prev.notna(), None)
         return out
 
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
     return (
-        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-        .map_batches(lambda t: with_bucket(t, "user_id", 32), batch_format="pyarrow")
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(lag, batch_format="pandas")
     )

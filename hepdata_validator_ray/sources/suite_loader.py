@@ -48,27 +48,61 @@ def _is_url(source: str) -> bool:
     return source.startswith(("http://", "https://"))
 
 
+def _fetch_remote_config(source: str, cache_root: str | None) -> dict:
+    """Fetch a remote suite config.  URLs matching the
+    ``http(s)://<org>/<project>/schemas/<version>/<name>`` contract go
+    through HTTPSuiteDownloader: cache hit under
+    ``schemas_remote/<org>/<project>/<version>/`` skips the download, a miss
+    fetches + $ref-resolves + caches (schema_downloader.py:144-193).
+    Non-conforming URLs fall back to a plain uncached fetch."""
+    from hepdata_validator_ray.sources.schema_downloader import (
+        HTTPSuiteDownloader,
+        SuiteRefResolver,
+    )
+
+    base, name = source.rsplit("/", 1)
+    try:
+        dl = HTTPSuiteDownloader(SuiteRefResolver(base + "/"), base + "/", cache_root=cache_root)
+    except ValueError:
+        dl = None
+    if dl is not None:
+        cached = dl.load_cached(name)
+        if cached is not None:
+            return cached
+        try:
+            cfg = dl.get_suite_spec(name)
+        except Exception as e:
+            raise RemoteSchemaNotFound(f"Remote schema {source} not found.") from e
+        dl.save_locally(name, cfg)
+        return cfg
+    try:  # plain fetch, no cache layout for non-structured URLs
+        from urllib.request import urlopen
+
+        with urlopen(source, timeout=5) as resp:  # pragma: no cover - no network
+            return json.loads(resp.read())
+    except Exception as e:
+        raise RemoteSchemaNotFound(f"Remote schema {source} not found.") from e
+
+
 def load_suite_config(
-    source: str, autoload_remote: bool = True, register: bool = True
+    source: str, autoload_remote: bool = True, register: bool = True, cache_root: str | None = None
 ) -> tuple[CheckSuite, CheckContext | None]:
     """Load a suite config from a local path or URL; returns (suite, context
-    override or None) and registers the suite by name."""
+    override or None) and registers the suite by name.  Local configs get
+    recursive ``$ref`` inlining relative to their own directory (S7,
+    schema_resolver.py:102-163); remote configs are cached on disk (S6)."""
     if _is_url(source):
         if not autoload_remote:
             # byte-matches full_submission_validator.py:340
             raise RemoteSchemaNotAllowed(f"Autoloading of remote schema {source} is not allowed.")
-        try:  # no network in this sandbox → mirrored not-found path (:344-346)
-            from urllib.request import urlopen
-
-            with urlopen(source, timeout=5) as resp:  # pragma: no cover - no network
-                cfg = json.loads(resp.read())
-        except Exception as e:
-            raise RemoteSchemaNotFound(f"Remote schema {source} not found.") from e
+        cfg = _fetch_remote_config(source, cache_root)
     else:
         p = Path(source)
         if not p.exists():
             raise RemoteSchemaNotFound(f"Remote schema {source} not found.")
-        cfg = json.loads(p.read_text())
+        from hepdata_validator_ray.sources.schema_downloader import SuiteRefResolver
+
+        cfg = SuiteRefResolver(str(p.parent)).resolve(p.name)
     suite, ctx = resolve_suite_refs(cfg, autoload_remote=autoload_remote)
     if register:
         register_check_suite(suite.name, suite)

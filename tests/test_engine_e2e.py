@@ -188,6 +188,10 @@ def test_drift_detection(synth_path):
     res_shift = eng_shift.validate(synth_path)
     drift_rows = res_shift.verdicts[res_shift.verdicts.check_name == "drift_n_tok"]
     assert (~drift_rows.passed).all()
+    # failed drift verdicts count as violations: valid, summary() and
+    # valid_partitions() agree (round-1 ADVICE consistency fix)
+    assert res_shift.violation_counts.get("drift_n_tok", 0) == len(drift_rows)
+    assert not res_shift.valid
 
 
 def test_corrupt_file_becomes_violation(tmp_path):

@@ -14,7 +14,7 @@ from hepdata_validator_ray.functions import (
 
 
 def test_percent_strip_and_cast():
-    arr = pa.array(["12.5%", "3", "-1e3", "", "abc", None, " 5 "])
+    arr = pa.array(["12.5%", "3", "-1e3", "", "abc", None, " 5 ", "ab%c"])
     parsed, invalid, msgs = parse_numeric_with_percent(arr)
     vals = parsed.to_pylist()
     assert vals[0] == 12.5
@@ -24,8 +24,14 @@ def test_percent_strip_and_cast():
     assert vals[4] is None
     assert vals[5] is None
     assert vals[6] == 5.0
-    assert invalid.tolist() == [False, False, False, False, True, False, False]
-    assert msgs == ["Invalid error value abc: value must be a number (possibly ending in %)"]
+    assert vals[7] is None
+    assert invalid.tolist() == [False, False, False, False, True, False, False, True]
+    # the message uses the %-STRIPPED value, matching the reference's
+    # error.replace('%','') before formatting (data_file_validator.py:318-326)
+    assert msgs == [
+        "Invalid error value abc: value must be a number (possibly ending in %)",
+        "Invalid error value abc: value must be a number (possibly ending in %)",
+    ]
 
 
 def test_range_string_grammar():

@@ -1,0 +1,92 @@
+"""Round-2 regression tests: distributed connected components, window-bucket
+scaling, crash-resume chunk clearing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from hepdata_validator_ray.synth import generate_sequences_table
+
+
+def test_connected_components_ds_matches_pandas():
+    """Distributed min-label propagation == driver pandas path on the same
+    edge list, including a chain component longer than the old 50-iteration
+    cap would allow (diameter 120) and one spanning many hash buckets."""
+    import ray.data
+
+    from hepdata_validator_ray.ops import connected_components, connected_components_ds
+
+    rng = np.random.default_rng(5)
+    chain = pd.DataFrame({"doc_id_a": np.arange(120), "doc_id_b": np.arange(1, 121)})
+    blob_nodes = rng.choice(np.arange(1000, 1400), size=80, replace=False)
+    blob = pd.DataFrame({"doc_id_a": blob_nodes[:-1], "doc_id_b": blob_nodes[1:]})
+    lone = pd.DataFrame({"doc_id_a": [5000], "doc_id_b": [5001]})
+    pairs = pd.concat([chain, blob, lone], ignore_index=True)
+
+    exp = connected_components(pairs)
+    got = (
+        connected_components_ds(ray.data.from_pandas(pairs), num_buckets=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"node": "int64", "cluster_id": "int64"}),
+        exp.astype({"node": "int64", "cluster_id": "int64"}),
+    )
+    # the whole 121-node chain collapsed to one root
+    assert (got[got.node <= 120].cluster_id == 0).all()
+
+
+def test_connected_components_unconverged_raises():
+    from hepdata_validator_ray.ops import connected_components
+
+    chain = pd.DataFrame({"doc_id_a": np.arange(30), "doc_id_b": np.arange(1, 31)})
+    try:
+        connected_components(chain, max_iters=3)
+        raise AssertionError("expected RuntimeError on exhausted max_iters")
+    except RuntimeError:
+        pass
+
+
+def test_sessionize_bucket_count_invariant():
+    """Window oracles hold at the derived bucket count and at a forced 256
+    (VERDICT r1 #9: num_buckets must be a scale parameter, not 32)."""
+    from hepdata_validator_ray.pipelines.relational import events_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    base = events_sessionize(sf).to_pandas().sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    forced = (
+        events_sessionize(sf, num_buckets=256)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_crash_resume_does_not_duplicate_violations(tmp_path):
+    """A run that died after writing chunk violations but BEFORE the manifest
+    line committed must not leave stale part files that double the rerun's
+    output (round-1 ADVICE)."""
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i in range(2):
+        pq.write_table(
+            generate_sequences_table(500, seed=7, row_offset=i * 500),
+            data_dir / f"part-{i}.parquet",
+        )
+    out1 = tmp_path / "out"
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False, chunk_files=2))
+    res1 = eng.validate(str(data_dir), output_dir=str(out1))
+    clean = res1.load_violations().to_pandas()
+
+    # simulate the crash: violations written, manifest line lost
+    (out1 / "manifest.jsonl").unlink()
+    eng2 = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False, chunk_files=2))
+    res2 = eng2.validate(str(data_dir), output_dir=str(out1))
+    rerun = res2.load_violations().to_pandas()
+    assert len(rerun) == len(clean), "stale chunk dir must be cleared, not appended to"
+    pd.testing.assert_frame_equal(rerun, clean)
