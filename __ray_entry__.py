@@ -27,13 +27,18 @@ from hepdata_validator_ray.schema import (
     DEFAULT_VOCAB_SIZE,
     DOC_ID_PATTERN,
 )
-from hepdata_validator_ray.synth import ensure_sequences_parquet, synth_dir_for
+from hepdata_validator_ray.synth import (
+    ensure_bundle_parquet,
+    ensure_sequences_parquet,
+    synth_dir_for,
+)
 
 # Materialize the synthetic sequence tables the oracles read (deterministic,
 # idempotent, small) — at import so the DuckDB side never races the Ray side.
 for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
     try:
         ensure_sequences_parquet(_sf)
+        ensure_bundle_parquet(_sf)
         from hepdata_validator_ray.sources.jsonl import ensure_sequences_jsonl as _ej
 
         _ej(_sf)
@@ -119,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
         "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
+        "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
@@ -174,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     p = _SYNTH_GLOB_001
+    bundle = ensure_bundle_parquet("/root/testdata/sf0.01")
     sources_sql = ", ".join(f"'{s}'" for s in DEFAULT_SOURCES)
     V = DEFAULT_VOCAB_SIZE
     L = DEFAULT_MAX_SEQ_LEN
@@ -261,6 +268,28 @@ v AS (
 )
 SELECT filename AS partition_id, check_name, count(*)::BIGINT AS n
 FROM v GROUP BY filename, check_name""",
+        "v_bundle_violations": f"""
+WITH s AS (SELECT * FROM read_parquet('{bundle}')),
+v AS (
+  SELECT "table" AS table_name, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT "table", 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT "table", 'doc_id_max_length' FROM s WHERE doc_id IS NOT NULL AND length(doc_id) > 64
+  UNION ALL SELECT "table", 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT "table", 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT "table", 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT "table", 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT "table", 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT "table", 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT "table", 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)
+SELECT table_name, check_name, count(*)::BIGINT AS n
+FROM v GROUP BY table_name, check_name""",
         "v_longest_sequences": f"""
 SELECT doc_id, n_tok FROM read_parquet('{p}')
 WHERE doc_id IS NOT NULL

@@ -638,6 +638,74 @@ class ValidationEngine:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- single-bundle entry mode (≙ single-YAML split path) -----------------
+    def validate_bundle(
+        self,
+        bundle_path: str,
+        output_dir: str | None = None,
+        table_column: str = "table",
+        split_dir: str | None = None,
+    ) -> ValidationResult:
+        """Validate ONE parquet file carrying several logical tables tagged
+        by ``table_column`` — the analogue of the reference's single-YAML
+        submission, which splits the document stream into per-table data
+        files and validates each (full_submission_validator.py:175-176,
+        252-261).  Rows route per table: the partition identity becomes
+        ``<bundle>#<table>`` so verdicts/violations report per logical
+        table; ``split_dir`` additionally writes the split as
+        ``table=<name>/`` partitioned parquet (≙ S5 data-file writer) —
+        resumable layout, one directory per logical table."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        bundle_name = Path(bundle_path).name
+        stage = CheckStage(
+            ctx=cfg.ctx,
+            suite=cfg.suite,
+            enable_sketches=cfg.enable_sketches,
+            enable_unigram=cfg.enable_unigram,
+            unigram_buckets=cfg.unigram_buckets,
+        )
+
+        def route(t: pa.Table) -> pa.Table:
+            tbl_col = t.column(table_column)
+            tags = pc.binary_join_element_wise(
+                pa.array([bundle_name + "#"] * t.num_rows),
+                pc.cast(tbl_col, pa.string()),
+                "",
+            )
+            t = t.drop_columns([table_column]).append_column("path", tags)
+            return stage(t)
+
+        cols = cfg.suite.required_columns()
+        ds = ray.data.read_parquet(bundle_path, columns=(cols + [table_column]) if cols else None)
+        mixed = ds.map_batches(route, batch_format="pyarrow", batch_size=cfg.batch_size).materialize()
+        res = self._postprocess_mixed(mixed, chunk_index=0, out_dir=Path(output_dir) if output_dir else None)
+        total_violations = res["n_violations"]
+        if cfg.dup_check:
+            from hepdata_validator_ray.ops import grouped_value_counts
+
+            dup_df = grouped_value_counts(
+                ray.data.read_parquet(bundle_path, columns=["doc_id"]), "doc_id", min_count=2
+            ).to_pandas()
+            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            if n_dup:
+                res["violation_counts"]["doc_id_duplicates"] = n_dup
+                total_violations += n_dup
+        if split_dir is not None:
+            ray.data.read_parquet(bundle_path).write_parquet(split_dir, partition_cols=[table_column])
+        wall = time.perf_counter() - t0
+        return ValidationResult(
+            valid=total_violations == 0,
+            n_rows=res["n_rows"],
+            n_violations=total_violations,
+            violation_counts=res["violation_counts"],
+            verdicts=res["verdicts"],
+            violations_path=str(Path(output_dir) / "violations") if output_dir else None,
+            sketch=res["bundle"],
+            wall_s=wall,
+            rows_per_s=res["n_rows"] / wall if wall else 0.0,
+        )
+
     # -- main entry ----------------------------------------------------------
     def validate(self, input_path: str | list[str], output_dir: str | None = None) -> ValidationResult:
         cfg = self.config

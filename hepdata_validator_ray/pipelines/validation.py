@@ -73,6 +73,47 @@ def violation_counts(seq_path: str, ctx: CheckContext | None = None) -> "ray.dat
     )
 
 
+def bundle_violations_by_table(bundle_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Single-bundle split path (≙ the reference's single-YAML submissions,
+    full_submission_validator.py:175-176,252-261) as an oracle-checkable
+    aggregate: ONE parquet carries several logical tables tagged by a
+    ``table`` column; rows route per tag and violations count per
+    (table, check).  Pre-aggregated per batch → tiny groupby.
+    ``engine.validate_bundle`` is the full entry mode with per-table
+    verdicts and the optional split write."""
+    ctx = ctx or CheckContext()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tags = batch.column("table")
+        tags_np = np.asarray(tags.to_numpy(zero_copy_only=False))
+        view = prepare_view(batch.drop_columns(["table"]))
+        out_tab: list = []
+        out_check: list[str] = []
+        out_n: list[int] = []
+        for check in DEFAULT_ROW_CHECKS:
+            res = check.fn(view, ctx)
+            if len(res.indices):
+                u, c = np.unique(tags_np[res.indices], return_counts=True)
+                out_tab.extend(u.tolist())
+                out_check.extend([check.name] * len(u))
+                out_n.extend(int(x) for x in c)
+        return pa.Table.from_pydict(
+            {
+                "table_name": pa.array(out_tab, type=pa.string()),
+                "check_name": pa.array(out_check, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(bundle_path)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True)
+        .groupby(["table_name", "check_name"])
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["table_name", "check_name", "n"]), batch_format="pyarrow")
+    )
+
+
 def duplicate_doc_ids(seq_path: str) -> "ray.data.Dataset":
     """doc_ids appearing more than once: column-pruned read + map-side
     combine + the one global shuffle (SURVEY.md §2.5 A1)."""

@@ -225,6 +225,26 @@ def ensure_sequences_parquet(
     return str(out)
 
 
+def ensure_bundle_parquet(sf_dir: str, n_tables: int = 4, seed: int = 42) -> str:
+    """Single-bundle fixture: ONE parquet file carrying ``n_tables`` logical
+    tables tagged by a ``table`` column (deterministic: table = tbl<row idx
+    mod n_tables>) — the input for the engine's single-bundle split path
+    (≙ the reference's single-YAML submissions)."""
+    tag = Path(sf_dir).name or "default"
+    rows = ROWS_BY_TAG.get(tag, 2_000)
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-bundle{n_tables}" / "bundle.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tbl = generate_sequences_table(rows, seed=seed)
+    tables = np.array([f"tbl{i % n_tables}" for i in range(rows)], dtype=object)
+    tbl = tbl.append_column("table", pa.array(tables, type=pa.string()))
+    tmp = out.with_suffix(".tmp")
+    pq.write_table(tbl, tmp, row_group_size=65536, compression="NONE")
+    os.replace(tmp, out)
+    return str(out)
+
+
 # ---------------------------------------------------------------------------
 # Ground truth for tests
 # ---------------------------------------------------------------------------
