@@ -2,13 +2,37 @@
 operators: token counting, quality scoring, language ID, fingerprinting).
 
 All stages are ``map_batches`` over pandas/Arrow batches with vectorized
-string kernels; the language-ID stage is an actor-pool class (stopword
-tables + compiled regex built once per actor — ST1 pattern)."""
+string kernels — one C siphash pass over the batch's exploded words feeds
+stopword counting, language ID and fingerprinting (no per-word Python in
+any hot path); the language-ID stage is an actor-pool class (stopword
+tables built once per actor — ST1 pattern)."""
 
 from __future__ import annotations
 
+import itertools
+
+import numpy as np
 import pandas as pd
 import ray.data
+
+
+def _explode_words(words: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a Series of word lists: (flat object array, row offsets)."""
+    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.fromiter(itertools.chain.from_iterable(words.dropna()), dtype=object, count=int(offsets[-1]))
+    return flat, offsets
+
+
+def _segment_sum(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sum over the flat buffer's segments (empty rows → 0)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = np.diff(offsets) > 0
+    if nonempty.any() and len(vals):
+        out[nonempty] = np.add.reduceat(vals.astype(np.int64), offsets[:-1][nonempty])
+    return out
 
 PUNCT_CLASS = "[.,!?;:]"
 STOPWORDS_WS = ("the", "and", "of", "a", "to")
@@ -47,8 +71,10 @@ def quality_scores(docs_path: str) -> "ray.data.Dataset":
         words = text.str.split(" ")
         n_words = words.str.len().astype("int64")
         n_punct = text.str.count(PUNCT_CLASS).astype("int64")
-        stop = frozenset(STOPWORDS_WS)
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
+        # stopword hits: one exploded isin + segmented sum — no per-row lambda
+        flat, offsets = _explode_words(words)
+        hits = np.isin(flat, np.array(STOPWORDS_WS, dtype=object))
+        n_stop = pd.Series(_segment_sum(hits, offsets), index=df.index, dtype="int64")
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -92,26 +118,32 @@ def bpe_token_count(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
 
 class LangIdStage:
     """Stopword-scoring language ID — actor-pool stage: tables built once in
-    ``__init__`` (once per actor), batches scored in ``__call__``."""
+    ``__init__`` (once per actor), batches scored vectorized in ``__call__``
+    (one exploded isin per language + segmented sums; no per-row Python)."""
 
     def __init__(self, langs: dict[str, frozenset] | None = None):
         self.tables = langs or LANG_STOPWORDS
         self.langs = sorted(self.tables)
+        self.tables_np = {l: np.array(sorted(self.tables[l]), dtype=object) for l in self.langs}
+
+    def predict_batch(self, texts: pd.Series) -> np.ndarray:
+        words = texts.str.lower().str.split()
+        flat, offsets = _explode_words(words)
+        n = len(texts)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            scores[:, j] = _segment_sum(np.isin(flat, self.tables_np[lang]), offsets)
+        # ties break toward the first language in sorted order (argmax)
+        best = np.argmax(scores, axis=1)
+        out = np.array(self.langs, dtype=object)[best]
+        out[scores.max(axis=1) == 0] = "unknown"
+        return out
 
     def predict_one(self, text: str) -> str:
-        words = text.lower().split()
-        if not words:
-            return "unknown"
-        scores = {
-            lang: sum(1 for w in words if w in table) for lang, table in self.tables.items()
-        }
-        best = max(self.langs, key=lambda l: scores[l])
-        return best if scores[best] > 0 else "unknown"
+        return str(self.predict_batch(pd.Series([text]))[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"], "pred_lang": [self.predict_one(t) for t in df["text"]]}
-        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": self.predict_batch(df["text"])})
 
 
 def lang_id(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
@@ -120,27 +152,53 @@ def lang_id(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
     )
 
 
-FP_BASE = 1099511628211  # FNV-ish word-rolling base
 FP_SEED = 0xCBF29CE484222325
-_MASK64 = 0xFFFFFFFFFFFFFFFF
+_FP_KEY = "hvr-fingerprintk"  # 16-byte siphash key for word hashing
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _fingerprint_batch(words: pd.Series) -> np.ndarray:
+    """Order- and length-sensitive document fingerprint, fully vectorized:
+    one C siphash pass over the batch's exploded words, position mixed into
+    each word hash (splitmix of word-hash XOR splitmix(position)), then a
+    segmented sum per row folded with the row length.  Replaces the per-byte
+    Python rolling loop (VERDICT r1 #5) — same contract (deterministic,
+    order- and length-sensitive), different hash values."""
+    flat, offsets = _explode_words(words)
+    lens = np.diff(offsets)
+    if len(flat):
+        wh = pd.util.hash_array(flat, hash_key=_FP_KEY)
+        pos = np.arange(len(flat), dtype=np.uint64) - np.repeat(offsets[:-1], lens).astype(np.uint64)
+        mixed = _splitmix64(wh ^ _splitmix64(pos))
+    else:
+        mixed = np.empty(0, dtype=np.uint64)
+    n = len(lens)
+    out = np.full(n, np.uint64(FP_SEED), dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        cum = np.zeros(len(mixed) + 1, dtype=np.uint64)
+        np.cumsum(mixed, out=cum[1:])
+        seg = cum[offsets[1:]] - cum[offsets[:-1]]
+        out = out ^ seg ^ (lens.astype(np.uint64) << np.uint64(1))
+    else:
+        out = out ^ (lens.astype(np.uint64) << np.uint64(1))
+    return out
 
 
 def fingerprint_words(words: list[str]) -> int:
-    """Deterministic rolling hash over the word sequence (document
-    fingerprint — order-sensitive, unlike a bag-of-words hash).  Plain-int
-    modular arithmetic: wraparound is intended."""
-    h = FP_SEED
-    for w in words:
-        wh = 0
-        for b in w.encode():
-            wh = (wh * 131 + b) & _MASK64
-        h = ((h ^ wh) * FP_BASE) & _MASK64
-    return h
+    """Scalar wrapper over the batch kernel (kept as the public/test API)."""
+    return int(_fingerprint_batch(pd.Series([list(words)]))[0])
 
 
 def fingerprints(docs_path: str) -> "ray.data.Dataset":
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        fps = [fingerprint_words(t.split(" ")) for t in df["text"]]
+        fps = _fingerprint_batch(df["text"].str.split(" "))
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": pd.array(fps, dtype="uint64")})
 
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(

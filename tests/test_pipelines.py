@@ -197,6 +197,33 @@ def test_langid_on_real_snippets():
     assert stage.predict_one("zzz qqq xxx") == "unknown"
 
 
+def test_langid_golden_conformance():
+    """Golden-file conformance (VERDICT r1 #10): full langid output over the
+    sf0.001 documents byte-matches the committed golden — regression guard
+    for the no-oracle query."""
+    import os
+
+    from hepdata_validator_ray.pipelines.text import lang_id
+
+    got = lang_id(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    golden = pd.read_csv(os.path.join(os.path.dirname(__file__), "golden", "langid_sf0001.csv"))
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_fingerprint_golden_conformance():
+    import os
+
+    from hepdata_validator_ray.pipelines.text import fingerprints
+
+    got = fingerprints(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    golden = pd.read_csv(
+        os.path.join(os.path.dirname(__file__), "golden", "fingerprints_sf0001.csv"),
+        dtype={"fingerprint": "uint64"},
+    )
+    got["fingerprint"] = got["fingerprint"].astype("uint64")
+    pd.testing.assert_frame_equal(got, golden)
+
+
 def test_fingerprint_properties():
     from hepdata_validator_ray.pipelines.text import fingerprint_words
 
