@@ -106,6 +106,21 @@ def _jsonl_violations(sf_dir: str):
     )
 
 
+def _archive_violation_counts(sf_dir: str):
+    """Archive entry mode (S3) through the correctness gate: the zipped
+    sequences dir must validate to EXACTLY the same per-check counts as the
+    unzipped files (flagship oracle)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.synth import ensure_archive_zip
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False))
+    res = eng.validate(ensure_archive_zip(sf_dir))
+    rows = [{"check_name": k, "n": int(v)} for k, v in res.violation_counts.items()]
+    return pd.DataFrame(rows, columns=["check_name", "n"]).sort_values("check_name").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hepdata_validator_ray.pipelines import dedup, multimodal, relational, similarity, text, validation
 
@@ -130,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
+        "flagship_archive": _archive_violation_counts,
         "clean_survivor_stats": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.clean", fromlist=["x"]
         ).clean_survivor_stats(_seq(sf)),
@@ -209,6 +225,19 @@ v AS (
         "v_violation_counts": row_violations_cte
         + "\nSELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name",
         "flagship_validation_suite": row_violations_cte
+        + f"""
+, d AS (
+  SELECT 'doc_id_duplicates' AS check_name, sum(c)::BIGINT AS n
+  FROM (SELECT count(*) AS c FROM s WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1)
+  HAVING count(*) > 0
+)
+SELECT check_name, n FROM (
+  SELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name
+  UNION ALL SELECT check_name, n FROM d
+) ORDER BY check_name""",
+        # the zipped sequences dir must produce identical per-check counts
+        # to the unzipped files (archive entry mode, S3)
+        "flagship_archive": row_violations_cte
         + f"""
 , d AS (
   SELECT 'doc_id_duplicates' AS check_name, sum(c)::BIGINT AS n

@@ -218,8 +218,10 @@ def connected_components_ds(
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
+        # seed with min(node, neighbor) — one propagation hop for free
         u = t.column("u")
-        return pa.Table.from_arrays([u, u], names=["node", "label"])
+        v = t.column("v")
+        return pa.Table.from_arrays([u, pc.min_element_wise(u, v)], names=["node", "label"])
 
     def dedupe_min(t: pa.Table) -> pa.Table:
         g = t.group_by("node").aggregate([("label", "min")])
@@ -275,15 +277,15 @@ def connected_components_ds(
 
     it = 0
     while True:
-        # (a) neighbor propagation: u proposes label[v] for each edge (u,v)
-        labels = lookup_min(edge_queries, labels)
-        # (b) pointer jumping: every node shortcuts to label[label[node]] —
-        # O(log n) rounds to the fixed point instead of O(diameter)
+        # one fused lookup per round: neighbor propagation (u asks label[v]
+        # per edge) UNION pointer-jumping shortcuts (node asks
+        # label[label[node]]) — still O(log n) rounds to the fixed point,
+        # half the exchanges of running the two phases separately
         shortcut_q = labels.map_batches(
             lambda t: pa.Table.from_arrays([t["node"], t["label"]], names=["u", "node"]),
             batch_format="pyarrow",
         )
-        labels = lookup_min(shortcut_q, labels)
+        labels = lookup_min(edge_queries.union(shortcut_q), labels)
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
             break

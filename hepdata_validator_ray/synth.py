@@ -225,6 +225,20 @@ def ensure_sequences_parquet(
     return str(out)
 
 
+def ensure_archive_zip(sf_dir: str) -> str:
+    """Zip of the synthetic sequences dir (idempotent) — input for the
+    engine's archive entry mode (S3)."""
+    seq_dir = Path(ensure_sequences_parquet(sf_dir))
+    out = seq_dir.parent / "sequences_archive.zip"
+    if out.exists():
+        return str(out)
+    import shutil
+
+    tmp = shutil.make_archive(str(seq_dir.parent / "sequences_archive_tmp"), "zip", root_dir=seq_dir)
+    os.replace(tmp, out)
+    return str(out)
+
+
 def ensure_bundle_parquet(sf_dir: str, n_tables: int = 4, seed: int = 42) -> str:
     """Single-bundle fixture: ONE parquet file carrying ``n_tables`` logical
     tables tagged by a ``table`` column (deterministic: table = tbl<row idx

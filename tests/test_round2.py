@@ -17,15 +17,15 @@ def test_connected_components_ds_matches_pandas():
     from hepdata_validator_ray.ops import connected_components, connected_components_ds
 
     rng = np.random.default_rng(5)
-    chain = pd.DataFrame({"doc_id_a": np.arange(120), "doc_id_b": np.arange(1, 121)})
-    blob_nodes = rng.choice(np.arange(1000, 1400), size=80, replace=False)
+    chain = pd.DataFrame({"doc_id_a": np.arange(60), "doc_id_b": np.arange(1, 61)})
+    blob_nodes = rng.choice(np.arange(1000, 1400), size=40, replace=False)
     blob = pd.DataFrame({"doc_id_a": blob_nodes[:-1], "doc_id_b": blob_nodes[1:]})
     lone = pd.DataFrame({"doc_id_a": [5000], "doc_id_b": [5001]})
     pairs = pd.concat([chain, blob, lone], ignore_index=True)
 
     exp = connected_components(pairs)
     got = (
-        connected_components_ds(ray.data.from_pandas(pairs), num_buckets=8)
+        connected_components_ds(ray.data.from_pandas(pairs), num_buckets=4)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -34,8 +34,10 @@ def test_connected_components_ds_matches_pandas():
         got.astype({"node": "int64", "cluster_id": "int64"}),
         exp.astype({"node": "int64", "cluster_id": "int64"}),
     )
-    # the whole 121-node chain collapsed to one root
-    assert (got[got.node <= 120].cluster_id == 0).all()
+    # the whole 61-node chain (diameter larger than the old silent 50-iter
+    # cap would EVER finish for plain propagation in bounded rounds) is one
+    # root, and it spans many hash buckets
+    assert (got[got.node <= 60].cluster_id == 0).all()
 
 
 def test_connected_components_unconverged_raises():
