@@ -93,6 +93,19 @@ def _frame_counts(sf_dir: str):
     )
 
 
+def _csv_violations(sf_dir: str):
+    """Same check suite over the CSV wire format (source breadth, S1/S2)."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.pipelines.validation import _violation_pairs_batch
+    from hepdata_validator_ray.sources.csv import ensure_sequences_csv, read_sequences_csv
+
+    path = ensure_sequences_csv(sf_dir)
+    ctx = CheckContext()
+    return read_sequences_csv(path).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=4096
+    )
+
+
 def _jsonl_violations(sf_dir: str):
     """Same check suite over the JSONL wire format (source breadth, S1/S2)."""
     from hepdata_validator_ray.checks.base import CheckContext
@@ -140,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
+        "v_row_violations_csv": _csv_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
@@ -197,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     p = _SYNTH_GLOB_001
     bundle = ensure_bundle_parquet("/root/testdata/sf0.01")
+    from hepdata_validator_ray.sources.csv import ensure_sequences_csv
+
+    csv_path = ensure_sequences_csv("/root/testdata/sf0.01")
     sources_sql = ", ".join(f"'{s}'" for s in DEFAULT_SOURCES)
     V = DEFAULT_VOCAB_SIZE
     L = DEFAULT_MAX_SEQ_LEN
@@ -341,6 +358,35 @@ SELECT filename AS partition_id, count(*)::BIGINT AS n_rows
 FROM read_parquet('{p}', filename=true) GROUP BY 1""",
         "v_row_violations_jsonl": f"""
 WITH s AS (SELECT * FROM read_json_auto('{_JSONL_GLOB_001}')),
+v AS (
+  SELECT doc_id, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT doc_id, 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT doc_id, 'doc_id_max_length' FROM s WHERE doc_id IS NOT NULL AND length(doc_id) > 64
+  UNION ALL SELECT doc_id, 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT doc_id, 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT doc_id, 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT doc_id, 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT doc_id, 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT doc_id, 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT doc_id, 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)
+SELECT doc_id, check_name FROM v""",
+        "v_row_violations_csv": f"""
+WITH raw AS (SELECT * FROM read_csv('{csv_path}', header=true, nullstr='',
+                                    columns={{'doc_id': 'VARCHAR', 'tokens_str': 'VARCHAR', 'n_tok': 'INTEGER', 'source': 'VARCHAR'}})),
+s AS (
+  SELECT doc_id,
+         CASE WHEN tokens_str IS NULL THEN NULL
+              ELSE list_transform(string_split(tokens_str, ' '), x -> CAST(x AS INTEGER)) END AS tokens,
+         n_tok, source
+  FROM raw
+),
 v AS (
   SELECT doc_id, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
   UNION ALL SELECT doc_id, 'doc_id_format' FROM s

