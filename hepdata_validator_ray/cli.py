@@ -45,7 +45,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
         chunk_files=args.chunk_files,
     )
     eng = ValidationEngine(cfg)
-    res = eng.validate(args.path, output_dir=args.output)
+    if args.bundle:
+        # single-bundle mode: one parquet, logical tables tagged by a column
+        res = eng.validate_bundle(
+            args.path, output_dir=args.output, table_column=args.table_column, split_dir=args.split_dir
+        )
+    else:
+        # dirs, file lists, .zip/.tar.gz archives and .parquet.gz all route
+        # through validate (archive detection is automatic)
+        res = eng.validate(args.path, output_dir=args.output)
     # verdict format mirrors cli.py:20-30 ("{path} is valid/invalid HEPData")
     if res.valid:
         print(f"{args.path} is valid.")
@@ -76,8 +84,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hepdata-validator-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    v = sub.add_parser("validate", help="validate a parquet sequence table")
+    v = sub.add_parser(
+        "validate", help="validate a parquet sequence table (dir, file list, .zip/.tar.gz archive, or bundle)"
+    )
     v.add_argument("path")
+    v.add_argument("--bundle", action="store_true", help="treat PATH as a single multi-table bundle parquet")
+    v.add_argument("--table-column", default="table", help="bundle mode: logical-table tag column")
+    v.add_argument("--split-dir", default=None, help="bundle mode: also write the per-table split here")
     v.add_argument("--output", default=None, help="output dir (violations/verdicts/manifest); enables resume")
     v.add_argument("--schema-version", default="1.1.1")
     v.add_argument("--suite", default=None, help="registered custom check-suite name")
