@@ -94,6 +94,9 @@ class ValidationConfig:
     dup_check: bool = True
     drift_profile_bytes: bytes | None = None  # serialized SketchBundle reference profile
     drift_kl_threshold: float = 0.15
+    #: per-check threshold overrides, e.g. {"drift_n_tok": 0.1,
+    #: "drift_source_mix": 0.05}; unlisted checks use drift_kl_threshold
+    drift_thresholds: dict | None = None
     #: per-partition cap on all-padding rows — the A3 analogue of the
     #: reference's "≤1 underflow and ≤1 overflow bin per variable" rule
     #: (data_file_validator.py:173-222); None disables the partition check
@@ -1147,31 +1150,36 @@ class ValidationEngine:
 
     def _drift_score_bundle(self, partition_id: str, merged: SketchBundle, profile: SketchBundle) -> list[dict]:
         cfg = self.config
-        thr = cfg.drift_kl_threshold
-        recs = []
-        kl_ntok = kl_divergence(merged.n_tok_hist.normalized(), profile.n_tok_hist.normalized())
-        recs.append(
-            dict(
+
+        def thr_for(name: str) -> float:
+            return (cfg.drift_thresholds or {}).get(name, cfg.drift_kl_threshold)
+
+        def rec(name: str, kl: float, label: str) -> dict:
+            thr = thr_for(name)
+            return dict(
                 partition_id=partition_id,
-                check_name="drift_n_tok",
-                passed=bool(kl_ntok <= thr),
+                check_name=name,
+                passed=bool(kl <= thr),
                 n_rows=int(merged.n_rows),
-                n_violations=0 if kl_ntok <= thr else 1,
-                detail=f"KL(n_tok)={kl_ntok:.6f} threshold={thr}",
+                n_violations=0 if kl <= thr else 1,
+                detail=f"KL({label})={kl:.6f} threshold={thr}",
             )
-        )
+
+        recs = [
+            rec("drift_n_tok", kl_divergence(merged.n_tok_hist.normalized(), profile.n_tok_hist.normalized()), "n_tok")
+        ]
         if profile.unigram is not None and merged.unigram is not None:
-            kl_uni = kl_divergence(merged.unigram.normalized(), profile.unigram.normalized())
             recs.append(
-                dict(
-                    partition_id=partition_id,
-                    check_name="drift_token_unigram",
-                    passed=bool(kl_uni <= thr),
-                    n_rows=int(merged.n_rows),
-                    n_violations=0 if kl_uni <= thr else 1,
-                    detail=f"KL(unigram)={kl_uni:.6f} threshold={thr}",
-                )
+                rec("drift_token_unigram", kl_divergence(merged.unigram.normalized(), profile.unigram.normalized()), "unigram")
             )
+        # source-mix drift: the partition's source distribution vs the
+        # profile's (exact low-cardinality frequency maps)
+        keys = sorted(set(merged.source_freq.counts) | set(profile.source_freq.counts))
+        if keys:
+            p = np.array([merged.source_freq.counts.get(k, 0) for k in keys], dtype=float)
+            q = np.array([profile.source_freq.counts.get(k, 0) for k in keys], dtype=float)
+            if p.sum() > 0 and q.sum() > 0:
+                recs.append(rec("drift_source_mix", kl_divergence(p / p.sum(), q / q.sum()), "source_mix"))
         return recs
 
     def _drift_from_bundles(self, per_part: dict[str, SketchBundle]) -> pd.DataFrame:

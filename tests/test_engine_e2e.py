@@ -194,6 +194,42 @@ def test_drift_detection(synth_path):
     assert not res_shift.valid
 
 
+def test_drift_source_mix_and_per_check_thresholds(synth_path):
+    """Source-mix drift: a profile with a skewed source distribution flags
+    every partition; a per-check threshold override silences exactly that
+    check (registered-check drift scoring with per-check thresholds)."""
+    from hepdata_validator_ray.sketches import SketchBundle
+
+    eng = ValidationEngine(ValidationConfig(concurrency=2, enable_unigram=False, dup_check=False))
+    base = eng.validate(synth_path)
+
+    skewed = SketchBundle()
+    skewed.n_tok_hist = base.sketch.n_tok_hist  # n_tok matches → no n_tok drift
+    skewed.source_freq.counts = {"web": 1_000_000}  # wildly different mix
+    skewed.n_rows = base.sketch.n_rows
+
+    eng2 = ValidationEngine(
+        ValidationConfig(concurrency=2, enable_unigram=False, dup_check=False, drift_profile_bytes=skewed.to_bytes())
+    )
+    res = eng2.validate(synth_path)
+    mix = res.verdicts[res.verdicts.check_name == "drift_source_mix"]
+    assert len(mix) == 4 and (~mix.passed).all()
+    assert res.violation_counts.get("drift_source_mix", 0) == 4
+    ntok = res.verdicts[res.verdicts.check_name == "drift_n_tok"]
+    assert ntok.passed.all()
+
+    eng3 = ValidationEngine(
+        ValidationConfig(
+            concurrency=2, enable_unigram=False, dup_check=False,
+            drift_profile_bytes=skewed.to_bytes(),
+            drift_thresholds={"drift_source_mix": 1e9},
+        )
+    )
+    res3 = eng3.validate(synth_path)
+    mix3 = res3.verdicts[res3.verdicts.check_name == "drift_source_mix"]
+    assert mix3.passed.all()
+
+
 def test_corrupt_file_becomes_violation(tmp_path):
     """Parse errors become violations, not crashes (reference
     data_file_validator.py:99-114 'There was a problem parsing the file')."""
