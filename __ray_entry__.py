@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": relational.events_daily,
         "events_sessionize": relational.events_sessionize,
         "events_lag_previous": relational.events_lag_previous,
+        "events_asof_join": relational.events_asof_join,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
         "top_customers": relational.top_customers,
@@ -449,6 +450,12 @@ SELECT event_id,
        strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 '%Y-%m-%d %H:%M:%S') AS prev_ts
 FROM events""",
+        "events_asof_join": """
+SELECT l.event_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts""",
         "events_sessionize": """
 WITH m AS (
   SELECT user_id, ts, value,

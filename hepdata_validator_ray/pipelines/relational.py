@@ -290,6 +290,52 @@ def events_lag_previous(sf_dir: str, num_buckets: int | None = None) -> "ray.dat
     )
 
 
+def events_asof_join(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "view", num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """As-of join (the ordered-join operator Ray Data lacks): for each
+    LEFT-type event, the most recent RIGHT-type event of the SAME user at or
+    before its timestamp.
+
+    Physical plan: both sides hash-bucket on user_id into one exchange
+    (bucket count derived from input size); inside a bucket ONE vectorized
+    ``pd.merge_asof(by=user_id)`` handles all the bucket's users.
+    Partitioning assumption: a user's events co-locate in one bucket (true
+    by construction of the hash bucket).  Output carries only the matched
+    timestamp so equal-timestamp ties are value-deterministic; oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        left = df[df.event_type == left_type].sort_values(["ts", "event_id"], kind="mergesort")
+        right = df[df.event_type == right_type].sort_values(["ts", "event_id"], kind="mergesort")
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["user_id", "ts"]].assign(matched_ts=right["ts"]),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "matched_ts": merged["matched_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+        out["matched_ts"] = out["matched_ts"].where(merged["matched_ts"].notna(), None)
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
 def referential_integrity(sf_dir: str) -> pd.DataFrame:
     """Referential anti-join checks (SURVEY.md §2.4 J2): count of child rows
     whose foreign key has no parent — broadcast key-set membership filter
