@@ -187,10 +187,16 @@ def orders_customer_native_join(sf_dir: str) -> "ray.data.Dataset":
     """Both-sides-large join via Ray Data's native hash-partitioned
     ``Dataset.join`` (the shuffle-join operator; broadcast joins elsewhere
     cover the small-side case).  Grouped rollup per market segment."""
+    from hepdata_validator_ray.ops import derive_num_buckets
+
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=derive_num_buckets(orders, target_rows_per_bucket=500_000, lo=8),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
     return (
         joined.groupby("c_mktsegment")
