@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
         "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
         "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(docs(sf), threshold=0.5),
+        "dedup_near_dup_clusters_dist": lambda sf: dedup.near_dup_clusters(
+            docs(sf), threshold=0.5, distributed=True
+        ),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),

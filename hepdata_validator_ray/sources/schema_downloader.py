@@ -109,23 +109,16 @@ class HTTPSuiteDownloader:
         base = cache_root if cache_root is not None else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         self.suites_path = os.path.join(base, "schemas_remote", self.org, self.project, self.version)
 
+    #: ``http(s)://<org>/<project>/schemas/<version>/`` — the reference's URL
+    #: contract (schema_downloader.py:110-131), expressed as one regex
+    _URL_RE = re.compile(r"^https?://([\w.-]+)/([\w.-]+)/schemas(?:[^/]*)?/(v?\d+\.\d+(?:\.\d+)?)[^/]*/")
+
     def _parse_remote_url(self, url: str) -> None:
-        """Require ``http(s)://<org>/<project>/schemas/<version>/`` — the
-        reference's URL contract (schema_downloader.py:110-131)."""
-        nodes = url.split("/")
-        try:
-            assert re.compile(r"https?:").match(nodes[0])
-            assert re.compile(r"[\w.-]+").match(nodes[2])
-            assert re.compile(r"[\w.-]+").match(nodes[3])
-            assert re.compile(r"schemas").match(nodes[4])
-            assert re.compile(r"v?\d+.\d+(.\d+)?").match(nodes[5])
-        except (AssertionError, IndexError):
+        m = self._URL_RE.match(url)
+        if m is None:
             # byte-matches schema_downloader.py:126
             raise ValueError("Invalid remote schemas URL")
-        else:
-            self.org = nodes[2]
-            self.project = nodes[3]
-            self.version = nodes[5]
+        self.org, self.project, self.version = m.group(1), m.group(2), m.group(3)
 
     def get_suite_spec(self, suite_name: str) -> dict:
         """Download (and $ref-resolve) the named suite config."""
@@ -138,18 +131,15 @@ class HTTPSuiteDownloader:
 
     def save_locally(self, suite_name: str, suite_spec: dict, overwrite: bool = False) -> None:
         """Cache the config at ``<suites_path>/<suite_name>``; an existing
-        file is kept unless ``overwrite`` (schema_downloader.py:168-193)."""
-        file_path = os.path.join(self.suites_path, suite_name)
-        file_folder = os.path.dirname(file_path)
-        if os.path.isfile(file_path) and not overwrite:
+        file is kept unless ``overwrite`` (the skip-if-exists / overwrite
+        semantics of schema_downloader.py:168-193)."""
+        file_path = Path(self.suites_path) / suite_name
+        if file_path.is_file() and not overwrite:
             return
-        try:
-            os.makedirs(file_folder)
-        except OSError:
-            if not os.path.isdir(file_folder) or not os.access(file_folder, os.W_OK):
-                raise
-        with open(file_path, "w") as f:
-            f.write(json.dumps(suite_spec, indent=2))
+        file_path.parent.mkdir(parents=True, exist_ok=True)
+        if not os.access(file_path.parent, os.W_OK):
+            raise OSError(f"schema cache folder is not writable: {file_path.parent}")
+        file_path.write_text(json.dumps(suite_spec, indent=2))
 
     def load_cached(self, suite_name: str) -> dict | None:
         """Return the cached config if present (the skip-download path)."""
