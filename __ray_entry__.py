@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
         "top_customers": relational.top_customers,
+        "top_parts_per_brand": relational.top_parts_per_brand,
+        "stratified_sample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).stratified_sample_counts(docs(sf), rates={"src0": 50, "src1": 5}, default_pct=10),
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
         "text_token_count": lambda sf: text.token_count_ws(docs(sf)),
@@ -484,6 +488,19 @@ SELECT o_custkey,
        count(*)::BIGINT AS n_orders
 FROM orders GROUP BY o_custkey
 ORDER BY total_spend DESC LIMIT 10""",
+        "top_parts_per_brand": """
+SELECT p_brand, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3""",
+        "stratified_sample": """
+SELECT source, count(*)::BIGINT AS n
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 5 ELSE 10 END)
+GROUP BY source""",
         "referential_integrity": """
 SELECT 'lineitem->orders' AS relation,
        (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT AS n_missing

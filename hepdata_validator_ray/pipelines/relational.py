@@ -296,6 +296,29 @@ def events_lag_previous(sf_dir: str, num_buckets: int | None = None) -> "ray.dat
     )
 
 
+def top_parts_per_brand(sf_dir: str, k: int = 3, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Grouped top-k (top documents per domain is the training-data shape):
+    top-k parts per brand by retail price.  One hash-bucket exchange on the
+    group key; inside a bucket a single vectorized sort + groupby-head
+    covers all the bucket's groups.  Deterministic tie-break: p_partkey."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = df.groupby("p_brand", sort=False).head(k)
+        return out[["p_brand", "p_partkey", "p_retailprice"]]
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_brand", "p_partkey", "p_retailprice"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "p_brand", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def events_asof_join(
     sf_dir: str, left_type: str = "purchase", right_type: str = "view", num_buckets: int | None = None
 ) -> "ray.data.Dataset":

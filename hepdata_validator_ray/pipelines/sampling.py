@@ -38,6 +38,36 @@ def split_assignment(docs_path: str, key: str = "doc_id", test_pct: int = 10) ->
     )
 
 
+def stratified_sample_counts(
+    docs_path: str,
+    key: str = "doc_id",
+    strata_col: str = "source",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 5,
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum sampling (e.g. downsample web-crawl, keep
+    all curated sources): each stratum gets its own hash-bucket rate.
+    Returns per-stratum kept counts — the rebalancing primitive of a
+    training-data mix.  No shuffle beyond the tiny count aggregate."""
+    rates = rates or {}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = _bucket_of(df[key].tolist())
+        pct = df[strata_col].map(lambda s: rates.get(s, default_pct)).to_numpy()
+        keep = [b < p for b, p in zip(buckets, pct)]
+        kept = df[keep]
+        out = kept[strata_col].value_counts().rename_axis(strata_col).reset_index(name="n")
+        return out
+
+    return (
+        ray.data.read_parquet(docs_path, columns=[key, strata_col])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby(strata_col)
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns([strata_col, "n"]), batch_format="pyarrow")
+    )
+
+
 def deterministic_sample(docs_path: str, key: str = "doc_id", pct: int = 5) -> "ray.data.Dataset":
     """The exact sampled row set (hash bucket < pct) — reproducible sampling
     as a filter, no shuffle."""
