@@ -122,6 +122,18 @@ def pipeline_content_dedup(sf_dir: str) -> int:
     return _consume(sequence_content_dedup(ensure_sequences_parquet(sf_dir)))
 
 
+def pipeline_asof_join(sf_dir: str) -> int:
+    from hepdata_validator_ray.pipelines.relational import events_asof_join
+
+    return _consume(events_asof_join(sf_dir))
+
+
+def pipeline_ngram_jaccard(sf_dir: str) -> int:
+    from hepdata_validator_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return _consume(ngram_jaccard_pairs(f"{sf_dir}/documents.parquet", threshold=0.3))
+
+
 SCALING_ROWS = int(os.environ.get("HVR_SCALING_ROWS", "4000000"))
 
 
@@ -148,6 +160,8 @@ PIPELINES = {
     "text_quality": pipeline_text_quality,
     "sessionize": pipeline_sessionize,
     "content_dedup": pipeline_content_dedup,
+    "asof_join": pipeline_asof_join,
+    "ngram_jaccard": pipeline_ngram_jaccard,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
