@@ -33,19 +33,35 @@ import ray.data
 # ---------------------------------------------------------------------------
 
 def _md5_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-row md5 content key — kept for DuckDB md5() oracle parity on the
+    correctness gate; the production path is ``_siphash_text_batch``."""
     df = df.copy()
     df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
     return df[["doc_id", "h"]]
 
 
-def exact_dup_groups(docs_path: str) -> pd.DataFrame:
+def _siphash_text_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized production content key: one C-siphash pass over the text
+    column (no per-row Python), 16-hex-char keys."""
+    h = pd.util.hash_array(df["text"].to_numpy(dtype=object), hash_key=_CONTENT_KEY_A, categorize=False)
+    return pd.DataFrame({"doc_id": df["doc_id"], "h": [f"{x:016x}" for x in h]})
+
+
+_KEY_FNS = {"md5": _md5_batch, "siphash": _siphash_text_batch}
+
+
+def exact_dup_groups(docs_path: str, key_fn: str = "md5") -> pd.DataFrame:
     """Exact-duplicate summary: number of content-hash groups with >1 member
     and total duplicate docs.  Returned as a one-row summary so the result
-    schema is stable even when the corpus has no exact dups."""
+    schema is stable even when the corpus has no exact dups.
+
+    ``key_fn="md5"`` (default) matches the DuckDB md5() oracle byte-for-byte;
+    ``key_fn="siphash"`` is the vectorized production path (identical group
+    structure, ~2^-64 collision odds)."""
     from hepdata_validator_ray.ops import grouped_value_counts
 
     hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        _md5_batch, batch_format="pandas", batch_size=4096
+        _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
     )
     groups = grouped_value_counts(hashed, "h", min_count=2).to_pandas()
     n_groups = int(len(groups))
@@ -53,11 +69,13 @@ def exact_dup_groups(docs_path: str) -> pd.DataFrame:
     return pd.DataFrame([{"n_dup_groups": n_groups, "n_dup_docs": n_docs}])
 
 
-def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
+def exact_keep_first(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     """Survivor per content-hash group: min(doc_id) — deterministic
     keep-first semantics (reference first-occurrence duplicate reporting,
     submission_file_validator.py:142-149, generalized to content identity).
-    Bucketed exchange + Arrow hash aggregate per bucket (ops.py)."""
+    Bucketed exchange + Arrow hash aggregate per bucket (ops.py).
+    ``key_fn``: "md5" for oracle parity, "siphash" for the vectorized
+    production path."""
     from hepdata_validator_ray.ops import bucketed_aggregate
 
     def combine(t: pa.Table) -> pa.Table:
@@ -65,7 +83,7 @@ def exact_keep_first(docs_path: str) -> "ray.data.Dataset":
         return g.rename_columns(["h", "keep_doc_id"])
 
     hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        _md5_batch, batch_format="pandas", batch_size=4096
+        _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
     )
     return bucketed_aggregate(hashed, "h", None, combine)
 
@@ -279,9 +297,12 @@ class MinHashStage:
         sig = _minhash_signatures(sh, sh_off, self.a, self.b)
         buckets = self._band_buckets(sig)
         n = len(df)
+        # signatures ship as uint32 (every entry < 2^31): half the bytes
+        # through the band-bucket exchange
+        sig32 = sig.astype(np.uint32)
         sig_bytes = np.empty(n, dtype=object)
         for i in range(n):
-            sig_bytes[i] = sig[i].tobytes()
+            sig_bytes[i] = sig32[i].tobytes()
         return pd.DataFrame(
             {
                 "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
@@ -320,7 +341,7 @@ def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return _hot_row(rows, "est_jaccard")
     recs = []
     docs = rows["doc_id"].tolist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
+    sigs = [np.frombuffer(s, dtype=np.uint32) for s in rows["sig"]]
     for i, j in itertools.combinations(range(len(docs)), 2):
         est = float(np.mean(sigs[i] == sigs[j]))
         a, b = sorted((docs[i], docs[j]))

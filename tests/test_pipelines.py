@@ -278,3 +278,13 @@ def test_multimodal_strict_mode_raises():
 
     with pytest.raises(Exception):  # surfaces as RayTaskError(NotImplementedError)
         decoded_features(DOCS, concurrency=1, strict=True).to_pandas()
+
+
+def test_exact_dedup_production_key_matches_md5_groups():
+    """siphash production key yields the same dup-group structure as the
+    md5 oracle-parity key."""
+    from hepdata_validator_ray.pipelines.dedup import exact_dup_groups
+
+    a = exact_dup_groups(DOCS, key_fn="md5")
+    b = exact_dup_groups(DOCS, key_fn="siphash")
+    assert a.equals(b)
