@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_row_violations_csv": _csv_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
+        "v_ntok_quantiles_by_source": lambda sf: validation.ntok_quantiles_by_source(_seq(sf)),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
@@ -361,6 +362,11 @@ SELECT count(*) FILTER (len(embedding) <> 64)::BIGINT AS n_bad_dim,
        count(*) FILTER (list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) = 0)::BIGINT AS n_zero_norm,
        count(*)::BIGINT AS n_rows
 FROM embeddings""",
+        "v_ntok_quantiles_by_source": f"""
+SELECT source,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90
+FROM read_parquet('{p}') GROUP BY source""",
         "v_rows_per_partition": f"""
 SELECT filename AS partition_id, count(*)::BIGINT AS n_rows
 FROM read_parquet('{p}', filename=true) GROUP BY 1""",

@@ -233,6 +233,31 @@ def longest_sequences(seq_path: str, k: int = 20) -> "ray.data.Dataset":
     )
 
 
+def ntok_quantiles_by_source(seq_path: str) -> "ray.data.Dataset":
+    """Per-source n_tok quantiles (the data-mix length diagnostic): a
+    grouped distributed Quantile aggregate — one shuffle keyed on the
+    low-cardinality source column."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Quantile
+
+    ds = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .groupby("source")
+        .aggregate(
+            Quantile("n_tok", q=0.5, alias_name="p50"),
+            Quantile("n_tok", q=0.9, alias_name="p90"),
+        )
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        for c in ("p50", "p90"):
+            t = t.set_column(t.column_names.index(c), c, _pc.round(_pc.cast(t[c], pa.float64()), 6))
+        return t
+
+    return ds.map_batches(round_cols, batch_format="pyarrow")
+
+
 def ntok_quantiles(seq_path: str) -> pd.DataFrame:
     """Exact n_tok quantiles via Ray's distributed Quantile aggregate —
     the exact counterpart to the engine's approximate histogram sketch
