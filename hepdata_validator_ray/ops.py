@@ -216,6 +216,13 @@ def connected_components_ds(
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return edges.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pa.nulls(0, pa.int64()), pa.nulls(0, pa.int64())], names=["node", "cluster_id"]
+            ),
+            batch_format="pyarrow",
+        )
 
     def init_labels(t: pa.Table) -> pa.Table:
         # seed with min(node, neighbor) — one propagation hop for free

@@ -52,10 +52,11 @@ def stratified_sample_counts(
     rates = rates or {}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        buckets = _bucket_of(df[key].tolist())
-        pct = df[strata_col].map(lambda s: rates.get(s, default_pct)).to_numpy()
-        keep = [b < p for b, p in zip(buckets, pct)]
-        kept = df[keep]
+        import numpy as np
+
+        buckets = np.asarray(_bucket_of(df[key].tolist()), dtype=np.int64)
+        pct = df[strata_col].map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
+        kept = df[buckets < pct]
         out = kept[strata_col].value_counts().rename_axis(strata_col).reset_index(name="n")
         return out
 

@@ -92,3 +92,33 @@ def test_crash_resume_does_not_duplicate_violations(tmp_path):
     rerun = res2.load_violations().to_pandas()
     assert len(rerun) == len(clean), "stale chunk dir must be cleared, not appended to"
     pd.testing.assert_frame_equal(rerun, clean)
+
+
+def test_connected_components_ds_empty_edges():
+    import pandas as pd
+    import ray.data
+
+    from hepdata_validator_ray.ops import connected_components_ds
+
+    empty = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64")})
+    out = connected_components_ds(ray.data.from_pandas(empty)).to_pandas()
+    assert len(out) == 0
+
+
+def test_ngram_jaccard_no_candidates(tmp_path):
+    """A corpus with no LSH collisions must yield an empty (not erroring)
+    pair set through the distributed join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(8)),
+            "text": [f"totally distinct document {i} " + " ".join(f"w{i}{j}" for j in range(30)) for i in range(8)],
+        }
+    )
+    pq.write_table(docs, tmp_path / "docs.parquet")
+    out = ngram_jaccard_pairs(str(tmp_path / "docs.parquet"), threshold=0.0).to_pandas()
+    assert len(out) == 0
