@@ -219,7 +219,7 @@ def check_sequence_length_limit(v: dict, ctx: CheckContext) -> CheckResult:
 
 #: check kinds ranked as WEAK context errors during best-error selection —
 #: the analogue of jsonschema by_relevance's WEAK_MATCHES {"anyOf", "oneOf"}
-WEAK_KINDS = frozenset({"one_of"})
+WEAK_KINDS = frozenset({"one_of", "any_of"})
 
 
 def select_best_error(candidates: list[tuple[Check, str]]) -> str:
@@ -235,32 +235,60 @@ def select_best_error(candidates: list[tuple[Check, str]]) -> str:
     return best[1][1]
 
 
-def one_of(name: str, branches: list[Check], min_version: str = "0.1.0") -> Check:
-    """Compound alternative check ≙ JSON-Schema ``oneOf``
-    (data_schema.json:25-44 value-XOR-bin cells): a row passes when at least
-    one branch passes; a failing row reports exactly ONE violation — the
-    best-in-context branch error via ``select_best_error`` — instead of every
-    branch's error (multi-error rows, VERDICT r1 missing #5)."""
+def _compound(name: str, branches: list[Check], kind: str, min_version: str) -> Check:
+    """Shared machinery for ``any_of``/``one_of``: run every branch, then
+    per failing row pick the best-in-context branch error
+    (``select_best_error``); for strict oneOf also flag rows valid under
+    more than one branch (jsonschema's "is valid under each of")."""
 
     def fn(v: dict, ctx: CheckContext) -> CheckResult:
         per_branch = [(b, b.fn(v, ctx)) for b in branches]
         fail_maps = [
             {int(i): d for i, d in zip(r.indices, r.details)} for _, r in per_branch
         ]
-        common = set(fail_maps[0])
+        none_pass = set(fail_maps[0])
         for m in fail_maps[1:]:
-            common &= set(m)
-        if not common:
+            none_pass &= set(m)
+        found: dict[int, str] = {}
+        for i in none_pass:
+            found[i] = select_best_error(
+                [(b, m[i]) for (b, _), m in zip(per_branch, fail_maps)]
+            )
+        if kind == "one_of":
+            # strict XOR: a row valid under ≥2 branches also fails —
+            # jsonschema oneOf's "is valid under each of" error
+            n = v["n"]
+            fail_count = np.zeros(n, dtype=np.int64)
+            for m in fail_maps:
+                if m:
+                    fail_count[np.fromiter(m.keys(), dtype=np.int64, count=len(m))] += 1
+            for i in np.flatnonzero(len(branches) - fail_count >= 2):
+                passed = [b.name for (b, _), m in zip(per_branch, fail_maps) if int(i) not in m]
+                found[int(i)] = f"is valid under each of {', '.join(passed)}"
+        if not found:
             return _EMPTY
-        rows = np.array(sorted(common), dtype=np.int64)
-        details = [
-            select_best_error([(b, m[int(i)]) for (b, _), m in zip(per_branch, fail_maps)])
-            for i in rows
-        ]
-        return CheckResult(rows, details)
+        rows = np.array(sorted(found), dtype=np.int64)
+        return CheckResult(rows, [found[int(i)] for i in rows])
 
     cols = tuple(dict.fromkeys(c for b in branches for c in b.columns))
-    return Check(name, fn, kind="one_of", min_version=min_version, columns=cols)
+    return Check(name, fn, kind=kind, min_version=min_version, columns=cols)
+
+
+def any_of(name: str, branches: list[Check], min_version: str = "0.1.0") -> Check:
+    """Compound alternative ≙ JSON-Schema ``anyOf``: a row passes when at
+    least one branch passes; a failing row reports exactly ONE violation —
+    the best-in-context branch error via ``select_best_error`` — instead of
+    every branch's error (multi-error rows, VERDICT r1 missing #5)."""
+    return _compound(name, branches, "any_of", min_version)
+
+
+def one_of(name: str, branches: list[Check], min_version: str = "0.1.0") -> Check:
+    """Strict ``oneOf`` ≙ the reference's value-XOR-bin cells
+    (data_schema.json:25-44): a row must satisfy EXACTLY one branch —
+    failing all branches reports the best-in-context sub-error, and being
+    valid under two or more reports jsonschema's "is valid under each of"
+    failure."""
+    return _compound(name, branches, "one_of", min_version)
 
 
 # ---------------------------------------------------------------------------

@@ -233,11 +233,13 @@ class CheckStage:
             b.unigram = UnigramHistogram(self.ctx.vocab_size, self.unigram_buckets)
         return b
 
-    def __call__(self, batch: pa.Table, row_offset: int = 0) -> pa.Table:
+    def __call__(self, batch: pa.Table, row_offset: int | None = 0) -> pa.Table:
         """``row_offset``: index of this batch's first row within its file —
         supplied by FileCheckReader so violation ``row_idx`` is a
         deterministic file-absolute position (the ordering contract of
-        SURVEY.md §2.6); 0 (batch-local) in the classic map_batches plan."""
+        SURVEY.md §2.6); 0 (batch-local) in the classic map_batches plan;
+        None → row_idx is emitted null (bundle mode, where block order is
+        not deterministic and doc_id is the row identity)."""
         paths = None
         if "path" in batch.column_names:
             paths = batch.column("path")
@@ -304,7 +306,7 @@ class CheckStage:
                 emit(
                     KIND_VIOLATION,
                     uniq_paths[path_codes[ri]],
-                    row_offset + int(ri),
+                    None if row_offset is None else row_offset + int(ri),
                     doc_vals[i],
                     cn,
                     lv,
@@ -670,14 +672,19 @@ class ValidationEngine:
         )
 
         def route(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return MIXED_SCHEMA.empty_table()
             tbl_col = t.column(table_column)
             tags = pc.binary_join_element_wise(
-                pa.array([bundle_name + "#"] * t.num_rows),
+                pa.array([bundle_name + "#"] * t.num_rows, type=pa.string()),
                 pc.cast(tbl_col, pa.string()),
                 "",
             )
             t = t.drop_columns([table_column]).append_column("path", tags)
-            return stage(t)
+            # row_offset=None: block order is not deterministic under the
+            # streaming executor, so bundle-mode violations carry no
+            # positional row_idx — doc_id is the row identity
+            return stage(t, row_offset=None)
 
         cols = cfg.suite.required_columns()
         ds = ray.data.read_parquet(bundle_path, columns=(cols + [table_column]) if cols else None)
@@ -733,6 +740,14 @@ class ValidationEngine:
         out_dir = Path(output_dir) if output_dir else None
         manifest = CheckpointManifest(out_dir / "manifest.jsonl") if out_dir else None
 
+        # in archive mode every run extracts to a FRESH temp dir, so manifest
+        # lineage must key on scrubbed (archive-relative) paths or resume
+        # would both replay completed chunks AND re-validate every file
+        strip = cfg.scrub_prefix or ""
+
+        def rel(f: str) -> str:
+            return f[len(strip):] if strip and f.startswith(strip) else f
+
         # resume is FILE-granular: a file inside any completed chunk is never
         # re-read, and only pending files are re-chunked — so incremental
         # ingest (new files appearing between runs, sorting anywhere in the
@@ -741,7 +756,7 @@ class ValidationEngine:
         if manifest:
             for e in manifest.get_all("chunk"):
                 completed_files.update(e.get("files", ()))
-        pending = [f for f in files if f not in completed_files]
+        pending = [f for f in files if rel(f) not in completed_files]
         chunks = [pending[i : i + cfg.chunk_files] for i in range(0, len(pending), cfg.chunk_files)]
         t0 = time.perf_counter()
         total_rows = 0
@@ -756,7 +771,7 @@ class ValidationEngine:
                 pd.DataFrame(
                     [
                         dict(
-                            partition_id=f,
+                            partition_id=rel(f),
                             check_name="partition_referenced",
                             passed=False,
                             n_rows=0,
@@ -764,7 +779,7 @@ class ValidationEngine:
                             detail=f"{name} is not referenced in the submission.",
                         ),
                         dict(
-                            partition_id=f,
+                            partition_id=rel(f),
                             check_name="appledouble_hint",
                             passed=False,
                             n_rows=0,
@@ -788,14 +803,14 @@ class ValidationEngine:
                 # byte-matches "{f} is not referenced in the submission."
                 # (full_submission_validator.py:221-222)
                 linkage.append(
-                    dict(partition_id=f, check_name="partition_referenced", passed=False,
+                    dict(partition_id=rel(f), check_name="partition_referenced", passed=False,
                          n_rows=0, n_violations=1,
                          detail=f"{Path(f).name} is not referenced in the submission.")
                 )
             for f in sorted(expected - found):
                 # byte-matches "Missing data_file '%s'." (full_submission_validator.py:313-314)
                 linkage.append(
-                    dict(partition_id=f, check_name="partition_present", passed=False,
+                    dict(partition_id=rel(f), check_name="partition_present", passed=False,
                          n_rows=0, n_violations=1, detail="Missing data_file '%s'." % Path(f).name)
                 )
             if linkage:
@@ -835,7 +850,7 @@ class ValidationEngine:
 
         chunk_index_base = len(manifest.get_all("chunk")) if manifest else 0
         for ci, chunk in enumerate(chunks, start=chunk_index_base):
-            ckey = chunk_key(chunk)
+            ckey = chunk_key([rel(f) for f in chunk])
             res = self._run_chunk(chunk, ci, out_dir)
             total_rows += res["n_rows"]
             total_violations += res["n_violations"]
@@ -850,7 +865,7 @@ class ValidationEngine:
                         "type": "chunk",
                         "chunk_key": ckey,
                         "chunk_index": ci,
-                        "files": chunk,
+                        "files": [rel(f) for f in chunk],
                         "n_rows": res["n_rows"],
                         "n_violations": res["n_violations"],
                         "violation_counts": res["violation_counts"],
@@ -1206,7 +1221,10 @@ class ValidationEngine:
 
     # -- duplicate pass ------------------------------------------------------
     def _dup_pass(self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None) -> pd.DataFrame:
-        files_key = chunk_key(files)
+        # key on scrubbed paths so archive mode (fresh temp dir per run)
+        # recognizes the same input set across runs
+        strip = self.config.scrub_prefix or ""
+        files_key = chunk_key([f[len(strip):] if strip and f.startswith(strip) else f for f in files])
         if manifest and manifest.has("dup_pass"):
             e = manifest.get_all("dup_pass")[-1]
             # reuse only when the INPUT FILE SET is unchanged — incremental

@@ -30,6 +30,16 @@ import ray.data
 BUCKET_COL = "__bucket__"
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based 64-bit mix (public splitmix64 constants) — the one
+    shared mixing kernel (synth content, LSH banding, sampling, fingerprints
+    all derive from it; keep a single definition so hashes stay in sync)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _hash_mod(arr: pa.Array, num_buckets: int) -> np.ndarray:
     np_vals = arr.to_numpy(zero_copy_only=False)
     if np_vals.dtype.kind in ("i", "u"):

@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from hepdata_validator_ray.ops import splitmix64 as _splitmix64
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -102,7 +104,9 @@ def _strong_content_keys(t: pa.Table) -> pa.Table:
     C siphash under independent keys.  Identical content → identical key;
     distinct-content collision odds ~2^-128 — the practical exactness class
     of a cryptographic digest with no large temporaries (this kernel is
-    memory-bandwidth-bound territory at 10^12 rows).  Null tokens ≡ empty."""
+    memory-bandwidth-bound territory at 10^12 rows).  Null rows form their
+    OWN group, distinct from empty lists — matching SQL GROUP BY semantics
+    (all NULLs group together, apart from [])."""
     col = t.column("tokens")
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     vals = arr.values
@@ -119,12 +123,13 @@ def _strong_content_keys(t: pa.Table) -> pa.Table:
     h2 = pd.util.hash_array(obj, hash_key=_CONTENT_KEY_B, categorize=False)
     if arr.null_count:
         # null rows may reference arbitrary (per Arrow spec: monotonic but
-        # unspecified-width) offset ranges — pin them to the empty hash
+        # unspecified-width) offset ranges — pin them to a sentinel hash no
+        # int32 list can produce (17 bytes, not a multiple of 4)
         null_mask = pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
-        empty = np.empty(1, dtype=object)
-        empty[0] = b""
-        h1[null_mask] = pd.util.hash_array(empty, hash_key=_CONTENT_KEY_A, categorize=False)[0]
-        h2[null_mask] = pd.util.hash_array(empty, hash_key=_CONTENT_KEY_B, categorize=False)[0]
+        sent = np.empty(1, dtype=object)
+        sent[0] = b"\x00hvr-null-tokens"
+        h1[null_mask] = pd.util.hash_array(sent, hash_key=_CONTENT_KEY_A, categorize=False)[0]
+        h2[null_mask] = pd.util.hash_array(sent, hash_key=_CONTENT_KEY_B, categorize=False)[0]
     return pa.Table.from_pydict(
         {"h1": pa.array(h1, type=pa.uint64()), "h2": pa.array(h2, type=pa.uint64())}
     )
@@ -170,25 +175,16 @@ _SHINGLE_MIX = (
 )
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
-
-
 def _word_hashes(texts: pd.Series, hash_key: str) -> tuple[np.ndarray, np.ndarray]:
     """Whitespace-split every text and hash every word with pandas' C
     siphash in one batch call — no per-word Python (VERDICT r1 #4; the old
     kernel called hashlib.md5 per shingle).  Returns (flat word hashes
-    uint64, row offsets int64 of len n+1)."""
-    words = texts.str.split(" ")
-    lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    total = int(offsets[-1])
-    flat = np.fromiter(itertools.chain.from_iterable(words.dropna()), dtype=object, count=total)
-    if total == 0:
+    uint64, row offsets int64 of len n+1).  Shares the exploder with the
+    text pipelines (one implementation to keep in sync)."""
+    from hepdata_validator_ray.pipelines.text import _explode_words
+
+    flat, offsets = _explode_words(texts.str.split(" "))
+    if len(flat) == 0:
         return np.empty(0, dtype=np.uint64), offsets
     return pd.util.hash_array(flat, hash_key=hash_key), offsets
 

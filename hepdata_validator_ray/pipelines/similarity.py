@@ -16,6 +16,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from hepdata_validator_ray.ops import splitmix64 as _splitmix64
+
 
 def _load_queries(emb_path: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """Query matrix = the first ``n_queries`` vec_ids, fetched via a
@@ -73,13 +75,6 @@ def ann_topk_bruteforce(emb_path: str, k: int = 10, n_queries: int = 5) -> pd.Da
     )
     out["cos"] = out["cos"].round(6)
     return out[["query_id", "neighbor_id", "cos"]]
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def _sample_centroids(emb_path: str, n_cells: int, seed: int) -> np.ndarray:

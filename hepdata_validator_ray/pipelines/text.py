@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from hepdata_validator_ray.ops import splitmix64 as _splitmix64
+
 
 def _explode_words(words: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a Series of word lists: (flat object array, row offsets)."""
@@ -154,13 +156,6 @@ def lang_id(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
 
 FP_SEED = 0xCBF29CE484222325
 _FP_KEY = "hvr-fingerprintk"  # 16-byte siphash key for word hashing
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def _fingerprint_batch(words: pd.Series) -> np.ndarray:

@@ -65,14 +65,9 @@ def _hits(idx: np.ndarray, rule: tuple[int, int]) -> np.ndarray:
     return (idx % mod) == res
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Counter-based 64-bit mix (public splitmix64 constants) — per-row
-    randomness derived from the GLOBAL row index, so generated content is
-    identical for any file layout / chunking of the same row range."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+# per-row randomness derives from the GLOBAL row index via the shared mix
+# kernel, so generated content is identical for any file layout / chunking
+from hepdata_validator_ray.ops import splitmix64 as _splitmix64  # noqa: E402
 
 
 def generate_sequences_table(

@@ -90,3 +90,33 @@ def test_archive_error_paths(tmp_path):
     res = eng.validate(arch)
     assert not res.valid
     assert res.verdicts.detail.iloc[0] == "No parquet files found in submission."
+
+
+def test_archive_revalidation_same_output_resumes(dataset_dir, tmp_path):
+    """Re-validating the same archive with the same output_dir must resume
+    (manifest keys on archive-relative paths), not double-count: each run
+    extracts to a fresh temp dir, so absolute-path lineage would both replay
+    completed chunks AND re-validate every file."""
+    archive = shutil.make_archive(str(tmp_path / "sub2"), "zip", root_dir=dataset_dir)
+    out = tmp_path / "out2"
+    r1 = _engine().validate(archive, output_dir=str(out))
+    r2 = _engine().validate(archive, output_dir=str(out))
+    assert r2.n_violations == r1.n_violations
+    assert r2.violation_counts == r1.violation_counts
+    assert r2.n_rows == r1.n_rows
+
+
+def test_archive_appledouble_verdicts_scrubbed(dataset_dir, tmp_path):
+    """AppleDouble companion files inside an archive surface with SCRUBBED
+    partition ids (the driver-built verdict rows go through the same temp
+    scrub as the mixed stream)."""
+    d = tmp_path / "mac"
+    shutil.copytree(dataset_dir, d)
+    src = next(d.glob("*.parquet"))
+    (d / ("._" + src.name)).write_bytes(b"\x00\x05\x16\x07junk")
+    archive = shutil.make_archive(str(tmp_path / "mac_arch"), "zip", root_dir=d)
+    res = _engine().validate(archive)
+    apple = res.verdicts[res.verdicts.check_name == "appledouble_hint"]
+    assert len(apple) == 1
+    assert not apple.partition_id.str.contains("/tmp").any()
+    assert apple.partition_id.iloc[0] == "._" + src.name

@@ -9,6 +9,7 @@ import pyarrow.parquet as pq
 from hepdata_validator_ray.checks.base import Check, CheckContext, CheckSuite
 from hepdata_validator_ray.checks.row_checks import (
     DEFAULT_ROW_CHECKS,
+    any_of,
     check_doc_id_format,
     check_tokens_not_empty,
     one_of,
@@ -57,11 +58,11 @@ def _mini_batch():
     )
 
 
-def test_one_of_reports_single_best_error():
-    """A row failing every branch of a one_of reports exactly ONE violation,
+def test_any_of_reports_single_best_error():
+    """A row failing every branch of an any_of reports exactly ONE violation,
     chosen by relevance (deeper column path wins) — by_relevance semantics
     (__init__.py:116-121)."""
-    comp = one_of("id_or_nonempty", [
+    comp = any_of("id_or_nonempty", [
         DEFAULT_ROW_CHECKS[1],  # doc_id_format (columns=('doc_id',))
         Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
     ])
@@ -75,6 +76,27 @@ def test_one_of_reports_single_best_error():
     assert res.details == ["tokens cannot be empty"] or "empty" in res.details[0]
 
 
+def test_one_of_is_strict_xor():
+    """Strict oneOf (≙ data_schema.json value-XOR-bin): a row valid under
+    BOTH branches fails with the 'is valid under each of' error; a row valid
+    under exactly one passes; a row valid under none gets the best
+    sub-error."""
+    comp = one_of("id_xor_nonempty", [
+        DEFAULT_ROW_CHECKS[1],  # doc_id_format
+        Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
+    ])
+    ctx = CheckContext()
+    view = prepare_view(_mini_batch())
+    res = comp.fn(view, ctx)
+    got = dict(zip(res.indices.tolist(), res.details))
+    # row 0 passes both -> XOR failure naming both branches
+    assert got[0] == "is valid under each of doc_id_format, tokens_not_empty"
+    # row 1 fails both -> best-in-context sub-error
+    assert 1 in got and "valid under each" not in got[1]
+    # row 2 passes exactly one branch (format check ignores null doc_id) -> ok
+    assert 2 not in got
+
+
 def test_select_best_error_ranking():
     deep = Check("deep", lambda v, c: None, kind="semantic", columns=("a", "b"))
     shallow = Check("shallow", lambda v, c: None, kind="schema", columns=("a",))
@@ -85,11 +107,12 @@ def test_select_best_error_ranking():
     assert select_best_error([(shallow, "s1"), (Check("s2", None, columns=("a",)), "s2")]) == "s1"
 
 
-def test_one_of_in_suite_via_engine():
-    """one_of integrates with CheckStage: violations carry the compound name."""
+def test_compound_in_suite_via_engine():
+    """Compound checks integrate with CheckStage: violations carry the
+    compound name."""
     import ray.data
 
-    comp = one_of("id_or_nonempty", [
+    comp = any_of("id_or_nonempty", [
         DEFAULT_ROW_CHECKS[1],
         Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
     ])

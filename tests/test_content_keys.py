@@ -28,7 +28,11 @@ BASE = pa.array([[1, 2, 3], [4, 5], [1, 2, 3], [], None, [0, 0, 0, 0]], type=pa.
 def test_content_keys_equality_semantics():
     k = _keys(BASE)
     assert k[0] == k[2], "identical content must hash equal"
-    assert k[3] == k[4], "null tokens ≡ empty tokens"
+    # null is its OWN group, distinct from [] (SQL GROUP BY semantics);
+    # all nulls hash equal to each other
+    assert k[3] != k[4], "null tokens must not collide with empty tokens"
+    more = _keys(pa.array([None, None], type=pa.list_(pa.int32())))
+    assert more[0] == more[1] == k[4], "all null rows form one group"
     assert len({k[0], k[1], k[3], k[5]}) == 4, "distinct content must differ"
 
 
