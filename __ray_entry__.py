@@ -93,6 +93,36 @@ def _frame_counts(sf_dir: str):
     )
 
 
+def _compound_violations(sf_dir: str):
+    """The compound-check extension surface (any_of + best-error selection)
+    under the correctness gate: a row violates the compound iff it fails
+    BOTH branches."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, any_of, prepare_view
+
+    by_name = {c.name: c for c in DEFAULT_ROW_CHECKS}
+    comp = any_of("neg_or_mismatch", [by_name["n_tok_non_negative"], by_name["token_length_consistency"]])
+    ctx = CheckContext()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        res = comp.fn(view, ctx)
+        doc = view["doc_id"]
+        ids = doc.take(pa.array(res.indices)).to_pylist() if len(res.indices) else []
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "check_name": pa.array([comp.name] * len(ids), type=pa.string()),
+            }
+        )
+
+    import ray.data
+
+    return ray.data.read_parquet(_seq(sf_dir)).map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 def _csv_violations(sf_dir: str):
     """Same check suite over the CSV wire format (source breadth, S1/S2)."""
     from hepdata_validator_ray.checks.base import CheckContext
@@ -154,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_row_violations_jsonl": _jsonl_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_row_violations_csv": _csv_violations,
+        "v_compound_check": _compound_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_ntok_quantiles_by_source": lambda sf: validation.ntok_quantiles_by_source(_seq(sf)),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
@@ -362,6 +393,11 @@ SELECT count(*) FILTER (len(embedding) <> 64)::BIGINT AS n_bad_dim,
        count(*) FILTER (list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) = 0)::BIGINT AS n_zero_norm,
        count(*)::BIGINT AS n_rows
 FROM embeddings""",
+        "v_compound_check": f"""
+SELECT doc_id, 'neg_or_mismatch' AS check_name
+FROM read_parquet('{p}')
+WHERE n_tok < 0
+  AND tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)""",
         "v_ntok_quantiles_by_source": f"""
 SELECT source,
        round(quantile_cont(n_tok, 0.5), 6) AS p50,
