@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_survivor_stats": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.clean", fromlist=["x"]
         ).clean_survivor_stats(_seq(sf)),
+        "clean_documents_stats": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.clean", fromlist=["x"]
+        ).clean_documents_stats(docs(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "segment_revenue": relational.segment_revenue,
@@ -203,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_lag_previous": relational.events_lag_previous,
         "events_asof_join": relational.events_asof_join,
+        "events_trailing_count": relational.events_trailing_count,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
         "top_customers": relational.top_customers,
@@ -319,6 +323,15 @@ WHERE doc_id IS NOT NULL
   AND doc_id NOT IN (SELECT doc_id FROM dup_ids)
   AND doc_id NOT IN (SELECT doc_id FROM bad_ids)
 GROUP BY source""",
+        "clean_documents_stats": """
+WITH d AS (SELECT doc_id, lang, text, md5(text) AS h FROM documents),
+w AS (SELECT h, min(doc_id) AS keep, count(*) AS c FROM d GROUP BY h)
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM d JOIN w USING (h)
+WHERE (w.c = 1 OR d.doc_id = w.keep)
+  AND len(string_split(d.text, ' ')) >= 5
+  AND length(d.text) >= 20
+GROUP BY lang""",
         "v_duplicates": f"""
 SELECT doc_id, count(*)::BIGINT AS cnt
 FROM read_parquet('{p}') WHERE doc_id IS NOT NULL
@@ -498,6 +511,11 @@ GROUP BY c_mktsegment""",
 SELECT event_id,
        strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 '%Y-%m-%d %H:%M:%S') AS prev_ts
+FROM events""",
+        "events_trailing_count": """
+SELECT event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)::BIGINT AS n_trailing
 FROM events""",
         "events_asof_join": """
 SELECT l.event_id,

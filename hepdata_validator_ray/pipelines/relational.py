@@ -296,6 +296,48 @@ def events_lag_previous(sf_dir: str, num_buckets: int | None = None) -> "ray.dat
     )
 
 
+def events_trailing_count(sf_dir: str, window_minutes: int = 60, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Sliding/trailing window aggregate (the streaming-window operator,
+    SURVEY.md §2.8): for every event, the number of the SAME user's events
+    in the trailing ``window_minutes`` (inclusive of the event itself).
+
+    One hash-bucket exchange on user_id; inside a bucket a vectorized
+    two-pointer pass (np.searchsorted over each user's sorted timestamps)
+    covers all the bucket's users — no per-event Python."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    win = np.timedelta64(window_minutes, "m")
+
+    win_ns = np.int64(win / np.timedelta64(1, "ns"))
+
+    def trailing(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"), "n_trailing": pd.Series(dtype="int64")})
+        t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
+        users = df["user_id"].to_numpy()
+        # per-user segments; shift each segment into its own disjoint time
+        # band so ONE globally sorted array serves every user's searchsorted
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_of = np.repeat(np.arange(len(seg_starts)), np.diff(np.r_[seg_starts, len(users)]))
+        span = (t64.max() - t64.min()) + win_ns + 1
+        shifted = (t64 - t64.min()) + seg_of * span
+        lo = np.searchsorted(shifted, shifted - win_ns, side="left")
+        # hi includes equal-timestamp peers — SQL RANGE frames extend
+        # through the current row's ORDER BY peers
+        hi = np.searchsorted(shifted, shifted, side="right")
+        cnt = hi - lo
+        return pd.DataFrame({"event_id": df["event_id"], "n_trailing": cnt.astype("int64")})
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(trailing, batch_format="pandas")
+    )
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 3, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Grouped top-k (top documents per domain is the training-data shape):
     top-k parts per brand by retail price.  One hash-bucket exchange on the
