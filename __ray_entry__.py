@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_compound_check": _compound_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_ntok_quantiles_by_source": lambda sf: validation.ntok_quantiles_by_source(_seq(sf)),
+        "v_token_bigrams_top": lambda sf: validation.token_bigrams_top(_seq(sf), k=100),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
@@ -406,6 +407,13 @@ SELECT count(*) FILTER (len(embedding) <> 64)::BIGINT AS n_bad_dim,
        count(*) FILTER (list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) = 0)::BIGINT AS n_zero_norm,
        count(*)::BIGINT AS n_rows
 FROM embeddings""",
+        "v_token_bigrams_top": f"""
+WITH b AS (
+  SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+  FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2
+),
+c AS (SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2)
+SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 100""",
         "v_compound_check": f"""
 SELECT doc_id, 'neg_or_mismatch' AS check_name
 FROM read_parquet('{p}')

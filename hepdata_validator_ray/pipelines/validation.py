@@ -233,6 +233,65 @@ def longest_sequences(seq_path: str, k: int = 20) -> "ray.data.Dataset":
     )
 
 
+def token_bigrams_top(seq_path: str, k: int = 100, vocab_size: int | None = None) -> "ray.data.Dataset":
+    """Top-k token bigrams across the corpus — the n-gram statistics pass of
+    a training-data pipeline (vocabulary analysis / contamination greps).
+
+    Bigrams are encoded as ONE int64 key (t1*V + t2, never crossing row
+    boundaries), pre-counted per batch (map-side combine) and summed in the
+    bucketed exchange; a final distributed sort takes the top k with a
+    fully deterministic (cnt desc, t1, t2) order."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    V = vocab_size or CheckContext().vocab_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
+        n = len(flat)
+        if n < 2:
+            return pa.Table.from_pydict(
+                {"key": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
+            )
+        key = flat[:-1].astype(np.int64) * np.int64(V) + flat[1:].astype(np.int64)
+        # drop pairs straddling row boundaries (position i is a row's last)
+        last_positions = offsets[1:][lens > 0] - 1
+        valid = np.ones(n - 1, dtype=bool)
+        valid[last_positions[last_positions < n - 1]] = False
+        uniq, cnt = np.unique(key[valid], return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, type=pa.int64()), "cnt": pa.array(cnt, type=pa.int64())}
+        )
+
+    counts = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["tokens"]), "key", partial, sum_counts_combine("key")
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "t1": pa.array(key // V, type=pa.int64()),
+                "t2": pa.array(key % V, type=pa.int64()),
+                "cnt": t["cnt"],
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        # per-block (= per-bucket) partial top-k so the global sort moves
+        # ≤ k × num_buckets rows instead of every distinct bigram
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"), ("key", "ascending")])
+        return t.take(idx[: min(k, t.num_rows)])
+
+    return (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["cnt", "key"], descending=[True, False])
+        .limit(k)
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
 def ntok_quantiles_by_source(seq_path: str) -> "ray.data.Dataset":
     """Per-source n_tok quantiles (the data-mix length diagnostic): a
     grouped distributed Quantile aggregate — one shuffle keyed on the
