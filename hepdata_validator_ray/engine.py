@@ -1114,54 +1114,70 @@ class ValidationEngine:
         return vdir
 
     def _build_verdicts(self, stats_df: pd.DataFrame, vio_counts_df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized: cross(partitions × active checks) merged with the
+        grouped violation counts — no per-(partition, check) Python loop
+        (100k-file runs produce millions of verdict rows)."""
         cfg = self.config
-        recs: list[dict] = []
-        counts = {}
-        if len(vio_counts_df):
-            for _, r in vio_counts_df.iterrows():
-                counts[(r["partition_id"], r["check_name"])] = int(r["count()"])
-        for _, srow in stats_df.iterrows():
-            pid, nrows = srow["partition_id"], int(srow["n_rows"])
-            if cfg.max_padding_rows_per_partition is not None:
-                # partition-level sentinel-count rule (A3): at most K
-                # all-padding rows per partition
-                n_pad = counts.get((pid, "tokens_not_all_zero"), 0)
-                k = cfg.max_padding_rows_per_partition
-                recs.append(
-                    dict(
-                        partition_id=pid,
-                        check_name="partition_padding_limit",
-                        passed=n_pad <= k,
-                        n_rows=nrows,
-                        n_violations=0 if n_pad <= k else n_pad,
-                        detail="" if n_pad <= k else f"{n_pad} all-padding rows exceed limit of {k}",
-                    )
-                )
-            for check in cfg.suite.checks:
-                nv = counts.get((pid, check.name), 0)
-                recs.append(
-                    dict(
-                        partition_id=pid,
-                        check_name=check.name,
-                        passed=nv == 0,
-                        n_rows=nrows,
-                        n_violations=nv,
-                        detail="" if nv == 0 else f"{nv} violation(s)",
-                    )
-                )
-            n_unreadable = counts.get((pid, "partition_readable"), 0)
-            if n_unreadable:
-                recs.append(
-                    dict(
-                        partition_id=pid,
-                        check_name="partition_readable",
-                        passed=False,
-                        n_rows=nrows,
-                        n_violations=n_unreadable,
-                        detail="file could not be parsed",
-                    )
-                )
-        return pd.DataFrame(recs, columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
+        if not len(stats_df):
+            return pd.DataFrame(columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
+        parts = stats_df[["partition_id", "n_rows"]].copy()
+        parts["n_rows"] = parts["n_rows"].astype("int64")
+        counts = (
+            vio_counts_df.rename(columns={"count()": "nv"})
+            if len(vio_counts_df)
+            else pd.DataFrame(columns=["partition_id", "check_name", "nv"])
+        )
+
+        check_names = [c.name for c in cfg.suite.checks]
+        base = parts.merge(pd.DataFrame({"check_name": check_names}), how="cross")
+        base = base.merge(counts, on=["partition_id", "check_name"], how="left")
+        base["n_violations"] = base["nv"].fillna(0).astype("int64")
+        base["passed"] = base["n_violations"] == 0
+        base["detail"] = np.where(
+            base["passed"], "", base["n_violations"].astype(str) + " violation(s)"
+        )
+
+        frames = [base]
+        if cfg.max_padding_rows_per_partition is not None:
+            # partition-level sentinel-count rule (A3): at most K
+            # all-padding rows per partition
+            k = cfg.max_padding_rows_per_partition
+            pad = parts.merge(
+                counts[counts.check_name == "tokens_not_all_zero"][["partition_id", "nv"]],
+                on="partition_id",
+                how="left",
+            )
+            n_pad = pad["nv"].fillna(0).astype("int64")
+            pad["check_name"] = "partition_padding_limit"
+            pad["passed"] = n_pad <= k
+            pad["n_violations"] = np.where(pad["passed"], 0, n_pad)
+            pad["detail"] = np.where(
+                pad["passed"], "", n_pad.astype(str) + f" all-padding rows exceed limit of {k}"
+            )
+            frames.insert(0, pad)
+
+        unreadable = counts[counts.check_name == "partition_readable"]
+        if len(unreadable):
+            ur = parts.merge(unreadable[["partition_id", "nv"]], on="partition_id", how="inner")
+            ur["check_name"] = "partition_readable"
+            ur["passed"] = False
+            ur["n_violations"] = ur["nv"].astype("int64")
+            ur["detail"] = "file could not be parsed"
+            frames.append(ur)
+
+        cols = ["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"]
+        out = pd.concat([f[cols] for f in frames], ignore_index=True)
+        # per-partition ordering: padding rule first, then suite order, then
+        # readability — the order the loop-based builder produced
+        order = {"partition_padding_limit": -1, "partition_readable": len(check_names) + 1}
+        order.update({n: i for i, n in enumerate(check_names)})
+        out["__o__"] = out["check_name"].map(order)
+        out = (
+            out.sort_values(["partition_id", "__o__"], kind="mergesort")
+            .drop(columns="__o__")
+            .reset_index(drop=True)
+        )
+        return out
 
     def _drift_score_bundle(self, partition_id: str, merged: SketchBundle, profile: SketchBundle) -> list[dict]:
         cfg = self.config
