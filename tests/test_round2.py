@@ -122,3 +122,61 @@ def test_ngram_jaccard_no_candidates(tmp_path):
     pq.write_table(docs, tmp_path / "docs.parquet")
     out = ngram_jaccard_pairs(str(tmp_path / "docs.parquet"), threshold=0.0).to_pandas()
     assert len(out) == 0
+
+
+def test_trailing_count_duplicate_timestamps(tmp_path):
+    """RANGE-frame tie semantics: events sharing (user, ts) count each other
+    (SQL RANGE ... CURRENT ROW includes ORDER BY peers)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_trailing_count
+
+    base = pd.Timestamp("2025-01-01 10:00:00")
+    rows = [
+        (1, 7, base),                       # within window of the two below
+        (2, 7, base + pd.Timedelta("30min")),
+        (3, 7, base + pd.Timedelta("30min")),   # duplicate ts peer of event 2
+        (4, 7, base + pd.Timedelta("2h")),       # outside the 60-min window
+        (5, 8, base + pd.Timedelta("30min")),    # other user
+    ]
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array([r[2].to_pydatetime() for r in rows], type=pa.timestamp("ns")),
+        }
+    )
+    d = tmp_path / "events.parquet"
+    pq.write_table(tbl, d)
+
+    # point the pipeline at this table via a shim sf_dir
+    sf = tmp_path
+    out = (
+        events_trailing_count(str(sf), window_minutes=60, num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")["n_trailing"]
+    )
+    assert out[1] == 1
+    assert out[2] == 3  # itself + its exact-ts peer + event 1
+    assert out[3] == 3
+    assert out[4] == 1
+    assert out[5] == 1
+
+
+def test_token_bigrams_top_matches_naive(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_bigrams_top
+
+    rows = [[1, 2, 3], [2, 3], [1, 2], [], [7]]
+    tbl = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+    pq.write_table(tbl, tmp_path / "s.parquet")
+    out = token_bigrams_top(str(tmp_path), k=10).to_pandas()
+    got = {(r.t1, r.t2): r.cnt for r in out.itertuples()}
+    # naive: (1,2)x2, (2,3)x2, (3, -) none; no cross-row pairs
+    assert got == {(1, 2): 2, (2, 3): 2}
