@@ -246,6 +246,7 @@ class CheckStage:
             batch = batch.drop_columns(["path"])
         view = prepare_view(batch)
         n = view["n"]
+        present = set(batch.column_names)
 
         # ---- run checks (vectorized) ----------------------------------
         out_idx: list[np.ndarray] = []
@@ -254,6 +255,12 @@ class CheckStage:
         out_detail: list[str] = []
         schema_failed: np.ndarray | None = None
         for check in self.checks:
+            if any(col not in present for col in check.columns):
+                # input is missing a column this check needs — the
+                # required-property violation is reported once per file by
+                # the reader (FileCheckReader); running the kernel would
+                # KeyError on the absent view entry
+                continue
             res = check.fn(view, self.ctx)
             idx = res.indices
             if self.ctx.suppress_semantic_on_schema_error and check.kind == "semantic" and schema_failed is not None:
@@ -387,7 +394,33 @@ class FileCheckReader:
             except (pa.ArrowInvalid, pa.ArrowIOError, OSError) as e:
                 parse_error = e
             else:
-                it = pf.iter_batches(batch_size=self._rows_per_batch(pf), columns=self.columns)
+                # required-column sweep: pyarrow silently DROPS requested
+                # columns absent from the file, so detect them here and
+                # report with the reference's jsonschema `required` grammar
+                # ("'source' is a required property") — one row per missing
+                # column per file; checks needing them are skipped downstream
+                missing = [c for c in (self.columns or []) if c not in pf.schema_arrow.names]
+                for col in missing:
+                    outs.append(
+                        pa.Table.from_pydict(
+                            {
+                                "kind": [KIND_VIOLATION],
+                                "partition_id": [path],
+                                "row_idx": pa.nulls(1, pa.int64()),
+                                "doc_id": pa.nulls(1, pa.string()),
+                                "check_name": ["required_columns"],
+                                "level": ["error"],
+                                "detail": [f"'{col}' is a required property"],
+                                "n_rows": pa.nulls(1, pa.int64()),
+                                "payload": pa.nulls(1, pa.binary()),
+                            },
+                            schema=MIXED_SCHEMA,
+                        )
+                    )
+                read_cols = (
+                    [c for c in self.columns if c not in missing] if self.columns else self.columns
+                )
+                it = pf.iter_batches(batch_size=self._rows_per_batch(pf), columns=read_cols)
                 while True:
                     try:
                         rb = next(it)

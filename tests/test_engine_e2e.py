@@ -484,3 +484,28 @@ def test_suppression_semantics(synth_path):
     expected_consistency = len(gt["token_length_consistency"] - schema_rows)
     assert res.violation_counts["token_length_consistency"] == expected_consistency
     assert expected_consistency < len(gt["token_length_consistency"])
+
+
+def test_missing_required_column_reported_not_crashed(tmp_path):
+    """A file lacking a suite column yields the reference's jsonschema
+    `required` violation ("'source' is a required property") and the
+    remaining checks still run — never a KeyError crash (pyarrow silently
+    drops absent columns from projection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = generate_sequences_table(300, seed=21)
+    tbl = tbl.drop_columns(["source"])
+    pq.write_table(tbl, tmp_path / "nosrc.parquet")
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate(str(tmp_path))
+    assert not res.valid
+    assert res.violation_counts.get("required_columns") == 1
+    vio = res.verdicts  # other checks still produced verdicts
+    assert (vio.check_name == "doc_id_format").any()
+    # and the byte-exact required-property message appears in violations
+    out = tmp_path / "out"
+    res2 = eng.validate(str(tmp_path), output_dir=str(out))
+    v = res2.load_violations().to_pandas()
+    assert "'source' is a required property" in set(v.detail)
