@@ -412,7 +412,11 @@ WITH b AS (
   SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
   FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2
 ),
-c AS (SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2)
+c AS (
+  SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b
+  WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V}
+  GROUP BY 1, 2
+)
 SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 100""",
         "v_compound_check": f"""
 SELECT doc_id, 'neg_or_mismatch' AS check_name

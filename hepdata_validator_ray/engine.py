@@ -66,6 +66,12 @@ from hepdata_validator_ray.sketches import (
 )
 from hepdata_validator_ray.state.manifest import CheckpointManifest, chunk_key
 
+def _strip_prefix(prefix: str | None, f: str) -> str:
+    """Remove the archive-mode temp-extraction prefix from a path (shared by
+    the resume lineage, dup-pass keying and verdict scrubbing)."""
+    return f[len(prefix):] if prefix and f.startswith(prefix) else f
+
+
 # Stable Arrow schema for the mixed check-stage output stream.
 MIXED_SCHEMA = pa.schema(
     [
@@ -776,10 +782,8 @@ class ValidationEngine:
         # in archive mode every run extracts to a FRESH temp dir, so manifest
         # lineage must key on scrubbed (archive-relative) paths or resume
         # would both replay completed chunks AND re-validate every file
-        strip = cfg.scrub_prefix or ""
-
         def rel(f: str) -> str:
-            return f[len(strip):] if strip and f.startswith(strip) else f
+            return _strip_prefix(cfg.scrub_prefix, f)
 
         # resume is FILE-granular: a file inside any completed chunk is never
         # re-read, and only pending files are re-chunked — so incremental
@@ -1046,7 +1050,10 @@ class ValidationEngine:
                 .groupby("partition_id", as_index=False)["n_rows"]
                 .sum()
             )
-            verdicts = self._build_verdicts(stats_df, vio_counts_df)
+            req_df = vio_tbl.filter(pc.equal(vio_tbl["check_name"], "required_columns")).select(
+                ["partition_id", "detail"]
+            ).to_pandas()
+            verdicts = self._build_verdicts(stats_df, vio_counts_df, req_df)
             bundle = None
             if cfg.enable_sketches:
                 sk_df = mixed_tbl.filter(pc.equal(mixed_tbl["kind"], KIND_SKETCH)).select(
@@ -1096,7 +1103,17 @@ class ValidationEngine:
             )
             stats_df = stats_df.rename(columns={"sum(n_rows)": "n_rows"})
 
-            verdicts = self._build_verdicts(stats_df, vio_counts_df)
+            req_df = (
+                violations.map_batches(
+                    lambda t: t.filter(pc.equal(t["check_name"], "required_columns")).select(
+                        ["partition_id", "detail"]
+                    ),
+                    batch_format="pyarrow",
+                ).to_pandas()
+                if "required_columns" in set(vio_counts_df.get("check_name", []))
+                else pd.DataFrame(columns=["partition_id", "detail"])
+            )
+            verdicts = self._build_verdicts(stats_df, vio_counts_df, req_df)
 
             # sketches: per-partition merge for drift + global tree reduce
             bundle = None
@@ -1146,10 +1163,20 @@ class ValidationEngine:
         vdir.mkdir(parents=True, exist_ok=True)
         return vdir
 
-    def _build_verdicts(self, stats_df: pd.DataFrame, vio_counts_df: pd.DataFrame) -> pd.DataFrame:
+    def _build_verdicts(
+        self,
+        stats_df: pd.DataFrame,
+        vio_counts_df: pd.DataFrame,
+        required_df: pd.DataFrame | None = None,
+    ) -> pd.DataFrame:
         """Vectorized: cross(partitions × active checks) merged with the
         grouped violation counts — no per-(partition, check) Python loop
-        (100k-file runs produce millions of verdict rows)."""
+        (100k-file runs produce millions of verdict rows).
+
+        ``required_df`` (partition_id, detail) carries the reader's
+        missing-required-column violations: checks depending on a missing
+        column are marked NOT RUN (passed=False) instead of spuriously
+        passing, and the partition gets a ``required_columns`` verdict."""
         cfg = self.config
         if not len(stats_df):
             return pd.DataFrame(columns=["partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"])
@@ -1171,6 +1198,37 @@ class ValidationEngine:
         )
 
         frames = [base]
+        if required_df is not None and len(required_df):
+            # "'source' is a required property" → source
+            missing = required_df.copy()
+            missing["col"] = missing["detail"].str.extract(r"^'([^']+)'")
+            # checks that NEED a missing column were skipped — not passed
+            dep = pd.DataFrame(
+                [
+                    {"check_name": c.name, "col": col}
+                    for c in cfg.suite.checks
+                    for col in c.columns
+                ]
+            )
+            skipped = missing.merge(dep, on="col")[["partition_id", "check_name"]].drop_duplicates()
+            skip_key = set(map(tuple, skipped.to_numpy()))
+            mask = base.set_index(["partition_id", "check_name"]).index.isin(skip_key)
+            base.loc[mask, "passed"] = False
+            base.loc[mask, "n_violations"] = 0
+            base.loc[mask, "detail"] = "not run: missing required column"
+            # and one required_columns verdict per affected partition
+            req = (
+                missing.groupby("partition_id")["col"]
+                .apply(lambda s: ", ".join(sorted(set(s))))
+                .reset_index(name="cols")
+                .merge(parts, on="partition_id", how="left")
+            )
+            req["n_rows"] = req["n_rows"].fillna(0).astype("int64")
+            req["check_name"] = "required_columns"
+            req["passed"] = False
+            req["n_violations"] = missing.groupby("partition_id")["col"].nunique().values
+            req["detail"] = "missing required column(s): " + req["cols"]
+            frames.append(req)
         if cfg.max_padding_rows_per_partition is not None:
             # partition-level sentinel-count rule (A3): at most K
             # all-padding rows per partition
@@ -1202,7 +1260,11 @@ class ValidationEngine:
         out = pd.concat([f[cols] for f in frames], ignore_index=True)
         # per-partition ordering: padding rule first, then suite order, then
         # readability — the order the loop-based builder produced
-        order = {"partition_padding_limit": -1, "partition_readable": len(check_names) + 1}
+        order = {
+            "partition_padding_limit": -1,
+            "partition_readable": len(check_names) + 1,
+            "required_columns": len(check_names) + 2,
+        }
         order.update({n: i for i, n in enumerate(check_names)})
         out["__o__"] = out["check_name"].map(order)
         out = (
@@ -1272,8 +1334,7 @@ class ValidationEngine:
     def _dup_pass(self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None) -> pd.DataFrame:
         # key on scrubbed paths so archive mode (fresh temp dir per run)
         # recognizes the same input set across runs
-        strip = self.config.scrub_prefix or ""
-        files_key = chunk_key([f[len(strip):] if strip and f.startswith(strip) else f for f in files])
+        files_key = chunk_key([_strip_prefix(self.config.scrub_prefix, f) for f in files])
         if manifest and manifest.has("dup_pass"):
             e = manifest.get_all("dup_pass")[-1]
             # reuse only when the INPUT FILE SET is unchanged — incremental

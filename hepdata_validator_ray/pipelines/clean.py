@@ -94,45 +94,51 @@ def clean_documents_stats(
     user runs over a text corpus: exact-dedup with keep-first survivors +
     quality filters, summarized per language.
 
-    Physical shape: one bucketed exchange computes (hash, keep_doc_id) for
-    DUPLICATED content classes only (a tiny table even at 10^12 docs — only
-    dup classes survive the cnt≥2 filter); that winner map broadcasts into
-    a single filter+count pass.  Quality predicates are vectorized pandas
-    string kernels chosen for exact SQL parity."""
+    Physical shape: ONE pass over the text computes per-row
+    (doc_id, lang, hash, quality metrics) — a materialized intermediate
+    ~10× smaller than the corpus (no text) that feeds both sides: the
+    bucketed exchange producing (hash, keep_doc_id) for DUPLICATED content
+    classes only (a tiny table even at 10^12 docs — only dup classes
+    survive the cnt≥2 filter), and the final broadcast filter+count.  The
+    corpus is read and hashed exactly once."""
+    import pandas as pd
+
     from hepdata_validator_ray.ops import bucketed_aggregate
+    from hepdata_validator_ray.pipelines.dedup import _md5_batch
+
+    def meta_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = _md5_batch(df)
+        out["lang"] = df["lang"]
+        out["n_words"] = df["text"].str.split(" ").str.len().astype("int64")
+        out["n_chars"] = df["text"].str.len().astype("int64")
+        return out
+
+    meta = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+        .map_batches(meta_batch, batch_format="pandas", batch_size=4096)
+        .materialize()
+    )
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
         g = g.rename_columns(["h", "keep_doc_id", "cnt"])
         return g.filter(pa.compute.greater_equal(g["cnt"], 2))
 
-    from hepdata_validator_ray.pipelines.dedup import _md5_batch
-
-    hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        _md5_batch, batch_format="pandas", batch_size=4096
-    )
-    winners = bucketed_aggregate(hashed, "h", None, combine).to_pandas()
+    winners = bucketed_aggregate(meta.select_columns(["doc_id", "h"]), "h", None, combine).to_pandas()
     # a corpus with no exact dups yields an EMPTY dataset whose to_pandas
     # has no columns — the winner map is simply empty then
     win_map = dict(zip(winners["h"], winners["keep_doc_id"])) if "h" in winners.columns else {}
     win_ref = ray.put(win_map)
 
-    def keep(df) -> "pa.Table":
-        import pandas as pd
-
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
         win = ray.get(win_ref)
-        h = [__import__("hashlib").md5(t.encode()).hexdigest() for t in df["text"]]
-        keep_doc = pd.Series(h).map(win)
+        keep_doc = df["h"].map(win)
         survive_dup = keep_doc.isna().to_numpy() | (keep_doc.to_numpy() == df["doc_id"].to_numpy())
-        n_words = df["text"].str.split(" ").str.len().to_numpy()
-        n_chars = df["text"].str.len().to_numpy()
-        ok = survive_dup & (n_words >= min_words) & (n_chars >= min_chars)
-        out = df[ok]["lang"].value_counts().rename_axis("lang").reset_index(name="n_docs")
-        return out
+        ok = survive_dup & (df["n_words"].to_numpy() >= min_words) & (df["n_chars"].to_numpy() >= min_chars)
+        return df[ok]["lang"].value_counts().rename_axis("lang").reset_index(name="n_docs")
 
     return (
-        ray.data.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
-        .map_batches(keep, batch_format="pandas", batch_size=4096)
+        meta.map_batches(keep, batch_format="pandas", batch_size=8192)
         .groupby("lang")
         .sum("n_docs")
         .map_batches(lambda t: t.rename_columns(["lang", "n_docs"]), batch_format="pyarrow")

@@ -124,10 +124,11 @@ def _strong_content_keys(t: pa.Table) -> pa.Table:
     if arr.null_count:
         # null rows may reference arbitrary (per Arrow spec: monotonic but
         # unspecified-width) offset ranges — pin them to a sentinel hash no
-        # int32 list can produce (17 bytes, not a multiple of 4)
+        # int32 list can produce (17 bytes — NOT a multiple of 4, so no
+        # int32 byte view can equal it)
         null_mask = pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
         sent = np.empty(1, dtype=object)
-        sent[0] = b"\x00hvr-null-tokens"
+        sent[0] = b"\x00hvr-null-tokens!"
         h1[null_mask] = pd.util.hash_array(sent, hash_key=_CONTENT_KEY_A, categorize=False)[0]
         h2[null_mask] = pd.util.hash_array(sent, hash_key=_CONTENT_KEY_B, categorize=False)[0]
     return pa.Table.from_pydict(

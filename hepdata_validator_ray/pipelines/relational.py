@@ -301,13 +301,14 @@ def events_trailing_count(sf_dir: str, window_minutes: int = 60, num_buckets: in
     SURVEY.md §2.8): for every event, the number of the SAME user's events
     in the trailing ``window_minutes`` (inclusive of the event itself).
 
-    One hash-bucket exchange on user_id; inside a bucket a vectorized
-    two-pointer pass (np.searchsorted over each user's sorted timestamps)
-    covers all the bucket's users — no per-event Python."""
+    One hash-bucket exchange on user_id; inside a bucket, one C-speed
+    searchsorted pair per user segment (a per-USER loop of ~µs calls — no
+    per-event Python; an int64 band-shift formulation would be fully
+    vectorized but silently overflows ns arithmetic past ~292 cumulative
+    segment-years, so the per-segment form is the safe one)."""
     from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
     win = np.timedelta64(window_minutes, "m")
-
     win_ns = np.int64(win / np.timedelta64(1, "ns"))
 
     def trailing(df: pd.DataFrame) -> pd.DataFrame:
@@ -316,16 +317,17 @@ def events_trailing_count(sf_dir: str, window_minutes: int = 60, num_buckets: in
             return pd.DataFrame({"event_id": pd.Series(dtype="int64"), "n_trailing": pd.Series(dtype="int64")})
         t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
         users = df["user_id"].to_numpy()
-        # per-user segments; shift each segment into its own disjoint time
-        # band so ONE globally sorted array serves every user's searchsorted
+        n = len(t64)
         seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
-        seg_of = np.repeat(np.arange(len(seg_starts)), np.diff(np.r_[seg_starts, len(users)]))
-        span = (t64.max() - t64.min()) + win_ns + 1
-        shifted = (t64 - t64.min()) + seg_of * span
-        lo = np.searchsorted(shifted, shifted - win_ns, side="left")
-        # hi includes equal-timestamp peers — SQL RANGE frames extend
-        # through the current row's ORDER BY peers
-        hi = np.searchsorted(shifted, shifted, side="right")
+        bounds = np.r_[seg_starts, n]
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = t64[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - win_ns, side="left")
+            # hi includes equal-timestamp peers — SQL RANGE frames extend
+            # through the current row's ORDER BY peers
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         cnt = hi - lo
         return pd.DataFrame({"event_id": df["event_id"], "n_trailing": cnt.astype("int64")})
 

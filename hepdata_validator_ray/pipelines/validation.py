@@ -254,11 +254,17 @@ def token_bigrams_top(seq_path: str, k: int = 100, vocab_size: int | None = None
             return pa.Table.from_pydict(
                 {"key": pa.array([], type=pa.int64()), "cnt": pa.array([], type=pa.int64())}
             )
-        key = flat[:-1].astype(np.int64) * np.int64(V) + flat[1:].astype(np.int64)
+        t1 = flat[:-1].astype(np.int64)
+        t2 = flat[1:].astype(np.int64)
+        key = t1 * np.int64(V) + t2
         # drop pairs straddling row boundaries (position i is a row's last)
         last_positions = offsets[1:][lens > 0] - 1
         valid = np.ones(n - 1, dtype=bool)
         valid[last_positions[last_positions < n - 1]] = False
+        # out-of-range token ids would break the t1*V+t2 encoding's
+        # injectivity (t2 >= V aliases into the next t1; negatives mis-decode)
+        # — bigram stats are defined over VALID token ids only
+        valid &= (t1 >= 0) & (t1 < V) & (t2 >= 0) & (t2 < V)
         uniq, cnt = np.unique(key[valid], return_counts=True)
         return pa.Table.from_pydict(
             {"key": pa.array(uniq, type=pa.int64()), "cnt": pa.array(cnt, type=pa.int64())}

@@ -509,3 +509,24 @@ def test_missing_required_column_reported_not_crashed(tmp_path):
     res2 = eng.validate(str(tmp_path), output_dir=str(out))
     v = res2.load_violations().to_pandas()
     assert "'source' is a required property" in set(v.detail)
+
+
+def test_skipped_checks_not_reported_passed(tmp_path):
+    """Checks that could not run (missing required column) must NOT show
+    passed=True in the verdict table; the partition gets a required_columns
+    verdict naming the column (round-2 review finding)."""
+    import pyarrow.parquet as pq
+
+    tbl = generate_sequences_table(200, seed=23).drop_columns(["source"])
+    pq.write_table(tbl, tmp_path / "nosrc.parquet")
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate(str(tmp_path))
+    v = res.verdicts
+    sm = v[v.check_name == "source_membership"]
+    assert len(sm) == 1 and not sm.passed.iloc[0]
+    assert sm.detail.iloc[0] == "not run: missing required column"
+    req = v[v.check_name == "required_columns"]
+    assert len(req) == 1 and not req.passed.iloc[0]
+    assert "source" in req.detail.iloc[0]
+    # checks not touching 'source' still ran and their verdicts are real
+    assert v[v.check_name == "token_length_consistency"].n_violations.iloc[0] > 0
