@@ -188,6 +188,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles(_seq(sf)),
         "v_ntok_quantiles_by_source": lambda sf: validation.ntok_quantiles_by_source(_seq(sf)),
         "v_token_bigrams_top": lambda sf: validation.token_bigrams_top(_seq(sf), k=100),
+        "v_p99_filter": lambda sf: validation.ntok_p99_filter_counts(_seq(sf)),
+        "content_incremental_new": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).content_incremental_new(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+            _seq(sf),
+        ),
         "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
@@ -418,6 +425,24 @@ c AS (
   GROUP BY 1, 2
 )
 SELECT t1, t2, cnt FROM c ORDER BY cnt DESC, t1, t2 LIMIT 100""",
+        "v_p99_filter": f"""
+SELECT source, count(*)::BIGINT AS n
+FROM read_parquet('{p}')
+WHERE n_tok IS NOT NULL
+  AND n_tok <= (SELECT quantile_cont(n_tok, 0.99) FROM read_parquet('{p}'))
+GROUP BY source""",
+        "content_incremental_new": f"""
+WITH o AS (SELECT DISTINCT tokens FROM read_parquet('{p}')),
+n AS (SELECT tokens FROM read_parquet('{{shifted}}'))
+SELECT count(*) FILTER (WHERE tokens IN (SELECT tokens FROM o))::BIGINT AS n_seen_before,
+       count(*) FILTER (WHERE tokens NOT IN (SELECT tokens FROM o))::BIGINT AS n_new
+FROM n""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
         "v_compound_check": f"""
 SELECT doc_id, 'neg_or_mismatch' AS check_name
 FROM read_parquet('{p}')

@@ -159,6 +159,49 @@ def sequence_content_dedup(seq_path: str) -> "ray.data.Dataset":
     return bucketed_aggregate(keyed, "h1", partial, combine)
 
 
+def content_incremental_new(new_path: str, old_path: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: how many of the NEW snapshot's rows carry
+    token content never seen in the OLD corpus — the anti-join every
+    continuously-ingesting training pipeline runs before admitting data.
+
+    EXACT distributed plan: both sides stream through the zero-copy content
+    fingerprint, meet in ONE bucketed exchange keyed on h1 (already a
+    uniform hash), and each bucket counts new rows with / without an old
+    row sharing (h1, h2).  No corpus, old or new, ever touches the driver;
+    at 10^12 rows a Bloom prefilter of old keys (sketches.BloomFilter,
+    OR-merged partials) can prune the definitely-new rows before the
+    exchange.  Output: one summary row (n_new, n_seen_before)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    def keyed(path: str, side: int) -> "ray.data.Dataset":
+        def tag(t: pa.Table) -> pa.Table:
+            k = _strong_content_keys(t)
+            return k.append_column("side", pa.array(np.full(k.num_rows, side, dtype=np.int8)))
+
+        return ray.data.read_parquet(path, columns=["tokens"]).map_batches(
+            tag, batch_format="pyarrow", batch_size=16384
+        )
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        new = df[df["side"] == 1]
+        old_keys = df[df["side"] == 0][["h1", "h2"]].drop_duplicates()
+        seen = new.merge(old_keys, on=["h1", "h2"], how="inner")
+        return pd.DataFrame([{"n_new": int(len(new) - len(seen)), "n_seen_before": int(len(seen))}])
+
+    partials = (
+        keyed(old_path, 0)
+        .union(keyed(new_path, 1))
+        .map_batches(lambda t: with_bucket(t, "h1", 64), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        [{"n_new": int(partials["n_new"].sum()), "n_seen_before": int(partials["n_seen_before"].sum())}]
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -233,6 +233,35 @@ def longest_sequences(seq_path: str, k: int = 20) -> "ray.data.Dataset":
     )
 
 
+def ntok_p99_filter_counts(seq_path: str, q: float = 0.99) -> "ray.data.Dataset":
+    """Quantile-threshold outlier filter — the aggregate → broadcast →
+    filter composition (drop extreme-length sequences before training):
+    phase 1 computes the global exact p-quantile of n_tok (distributed
+    Quantile aggregate, tiny result); phase 2 streams the table once more
+    counting survivors (n_tok ≤ threshold) per source."""
+    from ray.data.aggregate import Quantile
+
+    thr = ray.data.read_parquet(seq_path, columns=["n_tok"]).aggregate(
+        Quantile("n_tok", q=q, alias_name="thr")
+    )["thr"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.is_valid(batch["n_tok"]), pc.less_equal(batch["n_tok"], pa.scalar(thr))
+        )
+        kept = batch.filter(pc.fill_null(mask, False))
+        g = kept.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["source", "n"]), batch_format="pyarrow")
+    )
+
+
 def token_bigrams_top(seq_path: str, k: int = 100, vocab_size: int | None = None) -> "ray.data.Dataset":
     """Top-k token bigrams across the corpus — the n-gram statistics pass of
     a training-data pipeline (vocabulary analysis / contamination greps).

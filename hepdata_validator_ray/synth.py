@@ -220,6 +220,32 @@ def ensure_sequences_parquet(
     return str(out)
 
 
+def ensure_shifted_sequences_parquet(sf_dir: str, n_files: int = 8, seed: int = 42) -> str:
+    """An 'incremental ingest' snapshot: the same generator shifted forward
+    by half the row range, so HALF its rows carry content identical to the
+    base layout (counter-based generation keys on the GLOBAL row index) and
+    half are new — the fixture for incremental content dedup."""
+    tag = Path(sf_dir).name or "default"
+    rows = ROWS_BY_TAG.get(tag, 2_000)
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-shift{rows // 2}" / "sequences"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    per_file = (rows + n_files - 1) // n_files
+    off = rows // 2
+    written = 0
+    for f in range(n_files):
+        n = min(per_file, rows - written)
+        if n <= 0:
+            break
+        tbl = generate_sequences_table(n, seed=seed, row_offset=off + written)
+        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536, compression="NONE")
+        written += n
+    done.touch()
+    return str(out)
+
+
 def ensure_archive_zip(sf_dir: str) -> str:
     """Zip of the synthetic sequences dir (idempotent) — input for the
     engine's archive entry mode (S3)."""
