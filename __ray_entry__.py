@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
         "mm_resized": lambda sf: multimodal.resized_payloads(docs(sf)).select_columns(["doc_id", "n_bytes"]),
         "mm_frame_counts": lambda sf: _frame_counts(sf),
+        "mm_byte_hist": lambda sf: multimodal.byte_histogram_rows(docs(sf)),
     }
 
 
@@ -665,4 +666,12 @@ SELECT doc_id, 64::BIGINT AS n_bytes FROM documents""",
 SELECT doc_id,
        least(8, CAST(ceil(greatest(1, CAST(floor(strlen(text) / 32.0) AS BIGINT)) / 4.0) AS BIGINT))::BIGINT AS n_frames
 FROM documents""",
+        # decode-stage features as rows (documents are ASCII: bytes ≡ code points)
+        "mm_byte_hist": """
+WITH chars AS (
+  SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin
+  FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)
+)
+SELECT doc_id, bin::BIGINT AS bin, count(*)::BIGINT AS n
+FROM chars GROUP BY doc_id, bin""",
     }

@@ -126,6 +126,33 @@ def payload_meta(docs_path: str) -> "ray.data.Dataset":
     return payload_table(docs_path).select_columns(["doc_id", "n_bytes"])
 
 
+def byte_histogram_rows(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """The decode stage's features as oracle-checkable rows: one
+    (doc_id, bin, n) row per NON-ZERO 16-bin byte-histogram bucket — the
+    flat projection of ``decoded_features`` that a SQL engine can reproduce
+    (documents are ASCII, so bytes ≡ code points)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, bins, ns = [], [], []
+        for doc_id, hist in zip(t["doc_id"].to_pylist(), t["byte_hist"].to_pylist()):
+            for b, n in enumerate(hist):
+                if n:
+                    ids.append(doc_id)
+                    bins.append(b)
+                    ns.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bin": pa.array(bins, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    return decoded_features(docs_path, concurrency=concurrency).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def decoded_features(docs_path: str, concurrency: int = 2, strict: bool = False) -> "ray.data.Dataset":
     # small batch_size: binary payload batches sized by bytes, not rows
     return payload_table(docs_path).map_batches(
