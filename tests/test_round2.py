@@ -180,3 +180,33 @@ def test_token_bigrams_top_matches_naive(tmp_path):
     got = {(r.t1, r.t2): r.cnt for r in out.itertuples()}
     # naive: (1,2)x2, (2,3)x2, (3, -) none; no cross-row pairs
     assert got == {(1, 2): 2, (2, 3): 2}
+
+
+def test_incremental_content_new_counts():
+    """Shifted snapshot shares its first half with the base corpus by
+    counter construction: n_seen_before ≈ half (plus cross-range collisions
+    of injected all-zero/empty rows), and totals conserve."""
+    from hepdata_validator_ray.pipelines.dedup import content_incremental_new
+    from hepdata_validator_ray.synth import ensure_sequences_parquet, ensure_shifted_sequences_parquet
+
+    base = ensure_sequences_parquet("/root/testdata/sf0.001")
+    shifted = ensure_shifted_sequences_parquet("/root/testdata/sf0.001")
+    out = content_incremental_new(shifted, base)
+    n_new, n_seen = int(out.n_new.iloc[0]), int(out.n_seen_before.iloc[0])
+    assert n_new + n_seen == 2000
+    assert 900 <= n_seen <= 1200  # ~half overlap + collision families
+
+
+def test_p99_filter_counts_match_naive():
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from hepdata_validator_ray.pipelines.validation import ntok_p99_filter_counts
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet("/root/testdata/sf0.001")
+    got = ntok_p99_filter_counts(p).to_pandas().set_index("source")["n"].sort_index()
+    df = pads.dataset(p).to_table(columns=["source", "n_tok"]).to_pandas()
+    thr = np.quantile(df["n_tok"].dropna(), 0.99, method="linear")
+    exp = df[df.n_tok <= thr].groupby("source").size().sort_index()
+    assert (got == exp).all()
