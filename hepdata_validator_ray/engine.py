@@ -25,6 +25,16 @@ Physical plan (one heavy pass + one cheap key-only pass; SURVEY.md §3.4):
     skips completed chunks (north_rule requirement; the reference re-runs from
     scratch, full_submission_validator.py:62-68).
 
+    Entry modes (all through ``validate``/``validate_bundle``):
+      - directory / file list of parquet (the default path above)
+      - .zip / .tar.gz / .tgz / .tar archives and single .parquet.gz files —
+        unpacked to a temp dir, temp prefix scrubbed from every output,
+        manifest lineage keyed on archive-relative paths so re-validation
+        resumes (≙ full_submission_validator.py:85-159)
+      - a single multi-table bundle parquet routed by a tag column with
+        per-table verdicts and an optional partitioned split write
+        (≙ the reference's single-YAML split, :175-176, 252-261)
+
 Scale notes (100 TB / 256 nodes):
 - The only all-to-all shuffle is the doc_id duplicate groupby, over a single
   pruned column with per-batch pre-aggregation (map-side combine) so hot
