@@ -432,11 +432,16 @@ FROM read_parquet('{p}')
 WHERE n_tok IS NOT NULL
   AND n_tok <= (SELECT quantile_cont(n_tok, 0.99) FROM read_parquet('{p}'))
 GROUP BY source""",
+        # EXISTS + IS NOT DISTINCT FROM: NULL token rows group like the
+        # engine's null-sentinel semantics (null matches null), keeping
+        # n_new + n_seen_before == |new| even with NULLs present
         "content_incremental_new": f"""
 WITH o AS (SELECT DISTINCT tokens FROM read_parquet('{p}')),
 n AS (SELECT tokens FROM read_parquet('{{shifted}}'))
-SELECT count(*) FILTER (WHERE tokens IN (SELECT tokens FROM o))::BIGINT AS n_seen_before,
-       count(*) FILTER (WHERE tokens NOT IN (SELECT tokens FROM o))::BIGINT AS n_new
+SELECT count(*) FILTER (WHERE EXISTS (
+         SELECT 1 FROM o WHERE o.tokens IS NOT DISTINCT FROM n.tokens))::BIGINT AS n_seen_before,
+       count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM o WHERE o.tokens IS NOT DISTINCT FROM n.tokens))::BIGINT AS n_new
 FROM n""".replace(
             "{shifted}",
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(

@@ -225,10 +225,16 @@ def main():
                     text=True,
                     timeout=1800,
                 )
-                line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
+                lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    # one flaky fresh process must not discard the run —
+                    # fall back to whichever attempt survived
+                    continue
+                r = json.loads(lines[-1])
                 if best is None or r["rows_per_s"] > best["rows_per_s"]:
                     best = r
+            if best is None:
+                raise RuntimeError(f"both scaling attempts failed at num_cpus={cpus}")
             results[cpus] = best
         thr = {c: results[c]["rows_per_s"] for c in results}
         out = {

@@ -151,13 +151,15 @@ def generate_sequences_table(
 
 
 def synth_dir_for(
-    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int = 8
+    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int = 8, row_offset: int = 0
 ) -> Path:
     tag = Path(sf_dir).name or "default"
     suffix = "" if inject else "-clean"
     if n_rows is not None:
         suffix += f"-r{n_rows}"
     suffix += f"-f{n_files}"
+    if row_offset:
+        suffix += f"-o{row_offset}"
     return SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}{suffix}" / "sequences"
 
 
@@ -167,25 +169,28 @@ def ensure_sequences_parquet(
     seed: int = 42,
     inject: bool = True,
     n_rows: int | None = None,
+    row_offset: int = 0,
 ) -> str:
     """Idempotently materialize the synthetic sequence table for a testdata
     scale factor.  Returns the Parquet directory path.
 
-    Deterministic: same (tag, seed, n_files) → identical bytes, so the DuckDB
-    oracle and the Ray pipeline read the very same files.
+    Deterministic: same (tag, seed, n_files, row_offset) → identical bytes,
+    so the DuckDB oracle and the Ray pipeline read the very same files.
+    ``row_offset`` shifts the global row-index range (incremental-ingest
+    snapshots share content with the base range by counter construction).
     """
     tag = Path(sf_dir).name or "default"
     rows = n_rows if n_rows is not None else ROWS_BY_TAG.get(tag, 2_000)
-    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files)
+    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files, row_offset=row_offset)
     done = out / "_DONE"
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     per_file = (rows + n_files - 1) // n_files
     jobs: list[tuple[int, int, int]] = []  # (file_idx, row_offset, n)
-    off = 0
+    off = row_offset
     for f in range(n_files):
-        n = min(per_file, rows - off)
+        n = min(per_file, rows + row_offset - off)
         if n <= 0:
             break
         jobs.append((f, off, n))
@@ -227,23 +232,7 @@ def ensure_shifted_sequences_parquet(sf_dir: str, n_files: int = 8, seed: int = 
     half are new — the fixture for incremental content dedup."""
     tag = Path(sf_dir).name or "default"
     rows = ROWS_BY_TAG.get(tag, 2_000)
-    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-shift{rows // 2}" / "sequences"
-    done = out / "_DONE"
-    if done.exists():
-        return str(out)
-    out.mkdir(parents=True, exist_ok=True)
-    per_file = (rows + n_files - 1) // n_files
-    off = rows // 2
-    written = 0
-    for f in range(n_files):
-        n = min(per_file, rows - written)
-        if n <= 0:
-            break
-        tbl = generate_sequences_table(n, seed=seed, row_offset=off + written)
-        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536, compression="NONE")
-        written += n
-    done.touch()
-    return str(out)
+    return ensure_sequences_parquet(sf_dir, n_files=n_files, seed=seed, row_offset=rows // 2)
 
 
 def ensure_archive_zip(sf_dir: str) -> str:
