@@ -72,6 +72,7 @@ from hepdata_validator_ray.schema import (
 from hepdata_validator_ray.sketches import (
     SketchBundle,
     UnigramHistogram,
+    chi_squared,
     kl_divergence,
 )
 from hepdata_validator_ray.state.manifest import CheckpointManifest, chunk_key
@@ -109,6 +110,11 @@ class ValidationConfig:
     unigram_buckets: int | None = None  # None → full vocab (exact); set for 10^12 scale
     dup_check: bool = True
     drift_profile_bytes: bytes | None = None  # serialized SketchBundle reference profile
+    #: drift statistic: "kl" (KL divergence of normalized histograms) or
+    #: "chi2" (Pearson chi-squared of observed counts vs the profile's
+    #: expected fractions — scales with partition size, so pair it with
+    #: per-check thresholds via ``drift_thresholds``)
+    drift_scorer: str = "kl"
     drift_kl_threshold: float = 0.15
     #: per-check threshold overrides, e.g. {"drift_n_tok": 0.1,
     #: "drift_source_mix": 0.05}; unlisted checks use drift_kl_threshold
@@ -683,12 +689,13 @@ class ValidationEngine:
                 # grammar of "No submission.yaml file found in submission."
                 # (full_submission_validator.py:110-112) over our data model
                 return self._error_result("archive_content", archive, "No parquet files found in submission.")
-            prev = self.config.scrub_prefix
-            self.config.scrub_prefix = tmp + "/"
-            try:
-                return self.validate(files, output_dir=output_dir)
-            finally:
-                self.config.scrub_prefix = prev
+            # nested validate runs on a shallow-copied config so concurrent
+            # validate() calls on one engine never cross-contaminate scrub
+            # prefixes / manifest keys (ADVICE r2)
+            from dataclasses import replace as _dc_replace
+
+            sub = ValidationEngine(_dc_replace(self.config, scrub_prefix=tmp + "/"))
+            return sub.validate(files, output_dir=output_dir)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -841,23 +848,26 @@ class ValidationEngine:
             violation_counts["partition_referenced"] = violation_counts.get("partition_referenced", 0) + 1
             total_violations += 1
 
-        # file↔manifest linkage checks (J1/J2) — metadata-only set diff
+        # file↔manifest linkage checks (J1/J2) — metadata-only set diff.
+        # Compared on SCRUBBED paths: expected_files is archive-relative, so
+        # archive entry mode (temp extraction paths) links correctly instead
+        # of flagging every file both missing and unreferenced (ADVICE r2).
         if cfg.expected_files is not None:
-            expected = set(cfg.expected_files)
-            found = set(files)
+            expected = {rel(f) for f in cfg.expected_files}
+            found = {rel(f) for f in files}
             linkage = []
             for f in sorted(found - expected):
                 # byte-matches "{f} is not referenced in the submission."
                 # (full_submission_validator.py:221-222)
                 linkage.append(
-                    dict(partition_id=rel(f), check_name="partition_referenced", passed=False,
+                    dict(partition_id=f, check_name="partition_referenced", passed=False,
                          n_rows=0, n_violations=1,
                          detail=f"{Path(f).name} is not referenced in the submission.")
                 )
             for f in sorted(expected - found):
                 # byte-matches "Missing data_file '%s'." (full_submission_validator.py:313-314)
                 linkage.append(
-                    dict(partition_id=rel(f), check_name="partition_present", passed=False,
+                    dict(partition_id=f, check_name="partition_present", passed=False,
                          n_rows=0, n_violations=1, detail="Missing data_file '%s'." % Path(f).name)
                 )
             if linkage:
@@ -1286,27 +1296,38 @@ class ValidationEngine:
 
     def _drift_score_bundle(self, partition_id: str, merged: SketchBundle, profile: SketchBundle) -> list[dict]:
         cfg = self.config
+        scorer = cfg.drift_scorer
+        if scorer not in ("kl", "chi2"):
+            raise ValueError(f"unknown drift_scorer {scorer!r} (expected 'kl' or 'chi2')")
+        tag = "KL" if scorer == "kl" else "CHI2"
 
         def thr_for(name: str) -> float:
             return (cfg.drift_thresholds or {}).get(name, cfg.drift_kl_threshold)
 
-        def rec(name: str, kl: float, label: str) -> dict:
+        def stat(obs: np.ndarray, ref: np.ndarray) -> float:
+            # both take raw counts: KL normalizes both sides internally;
+            # chi-squared tests observed counts against the profile fractions
+            obs = np.asarray(obs, dtype=np.float64)
+            ref = np.asarray(ref, dtype=np.float64)
+            if scorer == "chi2":
+                return chi_squared(obs, ref)
+            return kl_divergence(obs, ref)
+
+        def rec(name: str, val: float, label: str) -> dict:
             thr = thr_for(name)
             return dict(
                 partition_id=partition_id,
                 check_name=name,
-                passed=bool(kl <= thr),
+                passed=bool(val <= thr),
                 n_rows=int(merged.n_rows),
-                n_violations=0 if kl <= thr else 1,
-                detail=f"KL({label})={kl:.6f} threshold={thr}",
+                n_violations=0 if val <= thr else 1,
+                detail=f"{tag}({label})={val:.6f} threshold={thr}",
             )
 
-        recs = [
-            rec("drift_n_tok", kl_divergence(merged.n_tok_hist.normalized(), profile.n_tok_hist.normalized()), "n_tok")
-        ]
+        recs = [rec("drift_n_tok", stat(merged.n_tok_hist.counts, profile.n_tok_hist.counts), "n_tok")]
         if profile.unigram is not None and merged.unigram is not None:
             recs.append(
-                rec("drift_token_unigram", kl_divergence(merged.unigram.normalized(), profile.unigram.normalized()), "unigram")
+                rec("drift_token_unigram", stat(merged.unigram.counts, profile.unigram.counts), "unigram")
             )
         # source-mix drift: the partition's source distribution vs the
         # profile's (exact low-cardinality frequency maps)
@@ -1315,7 +1336,7 @@ class ValidationEngine:
             p = np.array([merged.source_freq.counts.get(k, 0) for k in keys], dtype=float)
             q = np.array([profile.source_freq.counts.get(k, 0) for k in keys], dtype=float)
             if p.sum() > 0 and q.sum() > 0:
-                recs.append(rec("drift_source_mix", kl_divergence(p / p.sum(), q / q.sum()), "source_mix"))
+                recs.append(rec("drift_source_mix", stat(p, q), "source_mix"))
         return recs
 
     def _drift_from_bundles(self, per_part: dict[str, SketchBundle]) -> pd.DataFrame:

@@ -213,10 +213,20 @@ _WORD_KEY_MINHASH = "hvr-minhash-wrdk"
 _WORD_KEY_SIMHASH = "hvr-simhash-wrdk"
 
 #: per-window-offset odd multipliers for order-sensitive shingle combining
+#: (pinned table for offsets <8 — golden fingerprints depend on these values)
 _SHINGLE_MIX = (
     0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
     0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D,
 )
+
+
+def _shingle_mult(j: int) -> np.uint64:
+    """Odd multiplier for window offset ``j``: the pinned table below 8,
+    splitmix64(j)|1 beyond — so any public ``shingle_k`` works instead of
+    IndexError past k=8 (ADVICE r2)."""
+    if j < len(_SHINGLE_MIX):
+        return np.uint64(_SHINGLE_MIX[j])
+    return np.uint64(int(_splitmix64(np.array([j], dtype=np.uint64))[0]) | 1)
 
 
 def _word_hashes(texts: pd.Series, hash_key: str) -> tuple[np.ndarray, np.ndarray]:
@@ -248,9 +258,9 @@ def _shingle_hashes(wh: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nda
     nw = len(wh)
     m = _splitmix64(wh)
     if nw >= k:
-        acc = m[: nw - k + 1] * np.uint64(_SHINGLE_MIX[0])
+        acc = m[: nw - k + 1] * _shingle_mult(0)
         for j in range(1, k):
-            acc = acc ^ (m[j : nw - k + 1 + j] * np.uint64(_SHINGLE_MIX[j]))
+            acc = acc ^ (m[j : nw - k + 1 + j] * _shingle_mult(j))
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
         windows_in_row = row_of[: nw - k + 1] == row_of[k - 1 :]
         full_rows = lens >= k
@@ -260,9 +270,9 @@ def _shingle_hashes(wh: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.nda
         if not rows.any():
             continue
         starts = offsets[:-1][rows]
-        acc_s = m[starts] * np.uint64(_SHINGLE_MIX[0])
+        acc_s = m[starts] * _shingle_mult(0)
         for j in range(1, short_len):
-            acc_s = acc_s ^ (m[starts + j] * np.uint64(_SHINGLE_MIX[j]))
+            acc_s = acc_s ^ (m[starts + j] * _shingle_mult(j))
         out[out_off[:-1][rows]] = acc_s
     return out, out_off
 
@@ -357,15 +367,29 @@ _PAIR_EMPTY = pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd
 
 #: LSH buckets larger than this are truncated (their pair explosion is
 #: quadratic); truncation is REPORTED as a sentinel row — doc_id_a = -1,
-#: doc_id_b = -(1+band), metric = bucket size — never silent (VERDICT r1 #7)
+#: doc_id_b = a distinct negative key per (band, bucket), metric = bucket
+#: size — never silent (VERDICT r1 #7), and two hot buckets never collapse
+#: into one report row after the downstream (doc_id_a, doc_id_b) dedupe
+#: groupby (ADVICE r2)
 HOT_BUCKET_LIMIT = 200
 HOT_MARKER = -1
 
 
+def _hot_sentinel_key(band: int, bucket: int) -> int:
+    """Deterministic 62-bit key of (band, bucket) for hot-bucket report rows."""
+    z = ((band + 1) * 0x9E3779B97F4A7C15 + (bucket & ((1 << 64) - 1))) & ((1 << 64) - 1)
+    return int(_splitmix64(np.array([z], dtype=np.uint64))[0] >> np.uint64(2))
+
+
 def _hot_row(g: pd.DataFrame, metric_name: str) -> pd.DataFrame:
     band = int(g["band"].iloc[0]) if "band" in g.columns else 0
+    bucket = int(g["bucket"].iloc[0]) if "bucket" in g.columns else 0
     return pd.DataFrame(
-        {"doc_id_a": [HOT_MARKER], "doc_id_b": [-(1 + band)], metric_name: [float(len(g))]}
+        {
+            "doc_id_a": [HOT_MARKER],
+            "doc_id_b": [-(1 + _hot_sentinel_key(band, bucket))],
+            metric_name: [float(len(g))],
+        }
     )
 
 
@@ -405,7 +429,8 @@ def minhash_lsh_pairs(
     stages downstream this also avoids pool-starvation on small clusters.
 
     Hot-bucket truncation surfaces as rows with ``doc_id_a == -1``
-    (``doc_id_b`` = -(1+band), ``est_jaccard`` = bucket size)."""
+    (``doc_id_b`` = a distinct negative per-bucket key, ``est_jaccard`` =
+    bucket size)."""
     from hepdata_validator_ray.ops import grouped_pairs
 
     stage = MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
@@ -756,9 +781,8 @@ def embedding_lsh_pairs(
         if len(g) < 2:
             return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cos": []})
         if len(g) > 500:  # hot bucket → report, don't silently drop (VERDICT r1 #7)
-            return pd.DataFrame(
-                {"vec_id_a": [-1], "vec_id_b": [-(1 + int(g["table"].iloc[0]))], "cos": [float(len(g))]}
-            )
+            key = _hot_sentinel_key(int(g["table"].iloc[0]), int(g["bucket"].iloc[0]))
+            return pd.DataFrame({"vec_id_a": [-1], "vec_id_b": [-(1 + key)], "cos": [float(len(g))]})
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ mat.T

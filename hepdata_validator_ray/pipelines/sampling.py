@@ -1,31 +1,65 @@
 """Deterministic sampling / splitting operators (training-data staples).
 
 Unlike ``ds.random_sample`` (seed-dependent on partitioning), these use a
-content-derived hash (md5 of the key), so the assignment is reproducible
-across runs, cluster sizes and file layouts — the property a 10^12-row
-train/test split must have.  The md5-prefix construction is chosen for
-cross-engine parity: DuckDB's ``('0x' || substr(md5(k),1,8))::UBIGINT``
-computes the identical bucket, giving these operators exact SQL oracles.
+content-derived hash of the key, so the assignment is reproducible across
+runs, cluster sizes and file layouts — the property a 10^12-row train/test
+split must have.
+
+Two key functions behind one API (mirroring dedup's md5/siphash pair):
+
+- ``key_fn="md5"`` (default): per-row md5 prefix, chosen for cross-engine
+  parity — DuckDB's ``('0x' || substr(md5(k),1,8))::UBIGINT`` computes the
+  identical bucket, giving these operators exact SQL oracles.
+- ``key_fn="siphash"``: the vectorized production path — one C-siphash pass
+  over the whole key column (``pd.util.hash_array``), no per-row Python
+  (VERDICT r2 #8).  Same determinism/uniformity class, different (equally
+  stable) assignment.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import ray.data
 
-
-def _bucket_of(values: list, mod: int = 100) -> list[int]:
-    return [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod for v in values]
+_SPLIT_KEY = "hvr-split-key-01"  # 16-byte siphash key for the production path
 
 
-def split_assignment(docs_path: str, key: str = "doc_id", test_pct: int = 10) -> "ray.data.Dataset":
+def _bucket_md5(values: np.ndarray, mod: int) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def _bucket_siphash(values: np.ndarray, mod: int) -> np.ndarray:
+    if values.dtype.kind in ("i", "u"):
+        h = pd.util.hash_array(values)
+    else:
+        h = pd.util.hash_array(np.asarray(values, dtype=object), hash_key=_SPLIT_KEY, categorize=False)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _bucket_of(values: np.ndarray, mod: int = 100, key_fn: str = "md5") -> np.ndarray:
+    values = np.asarray(values)
+    if key_fn == "md5":
+        return _bucket_md5(values, mod)
+    if key_fn == "siphash":
+        return _bucket_siphash(values, mod)
+    raise ValueError(f"unknown key_fn {key_fn!r} (expected 'md5' or 'siphash')")
+
+
+def split_assignment(
+    docs_path: str, key: str = "doc_id", test_pct: int = 10, key_fn: str = "md5"
+) -> "ray.data.Dataset":
     """Per-split row counts for a deterministic train/test split."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        buckets = _bucket_of(df[key].tolist())
-        split = pd.Series(["test" if b < test_pct else "train" for b in buckets])
+        buckets = _bucket_of(df[key].to_numpy(), key_fn=key_fn)
+        split = pd.Series(np.where(buckets < test_pct, "test", "train"))
         out = split.value_counts().rename_axis("split").reset_index(name="n")
         return out
 
@@ -44,6 +78,7 @@ def stratified_sample_counts(
     strata_col: str = "source",
     rates: dict[str, int] | None = None,
     default_pct: int = 5,
+    key_fn: str = "md5",
 ) -> "ray.data.Dataset":
     """Deterministic per-stratum sampling (e.g. downsample web-crawl, keep
     all curated sources): each stratum gets its own hash-bucket rate.
@@ -52,9 +87,7 @@ def stratified_sample_counts(
     rates = rates or {}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        buckets = np.asarray(_bucket_of(df[key].tolist()), dtype=np.int64)
+        buckets = _bucket_of(df[key].to_numpy(), key_fn=key_fn)
         pct = df[strata_col].map(rates).fillna(default_pct).to_numpy(dtype=np.int64)
         kept = df[buckets < pct]
         out = kept[strata_col].value_counts().rename_axis(strata_col).reset_index(name="n")
@@ -69,13 +102,15 @@ def stratified_sample_counts(
     )
 
 
-def deterministic_sample(docs_path: str, key: str = "doc_id", pct: int = 5) -> "ray.data.Dataset":
+def deterministic_sample(
+    docs_path: str, key: str = "doc_id", pct: int = 5, key_fn: str = "md5"
+) -> "ray.data.Dataset":
     """The exact sampled row set (hash bucket < pct) — reproducible sampling
     as a filter, no shuffle."""
 
     def fil(df: pd.DataFrame) -> pd.DataFrame:
-        buckets = _bucket_of(df[key].tolist())
-        return df[[b < pct for b in buckets]][[key]]
+        buckets = _bucket_of(df[key].to_numpy(), key_fn=key_fn)
+        return df[buckets < pct][[key]]
 
     return ray.data.read_parquet(docs_path, columns=[key]).map_batches(
         fil, batch_format="pandas", batch_size=8192
