@@ -29,8 +29,11 @@ from hepdata_validator_ray.schema import (
 
 #: Versioned suite profiles, mirroring the reference's pinned schema versions
 #: (hepdata_validator/__init__.py:51-52).
-KNOWN_VERSIONS = ("1.1.1", "1.1.0", "1.0.1", "1.0.0", "0.1.0")
-DEFAULT_VERSION = KNOWN_VERSIONS[0]
+KNOWN_VERSIONS = ("1.2.0", "1.1.1", "1.1.0", "1.0.1", "1.0.0", "0.1.0")
+#: default suite version stays 1.1.1 — 1.2.0 additionally activates the
+#: uniqueItems list check (opt-in: token sequences legitimately repeat ids,
+#: so list-uniqueness is a per-suite policy, not a default invariant)
+DEFAULT_VERSION = "1.1.1"
 
 
 def _vtuple(v: str) -> tuple[int, ...]:

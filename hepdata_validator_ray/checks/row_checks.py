@@ -204,6 +204,34 @@ def check_tokens_not_all_zero(v: dict, ctx: CheckContext) -> CheckResult:
     return _result(bad, [M.msg_all_zero()] * len(bad))
 
 
+def check_tokens_unique(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ uniqueItems keyword (submission_schema.json:50,
+    # additional_info_schema.json:56-60) as a row-local list-dedup check
+    # (SURVEY.md §2.6): one lexsort of (row, value) over the flat token
+    # buffer finds every within-row repeat — O(T log T), no per-row Python;
+    # message formatting touches only violating rows.
+    flat, offsets, lens = v["flat"], v["offsets"], v["lens"]
+    n = len(lens)
+    end = int(offsets[-1]) if n else 0
+    if end == 0:
+        return _EMPTY
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.maximum(lens, 0))
+    order = np.lexsort((flat[:end], row_of))
+    fs = flat[:end][order]
+    rs = row_of[order]
+    dup = (fs[1:] == fs[:-1]) & (rs[1:] == rs[:-1])
+    if not dup.any():
+        return _EMPTY
+    rows = np.unique(rs[1:][dup])
+    details = []
+    for r in rows:
+        seg = np.sort(flat[offsets[r] : offsets[r + 1]])
+        rep = seg[1:][seg[1:] == seg[:-1]]
+        val = int(rep[0])  # smallest duplicated value — deterministic pick
+        details.append(M.msg_unique_items("tokens", val, int((seg == val).sum())))
+    return _result(rows, details)
+
+
 def check_sequence_length_limit(v: dict, ctx: CheckContext) -> CheckResult:
     # ≙ 10 MiB data-file size cap (full_submission_validator.py:18,318-325),
     # version-gated ≥1.1.0 exactly like the reference
@@ -303,6 +331,11 @@ DEFAULT_ROW_CHECKS: list[Check] = [
     Check("source_membership", check_source_membership, kind="schema", columns=("source",)),
     Check("n_tok_non_negative", check_n_tok_non_negative, kind="schema", columns=("n_tok",)),
     Check("token_id_range", check_token_id_range, kind="schema", columns=("tokens",)),
+    # uniqueItems is version-gated ABOVE the 1.1.1 default: token sequences
+    # legitimately repeat ids, so list-uniqueness activates only for suites
+    # that opt into ≥1.2.0 (same pattern as the reference's version-pinned
+    # schema dirs enabling new keywords)
+    Check("tokens_unique_items", check_tokens_unique, kind="schema", min_version="1.2.0", columns=("tokens",)),
     # semantic checks are version-gated like check_independent_variable_values
     # (only ≥1.1.0, data_file_validator.py:141-142)
     Check("token_length_consistency", check_token_length_consistency, kind="semantic", columns=("tokens", "n_tok")),
@@ -314,6 +347,12 @@ DEFAULT_ROW_CHECKS: list[Check] = [
 
 def build_default_suite(version: str = "1.1.1") -> CheckSuite:
     return CheckSuite(name="sequence_default", checks=DEFAULT_ROW_CHECKS).for_version(version)
+
+
+#: checks active at the DEFAULT suite version — what generic pipelines
+#: (validation.py, clean.py) iterate; version-gated opt-ins like
+#: tokens_unique_items (>=1.2.0) are excluded here
+DEFAULT_ACTIVE_CHECKS: list[Check] = list(build_default_suite().checks)
 
 
 # bootstrap the registry with the default suite + versioned profiles

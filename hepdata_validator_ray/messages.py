@@ -97,6 +97,16 @@ def msg_minimum(value: Any, minimum: Any, field: str) -> str:
     return format_message(f"{value} is less than the minimum of {minimum}", [field], {"minimum": minimum})
 
 
+def msg_maximum(value: Any, maximum: Any, field: str) -> str:
+    # jsonschema draft: "11 is greater than the maximum of 10"
+    return format_message(f"{value} is greater than the maximum of {maximum}", [field], {"maximum": maximum})
+
+
+def msg_min_length(value: str, limit: int, field: str) -> str:
+    # jsonschema draft: "'x' is too short"
+    return format_message(f"{value!r} is too short", [field], {"minLength": limit})
+
+
 def msg_token_range(value: int, row_pos: int, vocab_size: int) -> str:
     # jsonschema draft maximum-style message on a list element.
     return format_message(
@@ -130,6 +140,18 @@ def msg_too_long_sequence(n_tok: int, limit: int) -> str:
     # Mirrors the size-cap message "exceeds maximum size of 10 MB"
     # (full_submission_validator.py:318-325).
     return format_message(f"Sequence length {n_tok} exceeds maximum length of {limit}", ["tokens"])
+
+
+def msg_unique_items(field: str, value: Any, count: int) -> str:
+    # jsonschema draft uniqueItems grammar "%r has non-unique elements"
+    # (enforced by the reference at submission_schema.json:50 /
+    # additional_info_schema.json:56-60); the instance preview is the first
+    # duplicated element instead of the full (possibly huge) list repr.
+    return format_message(
+        f"{field} has non-unique elements (value {value} appears {count} times)",
+        [field],
+        {"uniqueItems": True},
+    )
 
 
 def msg_duplicate(kind: str, value: str) -> str:

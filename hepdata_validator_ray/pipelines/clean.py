@@ -20,7 +20,7 @@ import ray
 import ray.data
 
 from hepdata_validator_ray.checks.base import CheckContext
-from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, prepare_view
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view
 from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
@@ -28,7 +28,7 @@ def failing_row_mask(batch: pa.Table, ctx: CheckContext) -> np.ndarray:
     """True where the row fails ANY active row-local check."""
     view = prepare_view(batch)
     bad = np.zeros(batch.num_rows, dtype=bool)
-    for check in DEFAULT_ROW_CHECKS:
+    for check in DEFAULT_ACTIVE_CHECKS:
         res = check.fn(view, ctx)
         if len(res.indices):
             bad[res.indices] = True

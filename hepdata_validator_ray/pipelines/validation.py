@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from hepdata_validator_ray.checks.base import CheckContext
-from hepdata_validator_ray.checks.row_checks import DEFAULT_ROW_CHECKS, prepare_view
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view
 from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
@@ -28,7 +28,7 @@ def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext) -> pa.Table:
     doc = view.get("doc_id")
     ids: list = []
     checks: list[str] = []
-    for check in DEFAULT_ROW_CHECKS:
+    for check in DEFAULT_ACTIVE_CHECKS:
         res = check.fn(view, ctx)
         if len(res.indices):
             vals = doc.take(pa.array(res.indices)).to_pylist() if doc is not None else [None] * len(res.indices)
@@ -55,7 +55,7 @@ def violation_counts(seq_path: str, ctx: CheckContext | None = None) -> "ray.dat
     def partial(batch: pa.Table) -> pa.Table:
         view = prepare_view(batch)
         names, counts = [], []
-        for check in DEFAULT_ROW_CHECKS:
+        for check in DEFAULT_ACTIVE_CHECKS:
             res = check.fn(view, ctx)
             if len(res.indices):
                 names.append(check.name)
@@ -90,7 +90,7 @@ def bundle_violations_by_table(bundle_path: str, ctx: CheckContext | None = None
         out_tab: list = []
         out_check: list[str] = []
         out_n: list[int] = []
-        for check in DEFAULT_ROW_CHECKS:
+        for check in DEFAULT_ACTIVE_CHECKS:
             res = check.fn(view, ctx)
             if len(res.indices):
                 u, c = np.unique(tags_np[res.indices], return_counts=True)
@@ -195,7 +195,7 @@ def violations_by_partition(seq_path: str, ctx: CheckContext | None = None) -> "
         parts: list[str] = []
         checks: list[str] = []
         ns: list[int] = []
-        for check in DEFAULT_ROW_CHECKS:
+        for check in DEFAULT_ACTIVE_CHECKS:
             res = check.fn(view, ctx)
             if len(res.indices):
                 cnt = np.bincount(codes[res.indices], minlength=len(uniq))

@@ -47,6 +47,8 @@ def naive_violations(rows: list[dict]) -> dict[str, set[int]]:
                 out["tokens_not_all_zero"].add(i)
             if len(toks) > CTX.max_seq_len:
                 out["sequence_length_limit"].add(i)
+            if len(set(toks)) != len(toks):
+                out["tokens_unique_items"].add(i)
     return out
 
 

