@@ -340,6 +340,63 @@ def events_trailing_count(sf_dir: str, window_minutes: int = 60, num_buckets: in
     )
 
 
+def events_lag_trailing(
+    sf_dir: str, window_minutes: int = 60, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """lag(prev event ts) AND trailing-window count in ONE hash-bucket
+    exchange — the fused form of ``events_lag_previous`` +
+    ``events_trailing_count``: both window ops share the same partitioning
+    key (user_id) and in-bucket sort, so computing them together halves the
+    exchanges (pick ONE partitioning key and reuse it across stages).
+    Output: (event_id, prev_ts, n_trailing)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    win = np.timedelta64(window_minutes, "m")
+    win_ns = np.int64(win / np.timedelta64(1, "ns"))
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "prev_ts": pd.Series(dtype="object"),
+                    "n_trailing": pd.Series(dtype="int64"),
+                }
+            )
+        prev = df.groupby("user_id")["ts"].shift()
+        t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
+        users = df["user_id"].to_numpy()
+        n = len(t64)
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[seg_starts, n]
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = t64[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - win_ns, side="left")
+            # hi includes equal-timestamp peers — SQL RANGE frames extend
+            # through the current row's ORDER BY peers
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "prev_ts": prev.dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_trailing": (hi - lo).astype("int64"),
+            }
+        )
+        out["prev_ts"] = out["prev_ts"].where(prev.notna(), None)
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(fused, batch_format="pandas")
+    )
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 3, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Grouped top-k (top documents per domain is the training-data shape):
     top-k parts per brand by retail price.  One hash-bucket exchange on the

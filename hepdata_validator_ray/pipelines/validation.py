@@ -22,28 +22,40 @@ from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepa
 from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
-def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext) -> pa.Table:
-    """(doc_id, check_name) for every row-local violation in the batch."""
+def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext, checks=None) -> pa.Table:
+    """(doc_id, check_name) for every row-local violation in the batch.
+    ``checks`` defaults to the DEFAULT-version active set; pass e.g.
+    ``build_default_suite("1.2.0").checks`` for opt-in suites."""
     view = prepare_view(batch)
     doc = view.get("doc_id")
     ids: list = []
-    checks: list[str] = []
-    for check in DEFAULT_ACTIVE_CHECKS:
+    names_out: list[str] = []
+    for check in (DEFAULT_ACTIVE_CHECKS if checks is None else checks):
         res = check.fn(view, ctx)
         if len(res.indices):
             vals = doc.take(pa.array(res.indices)).to_pylist() if doc is not None else [None] * len(res.indices)
             ids.extend(vals)
-            checks.extend([check.name] * len(res.indices))
+            names_out.extend([check.name] * len(res.indices))
     return pa.Table.from_pydict(
-        {"doc_id": pa.array(ids, type=pa.string()), "check_name": pa.array(checks, type=pa.string())}
+        {"doc_id": pa.array(ids, type=pa.string()), "check_name": pa.array(names_out, type=pa.string())}
     )
 
 
-def row_violations(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
-    """All row-local violations as (doc_id, check_name) pairs."""
-    ctx = ctx or CheckContext()
+def row_violations(
+    seq_path: str, ctx: CheckContext | None = None, version: str | None = None
+) -> "ray.data.Dataset":
+    """All row-local violations as (doc_id, check_name) pairs.  ``version``
+    selects the suite profile (e.g. "1.2.0" additionally activates the
+    uniqueItems list check)."""
+    from hepdata_validator_ray.checks.row_checks import build_default_suite
+
+    ctx = ctx or (CheckContext(schema_version=version) if version else CheckContext())
+    checks = build_default_suite(version).checks if version else None
     return ray.data.read_parquet(seq_path).map_batches(
-        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=8192, zero_copy_batch=True
+        lambda b: _violation_pairs_batch(b, ctx, checks),
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
     )
 
 
@@ -424,3 +436,57 @@ def full_violation_counts(seq_path: str, ctx: CheckContext | None = None) -> pd.
             [rc, pd.DataFrame([{"check_name": "doc_id_duplicates", "n": n_dup}])], ignore_index=True
         )
     return rc.sort_values("check_name").reset_index(drop=True)
+
+
+def declared_violations(seq_path: str, declare: list[dict], ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Violations from CONFIG-ONLY declarative constraints (checks/declarative.py):
+    each spec compiles to a vectorized check, evaluated like any registered
+    check — the analogue of the reference accepting arbitrary user JSON
+    Schemas (__init__.py:97-122).  Output: (doc_id, check_name) pairs."""
+    from hepdata_validator_ray.checks.declarative import compile_declared_check
+
+    ctx = ctx or CheckContext()
+    checks = [compile_declared_check(s) for s in declare]
+    cols = ["doc_id"] + [s["column"] for s in declare if s["column"] != "doc_id"]
+    return ray.data.read_parquet(seq_path, columns=list(dict.fromkeys(cols))).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx, checks),
+        batch_format="pyarrow",
+        batch_size=8192,
+        zero_copy_batch=True,
+    )
+
+
+def ntok_quantiles_combined(seq_path: str) -> pd.DataFrame:
+    """Global AND per-source n_tok quantile stats in one result: per-source
+    rows from the grouped distributed Quantile aggregate plus an ``<all>``
+    row from the global aggregate (quantiles don't merge, so the global row
+    is its own tiny aggregate over the pruned int column, not a driver-side
+    recombination of per-source results)."""
+    from ray.data.aggregate import Max, Min, Quantile
+
+    per_src = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .groupby("source")
+        .aggregate(
+            Quantile("n_tok", q=0.5, alias_name="p50"),
+            Quantile("n_tok", q=0.9, alias_name="p90"),
+            Quantile("n_tok", q=0.99, alias_name="p99"),
+            Min("n_tok", alias_name="min_n_tok"),
+            Max("n_tok", alias_name="max_n_tok"),
+        )
+        .to_pandas()
+    )
+    overall = ray.data.read_parquet(seq_path, columns=["n_tok"]).aggregate(
+        Quantile("n_tok", q=0.5, alias_name="p50"),
+        Quantile("n_tok", q=0.9, alias_name="p90"),
+        Quantile("n_tok", q=0.99, alias_name="p99"),
+        Min("n_tok", alias_name="min_n_tok"),
+        Max("n_tok", alias_name="max_n_tok"),
+    )
+    overall = pd.DataFrame([overall]).assign(source="<all>")
+    out = pd.concat([per_src, overall], ignore_index=True)
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].astype(float).round(6)
+    out["min_n_tok"] = out["min_n_tok"].astype("int64")
+    out["max_n_tok"] = out["max_n_tok"].astype("int64")
+    return out[["source", "p50", "p90", "p99", "min_n_tok", "max_n_tok"]]

@@ -87,7 +87,7 @@ def test_embedding_lsh_recall_vs_bruteforce():
     from hepdata_validator_ray.pipelines.dedup import embedding_cosine_pairs, embedding_lsh_pairs
 
     exact = embedding_cosine_pairs(EMB, threshold=0.4).to_pandas()
-    approx = embedding_lsh_pairs(EMB, threshold=0.4)
+    approx = embedding_lsh_pairs(EMB, threshold=0.4).to_pandas()
     approx = approx[approx.vec_id_a >= 0]  # drop hot-bucket report rows
     exact_pairs = set(zip(exact.vec_id_a, exact.vec_id_b))
     approx_pairs = set(zip(approx.vec_id_a, approx.vec_id_b))

@@ -405,3 +405,56 @@ def test_bundle_override_at_higher_version(tmp_path):
     assert list(uq.partition_id) == ["bundle2.parquet#t1"]
     assert not uq.passed.iloc[0]
     assert res.violation_counts.get("tokens_unique_items", 0) == 1
+
+
+# ---------------------------------------------------------------------------
+# candidate reuse + fused window op + ngram clusters (VERDICT r2 #2/#7)
+# ---------------------------------------------------------------------------
+
+def test_ngram_candidate_reuse_same_output():
+    from hepdata_validator_ray.pipelines.dedup import minhash_candidates, ngram_jaccard_pairs
+
+    default = ngram_jaccard_pairs(DOCS, threshold=0.3).to_pandas()
+    cands = minhash_candidates(DOCS).materialize()
+    reused = ngram_jaccard_pairs(DOCS, threshold=0.3, candidates=cands).to_pandas()
+    key = ["doc_id_a", "doc_id_b"]
+    assert sorted(map(tuple, default[key].values.tolist())) == sorted(map(tuple, reused[key].values.tolist()))
+    assert len(default) > 0
+
+
+def test_minhash_candidates_deduped_and_superset_of_pairs():
+    from hepdata_validator_ray.pipelines.dedup import minhash_candidates, minhash_lsh_pairs
+
+    cands = minhash_candidates(DOCS).to_pandas()
+    cands = cands[cands.doc_id_a >= 0]
+    assert not cands.duplicated(["doc_id_a", "doc_id_b"]).any()
+    est = minhash_lsh_pairs(DOCS, threshold=0.5).to_pandas()
+    est = est[est.doc_id_a >= 0]
+    cset = set(zip(cands.doc_id_a, cands.doc_id_b))
+    eset = set(zip(est.doc_id_a, est.doc_id_b))
+    assert eset <= cset  # estimated-pairs are a threshold-filtered subset
+
+
+def test_ngram_clusters_pandas_vs_distributed():
+    from hepdata_validator_ray.pipelines.dedup import near_dup_clusters
+
+    local = near_dup_clusters(DOCS, threshold=0.3, method="ngram")
+    dist = near_dup_clusters(DOCS, threshold=0.3, method="ngram", distributed=True)
+    assert local.sort_values("doc_id").reset_index(drop=True).equals(
+        dist.sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(local) > 0
+
+
+def test_lag_trailing_fused_matches_separate_ops():
+    from hepdata_validator_ray.pipelines.relational import (
+        events_lag_previous,
+        events_lag_trailing,
+        events_trailing_count,
+    )
+
+    fused = events_lag_trailing(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    lag = events_lag_previous(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    trail = events_trailing_count(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert fused["prev_ts"].fillna("-").tolist() == lag["prev_ts"].fillna("-").tolist()
+    assert fused["n_trailing"].tolist() == trail["n_trailing"].tolist()
