@@ -37,6 +37,16 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
     ctx = CheckContext(schema_version=args.schema_version)
     suite = get_check_suite(args.suite) if args.suite else None
+    if args.suite_config:
+        # ≙ the reference's load_custom_schema path (data_file_validator.py:52-78):
+        # a JSON config (extends/checks/exclude/declare/context) loaded and
+        # registered by name; declarative "declare" entries compile to
+        # vectorized checks with no Python registration
+        from hepdata_validator_ray.sources.suite_loader import load_suite_config
+
+        suite, ctx_over = load_suite_config(args.suite_config)
+        if ctx_over is not None:
+            ctx = ctx_over
     cfg = ValidationConfig(
         ctx=ctx,
         suite=suite,
@@ -46,9 +56,18 @@ def cmd_validate(args: argparse.Namespace) -> int:
     )
     eng = ValidationEngine(cfg)
     if args.bundle:
-        # single-bundle mode: one parquet, logical tables tagged by a column
+        # single-bundle mode: one parquet, logical tables tagged by a column;
+        # --table-suites maps table tags to registered suites (≙ per-file
+        # data_schema, full_submission_validator.py:330-347)
+        import json as _json
+
+        table_suites = _json.loads(args.table_suites) if args.table_suites else None
         res = eng.validate_bundle(
-            args.path, output_dir=args.output, table_column=args.table_column, split_dir=args.split_dir
+            args.path,
+            output_dir=args.output,
+            table_column=args.table_column,
+            split_dir=args.split_dir,
+            table_suites=table_suites,
         )
     else:
         # dirs, file lists, .zip/.tar.gz archives and .parquet.gz all route
@@ -94,6 +113,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--output", default=None, help="output dir (violations/verdicts/manifest); enables resume")
     v.add_argument("--schema-version", default="1.1.1")
     v.add_argument("--suite", default=None, help="registered custom check-suite name")
+    v.add_argument(
+        "--suite-config",
+        default=None,
+        help="path/URL of a JSON suite config (extends/checks/exclude/declare/context)",
+    )
+    v.add_argument(
+        "--table-suites",
+        default=None,
+        help='bundle mode: JSON map of table tag -> registered suite name, e.g. \'{"t1": "lenient"}\'',
+    )
     v.add_argument("--no-dup", action="store_true")
     v.add_argument("--no-unigram", action="store_true")
     v.add_argument("--chunk-files", type=int, default=64)
