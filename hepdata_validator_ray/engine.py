@@ -325,24 +325,28 @@ class CheckStage:
             rows["n_rows"].append(n_rows)
             rows["payload"].append(payload)
 
-        # violation rows
+        # violation rows — column-wise construction (no per-violation Python
+        # dict appends; dirty partitions can make violations a large fraction
+        # of the stream, so this block is vectorized like the checks)
         if out_idx:
             all_idx = np.concatenate(out_idx)
+            nv = len(all_idx)
             doc_vals = (
-                doc_arr.take(pa.array(all_idx)).to_pylist() if doc_arr is not None else [None] * len(all_idx)
+                doc_arr.take(pa.array(all_idx)).to_pylist() if doc_arr is not None else [None] * nv
             )
-            for i, (ri, cn, lv, dt) in enumerate(zip(all_idx, out_check, out_level, out_detail)):
-                emit(
-                    KIND_VIOLATION,
-                    uniq_paths[path_codes[ri]],
-                    None if row_offset is None else row_offset + int(ri),
-                    doc_vals[i],
-                    cn,
-                    lv,
-                    dt,
-                    None,
-                    None,
-                )
+            part_obj = np.asarray(uniq_paths, dtype=object)[path_codes[all_idx]]
+            rows["kind"].extend([KIND_VIOLATION] * nv)
+            rows["partition_id"].extend(part_obj.tolist())
+            if row_offset is None:
+                rows["row_idx"].extend([None] * nv)
+            else:
+                rows["row_idx"].extend((all_idx + row_offset).tolist())
+            rows["doc_id"].extend(doc_vals)
+            rows["check_name"].extend(out_check)
+            rows["level"].extend(out_level)
+            rows["detail"].extend(out_detail)
+            rows["n_rows"].extend([None] * nv)
+            rows["payload"].extend([None] * nv)
 
         # per-partition stats + sketch partials
         for code, pth in enumerate(uniq_paths):
@@ -1136,11 +1140,9 @@ class ValidationEngine:
                     ["partition_id", "n_rows", "payload"]
                 ).to_pandas()
                 per_part: dict[str, SketchBundle] = {}
-                for _, r in sk_df.iterrows():
-                    b = SketchBundle.from_bytes(r["payload"])
-                    per_part[r["partition_id"]] = (
-                        per_part[r["partition_id"]].merge(b) if r["partition_id"] in per_part else b
-                    )
+                for pid, payload in zip(sk_df["partition_id"].to_numpy(), sk_df["payload"].to_numpy()):
+                    b = SketchBundle.from_bytes(payload)
+                    per_part[pid] = per_part[pid].merge(b) if pid in per_part else b
                 if cfg.drift_profile_bytes is not None:
                     drift_df = self._drift_from_bundles(per_part)
                     verdicts = pd.concat([verdicts, drift_df], ignore_index=True)
