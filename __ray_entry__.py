@@ -166,6 +166,64 @@ def _mm_meta(sf_dir: str):
     return pm.union(rz).union(fr).union(img).union(aud)
 
 
+def _training_meta(sf_dir: str):
+    """The training-data-prep operators as ONE gated union — (doc_id,
+    metric, n) — mirroring _mm_meta's slot-saving shape: sequence packing
+    (distributed prefix sum → tok_start / pack_first / pack_last),
+    benchmark-contamination distinct-shingle hits, and the corpus-frequency
+    unigram-LM score.  The oracle recomputes all five metrics in SQL
+    (window prefix sum, list-function shingles, word-count self-join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hepdata_validator_ray.pipelines import training
+
+    docs = f"{sf_dir}/documents.parquet"
+
+    def pack_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        doc = t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        cols = []
+        for c in ("tok_start", "pack_first", "pack_last"):
+            a = pc.cast(t[c], pa.int64())
+            cols.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([doc] * 3),
+                pa.array(
+                    ["tok_start"] * n + ["pack_first"] * n + ["pack_last"] * n,
+                    type=pa.string(),
+                ),
+                pa.concat_arrays(cols),
+            ],
+            names=["doc_id", "metric", "n"],
+        )
+
+    def tag(metric: str, ncol: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    t["doc_id"],
+                    pa.array([metric] * t.num_rows, type=pa.string()),
+                    pc.cast(t[ncol], pa.int64()),
+                ],
+                names=["doc_id", "metric", "n"],
+            )
+
+        return fn
+
+    pk = training.sequence_packing(docs, ctx_len=512).map_batches(
+        pack_rows, batch_format="pyarrow"
+    )
+    ct = training.contamination_flags(docs, k=3, eval_mod=97).map_batches(
+        tag("contam_hits", "contam_hits"), batch_format="pyarrow"
+    )
+    lm = training.lm_frequency_scores(docs).map_batches(
+        tag("lm_freq_sum", "lm_freq_sum"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm)
+
+
 def _compound_violations(sf_dir: str):
     """The compound-check extension surface (any_of + best-error selection)
     under the correctness gate: a row violates the compound iff it fails
@@ -301,9 +359,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).stratified_sample_counts(docs(sf), rates={"src0": 50, "src1": 5}, default_pct=10),
         "referential_integrity": relational.referential_integrity,
         # --- text analysis ----------------------------------------------------
-        "text_token_count": lambda sf: text.token_count_ws(docs(sf)),
-        "text_bpe_token_count": lambda sf: text.bpe_token_count(docs(sf)),
+        # ws + BPE counts fused into one single-pass query (frees a gate
+        # slot for training_meta; both counts stay driver-verified)
+        "text_token_counts": lambda sf: text.token_counts(docs(sf)),
         "text_quality": lambda sf: text.quality_scores(docs(sf)),
+        # --- training-data prep (packing / contamination / LM score) ----------
+        "training_meta": _training_meta,
         # --- dedup ------------------------------------------------------------
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
@@ -338,6 +399,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_features": lambda sf: multimodal.audio_features(docs(sf)),
         "mm_image_resized": lambda sf: multimodal.image_resized(docs(sf)).select_columns(
             ["doc_id", "n_bytes"]
+        ),
+        "training_packing": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).sequence_packing(docs(sf), ctx_len=512),
+        "training_contamination": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).contamination_flags(docs(sf)),
+        "training_lm_scores": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).lm_frequency_scores(docs(sf)),
+        "training_pii_scrub": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).pii_scrub(docs(sf)).select_columns(
+            ["doc_id", "n_urls", "n_emails", "n_phones", "n_redacted_chars"]
         ),
     }
 
@@ -733,12 +808,48 @@ UNION ALL
 SELECT 'orders->customer',
        (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT""",
         # --- text -------------------------------------------------------------
-        "text_token_count": """
-SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens FROM documents""",
-        "text_bpe_token_count": r"""
+        "text_token_counts": r"""
 SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
        len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'))::BIGINT AS n_bpe_tokens
 FROM documents""",
+        # --- training-data prep ----------------------------------------------
+        # packing = window prefix sum over doc_id order; contamination =
+        # distinct word-3-shingles shared with the doc_id%97=0 eval slice
+        # (same shingle semantics as the dedup_ngram_jaccard oracle);
+        # lm_freq_sum = per-doc sum of corpus word frequencies
+        "training_meta": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+cum AS (
+  SELECT doc_id, len(ws)::BIGINT AS n,
+         COALESCE(SUM(len(ws)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM w
+),
+shg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh
+  FROM w
+),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+ev AS (SELECT DISTINCT s FROM expl WHERE doc_id % 97 = 0),
+contam AS (
+  SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS n
+  FROM documents d LEFT JOIN (
+    SELECT e.doc_id, count(DISTINCT e.s)::BIGINT AS n
+    FROM expl e JOIN ev USING (s) GROUP BY e.doc_id
+  ) c USING (doc_id)
+),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT word, count(*)::BIGINT AS c FROM wx GROUP BY word),
+lm AS (SELECT wx.doc_id, SUM(wc.c)::BIGINT AS n FROM wx JOIN wc USING (word) GROUP BY wx.doc_id)
+SELECT doc_id, 'tok_start' AS metric, s AS n FROM cum
+UNION ALL SELECT doc_id, 'pack_first', s // 512 FROM cum
+UNION ALL SELECT doc_id, 'pack_last', (s + greatest(n, 1) - 1) // 512 FROM cum
+UNION ALL SELECT doc_id, 'contam_hits', n FROM contam
+UNION ALL SELECT doc_id, 'lm_freq_sum', n FROM lm""",
         "text_quality": """
 SELECT doc_id,
        length(text)::BIGINT AS n_chars_calc,

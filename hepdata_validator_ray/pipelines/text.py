@@ -118,6 +118,25 @@ def bpe_token_count(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
     )
 
 
+class TokenCountsStage(BpeTokenCountStage):
+    """Both token counts (whitespace + BPE-ish) in ONE pass over the text
+    column — fusing the two single-count pipelines halves the reads when a
+    corpus audit wants both numbers (they almost always travel together)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n_ws = df["text"].str.split(" ").str.len().astype("int64")
+        n_bpe = df["text"].map(lambda t: len(self.pat.findall(t))).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
+        )
+
+
+def token_counts(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        TokenCountsStage, batch_format="pandas", batch_size=4096, concurrency=(1, concurrency)
+    )
+
+
 class LangIdStage:
     """Stopword-scoring language ID — actor-pool stage: tables built once in
     ``__init__`` (once per actor), batches scored vectorized in ``__call__``

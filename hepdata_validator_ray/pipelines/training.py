@@ -1,0 +1,348 @@
+"""Training-data preparation operators beyond the near-dup family:
+sequence packing (concat-and-chunk), benchmark-contamination flagging,
+PII/URL scrubbing, and corpus-frequency (unigram LM) scoring.
+
+These are the ops a large-scale LLM-corpus pipeline runs after
+validation/dedup and before tokenized shards are cut; none exists in the
+reference (a single-file validator) — they extend SURVEY.md §2.8's
+training-data family.  All hot paths are vectorized (pandas C siphash,
+numpy segmented reductions, compiled regexes in actor ``__init__``) and
+every wide step is either a broadcast (small side via ``ray.put``) or a
+single bucketed exchange — no driver-side loops over the corpus.
+
+Physical plans:
+
+- ``sequence_packing`` — a distributed exclusive prefix-sum: pass 1
+  computes per-range-bucket token sums with map-side combine (only
+  ``num_buckets`` rows shuffle), the driver scans that tiny table into
+  per-bucket offsets (broadcast), pass 2 exchanges (doc_id, n_tokens)
+  pairs once, keyed on the RANGE bucket, and finishes each bucket with a
+  local sort + cumsum.  The text column never re-ships.
+- ``contamination_flags`` — the eval side (~1/eval_mod of the corpus) is
+  reduced to a distinct-shingle-hash array and broadcast; the train side
+  streams once through an actor pool doing a sorted-array membership
+  test.  No corpus-sized shuffle at all.
+- ``lm_frequency_scores`` — pass 1 builds the corpus unigram table
+  (map-side ``np.unique`` combine, then one tiny hash-keyed groupby —
+  vocabulary-sized, not corpus-sized), broadcasts it sorted; pass 2
+  scores each doc with searchsorted + one segmented sum.
+- ``pii_scrub`` — embarrassingly parallel map_batches; regexes compiled
+  once per actor (ST1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from hepdata_validator_ray.pipelines.dedup import _shingle_hashes, _word_hashes
+
+#: siphash keys (16 bytes) for word hashing — distinct per op so buckets
+#: never correlate across pipelines
+_CONTAM_KEY = "hvr-contaminate!"
+_LM_KEY = "hvr-unigram-lm!!"
+
+
+def _pq(sf_dir_or_path: str) -> str:
+    import os
+
+    p = sf_dir_or_path
+    return p if p.endswith(".parquet") or os.path.isfile(p) else f"{p}/documents.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def sequence_packing(
+    docs_path: str,
+    ctx_len: int = 512,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Concat-and-chunk packing plan: lay every document's whitespace
+    tokens end-to-end in doc_id order and cut fixed ``ctx_len`` contexts;
+    emit each doc's global token offset and the packs it lands in —
+    (doc_id, n_tokens, tok_start, pack_first, pack_last, n_packs).
+
+    Assumes dense int doc_ids (0..N-1, the corpus-shard convention); the
+    range bucket ``doc_id // span`` then preserves global order across
+    buckets, which is what lets the prefix sum distribute.  Equivalent
+    SQL: SUM(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets
+
+    path = _pq(docs_path)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_rows = ds.count()  # parquet metadata only — no scan
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=500_000, lo=8
+    )
+    span = max(1, math.ceil((n_rows) / nb))
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas()
+        n = texts.str.split(" ").str.len().fillna(0).astype("int64")
+        doc = t["doc_id"].to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": doc,
+                "n_tokens": n.to_numpy(),
+                BUCKET_COL: (doc // span).astype(np.int64),
+            }
+        )
+
+    cnt = ds.map_batches(counts, batch_format="pyarrow")
+
+    # pass 1: per-bucket sums with map-side combine — only nb rows shuffle
+    def partial_sums(t: pa.Table) -> pa.Table:
+        b = t[BUCKET_COL].to_numpy()
+        n = t["n_tokens"].to_numpy()
+        ub, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.Table.from_pydict({BUCKET_COL: ub, "s": s})
+
+    sums = (
+        cnt.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .sum("s")
+        .to_pandas()
+    )  # nb rows — tiny by construction
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    offs[sums[BUCKET_COL].to_numpy() + 1] = sums["sum(s)"].to_numpy()
+    np.cumsum(offs, out=offs)  # offs[b] = tokens before bucket b
+    offs_ref = ray.put(offs[:nb])
+
+    # pass 2: one exchange of (doc_id, n_tokens) keyed on the range bucket;
+    # in-bucket finish is a vectorized sort + cumsum
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        bucket_off = ray.get(offs_ref)
+        df = df.sort_values("doc_id", kind="mergesort")
+        n = df["n_tokens"].to_numpy()
+        start = bucket_off[int(df[BUCKET_COL].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        )
+        last = start + np.maximum(n, 1) - 1  # empty docs occupy their start pack
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "tok_start": start,
+                "pack_first": start // ctx_len,
+                "pack_last": last // ctx_len,
+                "n_packs": last // ctx_len - start // ctx_len + 1,
+            }
+        )
+
+    return cnt.groupby(BUCKET_COL).map_groups(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination flagging
+# ---------------------------------------------------------------------------
+
+def eval_shingle_set(
+    docs_path: str, k: int = 3, eval_mod: int = 97
+) -> np.ndarray:
+    """Distinct shingle hashes of the eval slice (doc_id % eval_mod == 0)
+    — the broadcast side.  Distinct-per-batch first, so only unique hashes
+    ever leave a task; the final union is eval-vocabulary-sized."""
+    path = _pq(docs_path)
+
+    def uniq(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        mask = doc % eval_mod == 0
+        if not mask.any():
+            return pa.Table.from_pydict({"sh": np.empty(0, dtype=np.uint64)})
+        texts = t["text"].to_pandas()[mask]
+        wh, offs = _word_hashes(texts, _CONTAM_KEY)
+        sh, _ = _shingle_hashes(wh, offs, k)
+        return pa.Table.from_pydict({"sh": np.unique(sh)})
+
+    parts = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(uniq, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return np.unique(parts["sh"].to_numpy().astype(np.uint64))
+
+
+class ContaminationStage:
+    """Actor-pool scorer: the eval shingle set (sorted uint64 array) is
+    fetched once per actor in ``__init__``; each batch does one shingle
+    pass + sorted membership + per-row distinct-match count."""
+
+    def __init__(self, eval_ref, k: int = 3):
+        self.eval_sh = ray.get(eval_ref) if not isinstance(eval_ref, np.ndarray) else eval_ref
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas()
+        wh, offs = _word_hashes(texts, _CONTAM_KEY)
+        sh, sh_off = _shingle_hashes(wh, offs, self.k)
+        n = t.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        if len(sh):
+            pos = np.searchsorted(self.eval_sh, sh)
+            pos[pos == len(self.eval_sh)] = 0
+            matched = self.eval_sh[pos] == sh if len(self.eval_sh) else np.zeros(len(sh), bool)
+            if matched.any():
+                row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(sh_off))
+                pairs = np.stack([row_of[matched].astype(np.uint64), sh[matched]], axis=1)
+                uniq_pairs = np.unique(pairs, axis=0)
+                rows, counts = np.unique(uniq_pairs[:, 0].astype(np.int64), return_counts=True)
+                hits[rows] = counts
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"].to_numpy(), "contam_hits": hits}
+        )
+
+
+def contamination_flags(
+    docs_path: str, k: int = 3, eval_mod: int = 97, concurrency: int = 2
+) -> "ray.data.Dataset":
+    """Per-doc count of DISTINCT k-word shingles shared with the eval
+    slice (doc_id % eval_mod == 0) — the test-set-overlap decontamination
+    check.  Eval docs score their own shingle count (trivially
+    contaminated); filter doc_id % eval_mod != 0 downstream to act on the
+    train side only."""
+    path = _pq(docs_path)
+    ev_ref = ray.put(eval_shingle_set(docs_path, k=k, eval_mod=eval_mod))
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        ContaminationStage,
+        fn_constructor_kwargs=dict(eval_ref=ev_ref, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing
+# ---------------------------------------------------------------------------
+
+#: RE2-safe patterns (no backrefs/lookaround) so the DuckDB-parity test can
+#: run the identical regex on both engines
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^ \t\n]+"
+PHONE_PATTERN = r"\+[0-9][0-9 ()-]{6,14}[0-9]"
+
+
+class PiiScrubStage:
+    """Actor-pool scrubber: regexes compiled once per actor; counting and
+    redaction are pandas C string kernels over the whole batch."""
+
+    REDACTIONS = (
+        (URL_PATTERN, "<URL>"),      # URLs first: they may embed @ or digits
+        (EMAIL_PATTERN, "<EMAIL>"),
+        (PHONE_PATTERN, "<PHONE>"),
+    )
+
+    def __init__(self):
+        import re
+
+        self.pats = [(re.compile(p), tok) for p, tok in self.REDACTIONS]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        counts = {}
+        clean = text
+        for (pat, tok), name in zip(self.pats, ("n_urls", "n_emails", "n_phones")):
+            counts[name] = clean.str.count(pat).astype("int64")
+            clean = clean.str.replace(pat, tok, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_clean": clean,
+                "n_urls": counts["n_urls"],
+                "n_emails": counts["n_emails"],
+                "n_phones": counts["n_phones"],
+                "n_redacted_chars": (
+                    text.str.len() - clean.str.len()
+                    + 5 * counts["n_urls"] + 7 * counts["n_emails"] + 7 * counts["n_phones"]
+                ).astype("int64"),
+            }
+        )
+
+
+def pii_scrub(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
+        PiiScrubStage, batch_format="pandas", batch_size=4096, concurrency=(1, concurrency)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency (unigram LM) scoring
+# ---------------------------------------------------------------------------
+
+def unigram_counts(docs_path: str) -> pd.DataFrame:
+    """Corpus unigram table keyed by word hash: (wh uint64, c int64),
+    sorted by wh.  Map-side ``np.unique`` combine means each task ships at
+    most its batch vocabulary; the groupby that follows is
+    vocabulary-sized, not corpus-sized.  The result is broadcastable (a
+    100 TB web corpus has a bounded word vocabulary — same regime as the
+    IVF centroid table)."""
+    path = _pq(docs_path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        wh, _ = _word_hashes(t["text"].to_pandas(), _LM_KEY)
+        u, c = np.unique(wh, return_counts=True)
+        return pa.Table.from_pydict({"wh": u, "c": c.astype(np.int64)})
+
+    agg = (
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("wh")
+        .sum("c")
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(c)": "c"}).sort_values("wh").reset_index(drop=True)
+    agg["wh"] = agg["wh"].astype(np.uint64)
+    return agg
+
+
+class LmScoreStage:
+    """Actor-pool scorer: sorted vocab arrays fetched once per actor; each
+    batch is one searchsorted + one segmented sum."""
+
+    def __init__(self, vocab_ref):
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, pd.DataFrame) else vocab_ref
+        self.wh = vocab["wh"].to_numpy().astype(np.uint64)
+        self.c = vocab["c"].to_numpy().astype(np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from hepdata_validator_ray.pipelines.text import _segment_sum
+
+        wh, offs = _word_hashes(t["text"].to_pandas(), _LM_KEY)
+        if len(wh) and len(self.wh):
+            pos = np.searchsorted(self.wh, wh)
+            pos[pos == len(self.wh)] = 0
+            freq = np.where(self.wh[pos] == wh, self.c[pos], 0)
+        else:
+            freq = np.zeros(len(wh), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "lm_freq_sum": _segment_sum(freq, offs),
+                "n_tokens": np.diff(offs),
+            }
+        )
+
+
+def lm_frequency_scores(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """Per-doc sum of corpus frequencies of its words — the integerized
+    unigram-LM familiarity score (deterministic across engines, unlike a
+    float log-prob sum whose value depends on summation order).  Low
+    scores ≈ rare/garbled text; the quality-filter signal."""
+    path = _pq(docs_path)
+    vocab_ref = ray.put(unigram_counts(docs_path))
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        LmScoreStage,
+        fn_constructor_kwargs=dict(vocab_ref=vocab_ref),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )

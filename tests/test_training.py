@@ -1,0 +1,160 @@
+"""Training-data-prep operator tests (pipelines/training.py): packing
+prefix-sum invariants, contamination vs a brute-force reference,
+LM-frequency scores vs DuckDB, and PII scrubbing vs the identical RE2
+regexes run by DuckDB on a crafted fixture (the synthetic corpus contains
+no PII, so the gated queries can't exercise the scrubber — this parity
+test is its oracle)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hepdata_validator_ray.pipelines import training
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas()
+
+
+def test_sequence_packing_prefix_sum(ray_session, docs_df):
+    out = training.sequence_packing(DOCS, ctx_len=128).to_pandas().sort_values("doc_id")
+    # global invariant: tok_start is the exclusive prefix sum in doc_id order
+    n = docs_df.sort_values("doc_id")["text"].str.split(" ").str.len().to_numpy()
+    expect_start = np.concatenate(([0], np.cumsum(n[:-1])))
+    assert (out["tok_start"].to_numpy() == expect_start).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["pack_first"] == out["tok_start"] // 128).all()
+    last = out["tok_start"] + np.maximum(out["n_tokens"], 1) - 1
+    assert (out["pack_last"] == last // 128).all()
+    assert (out["n_packs"] == out["pack_last"] - out["pack_first"] + 1).all()
+
+
+def test_sequence_packing_bucket_boundaries(ray_session, docs_df):
+    """Forcing many tiny buckets exercises the cross-bucket offset math."""
+    out = (
+        training.sequence_packing(DOCS, ctx_len=64, num_buckets=17)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n = docs_df.sort_values("doc_id")["text"].str.split(" ").str.len().to_numpy()
+    assert (out["tok_start"].to_numpy() == np.concatenate(([0], np.cumsum(n[:-1])))).all()
+
+
+def _ref_shingles(text: str, k: int = 3) -> set:
+    ws = text.split(" ")
+    if not ws:
+        return set()
+    if len(ws) < k:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+
+def test_contamination_vs_bruteforce(ray_session, docs_df):
+    out = (
+        training.contamination_flags(DOCS, k=3, eval_mod=97)
+        .to_pandas()
+        .set_index("doc_id")["contam_hits"]
+    )
+    ev = set()
+    for _, r in docs_df[docs_df["doc_id"] % 97 == 0].iterrows():
+        ev |= _ref_shingles(r["text"])
+    for _, r in docs_df.iterrows():
+        expect = len(_ref_shingles(r["text"]) & ev)
+        assert out[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_eval_shingle_set_sorted_unique(ray_session):
+    ev = training.eval_shingle_set(DOCS, k=3, eval_mod=97)
+    assert ev.dtype == np.uint64
+    assert (np.diff(ev.astype(np.int64) if False else ev) > 0).all()  # strictly increasing
+
+
+def test_lm_frequency_scores_vs_duckdb(ray_session):
+    out = training.lm_frequency_scores(DOCS).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM read_parquet('{DOCS}')),
+        c AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word)
+        SELECT w.doc_id, SUM(c.c)::BIGINT AS lm_freq_sum, count(*)::BIGINT AS n_tokens
+        FROM w JOIN c USING (word) GROUP BY w.doc_id ORDER BY doc_id
+        """
+    ).df()
+    assert (out["lm_freq_sum"].to_numpy() == ref["lm_freq_sum"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == ref["n_tokens"].to_numpy()).all()
+
+
+PII_DOCS = [
+    "contact me at alice.smith+spam@example.co.uk for details",
+    "see https://example.com/path?q=1#frag and http://a.b/c now",
+    "call +1 (415) 555-0199 or +44 20 7946 0958 today",
+    "mixed: bob@test.org visits https://x.io/u@name then dials +33123456789",
+    "clean text with no pii at all",
+    "edge@case.io",  # whole doc is one email
+]
+
+
+def test_pii_scrub_duckdb_parity(ray_session, tmp_path):
+    """The scrubber's counts must match DuckDB running the IDENTICAL RE2
+    patterns — regex-parity in the BPE_PATTERN tradition."""
+    p = str(tmp_path / "pii.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(PII_DOCS))), "text": PII_DOCS}), p
+    )
+    out = training.pii_scrub(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    url, email, phone = (
+        training.URL_PATTERN,
+        training.EMAIL_PATTERN,
+        training.PHONE_PATTERN,
+    )
+    ref = con.execute(
+        f"""
+        WITH s0 AS (SELECT doc_id, text FROM read_parquet('{p}')),
+        s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{url}'))::BIGINT AS n_urls,
+                      regexp_replace(text, '{url}', '<URL>', 'g') AS t FROM s0),
+        s2 AS (SELECT doc_id, n_urls,
+                      len(regexp_extract_all(t, '{email}'))::BIGINT AS n_emails,
+                      regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, n_urls, n_emails,
+                      len(regexp_extract_all(t, '{phone}'))::BIGINT AS n_phones,
+                      regexp_replace(t, '{phone}', '<PHONE>', 'g') AS t FROM s2)
+        SELECT doc_id, n_urls, n_emails, n_phones, t AS text_clean
+        FROM s3 ORDER BY doc_id
+        """
+    ).df()
+    assert (out["n_urls"].to_numpy() == ref["n_urls"].to_numpy()).all()
+    assert (out["n_emails"].to_numpy() == ref["n_emails"].to_numpy()).all()
+    assert (out["n_phones"].to_numpy() == ref["n_phones"].to_numpy()).all()
+    assert list(out["text_clean"]) == list(ref["text_clean"])
+
+
+def test_pii_scrub_counts(ray_session, tmp_path):
+    p = str(tmp_path / "pii2.parquet")
+    pq.write_table(pa.table({"doc_id": list(range(len(PII_DOCS))), "text": PII_DOCS}), p)
+    out = training.pii_scrub(p).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_urls"] == 0
+    assert out.loc[1, "n_urls"] == 2
+    assert out.loc[2, "n_phones"] == 2
+    assert out.loc[4, "n_redacted_chars"] == 0
+    assert out.loc[4, "text_clean"] == PII_DOCS[4]
+    assert out.loc[5, "text_clean"] == "<EMAIL>"
+
+
+def test_token_counts_fused_matches_singles(ray_session):
+    from hepdata_validator_ray.pipelines import text as t
+
+    fused = t.token_counts(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ws = t.token_count_ws(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bpe = t.bpe_token_count(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (fused["n_ws_tokens"] == ws["n_ws_tokens"]).all()
+    assert (fused["n_bpe_tokens"] == bpe["n_bpe_tokens"]).all()
