@@ -134,6 +134,32 @@ def pipeline_ngram_jaccard(sf_dir: str) -> int:
     return _consume(ngram_jaccard_pairs(f"{sf_dir}/documents.parquet", threshold=0.3))
 
 
+def pipeline_training_pack(sf_dir: str) -> int:
+    """Distributed prefix-sum packing + contamination + LM scoring — the
+    training-prep trio as one number (they share the documents read)."""
+    from hepdata_validator_ray.pipelines.training import (
+        contamination_flags,
+        lm_frequency_scores,
+        sequence_packing,
+    )
+
+    d = f"{sf_dir}/documents.parquet"
+    n = _consume(sequence_packing(d, ctx_len=512))
+    n += _consume(contamination_flags(d))
+    n += _consume(lm_frequency_scores(d))
+    return n
+
+
+def pipeline_mm_codec(sf_dir: str) -> int:
+    """Real PPM decode/feature + WAV decode/feature actor-pool stages."""
+    from hepdata_validator_ray.pipelines.multimodal import audio_features, image_features
+
+    d = f"{sf_dir}/documents.parquet"
+    return _consume(image_features(d, concurrency=8)) + _consume(
+        audio_features(d, concurrency=8)
+    )
+
+
 SCALING_ROWS = int(os.environ.get("HVR_SCALING_ROWS", "4000000"))
 
 
@@ -162,6 +188,8 @@ PIPELINES = {
     "content_dedup": pipeline_content_dedup,
     "asof_join": pipeline_asof_join,
     "ngram_jaccard": pipeline_ngram_jaccard,
+    "training_pack": pipeline_training_pack,
+    "mm_codec": pipeline_mm_codec,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
