@@ -221,7 +221,11 @@ def _training_meta(sf_dir: str):
     lm = training.lm_frequency_scores(docs).map_batches(
         tag("lm_freq_sum", "lm_freq_sum"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm)
+
+    ck = training.chunk_counts(docs, chunk=64, stride=48).map_batches(
+        tag("n_chunks", "n_chunks"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm).union(ck)
 
 
 def _compound_violations(sf_dir: str):
@@ -414,6 +418,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).pii_scrub(docs(sf)).select_columns(
             ["doc_id", "n_urls", "n_emails", "n_phones", "n_redacted_chars"]
         ),
+        "rag_chunks": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).rag_chunk_spans(docs(sf), chunk=64, stride=48),
     }
 
 
@@ -849,15 +856,39 @@ SELECT doc_id, 'tok_start' AS metric, s AS n FROM cum
 UNION ALL SELECT doc_id, 'pack_first', s // 512 FROM cum
 UNION ALL SELECT doc_id, 'pack_last', (s + greatest(n, 1) - 1) // 512 FROM cum
 UNION ALL SELECT doc_id, 'contam_hits', n FROM contam
-UNION ALL SELECT doc_id, 'lm_freq_sum', n FROM lm""",
+UNION ALL SELECT doc_id, 'lm_freq_sum', n FROM lm
+UNION ALL SELECT doc_id, 'n_chunks',
+  (1 + CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END) FROM cum""",
+        # quality + Gopher/C4-style repetition counts — bigram key uses ' '
+        # concat, injective because words are themselves space-split
         "text_quality": """
-SELECT doc_id,
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+agg AS (
+  SELECT doc_id,
+         (count(*) - count(DISTINCT word))::BIGINT AS n_dup_words,
+         ((sum(length(word)) * 100) // count(*))::BIGINT AS mean_wlen_x100
+  FROM wx GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+  FROM w
+),
+tb AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_n
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
        length(text)::BIGINT AS n_chars_calc,
-       len(string_split(text, ' '))::BIGINT AS n_words,
+       len(ws)::BIGINT AS n_words,
        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
-       len(list_filter(string_split(text, ' '),
-                       w -> list_contains(['the','and','of','a','to'], w)))::BIGINT AS n_stopwords
-FROM documents""",
+       len(list_filter(ws, x -> list_contains(['the','and','of','a','to'], x)))::BIGINT AS n_stopwords,
+       agg.n_dup_words,
+       COALESCE(tb.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       agg.mean_wlen_x100
+FROM w JOIN agg USING (doc_id) LEFT JOIN tb USING (doc_id)""",
         # --- dedup ------------------------------------------------------------
         "dedup_sequence_content": f"""
 WITH g AS (

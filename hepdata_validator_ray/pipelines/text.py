@@ -62,10 +62,63 @@ def token_count_ws(docs_path: str) -> "ray.data.Dataset":
     )
 
 
+def _repetition_metrics(
+    flat: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gopher/C4-style repetition inputs per segment, all vectorized over the
+    batch's exploded word buffer: (distinct word count, most-frequent-bigram
+    count, summed word length).  ``pd.factorize`` gives exact string-identity
+    integer codes (no hash-collision risk vs a SQL ``DISTINCT``); per-segment
+    group counts come from one lexsort + run-length pass."""
+    n_rows = len(offsets) - 1
+    lens = np.diff(offsets)
+    seg = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    top_bigram = np.zeros(n_rows, dtype=np.int64)
+    sum_wlen = np.zeros(n_rows, dtype=np.int64)
+    if not len(flat):
+        return distinct, top_bigram, sum_wlen
+    codes, uniques = pd.factorize(flat)
+    codes = codes.astype(np.int64)
+    sum_wlen[:] = _segment_sum(
+        pd.Series(flat, dtype=object).str.len().to_numpy(np.int64), offsets
+    )
+    # distinct words per segment: seg already nondecreasing, sort codes in-seg
+    order = np.lexsort((codes, seg))
+    cs, ss = codes[order], seg[order]
+    new = np.ones(len(cs), dtype=bool)
+    new[1:] = (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])
+    distinct[:] = np.bincount(ss[new], minlength=n_rows)
+    # top-bigram count per segment: adjacent pairs inside one segment only
+    m = seg[1:] == seg[:-1]
+    if m.any():
+        bseg = seg[:-1][m]
+        vocab = np.int64(len(uniques))
+        big = codes[:-1][m] * vocab + codes[1:][m]  # injective: codes < vocab
+        order = np.lexsort((big, bseg))
+        bs, bb = bseg[order], big[order]
+        grp = np.ones(len(bs), dtype=bool)
+        grp[1:] = (bs[1:] != bs[:-1]) | (bb[1:] != bb[:-1])
+        starts = np.flatnonzero(grp)
+        counts = np.diff(np.append(starts, len(bs)))
+        gseg = bs[starts]  # nondecreasing
+        segstart = np.ones(len(gseg), dtype=bool)
+        segstart[1:] = gseg[1:] != gseg[:-1]
+        top_bigram[gseg[segstart]] = np.maximum.reduceat(
+            counts, np.flatnonzero(segstart)
+        )
+    return distinct, top_bigram, sum_wlen
+
+
 def quality_scores(docs_path: str) -> "ray.data.Dataset":
     """Quality metrics per doc: char count, whitespace-token count,
-    punctuation count, stopword hits, mean word length ×1000 (integerized
-    for cross-engine hash stability)."""
+    punctuation count, stopword hits, plus the Gopher/C4-style repetition
+    family (duplicate-word count, most-frequent-bigram count, integerized
+    mean word length ×100) — all integers for cross-engine hash stability.
+
+    Repetition-filter semantics follow the public Gopher (Rae et al. 2021,
+    §A1.1 repetition thresholds) / C4 heuristics re-expressed as exact
+    counts so a DuckDB oracle can reproduce them."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"]
@@ -77,6 +130,9 @@ def quality_scores(docs_path: str) -> "ray.data.Dataset":
         flat, offsets = _explode_words(words)
         hits = np.isin(flat, np.array(STOPWORDS_WS, dtype=object))
         n_stop = pd.Series(_segment_sum(hits, offsets), index=df.index, dtype="int64")
+        distinct, top_bigram, sum_wlen = _repetition_metrics(flat, offsets)
+        nw = n_words.to_numpy(np.int64)
+        mean_wlen = np.where(nw > 0, (sum_wlen * 100) // np.maximum(nw, 1), 0)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -84,6 +140,9 @@ def quality_scores(docs_path: str) -> "ray.data.Dataset":
                 "n_words": n_words,
                 "n_punct": n_punct,
                 "n_stopwords": n_stop,
+                "n_dup_words": pd.Series(nw - distinct, index=df.index, dtype="int64"),
+                "top_bigram_n": pd.Series(top_bigram, index=df.index, dtype="int64"),
+                "mean_wlen_x100": pd.Series(mean_wlen, index=df.index, dtype="int64"),
             }
         )
 

@@ -346,3 +346,64 @@ def lm_frequency_scores(docs_path: str, concurrency: int = 2) -> "ray.data.Datas
         batch_size=4096,
         concurrency=(1, concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunk spans
+# ---------------------------------------------------------------------------
+
+def rag_chunk_spans(
+    docs_path: str, chunk: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """Overlapping retrieval chunks per document, emitted as word-index
+    spans (doc_id, chunk_idx, w_start, w_end) without materializing chunk
+    text — downstream stages slice the text lazily, so a 100 TB corpus
+    ships only O(rows) span metadata, not chunk^x duplicated bytes.
+
+    Semantics (the standard sliding-window chunker): chunk k covers words
+    [k*stride, min(k*stride + chunk, n)); the last chunk is the first k
+    with k*stride + chunk >= n, i.e. k_max = 0 if n <= chunk else
+    ceil((n - chunk) / stride).  Wholly embarrassingly parallel — a pure
+    per-batch flat-map with vectorized repeat/arange index math."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").str.len().fillna(0).astype("int64").to_numpy()
+        kmax = np.where(n <= chunk, 0, (n - chunk + stride - 1) // stride)
+        reps = kmax + 1
+        doc = np.repeat(df["doc_id"].to_numpy(), reps)
+        # chunk_idx restarts per doc: global arange minus each doc's base
+        base = np.cumsum(reps) - reps
+        idx = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(base, reps)
+        w_start = idx * stride
+        w_end = np.minimum(w_start + chunk, np.repeat(n, reps))
+        return pd.DataFrame(
+            {"doc_id": doc, "chunk_idx": idx, "w_start": w_start, "w_end": w_end}
+        )
+
+    return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
+def chunk_counts(
+    docs_path: str, chunk: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """Per-document chunk count under ``rag_chunk_spans`` semantics —
+    computed map-side from the word count (one row per doc, no span
+    materialization), so the gated meta union stays one exchange-free
+    per-batch transform."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").str.len().fillna(0).astype("int64").to_numpy()
+        kmax = np.where(n <= chunk, 0, (n - chunk + stride - 1) // stride)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_chunks": pd.Series(kmax + 1, index=df.index, dtype="int64")}
+        )
+
+    return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )

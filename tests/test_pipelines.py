@@ -288,3 +288,51 @@ def test_exact_dedup_production_key_matches_md5_groups():
     a = exact_dup_groups(DOCS, key_fn="md5")
     b = exact_dup_groups(DOCS, key_fn="siphash")
     assert a.equals(b)
+
+
+def test_repetition_metrics_kernel():
+    """_repetition_metrics vs a plain-Python reference on crafted rows
+    (dup-heavy, singleton, empty-ish)."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.text import _explode_words, _repetition_metrics
+
+    texts = [
+        "a b a b a b c",          # dup words + dominant bigram 'a b'
+        "x",                      # single word, no bigrams
+        "one two three four",     # all distinct
+        "z z z z z",              # one word repeated
+    ]
+    words = pd.Series(texts).str.split(" ")
+    flat, offsets = _explode_words(words)
+    distinct, top_bigram, sum_wlen = _repetition_metrics(flat, offsets)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        assert distinct[i] == len(set(ws))
+        assert sum_wlen[i] == sum(len(w) for w in ws)
+        bigrams = collections.Counter(zip(ws, ws[1:]))
+        assert top_bigram[i] == (max(bigrams.values()) if bigrams else 0)
+
+
+def test_quality_scores_repetition_columns(ray_session):
+    """End-to-end over the real table: spot-check one doc against Python."""
+    import collections
+
+    from hepdata_validator_ray.pipelines import text as text_pipe
+
+    out = text_pipe.quality_scores("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    merged = out.merge(docs, on="doc_id")
+    for _, row in merged.head(25).iterrows():
+        ws = row["text"].split(" ")
+        assert row["n_dup_words"] == len(ws) - len(set(ws))
+        bigrams = collections.Counter(zip(ws, ws[1:]))
+        assert row["top_bigram_n"] == (max(bigrams.values()) if bigrams else 0)
+        assert row["mean_wlen_x100"] == (sum(len(w) for w in ws) * 100) // len(ws)

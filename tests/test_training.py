@@ -158,3 +158,62 @@ def test_token_counts_fused_matches_singles(ray_session):
     bpe = t.bpe_token_count(DOCS).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (fused["n_ws_tokens"] == ws["n_ws_tokens"]).all()
     assert (fused["n_bpe_tokens"] == bpe["n_bpe_tokens"]).all()
+
+
+def test_rag_chunk_spans_duckdb_parity(ray_session):
+    """Sliding-window chunker vs the same semantics in DuckDB SQL
+    (generate the k range as a list, unnest) — full-frame equality."""
+    got = (
+        training.rag_chunk_spans(DOCS, chunk=64, stride=48)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH w AS (
+          SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+          FROM read_parquet('{DOCS}')
+        ),
+        k AS (
+          SELECT doc_id, n,
+                 CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END AS kmax
+          FROM w
+        ),
+        e AS (SELECT doc_id, n, unnest(range(0, kmax + 1)) AS chunk_idx FROM k)
+        SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+               (chunk_idx * 48)::BIGINT AS w_start,
+               least(chunk_idx * 48 + 64, n)::BIGINT AS w_end
+        FROM e ORDER BY doc_id, chunk_idx
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rag_chunk_spans_cover_and_overlap(ray_session, docs_df):
+    """Every word is covered; consecutive chunks overlap by chunk-stride
+    except possibly the clipped last chunk."""
+    out = training.rag_chunk_spans(DOCS, chunk=32, stride=24).to_pandas()
+    n = docs_df.set_index("doc_id")["text"].str.split(" ").str.len()
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert g["w_start"].iloc[0] == 0
+        assert g["w_end"].iloc[-1] == n.loc[doc_id]
+        assert (g["w_end"] - g["w_start"] <= 32).all()
+        # no gaps: each chunk starts inside (or at the end of) the previous
+        assert (g["w_start"].iloc[1:].to_numpy() <= g["w_end"].iloc[:-1].to_numpy()).all()
+
+
+def test_chunk_counts_match_spans(ray_session):
+    spans = training.rag_chunk_spans(DOCS, chunk=64, stride=48).to_pandas()
+    counts = training.chunk_counts(DOCS, chunk=64, stride=48).to_pandas()
+    per_doc = spans.groupby("doc_id").size()
+    merged = counts.set_index("doc_id")["n_chunks"]
+    assert (per_doc.sort_index() == merged.sort_index()).all()
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError):
+        training.rag_chunk_spans(DOCS, chunk=0)
+    with pytest.raises(ValueError):
+        training.chunk_counts(DOCS, stride=0)
