@@ -421,6 +421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_chunks": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).rag_chunk_spans(docs(sf), chunk=64, stride=48),
+        "shuffle_ranks": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).deterministic_shuffle_ranks(docs(sf)),
     }
 
 

@@ -115,3 +115,93 @@ def deterministic_sample(
     return ray.data.read_parquet(docs_path, columns=[key]).map_batches(
         fil, batch_format="pandas", batch_size=8192
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (materialized training order)
+# ---------------------------------------------------------------------------
+
+def _hash64(values: np.ndarray, key_fn: str = "md5") -> np.ndarray:
+    """Full-width 64-bit content hash of the key column (uint64).  md5 is
+    the DuckDB-parity path (`('0x' || substr(md5(k),1,16))::UBIGINT`);
+    siphash is the vectorized production path."""
+    values = np.asarray(values)
+    if key_fn == "md5":
+        return np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in values),
+            dtype=np.uint64,
+            count=len(values),
+        )
+    if key_fn == "siphash":
+        if values.dtype.kind in ("i", "u"):
+            return pd.util.hash_array(values)
+        return pd.util.hash_array(
+            np.asarray(values, dtype=object), hash_key=_SPLIT_KEY, categorize=False
+        )
+    raise ValueError(f"unknown key_fn {key_fn!r} (expected 'md5' or 'siphash')")
+
+
+def deterministic_shuffle_ranks(
+    docs_path: str,
+    key: str = "doc_id",
+    key_fn: str = "md5",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Layout-independent global shuffle order: every row gets its exact
+    position (0..N-1) in the ordering by (hash64(key), key) — the training
+    order is then a pure function of content, identical across runs,
+    cluster sizes and file layouts (unlike ``ds.random_shuffle``, whose
+    permutation depends on block structure).
+
+    Distributed rank without a global sort of the payload: the top bits of
+    the hash form an order-preserving range bucket, so (1) a tiny
+    per-bucket count aggregate + driver prefix sum gives each bucket's
+    global offset, and (2) one exchange keyed on the bucket sorts only
+    in-bucket — ranks are offset + local position.  Payload never moves
+    twice; the same two-pass shape as ``sequence_packing``'s prefix sum."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets
+
+    ds = ray.data.read_parquet(docs_path, columns=[key])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=500_000, lo=8
+    )
+    bits = max(1, (nb - 1).bit_length())  # power-of-two buckets
+    nb = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(df[key].to_numpy(), key_fn=key_fn)
+        return pd.DataFrame(
+            {key: df[key].to_numpy(), "h": h, BUCKET_COL: (h >> shift).astype(np.int64)}
+        )
+
+    hds = ray.data.read_parquet(docs_path, columns=[key]).map_batches(
+        hashed, batch_format="pandas", batch_size=8192
+    )
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[BUCKET_COL].value_counts()
+        return pd.DataFrame({BUCKET_COL: c.index.to_numpy(), "n": c.to_numpy()})
+
+    counts = (
+        hds.map_batches(partial_counts, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .sum("n")
+        .to_pandas()
+    )  # nb rows — tiny by construction
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    offs[counts[BUCKET_COL].to_numpy() + 1] = counts["sum(n)"].to_numpy()
+    np.cumsum(offs, out=offs)
+    offs_ref = ray.put(offs[:nb])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(offs_ref)[int(df[BUCKET_COL].iloc[0])]
+        df = df.sort_values(["h", key], kind="mergesort")
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(),
+                "shuffle_rank": base + np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return hds.groupby(BUCKET_COL).map_groups(finish, batch_format="pandas")
