@@ -192,9 +192,17 @@ class ContaminationStage:
             matched = self.eval_sh[pos] == sh if len(self.eval_sh) else np.zeros(len(sh), bool)
             if matched.any():
                 row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(sh_off))
-                pairs = np.stack([row_of[matched].astype(np.uint64), sh[matched]], axis=1)
-                uniq_pairs = np.unique(pairs, axis=0)
-                rows, counts = np.unique(uniq_pairs[:, 0].astype(np.int64), return_counts=True)
+                # distinct (row, shingle) via one packed uint64 key: the
+                # matched shingle's eval-set INDEX (< 2^32) replaces the
+                # hash, so (row << 32) | idx is injective — a 1-D unique,
+                # not np.unique(axis=0)'s void-dtype row sort
+                key = (row_of[matched].astype(np.uint64) << np.uint64(32)) | pos[
+                    matched
+                ].astype(np.uint64)
+                uniq_keys = np.unique(key)
+                rows, counts = np.unique(
+                    (uniq_keys >> np.uint64(32)).astype(np.int64), return_counts=True
+                )
                 hits[rows] = counts
         return pa.Table.from_pydict(
             {"doc_id": t["doc_id"].to_numpy(), "contam_hits": hits}
@@ -202,7 +210,7 @@ class ContaminationStage:
 
 
 def contamination_flags(
-    docs_path: str, k: int = 3, eval_mod: int = 97, concurrency: int = 2
+    docs_path: str, k: int = 3, eval_mod: int = 97, concurrency: int = 8
 ) -> "ray.data.Dataset":
     """Per-doc count of DISTINCT k-word shingles shared with the eval
     slice (doc_id % eval_mod == 0) — the test-set-overlap decontamination
@@ -268,7 +276,7 @@ class PiiScrubStage:
         )
 
 
-def pii_scrub(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+def pii_scrub(docs_path: str, concurrency: int = 8) -> "ray.data.Dataset":
     return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
         PiiScrubStage, batch_format="pandas", batch_size=4096, concurrency=(1, concurrency)
     )
@@ -332,7 +340,7 @@ class LmScoreStage:
         )
 
 
-def lm_frequency_scores(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+def lm_frequency_scores(docs_path: str, concurrency: int = 8) -> "ray.data.Dataset":
     """Per-doc sum of corpus frequencies of its words — the integerized
     unigram-LM familiarity score (deterministic across engines, unlike a
     float log-prob sum whose value depends on summation order).  Low
