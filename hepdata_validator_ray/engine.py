@@ -1293,7 +1293,7 @@ class ValidationEngine:
         else:
             base = parts.merge(pd.DataFrame({"check_name": check_names}), how="cross")
         base = base.merge(counts, on=["partition_id", "check_name"], how="left")
-        base["n_violations"] = base["nv"].fillna(0).astype("int64")
+        base["n_violations"] = base["nv"].to_numpy(dtype="float64", na_value=0.0).astype("int64")
         base["passed"] = base["n_violations"] == 0
         base["detail"] = np.where(
             base["passed"], "", base["n_violations"].astype(str) + " violation(s)"
@@ -1325,7 +1325,7 @@ class ValidationEngine:
                 .reset_index(name="cols")
                 .merge(parts, on="partition_id", how="left")
             )
-            req["n_rows"] = req["n_rows"].fillna(0).astype("int64")
+            req["n_rows"] = req["n_rows"].to_numpy(dtype="float64", na_value=0.0).astype("int64")
             req["check_name"] = "required_columns"
             req["passed"] = False
             req["n_violations"] = missing.groupby("partition_id")["col"].nunique().values
@@ -1340,7 +1340,8 @@ class ValidationEngine:
                 on="partition_id",
                 how="left",
             )
-            n_pad = pad["nv"].fillna(0).astype("int64")
+            n_pad = pad["nv"].to_numpy(dtype="float64", na_value=0.0).astype("int64")
+            n_pad = pd.Series(n_pad, index=pad.index)
             pad["check_name"] = "partition_padding_limit"
             pad["passed"] = n_pad <= k
             pad["n_violations"] = np.where(pad["passed"], 0, n_pad)
