@@ -67,6 +67,24 @@ def _consume(res):
     return 0
 
 
+def _consume_concurrent(thunks):
+    """Execute independent pipelines concurrently — each Dataset gets its
+    own streaming executor and they share the cluster, so N independent
+    stages overlap instead of paying N× fixed per-stage latency.  Thunks
+    (not datasets) so plan construction also overlaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Plan construction stays on the main thread: read_parquet's path
+    # resolution lazily imports fsspec.implementations.http, whose import
+    # legitimately fails here (no aiohttp) — Ray handles that serially,
+    # but two threads racing the failing import see a partially-imported
+    # module and die with a different ImportError.  Only the consume
+    # (execution) overlaps.
+    datasets = [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=len(datasets)) as ex:
+        return sum(f.result() for f in [ex.submit(_consume, d) for d in datasets])
+
+
 def pipeline_validate_full(sf_dir: str) -> int:
     """Flagship: full constraint suite (checks + sketches + dup shuffle)."""
     from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
@@ -144,10 +162,13 @@ def pipeline_training_pack(sf_dir: str) -> int:
     )
 
     d = f"{sf_dir}/documents.parquet"
-    n = _consume(sequence_packing(d, ctx_len=512))
-    n += _consume(contamination_flags(d))
-    n += _consume(lm_frequency_scores(d))
-    return n
+    return _consume_concurrent(
+        [
+            lambda: sequence_packing(d, ctx_len=512),
+            lambda: contamination_flags(d),
+            lambda: lm_frequency_scores(d),
+        ]
+    )
 
 
 def pipeline_mm_codec(sf_dir: str) -> int:
@@ -155,8 +176,11 @@ def pipeline_mm_codec(sf_dir: str) -> int:
     from hepdata_validator_ray.pipelines.multimodal import audio_features, image_features
 
     d = f"{sf_dir}/documents.parquet"
-    return _consume(image_features(d, concurrency=8)) + _consume(
-        audio_features(d, concurrency=8)
+    return _consume_concurrent(
+        [
+            lambda: image_features(d, concurrency=8),
+            lambda: audio_features(d, concurrency=8),
+        ]
     )
 
 

@@ -298,7 +298,11 @@ def unigram_counts(docs_path: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         wh, _ = _word_hashes(t["text"].to_pandas(), _LM_KEY)
         u, c = np.unique(wh, return_counts=True)
-        return pa.Table.from_pydict({"wh": u, "c": c.astype(np.int64)})
+        # ship the key as an int64 BIT VIEW: Ray's groupby reduce
+        # materializes group keys as Python ints, and a uint64 above
+        # 2^63 overflows the int64 block build — the block then silently
+        # falls back to pickled-object storage (observed: column 'wh').
+        return pa.Table.from_pydict({"wh": u.view(np.int64), "c": c.astype(np.int64)})
 
     agg = (
         ray.data.read_parquet(path, columns=["text"])
@@ -307,9 +311,11 @@ def unigram_counts(docs_path: str) -> pd.DataFrame:
         .sum("c")
         .to_pandas()
     )
-    agg = agg.rename(columns={"sum(c)": "c"}).sort_values("wh").reset_index(drop=True)
-    agg["wh"] = agg["wh"].astype(np.uint64)
-    return agg
+    agg = agg.rename(columns={"sum(c)": "c"})
+    # undo the int64 bit view, THEN sort — int64 order differs from
+    # uint64 order for hashes above 2^63
+    agg["wh"] = agg["wh"].to_numpy(dtype=np.int64).view(np.uint64)
+    return agg.sort_values("wh").reset_index(drop=True)
 
 
 class LmScoreStage:
