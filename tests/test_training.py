@@ -217,3 +217,38 @@ def test_chunk_validation():
         training.rag_chunk_spans(DOCS, chunk=0)
     with pytest.raises(ValueError):
         training.chunk_counts(DOCS, stride=0)
+
+
+def test_unigram_vocab_exact_with_high_uint64_keys(ray_session, tmp_path):
+    """Regression: the vocab exchange ships word-hash keys as int64 bit
+    views.  uint64 keys above 2^63 used to overflow Ray's reduce-side
+    block build and silently fall back to pickled-object blocks; this
+    pins exact (hash, count) parity against a driver-side numpy pass,
+    including at least one key above 2^63."""
+    from hepdata_validator_ray.pipelines.dedup import _word_hashes
+    from hepdata_validator_ray.pipelines.training import _LM_KEY
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 30)))
+        for _ in range(400)
+    ]
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": np.arange(400, dtype=np.int64), "text": texts}), p
+    )
+
+    vocab = training.unigram_counts(str(p))
+    # driver-side ground truth from the same hash kernel
+    wh, _ = _word_hashes(pd.Series(texts), _LM_KEY)
+    exp_h, exp_c = np.unique(wh, return_counts=True)
+
+    assert vocab["wh"].dtype == np.uint64
+    got = vocab.sort_values("wh").reset_index(drop=True)
+    np.testing.assert_array_equal(got["wh"].to_numpy(), exp_h)
+    np.testing.assert_array_equal(got["c"].to_numpy(), exp_c)
+    # the regression only bites above 2^63 — make sure we exercised it
+    assert (exp_h > np.uint64(1) << np.uint64(63)).any()
+    # sorted ascending in uint64 order (searchsorted contract downstream)
+    assert (np.diff(got["wh"].to_numpy().astype(np.uint64)) > 0).all()
