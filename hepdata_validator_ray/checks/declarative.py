@@ -89,6 +89,12 @@ def compile_declared_check(spec: dict) -> Check:
             return CheckResult(bad.astype(np.int64), [M.msg_pattern(s, value, column) for s in vals])
 
     elif keyword == "enum":
+        # jsonschema requires enum values to be an array; a bare string
+        # would silently explode into per-character membership
+        if not isinstance(value, (list, tuple)):
+            raise ValueError(
+                f"enum value for column {column!r} must be a list, got {type(value).__name__}"
+            )
         allowed = tuple(value)
 
         def fn(v: dict, ctx: CheckContext) -> CheckResult:

@@ -35,6 +35,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
     from hepdata_validator_ray.checks.base import CheckContext, get_check_suite
     from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
 
+    if args.suite and args.suite_config:
+        # both would silently shadow each other — surface the conflict
+        print("Error: --suite and --suite-config are mutually exclusive.")
+        return 2
     ctx = CheckContext(schema_version=args.schema_version)
     suite = get_check_suite(args.suite) if args.suite else None
     if args.suite_config:
@@ -42,11 +46,20 @@ def cmd_validate(args: argparse.Namespace) -> int:
         # a JSON config (extends/checks/exclude/declare/context) loaded and
         # registered by name; declarative "declare" entries compile to
         # vectorized checks with no Python registration
+        from dataclasses import replace as _dc_replace
+
         from hepdata_validator_ray.sources.suite_loader import load_suite_config
 
         suite, ctx_over = load_suite_config(args.suite_config)
         if ctx_over is not None:
             ctx = ctx_over
+        elif suite.version:
+            # align the run context with the suite's declared version:
+            # CheckStage re-filters the suite by ctx.schema_version, so
+            # without this a 1.2.0 config's version-gated checks silently
+            # vanish under the CLI's default 1.1.1 (same alignment as
+            # validate_bundle's per-table override path)
+            ctx = _dc_replace(ctx, schema_version=suite.version)
     cfg = ValidationConfig(
         ctx=ctx,
         suite=suite,

@@ -766,6 +766,13 @@ class ValidationEngine:
                 return MIXED_SCHEMA.empty_table()
             tbl_col = t.column(table_column)
             tbl_arr = tbl_col.combine_chunks() if isinstance(tbl_col, pa.ChunkedArray) else tbl_col
+            # NULL table tags: coalesce to "" so (1) the row's path tag is
+            # never null (CheckStage's path dictionary requires non-null),
+            # and (2) the per-table routing below gives the row a real
+            # dictionary code that matches no override → default suite.
+            # Nulls used to encode as null indices (NaN in the codes array)
+            # and the routing loop silently dropped those rows.
+            tbl_arr = pc.fill_null(pc.cast(tbl_arr, pa.string()), "")
             tags = pc.binary_join_element_wise(
                 pa.array([bundle_name + "#"] * t.num_rows, type=pa.string()),
                 pc.cast(tbl_arr, pa.string()),

@@ -175,8 +175,14 @@ def deterministic_shuffle_ranks(
             {key: df[key].to_numpy(), "h": h, BUCKET_COL: (h >> shift).astype(np.int64)}
         )
 
-    hds = ray.data.read_parquet(docs_path, columns=[key]).map_batches(
-        hashed, batch_format="pandas", batch_size=8192
+    # materialized: hds feeds BOTH the counts aggregate and the rank
+    # exchange — without this the whole read+hash pass (the dominant cost
+    # on the md5 parity path) would execute twice.  The materialized set
+    # is 3 narrow columns (key, h, bucket), a bounded fraction of input.
+    hds = (
+        ray.data.read_parquet(docs_path, columns=[key])
+        .map_batches(hashed, batch_format="pandas", batch_size=8192)
+        .materialize()
     )
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:

@@ -95,7 +95,11 @@ def sequence_packing(
             }
         )
 
-    cnt = ds.map_batches(counts, batch_format="pyarrow")
+    # materialized: cnt feeds BOTH the pass-1 sums aggregate and the pass-2
+    # rank exchange — without this the full documents read + whitespace
+    # token count would execute twice.  cnt is (doc_id, n_tokens, bucket)
+    # only; the text column never enters it.
+    cnt = ds.map_batches(counts, batch_format="pyarrow").materialize()
 
     # pass 1: per-bucket sums with map-side combine — only nb rows shuffle
     def partial_sums(t: pa.Table) -> pa.Table:

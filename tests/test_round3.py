@@ -458,3 +458,119 @@ def test_lag_trailing_fused_matches_separate_ops():
     trail = events_trailing_count(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert fused["prev_ts"].fillna("-").tolist() == lag["prev_ts"].fillna("-").tolist()
     assert fused["n_trailing"].tolist() == trail["n_trailing"].tolist()
+
+
+def test_bundle_null_table_tag_rows_still_validated(tmp_path):
+    """Regression: rows with a NULL table tag match no dictionary code in
+    the per-table routing (their index encodes as null → NaN), and used to
+    be silently dropped.  They must validate under the run-level suite,
+    exactly as the no-override branch treats them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.checks.base import register_check_suite
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.sources.suite_loader import resolve_suite_refs
+
+    tbl = pa.table(
+        {
+            "doc_id": ["doc-1", "doc-2", "doc-3"],
+            "tokens": pa.array([[1, 2], [3], [4]], type=pa.list_(pa.int32())),
+            # doc-2 (table t0) and doc-3 (NULL table) both violate n_tok
+            "n_tok": pa.array([2, 99, 99], type=pa.int64()),
+            "source": ["src0", "src0", "src0"],
+            "table": pa.array(["t0", "t0", None], type=pa.string()),
+        }
+    )
+    bundle = tmp_path / "bundle_null.parquet"
+    pq.write_table(tbl, bundle)
+
+    lenient, _ = resolve_suite_refs(
+        {"name": "lenient_null_t", "version": "1.1.1", "exclude": ["token_length_consistency"]}
+    )
+    register_check_suite("lenient_null_t", lenient)
+
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=False))
+    res = eng.validate_bundle(str(bundle), table_suites={"t0": "lenient_null_t"})
+    # t0's violation is excluded by its override; the NULL-tag row's is NOT
+    assert res.n_rows == 3
+    assert res.violation_counts.get("token_length_consistency", 0) == 1
+    assert not res.valid
+
+
+def test_cli_suite_config_version_activates_gated_checks(tmp_path):
+    """Regression: --suite-config with a declared version but no context
+    block must run under THAT version — the 1.2.0-gated uniqueItems check
+    used to silently vanish under the CLI's default 1.1.1."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "data"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["doc-1"],
+                "tokens": pa.array([[5, 5, 6]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([3], type=pa.int64()),
+                "source": ["src0"],
+            }
+        ),
+        d / "part0.parquet",
+    )
+    cfg = tmp_path / "suite12.json"
+    cfg.write_text(json.dumps({"name": "strict12_cli", "version": "1.2.0"}))
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hepdata_validator_ray.cli",
+            "validate",
+            str(d),
+            "--suite-config",
+            str(cfg),
+            "--no-dup",
+            "--no-unigram",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "tokens_unique_items" in r.stdout
+
+    # and the two suite selectors conflict loudly, not silently
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hepdata_validator_ray.cli",
+            "validate",
+            str(d),
+            "--suite",
+            "default",
+            "--suite-config",
+            str(cfg),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r2.returncode == 2
+    assert "mutually exclusive" in r2.stdout
+
+
+def test_declarative_enum_rejects_scalar_string():
+    """A bare-string enum value would silently become per-character
+    membership; it must be rejected at compile time like jsonschema
+    rejects a non-array enum."""
+    from hepdata_validator_ray.checks.declarative import compile_declared_check
+
+    with pytest.raises(ValueError, match="enum value"):
+        compile_declared_check({"column": "source", "keyword": "enum", "value": "web"})
