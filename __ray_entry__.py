@@ -797,7 +797,7 @@ SELECT o_custkey,
        round(sum(o_totalprice), 2) AS total_spend,
        count(*)::BIGINT AS n_orders
 FROM orders GROUP BY o_custkey
-ORDER BY total_spend DESC LIMIT 10""",
+ORDER BY total_spend DESC, o_custkey LIMIT 10""",
         "top_parts_per_brand": """
 SELECT p_brand, p_partkey, p_retailprice FROM (
   SELECT p_brand, p_partkey, p_retailprice,

@@ -29,6 +29,11 @@ import ray.data
 
 BUCKET_COL = "__bucket__"
 
+# row-kind tag for connected_components_ds' tagged union — an int64
+# sentinel instead of nulls so the columns never become float64 in the
+# pandas attach stage (see lookup_min)
+_CC_TAG = np.iinfo(np.int64).min
+
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Counter-based 64-bit mix (public splitmix64 constants) — the one
@@ -40,13 +45,26 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _hash_mod(arr: pa.Array, num_buckets: int) -> np.ndarray:
+def _hash_values(arr: pa.Array) -> np.ndarray:
+    """Per-row uint64 hash of a key column, dispatched on the ARROW type.
+
+    Dispatching on the post-conversion numpy dtype is wrong: an int64
+    column converts to float64 in batches that contain a null, silently
+    switching those batches to the object-hash path — the same key value
+    then lands in DIFFERENT buckets depending on which batch it arrived
+    in, splitting groups across reducers.  Integer columns therefore take
+    the integer hash path always, with nulls filled by a sentinel (nulls
+    co-locate in one bucket; in-bucket logic still sees the real nulls)."""
+    if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            arr = arr.fill_null(0)
+        return pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
     np_vals = arr.to_numpy(zero_copy_only=False)
-    if np_vals.dtype.kind in ("i", "u"):
-        h = pd.util.hash_array(np_vals)
-    else:
-        h = pd.util.hash_array(np.asarray(np_vals, dtype=object), categorize=False)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    return pd.util.hash_array(np.asarray(np_vals, dtype=object), categorize=False)
+
+
+def _hash_mod(arr: pa.Array, num_buckets: int) -> np.ndarray:
+    return (_hash_values(arr) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def with_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
@@ -140,15 +158,20 @@ def grouped_value_counts(
     def salted_partial(batch: pa.Table) -> pa.Table:
         t = partial(batch)
         # composite (key, salt) level-1 key: one hot key's partials spread
-        # over n_salts distinct level-1 groups → distinct reducers
+        # over n_salts distinct level-1 groups → distinct reducers.  The
+        # ORIGINAL key column rides along so level 1 can emit it with its
+        # dtype intact (the stringified composite is bucketing-only).
         salts = rng_state.integers(0, n_salts, size=t.num_rows)
         ks = [f"{k}\x00{s}" for k, s in zip(t.column(key).to_pylist(), salts)]
-        return pa.Table.from_pydict({"__ks__": pa.array(ks, type=pa.string()), "cnt": t.column("cnt")})
+        return pa.Table.from_pydict(
+            {"__ks__": pa.array(ks, type=pa.string()), key: t.column(key), "cnt": t.column("cnt")}
+        )
 
     def level1(t: pa.Table) -> pa.Table:
-        g = t.group_by("__ks__").aggregate([("cnt", "sum")])
-        keys = pa.array([s.rsplit("\x00", 1)[0] for s in g["__ks__"].to_pylist()], type=pa.string())
-        return pa.Table.from_arrays([keys, g["cnt_sum"]], names=[key, "cnt"])
+        # all rows of one __ks__ group share the same key value, so min()
+        # recovers it losslessly — and with the column's original dtype
+        g = t.group_by("__ks__").aggregate([("cnt", "sum"), (key, "min")])
+        return pa.Table.from_arrays([g[f"{key}_min"], g["cnt_sum"]], names=[key, "cnt"])
 
     level1_ds = bucketed_aggregate(
         ds.map_batches(salted_partial, batch_format="pyarrow", batch_size=65536),
@@ -254,22 +277,30 @@ def connected_components_ds(
         """One exchange round: query rows (u, node) = "node u proposes
         label[node]" meet label rows on hash(node); candidates and the
         pass-through labels then reduce by min on hash(u/node)."""
+        # tag with an int64 SENTINEL, not nulls: a null-bearing int64 arrow
+        # column converts to float64 in the pandas attach stage, silently
+        # quantizing node ids / labels above 2^53 (hash-derived 64-bit doc
+        # ids are exactly that regime).  Sentinel-tagged columns stay int64
+        # end-to-end.  (A legitimate id equal to int64 min would collide
+        # with the tag; hash-derived ids hit that with probability 2^-64.)
         tagged_q = queries.map_batches(
             lambda t: pa.Table.from_arrays(
-                [t["u"], t["node"], pa.nulls(t.num_rows, pa.int64())], names=["u", "node", "label"]
+                [t["u"], t["node"], pa.array(np.full(t.num_rows, _CC_TAG, dtype=np.int64))],
+                names=["u", "node", "label"],
             ),
             batch_format="pyarrow",
         )
         tagged_l = labels.map_batches(
             lambda t: pa.Table.from_arrays(
-                [pa.nulls(t.num_rows, pa.int64()), t["node"], t["label"]], names=["u", "node", "label"]
+                [pa.array(np.full(t.num_rows, _CC_TAG, dtype=np.int64)), t["node"], t["label"]],
+                names=["u", "node", "label"],
             ),
             batch_format="pyarrow",
         )
 
         def attach(df: pd.DataFrame) -> pd.DataFrame:
             df = df.drop(columns=[BUCKET_COL])
-            is_lbl = df["u"].isna()
+            is_lbl = df["u"].to_numpy() == _CC_TAG
             lbl = dict(zip(df.loc[is_lbl, "node"], df.loc[is_lbl, "label"]))
             q = df[~is_lbl]
             cand = pd.DataFrame(
@@ -345,18 +376,12 @@ def grouped_pairs(
     for every singleton bucket."""
 
     def map_side(batch: pa.Table) -> pa.Table:
-        # composite hash over all fine keys
+        # composite hash over all fine keys (shared null-safe kernel)
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for k in fine_keys:
             col = batch.column(k)
             arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            np_vals = arr.to_numpy(zero_copy_only=False)
-            if np_vals.dtype.kind in ("i", "u"):
-                h = h * np.uint64(1099511628211) + pd.util.hash_array(np_vals)
-            else:
-                h = h * np.uint64(1099511628211) + pd.util.hash_array(
-                    np.asarray(np_vals, dtype=object), categorize=False
-                )
+            h = h * np.uint64(1099511628211) + _hash_values(arr)
         return batch.append_column(BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
     def reduce_side(df: pd.DataFrame) -> pd.DataFrame:
@@ -365,7 +390,10 @@ def grouped_pairs(
         coll = df[dup_mask]
         if not len(coll):
             return empty.iloc[0:0] if empty is not None else pd.DataFrame()
-        outs = [pair_fn(g) for _, g in coll.groupby(fine_keys, sort=False)]
+        # dropna=False: duplicated() above treats NaN==NaN as a collision,
+        # so the groupby must see the same groups — default dropna would
+        # silently discard a null-keyed collision cluster
+        outs = [pair_fn(g) for _, g in coll.groupby(fine_keys, sort=False, dropna=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return empty.iloc[0:0] if empty is not None else pd.DataFrame()

@@ -110,14 +110,11 @@ def nation_order_stats(sf_dir: str) -> "ray.data.Dataset":
     chain): grouped count + rounded sum of totalprice."""
     nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    c2n = dict(
-        zip(
-            cust.c_custkey.to_numpy(),
-            cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").set_index("c_custkey").loc[
-                cust.c_custkey
-            ]["n_name"].to_numpy(dtype=object),
-        )
-    )
+    # inner-join semantics end-to-end: a customer with no nation row is
+    # simply absent from the map (the old .loc[cust.c_custkey] raised
+    # KeyError on the driver for that case)
+    m = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    c2n = dict(zip(m.c_custkey.to_numpy(), m.n_name.to_numpy(dtype=object)))
     ref = ray.put(c2n)
 
     class Stage:
@@ -126,9 +123,19 @@ def nation_order_stats(sf_dir: str) -> "ray.data.Dataset":
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            names = pd.Series(keys).map(self.lookup)
+            # drop orders whose custkey has no customer/nation row — the
+            # oracle's inner joins drop them too (NaN here used to crash
+            # the string-array build instead)
+            keep = names.notna().to_numpy()
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+                names = names[keep]
             return pa.Table.from_pydict(
-                {"n_name": pa.array(names, type=pa.string()), "o_totalprice": t["o_totalprice"]}
+                {
+                    "n_name": pa.array(names.to_numpy(dtype=object), type=pa.string()),
+                    "o_totalprice": t["o_totalprice"],
+                }
             )
 
     return (
@@ -178,7 +185,10 @@ def top_customers(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
             ),
             batch_format="pyarrow",
         )
-        .sort("total_spend", descending=True)
+        # o_custkey tie-break: rounded spend makes exact ties at the
+        # k-boundary likely, and an untied LIMIT is nondeterministic on
+        # both the Ray and the SQL side
+        .sort(["total_spend", "o_custkey"], descending=[True, False])
         .limit(k)
     )
 
@@ -482,7 +492,15 @@ def referential_integrity(sf_dir: str) -> pd.DataFrame:
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 keys = t[child_key].to_numpy(zero_copy_only=False)
-                n = int((~np.isin(keys, self.keys)).sum())  # vectorized membership
+                # sorted-membership via searchsorted — exploits the sorted
+                # broadcast array (np.isin would rebuild its own structure
+                # per batch and ignore the sort)
+                if len(self.keys):
+                    pos = np.searchsorted(self.keys, keys)
+                    pos[pos == len(self.keys)] = 0
+                    n = int((self.keys[pos] != keys).sum())
+                else:
+                    n = len(keys)
                 return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
 
         parts = (

@@ -54,7 +54,10 @@ def token_count_ws(docs_path: str) -> "ray.data.Dataset":
     for exact DuckDB ``string_split(text, ' ')`` parity."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["text"].str.split(" ").str.len().astype("int64")
+        # fillna(0): null text counts 0 tokens instead of raising on the
+        # NaN→int cast (matches _explode_words' null tolerance elsewhere
+        # in this file)
+        n = df["text"].str.split(" ").str.len().fillna(0).astype("int64")
         return pd.DataFrame({"doc_id": df["doc_id"], "n_ws_tokens": n})
 
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
@@ -122,10 +125,12 @@ def quality_scores(docs_path: str) -> "ray.data.Dataset":
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"]
-        n_chars = text.str.len().astype("int64")
+        # null-tolerant: null text scores as an empty doc (0 chars/words)
+        # rather than raising on the NaN→int casts
+        n_chars = text.str.len().fillna(0).astype("int64")
         words = text.str.split(" ")
-        n_words = words.str.len().astype("int64")
-        n_punct = text.str.count(PUNCT_CLASS).astype("int64")
+        n_words = words.str.len().fillna(0).astype("int64")
+        n_punct = text.str.count(PUNCT_CLASS).fillna(0).astype("int64")
         # stopword hits: one exploded isin + segmented sum — no per-row lambda
         flat, offsets = _explode_words(words)
         hits = np.isin(flat, np.array(STOPWORDS_WS, dtype=object))
