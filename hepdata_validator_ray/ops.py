@@ -29,10 +29,13 @@ import ray.data
 
 BUCKET_COL = "__bucket__"
 
-# row-kind tag for connected_components_ds' tagged union — an int64
-# sentinel instead of nulls so the columns never become float64 in the
-# pandas attach stage (see lookup_min)
-_CC_TAG = np.iinfo(np.int64).min
+# generic int64 row-kind tag for tagged unions whose int columns must
+# never contain nulls — a null-bearing int64 arrow column converts to
+# float64 in pandas stages, quantizing values above 2^53
+# (used by connected_components_ds and the ngram repartition join)
+
+TAG_INT64 = np.iinfo(np.int64).min
+_CC_TAG = TAG_INT64  # alias: row-kind tag used by connected_components_ds
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

@@ -68,7 +68,12 @@ def clean_sequences(
     def keep(batch: pa.Table) -> pa.Table:
         bad = failing_row_mask(batch, ctx)
         broadcast = ray.get(dup_ref)  # plasma-cached per worker
-        docs = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), dtype=object)
+        col = batch.column("doc_id")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # to_pylist keeps ids EXACT (arbitrary-precision Python ints):
+        # to_numpy on a null-bearing int64 batch yields float64, which
+        # quantizes ids above 2^53 and lets duplicates slip the filter
+        docs = np.array(arr.to_pylist(), dtype=object)
         if use_bloom:
             bloom, exact = broadcast
             cand = np.flatnonzero(bloom.contains(docs))  # vectorized prefilter
@@ -109,8 +114,9 @@ def clean_documents_stats(
     def meta_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = _md5_batch(df)
         out["lang"] = df["lang"]
-        out["n_words"] = df["text"].str.split(" ").str.len().astype("int64")
-        out["n_chars"] = df["text"].str.len().astype("int64")
+        # fillna(0): null text scores as an empty doc (text.py convention)
+        out["n_words"] = df["text"].str.split(" ").str.len().fillna(0).astype("int64")
+        out["n_chars"] = df["text"].str.len().fillna(0).astype("int64")
         return out
 
     meta = (
@@ -126,14 +132,30 @@ def clean_documents_stats(
 
     winners = bucketed_aggregate(meta.select_columns(["doc_id", "h"]), "h", None, combine).to_pandas()
     # a corpus with no exact dups yields an EMPTY dataset whose to_pandas
-    # has no columns — the winner map is simply empty then
-    win_map = dict(zip(winners["h"], winners["keep_doc_id"])) if "h" in winners.columns else {}
-    win_ref = ray.put(win_map)
+    # has no columns — the winner table is simply empty then.  Broadcast
+    # as (sorted hash keys, parallel int64 winner ids): a dict .map()
+    # would materialize the winner column as float64 (NaN for misses),
+    # quantizing doc ids above 2^53 so non-winner duplicates compare
+    # equal to the winner and wrongly survive.
+    if "h" in winners.columns and len(winners):
+        order = np.argsort(winners["h"].to_numpy())
+        win_h = winners["h"].to_numpy()[order]
+        win_id = winners["keep_doc_id"].to_numpy()[order].astype(np.int64)
+    else:
+        win_h = np.empty(0, dtype=object)
+        win_id = np.empty(0, dtype=np.int64)
+    win_ref = ray.put((win_h, win_id))
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        win = ray.get(win_ref)
-        keep_doc = df["h"].map(win)
-        survive_dup = keep_doc.isna().to_numpy() | (keep_doc.to_numpy() == df["doc_id"].to_numpy())
+        win_h, win_id = ray.get(win_ref)
+        h = df["h"].to_numpy()
+        survive_dup = np.ones(len(df), dtype=bool)
+        if len(win_h):
+            pos = np.searchsorted(win_h, h)
+            pos[pos == len(win_h)] = 0
+            hit = win_h[pos] == h
+            # int64 == int64, exact at any magnitude
+            survive_dup[hit] = win_id[pos[hit]] == df["doc_id"].to_numpy()[hit]
         ok = survive_dup & (df["n_words"].to_numpy() >= min_words) & (df["n_chars"].to_numpy() >= min_chars)
         return df[ok]["lang"].value_counts().rename_axis("lang").reset_index(name="n_docs")
 

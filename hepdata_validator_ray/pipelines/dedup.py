@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from hepdata_validator_ray.ops import TAG_INT64 as _TAG64
 from hepdata_validator_ray.ops import splitmix64 as _splitmix64
 
 # ---------------------------------------------------------------------------
@@ -38,7 +39,13 @@ def _md5_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Per-row md5 content key — kept for DuckDB md5() oracle parity on the
     correctness gate; the production path is ``_siphash_text_batch``."""
     df = df.copy()
-    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    # null text forms its own content group under the key "<NULL>" — md5
+    # hex is [0-9a-f]{32} so no real text can collide with it, and DuckDB's
+    # GROUP BY md5(text) likewise groups all NULLs together (md5(NULL) IS
+    # NULL); group structures match
+    df["h"] = [
+        hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else "<NULL>" for t in df["text"]
+    ]
     return df[["doc_id", "h"]]
 
 
@@ -358,6 +365,15 @@ class MinHashStage:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         wh, offs = _word_hashes(df["text"], _WORD_KEY_MINHASH)
         sh, sh_off = _shingle_hashes(wh, offs, self.k)
+        # drop zero-shingle docs (null/empty text) BEFORE banding: they all
+        # share the identity signature (every perm = _MERSENNE), so they'd
+        # co-bucket in every band and pair quadratically at est_jaccard=1.0
+        # while exact ngram Jaccard scores those same pairs 0.0 (union=0)
+        has_sh = np.diff(sh_off) > 0
+        if not has_sh.all():
+            df = df[has_sh]
+            wh, offs = _word_hashes(df["text"], _WORD_KEY_MINHASH)
+            sh, sh_off = _shingle_hashes(wh, offs, self.k)
         sig = _minhash_signatures(sh, sh_off, self.a, self.b)
         buckets = self._band_buckets(sig)
         n = len(df)
@@ -452,6 +468,7 @@ def minhash_lsh_pairs(
         lambda df: stage(df),
         batch_format="pandas",
         batch_size=2048,
+        concurrency=concurrency,
     )
     # coarse-bucketed shuffle: fine (band, bucket) collisions located
     # vectorized inside each coarse bucket — per-group Python cost is paid
@@ -496,9 +513,9 @@ def near_dup_clusters(
     from hepdata_validator_ray.ops import connected_components, connected_components_ds
 
     if method == "ngram":
-        pairs_ds = ngram_jaccard_pairs(docs_path, threshold=threshold)
+        pairs_ds = ngram_jaccard_pairs(docs_path, threshold=threshold, concurrency=concurrency)
     elif method == "minhash":
-        pairs_ds = minhash_lsh_pairs(docs_path, threshold=threshold)
+        pairs_ds = minhash_lsh_pairs(docs_path, threshold=threshold, concurrency=concurrency)
     else:
         raise ValueError(f"unknown method {method!r} (expected 'minhash' or 'ngram')")
     if distributed:
@@ -551,7 +568,7 @@ def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int | None 
     buckets (pigeonhole: distance ≤3 ⇒ one band equal).  Hot-bucket
     truncation surfaces as doc_id_a == -1 rows (hamming = bucket size)."""
     sh = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        SimHashStage(), batch_format="pandas", batch_size=2048
+        SimHashStage(), batch_format="pandas", batch_size=2048, concurrency=concurrency
     )
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -706,18 +723,27 @@ def ngram_jaccard_pairs(
             sh, sh_off = _shingle_hashes(wh, offs, shingle_k)
             sets = [np.unique(sh[sh_off[i] : sh_off[i + 1]]) for i in range(len(df))]
             n = len(df)
+            # TAG_INT64 sentinel, not nulls: a null-bearing int64 column
+            # becomes float64 in the pandas attach stage, quantizing doc
+            # ids above 2^53 and merging distinct pair keys (same bug
+            # class as ops.connected_components_ds)
+            tag = pa.array(np.full(n, _TAG64, dtype=np.int64))
             return pa.Table.from_arrays(
                 [
                     pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
-                    pa.nulls(n, pa.int64()),
-                    pa.nulls(n, pa.int64()),
+                    tag,
+                    tag,
                     pa.array(sets, type=sh_type),
                 ],
                 schema=join_schema,
             )
 
     shingle_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        ShingleRows, fn_constructor_args=(ids_ref,), batch_format="pandas", batch_size=2048, concurrency=2
+        ShingleRows,
+        fn_constructor_args=(ids_ref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency or 2,
     )
 
     def pair_endpoints(t: pa.Table) -> pa.Table:
@@ -740,7 +766,7 @@ def ngram_jaccard_pairs(
         """Exchange-1 reducer: map this bucket's shingle rows onto its
         pair-endpoint rows (all of one doc's rows land here together)."""
         df = df.drop(columns=[BUCKET_COL])
-        is_sh = df["doc_id_a"].isna()
+        is_sh = df["doc_id_a"].to_numpy() == _TAG64
         sh_map = dict(zip(df.loc[is_sh, "doc_id"], df.loc[is_sh, "sh"]))
         pr = df[~is_sh]
         return pd.DataFrame(
@@ -836,12 +862,20 @@ def embedding_lsh_pairs(
     is what gives this query its exact DuckDB oracle."""
 
     class BucketStage:
-        def __init__(self, dim: int = 64):
-            r = np.random.default_rng(seed)
-            self.planes = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+        def __init__(self):
+            # planes are built lazily from the first batch's embedding dim
+            # (a constructor dim default would only ever fit one fixture);
+            # same seed per actor → identical planes everywhere
+            self.planes: list | None = None
+
+        def _ensure_planes(self, dim: int) -> None:
+            if self.planes is None:
+                r = np.random.default_rng(seed)
+                self.planes = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            self._ensure_planes(q.shape[1])
             frames = []
             for t_idx, planes in enumerate(self.planes):
                 signs = (q @ planes) > 0
@@ -858,11 +892,21 @@ def embedding_lsh_pairs(
                 )
             return pd.concat(frames, ignore_index=True)
 
+    vec_empty = pd.DataFrame(
+        {
+            "vec_id_a": pd.Series(dtype="int64"),
+            "vec_id_b": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id")
         if len(g) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cos": []})
-        if len(g) > 500:  # hot bucket → report, don't silently drop (VERDICT r1 #7)
+            return vec_empty
+        # ONE hot-bucket policy for the whole file (VERDICT r1 #7): report,
+        # don't silently drop
+        if len(g) > HOT_BUCKET_LIMIT:
             key = _hot_sentinel_key(int(g["table"].iloc[0]), int(g["bucket"].iloc[0]))
             return pd.DataFrame({"vec_id_a": [-1], "vec_id_b": [-(1 + key)], "cos": [float(len(g))]})
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)

@@ -19,7 +19,12 @@ def payload_table(docs_path: str) -> "ray.data.Dataset":
     stand-in blob) + typed metadata — the multimodal input shape."""
 
     def fn(t: pa.Table) -> pa.Table:
-        blobs = pa.array([s.encode() for s in t["text"].to_pylist()], type=pa.binary())
+        # null text → empty payload (null-tolerant, matching text.py's
+        # empty-doc convention) rather than crashing the payload build
+        blobs = pa.array(
+            [s.encode() if s is not None else b"" for s in t["text"].to_pylist()],
+            type=pa.binary(),
+        )
         return pa.Table.from_arrays(
             [t["doc_id"], blobs, pa.compute.binary_length(blobs), pa.array(["text/plain"] * t.num_rows)],
             names=["doc_id", "payload", "n_bytes", "media_type"],
@@ -185,7 +190,7 @@ def image_payload_table(docs_path: str, max_side: int = 24) -> "ray.data.Dataset
         for doc_id, n in zip(ids, lens):
             h = 4 + (n or 0) % (max_side - 4)
             w = 4 + ((n or 0) * 7) % (max_side - 4)
-            blobs.append(encode_ppm(synth_pixels(int(doc_id), h, w)))
+            blobs.append(encode_ppm(synth_pixels(int(doc_id or 0), h, w)))
         arr = pa.array(blobs, type=pa.binary())
         return pa.Table.from_arrays(
             [t["doc_id"], arr, pa.compute.binary_length(arr),
@@ -284,7 +289,7 @@ def audio_payload_table(docs_path: str, sample_rate: int = 16000) -> "ray.data.D
         ids = t["doc_id"].to_pylist()
         lens = pa.compute.utf8_length(t["text"]).to_pylist()
         blobs = [
-            encode_wav_pcm16(synth_samples(int(i), 64 + ((n or 0) * 13) % 512), sample_rate)
+            encode_wav_pcm16(synth_samples(int(i or 0), 64 + ((n or 0) * 13) % 512), sample_rate)
             for i, n in zip(ids, lens)
         ]
         arr = pa.array(blobs, type=pa.binary())

@@ -135,3 +135,55 @@ def test_text_kernels_tolerate_null_text(tmp_path):
     assert list(ws["n_ws_tokens"]) == [2, 0]
     q = quality_scores(str(f)).to_pandas().sort_values("doc_id")
     assert int(q["n_words"].iloc[1]) == 0
+
+
+def test_ngram_jaccard_big_doc_ids(tmp_path):
+    """Doc ids above 2^53 must survive the ngram repartition join exactly —
+    nulls in the tagged union used to coerce the pair-key columns to
+    float64, merging distinct pairs (same class as the CC finding)."""
+    from hepdata_validator_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    big = (1 << 60) + 1
+    texts = ["the quick brown fox jumps over the dog"] * 2 + ["completely different words here now"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([big, big + 2, 5], type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = ngram_jaccard_pairs(str(tmp_path / "documents.parquet"), threshold=0.3).to_pandas()
+    out = out[out.doc_id_a >= 0].reset_index(drop=True)
+    assert len(out) == 1
+    assert int(out["doc_id_a"].iloc[0]) == big
+    assert int(out["doc_id_b"].iloc[0]) == big + 2
+    assert float(out["jaccard"].iloc[0]) == 1.0
+
+
+def test_minhash_skips_zero_shingle_docs(tmp_path):
+    """Null-text docs have ZERO shingles and used to share the identity
+    signature, pairing at est_jaccard=1.0 while exact ngram Jaccard scores
+    them 0.0; they must emit no band rows.  Empty-STRING docs are different:
+    they carry the one join-all shingle of the empty word, so two of them
+    are genuinely identical (est and exact both 1.0) and may pair."""
+    from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(["", None, None, "real words in this document body"], type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = minhash_lsh_pairs(str(tmp_path / "documents.parquet"), threshold=0.0).to_pandas()
+    if "doc_id_a" not in out.columns:  # no pairs at all — empty result
+        assert len(out) == 0
+        return
+    real = out[out.doc_id_a >= 0]
+    # the two null docs (2, 3) must not pair with anything
+    assert not set(real["doc_id_a"]).intersection({2, 3})
+    assert not set(real["doc_id_b"]).intersection({2, 3})
