@@ -89,6 +89,16 @@ class Check:
     min_version: str = "0.1.0"
     #: input columns the check needs (used for read-projection pruning)
     columns: tuple[str, ...] = ()
+    #: columns that must be PRESENT for the check to run at all; defaults
+    #: to ``columns``.  A compound over ALTERNATIVE columns (anyOf of a
+    #: check on 'a' and a check on 'b') sets this to the intersection —
+    #: only columns needed by EVERY branch are hard requirements; its fn
+    #: treats a branch whose column is absent as failing for every row.
+    required: tuple[str, ...] | None = None
+
+    @property
+    def required_cols(self) -> tuple[str, ...]:
+        return self.columns if self.required is None else self.required
 
     def active_in(self, version: str) -> bool:
         return _vtuple(version) >= _vtuple(self.min_version)
@@ -113,9 +123,21 @@ class CheckSuite:
         )
 
     def required_columns(self) -> list[str]:
+        """Union of every check's input columns — the READ projection."""
         cols: list[str] = []
         for c in self.checks:
             for col in c.columns:
+                if col not in cols:
+                    cols.append(col)
+        return cols
+
+    def hard_required_columns(self) -> list[str]:
+        """Columns whose absence is a required-property violation: a
+        compound over alternative columns only hard-requires the
+        intersection of its branches (its fn handles absent branches)."""
+        cols: list[str] = []
+        for c in self.checks:
+            for col in c.required_cols:
                 if col not in cols:
                     cols.append(col)
         return cols

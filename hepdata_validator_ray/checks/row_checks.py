@@ -12,6 +12,8 @@ SURVEY.md §2.2 (P1-P10) and §2.5 (A2).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -133,10 +135,17 @@ def check_doc_id_max_length(v: dict, ctx: CheckContext) -> CheckResult:
     return _result(bad, [M.msg_max_length(s, ctx.doc_id_max_length, "doc_id") for s in vals])
 
 
+@functools.lru_cache(maxsize=64)
+def _sources_value_set(sources: tuple) -> pa.Array:
+    """Per-context allowed-source value set, built once (ST1): ctx.sources
+    is a frozen tuple, so the lru key is stable across batches/actors."""
+    return pa.array(list(sources), type=pa.string())
+
+
 def check_source_membership(v: dict, ctx: CheckContext) -> CheckResult:
     # ≙ enum keyword + broadcast-manifest membership (J1 semi-join,
     # full_submission_validator.py:294-316)
-    allowed = pa.array(list(ctx.sources), type=pa.string())
+    allowed = _sources_value_set(ctx.sources)
     member = pc.is_in(v["source"], value_set=allowed)
     bad = np.flatnonzero(
         pc.or_kleene(pc.is_null(v["source"]), pc.invert(member)).to_numpy(zero_copy_only=False)

@@ -540,7 +540,26 @@ def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray
     from hepdata_validator_ray.ops import grouped_value_counts
 
     if isinstance(files, list):
-        ds = ray.data.read_parquet(files, columns=["doc_id"], override_num_blocks=len(files))
+        # parse-error tolerance mirrors FileCheckReader's contract: an
+        # unreadable file or one missing doc_id is skipped HERE — the heavy
+        # pass already reports it as a partition_readable / required-column
+        # violation — instead of crashing the whole validate() run
+        def read_ids(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            outs = []
+            for f in batch.column("path").to_pylist():
+                try:
+                    outs.append(pq.read_table(f, columns=["doc_id"]))
+                except Exception:
+                    continue
+            if not outs:
+                return pa.table({"doc_id": pa.nulls(0)})
+            return pa.concat_tables(outs, promote_options="default")
+
+        ds = ray.data.from_items([{"path": f} for f in files]).map_batches(
+            read_ids, batch_format="pyarrow", batch_size=1
+        )
     else:
         ds = ray.data.read_parquet(files, columns=["doc_id"])
     return grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
@@ -617,10 +636,17 @@ class ValidationEngine:
         wall = time.perf_counter() - t0
         total_violations = res["n_violations"]
         dup_df = None
-        if cfg.dup_check:
+        # degrade like CheckStage does for missing columns: no doc_id
+        # column → dup check skipped (the required-column sweep reports
+        # it), not an opaque crash at execution
+        has_doc_id = any(f == "doc_id" for f in ds.schema().names)
+        if cfg.dup_check and has_doc_id:
             from hepdata_validator_ray.ops import grouped_value_counts
 
             dup_df = grouped_value_counts(ds.select_columns(["doc_id"]), "doc_id", min_count=2).to_pandas()
+            # n_dup counts ALL members of each duplicate group (the synth
+            # ground truth, oracles and verdicts share this convention:
+            # every row carrying a non-unique id is in violation)
             n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
             if n_dup:
                 res["violation_counts"]["doc_id_duplicates"] = n_dup
@@ -808,7 +834,15 @@ class ValidationEngine:
             partition_checks=partition_checks,
         )
         total_violations = res["n_violations"]
-        if cfg.dup_check:
+        # skip gracefully when the bundle has no doc_id column (the
+        # required-column sweep reports it)
+        try:
+            import pyarrow.parquet as _pq_meta
+
+            bundle_has_doc_id = "doc_id" in _pq_meta.read_schema(bundle_path).names
+        except Exception:
+            bundle_has_doc_id = False
+        if cfg.dup_check and bundle_has_doc_id:
             from hepdata_validator_ray.ops import grouped_value_counts
 
             dup_df = grouped_value_counts(
@@ -847,7 +881,8 @@ class ValidationEngine:
             f for f in files
             if Path(f).name.startswith("._") and (Path(f).parent / Path(f).name[2:]).is_file()
         ]
-        files = [f for f in files if f not in set(appledouble)]
+        appledouble_set = set(appledouble)
+        files = [f for f in files if f not in appledouble_set]
         if not files:
             return ValidationResult(
                 valid=True, n_rows=0, n_violations=0, violation_counts={},
@@ -1112,7 +1147,17 @@ class ValidationEngine:
         dataset is metadata-only."""
         cfg = self.config
         drift_df: pd.DataFrame | None = None
-        if mixed.count() <= cfg.driver_collect_rows:
+        # byte gate alongside the row gate: sketch rows carry pickled
+        # payloads (an unbucketed unigram row is ~vocab×8 bytes), so a
+        # row count under the threshold can still hide tens of GB;
+        # size_bytes() on a materialized dataset is metadata-only
+        collect_ok = mixed.count() <= cfg.driver_collect_rows
+        if collect_ok:
+            try:
+                collect_ok = (mixed.size_bytes() or 0) <= 2 * 1024**3
+            except Exception:
+                pass
+        if collect_ok:
             refs = mixed.to_arrow_refs()
             tables = ray.get(refs) if refs else []
             mixed_tbl = (

@@ -48,13 +48,17 @@ class HyperLogLog:
         h = hash64(values)
         reg = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rank = leading zeros of the remaining 64-p bits + 1
-        lz = np.zeros(len(h), dtype=np.uint8)
-        bit = np.uint64(1) << np.uint64(63)
+        # rank = leading zeros of the remaining 64-p bits + 1.
+        # Exact branchless clz (6 halving steps): float log2 is NOT exact
+        # for uint64 — values within half an ulp below a power of two round
+        # UP (e.g. 2^63-1 → log2 == 63.0), understating the rank by 1.
         cur = rest.copy()
-        # vectorized leading-zero count via float log2 (exact for uint64 here)
-        nz = cur != 0
-        lz[nz] = (63 - np.floor(np.log2(cur[nz].astype(np.float64))).astype(np.int64)).astype(np.uint8)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            s = np.uint64(shift)
+            small = cur < (np.uint64(1) << (np.uint64(64) - s))
+            lz[small] += np.uint8(shift)
+            cur[small] <<= s
         rank = (lz + 1).astype(np.uint8)
         np.maximum.at(self.registers, reg, rank)
 
@@ -74,6 +78,12 @@ class HyperLogLog:
         return float(est)
 
 
+def _depth_salt(d: int) -> np.uint64:
+    # 64-bit wrap computed in Python ints (numpy scalar uint64 multiply
+    # warns on overflow even though wraparound is exactly what we want)
+    return np.uint64((d * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF)
+
+
 class CountMin:
     """Count-min sketch over hashable keys; used for source-frequency
     estimates when the source cardinality is too high for an exact map."""
@@ -90,15 +100,17 @@ class CountMin:
             counts = np.ones(len(values), dtype=np.int64)
         h = hash64(values)
         for d in range(self.depth):
-            # d-th hash via splitmix-style remix of the base hash
-            hd = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(d + 1)) >> np.uint64(17)
+            # d-th hash: XOR the depth into the HIGH bits BEFORE the multiply
+            # (adding d+1 after the multiply put the perturbation in bits the
+            # >>17 discarded, making every depth row the same hash function)
+            hd = ((h ^ _depth_salt(d)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
             np.add.at(self.table[d], (hd % np.uint64(self.width)).astype(np.int64), counts)
 
     def query(self, value) -> int:
         h = hash64(np.array([value], dtype=object))
         est = np.iinfo(np.int64).max
         for d in range(self.depth):
-            hd = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(d + 1)) >> np.uint64(17)
+            hd = ((h ^ _depth_salt(d)) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
             est = min(est, int(self.table[d][int(hd[0] % np.uint64(self.width))]))
         return est
 
@@ -315,5 +327,10 @@ def chi_squared(observed: np.ndarray, expected_frac: np.ndarray, eps: float = 1e
     if n == 0:
         return 0.0
     exp = expected_frac / max(expected_frac.sum(), eps) * n
-    mask = exp > eps
-    return float(np.sum((observed[mask] - exp[mask]) ** 2 / exp[mask]))
+    # clamp, don't mask: observed mass in a category the reference profile
+    # never saw is the strongest drift signal there is — masking exp<=eps
+    # buckets silently excluded exactly that mass (the KL scorer flags it
+    # via log((p+eps)/eps); the floor of 0.5 bounds the per-bucket term at
+    # ~2·observed², mirroring the classic continuity treatment)
+    exp = np.maximum(exp, 0.5)
+    return float(np.sum((observed - exp) ** 2 / exp))
