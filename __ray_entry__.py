@@ -299,6 +299,63 @@ def _archive_violation_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["check_name", "n"]).sort_values("check_name").reset_index(drop=True)
 
 
+def _embedding_cluster_meta(sf_dir: str):
+    """Embedding clustering + semantic dedup as ONE gated union (the
+    training_meta slot-saving shape): ('kmeans', cluster, n, inertia) rows
+    from the integer-exact quantized assignment, plus
+    ('semdedup', removed_id, winner_id, 0) rows from the SemDeDup-style
+    within-cell removal.  Both legs are tiny (k rows + pair rows), so the
+    driver-side concat touches no corpus data."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import cluster
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    km = cluster.kmeans_assign_quantized(emb).to_pandas()
+    sd = cluster.semantic_dedup_removed(emb, threshold=0.4).to_pandas()
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "kmeans",
+                    "a": km["cluster"].astype("int64"),
+                    "b": km["n"].astype("int64"),
+                    "c": km["inertia"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "semdedup",
+                    "a": sd["removed_id"].astype("int64"),
+                    "b": sd["winner_id"].astype("int64"),
+                    "c": 0,
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
+def _kmeans_fit_sizes(sf_dir: str):
+    """Lloyd-fit e2e: fit k=8 centroids distributed, then report the fitted
+    assignment's cluster sizes (rows-only tail query; the fit itself is
+    pytest-verified against a local numpy reference)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import cluster
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    cents, inertia = cluster.kmeans_fit(emb, n_clusters=8, n_iter=3)
+    sd = cluster.semantic_dedup_removed(emb, centroids=cents, threshold=0.4).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_clusters": [len(cents)],
+            "n_removed": [int(len(sd))],
+            "inertia_x1000": [int(inertia * 1000)],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hepdata_validator_ray.pipelines import dedup, multimodal, relational, similarity, text, validation
 
@@ -321,7 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
-        "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
+        # per-partition verdict matrix + row counts fused into one union
+        # (frees a window slot; both legs stay independently queryable below)
+        "v_partition_stats": lambda sf: validation.partition_stats(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_row_violations_csv": _csv_violations,
@@ -335,7 +394,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
             _seq(sf),
         ),
-        "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
@@ -381,12 +439,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb(sf), threshold=0.4, n_planes=3, n_tables=24
         ),
         # --- sampling / splitting ---------------------------------------------
-        "split_assignment": lambda sf: __import__(
+        # split counts + deterministic-sample id set fused into one union
+        "sampling_assignment": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).split_assignment(docs(sf)),
-        "deterministic_sample": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).deterministic_sample(docs(sf)),
+        ).sampling_assignment(docs(sf)),
+        # --- embedding clustering / semantic dedup -----------------------------
+        # integer-exact quantized k-means assignment + SemDeDup-style
+        # within-cell removal as one union (kind, a, b, c)
+        "embedding_cluster_meta": _embedding_cluster_meta,
+        # --- TF-IDF -------------------------------------------------------------
+        "text_tfidf_top": lambda sf: text.tfidf_top_terms(docs(sf)),
         # --- similarity search ------------------------------------------------
         "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
         # --- multimodal plumbing ----------------------------------------------
@@ -424,6 +486,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_ranks": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).deterministic_shuffle_ranks(docs(sf)),
+        # fused-union legs, still independently queryable (gated via
+        # v_partition_stats / sampling_assignment / embedding_cluster_meta)
+        "v_rows_per_partition": lambda sf: validation.rows_per_partition(_seq(sf)),
+        "v_violations_by_partition": lambda sf: validation.violations_by_partition(_seq(sf)),
+        "split_assignment": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).split_assignment(docs(sf)),
+        "deterministic_sample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).deterministic_sample(docs(sf)),
+        "embedding_kmeans": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).kmeans_assign_quantized(emb(sf)),
+        "semantic_dedup": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).semantic_dedup_removed(emb(sf), threshold=0.4),
+        "embedding_kmeans_fit_sizes": lambda sf: _kmeans_fit_sizes(sf),
     }
 
 
@@ -434,6 +513,9 @@ def oracle_sql() -> dict[str, str]:
 
     csv_path = ensure_sequences_csv("/root/testdata/sf0.01")
     sources_sql = ", ".join(f"'{s}'" for s in DEFAULT_SOURCES)
+    from hepdata_validator_ray.pipelines.cluster import DEFAULT_CENTROID_IDS
+
+    _CENTROID_IDS_SQL = ", ".join(str(i) for i in DEFAULT_CENTROID_IDS)
     V = DEFAULT_VOCAB_SIZE
     L = DEFAULT_MAX_SEQ_LEN
     row_violations_cte = f"""
@@ -579,6 +661,30 @@ v AS (
 )
 SELECT filename AS partition_id, check_name, count(*)::BIGINT AS n
 FROM v GROUP BY filename, check_name""",
+        "v_partition_stats": f"""
+WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
+v AS (
+  SELECT filename, 'doc_id_non_null' AS check_name FROM s WHERE doc_id IS NULL
+  UNION ALL SELECT filename, 'doc_id_format' FROM s
+    WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '{DOC_ID_PATTERN}')
+  UNION ALL SELECT filename, 'source_membership' FROM s
+    WHERE source IS NULL OR source NOT IN ({sources_sql})
+  UNION ALL SELECT filename, 'n_tok_non_negative' FROM s WHERE n_tok < 0
+  UNION ALL SELECT filename, 'token_id_range' FROM s
+    WHERE tokens IS NOT NULL AND len(list_filter(tokens, x -> x < 0 OR x >= {V})) > 0
+  UNION ALL SELECT filename, 'token_length_consistency' FROM s
+    WHERE tokens IS NOT NULL AND n_tok IS NOT NULL AND n_tok <> len(tokens)
+  UNION ALL SELECT filename, 'tokens_not_empty' FROM s WHERE tokens IS NOT NULL AND len(tokens) = 0
+  UNION ALL SELECT filename, 'tokens_not_all_zero' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > 0 AND len(list_filter(tokens, x -> x <> 0)) = 0
+  UNION ALL SELECT filename, 'sequence_length_limit' FROM s
+    WHERE tokens IS NOT NULL AND len(tokens) > {L}
+)
+SELECT filename AS partition_id, check_name, count(*)::BIGINT AS n
+FROM v GROUP BY filename, check_name
+UNION ALL
+SELECT filename AS partition_id, '<rows>' AS check_name, count(*)::BIGINT AS n
+FROM s GROUP BY filename""",
         "v_bundle_violations": f"""
 WITH s AS (SELECT * FROM read_parquet('{bundle}')),
 v AS (
@@ -944,6 +1050,73 @@ FROM documents GROUP BY 1""",
         "deterministic_sample": """
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5""",
+        "sampling_assignment": """
+SELECT 'split' AS kind,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 10
+            THEN 'test' ELSE 'train' END AS key,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1, 2
+UNION ALL
+SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS key, 1::BIGINT AS n
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5""",
+        # --- embedding clustering / semantic dedup ------------------------------
+        # integer-exact quantized assignment: floor(x*1000 + 0.5) on float64 is
+        # bit-identical in numpy and DuckDB, so every distance is an int64 and
+        # the union is hash-exact by construction (see pipelines/cluster.py)
+        "embedding_cluster_meta": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
+SELECT 'kmeans' AS kind, cid AS a, count(*)::BIGINT AS b, sum(d2)::BIGINT AS c
+FROM asg GROUP BY cid
+UNION ALL
+SELECT 'semdedup' AS kind, b.vec_id AS a, min(a.vec_id) AS b, 0::BIGINT AS c
+FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+     JOIN embeddings b ON a.vec_id < b.vec_id
+     JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+GROUP BY b.vec_id""",
+        # fused-union legs (tail queries, verified locally by the same SQL)
+        "embedding_kmeans": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
+SELECT cid AS cluster, count(*)::BIGINT AS n, sum(d2)::BIGINT AS inertia
+FROM asg GROUP BY cid""",
+        "semantic_dedup": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
+SELECT b.vec_id AS removed_id, min(a.vec_id) AS winner_id
+FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
+     JOIN embeddings b ON a.vec_id < b.vec_id
+     JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+GROUP BY b.vec_id""",
+        # --- TF-IDF --------------------------------------------------------------
+        "text_tfidf_top": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM wx GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM wx GROUP BY word),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln((SELECT n FROM nn) / df.df) DESC, tf.word) AS rk
+  FROM tf JOIN df USING (word)
+)
+SELECT doc_id, word AS top_term, tf AS top_tf, df AS top_df FROM sc WHERE rk = 1""",
         # --- similarity -------------------------------------------------------
         "ann_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),

@@ -184,6 +184,27 @@ def pipeline_mm_codec(sf_dir: str) -> int:
     )
 
 
+def pipeline_cluster_semdedup(sf_dir: str) -> int:
+    """Quantized k-means assignment + within-cell semantic dedup + TF-IDF
+    top terms — the embedding-cluster/TF-IDF families as one number (the
+    three sub-pipelines are independent; run concurrently)."""
+    from hepdata_validator_ray.pipelines.cluster import (
+        kmeans_assign_quantized,
+        semantic_dedup_removed,
+    )
+    from hepdata_validator_ray.pipelines.text import tfidf_top_terms
+
+    e = f"{sf_dir}/embeddings.parquet"
+    d = f"{sf_dir}/documents.parquet"
+    return _consume_concurrent(
+        [
+            lambda: kmeans_assign_quantized(e),
+            lambda: semantic_dedup_removed(e, threshold=0.4),
+            lambda: tfidf_top_terms(d),
+        ]
+    )
+
+
 SCALING_ROWS = int(os.environ.get("HVR_SCALING_ROWS", "4000000"))
 
 
@@ -214,6 +235,7 @@ PIPELINES = {
     "ngram_jaccard": pipeline_ngram_jaccard,
     "training_pack": pipeline_training_pack,
     "mm_codec": pipeline_mm_codec,
+    "cluster_semdedup": pipeline_cluster_semdedup,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

@@ -1,0 +1,253 @@
+"""Embedding clustering + semantic (cluster-bounded) dedup.
+
+Three operators over the embeddings table:
+
+- ``kmeans_assign_quantized``: cluster-size / inertia summary of an
+  assignment to FIXED centroids (centroids are corpus rows named by
+  vec_id) computed in integer-exact quantized space — every distance is
+  an int64, so the DuckDB oracle reproduces the result hash-exactly with
+  no float-reduction-order risk.
+- ``kmeans_fit``: distributed Lloyd iterations (float64 euclidean).
+  Each pass is one streamed ``map_batches`` that emits per-cluster
+  partial (count, sum-vector) rows; the driver reduces only
+  ``n_batches x k`` tiny rows and broadcasts the new centroids.  The
+  corpus never materializes.
+- ``semantic_dedup_removed``: SemDeDup-style near-dup removal — assign
+  every vector to a cell, then run exact pairwise cosine ONLY within
+  each cell (``groupby(cell).map_groups``).  The cell count bounds the
+  quadratic work: at web scale k grows with the corpus (SemDeDup uses
+  10k-100k cells) so each cell stays worker-memory-sized.  A vector is
+  removed when any lower-vec_id vector in the SAME cell has cosine >=
+  threshold; the winner is the smallest such id (deterministic,
+  SQL-expressible — the gated oracle recomputes cell assignment +
+  within-cell pairs in DuckDB).
+
+Partitioning assumption (documented per the custom-operator contract):
+within-cell dedup requires each cell to fit in one worker's heap; cells
+are the unit of parallelism, so k should be sized ~corpus_rows /
+target_cell_rows.  Cross-cell near-dups are deliberately out of scope —
+that recall/cost trade-off is the point of SemDeDup-style bucketing
+(use ``dedup.embedding_lsh_pairs`` when cross-bucket recall matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from hepdata_validator_ray.ops import splitmix64 as _splitmix64
+
+#: quantization scale for the integer-exact assignment path.  floor(x*S+0.5)
+#: on float64 is bit-identical in numpy and DuckDB (single IEEE multiply+add,
+#: no reductions), unlike round() whose half-even/half-away convention differs.
+QUANT_SCALE = 1000
+
+
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) * float(QUANT_SCALE) + 0.5).astype(np.int64)
+
+
+def _load_rows(emb_path: str, vec_ids: tuple[int, ...]) -> np.ndarray:
+    """Fetch the named centroid rows via a predicate-pushdown read (row-group
+    pruning; the driver never loads the full table), sorted by vec_id."""
+    import pyarrow.dataset as pads
+
+    ids = sorted(int(i) for i in vec_ids)
+    df = (
+        ray.data.read_parquet(
+            emb_path, columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(ids)
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    missing = set(ids) - set(df["vec_id"].tolist())
+    if missing:
+        raise ValueError(f"centroid vec_ids not in corpus: {sorted(missing)}")
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64), np.asarray(ids, dtype=np.int64)
+
+
+def _assign_quantized(q: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """argmin_j ||q_i - c_j||^2 in int64 (ties -> lowest centroid index).
+    Expansion form keeps it one int64 matmul; all terms exact."""
+    qn = (q * q).sum(axis=1)
+    cn = (cq * cq).sum(axis=1)
+    d2 = qn[:, None] + cn[None, :] - 2 * (q @ cq.T)
+    amin = d2.argmin(axis=1)  # first occurrence == lowest centroid id (sorted)
+    return amin, d2[np.arange(len(q)), amin]
+
+
+#: default fixed centroids for the gated query — spread across the corpus,
+#: present at every test scale (embeddings >= 500 rows at all SFs)
+DEFAULT_CENTROID_IDS = (0, 101, 217, 333, 449)
+
+
+def kmeans_assign_quantized(
+    emb_path: str, centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS
+) -> "ray.data.Dataset":
+    """Per-cluster (n, inertia) under quantized-euclidean assignment to the
+    corpus rows named by ``centroid_ids``.  Map-side combine: each batch
+    ships at most k partial rows; the groupby is k-sized."""
+    cents, cids = _load_rows(emb_path, centroid_ids)
+    cq = _quantize(cents)
+
+    # k x d int64 centroids are tiny — closure capture into stateless TASKS
+    # beats an actor pool here (no per-run actor spin-up; nothing to cache)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        amin, mind2 = _assign_quantized(q, cq)
+        k = len(cids)
+        n = np.bincount(amin, minlength=k)
+        inertia = np.zeros(k, dtype=np.int64)
+        np.add.at(inertia, amin, mind2)
+        keep = n > 0
+        return pd.DataFrame(
+            {"cluster": cids[keep], "n": n[keep].astype(np.int64), "inertia": inertia[keep]}
+        )
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["embedding"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("cluster")
+        .sum(["n", "inertia"])
+        .map_batches(lambda t: t.rename_columns(["cluster", "n", "inertia"]), batch_format="pyarrow")
+    )
+
+
+def _init_centroids(emb_path: str, n_clusters: int, seed: int) -> np.ndarray:
+    """Deterministic distributed init: hash-filter sample (~4k rows reach the
+    driver), seeded pick — same scheme as similarity._sample_centroids but
+    un-normalized (euclidean Lloyd)."""
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    n_total = ds.count()
+    target = min(max(4 * n_clusters, n_clusters), max(n_total, 1))
+    cutoff = np.uint64(min(1.0, target / max(n_total, 1)) * float(1 << 32))
+    s = np.uint64(seed)
+
+    def hash_filter(df: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(df["vec_id"].to_numpy(dtype=np.uint64) ^ s) >> np.uint64(32)
+        return df[h < cutoff]
+
+    sample = ds.map_batches(hash_filter, batch_format="pandas", batch_size=8192).to_pandas()
+    if not len(sample):
+        sample = ds.limit(n_clusters).to_pandas()
+    mat = np.stack(sample.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
+    return mat[np.sort(pick)]
+
+
+def kmeans_fit(
+    emb_path: str, n_clusters: int = 8, n_iter: int = 5, seed: int = 11
+) -> tuple[np.ndarray, float]:
+    """Distributed Lloyd: per iteration ONE streamed pass emits per-cluster
+    partial (n, sum-vector, sq-dist sum) rows; the driver reduces
+    n_batches x k rows and rebroadcasts.  Returns (centroids, inertia).
+    Empty clusters keep their previous centroid (deterministic)."""
+    cents = _init_centroids(emb_path, n_clusters, seed)
+    ds = ray.data.read_parquet(emb_path, columns=["embedding"])
+    inertia = float("nan")
+
+    def make_partial(c: np.ndarray):
+        # k x d float centroids are small enough to closure-capture into
+        # stateless tasks; each iteration rebroadcasts via the task closure
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m * m).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None, :] - 2 * (m @ c.T))
+            amin = d2.argmin(axis=1)
+            k = len(c)
+            n = np.bincount(amin, minlength=k)
+            sq = np.zeros(k, dtype=np.float64)
+            np.add.at(sq, amin, d2[np.arange(len(m)), amin])
+            sums = np.zeros((k, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, amin, m)
+            keep = n > 0
+            return pd.DataFrame(
+                {
+                    "cluster": np.flatnonzero(keep).astype(np.int64),
+                    "n": n[keep].astype(np.int64),
+                    "sq": sq[keep],
+                    "s": list(sums[keep]),
+                }
+            )
+
+        return partial
+
+    for _ in range(max(n_iter, 1)):
+        parts = ds.map_batches(
+            make_partial(cents), batch_format="pandas", batch_size=4096
+        ).to_pandas()
+        new = cents.copy()
+        inertia = float(parts["sq"].sum())
+        for cl, grp in parts.groupby("cluster"):
+            tot = int(grp["n"].sum())
+            if tot > 0:
+                new[int(cl)] = np.sum(np.stack(grp["s"].to_numpy()), axis=0) / tot
+        cents = new
+    return cents, inertia
+
+
+def semantic_dedup_removed(
+    emb_path: str,
+    centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS,
+    threshold: float = 0.4,
+    centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """(removed_id, winner_id) pairs: vector b is removed when some a < b in
+    the SAME cell has cosine(a, b) >= threshold; winner = min such a.
+
+    Cell assignment is the integer-exact quantized argmin when cells come
+    from ``centroid_ids`` (the oracle-checkable path); pass fitted float
+    ``centroids`` (e.g. from :func:`kmeans_fit`) for the production path —
+    same code, float64 argmin."""
+    if centroids is not None:
+        cq = centroids.astype(np.float64)
+        cids = np.arange(len(cq), dtype=np.int64)
+        quant = False
+    else:
+        cents, cids = _load_rows(emb_path, centroid_ids)
+        cq = _quantize(cents)
+        quant = True
+    # k x d centroids are tiny — closure capture into stateless tasks
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())
+        if quant:
+            amin, _ = _assign_quantized(_quantize(m), cq)
+        else:
+            m64 = m.astype(np.float64)
+            d2 = (
+                (m64 * m64).sum(axis=1)[:, None]
+                + (cq * cq).sum(axis=1)[None, :]
+                - 2 * (m64 @ cq.T)
+            )
+            amin = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": amin.astype(np.int64), "vec_id": df["vec_id"].to_numpy(), "embedding": df["embedding"]}
+        )
+
+    def in_cell(g: pd.DataFrame) -> pd.DataFrame:
+        # exact pairwise cosine within one cell; the cell is the memory unit
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ids = g["vec_id"].to_numpy()
+        n = len(ids)
+        iu = np.triu(sims >= threshold, k=1)  # rows: a (earlier), cols: b (later)
+        removed_mask = iu.any(axis=0)
+        winners = iu.argmax(axis=0)  # first True row index == min a (ids sorted)
+        out = pd.DataFrame(
+            {
+                "removed_id": ids[removed_mask].astype(np.int64),
+                "winner_id": ids[winners[removed_mask]].astype(np.int64),
+            }
+        )
+        return out if len(out) else pd.DataFrame({"removed_id": pd.Series([], dtype="int64"), "winner_id": pd.Series([], dtype="int64")})
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(route, batch_format="pandas", batch_size=4096)
+        .groupby("cell")
+        .map_groups(in_cell, batch_format="pandas")
+    )

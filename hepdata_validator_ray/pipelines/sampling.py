@@ -117,6 +117,37 @@ def deterministic_sample(
     )
 
 
+def sampling_assignment(
+    docs_path: str,
+    key: str = "doc_id",
+    test_pct: int = 10,
+    sample_pct: int = 5,
+    key_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Split counts AND the exact deterministic-sample id set as ONE union —
+    (kind, key, n): ('split', 'train'/'test', count) rows plus
+    ('sample', <doc_id>, 1) rows (slot-saving fusion of split_assignment +
+    deterministic_sample; both legs stay independently queryable)."""
+
+    def split_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": "split", "key": df["split"].astype(str), "n": df["n"].astype("int64")}
+        )
+
+    def sample_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"kind": "sample", "key": df[key].astype(str), "n": np.ones(len(df), dtype=np.int64)}
+        )
+
+    return split_assignment(docs_path, key=key, test_pct=test_pct, key_fn=key_fn).map_batches(
+        split_rows, batch_format="pandas"
+    ).union(
+        deterministic_sample(docs_path, key=key, pct=sample_pct, key_fn=key_fn).map_batches(
+            sample_rows, batch_format="pandas"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic global shuffle (materialized training order)
 # ---------------------------------------------------------------------------

@@ -282,3 +282,122 @@ def fingerprints(docs_path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=4096
     )
+
+# ---------------------------------------------------------------------------
+# TF-IDF top term per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_KEY = "hvr-tfidf-terms!"  # 16-byte siphash key, distinct per op
+
+
+def doc_frequencies(docs_path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Corpus document-frequency table keyed by word hash: (sorted wh uint64,
+    df int64, n_docs).  Map-side per-doc-distinct combine (lexsort +
+    boundary diff over the batch's exploded words) means each task ships at
+    most its batch vocabulary; the groupby that follows is vocabulary-sized.
+    Broadcastable — same bounded-vocabulary regime as training.unigram_counts."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.pipelines.dedup import _word_hashes
+
+    ds = ray.data.read_parquet(docs_path, columns=["text"])
+    n_docs = ds.count()  # metadata-only on a fresh parquet read
+
+    def partial(t) -> "pa.Table":
+        wh, offs = _word_hashes(t["text"].to_pandas(), _TFIDF_KEY)
+        if not len(wh):
+            return pa.Table.from_pydict(
+                {"wh": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
+            )
+        seg = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        order = np.lexsort((wh, seg))
+        sw, ss = wh[order], seg[order]
+        first = np.ones(len(sw), dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (sw[1:] != sw[:-1])
+        u, c = np.unique(sw[first], return_counts=True)
+        # int64 BIT VIEW: uint64 keys above 2^63 silently fall back to
+        # pickled-object blocks in the native groupby (see unigram_counts)
+        return pa.Table.from_pydict({"wh": u.view(np.int64), "df": c.astype(np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("wh").sum("df").to_pandas()
+    agg = agg.rename(columns={"sum(df)": "df"})
+    agg["wh"] = agg["wh"].to_numpy(dtype=np.int64).view(np.uint64)
+    agg = agg.sort_values("wh").reset_index(drop=True)
+    return agg["wh"].to_numpy(), agg["df"].to_numpy(), int(n_docs)
+
+
+class TfIdfTopStage:
+    """Actor-pool scorer: the sorted DF arrays are fetched once per actor;
+    each batch is one exploded-word hash pass + lexsort tf counting +
+    searchsorted df lookup + one vectorized per-doc argmax (sort + head)."""
+
+    def __init__(self, df_ref):
+        self.wh, self.df, self.n = ray.get(df_ref)
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf["text"]
+        flat, offs = _explode_words(texts.str.split(" "))
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=pdf["doc_id"].dtype),
+                "top_term": pd.Series([], dtype="object"),
+                "top_tf": pd.Series([], dtype="int64"),
+                "top_df": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(flat):
+            return empty
+        wh = pd.util.hash_array(flat, hash_key=_TFIDF_KEY)
+        seg = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        order = np.lexsort((wh, seg))
+        sw, ss = wh[order], seg[order]
+        first = np.ones(len(sw), dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (sw[1:] != sw[:-1])
+        sidx = np.flatnonzero(first)
+        tf = np.diff(np.append(sidx, len(sw)))
+        gw, gs = sw[sidx], ss[sidx]
+        rep = flat[order[sidx]]  # representative word string per (doc, word)
+        if len(self.wh):
+            pos = np.searchsorted(self.wh, gw)
+            pos[pos == len(self.wh)] = 0
+            dfv = np.where(self.wh[pos] == gw, self.df[pos], 1)
+        else:
+            dfv = np.ones(len(gw), dtype=np.int64)
+        # idf = ln(N/df): tf and N/df are exact doubles in both engines; the
+        # only cross-engine risk is a last-ulp ln() difference flipping a
+        # near-tie between DIFFERENT (tf, df) pairs — transcendentally
+        # impossible to be exact, astronomically unlikely to be within 1 ulp.
+        # Equal (tf, df) pairs tie exactly in both engines and break on the
+        # word string (ascending), matching the SQL ORDER BY.
+        score = tf * np.log(float(self.n) / dfv.astype(np.float64))
+        out = pd.DataFrame({"seg": gs, "word": rep, "tf": tf.astype("int64"), "df": dfv.astype("int64"), "score": score})
+        out = (
+            out.sort_values(["seg", "score", "word"], ascending=[True, False, True])
+            .groupby("seg", as_index=False)
+            .head(1)
+        )
+        ids = pdf["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[out["seg"].to_numpy()],
+                "top_term": out["word"].to_numpy(),
+                "top_tf": out["tf"].to_numpy(),
+                "top_df": out["df"].to_numpy(),
+            }
+        )
+
+
+def tfidf_top_terms(docs_path: str, concurrency: int = 8) -> "ray.data.Dataset":
+    """Per-doc highest-TF-IDF term (term, tf, df; ties -> lexicographically
+    smallest term).  Two passes: a vocabulary-sized DF exchange, then a
+    broadcast-scored streamed pass — the corpus text never shuffles."""
+    import ray as _ray
+
+    df_ref = _ray.put(doc_frequencies(docs_path))
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        TfIdfTopStage,
+        fn_constructor_kwargs=dict(df_ref=df_ref),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )

@@ -232,6 +232,27 @@ def violations_by_partition(seq_path: str, ctx: CheckContext | None = None) -> "
     )
 
 
+def partition_stats(seq_path: str, ctx: CheckContext | None = None) -> "ray.data.Dataset":
+    """Per-partition verdict matrix AND row counts as ONE union —
+    (partition_id, check_name, n) with the sentinel check_name ``<rows>``
+    carrying the row count (slot-saving fusion of violations_by_partition +
+    rows_per_partition; both legs stay independently queryable)."""
+
+    def as_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["partition_id"].combine_chunks() if isinstance(t["partition_id"], pa.ChunkedArray) else t["partition_id"],
+                pa.array(["<rows>"] * t.num_rows, type=pa.string()),
+                pc.cast(t["n_rows"], pa.int64()).combine_chunks(),
+            ],
+            names=["partition_id", "check_name", "n"],
+        )
+
+    return violations_by_partition(seq_path, ctx).union(
+        rows_per_partition(seq_path).map_batches(as_rows, batch_format="pyarrow")
+    )
+
+
 def longest_sequences(seq_path: str, k: int = 20) -> "ray.data.Dataset":
     """Top-k longest sequences — explicit distributed multi-key sort + limit
     (deterministic tie-break on doc_id)."""

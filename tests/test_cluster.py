@@ -1,0 +1,116 @@
+"""Embedding clustering + semantic dedup (pipelines/cluster.py).
+
+The quantized paths are verified against local numpy references (exact
+integer equality — the same math the DuckDB oracle replays); the Lloyd fit
+is verified against a single-process numpy Lloyd on the same init.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from hepdata_validator_ray.pipelines import cluster
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb_matrix():
+    t = pq.read_table(EMB)
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _local_assign(mat, cids, ids):
+    q = cluster._quantize(mat)
+    cq = q[np.searchsorted(ids, cids)]
+    amin, mind2 = cluster._assign_quantized(q, cq)
+    return amin, mind2
+
+
+def test_kmeans_assign_quantized_matches_local(emb_matrix):
+    ids, mat = emb_matrix
+    cids = np.asarray(sorted(cluster.DEFAULT_CENTROID_IDS), dtype=np.int64)
+    amin, mind2 = _local_assign(mat, cids, ids)
+    exp = (
+        pd.DataFrame({"cluster": cids[amin], "d2": mind2})
+        .groupby("cluster")
+        .agg(n=("d2", "size"), inertia=("d2", "sum"))
+        .reset_index()
+    )
+    got = cluster.kmeans_assign_quantized(EMB).to_pandas().sort_values("cluster").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_semantic_dedup_removed_matches_local(emb_matrix):
+    ids, mat = emb_matrix
+    cids = np.asarray(sorted(cluster.DEFAULT_CENTROID_IDS), dtype=np.int64)
+    amin, _ = _local_assign(mat, cids, ids)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = norm @ norm.T
+    thr = 0.4
+    rows = []
+    for b in range(len(ids)):
+        same = (amin == amin[b]) & (ids < ids[b]) & (sims[:, b] >= thr)
+        if same.any():
+            rows.append((int(ids[b]), int(ids[same].min())))
+    exp = pd.DataFrame(rows, columns=["removed_id", "winner_id"]).sort_values("removed_id").reset_index(drop=True)
+    got = (
+        cluster.semantic_dedup_removed(EMB, threshold=thr)
+        .to_pandas()
+        .sort_values("removed_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0, "fixture should contain same-cell near-dups"
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_semantic_dedup_fitted_centroids_path(emb_matrix):
+    """Production path: float centroids from kmeans_fit; every reported pair
+    must be a true >= threshold cosine pair with winner < removed."""
+    ids, mat = emb_matrix
+    cents, inertia = cluster.kmeans_fit(EMB, n_clusters=4, n_iter=2, seed=7)
+    assert cents.shape == (4, mat.shape[1]) and np.isfinite(inertia)
+    got = cluster.semantic_dedup_removed(EMB, centroids=cents, threshold=0.4).to_pandas()
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    lookup = {int(v): i for i, v in enumerate(ids)}
+    for r in got.itertuples(index=False):
+        assert r.winner_id < r.removed_id
+        cos = float(norm[lookup[int(r.winner_id)]] @ norm[lookup[int(r.removed_id)]])
+        assert cos >= 0.4 - 1e-9
+
+
+def test_kmeans_fit_matches_local_lloyd(emb_matrix):
+    """Distributed Lloyd == single-process Lloyd from the same init (allclose:
+    partial-sum order differs, assignments must not)."""
+    ids, mat = emb_matrix
+    k, iters, seed = 8, 3, 11
+    cents = cluster._init_centroids(EMB, k, seed)
+    ref = cents.copy()
+    for _ in range(iters):
+        d2 = ((mat * mat).sum(1)[:, None] + (ref * ref).sum(1)[None, :] - 2 * mat @ ref.T)
+        amin = d2.argmin(1)
+        new = ref.copy()
+        for j in range(k):
+            m = amin == j
+            if m.any():
+                new[j] = mat[m].mean(0)
+        ref = new
+    got, inertia = cluster.kmeans_fit(EMB, n_clusters=k, n_iter=iters, seed=seed)
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+    assert inertia > 0
+
+
+def test_assign_tie_breaks_to_lowest_centroid():
+    q = np.array([[0, 0]], dtype=np.int64)
+    cq = np.array([[3, 4], [4, 3], [5, 5]], dtype=np.int64)  # first two equidistant
+    amin, mind2 = cluster._assign_quantized(q, cq)
+    assert amin[0] == 0 and mind2[0] == 25
+
+
+def test_load_rows_missing_centroid_raises():
+    with pytest.raises(ValueError, match="centroid vec_ids"):
+        cluster.kmeans_assign_quantized(EMB, centroid_ids=(0, 10**9)).to_pandas()
