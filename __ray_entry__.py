@@ -218,14 +218,18 @@ def _training_meta(sf_dir: str):
     ct = training.contamination_flags(docs, k=3, eval_mod=97).map_batches(
         tag("contam_hits", "contam_hits"), batch_format="pyarrow"
     )
-    lm = training.lm_frequency_scores(docs).map_batches(
+    vocab = training.unigram_counts(docs)  # ONE vocabulary exchange, shared
+    lm = training.lm_frequency_scores(docs, vocab=vocab).map_batches(
         tag("lm_freq_sum", "lm_freq_sum"), batch_format="pyarrow"
     )
 
     ck = training.chunk_counts(docs, chunk=64, stride=48).map_batches(
         tag("n_chunks", "n_chunks"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm).union(ck)
+    qb = training.quality_bucket_assignments(docs, vocab=vocab).map_batches(
+        tag("quality_bucket", "bucket"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm).union(ck).union(qb)
 
 
 def _compound_violations(sf_dir: str):
@@ -503,6 +507,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).semantic_dedup_removed(emb(sf), threshold=0.4),
         "embedding_kmeans_fit_sizes": lambda sf: _kmeans_fit_sizes(sf),
+        "quality_buckets": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).quality_bucket_counts(docs(sf)),
     }
 
 
@@ -960,14 +967,23 @@ contam AS (
 ),
 wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
 wc AS (SELECT word, count(*)::BIGINT AS c FROM wx GROUP BY word),
-lm AS (SELECT wx.doc_id, SUM(wc.c)::BIGINT AS n FROM wx JOIN wc USING (word) GROUP BY wx.doc_id)
+lm AS (SELECT wx.doc_id, SUM(wc.c)::BIGINT AS n FROM wx JOIN wc USING (word) GROUP BY wx.doc_id),
+qsc AS (SELECT l.doc_id, l.n::HUGEINT AS lm, c.n::HUGEINT AS nt
+        FROM lm l JOIN cum c USING (doc_id) WHERE c.n > 0),
+qm AS (SELECT (sum(lm)*1000)//sum(nt) AS mx FROM qsc),
+qb AS (SELECT doc_id,
+         CASE WHEN (lm*1000)//nt >= (102*(SELECT mx FROM qm))//100 THEN 2
+              WHEN (lm*1000)//nt < (98*(SELECT mx FROM qm))//100 THEN 0
+              ELSE 1 END::BIGINT AS n
+       FROM qsc)
 SELECT doc_id, 'tok_start' AS metric, s AS n FROM cum
 UNION ALL SELECT doc_id, 'pack_first', s // 512 FROM cum
 UNION ALL SELECT doc_id, 'pack_last', (s + greatest(n, 1) - 1) // 512 FROM cum
 UNION ALL SELECT doc_id, 'contam_hits', n FROM contam
 UNION ALL SELECT doc_id, 'lm_freq_sum', n FROM lm
 UNION ALL SELECT doc_id, 'n_chunks',
-  (1 + CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END) FROM cum""",
+  (1 + CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END) FROM cum
+UNION ALL SELECT doc_id, 'quality_bucket', n FROM qb""",
         # quality + Gopher/C4-style repetition counts — bigram key uses ' '
         # concat, injective because words are themselves space-split
         "text_quality": """
@@ -1103,6 +1119,21 @@ FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
      JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
 GROUP BY b.vec_id""",
+        # CCNet-style quality-bucket summary (tail query; the per-doc
+        # assignment is gated inside training_meta)
+        "quality_buckets": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT word, count(*)::BIGINT AS c FROM wx GROUP BY word),
+sc AS (SELECT wx.doc_id, sum(wc.c)::HUGEINT AS lm, count(*)::HUGEINT AS nt FROM wx JOIN wc USING (word) GROUP BY wx.doc_id),
+m AS (SELECT (sum(lm)*1000)//sum(nt) AS mx FROM sc),
+b AS (SELECT doc_id, ((lm*1000)//nt)::BIGINT AS fx,
+        CASE WHEN (lm*1000)//nt >= (102*(SELECT mx FROM m))//100 THEN 2
+             WHEN (lm*1000)//nt < (98*(SELECT mx FROM m))//100 THEN 0
+             ELSE 1 END::BIGINT AS bucket
+      FROM sc)
+SELECT bucket, count(*)::BIGINT AS n, min(fx)::BIGINT AS min_f, max(fx)::BIGINT AS max_f
+FROM b GROUP BY bucket""",
         # --- TF-IDF --------------------------------------------------------------
         "text_tfidf_top": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -350,19 +350,119 @@ class LmScoreStage:
         )
 
 
-def lm_frequency_scores(docs_path: str, concurrency: int = 8) -> "ray.data.Dataset":
+def lm_frequency_scores(
+    docs_path: str, concurrency: int = 8, vocab: "pd.DataFrame | None" = None
+) -> "ray.data.Dataset":
     """Per-doc sum of corpus frequencies of its words — the integerized
     unigram-LM familiarity score (deterministic across engines, unlike a
     float log-prob sum whose value depends on summation order).  Low
-    scores ≈ rare/garbled text; the quality-filter signal."""
+    scores ≈ rare/garbled text; the quality-filter signal.  Pass a
+    precomputed ``vocab`` (from :func:`unigram_counts`) to share the
+    vocabulary exchange with other consumers (e.g. quality buckets)."""
     path = _pq(docs_path)
-    vocab_ref = ray.put(unigram_counts(docs_path))
+    vocab_ref = ray.put(unigram_counts(docs_path) if vocab is None else vocab)
     return ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
         LmScoreStage,
         fn_constructor_kwargs=dict(vocab_ref=vocab_ref),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, concurrency),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+def quality_bucket_assignments(
+    docs_path: str,
+    hi_pct: int = 102,
+    lo_pct: int = 98,
+    concurrency: int = 8,
+    vocab: "pd.DataFrame | None" = None,
+) -> "ray.data.Dataset":
+    """CCNet-style corpus-relative quality buckets: per-doc per-token LM
+    familiarity fx = (lm_freq_sum * 1000) // n_tokens compared to the corpus
+    mean mx = (sum lm * 1000) // (sum tokens) — bucket 2 ('head') when
+    fx >= hi_pct% of mx, 0 ('tail') when fx < lo_pct% of mx, else 1.
+
+    All math is integer (floor division), so the DuckDB oracle is hash-exact.
+    The corpus totals come from the already-vocabulary-sized unigram table
+    (sum over docs of lm_freq_sum == sum over vocab of c^2) in exact Python
+    ints on the driver — no extra corpus pass, no int64 overflow at any
+    corpus size.  CCNet proper buckets by perplexity *tertiles*; the
+    mean-relative rule here is the deterministic, exact-arithmetic variant
+    (rank-tertile thresholds can be layered on via the existing Quantile
+    aggregate when approximate cuts are acceptable).
+
+    Returns (doc_id, fx, bucket); docs with zero words are excluded (they
+    have no defined per-token score — matching the SQL twin, where such
+    docs never enter the word join)."""
+    path = _pq(docs_path)
+    if vocab is None:
+        vocab = unigram_counts(docs_path)
+    c = vocab["c"].to_numpy()
+    total_nt = int(c.sum())
+    total_lm = sum(int(x) * int(x) for x in c)  # exact python ints
+    if total_nt == 0:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "fx": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    mx = total_lm * 1000 // total_nt
+    hi = hi_pct * mx // 100
+    lo = lo_pct * mx // 100
+    vocab_ref = ray.put(vocab)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        lm = t["lm_freq_sum"].to_numpy()
+        nt = t["n_tokens"].to_numpy()
+        keep = nt > 0
+        lm, nt = lm[keep], nt[keep]
+        fx = (lm.astype(np.int64) * 1000) // nt
+        bucket = np.where(fx >= hi, 2, np.where(fx < lo, 0, 1)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"doc_id": t["doc_id"].to_numpy()[keep], "fx": fx, "bucket": bucket}
+        )
+
+    return (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(
+            LmScoreStage,
+            fn_constructor_kwargs=dict(vocab_ref=vocab_ref),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, concurrency),
+        )
+        .map_batches(bucketize, batch_format="pyarrow")
+    )
+
+
+def quality_bucket_counts(
+    docs_path: str, hi_pct: int = 102, lo_pct: int = 98
+) -> "ray.data.Dataset":
+    """Per-bucket (n, min_f, max_f) summary of the quality assignment —
+    map-side combine, 3-row groupby."""
+    ds = quality_bucket_assignments(docs_path, hi_pct=hi_pct, lo_pct=lo_pct)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("bucket")["fx"].agg(n="size", min_f="min", max_f="max").reset_index()
+        return pa.Table.from_pandas(g.astype("int64"), preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Min("min_f", alias_name="min_f"),
+            ray.data.aggregate.Max("max_f", alias_name="max_f"),
+        )
     )
 
 

@@ -252,3 +252,60 @@ def test_unigram_vocab_exact_with_high_uint64_keys(ray_session, tmp_path):
     assert (exp_h > np.uint64(1) << np.uint64(63)).any()
     # sorted ascending in uint64 order (searchsorted contract downstream)
     assert (np.diff(got["wh"].to_numpy().astype(np.uint64)) > 0).all()
+
+
+def test_quality_buckets_duckdb_parity():
+    """CCNet-style quality buckets: exact integer math — per-doc assignment
+    and the 3-row summary both match the DuckDB twin at sf0.001."""
+    import duckdb
+
+    d = "/root/testdata/sf0.001/documents.parquet"
+    asg = (
+        training.quality_bucket_assignments(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}')")
+    exp = con.execute(
+        """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT word, count(*)::BIGINT AS c FROM wx GROUP BY word),
+sc AS (SELECT wx.doc_id, sum(wc.c)::HUGEINT AS lm, count(*)::HUGEINT AS nt
+       FROM wx JOIN wc USING (word) GROUP BY wx.doc_id),
+m AS (SELECT (sum(lm)*1000)//sum(nt) AS mx FROM sc)
+SELECT doc_id, ((lm*1000)//nt)::BIGINT AS fx,
+       CASE WHEN (lm*1000)//nt >= (102*(SELECT mx FROM m))//100 THEN 2
+            WHEN (lm*1000)//nt < (98*(SELECT mx FROM m))//100 THEN 0
+            ELSE 1 END::BIGINT AS bucket
+FROM sc ORDER BY doc_id
+"""
+    ).df()
+    pd.testing.assert_frame_equal(asg.astype("int64"), exp.astype("int64"))
+    # summary consistency: counts per bucket match the assignment
+    cnt = training.quality_bucket_counts(d).to_pandas().set_index("bucket")["n"]
+    vc = asg["bucket"].value_counts()
+    for b, n in vc.items():
+        assert cnt.loc[b] == n
+
+
+def test_quality_buckets_zero_word_docs_excluded(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": ["common common", "common rare", None, "common"],
+            }
+        ),
+        p,
+    )
+    asg = training.quality_bucket_assignments(str(p)).to_pandas()
+    # the null-text doc contributes no words: excluded (matches SQL unnest)
+    assert set(asg["doc_id"]) == {0, 1, 3}
+    assert set(asg["bucket"]) <= {0, 1, 2}
