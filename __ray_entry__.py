@@ -229,7 +229,12 @@ def _training_meta(sf_dir: str):
     qb = training.quality_bucket_assignments(docs, vocab=vocab).map_batches(
         tag("quality_bucket", "bucket"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm).union(ck).union(qb)
+    from hepdata_validator_ray.pipelines import dedup as _dd
+
+    sp = _dd.dup_span_stats(docs).map_batches(
+        tag("dup_spans", "n_dup_shingles"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm).union(ck).union(qb).union(sp)
 
 
 def _compound_violations(sf_dir: str):
@@ -510,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_buckets": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).quality_bucket_counts(docs(sf)),
+        "dedup_dup_spans": lambda sf: dedup.dup_span_stats(docs(sf)),
     }
 
 
@@ -983,7 +989,10 @@ UNION ALL SELECT doc_id, 'contam_hits', n FROM contam
 UNION ALL SELECT doc_id, 'lm_freq_sum', n FROM lm
 UNION ALL SELECT doc_id, 'n_chunks',
   (1 + CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END) FROM cum
-UNION ALL SELECT doc_id, 'quality_bucket', n FROM qb""",
+UNION ALL SELECT doc_id, 'quality_bucket', n FROM qb
+UNION ALL SELECT e.doc_id, 'dup_spans', count(*) FILTER (WHERE sdf.df >= 2)::BIGINT
+  FROM expl e JOIN (SELECT s, count(*)::BIGINT AS df FROM expl GROUP BY s) sdf USING (s)
+  GROUP BY e.doc_id""",
         # quality + Gopher/C4-style repetition counts — bigram key uses ' '
         # concat, injective because words are themselves space-split
         "text_quality": """
@@ -1119,6 +1128,24 @@ FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
      JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
 GROUP BY b.vec_id""",
+        # duplicated-span diagnostic (tail query; the per-doc dup count is
+        # gated inside training_meta as the 'dup_spans' metric)
+        "dedup_dup_spans": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh
+  FROM w
+),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+sdf AS (SELECT s, count(*)::BIGINT AS df FROM expl GROUP BY s)
+SELECT e.doc_id,
+       count(*) FILTER (WHERE sdf.df >= 2)::BIGINT AS n_dup_shingles,
+       count(*)::BIGINT AS n_shingles
+FROM expl e JOIN sdf USING (s) GROUP BY e.doc_id""",
         # CCNet-style quality-bucket summary (tail query; the per-doc
         # assignment is gated inside training_meta)
         "quality_buckets": """

@@ -936,3 +936,73 @@ def embedding_lsh_pairs(
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span detection (ExactSubstr-dedup diagnostic)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(
+    docs_path: str, shingle_k: int = 3, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Per-doc duplicated-span statistics: of a document's DISTINCT k-word
+    shingles, how many occur in at least one OTHER document —
+    (doc_id, n_dup_shingles, n_shingles).  The word-granularity analogue of
+    suffix-array exact-substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): n_dup/n is the fraction of a doc
+    covered by cross-doc repeated spans, the usual removal signal.
+
+    Physical plan (fully distributed, two exchanges, no broadcast side —
+    the distinct-shingle table is corpus-scale, NOT vocabulary-scale, so a
+    shingle-keyed exchange is the correct shape):
+      1. per batch: per-doc distinct shingle hashes (lexsort + boundary
+         diff) → (doc_id, sh) pairs, sh shipped as an int64 bit view;
+      2. exchange 1 keyed on sh (``bucketed_aggregate``): within a bucket,
+         a shingle's row count == its distinct-doc count (pairs are
+         per-doc distinct and a doc is one row), so mark df>=2 rows and
+         collapse to per-doc partial (n_dup, n) counts;
+      3. exchange 2: tiny doc-keyed groupby sums the per-bucket partials.
+
+    Docs with zero words have no shingles and are excluded (matches the
+    SQL twin, where they never enter the unnested shingle table).  Uses the
+    MinHash word key so shingle identity matches the oracle-verified
+    ngram family."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, derive_num_buckets
+
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, lo=16)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wh, offs = _word_hashes(t["text"].to_pandas(), _WORD_KEY_MINHASH)
+        sh, soffs = _shingle_hashes(wh, offs, shingle_k)
+        if not len(sh):
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], type=pa.int64()), "sh": pa.array([], type=pa.int64())}
+            )
+        seg = np.repeat(np.arange(len(soffs) - 1), np.diff(soffs))
+        order = np.lexsort((sh, seg))
+        ss, hh = seg[order], sh[order]
+        first = np.ones(len(ss), dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])
+        doc = t["doc_id"].to_numpy()
+        return pa.Table.from_pydict(
+            {"doc_id": doc[ss[first]], "sh": hh[first].view(np.int64)}
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # row count per shingle == distinct-doc count (pairs are distinct)
+        cnt = df.groupby("sh")["sh"].transform("size")
+        df["dup"] = (cnt >= 2).astype(np.int64)
+        g = df.groupby("doc_id")["dup"].agg(n_dup="sum", n="size").reset_index()
+        return pa.Table.from_pandas(g.astype("int64"), preserve_index=False)
+
+    return (
+        bucketed_aggregate(ds, "sh", pairs, combine, num_buckets=nb)
+        .groupby("doc_id")
+        .sum(["n_dup", "n"])
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "n_dup_shingles", "n_shingles"]),
+            batch_format="pyarrow",
+        )
+    )

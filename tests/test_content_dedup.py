@@ -26,3 +26,67 @@ def test_no_false_positives(tmp_path):
     pq.write_table(generate_sequences_table(500, seed=12, inject=False), tmp_path / "a.parquet")
     out = sequence_content_dedup(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_dup_span_stats_duckdb_parity():
+    """Cross-doc duplicated-span diagnostic: exact parity with the DuckDB
+    string-shingle twin at sf0.001 (hash-shingle identity)."""
+    import duckdb
+
+    from hepdata_validator_ray.pipelines.dedup import dup_span_stats
+
+    d = "/root/testdata/sf0.001/documents.parquet"
+    got = dup_span_stats(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}')")
+    exp = con.execute(
+        """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh
+  FROM w
+),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+sdf AS (SELECT s, count(*)::BIGINT AS df FROM expl GROUP BY s)
+SELECT e.doc_id,
+       count(*) FILTER (WHERE sdf.df >= 2)::BIGINT AS n_dup_shingles,
+       count(*)::BIGINT AS n_shingles
+FROM expl e JOIN sdf USING (s) GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_dup_span_stats_crafted(tmp_path):
+    """A shared 3-word span is flagged on both docs; a unique doc has 0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.dedup import dup_span_stats
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "text": [
+                    "alpha beta gamma delta",
+                    "zzz alpha beta gamma",
+                    "totally unique words here",
+                ],
+            }
+        ),
+        p,
+    )
+    out = dup_span_stats(str(p)).to_pandas().set_index("doc_id").sort_index()
+    # docs 0 and 1 share the 'alpha beta gamma' shingle exactly once each
+    assert out.loc[0, "n_dup_shingles"] == 1 and out.loc[0, "n_shingles"] == 2
+    assert out.loc[1, "n_dup_shingles"] == 1 and out.loc[1, "n_shingles"] == 2
+    assert out.loc[2, "n_dup_shingles"] == 0 and out.loc[2, "n_shingles"] == 2
