@@ -219,14 +219,15 @@ def _training_meta(sf_dir: str):
         tag("contam_hits", "contam_hits"), batch_format="pyarrow"
     )
     vocab = training.unigram_counts(docs)  # ONE vocabulary exchange, shared
-    lm = training.lm_frequency_scores(docs, vocab=vocab).map_batches(
-        tag("lm_freq_sum", "lm_freq_sum"), batch_format="pyarrow"
-    )
+    # ONE scored corpus pass, shared by the lm and quality legs (the
+    # quality bucketize is a pure per-row function of the scored rows)
+    scored = training.lm_frequency_scores(docs, vocab=vocab).materialize()
+    lm = scored.map_batches(tag("lm_freq_sum", "lm_freq_sum"), batch_format="pyarrow")
 
     ck = training.chunk_counts(docs, chunk=64, stride=48).map_batches(
         tag("n_chunks", "n_chunks"), batch_format="pyarrow"
     )
-    qb = training.quality_bucket_assignments(docs, vocab=vocab).map_batches(
+    qb = training.quality_bucket_assignments(docs, vocab=vocab, scores=scored).map_batches(
         tag("quality_bucket", "bucket"), batch_format="pyarrow"
     )
     from hepdata_validator_ray.pipelines import dedup as _dd
@@ -319,9 +320,17 @@ def _embedding_cluster_meta(sf_dir: str):
 
     from hepdata_validator_ray.pipelines import cluster
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = f"{sf_dir}/embeddings.parquet"
-    km = cluster.kmeans_assign_quantized(emb).to_pandas()
-    sd = cluster.semantic_dedup_removed(emb, threshold=0.4).to_pandas()
+    # the two legs are independent pipelines — overlap their execution
+    # (plan construction stays serial; see bench._consume_concurrent)
+    km_ds = cluster.kmeans_assign_quantized(emb)
+    sd_ds = cluster.semantic_dedup_removed(emb, threshold=0.4)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        km_f = ex.submit(km_ds.to_pandas)
+        sd_f = ex.submit(sd_ds.to_pandas)
+        km, sd = km_f.result(), sd_f.result()
     return pd.concat(
         [
             pd.DataFrame(

@@ -186,8 +186,10 @@ def pipeline_mm_codec(sf_dir: str) -> int:
 
 def pipeline_cluster_semdedup(sf_dir: str) -> int:
     """Quantized k-means assignment + within-cell semantic dedup + TF-IDF
-    top terms — the embedding-cluster/TF-IDF families as one number (the
-    three sub-pipelines are independent; run concurrently)."""
+    top terms — the embedding-cluster/TF-IDF families as one number.  The
+    three consumes overlap; TF-IDF's pass-1 DF exchange executes during
+    (serial) plan construction — deliberate, see _consume_concurrent's
+    fsspec-import note — so the recorded time includes that serial leg."""
     from hepdata_validator_ray.pipelines.cluster import (
         kmeans_assign_quantized,
         semantic_dedup_removed,

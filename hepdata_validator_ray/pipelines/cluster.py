@@ -49,7 +49,7 @@ def _quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat.astype(np.float64) * float(QUANT_SCALE) + 0.5).astype(np.int64)
 
 
-def _load_rows(emb_path: str, vec_ids: tuple[int, ...]) -> np.ndarray:
+def _load_rows(emb_path: str, vec_ids: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
     """Fetch the named centroid rows via a predicate-pushdown read (row-group
     pruning; the driver never loads the full table), sorted by vec_id."""
     import pyarrow.dataset as pads
@@ -88,7 +88,14 @@ def kmeans_assign_quantized(
 ) -> "ray.data.Dataset":
     """Per-cluster (n, inertia) under quantized-euclidean assignment to the
     corpus rows named by ``centroid_ids``.  Map-side combine: each batch
-    ships at most k partial rows; the groupby is k-sized."""
+    ships at most k partial rows; the groupby is k-sized.
+
+    Inertia is an exact int64 sum of per-row quantized distances.  Bound:
+    with unit-scale embeddings (|x|<=1, d<=1024) per-row d2 <= ~4e9, so
+    the sum stays exact past 10^9 rows per cluster; far beyond that,
+    re-derive with a smaller QUANT_SCALE or split hi/lo words.  The final
+    stage asserts non-negativity so a wrap fails loudly (the DuckDB twin
+    errors loudly on its ::BIGINT cast at the same point)."""
     cents, cids = _load_rows(emb_path, centroid_ids)
     cq = _quantize(cents)
 
@@ -111,14 +118,30 @@ def kmeans_assign_quantized(
         .map_batches(partial, batch_format="pandas", batch_size=4096)
         .groupby("cluster")
         .sum(["n", "inertia"])
-        .map_batches(lambda t: t.rename_columns(["cluster", "n", "inertia"]), batch_format="pyarrow")
+        .map_batches(_finish_assign, batch_format="pyarrow")
     )
+
+
+def _finish_assign(t):
+    import pyarrow as pa
+
+    t = t.rename_columns(["cluster", "n", "inertia"])
+    import pyarrow.compute as pc
+
+    if t.num_rows and pc.min(t["inertia"]).as_py() < 0:
+        raise OverflowError(
+            "inertia int64 sum wrapped negative — corpus too large for "
+            "QUANT_SCALE; see kmeans_assign_quantized docstring"
+        )
+    return t
 
 
 def _init_centroids(emb_path: str, n_clusters: int, seed: int) -> np.ndarray:
     """Deterministic distributed init: hash-filter sample (~4k rows reach the
     driver), seeded pick — same scheme as similarity._sample_centroids but
-    un-normalized (euclidean Lloyd)."""
+    un-normalized (euclidean Lloyd).  On corpora smaller than n_clusters the
+    returned matrix has fewer rows (every available vector becomes a
+    centroid); an empty corpus raises."""
     ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
     n_total = ds.count()
     target = min(max(4 * n_clusters, n_clusters), max(n_total, 1))
@@ -132,6 +155,8 @@ def _init_centroids(emb_path: str, n_clusters: int, seed: int) -> np.ndarray:
     sample = ds.map_batches(hash_filter, batch_format="pandas", batch_size=8192).to_pandas()
     if not len(sample):
         sample = ds.limit(n_clusters).to_pandas()
+    if not len(sample):
+        raise ValueError(f"cannot initialise centroids: no rows in {emb_path}")
     mat = np.stack(sample.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     pick = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
@@ -144,7 +169,12 @@ def kmeans_fit(
     """Distributed Lloyd: per iteration ONE streamed pass emits per-cluster
     partial (n, sum-vector, sq-dist sum) rows; the driver reduces
     n_batches x k rows and rebroadcasts.  Returns (centroids, inertia).
-    Empty clusters keep their previous centroid (deterministic)."""
+    Empty clusters keep their previous centroid (deterministic).
+
+    Inertia is the objective of the LAST assignment step (measured against
+    the centroids entering the final pass, before their update) — the
+    standard Lloyd convergence metric; recompute with n_iter+1 if the
+    post-update objective is needed."""
     cents = _init_centroids(emb_path, n_clusters, seed)
     ds = ray.data.read_parquet(emb_path, columns=["embedding"])
     inertia = float("nan")
@@ -200,7 +230,16 @@ def semantic_dedup_removed(
     Cell assignment is the integer-exact quantized argmin when cells come
     from ``centroid_ids`` (the oracle-checkable path); pass fitted float
     ``centroids`` (e.g. from :func:`kmeans_fit`) for the production path —
-    same code, float64 argmin."""
+    same code, float64 argmin.
+
+    Cross-engine float caveat (same class as the ln() note in
+    text.TfIdfTopStage): the cosine>=threshold compare itself is float64 —
+    numpy normalizes then BLAS-dots while DuckDB's oracle sums
+    sequentially, so a pair within ~1 ulp of the threshold could flip
+    between engines.  Thresholds are operator-chosen round numbers, never
+    data values, so an exact tie is measure-zero; the gated config has
+    been empirically hash-exact at every test scale.  (The cell
+    assignment has no such risk — it is exact integer math.)"""
     if centroids is not None:
         cq = centroids.astype(np.float64)
         cids = np.arange(len(cq), dtype=np.int64)

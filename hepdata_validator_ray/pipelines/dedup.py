@@ -979,11 +979,11 @@ def dup_span_stats(
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], type=pa.int64()), "sh": pa.array([], type=pa.int64())}
             )
+        from hepdata_validator_ray.pipelines.text import _per_row_distinct
+
         seg = np.repeat(np.arange(len(soffs) - 1), np.diff(soffs))
-        order = np.lexsort((sh, seg))
+        order, first = _per_row_distinct(sh, seg)
         ss, hh = seg[order], sh[order]
-        first = np.ones(len(ss), dtype=bool)
-        first[1:] = (ss[1:] != ss[:-1]) | (hh[1:] != hh[:-1])
         doc = t["doc_id"].to_numpy()
         return pa.Table.from_pydict(
             {"doc_id": doc[ss[first]], "sh": hh[first].view(np.int64)}

@@ -27,6 +27,20 @@ def _explode_words(words: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, offsets
 
 
+def _per_row_distinct(vals: np.ndarray, seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented-distinct kernel shared by TF/DF counting and dup-span
+    pairing: returns (order, first) where ``order`` lexsorts by (seg, val)
+    and ``first`` marks the first occurrence of each distinct (seg, val)
+    pair in that order.  Group sizes are np.diff over flatnonzero(first).
+    ONE implementation — the DuckDB oracles depend on all consumers
+    sharing identical distinct semantics."""
+    order = np.lexsort((vals, seg))
+    sv, ss = vals[order], seg[order]
+    first = np.ones(len(sv), dtype=bool)
+    first[1:] = (ss[1:] != ss[:-1]) | (sv[1:] != sv[:-1])
+    return order, first
+
+
 def _segment_sum(vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row sum over the flat buffer's segments (empty rows → 0)."""
     n = len(offsets) - 1
@@ -310,11 +324,8 @@ def doc_frequencies(docs_path: str) -> tuple[np.ndarray, np.ndarray, int]:
                 {"wh": pa.array([], type=pa.int64()), "df": pa.array([], type=pa.int64())}
             )
         seg = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
-        order = np.lexsort((wh, seg))
-        sw, ss = wh[order], seg[order]
-        first = np.ones(len(sw), dtype=bool)
-        first[1:] = (ss[1:] != ss[:-1]) | (sw[1:] != sw[:-1])
-        u, c = np.unique(sw[first], return_counts=True)
+        order, first = _per_row_distinct(wh, seg)
+        u, c = np.unique(wh[order][first], return_counts=True)
         # int64 BIT VIEW: uint64 keys above 2^63 silently fall back to
         # pickled-object blocks in the native groupby (see unigram_counts)
         return pa.Table.from_pydict({"wh": u.view(np.int64), "df": c.astype(np.int64)})
@@ -349,10 +360,8 @@ class TfIdfTopStage:
             return empty
         wh = pd.util.hash_array(flat, hash_key=_TFIDF_KEY)
         seg = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
-        order = np.lexsort((wh, seg))
+        order, first = _per_row_distinct(wh, seg)
         sw, ss = wh[order], seg[order]
-        first = np.ones(len(sw), dtype=bool)
-        first[1:] = (ss[1:] != ss[:-1]) | (sw[1:] != sw[:-1])
         sidx = np.flatnonzero(first)
         tf = np.diff(np.append(sidx, len(sw)))
         gw, gs = sw[sidx], ss[sidx]

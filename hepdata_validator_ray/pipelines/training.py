@@ -380,6 +380,7 @@ def quality_bucket_assignments(
     lo_pct: int = 98,
     concurrency: int = 8,
     vocab: "pd.DataFrame | None" = None,
+    scores: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """CCNet-style corpus-relative quality buckets: per-doc per-token LM
     familiarity fx = (lm_freq_sum * 1000) // n_tokens compared to the corpus
@@ -389,15 +390,21 @@ def quality_bucket_assignments(
     All math is integer (floor division), so the DuckDB oracle is hash-exact.
     The corpus totals come from the already-vocabulary-sized unigram table
     (sum over docs of lm_freq_sum == sum over vocab of c^2) in exact Python
-    ints on the driver — no extra corpus pass, no int64 overflow at any
-    corpus size.  CCNet proper buckets by perplexity *tertiles*; the
-    mean-relative rule here is the deterministic, exact-arithmetic variant
-    (rank-tertile thresholds can be layered on via the existing Quantile
-    aggregate when approximate cuts are acceptable).
+    ints on the driver — no extra corpus pass, no overflow at any corpus
+    size; per-doc fx is split as q*1000 + (r*1000)//nt (q, r = divmod(lm,
+    nt)) so the intermediate never exceeds ~1000*nt even when lm*1000
+    would wrap int64 (lm is bounded by n_words_doc x the top corpus word
+    count, which passes 2^53 in the 100TB regime).  CCNet proper buckets
+    by perplexity *tertiles*; the mean-relative rule here is the
+    deterministic, exact-arithmetic variant (rank-tertile thresholds can
+    be layered on via the existing Quantile aggregate when approximate
+    cuts are acceptable).
 
-    Returns (doc_id, fx, bucket); docs with zero words are excluded (they
-    have no defined per-token score — matching the SQL twin, where such
-    docs never enter the word join)."""
+    Pass ``scores`` (a (doc_id, lm_freq_sum, n_tokens) dataset from
+    :func:`lm_frequency_scores`) to reuse an existing scored pass instead
+    of re-scanning the corpus.  Returns (doc_id, fx, bucket); docs with
+    zero words are excluded (they have no defined per-token score —
+    matching the SQL twin, where such docs never enter the word join)."""
     path = _pq(docs_path)
     if vocab is None:
         vocab = unigram_counts(docs_path)
@@ -417,30 +424,24 @@ def quality_bucket_assignments(
     mx = total_lm * 1000 // total_nt
     hi = hi_pct * mx // 100
     lo = lo_pct * mx // 100
-    vocab_ref = ray.put(vocab)
 
     def bucketize(t: pa.Table) -> pa.Table:
         lm = t["lm_freq_sum"].to_numpy()
         nt = t["n_tokens"].to_numpy()
         keep = nt > 0
-        lm, nt = lm[keep], nt[keep]
-        fx = (lm.astype(np.int64) * 1000) // nt
+        lm, nt = lm[keep].astype(np.int64), nt[keep]
+        # overflow-safe exact (lm*1000)//nt: q*1000 + (r*1000)//nt with
+        # q, r = divmod(lm, nt) — r*1000 < 1000*nt stays far below 2^63
+        q, r = np.divmod(lm, nt)
+        fx = q * 1000 + (r * 1000) // nt
         bucket = np.where(fx >= hi, 2, np.where(fx < lo, 0, 1)).astype(np.int64)
         return pa.Table.from_pydict(
             {"doc_id": t["doc_id"].to_numpy()[keep], "fx": fx, "bucket": bucket}
         )
 
-    return (
-        ray.data.read_parquet(path, columns=["doc_id", "text"])
-        .map_batches(
-            LmScoreStage,
-            fn_constructor_kwargs=dict(vocab_ref=vocab_ref),
-            batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=(1, concurrency),
-        )
-        .map_batches(bucketize, batch_format="pyarrow")
-    )
+    if scores is None:
+        scores = lm_frequency_scores(path, concurrency=concurrency, vocab=vocab)
+    return scores.map_batches(bucketize, batch_format="pyarrow")
 
 
 def quality_bucket_counts(
