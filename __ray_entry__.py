@@ -443,11 +443,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot for training_meta; both counts stay driver-verified)
         "text_token_counts": lambda sf: text.token_counts(docs(sf)),
         "text_quality": lambda sf: text.quality_scores(docs(sf)),
+        # language ID + DuckDB-parity rolling fingerprint fused into one
+        # actor-pool pass — both formerly-rows-only legs now hash-gated
+        "text_langid_fp": lambda sf: text.lang_fingerprint(docs(sf)),
         # --- training-data prep (packing / contamination / LM score) ----------
         "training_meta": _training_meta,
         # --- dedup ------------------------------------------------------------
-        "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
-        "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
+        # keep-first survivors + dup-group summary off ONE content-hash
+        # exchange (both legs stay independently queryable in the tail)
+        "dedup_exact_meta": lambda sf: dedup.exact_dedup_meta(docs(sf)),
         "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
         "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(
@@ -468,7 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- TF-IDF -------------------------------------------------------------
         "text_tfidf_top": lambda sf: text.tfidf_top_terms(docs(sf)),
         # --- similarity search ------------------------------------------------
-        "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
+        # brute-force exact top-k + FULL-PROBE IVF (lossless config) as one
+        # gated union — the IVF routing/pruning/merge plumbing must
+        # reproduce the exact result when every cell is probed
+        "ann_meta": lambda sf: similarity.ann_meta(emb(sf), k=10, n_queries=5),
         # --- multimodal plumbing ----------------------------------------------
         "mm_pipeline_meta": _mm_meta,
         "mm_byte_hist": lambda sf: multimodal.byte_histogram_rows(docs(sf)),
@@ -476,6 +483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
+        # fused-union legs of dedup_exact_meta / ann_meta, still
+        # independently queryable with their own oracle entries
+        "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
+        "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
+        "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
@@ -540,6 +552,46 @@ def oracle_sql() -> dict[str, str]:
     _CENTROID_IDS_SQL = ", ".join(str(i) for i in DEFAULT_CENTROID_IDS)
     V = DEFAULT_VOCAB_SIZE
     L = DEFAULT_MAX_SEQ_LEN
+    # language-ID scoring SQL generated FROM the Ray-side stopword tables so
+    # the oracle cannot drift from LANG_STOPWORDS; tie-break = first max in
+    # sorted-language order, exactly np.argmax over sorted(tables)
+    from hepdata_validator_ray.pipelines.text import FP_PARITY_MOD, LANG_STOPWORDS
+
+    _langs = sorted(LANG_STOPWORDS)
+    _score_exprs = ",\n    ".join(
+        "len(list_filter(lws, x -> x IN ({lst}))) AS s_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS[lang])), lang=lang
+        )
+        for lang in _langs
+    )
+    _greatest = "greatest({})".format(", ".join(f"s_{l}" for l in _langs))
+    _argmax_cases = "\n       ".join(
+        f"WHEN s_{l} = {_greatest} THEN '{l}'" for l in _langs[:-1]
+    )
+    langid_select = f"""
+  CASE WHEN {_greatest} = 0 THEN 'unknown'
+       {_argmax_cases}
+       ELSE '{_langs[-1]}' END AS pred_lang"""
+    # rolling parity fingerprint: f0 = n_words, f = (f*31 + md5_32(word)) mod
+    # FP_PARITY_MOD — the exact recurrence of text.fingerprint_parity_words
+    fp_select = f"""
+  CASE WHEN text IS NULL THEN -1
+       ELSE list_reduce(
+              list_prepend(len(fws)::BIGINT,
+                           list_transform(fws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+              (a, b) -> (a * 31 + b) % {FP_PARITY_MOD})
+  END AS fingerprint"""
+    langid_cte = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lws,
+         string_split(text, ' ') AS fws
+  FROM documents
+), s AS (
+  SELECT doc_id, text, fws,
+    """ + _score_exprs + """
+  FROM w
+)"""
     row_violations_cte = f"""
 WITH s AS (SELECT * FROM read_parquet('{p}')),
 v AS (
@@ -1044,6 +1096,24 @@ WITH g AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1 HAVI
 SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_docs FROM g""",
         "dedup_exact_keep_first": """
 SELECT md5(text) AS h, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""",
+        # both exact-dedup legs as the gated (kind, h, n) union — survivors
+        # plus the dup-group/dup-doc summary off one GROUP BY
+        "dedup_exact_meta": """
+WITH g AS (
+  SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keep
+  FROM documents GROUP BY 1
+)
+SELECT 'keep_first' AS kind, h, keep AS n FROM g
+UNION ALL SELECT 'n_dup_groups', '<all>', count(*)::BIGINT FROM g WHERE cnt >= 2
+UNION ALL SELECT 'n_dup_docs', '<all>', coalesce(sum(cnt), 0)::BIGINT FROM g WHERE cnt >= 2""",
+        # language ID (stopword membership, no hashes — exact) + parity
+        # rolling fingerprint, one row per doc
+        "text_langid_fp": langid_cte + f"""
+SELECT doc_id,{langid_select},{fp_select}
+FROM s""",
+        "text_langid": langid_cte + f"""
+SELECT doc_id,{langid_select}
+FROM s""",
         # EXACT word-shingle Jaccard — the Ray side verifies LSH candidates
         # exactly, and candidate recall is complete at gate scale (the dup
         # pairs are 0.9+ similar: per-band miss odds ~1e-8), so the output
@@ -1195,6 +1265,20 @@ scored AS (
   FROM q CROSS JOIN embeddings e
 )
 SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos FROM scored WHERE rk <= 10""",
+        # brute + full-probe IVF union: both methods must produce the exact
+        # top-k (probing every cell prunes nothing)
+        "ann_meta": """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos_raw,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC) AS rk
+  FROM q CROSS JOIN embeddings e
+),
+topk AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos FROM scored WHERE rk <= 10)
+SELECT 'brute' AS method, query_id, neighbor_id, cos FROM topk
+UNION ALL SELECT 'ivf', query_id, neighbor_id, cos FROM topk""",
         # --- multimodal -------------------------------------------------------
         # the per-doc multimodal pipelines as one gated union: payload
         # metadata, actor-pool resize output size, deterministic frame

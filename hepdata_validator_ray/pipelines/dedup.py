@@ -97,6 +97,62 @@ def exact_keep_first(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     return bucketed_aggregate(hashed, "h", None, combine)
 
 
+def exact_dedup_meta(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
+    """Both exact-dedup legs off ONE content-hash exchange, as a (kind, h, n)
+    union: 'keep_first' rows carry the min(doc_id) survivor per content hash
+    (= ``exact_keep_first``) and two '<all>' summary rows carry the dup-group
+    count / dup-doc count (= ``exact_dup_groups``).  Fusing them halves the
+    reads+shuffles when an audit wants both (it always does) and keeps both
+    legs driver-gated in one query slot.
+
+    The exchange collapses to one row per distinct content hash before
+    anything else happens, so the summary pass scans the collapsed table,
+    not the corpus."""
+    import pyarrow.compute as pc
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("doc_id", "count"), ("doc_id", "min")])
+        return g.rename_columns(["h", "cnt", "keep"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("cnt", "sum"), ("keep", "min")])
+        return g.rename_columns(["h", "cnt", "keep"])
+
+    hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
+    )
+    agg = bucketed_aggregate(hashed, "h", partial, combine).materialize()
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        kind = pa.array(["keep_first"] * len(t), type=pa.string())
+        return pa.Table.from_arrays(
+            [kind, t.column("h"), pc.cast(t.column("keep"), pa.int64())],
+            names=["kind", "h", "n"],
+        )
+
+    def summary_partial(t: pa.Table) -> pa.Table:
+        dup = t.filter(pc.greater_equal(t.column("cnt"), 2))
+        return pa.Table.from_pydict(
+            {
+                "n_groups": pa.array([len(dup)], type=pa.int64()),
+                "n_docs": pa.array([int(pc.sum(dup.column("cnt")).as_py() or 0)], type=pa.int64()),
+            }
+        )
+
+    parts = agg.map_batches(summary_partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    summary = pa.table(
+        {
+            "kind": pa.array(["n_dup_groups", "n_dup_docs"], type=pa.string()),
+            "h": pa.array(["<all>", "<all>"], type=pa.string()),
+            "n": pa.array([int(parts["n_groups"].sum()), int(parts["n_docs"].sum())], type=pa.int64()),
+        }
+    )
+    keep_ds = agg.map_batches(keep_rows, batch_format="pyarrow", batch_size=65536)
+    return keep_ds.union(ray.data.from_arrow(summary))
+
+
 #: independent 16-byte siphash keys for the two fingerprint halves
 _CONTENT_KEY_A = "hvr-content-key1"
 _CONTENT_KEY_B = "hvr-content-key2"

@@ -77,6 +77,27 @@ def ann_topk_bruteforce(emb_path: str, k: int = 10, n_queries: int = 5) -> pd.Da
     return out[["query_id", "neighbor_id", "cos"]]
 
 
+def ann_meta(emb_path: str, k: int = 10, n_queries: int = 5, n_cells: int = 16) -> pd.DataFrame:
+    """Both ANN paths as ONE gated (method, query_id, neighbor_id, cos)
+    union: 'brute' = exact streamed cosine top-k, 'ivf' = the IVF routing
+    pipeline run FULL-PROBE (``n_probe = n_cells``) so every cell is probed
+    and the routing/pruning/partial-merge machinery must reproduce the exact
+    result — the gate proves the IVF plumbing is lossless when nothing is
+    pruned (the dedup_embedding_lsh full-recall-config precedent); the
+    approximate default config stays measured by the recall test +
+    ``ann_topk_ivf`` tail query."""
+    brute = ann_topk_bruteforce(emb_path, k=k, n_queries=n_queries)
+    ivf = ann_topk_ivf(emb_path, k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_cells)
+    brute = brute.copy()
+    brute.insert(0, "method", "brute")
+    ivf = ivf.copy()
+    ivf.insert(0, "method", "ivf")
+    out = pd.concat([brute, ivf], ignore_index=True)
+    out["query_id"] = out["query_id"].astype("int64")
+    out["neighbor_id"] = out["neighbor_id"].astype("int64")
+    return out
+
+
 def _sample_centroids(emb_path: str, n_cells: int, seed: int) -> np.ndarray:
     """Deterministic distributed centroid sample: a hash filter on vec_id
     keeps ~4×n_cells rows (rate from the Parquet metadata row count — no

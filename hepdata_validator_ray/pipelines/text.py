@@ -297,6 +297,65 @@ def fingerprints(docs_path: str) -> "ray.data.Dataset":
         fn, batch_format="pandas", batch_size=4096
     )
 
+#: modulus for the DuckDB-parity rolling fingerprint — (1<<57)-13 keeps every
+#: fold step (f*31 + w32, f < 2^57) inside int64, which is exactly what the
+#: DuckDB list_reduce lambda computes; primality is irrelevant (both sides run
+#: the identical recurrence)
+FP_PARITY_MOD = (1 << 57) - 13
+
+
+def fingerprint_parity_words(words: list[str]) -> int:
+    """DuckDB-parity rolling fingerprint over single-space-split words:
+    f0 = len(words); f = (f*31 + md5_32(word)) mod FP_PARITY_MOD.  Matches
+
+        list_reduce(list_prepend(len(ws)::BIGINT,
+            list_transform(ws, x -> ('0x'||substr(md5(x),1,8))::BIGINT)),
+            (a,b) -> (a*31+b) % 144115188075855859)
+
+    byte-for-byte.  Per-word hashlib is the md5-oracle-parity cost, same
+    trade as dedup._md5_batch / sampling._bucket_of; the vectorized siphash
+    production path is ``_fingerprint_batch`` above."""
+    import hashlib
+
+    f = len(words)
+    for w in words:
+        f = (f * 31 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16)) % FP_PARITY_MOD
+    return f
+
+
+class LangFingerprintStage(LangIdStage):
+    """Fused language-ID + parity-fingerprint pass — ONE read of the text
+    column feeds both per-doc outputs (they share no kernel, but always
+    travel together in corpus audits; the fusion keeps both driver-gated in
+    one query slot).  Stopword tables built once per actor (ST1)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.fromiter(
+            (
+                fingerprint_parity_words(t.split(" ")) if isinstance(t, str) else -1
+                for t in df["text"]
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pred_lang": self.predict_batch(df["text"]),
+                "fingerprint": fps,
+            }
+        )
+
+
+def lang_fingerprint(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """(doc_id, pred_lang, fingerprint) — language ID plus the DuckDB-parity
+    rolling fingerprint in one actor-pool pass (null text → fingerprint -1,
+    mirrored in the oracle's CASE)."""
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        LangFingerprintStage, batch_format="pandas", batch_size=4096, concurrency=(1, concurrency)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top term per document
 # ---------------------------------------------------------------------------

@@ -1,0 +1,112 @@
+"""Tests for the round-3 fused gate queries: exact-dedup meta union,
+brute+full-probe ANN union, and the langid+parity-fingerprint pass."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+EMB = f"{SF}/embeddings.parquet"
+
+
+def test_exact_dedup_meta_matches_both_legs():
+    from hepdata_validator_ray.pipelines.dedup import (
+        exact_dedup_meta,
+        exact_dup_groups,
+        exact_keep_first,
+    )
+
+    meta = exact_dedup_meta(DOCS).to_pandas()
+    # keep_first leg identical to the standalone query
+    keep = (
+        meta[meta["kind"] == "keep_first"][["h", "n"]]
+        .rename(columns={"n": "keep_doc_id"})
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    solo = exact_keep_first(DOCS).to_pandas().sort_values("h").reset_index(drop=True)
+    pd.testing.assert_frame_equal(keep, solo.astype({"keep_doc_id": "int64"}))
+    # summary leg identical to the standalone query
+    summary = dict(zip(meta[meta["kind"] != "keep_first"]["kind"], meta[meta["kind"] != "keep_first"]["n"]))
+    groups = exact_dup_groups(DOCS)
+    assert summary == {
+        "n_dup_groups": int(groups["n_dup_groups"].iloc[0]),
+        "n_dup_docs": int(groups["n_dup_docs"].iloc[0]),
+    }
+
+
+def test_ann_meta_full_probe_ivf_equals_brute():
+    from hepdata_validator_ray.pipelines.similarity import ann_meta
+
+    out = ann_meta(EMB, k=5, n_queries=3, n_cells=8)
+    brute = (
+        out[out["method"] == "brute"]
+        .drop(columns="method")
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        out[out["method"] == "ivf"]
+        .drop(columns="method")
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, ivf)
+    assert set(out["method"]) == {"brute", "ivf"}
+
+
+def test_fingerprint_parity_matches_duckdb_fold():
+    from hepdata_validator_ray.pipelines.text import FP_PARITY_MOD, fingerprint_parity_words
+
+    texts = ["the quick brown fox", "", "a", "der die das der die das", "x  y"]
+    expected = [fingerprint_parity_words(t.split(" ")) for t in texts]
+    con = duckdb.connect()
+    got = [
+        con.execute(
+            """
+            SELECT list_reduce(
+                list_prepend(len(string_split(?, ' '))::BIGINT,
+                             list_transform(string_split(?, ' '),
+                                            x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+                (a, b) -> (a * 31 + b) % """
+            + str(FP_PARITY_MOD)
+            + ")",
+            [t, t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == expected
+
+
+def test_fingerprint_parity_order_and_length_sensitive():
+    from hepdata_validator_ray.pipelines.text import fingerprint_parity_words
+
+    assert fingerprint_parity_words(["a", "b"]) != fingerprint_parity_words(["b", "a"])
+    assert fingerprint_parity_words(["a"]) != fingerprint_parity_words(["a", "a"])
+    assert fingerprint_parity_words([]) == 0  # empty fold = prepended length
+
+
+def test_lang_fingerprint_stage_null_text():
+    from hepdata_validator_ray.pipelines.text import LangFingerprintStage
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["the and of the", None]})
+    out = LangFingerprintStage()(df)
+    assert list(out.columns) == ["doc_id", "pred_lang", "fingerprint"]
+    assert out["pred_lang"].tolist()[0] == "en"
+    assert out["fingerprint"].iloc[1] == -1
+    assert out["fingerprint"].dtype == np.int64
+
+
+def test_langid_oracle_sql_generated_from_tables():
+    """The langid SQL must be derived from LANG_STOPWORDS (no drift)."""
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["text_langid_fp"]
+    from hepdata_validator_ray.pipelines.text import LANG_STOPWORDS
+
+    for lang, words in LANG_STOPWORDS.items():
+        assert f"s_{lang}" in sql
+        for w in list(words)[:3]:
+            assert f"'{w}'" in sql
