@@ -483,6 +483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
+        # BM25 bag-of-words retrieval (Lucene idf variant) — integer-only
+        # output, full DuckDB oracle (generated alongside the kernel)
+        "bm25_topk": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_topk(docs(sf), terms=["hash", "join", "stream"], k=10),
         # fused-union legs of dedup_exact_meta / ann_meta, still
         # independently queryable with their own oracle entries
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
@@ -1114,6 +1119,9 @@ FROM s""",
         "text_langid": langid_cte + f"""
 SELECT doc_id,{langid_select}
 FROM s""",
+        "bm25_topk": __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_oracle_sql(["hash", "join", "stream"], k=10),
         # EXACT word-shingle Jaccard — the Ray side verifies LSH candidates
         # exactly, and candidate recall is complete at gate scale (the dup
         # pairs are 0.9+ similar: per-band miss odds ~1e-8), so the output

@@ -1,0 +1,184 @@
+"""BM25 bag-of-words retrieval over the documents table.
+
+Two streamed passes, no shuffle:
+
+1. **stats pass** — per batch, one partial row: corpus size, total word
+   count, and per-query-term document frequency.  The driver reduces
+   O(n_batches) tiny rows and broadcasts (N, avgdl, df[t]).
+2. **score pass** — per batch: term-frequency matrix for the query terms
+   (direct string equality on the exploded word buffer — a handful of
+   terms, no hashing, no collision risk), BM25 scores, and a per-batch
+   partial top-k.  The driver merges only n_batches x k candidate rows.
+
+The float BM25 score orders candidates but never leaves the engine: the
+output is integer-only (rank, doc_id, dl, tf_total), so the DuckDB oracle
+is hash-exact under the same transcendental-tie argument as
+``text.tfidf_top_terms`` — the score expression is generated with ONE
+parenthesization (term contributions accumulated left-to-right in sorted
+term order) evaluated identically by numpy and the SQL, exact ties are
+only possible between identical (tf-vector, dl) inputs (both engines then
+agree and break on doc_id), and near-ties between different inputs would
+need a transcendental coincidence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _term_tfs(texts: pd.Series, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(dl, tf) for a batch: dl = single-space word count per row (DuckDB
+    ``len(string_split(text, ' '))`` parity; null text -> 0), tf = per-row
+    frequency of each query term, all vectorized over the exploded buffer."""
+    from hepdata_validator_ray.pipelines.text import _explode_words, _segment_sum
+
+    words = texts.str.split(" ")
+    flat, offs = _explode_words(words)
+    dl = np.diff(offs)
+    tf = np.zeros((len(dl), len(terms)), dtype=np.int64)
+    if len(flat):
+        for j, t in enumerate(terms):
+            tf[:, j] = _segment_sum((flat == t), offs)
+    return dl, tf
+
+
+def bm25_corpus_stats(docs_path: str, terms: list[str]) -> tuple[int, int, np.ndarray]:
+    """(n_docs, sum_dl, df-per-term) — one streamed pass, one tiny partial
+    row per batch, driver reduces O(n_batches) rows."""
+    terms = list(terms)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dl, tf = _term_tfs(df["text"], terms)
+        row = {"n": len(df), "sum_dl": int(dl.sum())}
+        for j in range(len(terms)):
+            row[f"df_{j}"] = int((tf[:, j] > 0).sum())
+        return pd.DataFrame([row])
+
+    parts = (
+        ray.data.read_parquet(docs_path, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    if not len(parts) or "n" not in parts.columns:  # empty corpus → no partials
+        return 0, 0, np.zeros(len(terms), dtype=np.int64)
+    df_t = np.array([int(parts[f"df_{j}"].sum()) for j in range(len(terms))], dtype=np.int64)
+    return int(parts["n"].sum()), int(parts["sum_dl"].sum()), df_t
+
+
+def bm25_topk(
+    docs_path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Top-k documents by BM25 (Lucene idf variant, ln(1 + (N-df+0.5)/(df+0.5)))
+    for a bag of query terms; ties break on doc_id ascending.  Output
+    (rank, doc_id, dl, tf_total) carries no floats."""
+    terms = sorted(terms)  # fixed accumulation order, mirrored in the SQL
+    n_docs, sum_dl, df_t = bm25_corpus_stats(docs_path, terms)
+    if n_docs == 0:
+        return pd.DataFrame(columns=["rank", "doc_id", "dl", "tf_total"]).astype(
+            {"rank": "int64", "doc_id": "int64", "dl": "int64", "tf_total": "int64"}
+        )
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.array(
+        [np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df_t], dtype=np.float64
+    )
+    ref = ray.put((terms, idf, avgdl))
+
+    class Partial:
+        def __init__(self, r):
+            self.terms, self.idf, self.avgdl = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            dl, tf = _term_tfs(df["text"], self.terms)
+            dlf = dl.astype(np.float64)
+            score = np.zeros(len(dl), dtype=np.float64)
+            # left-to-right accumulation in sorted term order — the SQL
+            # oracle writes the identical explicit sum
+            for j in range(len(self.terms)):
+                tfj = tf[:, j].astype(np.float64)
+                score = score + (self.idf[j] * tfj) / (
+                    tfj + k1 * ((1.0 - b) + b * (dlf / self.avgdl))
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "dl": dl.astype("int64"),
+                    "tf_total": tf.sum(axis=1).astype("int64"),
+                    "score": score,
+                }
+            )
+            kk = min(k, len(out))
+            return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(kk)
+
+    partials = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(
+            Partial,
+            fn_constructor_args=(ref,),
+            batch_format="pandas",
+            batch_size=8192,
+            concurrency=(1, concurrency),
+        )
+        .to_pandas()
+    )
+    out = (
+        partials.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "doc_id", "dl", "tf_total"]].astype(
+        {"rank": "int64", "doc_id": "int64", "dl": "int64", "tf_total": "int64"}
+    )
+
+
+def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB SQL computing the identical BM25 top-k — the score expression
+    is generated with the same parenthesization and term order the Ray
+    kernel accumulates in."""
+    terms = sorted(terms)
+    tf_cols = ",\n       ".join(
+        f"len(list_filter(ws, x -> x = '{t}'))::BIGINT AS tf_{j}" for j, t in enumerate(terms)
+    )
+    df_cols = ",\n       ".join(
+        f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{j}"
+        for j in range(len(terms))
+    )
+    # 0.5::DOUBLE forces DOUBLE (not DECIMAL) arithmetic so every division
+    # is IEEE double division, bit-matching the numpy kernel
+    score_terms = " + ".join(
+        f"(ln(1 + (s.n - s.df_{j} + 0.5::DOUBLE) / (s.df_{j} + 0.5::DOUBLE)) * d.tf_{j}"
+        f" / (d.tf_{j} + {k1} * ((1 - {b}) + {b} * (d.dl / (s.sum_dl / s.n)))))"
+        for j in range(len(terms))
+    )
+    tf_total = " + ".join(f"d.tf_{j}" for j in range(len(terms)))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+d AS (
+  SELECT doc_id, len(ws)::BIGINT AS dl,
+       {tf_cols}
+  FROM w
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sum_dl,
+       {df_cols}
+  FROM d
+),
+scored AS (
+  SELECT d.doc_id, d.dl, ({tf_total})::BIGINT AS tf_total,
+         {score_terms} AS score
+  FROM d, s
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       doc_id, dl, tf_total
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""

@@ -110,3 +110,40 @@ def test_langid_oracle_sql_generated_from_tables():
         assert f"s_{lang}" in sql
         for w in list(words)[:3]:
             assert f"'{w}'" in sql
+
+
+def test_bm25_topk_matches_duckdb_and_orders_by_relevance():
+    from hepdata_validator_ray.pipelines.retrieval import bm25_oracle_sql, bm25_topk
+
+    terms = ["hash", "join"]
+    got = bm25_topk(DOCS, terms, k=7)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    want = con.execute(bm25_oracle_sql(terms, k=7)).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # every returned doc actually contains a query term (relevance sanity)
+    assert (got["tf_total"] > 0).all()
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+def test_bm25_stats_pass_is_tiny():
+    from hepdata_validator_ray.pipelines.retrieval import bm25_corpus_stats
+
+    n, sum_dl, df_t = bm25_corpus_stats(DOCS, ["hash", "nosuchword"])
+    assert n > 0 and sum_dl > n  # multi-word docs
+    assert df_t[0] > 0 and df_t[1] == 0
+
+
+def test_bm25_empty_corpus(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.retrieval import bm25_topk
+
+    p = tmp_path / "empty.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())}),
+        p,
+    )
+    out = bm25_topk(str(p), ["x"], k=5)
+    assert len(out) == 0 and list(out.columns) == ["rank", "doc_id", "dl", "tf_total"]
