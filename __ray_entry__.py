@@ -453,10 +453,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange (both legs stay independently queryable in the tail)
         "dedup_exact_meta": lambda sf: dedup.exact_dedup_meta(docs(sf)),
         "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
-        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
-        "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(
-            docs(sf), threshold=0.3, method="ngram", distributed=True
-        ),
+        # verified ngram-Jaccard pairs + near-dup clusters off ONE LSH /
+        # verify pass (the heaviest pipeline no longer runs twice); both
+        # legs stay independently queryable + oracled in the tail
+        "dedup_ngram_meta": lambda sf: dedup.ngram_dedup_meta(docs(sf), threshold=0.3),
+        # BM25 bag-of-words retrieval (Lucene idf) — integer-only output,
+        # generated oracle sharing the kernel's float parenthesization
+        "bm25_topk": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_topk(docs(sf), terms=["hash", "join", "stream"], k=10),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(
             emb(sf), threshold=0.4, n_planes=3, n_tables=24
         ),
@@ -483,13 +488,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
-        # BM25 bag-of-words retrieval (Lucene idf variant) — integer-only
-        # output, full DuckDB oracle (generated alongside the kernel)
-        "bm25_topk": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
-        ).bm25_topk(docs(sf), terms=["hash", "join", "stream"], k=10),
-        # fused-union legs of dedup_exact_meta / ann_meta, still
-        # independently queryable with their own oracle entries
+        # fused-union legs of dedup_exact_meta / ann_meta / dedup_ngram_meta,
+        # still independently queryable with their own oracle entries
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
+        "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(
+            docs(sf), threshold=0.3, method="ngram", distributed=True
+        ),
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
         "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
@@ -1143,6 +1147,23 @@ reach(u, v) AS (
 )
 SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
 FROM reach GROUP BY u""",
+        # pairs + clusters union off the same shared pair CTE
+        "dedup_ngram_meta": "WITH RECURSIVE " + ngram_pairs_cte + """,
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM p
+  UNION ALL SELECT doc_id_b, doc_id_a FROM p
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cl AS (
+  SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT 'pair' AS kind, doc_id_a::BIGINT AS a, doc_id_b::BIGINT AS b, jaccard FROM p
+UNION ALL SELECT 'cluster', doc_id::BIGINT, cluster_id, NULL::DOUBLE FROM cl""",
         # the LSH scale path gated against the EXACT all-pairs oracle: the
         # gated config (3 planes × 24 tables) reaches full recall at gate
         # scale, and in-bucket verification is exact cosine, so the outputs

@@ -543,6 +543,54 @@ def minhash_lsh_pairs(
     return ds.groupby(["doc_id_a", "doc_id_b"]).max("est_jaccard").map_batches(final, batch_format="pyarrow")
 
 
+def ngram_dedup_meta(
+    docs_path: str, threshold: float = 0.3, concurrency: int | None = None
+) -> "ray.data.Dataset":
+    """Exactly-verified n-gram-Jaccard pairs AND their near-dup clusters off
+    ONE LSH/verify pass, as a (kind, a, b, jaccard) union: 'pair' rows carry
+    (doc_id_a, doc_id_b, jaccard) (= ``ngram_jaccard_pairs``) and 'cluster'
+    rows carry (doc_id, cluster_id, NULL) from distributed min-label
+    propagation over those same pairs (= ``near_dup_clusters`` ngram mode).
+    The verified pair set is materialized once — fusing the two gated
+    queries halves the heaviest pipeline's work and frees a gate slot."""
+    from hepdata_validator_ray.ops import connected_components_ds
+
+    pairs_ds = ngram_jaccard_pairs(
+        docs_path, threshold=threshold, concurrency=concurrency
+    ).materialize()
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.array(["pair"] * len(t), type=pa.string()),
+                pa.compute.cast(t.column("doc_id_a"), pa.int64()),
+                pa.compute.cast(t.column("doc_id_b"), pa.int64()),
+                pa.compute.cast(t.column("jaccard"), pa.float64()),
+            ],
+            names=["kind", "a", "b", "jaccard"],
+        )
+
+    real = pairs_ds.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["doc_id_a"], 0)), batch_format="pyarrow"
+    )
+    cc = connected_components_ds(real)
+
+    def cluster_rows(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pa.array(["cluster"] * len(t), type=pa.string()),
+                pa.compute.cast(t.column("node"), pa.int64()),
+                pa.compute.cast(t.column("cluster_id"), pa.int64()),
+                pa.nulls(len(t), type=pa.float64()),
+            ],
+            names=["kind", "a", "b", "jaccard"],
+        )
+
+    return pairs_ds.map_batches(pair_rows, batch_format="pyarrow").union(
+        cc.map_batches(cluster_rows, batch_format="pyarrow")
+    )
+
+
 def near_dup_clusters(
     docs_path: str,
     threshold: float = 0.5,

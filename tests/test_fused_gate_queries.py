@@ -147,3 +147,41 @@ def test_bm25_empty_corpus(tmp_path):
     )
     out = bm25_topk(str(p), ["x"], k=5)
     assert len(out) == 0 and list(out.columns) == ["rank", "doc_id", "dl", "tf_total"]
+
+
+def test_ngram_dedup_meta_matches_both_legs():
+    from hepdata_validator_ray.pipelines.dedup import (
+        near_dup_clusters,
+        ngram_dedup_meta,
+        ngram_jaccard_pairs,
+    )
+
+    meta = ngram_dedup_meta(DOCS, threshold=0.3).to_pandas()
+    pairs = (
+        meta[meta["kind"] == "pair"][["a", "b", "jaccard"]]
+        .rename(columns={"a": "doc_id_a", "b": "doc_id_b"})
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    solo_pairs = (
+        ngram_jaccard_pairs(DOCS, threshold=0.3)
+        .to_pandas()
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pairs, solo_pairs)
+    clusters = (
+        meta[meta["kind"] == "cluster"][["a", "b"]]
+        .rename(columns={"a": "doc_id", "b": "cluster_id"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    solo_cl = (
+        near_dup_clusters(DOCS, threshold=0.3, method="ngram", distributed=True)
+        .astype({"doc_id": "int64", "cluster_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clusters, solo_cl)
+    assert meta[meta["kind"] == "cluster"]["jaccard"].isna().all()
