@@ -147,9 +147,18 @@ def pipeline_asof_join(sf_dir: str) -> int:
 
 
 def pipeline_ngram_jaccard(sf_dir: str) -> int:
-    from hepdata_validator_ray.pipelines.dedup import ngram_jaccard_pairs
+    """The fused gated query: verified pairs + near-dup clusters off one
+    materialized LSH/verify pass (supersets the former pairs-only run; CC
+    over the small verified pair set adds negligible work)."""
+    from hepdata_validator_ray.pipelines.dedup import ngram_dedup_meta
 
-    return _consume(ngram_jaccard_pairs(f"{sf_dir}/documents.parquet", threshold=0.3))
+    return _consume(ngram_dedup_meta(f"{sf_dir}/documents.parquet", threshold=0.3))
+
+
+def pipeline_bm25(sf_dir: str) -> int:
+    from hepdata_validator_ray.pipelines.retrieval import bm25_topk
+
+    return len(bm25_topk(f"{sf_dir}/documents.parquet", terms=["hash", "join", "stream"], k=10))
 
 
 def pipeline_training_pack(sf_dir: str) -> int:
@@ -238,6 +247,7 @@ PIPELINES = {
     "training_pack": pipeline_training_pack,
     "mm_codec": pipeline_mm_codec,
     "cluster_semdedup": pipeline_cluster_semdedup,
+    "bm25": pipeline_bm25,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

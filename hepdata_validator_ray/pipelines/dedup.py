@@ -573,7 +573,13 @@ def ngram_dedup_meta(
     real = pairs_ds.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["doc_id_a"], 0)), batch_format="pyarrow"
     )
-    cc = connected_components_ds(real)
+    # bucket count from the VERIFIED pair count (cheap on the materialized
+    # set): each CC round is two bucketed exchanges, and 64 fixed buckets on
+    # a few hundred edges is pure task-scheduling overhead — at 10^12-edge
+    # scale this derives back up to the cap
+    n_pairs = pairs_ds.count()
+    nb = int(min(64, max(4, -(-n_pairs // 250_000))))
+    cc = connected_components_ds(real, num_buckets=nb)
 
     def cluster_rows(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

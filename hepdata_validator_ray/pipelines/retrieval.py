@@ -77,7 +77,6 @@ def bm25_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    concurrency: int = 4,
 ) -> pd.DataFrame:
     """Top-k documents by BM25 (Lucene idf variant, ln(1 + (N-df+0.5)/(df+0.5)))
     for a bag of query terms; ties break on doc_id ascending.  Output
@@ -94,41 +93,35 @@ def bm25_topk(
     )
     ref = ray.put((terms, idf, avgdl))
 
-    class Partial:
-        def __init__(self, r):
-            self.terms, self.idf, self.avgdl = ray.get(r)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            dl, tf = _term_tfs(df["text"], self.terms)
-            dlf = dl.astype(np.float64)
-            score = np.zeros(len(dl), dtype=np.float64)
-            # left-to-right accumulation in sorted term order — the SQL
-            # oracle writes the identical explicit sum
-            for j in range(len(self.terms)):
-                tfj = tf[:, j].astype(np.float64)
-                score = score + (self.idf[j] * tfj) / (
-                    tfj + k1 * ((1.0 - b) + b * (dlf / self.avgdl))
-                )
-            out = pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"].to_numpy(),
-                    "dl": dl.astype("int64"),
-                    "tf_total": tf.sum(axis=1).astype("int64"),
-                    "score": score,
-                }
+    # stateless TASKS, not an actor pool: the broadcast state is a tuple of
+    # tiny arrays resolved by one local object-store get per batch, and a
+    # query-time operator shouldn't pay actor spin-up (~1s) per call
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q_terms, q_idf, q_avgdl = ray.get(ref)
+        dl, tf = _term_tfs(df["text"], q_terms)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(len(dl), dtype=np.float64)
+        # left-to-right accumulation in sorted term order — the SQL
+        # oracle writes the identical explicit sum
+        for j in range(len(q_terms)):
+            tfj = tf[:, j].astype(np.float64)
+            score = score + (q_idf[j] * tfj) / (
+                tfj + k1 * ((1.0 - b) + b * (dlf / q_avgdl))
             )
-            kk = min(k, len(out))
-            return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(kk)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "dl": dl.astype("int64"),
+                "tf_total": tf.sum(axis=1).astype("int64"),
+                "score": score,
+            }
+        )
+        kk = min(k, len(out))
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(kk)
 
     partials = (
         ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(
-            Partial,
-            fn_constructor_args=(ref,),
-            batch_format="pandas",
-            batch_size=8192,
-            concurrency=(1, concurrency),
-        )
+        .map_batches(score_partial, batch_format="pandas", batch_size=8192)
         .to_pandas()
     )
     out = (
