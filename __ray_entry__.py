@@ -577,8 +577,11 @@ def oracle_sql() -> dict[str, str]:
     _argmax_cases = "\n       ".join(
         f"WHEN s_{l} = {_greatest} THEN '{l}'" for l in _langs[:-1]
     )
+    # NULL text first: all scores are NULL so greatest()=0 is NULL (not
+    # true) and the CASE would otherwise fall through to the ELSE language
     langid_select = f"""
-  CASE WHEN {_greatest} = 0 THEN 'unknown'
+  CASE WHEN text IS NULL THEN 'unknown'
+       WHEN {_greatest} = 0 THEN 'unknown'
        {_argmax_cases}
        ELSE '{_langs[-1]}' END AS pred_lang"""
     # rolling parity fingerprint: f0 = n_words, f = (f*31 + md5_32(word)) mod
@@ -590,10 +593,13 @@ def oracle_sql() -> dict[str, str]:
                            list_transform(fws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
               (a, b) -> (a * 31 + b) % {FP_PARITY_MOD})
   END AS fingerprint"""
+    # the split pattern is the same explicit ASCII-whitespace class the Ray
+    # kernel compiles (RE2's \s and Python's str.split() disagree on Unicode
+    # whitespace; an explicit class removes the divergence)
     langid_cte = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lws,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'), x -> x <> '') AS lws,
          string_split(text, ' ') AS fws
   FROM documents
 ), s AS (
@@ -1103,13 +1109,19 @@ SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_
         "dedup_exact_groups": """
 WITH g AS (SELECT md5(text) AS h, count(*) AS cnt FROM documents GROUP BY 1 HAVING count(*) > 1)
 SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_docs FROM g""",
+        # coalesce: the Ray key fn emits '<NULL>' for null text (md5 hex is
+        # [0-9a-f]{32}, no collision) while SQL md5(NULL) IS NULL — the key
+        # VALUE is part of this output, so it must match, not just the
+        # group structure
         "dedup_exact_keep_first": """
-SELECT md5(text) AS h, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1""",
+SELECT coalesce(md5(text), '<NULL>') AS h, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1""",
         # both exact-dedup legs as the gated (kind, h, n) union — survivors
         # plus the dup-group/dup-doc summary off one GROUP BY
         "dedup_exact_meta": """
 WITH g AS (
-  SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keep
+  SELECT coalesce(md5(text), '<NULL>') AS h, count(*)::BIGINT AS cnt,
+         min(doc_id)::BIGINT AS keep
   FROM documents GROUP BY 1
 )
 SELECT 'keep_first' AS kind, h, keep AS n FROM g

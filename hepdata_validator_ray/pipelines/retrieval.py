@@ -140,8 +140,11 @@ def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = BM25_K1, b: float
     is generated with the same parenthesization and term order the Ray
     kernel accumulates in."""
     terms = sorted(terms)
+    # coalesce: string_split(NULL) is NULL in SQL but the Ray kernel treats
+    # null text as an empty word list (dl=0, tf=0, score exactly 0.0)
     tf_cols = ",\n       ".join(
-        f"len(list_filter(ws, x -> x = '{t}'))::BIGINT AS tf_{j}" for j, t in enumerate(terms)
+        f"coalesce(len(list_filter(ws, x -> x = '{t}')), 0)::BIGINT AS tf_{j}"
+        for j, t in enumerate(terms)
     )
     df_cols = ",\n       ".join(
         f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{j}"
@@ -158,7 +161,7 @@ def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = BM25_K1, b: float
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 d AS (
-  SELECT doc_id, len(ws)::BIGINT AS dl,
+  SELECT doc_id, coalesce(len(ws), 0)::BIGINT AS dl,
        {tf_cols}
   FROM w
 ),

@@ -226,7 +226,12 @@ class LangIdStage:
         self.tables_np = {l: np.array(sorted(self.tables[l]), dtype=object) for l in self.langs}
 
     def predict_batch(self, texts: pd.Series) -> np.ndarray:
-        words = texts.str.lower().str.split()
+        # explicit ASCII-whitespace class, NOT str.split(): Python splits on
+        # Unicode whitespace (NBSP etc.) but the DuckDB oracle's RE2 pattern
+        # is byte-class-based — both sides use the identical class so texts
+        # with exotic whitespace tokenize the same way (empty tokens score 0
+        # and cannot affect the argmax, so no post-filter is needed)
+        words = texts.str.lower().str.split(r"[ \t\n\r\f\v]+", regex=True)
         flat, offsets = _explode_words(words)
         n = len(texts)
         scores = np.zeros((n, len(self.langs)), dtype=np.int64)

@@ -185,3 +185,68 @@ def test_ngram_dedup_meta_matches_both_legs():
     )
     pd.testing.assert_frame_equal(clusters, solo_cl)
     assert meta[meta["kind"] == "cluster"]["jaccard"].isna().all()
+
+
+def test_null_and_exotic_whitespace_oracle_parity(tmp_path):
+    """NULL text and non-ASCII whitespace must produce IDENTICAL rows from
+    the Ray pipelines and their generated DuckDB oracles (review findings:
+    NULL fell through the langid CASE to 'zh'; str.split() vs RE2 \\s+
+    disagreed on NBSP; md5(NULL) vs '<NULL>' keys; NULL dl in BM25)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    docs = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "the and of the hash",
+                        None,
+                        "a the join stream",  # NBSP inside a token pair
+                        "der\tdie\ndas und ist",  # tabs/newlines split
+                        "",
+                    ],
+                    type=pa.string(),
+                ),
+            }
+        ),
+        docs,
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs}')")
+    oracles = e.oracle_sql()
+
+    from hepdata_validator_ray.pipelines.dedup import exact_dedup_meta
+    from hepdata_validator_ray.pipelines.retrieval import bm25_oracle_sql, bm25_topk
+    from hepdata_validator_ray.pipelines.text import lang_fingerprint
+
+    # langid + fingerprint
+    got = (
+        lang_fingerprint(str(docs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        con.execute(oracles["text_langid_fp"]).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    assert got["fingerprint"].astype("int64").tolist() == want["fingerprint"].astype("int64").tolist()
+    assert got.loc[got.doc_id == 2, "pred_lang"].iloc[0] == "unknown"
+
+    # exact dedup meta ('<NULL>' key parity)
+    got = (
+        exact_dedup_meta(str(docs)).to_pandas().sort_values(["kind", "h", "n"]).reset_index(drop=True)
+    )
+    want = (
+        con.execute(oracles["dedup_exact_meta"]).df().sort_values(["kind", "h", "n"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+    assert "<NULL>" in set(got["h"])
+
+    # bm25 (null text → dl 0, score 0, present in zero-score tail)
+    terms = ["hash", "join", "stream"]
+    got = bm25_topk(str(docs), terms, k=5)
+    want = con.execute(bm25_oracle_sql(terms, k=5)).df()
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
