@@ -497,6 +497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
         "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
+        # bounded range join standalone (also fused into the gated
+        # events_lag_trailing as the n_view_win column)
+        "events_range_join": lambda sf: relational.events_range_join(sf),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
@@ -955,13 +958,36 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
         # both ordered-window ops over ONE user_id partitioning (the fused
         # single-exchange operator)
+        # lag + trailing window + bounded range join, all sharing the
+        # user_id partitioning — the Ray side computes all three in one
+        # exchange; the range-join leg is DuckDB's native ts-band join
         "events_lag_trailing": """
-SELECT event_id,
-       strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                '%Y-%m-%d %H:%M:%S') AS prev_ts,
-       count(*) OVER (PARTITION BY user_id ORDER BY ts
-                      RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)::BIGINT AS n_trailing
-FROM events""",
+WITH w AS (
+  SELECT event_id,
+         strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '%Y-%m-%d %H:%M:%S') AS prev_ts,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)::BIGINT AS n_trailing
+  FROM events
+),
+rj AS (
+  SELECT e.event_id, count(v.event_id)::BIGINT AS n_view_win
+  FROM events e LEFT JOIN events v
+    ON v.user_id = e.user_id AND v.event_type = 'view'
+   AND v.ts >= e.ts - INTERVAL 60 MINUTE AND v.ts < e.ts
+  GROUP BY e.event_id
+)
+SELECT w.event_id, w.prev_ts, w.n_trailing, rj.n_view_win
+FROM w JOIN rj ON w.event_id = rj.event_id""",
+        # standalone bounded range join: views in the hour before each
+        # purchase (same user), half-open window
+        "events_range_join": """
+SELECT p.event_id, count(v.event_id)::BIGINT AS n_in_window
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id""",
         "events_asof_join": """
 SELECT l.event_id,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts

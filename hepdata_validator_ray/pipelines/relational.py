@@ -350,15 +350,39 @@ def events_trailing_count(sf_dir: str, window_minutes: int = 60, num_buckets: in
     )
 
 
+def _typed_range_counts(
+    t64: np.ndarray, types: np.ndarray, bounds: np.ndarray, right_type: str, win_ns: np.int64
+) -> np.ndarray:
+    """Per-row count of SAME-segment ``right_type`` rows with ts in the
+    half-open window [ts - win, ts) — the bounded range-join kernel.  One
+    searchsorted pair per user segment over the segment's (sorted) typed
+    timestamps; no per-event Python."""
+    n = len(t64)
+    out = np.zeros(n, dtype=np.int64)
+    is_right = types == right_type
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        rt = t64[s:e][is_right[s:e]]
+        if not len(rt):
+            continue
+        seg = t64[s:e]
+        out[s:e] = np.searchsorted(rt, seg, side="left") - np.searchsorted(
+            rt, seg - win_ns, side="left"
+        )
+    return out
+
+
 def events_lag_trailing(
-    sf_dir: str, window_minutes: int = 60, num_buckets: int | None = None
+    sf_dir: str, window_minutes: int = 60, num_buckets: int | None = None, right_type: str = "view"
 ) -> "ray.data.Dataset":
-    """lag(prev event ts) AND trailing-window count in ONE hash-bucket
-    exchange — the fused form of ``events_lag_previous`` +
-    ``events_trailing_count``: both window ops share the same partitioning
-    key (user_id) and in-bucket sort, so computing them together halves the
-    exchanges (pick ONE partitioning key and reuse it across stages).
-    Output: (event_id, prev_ts, n_trailing)."""
+    """lag(prev event ts) AND trailing-window count AND bounded range-join
+    count in ONE hash-bucket exchange — the fused form of
+    ``events_lag_previous`` + ``events_trailing_count`` +
+    ``events_range_join``: all three window/ordered-join ops share the same
+    partitioning key (user_id) and in-bucket sort, so computing them
+    together divides the exchanges by three (pick ONE partitioning key and
+    reuse it across stages).  Output: (event_id, prev_ts, n_trailing,
+    n_view_win), where n_view_win counts the same user's ``right_type``
+    events in [ts - window, ts)."""
     from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
     win = np.timedelta64(window_minutes, "m")
@@ -372,6 +396,7 @@ def events_lag_trailing(
                     "event_id": pd.Series(dtype="int64"),
                     "prev_ts": pd.Series(dtype="object"),
                     "n_trailing": pd.Series(dtype="int64"),
+                    "n_view_win": pd.Series(dtype="int64"),
                 }
             )
         prev = df.groupby("user_id")["ts"].shift()
@@ -388,22 +413,75 @@ def events_lag_trailing(
             # hi includes equal-timestamp peers — SQL RANGE frames extend
             # through the current row's ORDER BY peers
             hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        n_rj = _typed_range_counts(t64, df["event_type"].to_numpy(), bounds, right_type, win_ns)
         out = pd.DataFrame(
             {
                 "event_id": df["event_id"],
                 "prev_ts": prev.dt.strftime("%Y-%m-%d %H:%M:%S"),
                 "n_trailing": (hi - lo).astype("int64"),
+                "n_view_win": n_rj,
             }
         )
         out["prev_ts"] = out["prev_ts"].where(prev.notna(), None)
         return out
 
-    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
     nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
     return (
         ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(fused, batch_format="pandas")
+    )
+
+
+def events_range_join(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    window_minutes: int = 60,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Bounded range join (the interval-join operator Ray Data lacks): for
+    each LEFT-type event, the number of SAME-user RIGHT-type events with ts
+    in the half-open window [ts - window, ts) — the attribution-style
+    "views in the hour before each purchase" join.
+
+    Physical plan: one hash-bucket exchange on user_id (the one
+    partitioning key every events operator reuses); inside a bucket one
+    searchsorted pair per user segment against the segment's typed
+    timestamps.  Oracle: DuckDB range join (LEFT JOIN on user + ts band,
+    GROUP BY)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    win = np.timedelta64(window_minutes, "m")
+    win_ns = np.int64(win / np.timedelta64(1, "ns"))
+
+    def rjoin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "n_in_window": pd.Series(dtype="int64")}
+            )
+        t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
+        users = df["user_id"].to_numpy()
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[seg_starts, len(t64)]
+        cnt = _typed_range_counts(t64, df["event_type"].to_numpy(), bounds, right_type, win_ns)
+        keep = df["event_type"].to_numpy() == left_type
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy()[keep], "n_in_window": cnt[keep]}
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(rjoin, batch_format="pandas")
     )
 
 

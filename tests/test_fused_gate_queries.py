@@ -250,3 +250,47 @@ def test_null_and_exotic_whitespace_oracle_parity(tmp_path):
     got = bm25_topk(str(docs), terms, k=5)
     want = con.execute(bm25_oracle_sql(terms, k=5)).df()
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_events_range_join_half_open_window(tmp_path):
+    """Window is [ts-60min, ts): a view exactly 60min before counts, a view
+    at the same instant as the purchase does not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_range_join
+
+    ts = pd.to_datetime(
+        [
+            "2026-01-01 10:00:00",  # view  (exactly 60 min before -> counts)
+            "2026-01-01 10:30:00",  # view  (inside -> counts)
+            "2026-01-01 11:00:00",  # purchase @11:00
+            "2026-01-01 11:00:00",  # view at the same instant -> excluded
+            "2026-01-01 09:59:59",  # view just outside -> excluded
+        ]
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 7, 7], type=pa.int64()),
+                "event_type": pa.array(["view", "view", "purchase", "view", "view"]),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_range_join(str(d)).to_pandas()
+    assert out.to_dict("records") == [{"event_id": 3, "n_in_window": 2}]
+
+
+def test_lag_trailing_includes_range_join_column():
+    from hepdata_validator_ray.pipelines.relational import events_lag_trailing, events_range_join
+
+    fused = events_lag_trailing(SF).to_pandas()
+    assert list(fused.columns) == ["event_id", "prev_ts", "n_trailing", "n_view_win"]
+    solo = events_range_join(SF).to_pandas()
+    m = fused.merge(solo, on="event_id")  # purchases only
+    assert (m["n_view_win"] == m["n_in_window"]).all()
