@@ -500,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded range join standalone (also fused into the gated
         # events_lag_trailing as the n_view_win column)
         "events_range_join": lambda sf: relational.events_range_join(sf),
+        # tumbling-window aggregate (fixed non-overlapping windows)
+        "events_tumbling": lambda sf: relational.events_tumbling(sf),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
@@ -979,6 +981,15 @@ rj AS (
 )
 SELECT w.event_id, w.prev_ts, w.n_trailing, rj.n_view_win
 FROM w JOIN rj ON w.event_id = rj.event_id""",
+        # tumbling windows: epoch-us floor division both sides; the value
+        # sum is integer cents (floor(value*100)) so no float SUM order risk
+        "events_tumbling": """
+SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY 1""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

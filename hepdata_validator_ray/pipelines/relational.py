@@ -436,6 +436,58 @@ def events_lag_trailing(
     )
 
 
+def events_tumbling(sf_dir: str, window_minutes: int = 60) -> "ray.data.Dataset":
+    """Tumbling (fixed, non-overlapping) time-window aggregate: per window,
+    event count, distinct users, and an exact integer value sum
+    (floor(value*100) cents — float SUM order differs between engines, an
+    integer sum cannot).
+
+    Map-side combine collapses each batch to its distinct (window, user)
+    partials before the exchange, so the shuffle moves at most
+    |windows|x|users| rows regardless of corpus size; the per-window
+    groupby then counts users as plain rows."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    win_us = np.int64(window_minutes) * np.int64(60_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ep = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        win = (ep // win_us) * win_us
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"win": win, "user_id": df["user_id"], "n": 1, "cents": cents})
+            .groupby(["win", "user_id"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # per-(win,user) partials from different batches first collapse to
+        # one row, then the window rollup counts users as rows
+        wu = df.groupby(["win", "user_id"], as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        )
+        g = wu.groupby("win", as_index=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "count"), sum_cents=("cents", "sum")
+        )
+        out = pd.DataFrame(
+            {
+                "win_start": pd.to_datetime(g["win"], unit="us").dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_events": g["n_events"].astype("int64"),
+                "n_users": g["n_users"].astype("int64"),
+                "sum_cents": g["sum_cents"].astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id", "value"])
+    return bucketed_aggregate(ds, "win", partial, combine, num_buckets=16)
+
+
 def events_range_join(
     sf_dir: str,
     left_type: str = "purchase",

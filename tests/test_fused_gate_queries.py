@@ -294,3 +294,28 @@ def test_lag_trailing_includes_range_join_column():
     solo = events_range_join(SF).to_pandas()
     m = fused.merge(solo, on="event_id")  # purchases only
     assert (m["n_view_win"] == m["n_in_window"]).all()
+
+
+def test_events_tumbling_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_tumbling
+
+    got = (
+        events_tumbling(SF)
+        .to_pandas()
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    want = con.execute(
+        """
+        SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+        FROM events GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_users"] <= got["n_events"]).all()
