@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": lambda sf: relational.events_range_join(sf),
         # tumbling-window aggregate (fixed non-overlapping windows)
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
+        # C4-style text normalization (lower, strip punct, collapse ws)
+        "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
@@ -1175,6 +1177,19 @@ FROM s""",
         "bm25_topk": __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_oracle_sql(["hash", "join", "stream"], k=10),
+        # same explicit ASCII classes as the pandas kernel; length() counts
+        # CHARACTERS (like pandas .str.len(); strlen counts bytes and would
+        # diverge on any non-ASCII char); null text stays null on both sides
+        "text_normalize": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text,
+         text
+  FROM documents
+)
+SELECT doc_id, norm_text, (length(text) - length(norm_text))::BIGINT AS n_removed_chars
+FROM n""",
         # EXACT word-shingle Jaccard — the Ray side verifies LSH candidates
         # exactly, and candidate recall is complete at gate scale (the dup
         # pairs are 0.9+ similar: per-band miss odds ~1e-8), so the output

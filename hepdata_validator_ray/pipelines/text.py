@@ -302,6 +302,35 @@ def fingerprints(docs_path: str) -> "ray.data.Dataset":
         fn, batch_format="pandas", batch_size=4096
     )
 
+def normalize_texts(docs_path: str) -> "ray.data.Dataset":
+    """C4-style text normalization as a vectorized stage: lowercase, strip
+    the punctuation class, collapse ASCII-whitespace runs to single spaces,
+    trim.  Emits (doc_id, norm_text, n_removed_chars); every regex is an
+    explicit ASCII class evaluated identically by pandas/re and DuckDB/RE2
+    (null text stays null on both sides)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df["text"]
+            .str.lower()
+            .str.replace(r"[.,!?;:]", "", regex=True)
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        removed = df["text"].str.len() - norm.str.len()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "norm_text": norm,
+                "n_removed_chars": removed.astype("Int64"),
+            }
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
 #: modulus for the DuckDB-parity rolling fingerprint — (1<<57)-13 keeps every
 #: fold step (f*31 + w32, f < 2^57) inside int64, which is exactly what the
 #: DuckDB list_reduce lambda computes; primality is irrelevant (both sides run

@@ -319,3 +319,37 @@ def test_events_tumbling_matches_duckdb():
     ).df()
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_users"] <= got["n_events"]).all()
+
+
+def test_normalize_texts_kernel_and_oracle_parity(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from hepdata_validator_ray.pipelines.text import normalize_texts
+
+    docs = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    ["  Hello, World!!  How are  you?  ", None, "a\tb\nc", "..."],
+                    type=pa.string(),
+                ),
+            }
+        ),
+        docs,
+    )
+    got = normalize_texts(str(docs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["norm_text"].tolist()[0] == "hello world how are you"
+    assert got["norm_text"].tolist()[2] == "a b c"
+    assert got["norm_text"].tolist()[3] == ""
+    assert pd.isna(got["norm_text"].iloc[1])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs}')")
+    want = con.execute(e.oracle_sql()["text_normalize"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["norm_text"].where(got["norm_text"].notna(), None).tolist() == \
+        want["norm_text"].where(want["norm_text"].notna(), None).tolist()
+    assert got["n_removed_chars"].astype("float").where(got["n_removed_chars"].notna(), None).tolist() == \
+        want["n_removed_chars"].astype("float").where(want["n_removed_chars"].notna(), None).tolist()
