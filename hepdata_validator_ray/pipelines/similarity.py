@@ -86,25 +86,18 @@ def ann_meta(emb_path: str, k: int = 10, n_queries: int = 5, n_cells: int = 16) 
     pruned (the dedup_embedding_lsh full-recall-config precedent); the
     approximate default config stays measured by the recall test +
     ``ann_topk_ivf`` tail query."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    # pre-warm the lazy fsspec import Ray Data's path resolver does on every
-    # read_parquet: two threads lazily importing it concurrently can observe
-    # a partially-initialized module (ImportError: cannot import name
-    # 'HTTPFileSystem')
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except Exception:
-        pass
-    # the two legs are independent full corpus scans — overlap their
-    # execution (each Dataset gets its own streaming executor; the
-    # _embedding_cluster_meta / bench._consume_concurrent precedent)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        brute_f = ex.submit(ann_topk_bruteforce, emb_path, k=k, n_queries=n_queries)
-        ivf_f = ex.submit(
-            ann_topk_ivf, emb_path, k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_cells
-        )
-        brute, ivf = brute_f.result(), ivf_f.result()
+    # the two legs run SEQUENTIALLY, deliberately: each leg interleaves
+    # read_parquet plan construction with execution, and Ray Data's path
+    # resolver re-attempts a lazy `fsspec.implementations.http` import on
+    # every read_parquet — that import always fails here (no aiohttp), Ray
+    # catches the ModuleNotFoundError, but a SECOND thread importing
+    # concurrently can observe the partially-initialized module and get a
+    # plain ImportError Ray does not catch.  The overlapped fused queries
+    # elsewhere (embedding_cluster_meta, bench._consume_concurrent) are safe
+    # because they construct ALL plans serially and only execute in threads;
+    # these legs cannot without refactoring their internal two-phase reads.
+    brute = ann_topk_bruteforce(emb_path, k=k, n_queries=n_queries)
+    ivf = ann_topk_ivf(emb_path, k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_cells)
     brute = brute.copy()
     brute.insert(0, "method", "brute")
     ivf = ivf.copy()

@@ -351,5 +351,6 @@ def test_normalize_texts_kernel_and_oracle_parity(tmp_path):
     want = con.execute(e.oracle_sql()["text_normalize"]).df().sort_values("doc_id").reset_index(drop=True)
     assert got["norm_text"].where(got["norm_text"].notna(), None).tolist() == \
         want["norm_text"].where(want["norm_text"].notna(), None).tolist()
-    assert got["n_removed_chars"].astype("float").where(got["n_removed_chars"].notna(), None).tolist() == \
-        want["n_removed_chars"].astype("float").where(want["n_removed_chars"].notna(), None).tolist()
+    g_removed = [None if pd.isna(x) else float(x) for x in got["n_removed_chars"]]
+    w_removed = [None if pd.isna(x) else float(x) for x in want["n_removed_chars"]]
+    assert g_removed == w_removed
