@@ -106,3 +106,59 @@ def test_skewed_partition_sizes(tmp_path):
     res = ValidationEngine(ValidationConfig(enable_sketches=False, dup_check=True)).validate(str(tmp_path))
     assert res.valid
     assert res.n_rows == sum(sizes)
+
+
+def test_tumbling_hot_window_single_user(tmp_path):
+    """All events in ONE window from ONE user — the maximal skew case: the
+    (window,user) map-side combine must collapse each batch to one partial
+    row, and counts must still be exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_tumbling
+
+    n = 20_000
+    ts = pd.Timestamp("2026-02-01 10:00:00") + pd.to_timedelta(np.arange(n) % 3000, unit="s")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(np.full(n, 1.25)),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_tumbling(str(d)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_events"] == n and r["n_users"] == 1 and r["sum_cents"] == n * 125
+
+
+def test_bm25_all_docs_identical(tmp_path):
+    """Degenerate corpus: every doc identical — scores tie exactly, ranks
+    break on doc_id ascending deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.retrieval import bm25_topk
+
+    n = 1000
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(["alpha beta gamma"] * n),
+            }
+        ),
+        tmp_path / "d.parquet",
+    )
+    out = bm25_topk(str(tmp_path / "d.parquet"), ["beta"], k=5)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert (out["tf_total"] == 1).all()
