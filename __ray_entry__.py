@@ -504,6 +504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
+        # per-column table profile (SUMMARIZE analogue)
+        "profile_documents": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).profile_table(docs(sf), ["doc_id", "text", "lang", "source", "n_chars"]),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
@@ -1190,6 +1194,9 @@ WITH n AS (
 )
 SELECT doc_id, norm_text, (length(text) - length(norm_text))::BIGINT AS n_removed_chars
 FROM n""",
+        "profile_documents": __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).profile_oracle_sql("documents", ["doc_id", "text", "lang", "source", "n_chars"]),
         # EXACT word-shingle Jaccard — the Ray side verifies LSH candidates
         # exactly, and candidate recall is complete at gate scale (the dup
         # pairs are 0.9+ similar: per-band miss odds ~1e-8), so the output

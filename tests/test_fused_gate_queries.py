@@ -354,3 +354,36 @@ def test_normalize_texts_kernel_and_oracle_parity(tmp_path):
     g_removed = [None if pd.isna(x) else float(x) for x in got["n_removed_chars"]]
     w_removed = [None if pd.isna(x) else float(x) for x in want["n_removed_chars"]]
     assert g_removed == w_removed
+
+
+def test_profile_table_typed_extrema_and_nulls(tmp_path):
+    """Numeric extrema must reduce numerically across batch partials
+    (lexical min('10','9') would be '10'); nulls are excluded from
+    distinct/extrema but counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.profile import profile_oracle_sql, profile_table
+
+    docs = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([9, 10, 1000, None, -5], type=pa.int64()),
+                "b": pa.array(["z", None, "a", "a", None], type=pa.string()),
+            }
+        ),
+        docs,
+    )
+    got = profile_table(str(docs)).sort_values("column").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{docs}')")
+    want = (
+        con.execute(profile_oracle_sql("t", ["a", "b"]))
+        .df()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    a = got[got["column"] == "a"].iloc[0]
+    assert (a["min_v"], a["max_v"], a["n_nulls"], a["n_distinct"]) == ("-5", "1000", 1, 4)
