@@ -502,6 +502,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": lambda sf: relational.events_range_join(sf),
         # tumbling-window aggregate (fixed non-overlapping windows)
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
+        # hopping-window aggregate (overlapping windows, map-side replicate
+        # + (win,user) combine before the exchange)
+        "events_hopping": lambda sf: relational.events_hopping(sf),
+        # semi-structured JSON props extraction (vectorized regex) + per-type stats
+        "events_props_stats": lambda sf: relational.events_props_stats(sf),
+        # multi-level ROLLUP(source, lang) via hierarchical re-aggregation
+        "docs_rollup": lambda sf: relational.docs_rollup_stats(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1005,6 +1012,42 @@ FROM events p LEFT JOIN events v
  AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id""",
+        # hopping windows (60 min window / 30 min hop → each event lands in
+        # 2 windows): replicate via unnest([0,1]), same integer-cents sum
+        "events_hopping": """
+SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                               - k * 1800000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+GROUP BY 1""",
+        # JSON props extraction: json_extract_string on the flat {"k": int}
+        # shape matches the engine's documented regex grammar exactly
+        "events_props_stats": """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(*) FILTER (k IS NULL)::BIGINT AS n_null,
+       sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k,
+       max(k)::BIGINT AS max_k
+FROM x GROUP BY event_type""",
+        # ROLLUP(source, lang): GROUPING() distinguishes the rollup's
+        # '<ALL>' marker from a real NULL group value ('<NULL>')
+        "docs_rollup": """
+SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>'
+            ELSE coalesce(source, '<NULL>') END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '<ALL>'
+            ELSE coalesce(lang, '<NULL>') END AS lang,
+       count(*)::BIGINT AS n_docs,
+       sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)""",
         "events_asof_join": """
 SELECT l.event_id,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts

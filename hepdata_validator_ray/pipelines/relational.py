@@ -464,28 +464,77 @@ def events_tumbling(sf_dir: str, window_minutes: int = 60) -> "ray.data.Dataset"
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def combine(t: pa.Table) -> pa.Table:
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id", "value"])
+    return bucketed_aggregate(ds, "win", partial, _window_rollup_combine, num_buckets=16)
+
+
+def _window_rollup_combine(t: pa.Table) -> pa.Table:
+    """Reduce-side rollup shared by the tumbling and hopping window
+    aggregates: collapse per-(win,user) partials from different batches to
+    one row each, then count users as rows per window."""
+    df = t.to_pandas()
+    wu = df.groupby(["win", "user_id"], as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum")
+    )
+    g = wu.groupby("win", as_index=False).agg(
+        n_events=("n", "sum"), n_users=("user_id", "count"), sum_cents=("cents", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "win_start": pd.to_datetime(g["win"], unit="us").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": g["n_events"].astype("int64"),
+            "n_users": g["n_users"].astype("int64"),
+            "sum_cents": g["sum_cents"].astype("int64"),
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_hopping(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 30
+) -> "ray.data.Dataset":
+    """Hopping (sliding, overlapping) time-window aggregate: windows of
+    ``window_minutes`` starting every ``hop_minutes`` (window must be a
+    multiple of hop).  Each event is replicated into its window/hop
+    memberships MAP-SIDE with numpy tile/repeat, then collapsed to distinct
+    (window, user) partials BEFORE the exchange — the shuffle still moves at
+    most |windows|x|users| rows, not |events| x (window/hop).
+
+    Same output contract as ``events_tumbling`` (count, distinct users,
+    exact integer cents sum); the two share ``_window_rollup_combine``."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    nwin = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes) * np.int64(60_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        # per-(win,user) partials from different batches first collapse to
-        # one row, then the window rollup counts users as rows
-        wu = df.groupby(["win", "user_id"], as_index=False).agg(
-            n=("n", "sum"), cents=("cents", "sum")
+        ep = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        s0 = (ep // hop_us) * hop_us
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        # event at t belongs to windows starting at s0 - k*hop for
+        # k = 0..nwin-1 (each start s satisfies s <= t < s + window)
+        win = np.tile(s0, nwin) - np.repeat(np.arange(nwin, dtype=np.int64) * hop_us, len(s0))
+        g = (
+            pd.DataFrame(
+                {
+                    "win": win,
+                    "user_id": np.tile(df["user_id"].to_numpy(), nwin),
+                    "n": 1,
+                    "cents": np.tile(cents, nwin),
+                }
+            )
+            .groupby(["win", "user_id"], as_index=False)
+            .agg(n=("n", "sum"), cents=("cents", "sum"))
         )
-        g = wu.groupby("win", as_index=False).agg(
-            n_events=("n", "sum"), n_users=("user_id", "count"), sum_cents=("cents", "sum")
-        )
-        out = pd.DataFrame(
-            {
-                "win_start": pd.to_datetime(g["win"], unit="us").dt.strftime("%Y-%m-%d %H:%M:%S"),
-                "n_events": g["n_events"].astype("int64"),
-                "n_users": g["n_users"].astype("int64"),
-                "sum_cents": g["sum_cents"].astype("int64"),
-            }
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id", "value"])
-    return bucketed_aggregate(ds, "win", partial, combine, num_buckets=16)
+    return bucketed_aggregate(ds, "win", partial, _window_rollup_combine, num_buckets=16)
 
 
 def events_range_join(
@@ -646,3 +695,130 @@ def referential_integrity(sf_dir: str) -> pd.DataFrame:
             {"relation": "orders->customer", "n_missing": missing_count("orders", "o_custkey", "customer", "c_custkey")},
         ]
     )
+
+
+def events_props_stats(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
+    """Semi-structured payload extraction (the reference parses YAML payloads
+    into typed fields, `full_submission_validator.py` load path; the
+    web-pipeline analogue is a JSON props column): pull an integer field out
+    of the `props` JSON string with ONE compiled-regex vectorized pass
+    (pandas `str.extract`, no per-row json.loads), then aggregate per
+    event_type with a map-side combine so the exchange moves
+    |event_types| x |batches| rows.
+
+    Extraction grammar (documented contract, matched exactly by the DuckDB
+    oracle's json_extract on this flat shape): a single integer value for
+    ``key`` in a flat JSON object.  Rows whose props are NULL / not valid
+    flat-int JSON count into ``n_null`` and contribute nothing to the sums.
+    """
+    import re
+
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    pat = re.compile(r'[{,]\s*"' + re.escape(key) + r'"\s*:\s*(-?\d+)\s*[,}]')
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = pd.to_numeric(df["props"].str.extract(pat, expand=False), errors="coerce").astype("Int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "n_events": 1,
+                    "n_null": k.isna().astype("int64"),
+                    "k": k,
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .agg(
+                n_events=("n_events", "sum"),
+                n_null=("n_null", "sum"),
+                sum_k=("k", "sum"),
+                min_k=("k", "min"),
+                max_k=("k", "max"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            n_null=("n_null", "sum"),
+            sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"),
+            max_k=("max_k", "max"),
+        )
+        for c in ("n_events", "n_null", "sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype("Int64" if c in ("sum_k", "min_k", "max_k") else "int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+    return bucketed_aggregate(ds, "event_type", partial, combine, num_buckets=8)
+
+
+def docs_rollup_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Multi-level rollup aggregate (GROUP BY ROLLUP(source, lang)): doc
+    count and char sum at (source, lang), (source, <ALL>), and
+    (<ALL>, <ALL>) levels.
+
+    Physical plan: ONE map-side-combined exchange to the finest level
+    (|sources| x |langs| rows — tiny however large the corpus), then the
+    coarser levels are re-aggregated from the finest table in a single
+    1-partition map_batches — hierarchical re-aggregation, never a second
+    scan of the input.  Real NULL group values become '<NULL>' so they stay
+    distinguishable from the rollup's '<ALL>' marker (the SQL oracle uses
+    the same sentinels)."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"].fillna("<NULL>"),
+                    "lang": df["lang"].fillna("<NULL>"),
+                    "n_docs": 1,
+                    "sum_chars": df["n_chars"].fillna(0).astype("int64"),
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def expand(t: pa.Table) -> pa.Table:
+        f = t.to_pandas()
+        by_src = f.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+        )
+        by_src.insert(1, "lang", "<ALL>")
+        total = pd.DataFrame(
+            {
+                "source": ["<ALL>"],
+                "lang": ["<ALL>"],
+                "n_docs": [f["n_docs"].sum()],
+                "sum_chars": [f["sum_chars"].sum()],
+            }
+        )
+        out = pd.concat([f, by_src, total], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "lang", "n_chars"])
+    finest = bucketed_aggregate(ds, "source", partial, combine, num_buckets=8)
+    # the finest level is tiny (|sources| x |langs|) — 1 partition is the
+    # POINT: rollup expansion must see all of it at once
+    return finest.repartition(1).map_batches(expand, batch_format="pyarrow")

@@ -387,3 +387,135 @@ def test_profile_table_typed_extrema_and_nulls(tmp_path):
     pd.testing.assert_frame_equal(got, want)
     a = got[got["column"] == "a"].iloc[0]
     assert (a["min_v"], a["max_v"], a["n_nulls"], a["n_distinct"]) == ("-5", "1000", 1, 4)
+
+
+def _oracle_df(name: str, sf: str = SF) -> pd.DataFrame:
+    """Run the committed oracle_sql() entry for `name` against sf's tables."""
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return con.execute(e.oracle_sql()[name]).df()
+
+
+def test_events_hopping_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_hopping
+
+    got = events_hopping(SF).to_pandas().sort_values("win_start").reset_index(drop=True)
+    want = _oracle_df("events_hopping").sort_values("win_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # every event is replicated into exactly window/hop = 2 windows
+    n_events = duckdb.sql(f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert int(got["n_events"].sum()) == 2 * n_events
+
+
+def test_events_hopping_window_membership(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_hopping
+
+    d = tmp_path
+    # one event at 00:45 → 60min/30min-hop windows starting 00:00 and 00:30
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([pd.Timestamp("2024-01-01 00:45:00")], type=pa.timestamp("us")),
+                "user_id": pa.array([7], type=pa.int64()),
+                "value": pa.array([1.25], type=pa.float64()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_hopping(str(d)).to_pandas().sort_values("win_start").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"win_start": "2024-01-01 00:00:00", "n_events": 1, "n_users": 1, "sum_cents": 125},
+        {"win_start": "2024-01-01 00:30:00", "n_events": 1, "n_users": 1, "sum_cents": 125},
+    ]
+
+
+def test_events_hopping_rejects_non_multiple():
+    from hepdata_validator_ray.pipelines.relational import events_hopping
+
+    with pytest.raises(ValueError):
+        events_hopping(SF, window_minutes=50, hop_minutes=30)
+
+
+def test_events_props_stats_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_props_stats
+
+    got = events_props_stats(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = _oracle_df("events_props_stats").sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_props_stats_null_and_malformed(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_props_stats
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "a", "b"]),
+                "props": pa.array(['{"k": 3}', None, "not json", '{"k": "str"}', '{"j": 1, "k": -2}']),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = (
+        events_props_stats(str(d)).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert (a["n_events"], a["n_null"], a["sum_k"], a["min_k"], a["max_k"]) == (4, 3, 3, 3, 3)
+    b = out[out["event_type"] == "b"].iloc[0]
+    # mid-object key ("," prefix) extracts; negative ints extract
+    assert (b["n_events"], b["n_null"], b["sum_k"]) == (1, 0, -2)
+
+
+def test_docs_rollup_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import docs_rollup_stats
+
+    got = (
+        docs_rollup_stats(SF)
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    want = _oracle_df("docs_rollup").sort_values(["source", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # invariants: grand total row equals the sum of the finest level
+    fin = got[(got["source"] != "<ALL>") & (got["lang"] != "<ALL>")]
+    tot = got[(got["source"] == "<ALL>") & (got["lang"] == "<ALL>")].iloc[0]
+    assert int(fin["n_docs"].sum()) == int(tot["n_docs"])
+    assert int(fin["sum_chars"].sum()) == int(tot["sum_chars"])
+
+
+def test_docs_rollup_null_group_sentinel(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import docs_rollup_stats
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s", None]),
+                "lang": pa.array([None, "en"]),
+                "n_chars": pa.array([10, None], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = docs_rollup_stats(str(d)).to_pandas()
+    rows = {(r["source"], r["lang"]): (r["n_docs"], r["sum_chars"]) for _, r in out.iterrows()}
+    # real NULLs stay distinguishable from the rollup marker
+    assert rows[("s", "<NULL>")] == (1, 10)
+    assert rows[("<NULL>", "en")] == (1, 0)
+    assert rows[("s", "<ALL>")] == (1, 10)
+    assert rows[("<NULL>", "<ALL>")] == (1, 0)
+    assert rows[("<ALL>", "<ALL>")] == (2, 10)
