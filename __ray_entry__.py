@@ -509,6 +509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": lambda sf: relational.events_props_stats(sf),
         # multi-level ROLLUP(source, lang) via hierarchical re-aggregation
         "docs_rollup": lambda sf: relational.docs_rollup_stats(sf),
+        # long->wide pivot with a declared category list (Spark-style)
+        "events_daily_pivot": lambda sf: relational.events_daily_pivot(sf),
+        # per-group MODE with deterministic tie-break
+        "docs_lang_mode": lambda sf: relational.docs_lang_mode(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1048,6 +1052,29 @@ SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>'
        count(*)::BIGINT AS n_docs,
        sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
 FROM documents GROUP BY ROLLUP(source, lang)""",
+        # pivot: conditional aggregation mirrors the engine's declared
+        # category list; out-of-list / NULL types fold into n_other
+        "events_daily_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (event_type IS NULL OR event_type NOT IN
+                        ('click','error','purchase','signup','view'))::BIGINT AS n_other
+FROM events GROUP BY 1""",
+        # per-source mode lang, tie-break = lexically smallest tied lang
+        "docs_lang_mode": """
+WITH c AS (
+  SELECT coalesce(source, '<NULL>') AS source,
+         coalesce(lang, '<NULL>') AS lang,
+         count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY coalesce(source, '<NULL>')
+                            ORDER BY count(*) DESC, coalesce(lang, '<NULL>')) AS rn
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang AS mode_lang, n AS n_docs FROM c WHERE rn = 1""",
         "events_asof_join": """
 SELECT l.event_id,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts

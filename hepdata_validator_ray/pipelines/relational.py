@@ -822,3 +822,99 @@ def docs_rollup_stats(sf_dir: str) -> "ray.data.Dataset":
     # the finest level is tiny (|sources| x |langs|) — 1 partition is the
     # POINT: rollup expansion must see all of it at once
     return finest.repartition(1).map_batches(expand, batch_format="pyarrow")
+
+
+def events_daily_pivot(
+    sf_dir: str,
+    values: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> "ray.data.Dataset":
+    """Pivot (long -> wide): per day, one count column per DECLARED event
+    type plus ``n_other``.  Like Spark's ``pivot(values=[...])``, the
+    category list is part of the call contract so the output schema is
+    deterministic and the plan never needs a distinct-values pre-pass
+    (which would be a second full scan + barrier at scale).  Types outside
+    the list — including NULL — fold into ``n_other`` rather than silently
+    vanishing.
+
+    Per batch the (day x type) counts come from ONE np.bincount over
+    fused integer codes (day_code * (n_types+1) + type_code); the exchange
+    then moves at most |days| x |batches| wide rows."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    vals = list(values)
+    cols = [f"n_{v}" for v in vals] + ["n_other"]
+    nv = len(vals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d").to_pandas()
+        day_codes, day_uniq = pd.factorize(day)
+        et = pd.Categorical(t["event_type"].to_pandas(), categories=vals)
+        tcodes = et.codes.astype(np.int64)  # -1 = not in list / NULL
+        tcodes[tcodes < 0] = nv  # the n_other slot
+        counts = np.bincount(
+            day_codes * (nv + 1) + tcodes, minlength=len(day_uniq) * (nv + 1)
+        ).reshape(len(day_uniq), nv + 1)
+        out = pd.DataFrame({"day": day_uniq})
+        for j, c in enumerate(cols):
+            out[c] = counts[:, j].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("day", as_index=False)[cols].sum()
+        for c in cols:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+    return bucketed_aggregate(ds, "day", partial, combine, num_buckets=8)
+
+
+def docs_lang_mode(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group MODE aggregate: for each source, the most frequent lang
+    (deterministic tie-break: lexically smallest lang among the tied).
+    Mode is not decomposable the way sum/min are, so the plan ships the
+    full (source, lang) count table — still tiny, |sources| x |langs| —
+    through one map-side-combined exchange keyed on source, then takes the
+    per-source argmax inside the reduce.  NULL langs stay countable via the
+    '<NULL>' sentinel (shared with docs_rollup_stats; same on the SQL
+    side)."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"].fillna("<NULL>"),
+                    "lang": df["lang"].fillna("<NULL>"),
+                    "n": 1,
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False).agg(n=("n", "sum"))
+        # argmax per source with the documented tie-break: sort by
+        # (count desc, lang asc) and keep the first row per source
+        g = g.sort_values(["source", "n", "lang"], ascending=[True, False, True])
+        top = g.drop_duplicates("source", keep="first").reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                "source": top["source"],
+                "mode_lang": top["lang"],
+                "n_docs": top["n"].astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "lang"])
+    return bucketed_aggregate(ds, "source", partial, combine, num_buckets=8)

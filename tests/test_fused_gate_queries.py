@@ -519,3 +519,71 @@ def test_docs_rollup_null_group_sentinel(tmp_path):
     assert rows[("s", "<ALL>")] == (1, 10)
     assert rows[("<NULL>", "<ALL>")] == (1, 0)
     assert rows[("<ALL>", "<ALL>")] == (2, 10)
+
+
+def test_events_daily_pivot_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_daily_pivot
+
+    got = events_daily_pivot(SF).to_pandas().sort_values("day").reset_index(drop=True)
+    want = _oracle_df("events_daily_pivot").sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    # wide counts reconcile with the long-form daily rollup
+    n_events = duckdb.sql(f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
+    count_cols = [c for c in got.columns if c != "day"]
+    assert int(got[count_cols].to_numpy().sum()) == n_events
+
+
+def test_events_daily_pivot_other_and_null(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_daily_pivot
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [pd.Timestamp("2024-01-01 03:00:00")] * 4, type=pa.timestamp("us")
+                ),
+                "event_type": pa.array(["view", "weird", None, "view"]),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_daily_pivot(str(d)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["day"], r["n_view"], r["n_other"], r["n_click"]) == ("2024-01-01", 2, 2, 0)
+
+
+def test_docs_lang_mode_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import docs_lang_mode
+
+    got = docs_lang_mode(SF).to_pandas().sort_values("source").reset_index(drop=True)
+    want = _oracle_df("docs_lang_mode").sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_docs_lang_mode_tie_break(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import docs_lang_mode
+
+    d = tmp_path
+    # source s: en x2, de x2 (tie -> 'de' wins lexically); t: NULL lang mode
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s", "s", "s", "s", "t", "t", "t"]),
+                "lang": pa.array(["en", "de", "en", "de", None, None, "fr"]),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = docs_lang_mode(str(d)).to_pandas().sort_values("source").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"source": "s", "mode_lang": "de", "n_docs": 2},
+        {"source": "t", "mode_lang": "<NULL>", "n_docs": 2},
+    ]
