@@ -513,6 +513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": lambda sf: relational.events_daily_pivot(sf),
         # per-group MODE with deterministic tie-break
         "docs_lang_mode": lambda sf: relational.docs_lang_mode(sf),
+        # CUBE adds the (<ALL>, lang) level to the rollup
+        "docs_cube": lambda sf: relational.docs_rollup_stats(sf, grouping="cube"),
+        # NTILE equal-depth ranking window (per source, n_chars order)
+        "docs_ntile": lambda sf: relational.docs_ntile(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1052,6 +1056,20 @@ SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>'
        count(*)::BIGINT AS n_docs,
        sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
 FROM documents GROUP BY ROLLUP(source, lang)""",
+        "docs_cube": """
+SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>'
+            ELSE coalesce(source, '<NULL>') END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '<ALL>'
+            ELSE coalesce(lang, '<NULL>') END AS lang,
+       count(*)::BIGINT AS n_docs,
+       sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
+FROM documents GROUP BY CUBE(source, lang)""",
+        # NTILE(4) per source by (n_chars, doc_id); NULL n_chars sorts as 0
+        "docs_ntile": """
+SELECT doc_id, source,
+       ntile(4) OVER (PARTITION BY source
+                      ORDER BY coalesce(n_chars, 0), doc_id)::BIGINT AS tile
+FROM documents""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

@@ -759,10 +759,10 @@ def events_props_stats(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
     return bucketed_aggregate(ds, "event_type", partial, combine, num_buckets=8)
 
 
-def docs_rollup_stats(sf_dir: str) -> "ray.data.Dataset":
-    """Multi-level rollup aggregate (GROUP BY ROLLUP(source, lang)): doc
-    count and char sum at (source, lang), (source, <ALL>), and
-    (<ALL>, <ALL>) levels.
+def docs_rollup_stats(sf_dir: str, grouping: str = "rollup") -> "ray.data.Dataset":
+    """Multi-level rollup/cube aggregate: doc count and char sum at
+    (source, lang), (source, <ALL>), and (<ALL>, <ALL>) levels —
+    ``grouping="cube"`` adds the (<ALL>, lang) level (GROUP BY CUBE).
 
     Physical plan: ONE map-side-combined exchange to the finest level
     (|sources| x |langs| rows — tiny however large the corpus), then the
@@ -771,6 +771,8 @@ def docs_rollup_stats(sf_dir: str) -> "ray.data.Dataset":
     scan of the input.  Real NULL group values become '<NULL>' so they stay
     distinguishable from the rollup's '<ALL>' marker (the SQL oracle uses
     the same sentinels)."""
+    if grouping not in ("rollup", "cube"):
+        raise ValueError(f"grouping must be 'rollup' or 'cube', got {grouping!r}")
     import pyarrow as pa
 
     from hepdata_validator_ray.ops import bucketed_aggregate
@@ -812,7 +814,14 @@ def docs_rollup_stats(sf_dir: str) -> "ray.data.Dataset":
                 "sum_chars": [f["sum_chars"].sum()],
             }
         )
-        out = pd.concat([f, by_src, total], ignore_index=True)
+        levels = [f, by_src, total]
+        if grouping == "cube":
+            by_lang = f.groupby("lang", as_index=False).agg(
+                n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+            )
+            by_lang.insert(0, "source", "<ALL>")
+            levels.insert(2, by_lang)
+        out = pd.concat(levels, ignore_index=True)
         out["n_docs"] = out["n_docs"].astype("int64")
         out["sum_chars"] = out["sum_chars"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -918,3 +927,44 @@ def docs_lang_mode(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "lang"])
     return bucketed_aggregate(ds, "source", partial, combine, num_buckets=8)
+
+
+def docs_ntile(sf_dir: str, n: int = 4) -> "ray.data.Dataset":
+    """NTILE window: per source, assign each doc to one of ``n`` equal-depth
+    tiles by (n_chars, doc_id) order — SQL NTILE semantics (the first
+    cnt % n tiles get one extra row).  Completes the ranking-window family
+    (top-k-per-group = rank filter, shuffle_ranks = global row_number,
+    this = ntile).
+
+    One source-keyed exchange; in-bucket the tile assignment is a closed-form
+    vectorized expression over the argsort index — no per-row loop, no second
+    pass.  Ordering key coalesces NULL n_chars to 0 (same on the SQL side)."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["n_chars"] = df["n_chars"].fillna(0).astype("int64")
+        df = df.sort_values(["source", "n_chars", "doc_id"], kind="mergesort").reset_index(drop=True)
+        cnt = df.groupby("source")["doc_id"].transform("size").to_numpy()
+        idx = df.groupby("source").cumcount().to_numpy()
+        base = cnt // n  # small-tile size (0 when cnt < n)
+        rem = cnt % n
+        boundary = rem * (base + 1)  # rows in the one-extra tiles
+        tile = np.where(
+            idx < boundary,
+            idx // (base + 1),
+            rem + (idx - boundary) // np.maximum(base, 1),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "tile": (tile + 1).astype("int64"),  # SQL NTILE is 1-based
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)

@@ -587,3 +587,55 @@ def test_docs_lang_mode_tie_break(tmp_path):
         {"source": "s", "mode_lang": "de", "n_docs": 2},
         {"source": "t", "mode_lang": "<NULL>", "n_docs": 2},
     ]
+
+
+def test_docs_cube_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import docs_rollup_stats
+
+    got = (
+        docs_rollup_stats(SF, grouping="cube")
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    want = _oracle_df("docs_cube").sort_values(["source", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # cube = rollup + the (<ALL>, lang) slice
+    roll = docs_rollup_stats(SF).to_pandas()
+    assert len(got) == len(roll) + got[(got["source"] == "<ALL>") & (got["lang"] != "<ALL>")].shape[0]
+    with pytest.raises(ValueError):
+        docs_rollup_stats(SF, grouping="nope")
+
+
+def test_docs_ntile_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import docs_ntile
+
+    got = docs_ntile(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _oracle_df("docs_ntile").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_docs_ntile_distribution(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import docs_ntile
+
+    d = tmp_path
+    # source s: 6 docs over 4 tiles -> sizes 2,2,1,1; source t: 2 docs < n
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(1, 9)), type=pa.int64()),
+                "source": pa.array(["s"] * 6 + ["t"] * 2),
+                "n_chars": pa.array([10, 20, 30, 40, 50, 60, 5, None], type=pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = docs_ntile(str(d), n=4).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    s = out[out["source"] == "s"]["tile"].tolist()
+    assert s == [1, 1, 2, 2, 3, 4]  # first cnt%n tiles get the extra row
+    t = dict(zip(out[out["source"] == "t"]["doc_id"], out[out["source"] == "t"]["tile"]))
+    # NULL n_chars coalesces to 0 -> doc 8 sorts before doc 7
+    assert t == {8: 1, 7: 2}
