@@ -517,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": lambda sf: relational.docs_rollup_stats(sf, grouping="cube"),
         # NTILE equal-depth ranking window (per source, n_chars order)
         "docs_ntile": lambda sf: relational.docs_ntile(sf),
+        # per-group Pearson corr from integer-exact sufficient statistics
+        "events_value_corr": lambda sf: relational.events_value_corr(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1070,6 +1072,32 @@ SELECT doc_id, source,
        ntile(4) OVER (PARTITION BY source
                       ORDER BY coalesce(n_chars, 0), doc_id)::BIGINT AS tile
 FROM documents""",
+        # Pearson corr from integer-exact sums; the float expression is
+        # parenthesized identically to the engine kernel (bit-equal doubles)
+        "events_value_corr": """
+WITH x AS (
+  SELECT event_type,
+         floor(value * 100)::BIGINT AS cx,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE value IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+), s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_pairs,
+         sum(cx)::BIGINT AS sx, sum(k)::BIGINT AS sy,
+         sum(cx * k)::BIGINT AS sxy,
+         sum(cx * cx)::BIGINT AS sxx, sum(k * k)::BIGINT AS syy
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       CASE WHEN (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+             AND (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+            THEN (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+            ELSE NULL END AS corr
+FROM s""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

@@ -968,3 +968,80 @@ def docs_ntile(sf_dir: str, n: int = 4) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
     return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)
+
+
+def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
+    """Per-group Pearson correlation between the event value (quantized to
+    integer cents) and the ``key`` int field of the props JSON — computed
+    from INTEGER-EXACT decomposable sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²), so the map-side partials sum associatively with no float
+    summation-order divergence however the batches split.  The one float
+    expression — corr from the six integer sums — is evaluated with
+    identical parenthesization by this kernel and the DuckDB oracle, so the
+    doubles are bit-identical.
+
+    Rows where either side is NULL (or props doesn't parse) are excluded
+    from the pair stats; ``corr`` is NULL when either variance term is 0."""
+    import re
+
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    pat = re.compile(r'[{,]\s*"' + re.escape(key) + r'"\s*:\s*(-?\d+)\s*[,}]')
+    STATS = ["n_pairs", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        y = pd.to_numeric(df["props"].str.extract(pat, expand=False), errors="coerce")
+        v = df["value"]
+        ok = (y.notna() & v.notna()).to_numpy()
+        x = np.floor(v.to_numpy(dtype=np.float64) * 100.0)[ok].astype(np.int64)
+        yv = y.to_numpy(dtype=np.float64)[ok].astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy()[ok],
+                    "n_pairs": 1,
+                    "sx": x,
+                    "sy": yv,
+                    "sxy": x * yv,
+                    "sxx": x * x,
+                    "syy": yv * yv,
+                }
+            )
+            .groupby("event_type", as_index=False)[STATS]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False)[STATS].sum()
+        n = g["n_pairs"].to_numpy(dtype=np.float64)
+        sx = g["sx"].to_numpy(dtype=np.float64)
+        sy = g["sy"].to_numpy(dtype=np.float64)
+        sxy = g["sxy"].to_numpy(dtype=np.float64)
+        sxx = g["sxx"].to_numpy(dtype=np.float64)
+        syy = g["syy"].to_numpy(dtype=np.float64)
+        # the oracle spells this expression identically: (n*sxy - sx*sy) /
+        # (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(
+                (varx > 0) & (vary > 0),
+                (n * sxy - sx * sy) / (np.sqrt(varx) * np.sqrt(vary)),
+                np.nan,
+            )
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_pairs": g["n_pairs"].astype("int64"),
+                "corr": corr,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
+    return bucketed_aggregate(ds, "event_type", partial, combine, num_buckets=8)

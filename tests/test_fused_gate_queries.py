@@ -639,3 +639,41 @@ def test_docs_ntile_distribution(tmp_path):
     t = dict(zip(out[out["source"] == "t"]["doc_id"], out[out["source"] == "t"]["tile"]))
     # NULL n_chars coalesces to 0 -> doc 8 sorts before doc 7
     assert t == {8: 1, 7: 2}
+
+
+def test_events_value_corr_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_value_corr
+
+    got = events_value_corr(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = _oracle_df("events_value_corr").sort_values("event_type").reset_index(drop=True)
+    # bit-identical doubles is the contract (identical parenthesization
+    # over identical integer sums) — not just approx equality
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    assert got["corr"].abs().max() <= 1.0 + 1e-12
+
+
+def test_events_value_corr_degenerate_and_nulls(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_value_corr
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b", "b", "c"]),
+                # a: perfectly linear (corr=1); b: zero x-variance -> NULL;
+                # c: NULL props excluded -> no pairs -> absent
+                "value": pa.array([1.0, 2.0, 3.0, 5.0, 5.0, 9.0], type=pa.float64()),
+                "props": pa.array(
+                    ['{"k": 10}', '{"k": 20}', '{"k": 30}', '{"k": 1}', '{"k": 2}', None]
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_value_corr(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_pairs"] == 3 and out.loc["a", "corr"] == pytest.approx(1.0)
+    assert out.loc["b", "n_pairs"] == 2 and pd.isna(out.loc["b", "corr"])
+    assert "c" not in out.index
