@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ntile": lambda sf: relational.docs_ntile(sf),
         # per-group Pearson corr from integer-exact sufficient statistics
         "events_value_corr": lambda sf: relational.events_value_corr(sf),
+        # UNPIVOT: melt the wide pivot back to long (round-trip proof)
+        "events_daily_unpivot": lambda sf: relational.events_daily_unpivot(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1098,6 +1100,14 @@ SELECT event_type, n_pairs,
                     * sqrt(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
             ELSE NULL END AS corr
 FROM s""",
+        # unpivot(pivot(x)) round-trip = direct long-form GROUP BY with the
+        # out-of-list/NULL fold; zero-count combos never existed long-form
+        "events_daily_unpivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CASE WHEN event_type IN ('click','error','purchase','signup','view')
+            THEN event_type ELSE '<OTHER>' END AS event_type,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

@@ -1045,3 +1045,35 @@ def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
     return bucketed_aggregate(ds, "event_type", partial, combine, num_buckets=8)
+
+
+def events_daily_unpivot(
+    sf_dir: str,
+    values: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> "ray.data.Dataset":
+    """UNPIVOT (wide -> long): melts the pivot's per-day count columns back
+    to (day, event_type, n_events) rows, folding the ``n_other`` column to
+    the '<OTHER>' tag and dropping zero-count combinations (so the long form
+    equals a direct GROUP BY day, folded-type — the SQL oracle states it
+    that way).  The melt is one numpy repeat/tile pass per batch; it runs as
+    a streaming map over the already-tiny pivot output, no extra exchange."""
+    import pyarrow as pa
+
+    tags = list(values) + ["<OTHER>"]
+    cols = [f"n_{v}" for v in values] + ["n_other"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df[cols].to_numpy(dtype=np.int64)  # (rows, types)
+        day = np.repeat(df["day"].to_numpy(), len(tags))
+        et = np.tile(np.asarray(tags, dtype=object), len(df))
+        n = m.reshape(-1)
+        keep = n > 0
+        out = pd.DataFrame(
+            {"day": day[keep], "event_type": et[keep], "n_events": n[keep]}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return events_daily_pivot(sf_dir, values=values).map_batches(
+        melt, batch_format="pyarrow"
+    )

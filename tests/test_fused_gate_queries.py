@@ -677,3 +677,74 @@ def test_events_value_corr_degenerate_and_nulls(tmp_path):
     assert out.loc["a", "n_pairs"] == 3 and out.loc["a", "corr"] == pytest.approx(1.0)
     assert out.loc["b", "n_pairs"] == 2 and pd.isna(out.loc["b", "corr"])
     assert "c" not in out.index
+
+
+def test_events_daily_unpivot_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_daily_unpivot
+
+    got = (
+        events_daily_unpivot(SF)
+        .to_pandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = _oracle_df("events_daily_unpivot").sort_values(["day", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_daily_unpivot_other_fold(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_daily_unpivot
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([pd.Timestamp("2024-01-01 03:00:00")] * 3, type=pa.timestamp("us")),
+                "event_type": pa.array(["view", "weird", None]),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_daily_unpivot(str(d)).to_pandas().sort_values("event_type").reset_index(drop=True)
+    # zero-count types are dropped; weird + NULL fold into <OTHER>
+    assert out.to_dict("records") == [
+        {"day": "2024-01-01", "event_type": "<OTHER>", "n_events": 2},
+        {"day": "2024-01-01", "event_type": "view", "n_events": 1},
+    ]
+
+
+def test_pivot_hot_day_skew(tmp_path):
+    """Single hot key: 200k events all on one day must still produce one
+    correct wide row (map-side bincount collapses each batch before the
+    exchange, so the hot day's shuffle traffic is |batches| rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_daily_pivot
+
+    n = 200_000
+    rng = np.random.default_rng(7)
+    types = np.asarray(["click", "view", "purchase", "weird"], dtype=object)
+    et = types[rng.integers(0, 4, n)]
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    np.full(n, np.datetime64("2024-06-01T12:00:00", "us"))
+                ),
+                "event_type": pa.array(et),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_daily_pivot(str(d)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["day"] == "2024-06-01"
+    assert int(r["n_click"]) == int((et == "click").sum())
+    assert int(r["n_other"]) == int((et == "weird").sum())
+    assert int(r[[c for c in out.columns if c != "day"]].sum()) == n
