@@ -521,6 +521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_corr": lambda sf: relational.events_value_corr(sf),
         # UNPIVOT: melt the wide pivot back to long (round-trip proof)
         "events_daily_unpivot": lambda sf: relational.events_daily_unpivot(sf),
+        # REGR_SLOPE/REGR_INTERCEPT from the same integer-exact stats
+        "events_value_regression": lambda sf: relational.events_value_regression(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1108,6 +1110,33 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
             THEN event_type ELSE '<OTHER>' END AS event_type,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2""",
+        # regression from the same integer sums as events_value_corr; the
+        # slope/intercept expressions are parenthesized identically
+        "events_value_regression": """
+WITH x AS (
+  SELECT event_type,
+         floor(value * 100)::BIGINT AS cx,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE value IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+), s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_pairs,
+         sum(cx)::BIGINT AS sx, sum(k)::BIGINT AS sy,
+         sum(cx * k)::BIGINT AS sxy, sum(cx * cx)::BIGINT AS sxx
+  FROM x GROUP BY event_type
+), r AS (
+  SELECT event_type, n_pairs, sx, sy,
+         CASE WHEN (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+              THEN (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              ELSE NULL END AS slope
+  FROM s
+)
+SELECT event_type, n_pairs, slope,
+       (sy::DOUBLE - slope * sx::DOUBLE) / n_pairs::DOUBLE AS intercept
+FROM r""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

@@ -970,26 +970,24 @@ def docs_ntile(sf_dir: str, n: int = 4) -> "ray.data.Dataset":
     return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)
 
 
-def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
-    """Per-group Pearson correlation between the event value (quantized to
-    integer cents) and the ``key`` int field of the props JSON — computed
-    from INTEGER-EXACT decomposable sufficient statistics (n, Σx, Σy, Σxy,
-    Σx², Σy²), so the map-side partials sum associatively with no float
-    summation-order divergence however the batches split.  The one float
-    expression — corr from the six integer sums — is evaluated with
-    identical parenthesization by this kernel and the DuckDB oracle, so the
-    doubles are bit-identical.
+#: column order of the moment-statistic partials shared by the corr and
+#: regression aggregates
+_SUFFSTATS = ["n_pairs", "sx", "sy", "sxy", "sxx", "syy"]
 
-    Rows where either side is NULL (or props doesn't parse) are excluded
-    from the pair stats; ``corr`` is NULL when either variance term is 0."""
+
+def _suffstats_partial(key: str):
+    """Map-side partial for moment-based statistics over events: per batch
+    and event_type, INTEGER-EXACT (n, Σx, Σy, Σxy, Σx², Σy²) where
+    x = floor(value*100) cents and y = the ``key`` int extracted from the
+    props JSON (same compiled-regex grammar as events_props_stats).  Rows
+    where either side is NULL / unparseable are excluded from the pair
+    stats.  Integer sums make the partials associative — no float
+    summation-order divergence however the batches split."""
     import re
 
     import pyarrow as pa
 
-    from hepdata_validator_ray.ops import bucketed_aggregate
-
     pat = re.compile(r'[{,]\s*"' + re.escape(key) + r'"\s*:\s*(-?\d+)\s*[,}]')
-    STATS = ["n_pairs", "sx", "sy", "sxy", "sxx", "syy"]
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -1010,14 +1008,33 @@ def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
                     "syy": yv * yv,
                 }
             )
-            .groupby("event_type", as_index=False)[STATS]
+            .groupby("event_type", as_index=False)[_SUFFSTATS]
             .sum()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    return partial
+
+
+def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
+    """Per-group Pearson correlation between the event value (quantized to
+    integer cents) and the ``key`` int field of the props JSON — computed
+    from INTEGER-EXACT decomposable sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²), so the map-side partials sum associatively with no float
+    summation-order divergence however the batches split.  The one float
+    expression — corr from the six integer sums — is evaluated with
+    identical parenthesization by this kernel and the DuckDB oracle, so the
+    doubles are bit-identical.
+
+    Rows where either side is NULL (or props doesn't parse) are excluded
+    from the pair stats; ``corr`` is NULL when either variance term is 0."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
     def combine(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby("event_type", as_index=False)[STATS].sum()
+        g = df.groupby("event_type", as_index=False)[_SUFFSTATS].sum()
         n = g["n_pairs"].to_numpy(dtype=np.float64)
         sx = g["sx"].to_numpy(dtype=np.float64)
         sy = g["sy"].to_numpy(dtype=np.float64)
@@ -1044,7 +1061,45 @@ def events_value_corr(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
         return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
-    return bucketed_aggregate(ds, "event_type", partial, combine, num_buckets=8)
+    return bucketed_aggregate(ds, "event_type", _suffstats_partial(key), combine, num_buckets=8)
+
+
+def events_value_regression(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
+    """Per-group simple linear regression (REGR_SLOPE / REGR_INTERCEPT
+    analogue): y = props ``key`` field regressed on x = cents-quantized
+    value, from the SAME integer-exact sufficient statistics as
+    events_value_corr (shared map-side partial, one exchange).  slope =
+    (n*Σxy − Σx*Σy) / (n*Σx² − Σx*Σx); intercept = (Σy − slope*Σx) / n —
+    both spelled identically in the DuckDB oracle, so the doubles are
+    bit-equal.  slope/intercept are NULL when x has zero variance."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False)[_SUFFSTATS].sum()
+        n = g["n_pairs"].to_numpy(dtype=np.float64)
+        sx = g["sx"].to_numpy(dtype=np.float64)
+        sy = g["sy"].to_numpy(dtype=np.float64)
+        sxy = g["sxy"].to_numpy(dtype=np.float64)
+        sxx = g["sxx"].to_numpy(dtype=np.float64)
+        varx = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(varx > 0, (n * sxy - sx * sy) / varx, np.nan)
+            intercept = np.where(varx > 0, (sy - slope * sx) / n, np.nan)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_pairs": g["n_pairs"].astype("int64"),
+                "slope": slope,
+                "intercept": intercept,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value", "props"])
+    return bucketed_aggregate(ds, "event_type", _suffstats_partial(key), combine, num_buckets=8)
 
 
 def events_daily_unpivot(

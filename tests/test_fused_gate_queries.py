@@ -748,3 +748,38 @@ def test_pivot_hot_day_skew(tmp_path):
     assert int(r["n_click"]) == int((et == "click").sum())
     assert int(r["n_other"]) == int((et == "weird").sum())
     assert int(r[[c for c in out.columns if c != "day"]].sum()) == n
+
+
+def test_events_value_regression_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_value_regression
+
+    got = events_value_regression(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = _oracle_df("events_value_regression").sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_events_value_regression_exact_line(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_value_regression
+
+    d = tmp_path
+    # y = 2x + 5 exactly in cents space: x=100,200,300 cents; k=205,405,605
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 3 + ["b"] * 2),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 4.0], type=pa.float64()),
+                "props": pa.array(
+                    ['{"k": 205}', '{"k": 405}', '{"k": 605}', '{"k": 1}', '{"k": 9}']
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_value_regression(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "slope"] == pytest.approx(2.0)
+    assert out.loc["a", "intercept"] == pytest.approx(5.0)
+    # zero x-variance -> NULL slope and intercept
+    assert pd.isna(out.loc["b", "slope"]) and pd.isna(out.loc["b", "intercept"])
