@@ -162,3 +162,38 @@ def test_bm25_all_docs_identical(tmp_path):
     out = bm25_topk(str(tmp_path / "d.parquet"), ["beta"], k=5)
     assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
     assert (out["tf_total"] == 1).all()
+
+
+def test_hopping_hot_window_single_user(tmp_path):
+    """Hopping-window maximal skew: 20k events from ONE user inside one
+    hour.  The map-side replicate (x2 window memberships) must still
+    collapse each batch to per-(window,user) partials before the exchange,
+    and each event must land in exactly window/hop = 2 windows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_hopping
+
+    n = 20_000
+    ts = pd.Timestamp("2026-02-01 10:00:00") + pd.to_timedelta(np.arange(n) % 1800, unit="s")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "value": pa.array(np.full(n, 1.25)),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_hopping(str(d)).to_pandas().sort_values("win_start").reset_index(drop=True)
+    # all events in [10:00, 10:30) -> exactly two 60-min windows cover them:
+    # starts 09:30 and 10:00
+    assert out["win_start"].tolist() == ["2026-02-01 09:30:00", "2026-02-01 10:00:00"]
+    assert (out["n_events"] == n).all() and (out["n_users"] == 1).all()
+    assert int(out["n_events"].sum()) == 2 * n
+    assert (out["sum_cents"] == n * 125).all()
