@@ -354,6 +354,56 @@ def _embedding_cluster_meta(sf_dir: str):
     )
 
 
+def _relational_meta(sf_dir: str):
+    """Hopping window + JSON props extraction + ROLLUP as ONE gated union
+    (kind, gkey, a, b, c) — three relational families driver-gated in a
+    single window slot (the training_meta slot-saving shape).  Legs run
+    serially: each output is tiny (|windows| / |types| / |sources|×|langs|
+    rows) and serial execution avoids the lazy-fsspec thread race that
+    reverted ann_meta's overlap."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import relational
+
+    hop = relational.events_hopping(sf_dir).to_pandas()
+    pr = relational.events_props_stats(sf_dir).to_pandas()
+    ro = relational.docs_rollup_stats(sf_dir).to_pandas()
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "hopping",
+                    "gkey": hop["win_start"],
+                    "a": hop["n_events"].astype("int64"),
+                    "b": hop["n_users"].astype("int64"),
+                    "c": hop["sum_cents"].astype("Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "props",
+                    "gkey": pr["event_type"],
+                    "a": pr["n_events"].astype("int64"),
+                    "b": pr["n_null"].astype("int64"),
+                    # sum_k stays nullable (all-null groups sum to NULL,
+                    # matching SQL SUM) — don't force int64
+                    "c": pr["sum_k"].astype("Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "rollup",
+                    "gkey": ro["source"] + "|" + ro["lang"],
+                    "a": ro["n_docs"].astype("int64"),
+                    "b": ro["sum_chars"].astype("int64"),
+                    "c": pd.array([0] * len(ro), dtype="Int64"),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
 def _kmeans_fit_sizes(sf_dir: str):
     """Lloyd-fit e2e: fit k=8 centroids distributed, then report the fitted
     assignment's cluster sizes (rows-only tail query; the fit itself is
@@ -395,7 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
-        "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
+        # hopping window + JSON props + ROLLUP driver-gated as one union
+        # (v_ntok_hist moved to the tail: its histogram evidence overlaps
+        # the gated v_ntok_quantiles + profile_documents)
+        "relational_meta": _relational_meta,
         # per-partition verdict matrix + row counts fused into one union
         # (frees a window slot; both legs stay independently queryable below)
         "v_partition_stats": lambda sf: validation.partition_stats(_seq(sf)),
@@ -485,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_pipeline_meta": _mm_meta,
         "mm_byte_hist": lambda sf: multimodal.byte_histogram_rows(docs(sf)),
         # ==== no_oracle tail (position >50: pytest/golden-verified) ===========
+        # displaced from the window by relational_meta; oracle retained
+        "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1026,6 +1081,37 @@ FROM events p LEFT JOIN events v
  AND v.ts >= p.ts - INTERVAL 60 MINUTE AND v.ts < p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id""",
+        # the three-family union: each leg reshaped to (kind, gkey, a, b, c)
+        "relational_meta": """
+SELECT 'hopping' AS kind,
+       strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                               - k * 1800000000),
+                '%Y-%m-%d %H:%M:%S') AS gkey,
+       count(*)::BIGINT AS a,
+       count(DISTINCT user_id)::BIGINT AS b,
+       sum(floor(value * 100)::BIGINT)::BIGINT AS c
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+GROUP BY 2
+UNION ALL
+SELECT 'props', event_type,
+       count(*)::BIGINT,
+       count(*) FILTER (k IS NULL)::BIGINT,
+       sum(k)::BIGINT
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY 2
+UNION ALL
+SELECT 'rollup', s2 || '|' || l2, n_docs, sum_chars, 0::BIGINT
+FROM (
+  SELECT CASE WHEN GROUPING(source) = 1 THEN '<ALL>'
+              ELSE coalesce(source, '<NULL>') END AS s2,
+         CASE WHEN GROUPING(lang) = 1 THEN '<ALL>'
+              ELSE coalesce(lang, '<NULL>') END AS l2,
+         count(*)::BIGINT AS n_docs,
+         sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
+  FROM documents GROUP BY ROLLUP(source, lang)
+)""",
         # hopping windows (60 min window / 30 min hop → each event lands in
         # 2 windows): replicate via unnest([0,1]), same integer-cents sum
         "events_hopping": """

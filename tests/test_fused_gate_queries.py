@@ -783,3 +783,28 @@ def test_events_value_regression_exact_line(tmp_path):
     assert out.loc["a", "intercept"] == pytest.approx(5.0)
     # zero x-variance -> NULL slope and intercept
     assert pd.isna(out.loc["b", "slope"]) and pd.isna(out.loc["b", "intercept"])
+
+
+def test_relational_meta_union_legs_match_standalone():
+    import __ray_entry__ as e
+    from hepdata_validator_ray.pipelines.relational import (
+        docs_rollup_stats,
+        events_hopping,
+        events_props_stats,
+    )
+
+    meta = e.queries()["relational_meta"](SF)
+    hop = meta[meta["kind"] == "hopping"]
+    solo = events_hopping(SF).to_pandas()
+    assert len(hop) == len(solo)
+    assert int(hop["a"].sum()) == int(solo["n_events"].sum())
+    pr = meta[meta["kind"] == "props"].set_index("gkey")
+    solo_pr = events_props_stats(SF).to_pandas().set_index("event_type")
+    assert (pr["a"] == solo_pr["n_events"]).all()
+    assert (pr["c"].astype("int64") == solo_pr["sum_k"].astype("int64")).all()
+    ro = meta[meta["kind"] == "rollup"]
+    solo_ro = docs_rollup_stats(SF).to_pandas()
+    assert len(ro) == len(solo_ro)
+    assert int(ro[ro["gkey"] == "<ALL>|<ALL>"]["a"].iloc[0]) == int(
+        solo_ro[(solo_ro["source"] == "<ALL>") & (solo_ro["lang"] == "<ALL>")]["n_docs"].iloc[0]
+    )
