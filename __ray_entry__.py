@@ -404,6 +404,58 @@ def _relational_meta(sf_dir: str):
     )
 
 
+def _relational_meta2(sf_dir: str):
+    """Funnel + per-group discrete quantiles + Markov transition counts as
+    ONE gated union (kind, gkey, k2, a) — the second relational fused slot
+    (same shape discipline as relational_meta: tiny outputs, legs run
+    serially to stay clear of the lazy-fsspec thread race).  funnel rows
+    carry k2=step; pct rows are the quantile table MELTED long (k2 = the
+    percentile as an integer, a = the discrete quantile value); trans rows
+    carry gkey='prev>cur'."""
+    import numpy as np
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import relational
+
+    fu = relational.events_funnel(sf_dir).to_pandas()
+    qd = relational.docs_quantile_disc(sf_dir).to_pandas()
+    tr = relational.events_type_transitions(sf_dir).to_pandas()
+    pct_long = []
+    for k2, col in ((25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")):
+        pct_long.append(
+            pd.DataFrame(
+                {
+                    "kind": "pct",
+                    "gkey": qd["source"],
+                    "k2": np.int64(k2),
+                    "a": qd[col].astype("int64"),
+                }
+            )
+        )
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "funnel",
+                    "gkey": fu["event_type"],
+                    "k2": fu["step"].astype("int64"),
+                    "a": fu["n_users"].astype("int64"),
+                }
+            ),
+            *pct_long,
+            pd.DataFrame(
+                {
+                    "kind": "trans",
+                    "gkey": tr["prev_type"] + ">" + tr["cur_type"],
+                    "k2": np.int64(0),
+                    "a": tr["n"].astype("int64"),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
 def _kmeans_fit_sizes(sf_dir: str):
     """Lloyd-fit e2e: fit k=8 centroids distributed, then report the fitted
     assignment's cluster sizes (rows-only tail query; the fit itself is
@@ -479,7 +531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "segment_revenue": relational.segment_revenue,
         "nation_order_stats": relational.nation_order_stats,
-        "events_daily": relational.events_daily,
+        # funnel + per-group quantile_disc + Markov transitions as one union
+        # (events_daily moved to the tail: its daily-count evidence overlaps
+        # the gated events_tumbling/pivot legs of relational_meta; oracle
+        # retained)
+        "relational_meta2": _relational_meta2,
         "events_sessionize": relational.events_sessionize,
         "events_lag_trailing": relational.events_lag_trailing,
         "events_asof_join": relational.events_asof_join,
@@ -557,6 +613,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": lambda sf: relational.events_range_join(sf),
         # tumbling-window aggregate (fixed non-overlapping windows)
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
+        # displaced from the window by relational_meta2; oracle retained
+        "events_daily": relational.events_daily,
+        # fused-union legs of relational_meta2 + the running-total
+        # projection of events_lag_trailing — all independently queryable
+        # with their own oracle entries
+        "events_funnel": lambda sf: relational.events_funnel(sf),
+        "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
+        "docs_quantile_disc": lambda sf: relational.docs_quantile_disc(sf),
+        "events_running_total": lambda sf: relational.events_running_total(sf),
         # hopping-window aggregate (overlapping windows, map-side replicate
         # + (win,user) combine before the exchange)
         "events_hopping": lambda sf: relational.events_hopping(sf),
@@ -1051,7 +1116,10 @@ WITH w AS (
          strftime(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                   '%Y-%m-%d %H:%M:%S') AS prev_ts,
          count(*) OVER (PARTITION BY user_id ORDER BY ts
-                        RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)::BIGINT AS n_trailing
+                        RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)::BIGINT AS n_trailing,
+         sum(floor(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS run_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS run_n
   FROM events
 ),
 rj AS (
@@ -1061,8 +1129,69 @@ rj AS (
    AND v.ts >= e.ts - INTERVAL 60 MINUTE AND v.ts < e.ts
   GROUP BY e.event_id
 )
-SELECT w.event_id, w.prev_ts, w.n_trailing, rj.n_view_win
+SELECT w.event_id, w.prev_ts, w.n_trailing, rj.n_view_win, w.run_cents, w.run_n
 FROM w JOIN rj ON w.event_id = rj.event_id""",
+        # the standalone running-total projection of the fused operator
+        "events_running_total": """
+SELECT event_id,
+       sum(floor(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS run_cents,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS run_n
+FROM events""",
+        # ordered funnel: greedy earliest-occurrence chain (optimal by the
+        # exchange argument, so reachability counts are exact)
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT step, event_type, n_users FROM (
+  SELECT 1::BIGINT AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
+  UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+  UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) u""",
+        # first-order Markov transition counts over each user's (ts,
+        # event_id) order
+        "events_type_transitions": """
+WITH o AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS prev_type, event_type AS cur_type, count(*)::BIGINT AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        # exact per-group DISCRETE quantiles (quantile_disc semantics:
+        # sorted-element index ceil(q*n)-1, pinned by tests)
+        "docs_quantile_disc": """
+SELECT coalesce(source, '<NULL>') AS source,
+       quantile_disc(n_chars, 0.25)::BIGINT AS q25,
+       quantile_disc(n_chars, 0.5)::BIGINT AS q50,
+       quantile_disc(n_chars, 0.75)::BIGINT AS q75,
+       quantile_disc(n_chars, 0.9)::BIGINT AS q90
+FROM documents GROUP BY 1 HAVING count(n_chars) > 0""",
+        # funnel + melted quantile_disc + transitions as one union
+        "relational_meta2": """
+WITH s1 AS (SELECT user_id, min(ts) t FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+q AS (SELECT coalesce(source, '<NULL>') AS source,
+             quantile_disc(n_chars, 0.25)::BIGINT AS q25,
+             quantile_disc(n_chars, 0.5)::BIGINT AS q50,
+             quantile_disc(n_chars, 0.75)::BIGINT AS q75,
+             quantile_disc(n_chars, 0.9)::BIGINT AS q90
+      FROM documents GROUP BY 1 HAVING count(n_chars) > 0),
+o AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+SELECT 'funnel' AS kind, 'view' AS gkey, 1::BIGINT AS k2, count(*)::BIGINT AS a FROM s1
+UNION ALL SELECT 'funnel', 'click', 2::BIGINT, count(*)::BIGINT FROM s2
+UNION ALL SELECT 'funnel', 'purchase', 3::BIGINT, count(*)::BIGINT FROM s3
+UNION ALL SELECT 'pct', source, 25::BIGINT, q25 FROM q
+UNION ALL SELECT 'pct', source, 50::BIGINT, q50 FROM q
+UNION ALL SELECT 'pct', source, 75::BIGINT, q75 FROM q
+UNION ALL SELECT 'pct', source, 90::BIGINT, q90 FROM q
+UNION ALL SELECT 'trans', prev || '>' || event_type, 0::BIGINT, count(*)::BIGINT
+          FROM o WHERE prev IS NOT NULL GROUP BY 2""",
         # tumbling windows: epoch-us floor division both sides; the value
         # sum is integer cents (floor(value*100)) so no float SUM order risk
         "events_tumbling": """

@@ -381,8 +381,12 @@ def events_lag_trailing(
     partitioning key (user_id) and in-bucket sort, so computing them
     together divides the exchanges by three (pick ONE partitioning key and
     reuse it across stages).  Output: (event_id, prev_ts, n_trailing,
-    n_view_win), where n_view_win counts the same user's ``right_type``
-    events in [ts - window, ts)."""
+    n_view_win, run_cents, run_n), where n_view_win counts the same user's
+    ``right_type`` events in [ts - window, ts) and run_cents / run_n are the
+    running (cumulative) integer-cents sum and row_number per user over the
+    same (ts, event_id) total order — a fourth window op riding the same
+    exchange for free (ROWS UNBOUNDED PRECEDING running aggregate; integer
+    cents so no float summation-order divergence)."""
     from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
     win = np.timedelta64(window_minutes, "m")
@@ -397,6 +401,8 @@ def events_lag_trailing(
                     "prev_ts": pd.Series(dtype="object"),
                     "n_trailing": pd.Series(dtype="int64"),
                     "n_view_win": pd.Series(dtype="int64"),
+                    "run_cents": pd.Series(dtype="int64"),
+                    "run_n": pd.Series(dtype="int64"),
                 }
             )
         prev = df.groupby("user_id")["ts"].shift()
@@ -414,25 +420,203 @@ def events_lag_trailing(
             # through the current row's ORDER BY peers
             hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         n_rj = _typed_range_counts(t64, df["event_type"].to_numpy(), bounds, right_type, win_ns)
+        # running totals ride the same sort: a plain cumsum minus each
+        # user segment's starting offset (integer cents — associative,
+        # order-stable); run_n is the in-segment row_number
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        cs = np.cumsum(cents)
+        sizes = np.diff(bounds)
+        base = np.repeat(cs[bounds[:-1]] - cents[bounds[:-1]], sizes)
+        run_n = np.arange(n, dtype=np.int64) - np.repeat(bounds[:-1], sizes) + 1
         out = pd.DataFrame(
             {
                 "event_id": df["event_id"],
                 "prev_ts": prev.dt.strftime("%Y-%m-%d %H:%M:%S"),
                 "n_trailing": (hi - lo).astype("int64"),
                 "n_view_win": n_rj,
+                "run_cents": cs - base,
+                "run_n": run_n,
             }
         )
         out["prev_ts"] = out["prev_ts"].where(prev.notna(), None)
         return out
 
     ds = ray.data.read_parquet(
-        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
     nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
     return (
         ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(fused, batch_format="pandas")
+    )
+
+
+def events_running_total(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Standalone running-aggregate view: per event, the cumulative
+    integer-cents sum and row_number over the user's events in (ts,
+    event_id) order — SQL ``SUM(...) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id ROWS UNBOUNDED PRECEDING)``.  Thin projection of the fused
+    single-exchange operator (``events_lag_trailing``) so both forms share
+    one kernel and one partitioning."""
+    return events_lag_trailing(sf_dir, num_buckets=num_buckets).select_columns(
+        ["event_id", "run_cents", "run_n"]
+    )
+
+
+def events_funnel(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Ordered-sequence funnel: how many users performed step 1, then step
+    2 STRICTLY LATER, then step 3 strictly later still (greedy
+    earliest-occurrence matching, which is optimal by the classic exchange
+    argument, so reachability is exact).  One user-keyed hash-bucket
+    exchange; inside each bucket every step is one vectorized
+    ``np.minimum.reduceat`` over the user segments (no per-user Python
+    loop).  Each bucket emits one |steps|-row partial; a tiny final groupby
+    sums them.  Output: (step, event_type, n_users)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    steps = tuple(steps)
+    pos_inf = np.iinfo(np.int64).max
+    neg_inf = np.iinfo(np.int64).min
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(steps), dtype=np.int64)
+        df = df.drop(columns=[BUCKET_COL])
+        if len(df):
+            df = df.sort_values(["user_id", "ts"], kind="mergesort")
+            t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
+            users = df["user_id"].to_numpy()
+            types = df["event_type"].to_numpy()
+            seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+            sizes = np.diff(np.r_[seg_starts, len(users)])
+            thr = np.full(len(seg_starts), neg_inf, dtype=np.int64)
+            for si, etype in enumerate(steps):
+                thr_row = np.repeat(thr, sizes)
+                cand = np.where((types == etype) & (t64 > thr_row), t64, pos_inf)
+                thr = np.minimum.reduceat(cand, seg_starts)
+                counts[si] = int((thr < pos_inf).sum())
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": list(steps),
+                "n_users": counts,
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    # prune at the read: only the step types can ever advance the funnel
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(list(steps)),
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["step", "event_type"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def events_type_transitions(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """First-order Markov transition counts: for every consecutive pair of
+    one user's events in (ts, event_id) order, count the (prev_type →
+    cur_type) transition globally.  Same user-keyed exchange shape as the
+    other ordered ops; inside a bucket the transition pairs fall out of one
+    adjacency mask over the sorted arrays and a factorize + bincount — each
+    bucket emits at most |types|² partial rows, then a tiny groupby sums
+    them.  Output: (prev_type, cur_type, n)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "cur_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy()
+        # '<NULL>' sentinel (the docs_lang_mode convention) keeps null types
+        # countable without corrupting the factorize codes (NaN → -1)
+        codes, types = pd.factorize(df["event_type"].fillna("<NULL>").to_numpy())
+        codes = codes.astype(np.int64)
+        m = users[1:] == users[:-1]
+        v = np.int64(len(types))
+        pair = codes[:-1][m] * v + codes[1:][m]
+        ks, cnts = np.unique(pair, return_counts=True)
+        return pd.DataFrame(
+            {
+                "prev_type": types.take(ks // v),
+                "cur_type": types.take(ks % v),
+                "n": cnts.astype(np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["prev_type", "cur_type"]).aggregate(Sum("n", alias_name="n"))
+
+
+def docs_quantile_disc(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9), num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Exact per-group DISCRETE quantiles (the quantile_disc / percentile_disc
+    analogue — always an actual element of the group, unlike the gated
+    interpolating ``v_ntok_quantiles``): for each source, the element at
+    0-based index ceil(q*n)-1 of the sorted non-null n_chars (pinned to
+    DuckDB's quantile_disc semantics by ``tests``; the q*n product is
+    evaluated in the same IEEE double arithmetic on both sides).  One
+    source-keyed hash-bucket exchange ships only (source, n_chars); inside
+    a bucket every group's quantiles come from one shared mergesort +
+    per-segment index arithmetic.  Groups with zero non-null values are
+    omitted (the oracle says HAVING count(n_chars) > 0).  Integer outputs
+    → hash-exact by construction."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    qcols = [f"q{int(round(q * 100))}" for q in qs]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["n_chars"].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype="object")}
+                | {c: pd.Series(dtype="int64") for c in qcols}
+            )
+        df = pd.DataFrame(
+            {"source": df["source"].fillna("<NULL>"), "n_chars": df["n_chars"].astype("int64")}
+        ).sort_values(["source", "n_chars"], kind="mergesort")
+        src = df["source"].to_numpy()
+        vals = df["n_chars"].to_numpy()
+        seg_starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ns = np.diff(np.r_[seg_starts, len(src)])
+        out = {"source": src[seg_starts]}
+        for q, c in zip(qs, qcols):
+            idx = seg_starts + np.maximum(np.ceil(q * ns).astype(np.int64) - 1, 0)
+            out[c] = vals[idx]
+        return pd.DataFrame(out)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "n_chars"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=2_000_000, lo=8)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "source", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

@@ -808,3 +808,27 @@ def test_relational_meta_union_legs_match_standalone():
     assert int(ro[ro["gkey"] == "<ALL>|<ALL>"]["a"].iloc[0]) == int(
         solo_ro[(solo_ro["source"] == "<ALL>") & (solo_ro["lang"] == "<ALL>")]["n_docs"].iloc[0]
     )
+
+
+def test_relational_meta2_union_legs_match_standalone():
+    import __ray_entry__ as e
+    from hepdata_validator_ray.pipelines.relational import (
+        docs_quantile_disc,
+        events_funnel,
+        events_type_transitions,
+    )
+
+    meta = e.queries()["relational_meta2"](SF)
+    fu = meta[meta["kind"] == "funnel"].sort_values("k2")
+    solo_fu = events_funnel(SF).to_pandas().sort_values("step")
+    assert fu["a"].tolist() == solo_fu["n_users"].tolist()
+    assert fu["gkey"].tolist() == solo_fu["event_type"].tolist()
+    pct = meta[meta["kind"] == "pct"]
+    solo_q = docs_quantile_disc(SF).to_pandas().set_index("source")
+    assert len(pct) == 4 * len(solo_q)
+    p50 = pct[pct["k2"] == 50].set_index("gkey")["a"]
+    assert (p50 == solo_q["q50"]).all()
+    tr = meta[meta["kind"] == "trans"]
+    solo_tr = events_type_transitions(SF).to_pandas()
+    assert len(tr) == len(solo_tr)
+    assert int(tr["a"].sum()) == int(solo_tr["n"].sum())
