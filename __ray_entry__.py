@@ -541,7 +541,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
-        "top_customers": relational.top_customers,
+        # fixed-point PageRank over the orders⋈lineitem trade graph — the
+        # iterative-algorithm gate (top_customers moved to the tail: its
+        # global top-k evidence overlaps v_longest_sequences +
+        # top_parts_per_brand; oracle retained)
+        "graph_pagerank": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank(sf),
         "top_parts_per_brand": relational.top_parts_per_brand,
         "stratified_sample": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
@@ -615,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
         # displaced from the window by relational_meta2; oracle retained
         "events_daily": relational.events_daily,
+        # displaced from the window by graph_pagerank; oracle retained
+        "top_customers": relational.top_customers,
         # fused-union legs of relational_meta2 + the running-total
         # projection of events_lag_trailing — all independently queryable
         # with their own oracle entries
@@ -1551,6 +1559,11 @@ FROM s""",
         "bm25_topk": __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_oracle_sql(["hash", "join", "stream"], k=10),
+        # fixed-point PageRank: generated unrolled-CTE oracle with the
+        # kernel's exact integer constants and floor divisions
+        "graph_pagerank": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank_oracle_sql(n_iter=3),
         # same explicit ASCII classes as the pandas kernel; length() counts
         # CHARACTERS (like pandas .str.len(); strlen counts bytes and would
         # diverge on any non-ASCII char); null text stays null on both sides

@@ -161,6 +161,14 @@ def pipeline_bm25(sf_dir: str) -> int:
     return len(bm25_topk(f"{sf_dir}/documents.parquet", terms=["hash", "join", "stream"], k=10))
 
 
+def pipeline_pagerank(sf_dir: str) -> int:
+    """Fixed-point PageRank: native shuffle join edge build + 3 iterations
+    (two exchanges each) — the iterative-graph-algorithm pipeline."""
+    from hepdata_validator_ray.pipelines.graph import pagerank
+
+    return pagerank(sf_dir, n_iter=3).count()
+
+
 def pipeline_training_pack(sf_dir: str) -> int:
     """Distributed prefix-sum packing + contamination + LM scoring — the
     training-prep trio as one number (they share the documents read)."""
@@ -248,6 +256,7 @@ PIPELINES = {
     "mm_codec": pipeline_mm_codec,
     "cluster_semdedup": pipeline_cluster_semdedup,
     "bm25": pipeline_bm25,
+    "pagerank": pipeline_pagerank,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
