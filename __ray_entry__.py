@@ -404,6 +404,40 @@ def _relational_meta(sf_dir: str):
     )
 
 
+def _incremental_meta(sf_dir: str):
+    """Forward incremental-content counts + bidirectional snapshot diff as
+    ONE gated union (kind, k1, a): 'inc' rows carry the anti-join counts
+    over the shifted sequences snapshot; 'diff' rows carry the per-doc
+    added/removed/changed delta against the deterministic mutated-documents
+    second crawl (k1 = status, a = doc_id).  Legs run serially (tiny
+    outputs; lazy-fsspec thread-race convention)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import dedup
+    from hepdata_validator_ray.synth import (
+        ensure_mutated_documents_parquet,
+        ensure_shifted_sequences_parquet,
+    )
+
+    inc = dedup.content_incremental_new(ensure_shifted_sequences_parquet(sf_dir), _seq(sf_dir))
+    diff = dedup.snapshot_diff(
+        f"{sf_dir}/documents.parquet", ensure_mutated_documents_parquet(sf_dir)
+    ).to_pandas()
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "inc",
+                    "k1": ["n_new", "n_seen_before"],
+                    "a": [int(inc["n_new"].iloc[0]), int(inc["n_seen_before"].iloc[0])],
+                }
+            ),
+            pd.DataFrame({"kind": "diff", "k1": diff["status"], "a": diff["doc_id"].astype("int64")}),
+        ],
+        ignore_index=True,
+    )
+
+
 def _relational_meta2(sf_dir: str):
     """Funnel + per-group discrete quantiles + Markov transition counts as
     ONE gated union (kind, gkey, k2, a) — the second relational fused slot
@@ -511,12 +545,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles_combined(_seq(sf)),
         "v_token_bigrams_top": lambda sf: validation.token_bigrams_top(_seq(sf), k=100),
         "v_p99_filter": lambda sf: validation.ntok_p99_filter_counts(_seq(sf)),
-        "content_incremental_new": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
-        ).content_incremental_new(
-            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
-            _seq(sf),
-        ),
+        # incremental counts + bidirectional snapshot diff as one union
+        # (content_incremental_new moved to the tail; oracle retained)
+        "incremental_meta": _incremental_meta,
         "v_longest_sequences": lambda sf: validation.longest_sequences(_seq(sf)),
         "v_embedding_integrity": lambda sf: validation.embedding_integrity(emb(sf)),
         "flagship_validation_suite": lambda sf: validation.full_violation_counts(_seq(sf)),
@@ -623,6 +654,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": relational.events_daily,
         # displaced from the window by graph_pagerank; oracle retained
         "top_customers": relational.top_customers,
+        # fused-union legs of incremental_meta, independently queryable
+        # with their own oracle entries
+        "content_incremental_new": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).content_incremental_new(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+            _seq(sf),
+        ),
+        "dedup_snapshot_diff": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).snapshot_diff(
+            f"{sf}/documents.parquet",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(sf),
+        ),
         # fused-union legs of relational_meta2 + the running-total
         # projection of events_lag_trailing — all independently queryable
         # with their own oracle entries
@@ -1016,6 +1061,56 @@ FROM n""".replace(
                 "/root/testdata/sf0.01"
             )
             + "/*.parquet",
+        ),
+        # bidirectional snapshot diff vs the deterministic mutated second
+        # crawl (both engines read the same fixture file; IS DISTINCT FROM
+        # gives the NULL-safe text-equality the siphash keys reproduce)
+        "dedup_snapshot_diff": """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (SELECT doc_id, text FROM read_parquet('{mutated}'))
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR (o.text IS DISTINCT FROM n.text)""".replace(
+            "{mutated}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(
+                "/root/testdata/sf0.01"
+            ),
+        ),
+        # incremental counts + snapshot diff as one union
+        "incremental_meta": f"""
+WITH o AS (SELECT DISTINCT tokens FROM read_parquet('{p}')),
+n AS (SELECT tokens FROM read_parquet('{{shifted}}')),
+inc AS (
+  SELECT count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM o WHERE o.tokens IS NOT DISTINCT FROM n.tokens))::BIGINT AS n_seen_before,
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM o WHERE o.tokens IS NOT DISTINCT FROM n.tokens))::BIGINT AS n_new
+  FROM n),
+od AS (SELECT doc_id, text FROM documents),
+nd AS (SELECT doc_id, text FROM read_parquet('{{mutated}}')),
+diff AS (
+  SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+         CASE WHEN od.doc_id IS NULL THEN 'added'
+              WHEN nd.doc_id IS NULL THEN 'removed'
+              ELSE 'changed' END AS status
+  FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id
+  WHERE od.doc_id IS NULL OR nd.doc_id IS NULL OR (od.text IS DISTINCT FROM nd.text))
+SELECT 'inc' AS kind, 'n_new' AS k1, n_new AS a FROM inc
+UNION ALL SELECT 'inc', 'n_seen_before', n_seen_before FROM inc
+UNION ALL SELECT 'diff', status, doc_id FROM diff""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ).replace(
+            "{mutated}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(
+                "/root/testdata/sf0.01"
+            ),
         ),
         "v_compound_check": f"""
 SELECT doc_id, 'neg_or_mismatch' AS check_name

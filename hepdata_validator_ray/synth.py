@@ -269,6 +269,43 @@ def ensure_bundle_parquet(sf_dir: str, n_tables: int = 4, seed: int = 42) -> str
     return str(out)
 
 
+def ensure_mutated_documents_parquet(sf_dir: str) -> str:
+    """A deterministic 'second crawl' of the documents table — the
+    snapshot-diff fixture: ``doc_id % 10 == 3`` rows dropped (→ removed),
+    ``doc_id % 7 == 2`` rows get a ``' [rev2]'`` text suffix (→ changed),
+    and ``max_id+1 .. max_id+len//20`` brand-new docs appended (→ added).
+    A pure function of the base table: both engines read the same file,
+    so no generation logic needs SQL parity."""
+    import pandas as pd
+
+    tag = Path(sf_dir).name or "default"
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-mutated" / "documents_v2.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    df = df[df["doc_id"] % 10 != 3].copy()
+    chg = df["doc_id"] % 7 == 2
+    df.loc[chg, "text"] = df.loc[chg, "text"].fillna("") + " [rev2]"
+    mx = int(df["doc_id"].max())
+    n_new = max(len(df) // 20, 1)
+    texts = [f"brand new document number {i} from the second crawl" for i in range(n_new)]
+    new = pd.DataFrame(
+        {
+            "doc_id": np.arange(mx + 1, mx + 1 + n_new, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "src_new",
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    df = pd.concat([df, new], ignore_index=True)
+    tmp = out.with_suffix(".tmp")
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return str(out)
+
+
 # ---------------------------------------------------------------------------
 # Ground truth for tests
 # ---------------------------------------------------------------------------

@@ -90,3 +90,52 @@ def test_dup_span_stats_crafted(tmp_path):
     assert out.loc[0, "n_dup_shingles"] == 1 and out.loc[0, "n_shingles"] == 2
     assert out.loc[1, "n_dup_shingles"] == 1 and out.loc[1, "n_shingles"] == 2
     assert out.loc[2, "n_dup_shingles"] == 0 and out.loc[2, "n_shingles"] == 2
+
+
+def test_snapshot_diff_crafted(tmp_path):
+    """added / removed / changed / unchanged, with NULL-text transitions:
+    NULL→NULL is UNCHANGED (IS DISTINCT FROM semantics), NULL→text and
+    text→NULL are CHANGED."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import snapshot_diff
+
+    old = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["same", "will change", None, None, "gone"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 6],
+            "text": ["same", "changed!", None, "was null", "fresh"],
+        }
+    )
+    old.to_parquet(tmp_path / "old.parquet", index=False)
+    new.to_parquet(tmp_path / "new.parquet", index=False)
+    out = snapshot_diff(str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet"), num_buckets=3)
+    got = {(int(r.doc_id), r.status) for r in out.to_pandas().itertuples()}
+    assert got == {(2, "changed"), (4, "changed"), (5, "removed"), (6, "added")}
+
+
+def test_mutated_documents_fixture_deterministic_and_classified():
+    """The second-crawl fixture is a pure function of the base table, and
+    the diff statuses land exactly on the mutation rule's residue classes."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import snapshot_diff
+    from hepdata_validator_ray.synth import ensure_mutated_documents_parquet
+
+    sf = "/root/testdata/sf0.001"
+    mut = ensure_mutated_documents_parquet(sf)
+    assert ensure_mutated_documents_parquet(sf) == mut
+    base = pd.read_parquet(f"{sf}/documents.parquet")
+    got = snapshot_diff(f"{sf}/documents.parquet", mut, num_buckets=4).to_pandas()
+    by = {s: set(g["doc_id"]) for s, g in got.groupby("status")}
+    ids = base["doc_id"]
+    assert by["removed"] == set(ids[ids % 10 == 3])
+    # changed = the rev2 class minus anything that was removed
+    assert by["changed"] == set(ids[(ids % 7 == 2) & (ids % 10 != 3)])
+    assert len(by["added"]) == max((ids % 10 != 3).sum() // 20, 1)
+    assert by["added"].isdisjoint(set(ids))
