@@ -454,6 +454,10 @@ def _relational_meta2(sf_dir: str):
     fu = relational.events_funnel(sf_dir).to_pandas()
     qd = relational.docs_quantile_disc(sf_dir).to_pandas()
     tr = relational.events_type_transitions(sf_dir).to_pandas()
+    im = relational.events_interval_merge(sf_dir).to_pandas()
+    st = relational.events_streaks(sf_dir).to_pandas()
+    pa_ = relational.events_paths(sf_dir).to_pandas()
+    mo = relational.events_mad_outliers(sf_dir).to_pandas()
     pct_long = []
     for k2, col in ((25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")):
         pct_long.append(
@@ -483,6 +487,46 @@ def _relational_meta2(sf_dir: str):
                     "gkey": tr["prev_type"] + ">" + tr["cur_type"],
                     "k2": np.int64(0),
                     "a": tr["n"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "islands",
+                    "gkey": im["user_id"].astype("int64").astype(str),
+                    "k2": im["n_islands"].astype("int64"),
+                    "a": im["covered_us"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "streak",
+                    "gkey": st["user_id"].astype("int64").astype(str) + "|" + st["streak_type"],
+                    "k2": st["streak_len"].astype("int64"),
+                    "a": pd.Series([0] * len(st), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "path",
+                    "gkey": pa_["user_id"].astype("int64").astype(str) + "|" + pa_["path"],
+                    "k2": pa_["n_events"].astype("int64"),
+                    "a": pd.Series([0] * len(pa_), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "mad",
+                    "gkey": mo["event_type"],
+                    "k2": mo["mad"].astype("int64"),
+                    "a": mo["med"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "madout",
+                    "gkey": mo["event_type"],
+                    "k2": pd.Series([0] * len(mo), dtype="int64"),
+                    "a": mo["n_outliers"].astype("int64"),
                 }
             ),
         ],
@@ -751,6 +795,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).quality_bucket_counts(docs(sf)),
         "dedup_dup_spans": lambda sf: dedup.dup_span_stats(docs(sf)),
+        # fused-union legs of relational_meta2 (round-3 growth), each
+        # independently queryable with its own oracle entry
+        "events_interval_merge": lambda sf: relational.events_interval_merge(sf),
+        "events_streaks": lambda sf: relational.events_streaks(sf),
+        "events_paths": lambda sf: relational.events_paths(sf),
+        "events_mad_outliers": lambda sf: relational.events_mad_outliers(sf),
     }
 
 
@@ -1294,7 +1344,50 @@ UNION ALL SELECT 'pct', source, 50::BIGINT, q50 FROM q
 UNION ALL SELECT 'pct', source, 75::BIGINT, q75 FROM q
 UNION ALL SELECT 'pct', source, 90::BIGINT, q90 FROM q
 UNION ALL SELECT 'trans', prev || '>' || event_type, 0::BIGINT, count(*)::BIGINT
-          FROM o WHERE prev IS NOT NULL GROUP BY 2""",
+          FROM o WHERE prev IS NOT NULL GROUP BY 2
+UNION ALL SELECT 'islands', CAST(user_id AS VARCHAR), n_islands, covered_us FROM (
+  WITH e AS (SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) + 1800000000 AS te FROM events),
+  w AS (SELECT user_id, t, te,
+          CASE WHEN t > coalesce(max(te) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t - 1) THEN 1 ELSE 0 END AS ni
+        FROM e),
+  i AS (SELECT user_id, t, te,
+          sum(ni) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS island
+        FROM w),
+  isl AS (SELECT user_id, island, max(te) - min(t) AS cov FROM i GROUP BY user_id, island)
+  SELECT user_id, count(*)::BIGINT AS n_islands, sum(cov)::BIGINT AS covered_us
+  FROM isl GROUP BY user_id)
+UNION ALL SELECT 'streak', CAST(user_id AS VARCHAR) || '|' || streak_type, streak_len, 0::BIGINT FROM (
+  WITH os AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et, ts, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn,
+       row_number() OVER (PARTITION BY user_id, coalesce(event_type, '<NULL>')
+                          ORDER BY ts, event_id) rnt
+    FROM events),
+  runs AS (SELECT user_id, et, count(*)::BIGINT AS len
+           FROM os GROUP BY user_id, et, rn - rnt),
+  best AS (SELECT user_id, et AS streak_type, len AS streak_len,
+           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, et ASC) rk FROM runs)
+  SELECT user_id, streak_len, streak_type FROM best WHERE rk = 1)
+UNION ALL SELECT 'path', CAST(user_id AS VARCHAR) || '|' || path, n_events, 0::BIGINT FROM (
+  WITH op AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events)
+  SELECT user_id, string_agg(et, '>' ORDER BY rn) FILTER (WHERE rn <= 8) AS path,
+         count(*)::BIGINT AS n_events
+  FROM op GROUP BY user_id)
+UNION ALL SELECT kind, event_type, k2, a FROM (
+  WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                    floor(value * 100)::BIGINT AS cents
+             FROM events WHERE value IS NOT NULL),
+  m AS (SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med FROM c GROUP BY event_type),
+  d AS (SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS dev
+        FROM c JOIN m USING (event_type)),
+  md AS (SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad FROM d GROUP BY event_type),
+  f AS (SELECT d.event_type, any_value(d.med)::BIGINT AS med, any_value(md.mad)::BIGINT AS mad,
+               count(*) FILTER (WHERE d.dev > 3 * md.mad)::BIGINT AS n_outliers
+        FROM d JOIN md USING (event_type) GROUP BY d.event_type)
+  SELECT 'mad' AS kind, event_type, mad AS k2, med AS a FROM f
+  UNION ALL SELECT 'madout', event_type, 0::BIGINT, n_outliers FROM f)""",
         # tumbling windows: epoch-us floor division both sides; the value
         # sum is integer cents (floor(value*100)) so no float SUM order risk
         "events_tumbling": """
@@ -1304,6 +1397,54 @@ SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
        count(DISTINCT user_id)::BIGINT AS n_users,
        sum(floor(value * 100)::BIGINT)::BIGINT AS sum_cents
 FROM events GROUP BY 1""",
+        # gaps-and-islands interval union: [ts, ts+30min) per event, merged
+        # per user; adjacent (t == running end) MERGES (strict > opens)
+        "events_interval_merge": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) + 1800000000 AS te FROM events),
+w AS (SELECT user_id, t, te,
+        CASE WHEN t > coalesce(max(te) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t - 1) THEN 1 ELSE 0 END AS ni
+      FROM e),
+i AS (SELECT user_id, t, te,
+        sum(ni) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS island
+      FROM w),
+isl AS (SELECT user_id, island, max(te) - min(t) AS cov FROM i GROUP BY user_id, island)
+SELECT user_id, count(*)::BIGINT AS n_islands, sum(cov)::BIGINT AS covered_us
+FROM isl GROUP BY user_id""",
+        # longest consecutive same-type run per user; tie-break = lexically
+        # smallest type among max-length runs (ORDER BY len DESC, et ASC)
+        "events_streaks": """
+WITH o AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et, ts, event_id,
+     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn,
+     row_number() OVER (PARTITION BY user_id, coalesce(event_type, '<NULL>')
+                        ORDER BY ts, event_id) rnt
+  FROM events),
+runs AS (SELECT user_id, et, count(*)::BIGINT AS len
+         FROM o GROUP BY user_id, et, rn - rnt),
+best AS (SELECT user_id, et AS streak_type, len AS streak_len,
+         row_number() OVER (PARTITION BY user_id ORDER BY len DESC, et ASC) rk FROM runs)
+SELECT user_id, streak_len, streak_type FROM best WHERE rk = 1""",
+        # ordered string_agg: first-8 event types '>'-joined per user
+        "events_paths": """
+WITH o AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT user_id, string_agg(et, '>' ORDER BY rn) FILTER (WHERE rn <= 8) AS path,
+       count(*)::BIGINT AS n_events
+FROM o GROUP BY user_id""",
+        # per-type robust outliers: integer cents, discrete median + MAD
+        # (ceil(q*n)-1 quantile_disc convention), |dev| > 3*MAD counted
+        "events_mad_outliers": """
+WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events WHERE value IS NOT NULL),
+m AS (SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med FROM c GROUP BY event_type),
+d AS (SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS dev
+      FROM c JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad FROM d GROUP BY event_type)
+SELECT d.event_type, any_value(d.med)::BIGINT AS med, any_value(md.mad)::BIGINT AS mad,
+       count(*) FILTER (WHERE d.dev > 3 * md.mad)::BIGINT AS n_outliers
+FROM d JOIN md USING (event_type) GROUP BY d.event_type""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

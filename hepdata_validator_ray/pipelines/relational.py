@@ -1316,3 +1316,230 @@ def events_daily_unpivot(
     return events_daily_pivot(sf_dir, values=values).map_batches(
         melt, batch_format="pyarrow"
     )
+
+
+def events_interval_merge(
+    sf_dir: str, dur_minutes: int = 30, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Gaps-and-islands / interval union: treat every event as the half-open
+    interval [ts, ts + dur) and, per user, merge overlapping-or-adjacent
+    intervals into islands.  Output per user: island count and total covered
+    microseconds (exact int64 — no float anywhere).  The operator Ray Data
+    (and SQL without window gymnastics) lacks; the reference's analogue is
+    the contiguous-bin coverage idea of its independent-variable checks.
+
+    One user_id hash-bucket exchange (the events-operator shape); inside a
+    bucket one mergesort + a per-user-segment cummax (the trailing-window
+    precedent: a per-USER loop of ~µs numpy calls — a fully vectorized
+    offset-shifted global cummax exists but overflows int64 at extreme
+    segment counts).  Adjacent intervals (next.ts == running end) MERGE —
+    pinned by tests and stated in the oracle (strict > starts an island)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    dur_us = np.int64(dur_minutes) * 60_000_000
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(["user_id", "ts"], kind="mergesort")
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_islands": pd.Series(dtype="int64"),
+                    "covered_us": pd.Series(dtype="int64"),
+                }
+            )
+        t = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        te = t + dur_us
+        users = df["user_id"].to_numpy()
+        n = len(t)
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        bounds = np.r_[seg_starts, n]
+        run_end = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            run_end[s:e] = np.maximum.accumulate(te[s:e])
+        new_island = np.r_[True, t[1:] > run_end[:-1]]
+        new_island[seg_starts] = True  # a user's first event always opens
+        isl_starts = np.flatnonzero(new_island)
+        isl_last = np.r_[isl_starts[1:] - 1, n - 1]
+        covered = run_end[isl_last] - t[isl_starts]
+        isl_user = users[isl_starts]
+        u_starts = np.flatnonzero(np.r_[True, isl_user[1:] != isl_user[:-1]])
+        n_islands = np.diff(np.r_[u_starts, len(isl_user)])
+        covered_us = np.add.reduceat(covered, u_starts)
+        return pd.DataFrame(
+            {
+                "user_id": isl_user[u_starts].astype("int64"),
+                "n_islands": n_islands.astype("int64"),
+                "covered_us": covered_us.astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def events_streaks(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Longest consecutive same-type run per user (gaps-and-islands by
+    run-length encoding): events ordered by (ts, event_id); output
+    (user_id, streak_len, streak_type) with the deterministic tie-break
+    "lexically smallest type among the runs achieving the max length"
+    (≙ SQL ORDER BY len DESC, type ASC LIMIT 1 per user).
+
+    One user_id exchange; in-bucket the runs fall out of one mergesort +
+    adjacency mask (run-length encode), then a runs-table sort picks each
+    user's winner — work linear in runs, never per-event Python."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "streak_len": pd.Series(dtype="int64"),
+                    "streak_type": pd.Series(dtype="object"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].fillna("<NULL>").to_numpy()
+        brk = np.r_[True, (users[1:] != users[:-1]) | (types[1:] != types[:-1])]
+        run_starts = np.flatnonzero(brk)
+        run_len = np.diff(np.r_[run_starts, len(users)])
+        runs = pd.DataFrame(
+            {
+                "user_id": users[run_starts],
+                "streak_len": run_len.astype("int64"),
+                "streak_type": types[run_starts],
+            }
+        ).sort_values(
+            ["user_id", "streak_len", "streak_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = runs.drop_duplicates("user_id", keep="first").reset_index(drop=True)
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["user_id", "streak_len", "streak_type"]]
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def events_paths(sf_dir: str, n_first: int = 8, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Ordered string aggregation (SQL string_agg ... ORDER BY): per user
+    the '>'-joined sequence of the FIRST ``n_first`` event types in
+    (ts, event_id) order, plus the user's total event count — the classic
+    path-analysis projection.  One user_id exchange; in-bucket one
+    mergesort + cumcount filter; the per-user join is linear in OUTPUT
+    size (one string per user must be materialized by definition)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "path": pd.Series(dtype="object"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["event_type"] = df["event_type"].fillna("<NULL>")
+        totals = df.groupby("user_id", sort=False).size()
+        rn = df.groupby("user_id", sort=False).cumcount()
+        head = df[rn < n_first]
+        paths = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        out = pd.DataFrame(
+            {
+                "user_id": paths.index.to_numpy().astype("int64"),
+                "path": paths.to_numpy(),
+                "n_events": totals.reindex(paths.index).to_numpy().astype("int64"),
+            }
+        )
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def events_mad_outliers(sf_dir: str, k_mad: int = 3, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Robust per-group outlier detection: per event_type, the discrete
+    median of integer cents (floor(value*100), the tumbling-window
+    quantization), the median absolute deviation (discrete median of
+    |cents − med| — integral since both are ints), and the count of rows
+    with |cents − med| > k·MAD.  Every quantity is an int64, so the DuckDB
+    quantile_disc oracle is hash-exact by construction (the
+    docs_quantile_disc ceil(q·n)−1 index convention).
+
+    MAD is holistic (two dependent medians), so the operator buckets by
+    event_type and computes both medians per type inside ONE exchange —
+    the docs_quantile_disc shape.  Partitioning assumption (documented, as
+    for every holistic per-group op here): one type's rows fit in a bucket
+    task; at the 10^12-row regime a type-keyed two-pass distributed
+    quantile (the gated v_ntok_quantiles machinery) replaces the in-bucket
+    sort."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["value"].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "med": pd.Series(dtype="int64"),
+                    "mad": pd.Series(dtype="int64"),
+                    "n_outliers": pd.Series(dtype="int64"),
+                }
+            )
+        codes, uniques = pd.factorize(df["event_type"].fillna("<NULL>").to_numpy())
+        codes = codes.astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((cents, codes))
+        types = uniques.take(codes[order])
+        cents = cents[order]
+        seg_starts = np.flatnonzero(np.r_[True, codes[order][1:] != codes[order][:-1]])
+        ns = np.diff(np.r_[seg_starts, len(types)])
+        med_idx = seg_starts + np.maximum(np.ceil(0.5 * ns).astype(np.int64) - 1, 0)
+        med = cents[med_idx]
+        dev = np.abs(cents - np.repeat(med, ns))
+        # second segmented sort for the deviation median: segment ids are
+        # already contiguous, so one stable argsort keyed on dev per segment
+        seg_id = np.repeat(np.arange(len(ns)), ns)
+        order2 = np.lexsort((dev, seg_id))
+        dev_sorted = dev[order2]
+        mad = dev_sorted[med_idx]
+        over = (dev > np.int64(k_mad) * np.repeat(mad, ns)).astype(np.int64)
+        n_out = np.add.reduceat(over, seg_starts)
+        return pd.DataFrame(
+            {
+                "event_type": types[seg_starts],
+                "med": med.astype("int64"),
+                "mad": mad.astype("int64"),
+                "n_outliers": n_out.astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=2_000_000, lo=8)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "event_type", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )

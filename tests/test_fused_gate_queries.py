@@ -290,7 +290,14 @@ def test_lag_trailing_includes_range_join_column():
     from hepdata_validator_ray.pipelines.relational import events_lag_trailing, events_range_join
 
     fused = events_lag_trailing(SF).to_pandas()
-    assert list(fused.columns) == ["event_id", "prev_ts", "n_trailing", "n_view_win"]
+    assert list(fused.columns) == [
+        "event_id",
+        "prev_ts",
+        "n_trailing",
+        "n_view_win",
+        "run_cents",
+        "run_n",
+    ]
     solo = events_range_join(SF).to_pandas()
     m = fused.merge(solo, on="event_id")  # purchases only
     assert (m["n_view_win"] == m["n_in_window"]).all()
