@@ -49,6 +49,11 @@ _SYNTH_GLOB_001 = str(synth_dir_for("/root/testdata/sf0.01")) + "/*.parquet"
 _JSONL_GLOB_001 = str(synth_dir_for("/root/testdata/sf0.01").parent / "jsonl") + "/*.jsonl"
 
 
+#: epoch weights (hundredths) for the gated mixture-resample queries:
+#: upsample src0 2.5x / src1 1.5x, halve src2, drop src3, rest 1 epoch
+_MIX_X100 = {"src0": 250, "src1": 150, "src2": 50, "src3": 0}
+
+
 def _seq(sf_dir: str) -> str:
     """Sequences parquet dir for a testdata sf dir (generated on demand)."""
     return ensure_sequences_parquet(sf_dir)
@@ -656,10 +661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             emb(sf), threshold=0.4, n_planes=3, n_tables=24
         ),
         # --- sampling / splitting ---------------------------------------------
-        # split counts + deterministic-sample id set fused into one union
+        # split counts + deterministic-sample id set + epoch-weighted
+        # mixture plan fused into one union
         "sampling_assignment": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).sampling_assignment(docs(sf)),
+        ).sampling_assignment(docs(sf), mixture_x100=_MIX_X100),
         # --- embedding clustering / semantic dedup -----------------------------
         # integer-exact quantized k-means assignment + SemDeDup-style
         # within-cell removal as one union (kind, a, b, c)
@@ -801,6 +807,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaks": lambda sf: relational.events_streaks(sf),
         "events_paths": lambda sf: relational.events_paths(sf),
         "events_mad_outliers": lambda sf: relational.events_mad_outliers(sf),
+        # fused-union legs of sampling_assignment (mixture plan), each
+        # independently queryable with its own oracle entry
+        "mixture_counts": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).mixture_resample_counts(docs(sf), _MIX_X100),
+        "mixture_expand": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).mixture_expand(docs(sf), _MIX_X100),
     }
 
 
@@ -1882,7 +1896,43 @@ FROM documents GROUP BY 1, 2
 UNION ALL
 SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS key, 1::BIGINT AS n
 FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5""",
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5
+UNION ALL
+SELECT kind, source AS key, n FROM (
+WITH w AS (SELECT doc_id, coalesce(source, '<NULL>') AS source,
+   CASE coalesce(source, '<NULL>') WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+        WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 100 END AS wx,
+   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+  FROM documents),
+c AS (SELECT doc_id, source,
+      (wx // 100 + CASE WHEN b < wx % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies FROM w)
+SELECT 'mix' AS kind, source, sum(n_copies)::BIGINT AS n FROM c GROUP BY source
+UNION ALL
+SELECT 'mixdocs', source, count(*)::BIGINT FROM c GROUP BY source)""",
+        # epoch-weighted domain mixture: per-source resample plan (the
+        # Pile-style mix primitive; weights fixed in _MIX_X100)
+        "mixture_counts": """
+WITH w AS (SELECT doc_id, coalesce(source, '<NULL>') AS source,
+   CASE coalesce(source, '<NULL>') WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+        WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 100 END AS wx,
+   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+  FROM documents),
+c AS (SELECT doc_id, source,
+      (wx // 100 + CASE WHEN b < wx % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies FROM w)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_copies)::BIGINT AS n_rows_out
+FROM c GROUP BY source""",
+        # the materialized mixture row set; max weight 2.5 epochs bounds
+        # copy_idx at 2, so a static unnested series is a lossless oracle
+        "mixture_expand": """
+WITH w AS (SELECT doc_id, coalesce(source, '<NULL>') AS source,
+   CASE coalesce(source, '<NULL>') WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+        WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 100 END AS wx,
+   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+  FROM documents),
+c AS (SELECT doc_id, source,
+      (wx // 100 + CASE WHEN b < wx % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies FROM w)
+SELECT doc_id, s.copy_idx::BIGINT AS copy_idx
+FROM c JOIN (SELECT unnest([0, 1, 2, 3]) AS copy_idx) s ON s.copy_idx < c.n_copies""",
         # --- embedding clustering / semantic dedup ------------------------------
         # integer-exact quantized assignment: floor(x*1000 + 0.5) on float64 is
         # bit-identical in numpy and DuckDB, so every distance is an int64 and

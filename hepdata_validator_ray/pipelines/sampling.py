@@ -123,11 +123,14 @@ def sampling_assignment(
     test_pct: int = 10,
     sample_pct: int = 5,
     key_fn: str = "md5",
+    mixture_x100: dict[str, int] | None = None,
 ) -> "ray.data.Dataset":
-    """Split counts AND the exact deterministic-sample id set as ONE union —
-    (kind, key, n): ('split', 'train'/'test', count) rows plus
-    ('sample', <doc_id>, 1) rows (slot-saving fusion of split_assignment +
-    deterministic_sample; both legs stay independently queryable)."""
+    """Split counts AND the exact deterministic-sample id set AND (when
+    ``mixture_x100`` is given) the epoch-weighted mixture plan as ONE
+    union — (kind, key, n): ('split', 'train'/'test', count) rows,
+    ('sample', <doc_id>, 1) rows, ('mix', <source>, n_rows_out) +
+    ('mixdocs', <source>, n_docs) rows (slot-saving fusion; every leg
+    stays independently queryable)."""
 
     def split_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -139,13 +142,33 @@ def sampling_assignment(
             {"kind": "sample", "key": df[key].astype(str), "n": np.ones(len(df), dtype=np.int64)}
         )
 
-    return split_assignment(docs_path, key=key, test_pct=test_pct, key_fn=key_fn).map_batches(
+    def mix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"kind": "mix", "key": df["source"].astype(str), "n": df["n_rows_out"].astype("int64")}
+                ),
+                pd.DataFrame(
+                    {"kind": "mixdocs", "key": df["source"].astype(str), "n": df["n_docs"].astype("int64")}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    out = split_assignment(docs_path, key=key, test_pct=test_pct, key_fn=key_fn).map_batches(
         split_rows, batch_format="pandas"
     ).union(
         deterministic_sample(docs_path, key=key, pct=sample_pct, key_fn=key_fn).map_batches(
             sample_rows, batch_format="pandas"
         )
     )
+    if mixture_x100 is not None:
+        out = out.union(
+            mixture_resample_counts(docs_path, mixture_x100, key=key, key_fn=key_fn).map_batches(
+                mix_rows, batch_format="pandas"
+            )
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -242,3 +265,86 @@ def deterministic_shuffle_ranks(
         )
 
     return hds.groupby(BUCKET_COL).map_groups(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture resampling (epoch-weighted up/downsampling)
+# ---------------------------------------------------------------------------
+
+def _mixture_copies(
+    df: pd.DataFrame, weights_x100: dict[str, int], default_x100: int, key: str, strata_col: str, key_fn: str
+) -> np.ndarray:
+    """Per-row deterministic copy count for an epoch weight given in
+    hundredths (150 = 1.5 epochs): floor(w) whole copies plus one more iff
+    the row's hash bucket (mod 100) falls under the fractional part.  A
+    weight of 0 drops the stratum; integers stay integer-exact (no float
+    rate anywhere)."""
+    w = df[strata_col].fillna("<NULL>").map(weights_x100).fillna(default_x100).to_numpy(dtype=np.int64)
+    buckets = _bucket_of(df[key].to_numpy(), mod=100, key_fn=key_fn)
+    return w // 100 + (buckets < w % 100)
+
+
+def mixture_resample_counts(
+    docs_path: str,
+    weights_x100: dict[str, int] | None = None,
+    default_x100: int = 100,
+    key: str = "doc_id",
+    strata_col: str = "source",
+    key_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Training-mix rebalancing plan: per source, input doc count and the
+    resampled output row count under per-source epoch weights — the
+    Pile/LLaMA-style domain-mixture primitive (web 0.5 epochs, books 2.5
+    epochs, ...).  Upsampling emits whole-corpus copies plus a
+    deterministic hash-selected fractional slice, so the exact output
+    multiset is reproducible across runs, partitionings and cluster sizes
+    (the property a restartable 100 TB mix job needs).  Map-side partials
+    collapse each batch to |sources| rows; the exchange is source-sized."""
+    weights_x100 = weights_x100 or {}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        copies = _mixture_copies(df, weights_x100, default_x100, key, strata_col, key_fn)
+        g = pd.DataFrame(
+            {strata_col: df[strata_col].fillna("<NULL>"), "n_docs": 1, "n_rows_out": copies}
+        )
+        return g.groupby(strata_col, as_index=False).sum()
+
+    return (
+        ray.data.read_parquet(docs_path, columns=[key, strata_col])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby(strata_col)
+        .sum(["n_docs", "n_rows_out"])
+        .map_batches(
+            lambda t: t.rename_columns([strata_col, "n_docs", "n_rows_out"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def mixture_expand(
+    docs_path: str,
+    weights_x100: dict[str, int] | None = None,
+    default_x100: int = 100,
+    key: str = "doc_id",
+    strata_col: str = "source",
+    key_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """The materialized mixture: (doc_id, copy_idx) with copy_idx in
+    [0, n_copies) — the row set a downstream trainer streams.  Pure
+    map-side np.repeat + segmented arange per batch (no shuffle, no
+    driver state); output size is exactly the weighted sum, so at scale
+    the op is bandwidth-bound on its own output, never on coordination."""
+    weights_x100 = weights_x100 or {}
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        copies = _mixture_copies(df, weights_x100, default_x100, key, strata_col, key_fn)
+        ids = np.repeat(df[key].to_numpy(), copies)
+        ends = np.cumsum(copies)
+        copy_idx = np.arange(ends[-1] if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - copies, copies
+        )
+        return pd.DataFrame({key: ids, "copy_idx": copy_idx})
+
+    return ray.data.read_parquet(docs_path, columns=[key, strata_col]).map_batches(
+        expand, batch_format="pandas", batch_size=8192
+    )

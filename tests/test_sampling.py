@@ -1,5 +1,6 @@
 """Deterministic sampling/splitting: reproducibility and layout independence."""
 
+import numpy as np
 import pandas as pd
 
 SF = "/root/testdata/sf0.001"
@@ -75,3 +76,64 @@ def test_deterministic_shuffle_ranks_siphash_permutation(ray_session):
     r = np.sort(a["shuffle_rank"].to_numpy())
     assert (r == np.arange(len(a))).all()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mixture_copies_semantics(tmp_path):
+    """Weight 250 → 2 copies + hash-selected 3rd for ~50%; 0 drops; 100 → 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import (
+        _bucket_of,
+        mixture_expand,
+        mixture_resample_counts,
+    )
+
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    src = np.where(ids % 4 == 0, "up", np.where(ids % 4 == 1, "drop", "rest")).astype(object)
+    p = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array(ids), "source": pa.array(src)}), p)
+    W = {"up": 250, "drop": 0}
+    out = (
+        mixture_resample_counts(str(p), W)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    up_ids = ids[src == "up"]
+    frac_hits = int((_bucket_of(up_ids, mod=100, key_fn="md5") < 50).sum())
+    assert out.loc["up", "n_rows_out"] == 2 * len(up_ids) + frac_hits
+    assert "drop" not in out.index or out.loc["drop", "n_rows_out"] == 0
+    assert out.loc["rest", "n_rows_out"] == out.loc["rest", "n_docs"]
+    # drop-stratum docs are still COUNTED as input docs (n_docs leg)
+    assert out.loc["drop", "n_docs"] == int((src == "drop").sum())
+
+    exp = mixture_expand(str(p), W).to_pandas()
+    per_doc = exp.groupby("doc_id").agg(n=("copy_idx", "size"), mx=("copy_idx", "max"))
+    # copy_idx is a dense 0..n-1 range per doc
+    assert (per_doc["mx"] == per_doc["n"] - 1).all()
+    assert exp.groupby("doc_id").size().sum() == out["n_rows_out"].sum()
+    assert not set(ids[src == "drop"]) & set(exp["doc_id"])
+
+
+def test_mixture_siphash_twin(tmp_path):
+    """The production key keeps the invariants (whole copies exact, frac
+    slice within binomial range) without per-row hashlib."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import mixture_resample_counts
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    p = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "source": pa.array(["s"] * n)}), p
+    )
+    out = mixture_resample_counts(str(p), {"s": 130}, key_fn="siphash").to_pandas()
+    got = int(out["n_rows_out"].iloc[0])
+    assert n + int(0.20 * n) < got < n + int(0.40 * n)  # ~30% extra
+    # deterministic: identical on re-run
+    out2 = mixture_resample_counts(str(p), {"s": 130}, key_fn="siphash").to_pandas()
+    assert got == int(out2["n_rows_out"].iloc[0])
