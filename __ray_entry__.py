@@ -463,6 +463,7 @@ def _relational_meta2(sf_dir: str):
     st = relational.events_streaks(sf_dir).to_pandas()
     pa_ = relational.events_paths(sf_dir).to_pandas()
     mo = relational.events_mad_outliers(sf_dir).to_pandas()
+    wd = relational.events_window_dedup(sf_dir).to_pandas()
     pct_long = []
     for k2, col in ((25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")):
         pct_long.append(
@@ -532,6 +533,14 @@ def _relational_meta2(sf_dir: str):
                     "gkey": mo["event_type"],
                     "k2": pd.Series([0] * len(mo), dtype="int64"),
                     "a": mo["n_outliers"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "windedup",
+                    "gkey": wd["event_type"],
+                    "k2": wd["n_rows"].astype("int64"),
+                    "a": wd["n_kept"].astype("int64"),
                 }
             ),
         ],
@@ -665,7 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixture plan fused into one union
         "sampling_assignment": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).sampling_assignment(docs(sf), mixture_x100=_MIX_X100),
+        ).sampling_assignment(docs(sf), mixture_x100=_MIX_X100, exact_k=50, exact_k_group=5),
         # --- embedding clustering / semantic dedup -----------------------------
         # integer-exact quantized k-means assignment + SemDeDup-style
         # within-cell removal as one union (kind, a, b, c)
@@ -815,6 +824,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_expand": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).mixture_expand(docs(sf), _MIX_X100),
+        # exact-k deterministic sampling (reservoir analogue) — global and
+        # per-stratum; gated via sampling_assignment's ek/ekg legs
+        "exact_k_sample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).exact_k_sample(docs(sf), k=50),
+        "exact_k_per_group": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).exact_k_per_group(docs(sf), k=5),
+        # windowed streaming dedup; gated via relational_meta2's windedup leg
+        "events_window_dedup": lambda sf: relational.events_window_dedup(sf),
     }
 
 
@@ -1401,7 +1420,12 @@ UNION ALL SELECT kind, event_type, k2, a FROM (
                count(*) FILTER (WHERE d.dev > 3 * md.mad)::BIGINT AS n_outliers
         FROM d JOIN md USING (event_type) GROUP BY d.event_type)
   SELECT 'mad' AS kind, event_type, mad AS k2, med AS a FROM f
-  UNION ALL SELECT 'madout', event_type, 0::BIGINT, n_outliers FROM f)""",
+  UNION ALL SELECT 'madout', event_type, 0::BIGINT, n_outliers FROM f)
+UNION ALL SELECT 'windedup', event_type, n_rows, n_kept FROM (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
+  FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
+  GROUP BY event_type)""",
         # tumbling windows: epoch-us floor division both sides; the value
         # sum is integer cents (floor(value*100)) so no float SUM order risk
         "events_tumbling": """
@@ -1459,6 +1483,26 @@ md AS (SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad FROM d GROUP BY
 SELECT d.event_type, any_value(d.med)::BIGINT AS med, any_value(md.mad)::BIGINT AS mad,
        count(*) FILTER (WHERE d.dev > 3 * md.mad)::BIGINT AS n_outliers
 FROM d JOIN md USING (event_type) GROUP BY d.event_type""",
+        # exact-k deterministic sample: k smallest (md5-hash64, key)
+        "exact_k_sample": """
+SELECT rank, doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id)::BIGINT AS rank
+  FROM documents) WHERE rank <= 50""",
+        "exact_k_per_group": """
+SELECT source, rank, doc_id FROM (
+  SELECT coalesce(source, '<NULL>') AS source, doc_id,
+         row_number() OVER (PARTITION BY coalesce(source, '<NULL>')
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id)::BIGINT AS rank
+  FROM documents) WHERE rank <= 5""",
+        # windowed (user, type, 10-min window) dedup counts per type
+        "events_window_dedup": """
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
+FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
+GROUP BY event_type""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """
@@ -1908,7 +1952,19 @@ c AS (SELECT doc_id, source,
       (wx // 100 + CASE WHEN b < wx % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies FROM w)
 SELECT 'mix' AS kind, source, sum(n_copies)::BIGINT AS n FROM c GROUP BY source
 UNION ALL
-SELECT 'mixdocs', source, count(*)::BIGINT FROM c GROUP BY source)""",
+SELECT 'mixdocs', source, count(*)::BIGINT FROM c GROUP BY source)
+UNION ALL
+SELECT 'ek', CAST(doc_id AS VARCHAR), rank FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id)::BIGINT AS rank
+  FROM documents) WHERE rank <= 50
+UNION ALL
+SELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM (
+  SELECT coalesce(source, '<NULL>') AS source, doc_id,
+         row_number() OVER (PARTITION BY coalesce(source, '<NULL>')
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id)::BIGINT AS rank
+  FROM documents) WHERE rank <= 5""",
         # epoch-weighted domain mixture: per-source resample plan (the
         # Pile-style mix primitive; weights fixed in _MIX_X100)
         "mixture_counts": """

@@ -1543,3 +1543,58 @@ def events_mad_outliers(sf_dir: str, k_mad: int = 3, num_buckets: int | None = N
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def events_window_dedup(sf_dir: str, window_minutes: int = 10, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Windowed streaming deduplication: collapse repeats of the same
+    (user, event_type) inside each fixed ``window_minutes`` window to one
+    representative — the classic at-least-once-delivery cleanup.  Output
+    per event_type: raw row count and deduplicated count (n_kept =
+    distinct (user, window) pairs).
+
+    One user_id hash-bucket exchange; a user's rows land in exactly one
+    bucket, so per-bucket distinct counting is globally exact and each
+    bucket ships ≤ |types| partial rows — the exchange's reduce side is
+    |buckets| × |types| regardless of corpus size."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_kept": pd.Series(dtype="int64"),
+                }
+            )
+        win = df["ts"].to_numpy().astype("datetime64[us]").view("i8") // win_us
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].fillna("<NULL>"),
+                "user_id": df["user_id"].to_numpy(),
+                "win": win,
+            }
+        )
+        rows = g.groupby("event_type", sort=False).size()
+        kept = g.drop_duplicates().groupby("event_type", sort=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": rows.index,
+                "n_rows": rows.to_numpy().astype("int64"),
+                "n_kept": kept.reindex(rows.index).to_numpy().astype("int64"),
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby("event_type").aggregate(
+        Sum("n_rows", alias_name="n_rows"), Sum("n_kept", alias_name="n_kept")
+    )

@@ -124,6 +124,8 @@ def sampling_assignment(
     sample_pct: int = 5,
     key_fn: str = "md5",
     mixture_x100: dict[str, int] | None = None,
+    exact_k: int | None = None,
+    exact_k_group: int | None = None,
 ) -> "ray.data.Dataset":
     """Split counts AND the exact deterministic-sample id set AND (when
     ``mixture_x100`` is given) the epoch-weighted mixture plan as ONE
@@ -166,6 +168,28 @@ def sampling_assignment(
         out = out.union(
             mixture_resample_counts(docs_path, mixture_x100, key=key, key_fn=key_fn).map_batches(
                 mix_rows, batch_format="pandas"
+            )
+        )
+    if exact_k is not None:
+        ek = exact_k_sample(docs_path, k=exact_k, key=key, key_fn=key_fn)
+        out = out.union(
+            ray.data.from_pandas(
+                pd.DataFrame(
+                    {"kind": "ek", "key": ek[key].astype(str), "n": ek["rank"].astype("int64")}
+                )
+            )
+        )
+    if exact_k_group is not None:
+        out = out.union(
+            exact_k_per_group(docs_path, k=exact_k_group, key=key, key_fn=key_fn).map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "kind": "ekg",
+                        "key": df["source"].astype(str) + "|" + df[key].astype(str),
+                        "n": df["rank"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
             )
         )
     return out
@@ -347,4 +371,76 @@ def mixture_expand(
 
     return ray.data.read_parquet(docs_path, columns=[key, strata_col]).map_batches(
         expand, batch_format="pandas", batch_size=8192
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic sampling (reservoir-sample analogue)
+# ---------------------------------------------------------------------------
+
+def exact_k_sample(docs_path: str, k: int = 50, key: str = "doc_id", key_fn: str = "md5") -> pd.DataFrame:
+    """Uniform sample of EXACTLY k rows, deterministically: the k smallest
+    (hash64(key), key) pairs — the reproducible replacement for reservoir
+    sampling (whose result depends on stream order).  Each batch emits a
+    partial top-k; the driver merges n_batches × k candidate rows (the ANN
+    partial-top-k discipline — the corpus itself never leaves the
+    workers).  Output (rank, key) with rank 1..k in (hash, key) order."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(df[key].to_numpy(), key_fn=key_fn)
+        out = pd.DataFrame({key: df[key].to_numpy(), "h": h})
+        return out.sort_values(["h", key], kind="mergesort").head(k)
+
+    cand = (
+        ray.data.read_parquet(docs_path, columns=[key])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    top = cand.sort_values(["h", key], kind="mergesort").head(k).reset_index(drop=True)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(top) + 1, dtype=np.int64), key: top[key].to_numpy()}
+    )
+
+
+def exact_k_per_group(
+    docs_path: str,
+    k: int = 5,
+    key: str = "doc_id",
+    strata_col: str = "source",
+    key_fn: str = "md5",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Stratified exact-k: per stratum, the k smallest (hash64(key), key)
+    rows — balanced eval-set construction at any corpus size.  One
+    strata-keyed hash-bucket exchange (the grouped-top-k shape); inside a
+    bucket one sort + groupby-head covers all the bucket's groups."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    strata_col: pd.Series(dtype="object"),
+                    "rank": pd.Series(dtype="int64"),
+                    key: pd.Series(dtype="int64"),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                strata_col: df[strata_col].fillna("<NULL>"),
+                key: df[key].to_numpy(),
+                "h": _hash64(df[key].to_numpy(), key_fn=key_fn),
+            }
+        ).sort_values([strata_col, "h", key], kind="mergesort")
+        out = df.groupby(strata_col, sort=False).head(k).copy()
+        out["rank"] = out.groupby(strata_col, sort=False).cumcount() + 1
+        return out[[strata_col, "rank", key]]
+
+    ds = ray.data.read_parquet(docs_path, columns=[key, strata_col])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=2_000_000, lo=8)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, strata_col, nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(topk, batch_format="pandas")
     )

@@ -179,3 +179,22 @@ def test_meta2_new_legs_match_standalone():
     assert dict(zip(mo["gkey"], zip(mo["k2"], mo["a"]))) == dict(
         zip(solo_mo["event_type"], zip(solo_mo["mad"], solo_mo["med"]))
     )
+
+
+def test_window_dedup_boundary(tmp_path):
+    from hepdata_validator_ray.pipelines.relational import events_window_dedup
+
+    # user 1: two 'view' events inside one 10-min window → dedup to 1;
+    # third event in the NEXT window (minute 10 = new floor bucket) kept.
+    # user 2: same window as user 1's first — different user, kept.
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 9, "view", 1.0),
+            (3, 1, 10, "view", 1.0),
+            (4, 2, 0, "view", 1.0),
+        ],
+    )
+    out = events_window_dedup(d, window_minutes=10).to_pandas()
+    assert out.to_dict("records") == [{"event_type": "view", "n_rows": 4, "n_kept": 3}]

@@ -137,3 +137,27 @@ def test_mixture_siphash_twin(tmp_path):
     # deterministic: identical on re-run
     out2 = mixture_resample_counts(str(p), {"s": 130}, key_fn="siphash").to_pandas()
     assert got == int(out2["n_rows_out"].iloc[0])
+
+
+def test_exact_k_nested_and_deterministic():
+    from hepdata_validator_ray.pipelines.sampling import exact_k_sample
+
+    a = exact_k_sample(DOCS, k=10)
+    b = exact_k_sample(DOCS, k=50)
+    # the k=10 sample is exactly the first 10 ranks of the k=50 sample
+    assert list(a["doc_id"]) == list(b["doc_id"].head(10))
+    assert list(a["rank"]) == list(range(1, 11))
+    # siphash production twin is deterministic too
+    c1 = exact_k_sample(DOCS, k=10, key_fn="siphash")
+    c2 = exact_k_sample(DOCS, k=10, key_fn="siphash")
+    assert list(c1["doc_id"]) == list(c2["doc_id"])
+
+
+def test_exact_k_per_group_sizes():
+    from hepdata_validator_ray.pipelines.sampling import exact_k_per_group
+
+    out = exact_k_per_group(DOCS, k=3).to_pandas()
+    sizes = out.groupby("source").size()
+    # every stratum has >=3 docs at sf0.001, so every group returns exactly 3
+    assert (sizes == 3).all()
+    assert (out.groupby("source")["rank"].max() == 3).all()
