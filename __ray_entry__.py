@@ -370,9 +370,12 @@ def _relational_meta(sf_dir: str):
 
     from hepdata_validator_ray.pipelines import relational
 
+    from hepdata_validator_ray.pipelines import text as _text
+
     hop = relational.events_hopping(sf_dir).to_pandas()
     pr = relational.events_props_stats(sf_dir).to_pandas()
     ro = relational.docs_rollup_stats(sf_dir).to_pandas()
+    tw = _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -402,6 +405,15 @@ def _relational_meta(sf_dir: str):
                     "a": ro["n_docs"].astype("int64"),
                     "b": ro["sum_chars"].astype("int64"),
                     "c": pd.array([0] * len(ro), dtype="Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "topw",
+                    "gkey": tw["source"] + "|" + tw["word"],
+                    "a": tw["rank"].astype("int64"),
+                    "b": tw["n"].astype("int64"),
+                    "c": pd.array([0] * len(tw), dtype="Int64"),
                 }
             ),
         ],
@@ -834,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).exact_k_per_group(docs(sf), k=5),
         # windowed streaming dedup; gated via relational_meta2's windedup leg
         "events_window_dedup": lambda sf: relational.events_window_dedup(sf),
+        # grouped heavy hitters; gated via relational_meta's topw leg
+        "text_top_words": lambda sf: text.top_words_per_source(docs(sf), k=10),
     }
 
 
@@ -1503,6 +1517,14 @@ SELECT event_type, count(*)::BIGINT AS n_rows,
        count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
 FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
 GROUP BY event_type""",
+        # grouped heavy hitters: top-10 words per source, (n DESC, word ASC)
+        "text_top_words": """
+WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT source, word, count(*)::BIGINT AS n FROM w GROUP BY source, word),
+r AS (SELECT source, word, n,
+      row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC)::BIGINT AS rank FROM c)
+SELECT source, rank, word, n FROM r WHERE rank <= 10""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """
@@ -1542,7 +1564,15 @@ FROM (
          count(*)::BIGINT AS n_docs,
          sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
   FROM documents GROUP BY ROLLUP(source, lang)
-)""",
+)
+UNION ALL
+SELECT 'topw', source || '|' || word, rank, n, 0::BIGINT FROM (
+WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT source, word, count(*)::BIGINT AS n FROM w GROUP BY source, word),
+r AS (SELECT source, word, n,
+      row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC)::BIGINT AS rank FROM c)
+SELECT source, word, n, rank FROM r WHERE rank <= 10)""",
         # hopping windows (60 min window / 30 min hop → each event lands in
         # 2 windows): replicate via unnest([0,1]), same integer-cents sum
         "events_hopping": """

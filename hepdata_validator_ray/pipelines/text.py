@@ -503,3 +503,80 @@ def tfidf_top_terms(docs_path: str, concurrency: int = 8) -> "ray.data.Dataset":
         batch_size=4096,
         concurrency=(1, concurrency),
     )
+
+
+def top_words_per_source(docs_path: str, k: int = 10, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Grouped heavy hitters: the k most frequent words PER SOURCE with the
+    deterministic (n DESC, word ASC) tie-break — the per-domain vocabulary
+    report a training-data mix review starts from.
+
+    Three-stage shape, shuffles bounded by VOCABULARY not corpus size:
+    (1) map-side combine — each batch explodes words once and collapses to
+    its distinct (source, word, n) partials (pd.factorize + bincount, no
+    per-word Python); (2) one native groupby-sum exchange over the
+    vocabulary-sized partial table; (3) grouped top-k on the aggregated
+    table — a second tiny source-keyed exchange + in-bucket sort/head (the
+    top_parts_per_brand shape).  Word semantics = split on a single space
+    (the DuckDB ``string_split(text, ' ')`` parity convention shared by
+    token_count_ws); NULL text contributes nothing; NULL source groups
+    under '<NULL>'."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].fillna("<NULL>")
+        words = df["text"].str.split(" ")
+        flat, offsets = _explode_words(words)
+        if not len(flat):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "word": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        lens = np.diff(offsets)
+        # NaN-text rows have len 0 — repeat skips them, matching SQL unnest(NULL)
+        row_src = np.repeat(src.to_numpy(), lens)
+        # one C-level hash groupby per batch (a NUL-joined factorize key is
+        # NOT safe: this pandas build's string concat silently drops \x00)
+        out = (
+            pd.DataFrame({"source": row_src, "word": flat})
+            .groupby(["source", "word"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (
+        ray.data.read_parquet(docs_path, columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "rank": pd.Series(dtype="int64"),
+                    "word": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["source", "n", "word"], ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("source", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["source", "rank", "word", "n"]]
+
+    nb = num_buckets if num_buckets is not None else 8
+    return (
+        counts.map_batches(lambda t: with_bucket(t, "source", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(topk, batch_format="pandas")
+    )

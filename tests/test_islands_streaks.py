@@ -198,3 +198,31 @@ def test_window_dedup_boundary(tmp_path):
     )
     out = events_window_dedup(d, window_minutes=10).to_pandas()
     assert out.to_dict("records") == [{"event_type": "view", "n_rows": 4, "n_kept": 3}]
+
+
+def test_top_words_tiebreak_and_nulls(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.text import top_words_per_source
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["b a b a", "c c", None], pa.string()),
+                "source": pa.array(["s", "s", None], pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "n_chars": pa.array([7, 3, 0], pa.int64()),
+            }
+        ),
+        p,
+    )
+    out = top_words_per_source(str(p), k=2).to_pandas().sort_values("rank").reset_index(drop=True)
+    # counts: a=2, b=2, c=2 — all tied; tie-break is word ASC → a then b.
+    # NULL text contributes nothing (no '<NULL>' source rows at all).
+    assert out.to_dict("records") == [
+        {"source": "s", "rank": 1, "word": "a", "n": 2},
+        {"source": "s", "rank": 2, "word": "b", "n": 2},
+    ]
