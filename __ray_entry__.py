@@ -376,6 +376,8 @@ def _relational_meta(sf_dir: str):
     pr = relational.events_props_stats(sf_dir).to_pandas()
     ro = relational.docs_rollup_stats(sf_dir).to_pandas()
     tw = _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10).to_pandas()
+    fj = relational.customer_orders_fulljoin_stats(sf_dir).to_pandas()
+    qc = relational.docs_quantile_cont(sf_dir).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -414,6 +416,27 @@ def _relational_meta(sf_dir: str):
                     "a": tw["rank"].astype("int64"),
                     "b": tw["n"].astype("int64"),
                     "c": pd.array([0] * len(tw), dtype="Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "fjoin",
+                    "gkey": fj["segment"],
+                    "a": fj["n_rows_matched"].astype("int64"),
+                    "b": fj["n_rows_cust_only"].astype("int64"),
+                    "c": fj["n_rows_order_only"].astype("Int64"),
+                }
+            ),
+            # interpolated quantiles ride the int union exactly: dyadic q
+            # (k/4) makes p*4 an integer-valued double, so int64(p*4) is
+            # lossless on both engines
+            pd.DataFrame(
+                {
+                    "kind": "pcont",
+                    "gkey": qc["source"],
+                    "a": (qc["p25"] * 4).astype("int64"),
+                    "b": (qc["p50"] * 4).astype("int64"),
+                    "c": (qc["p75"] * 4).astype("Int64"),
                 }
             ),
         ],
@@ -848,6 +871,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": lambda sf: relational.events_window_dedup(sf),
         # grouped heavy hitters; gated via relational_meta's topw leg
         "text_top_words": lambda sf: text.top_words_per_source(docs(sf), k=10),
+        # FULL OUTER join coverage + interpolated per-group quantiles;
+        # gated via relational_meta's fjoin/pcont legs
+        "customer_orders_fulljoin": lambda sf: relational.customer_orders_fulljoin_stats(sf),
+        "docs_quantile_cont": lambda sf: relational.docs_quantile_cont(sf),
     }
 
 
@@ -1517,6 +1544,21 @@ SELECT event_type, count(*)::BIGINT AS n_rows,
        count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
 FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
 GROUP BY event_type""",
+        # FULL OUTER join row-coverage per segment
+        "customer_orders_fulljoin": """
+SELECT coalesce(c_mktsegment, '<NONE>') AS segment,
+       count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_matched,
+       count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NULL)::BIGINT AS n_rows_cust_only,
+       count(*) FILTER (c_custkey IS NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_order_only
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY 1""",
+        # interpolated per-group quantiles (bit-exact: dyadic q, int input)
+        "docs_quantile_cont": """
+SELECT coalesce(source, '<NULL>') AS source,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75
+FROM documents GROUP BY 1 HAVING count(n_chars) > 0""",
         # grouped heavy hitters: top-10 words per source, (n DESC, word ASC)
         "text_top_words": """
 WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word
@@ -1565,6 +1607,18 @@ FROM (
          sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
   FROM documents GROUP BY ROLLUP(source, lang)
 )
+UNION ALL
+SELECT 'fjoin', segment, n_rows_matched, n_rows_cust_only, n_rows_order_only FROM (
+  SELECT coalesce(c_mktsegment, '<NONE>') AS segment,
+         count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_matched,
+         count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NULL)::BIGINT AS n_rows_cust_only,
+         count(*) FILTER (c_custkey IS NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_order_only
+  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+UNION ALL
+SELECT 'pcont', source, (quantile_cont(n_chars, 0.25) * 4)::BIGINT,
+       (quantile_cont(n_chars, 0.5) * 4)::BIGINT, (quantile_cont(n_chars, 0.75) * 4)::BIGINT
+FROM (SELECT coalesce(source, '<NULL>') AS source, n_chars FROM documents)
+GROUP BY source HAVING count(n_chars) > 0
 UNION ALL
 SELECT 'topw', source || '|' || word, rank, n, 0::BIGINT FROM (
 WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word

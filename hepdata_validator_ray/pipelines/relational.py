@@ -1598,3 +1598,98 @@ def events_window_dedup(sf_dir: str, window_minutes: int = 10, num_buckets: int 
     return partials.groupby("event_type").aggregate(
         Sum("n_rows", alias_name="n_rows"), Sum("n_kept", alias_name="n_kept")
     )
+
+
+def customer_orders_fulljoin_stats(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER join coverage report: per market segment, customers with
+    and without orders plus the matched order count — the join-coverage
+    audit (which dimension rows are dangling?) that complements the inner
+    native join and the anti-join sweep.  Uses Ray Data's native
+    hash-partitioned full_outer join; the aggregate collapses the joined
+    stream immediately, so nothing wide materializes."""
+    from hepdata_validator_ray.ops import derive_num_buckets
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        orders,
+        join_type="full_outer",
+        num_partitions=derive_num_buckets(orders, target_rows_per_bucket=500_000, lo=8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["c_mktsegment"].fillna("<NONE>")  # orders with no customer
+        has_cust = df["c_custkey"].notna()
+        has_ord = df["o_orderkey"].notna()
+        out = pd.DataFrame(
+            {
+                "segment": seg,
+                # row-level semantics: matched = one row per (customer,
+                # order) pair; cust_only rows appear exactly once per
+                # orderless customer — so the counts are safely additive
+                # across batches with no distinct needed
+                "n_rows_matched": (has_cust & has_ord).astype("int64"),
+                "n_rows_cust_only": (has_cust & ~has_ord).astype("int64"),
+                "n_rows_order_only": (~has_cust & has_ord).astype("int64"),
+            }
+        )
+        return out.groupby("segment", as_index=False).sum()
+
+    return (
+        joined.map_batches(collapse, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(
+            Sum("n_rows_matched", alias_name="n_rows_matched"),
+            Sum("n_rows_cust_only", alias_name="n_rows_cust_only"),
+            Sum("n_rows_order_only", alias_name="n_rows_order_only"),
+        )
+    )
+
+
+def docs_quantile_cont(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75), num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Exact per-group INTERPOLATED quantiles (quantile_cont /
+    percentile_cont): value = v[floor(h)] + (v[floor(h)+1] − v[floor(h)])·frac
+    at h = (n−1)·q.  With integer inputs and dyadic q (0.25/0.5/0.75) every
+    term is an exact IEEE double, so numpy and DuckDB produce bit-identical
+    results — the float analogue of the disc version's hash-exactness
+    argument.  Same single source-keyed exchange as docs_quantile_disc."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    qcols = [f"p{int(round(q * 100))}" for q in qs]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["n_chars"].notna()]
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series(dtype="object")}
+                | {c: pd.Series(dtype="float64") for c in qcols}
+            )
+        df = pd.DataFrame(
+            {"source": df["source"].fillna("<NULL>"), "n_chars": df["n_chars"].astype("int64")}
+        ).sort_values(["source", "n_chars"], kind="mergesort")
+        src = df["source"].to_numpy()
+        vals = df["n_chars"].to_numpy().astype(np.float64)
+        seg_starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ns = np.diff(np.r_[seg_starts, len(src)])
+        out = {"source": src[seg_starts]}
+        for q, c in zip(qs, qcols):
+            h = (ns - 1) * q
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            v_lo = vals[seg_starts + lo]
+            v_hi = vals[seg_starts + np.minimum(lo + 1, ns - 1)]
+            out[c] = v_lo + (v_hi - v_lo) * frac
+        return pd.DataFrame(out)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "n_chars"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=2_000_000, lo=8)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "source", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )

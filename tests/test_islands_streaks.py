@@ -226,3 +226,28 @@ def test_top_words_tiebreak_and_nulls(tmp_path):
         {"source": "s", "rank": 1, "word": "a", "n": 2},
         {"source": "s", "rank": 2, "word": "b", "n": 2},
     ]
+
+
+def test_quantile_cont_interpolation(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import docs_quantile_cont
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["x"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "n_chars": pa.array([10, 20, 30, 100], pa.int64()),
+            }
+        ),
+        p,
+    )
+    out = docs_quantile_cont(str(tmp_path)).to_pandas()
+    # n=4: h=(3)*q → p25 at h=0.75 → 10+0.75*10=17.5; p50 at h=1.5 → 25;
+    # p75 at h=2.25 → 30+0.25*70=47.5
+    assert out.to_dict("records") == [{"source": "s", "p25": 17.5, "p50": 25.0, "p75": 47.5}]
