@@ -499,6 +499,9 @@ def _relational_meta2(sf_dir: str):
     pa_ = relational.events_paths(sf_dir).to_pandas()
     mo = relational.events_mad_outliers(sf_dir).to_pandas()
     wd = relational.events_window_dedup(sf_dir).to_pandas()
+    gf = relational.events_daily_gapfill(sf_dir).to_pandas()
+    co = relational.events_cohort_retention(sf_dir).to_pandas()
+    cu = relational.events_cumulative_users(sf_dir)
     pct_long = []
     for k2, col in ((25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")):
         pct_long.append(
@@ -576,6 +579,30 @@ def _relational_meta2(sf_dir: str):
                     "gkey": wd["event_type"],
                     "k2": wd["n_rows"].astype("int64"),
                     "a": wd["n_kept"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "gapfill",
+                    "gkey": gf["user_id"].astype("int64").astype(str) + "|" + gf["day"],
+                    "k2": gf["n"].astype("int64"),
+                    "a": pd.Series([0] * len(gf), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "cohort",
+                    "gkey": co["cohort_week"].astype("int64").astype(str),
+                    "k2": co["week_offset"].astype("int64"),
+                    "a": co["n_users"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "cumu",
+                    "gkey": cu["day"],
+                    "k2": cu["n_new"].astype("int64"),
+                    "a": cu["n_cum"].astype("int64"),
                 }
             ),
         ],
@@ -875,6 +902,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated via relational_meta's fjoin/pcont legs
         "customer_orders_fulljoin": lambda sf: relational.customer_orders_fulljoin_stats(sf),
         "docs_quantile_cont": lambda sf: relational.docs_quantile_cont(sf),
+        # calendar-spine gap fill, cohort retention, cumulative distinct
+        # users; gated via relational_meta2's gapfill/cohort/cumu legs
+        "events_daily_gapfill": lambda sf: relational.events_daily_gapfill(sf),
+        "events_cohort_retention": lambda sf: relational.events_cohort_retention(sf),
+        "events_cumulative_users": lambda sf: relational.events_cumulative_users(sf),
     }
 
 
@@ -1466,7 +1498,29 @@ UNION ALL SELECT 'windedup', event_type, n_rows, n_kept FROM (
   SELECT event_type, count(*)::BIGINT AS n_rows,
          count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
   FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
-  GROUP BY event_type)""",
+  GROUP BY event_type)
+UNION ALL SELECT 'gapfill', CAST(user_id AS VARCHAR) || '|' || day, n, 0::BIGINT FROM (
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+spine AS (SELECT s.user_id, s.d0 + r.range AS day
+          FROM span s JOIN range(0, 2000) r ON r.range <= s.d1 - s.d0)
+SELECT spine.user_id,
+       strftime(make_timestamp(spine.day * 86400000000), '%Y-%m-%d') AS day,
+       coalesce(a.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN a ON a.user_id = spine.user_id AND a.day = spine.day)
+UNION ALL SELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset, n_users FROM (
+WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cw FROM w GROUP BY 1),
+p AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week, w.week - f.cw AS week_offset
+      FROM w JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users FROM p GROUP BY 1, 2)
+UNION ALL SELECT 'cumu', day, n_new, n_cum FROM (
+WITH d AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
+c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
+       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
+FROM c)""",
         # tumbling windows: epoch-us floor division both sides; the value
         # sum is integer cents (floor(value*100)) so no float SUM order risk
         "events_tumbling": """
@@ -1559,6 +1613,32 @@ SELECT coalesce(source, '<NULL>') AS source,
        quantile_cont(n_chars, 0.5) AS p50,
        quantile_cont(n_chars, 0.75) AS p75
 FROM documents GROUP BY 1 HAVING count(n_chars) > 0""",
+        # calendar spine with zero-filled quiet days (the generate_series
+        # op; static range(0,2000) join — this DuckDB lacks lateral series)
+        "events_daily_gapfill": """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+a AS (SELECT user_id, day, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+spine AS (SELECT s.user_id, s.d0 + r.range AS day
+          FROM span s JOIN range(0, 2000) r ON r.range <= s.d1 - s.d0)
+SELECT spine.user_id,
+       strftime(make_timestamp(spine.day * 86400000000), '%Y-%m-%d') AS day,
+       coalesce(a.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN a ON a.user_id = spine.user_id AND a.day = spine.day""",
+        # cohort retention matrix (first-seen week x week offset)
+        "events_cohort_retention": """
+WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+f AS (SELECT user_id, min(week) AS cw FROM w GROUP BY 1),
+p AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week, w.week - f.cw AS week_offset
+      FROM w JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users FROM p GROUP BY 1, 2""",
+        # running distinct users per day via first-seen trick
+        "events_cumulative_users": """
+WITH d AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
+c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
+       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
+FROM c""",
         # grouped heavy hitters: top-10 words per source, (n DESC, word ASC)
         "text_top_words": """
 WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word

@@ -1693,3 +1693,164 @@ def docs_quantile_cont(
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def events_daily_gapfill(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Calendar-spine gap filling (the generate_series op Ray Data and
+    plain GROUP BY lack): per user, EVERY day from their first to their
+    last event — quiet days included with n = 0.  Output (user_id, day, n).
+
+    One user_id exchange; in-bucket the spine is pure numpy: per-user
+    (min_day, max_day) segments expand via the mixture_expand
+    repeat+segmented-arange trick, then active-day counts scatter onto the
+    spine with searchsorted.  Output size is Σ user spans — the operator
+    is bandwidth-bound on its own output, like any spine generator."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "day": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        day = df["ts"].to_numpy().astype("datetime64[us]").view("i8") // DAY_US
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+            .groupby(["user_id", "day"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        users = g["user_id"].to_numpy()
+        days = g["day"].to_numpy()
+        cnts = g["n"].to_numpy().astype(np.int64)
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(users)] - 1
+        spans = days[seg_ends] - days[seg_starts] + 1
+        spine_user = np.repeat(users[seg_starts], spans)
+        ends = np.cumsum(spans)
+        offs = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - spans, spans)
+        spine_day = np.repeat(days[seg_starts], spans) + offs
+        # scatter active counts onto the spine: within a user the spine is
+        # a dense day range, so the active day's position is start + delta
+        spine_n = np.zeros(len(spine_user), dtype=np.int64)
+        seg_id = np.repeat(np.arange(len(seg_starts)), np.diff(np.r_[seg_starts, len(users)]))
+        pos = np.repeat(ends - spans, np.diff(np.r_[seg_starts, len(users)])) + (
+            days - days[seg_starts[seg_id]]
+        )
+        spine_n[pos] = cnts
+        return pd.DataFrame(
+            {
+                "user_id": spine_user.astype("int64"),
+                "day": pd.to_datetime(spine_day * 86_400, unit="s").strftime("%Y-%m-%d"),
+                "n": spine_n,
+            }
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def events_cohort_retention(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Cohort retention matrix: users grouped by first-seen week (cohort);
+    for each week offset k, how many of the cohort's users were active k
+    weeks after their first week.  Output (cohort_week, week_offset,
+    n_users) — offset 0 row is the cohort size.
+
+    One user_id exchange; a user's whole history lands in one bucket, so
+    first-seen week and the distinct (user, offset) pairs are computed
+    locally and each bucket ships ≤ |cohorts|×|offsets| partial rows."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    WEEK_US = np.int64(7 * 86_400_000_000)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series(dtype="int64"),
+                    "week_offset": pd.Series(dtype="int64"),
+                    "n_users": pd.Series(dtype="int64"),
+                }
+            )
+        week = df["ts"].to_numpy().astype("datetime64[us]").view("i8") // WEEK_US
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "week": week})
+        first = g.groupby("user_id")["week"].transform("min")
+        g["cohort_week"] = first
+        g["week_offset"] = g["week"] - first
+        pairs = g[["user_id", "cohort_week", "week_offset"]].drop_duplicates()
+        out = (
+            pairs.groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+def events_cumulative_users(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Running distinct-user count per day (the cumulative-distinct window
+    SQL needs a first-seen trick for): day d's value counts every user
+    whose FIRST event is on or before d.  Output (day, n_new, n_cum).
+
+    Two cheap stages: per-user first-seen day via one user_id-bucketed
+    exchange (each bucket ships one row per user → then a tiny per-day
+    count), cumsum over the day table (|days| rows — driver-safe by
+    construction, the days axis does not grow with corpus size)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"), "n_new": pd.Series(dtype="int64")})
+        day = df["ts"].to_numpy().astype("datetime64[us]").view("i8") // DAY_US
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+        firsts = g.groupby("user_id", as_index=False)["day"].min()
+        out = firsts.groupby("day", as_index=False).size().rename(columns={"size": "n_new"})
+        out["n_new"] = out["n_new"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    per_day = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(first_seen, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+    ).to_pandas()
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["n_cum"] = per_day["n_new"].cumsum().astype("int64")
+    per_day["n_new"] = per_day["n_new"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(per_day["day"] * 86_400, unit="s").dt.strftime("%Y-%m-%d"),
+            "n_new": per_day["n_new"],
+            "n_cum": per_day["n_cum"],
+        }
+    )
+    return out

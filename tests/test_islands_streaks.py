@@ -251,3 +251,37 @@ def test_quantile_cont_interpolation(tmp_path):
     # n=4: h=(3)*q → p25 at h=0.75 → 10+0.75*10=17.5; p50 at h=1.5 → 25;
     # p75 at h=2.25 → 30+0.25*70=47.5
     assert out.to_dict("records") == [{"source": "s", "p25": 17.5, "p50": 25.0, "p75": 47.5}]
+
+
+def test_gapfill_quiet_days_and_cohort(tmp_path):
+    from hepdata_validator_ray.pipelines.relational import (
+        events_cohort_retention,
+        events_cumulative_users,
+        events_daily_gapfill,
+    )
+
+    # user 1: events on day 0 and day 3 → spine has 4 days, days 1-2 zero.
+    # user 2: single event day 1 → spine of 1.
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 3 * 24 * 60, "view", 1.0),
+            (3, 2, 24 * 60, "view", 1.0),
+        ],
+    )
+    out = events_daily_gapfill(d).to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+    assert list(out["n"]) == [1, 0, 0, 1, 1]
+    assert list(out["day"])[:4] == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+    # epoch weeks start on Thursday: the fixture's Jan 1 (Mon) sits 4 days
+    # before the next week boundary, so user 1's day-3 event (Jan 4) falls
+    # in week offset 1 — cohort row (w, 0, 2) plus retention row (w, 1, 1)
+    co = events_cohort_retention(d).to_pandas().sort_values("week_offset").reset_index(drop=True)
+    assert list(co["week_offset"]) == [0, 1]
+    assert list(co["n_users"]) == [2, 1]
+    assert co["cohort_week"].nunique() == 1
+
+    cu = events_cumulative_users(d)
+    assert list(cu["n_new"]) == [1, 1]
+    assert list(cu["n_cum"]) == [1, 2]
