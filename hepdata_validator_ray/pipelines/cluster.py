@@ -290,3 +290,50 @@ def semantic_dedup_removed(
         .groupby("cell")
         .map_groups(in_cell, batch_format="pandas")
     )
+
+
+def label_centroid_sums(emb_path: str) -> "ray.data.Dataset":
+    """Grouped VECTOR aggregate: per label, the element-wise sum of the
+    quantized embedding (the integer-exact centroid numerator) and the
+    member count, in long form (label, dim, n, sum_q).  Each batch stacks
+    its vectors once and collapses to |labels|×dim partial rows via one
+    segment-sorted reduceat — the exchange is label×dim-sized at any
+    corpus size; the centroid itself is sum_q / (n·QUANT_SCALE) downstream.
+    Quantization = the kmeans floor(x·S + 0.5) convention, so the DuckDB
+    zip-unnest oracle is hash-exact by construction."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "label": pd.Series(dtype="int64"),
+                    "dim": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "sum_q": pd.Series(dtype="int64"),
+                }
+            )
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        labels = df["label"].to_numpy().astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        q = q[order]
+        labels = labels[order]
+        seg_starts = np.flatnonzero(np.r_[True, labels[1:] != labels[:-1]])
+        ns = np.diff(np.r_[seg_starts, len(labels)])
+        sums = np.add.reduceat(q, seg_starts, axis=0)  # (|labels|, dim)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels[seg_starts], d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(seg_starts)),
+                "n": np.repeat(ns.astype(np.int64), d),
+                "sum_q": sums.reshape(-1),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+    )

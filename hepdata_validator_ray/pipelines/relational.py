@@ -1854,3 +1854,48 @@ def events_cumulative_users(sf_dir: str, num_buckets: int | None = None) -> "ray
         }
     )
     return out
+
+
+def events_type_overlap(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Audience overlap between event types: for every unordered type pair
+    (a < b), how many distinct users did BOTH — the set-similarity
+    numerator behind every 'viewers who also purchased' metric.  One
+    user_id exchange; per bucket the distinct (user, type) table self-joins
+    (a C-level merge bounded by |types| rows per user), and each bucket
+    ships ≤ |types|² partials."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "type_a": pd.Series(dtype="object"),
+                    "type_b": pd.Series(dtype="object"),
+                    "n_users": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "t": df["event_type"].fillna("<NULL>"),
+            }
+        ).drop_duplicates()
+        j = m.merge(m, on="user_id", suffixes=("_a", "_b"))
+        j = j[j["t_a"] < j["t_b"]]
+        out = (
+            j.groupby(["t_a", "t_b"], as_index=False)
+            .size()
+            .rename(columns={"t_a": "type_a", "t_b": "type_b", "size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["type_a", "type_b"]).aggregate(Sum("n_users", alias_name="n_users"))
