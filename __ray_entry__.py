@@ -336,6 +336,7 @@ def _embedding_cluster_meta(sf_dir: str):
         km_f = ex.submit(km_ds.to_pandas)
         sd_f = ex.submit(sd_ds.to_pandas)
         km, sd = km_f.result(), sd_f.result()
+    ce = cluster.label_centroid_sums(emb).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -354,6 +355,17 @@ def _embedding_cluster_meta(sf_dir: str):
                     "c": 0,
                 }
             ),
+            # grouped vector aggregate: a packs (label, dim) — both small
+            # and bounded (labels < 2^20, dim = 64) so label*1000+dim is
+            # collision-free and identical on the SQL side
+            pd.DataFrame(
+                {
+                    "kind": "centroid",
+                    "a": (ce["label"].astype("int64") * 1000 + ce["dim"].astype("int64")),
+                    "b": ce["n"].astype("int64"),
+                    "c": ce["sum_q"].astype("int64"),
+                }
+            ),
         ],
         ignore_index=True,
     )
@@ -362,22 +374,29 @@ def _embedding_cluster_meta(sf_dir: str):
 def _relational_meta(sf_dir: str):
     """Hopping window + JSON props extraction + ROLLUP as ONE gated union
     (kind, gkey, a, b, c) — three relational families driver-gated in a
-    single window slot (the training_meta slot-saving shape).  Legs run
-    serially: each output is tiny (|windows| / |types| / |sources|×|langs|
-    rows) and serial execution avoids the lazy-fsspec thread race that
-    reverted ann_meta's overlap."""
+    single window slot (the training_meta slot-saving shape).  Each output
+    is tiny (|windows| / |types| / |sources|×|langs| rows).  Plans are
+    constructed serially on the driver (resolving the lazy fsspec import),
+    then the six independent Datasets execute in threads — the documented
+    safe split (the fsspec race only bites when read_parquet plan
+    CONSTRUCTION overlaps; see relational_meta2)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pandas as pd
 
     from hepdata_validator_ray.pipelines import relational
-
     from hepdata_validator_ray.pipelines import text as _text
 
-    hop = relational.events_hopping(sf_dir).to_pandas()
-    pr = relational.events_props_stats(sf_dir).to_pandas()
-    ro = relational.docs_rollup_stats(sf_dir).to_pandas()
-    tw = _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10).to_pandas()
-    fj = relational.customer_orders_fulljoin_stats(sf_dir).to_pandas()
-    qc = relational.docs_quantile_cont(sf_dir).to_pandas()
+    plans = [
+        relational.events_hopping(sf_dir),
+        relational.events_props_stats(sf_dir),
+        relational.docs_rollup_stats(sf_dir),
+        _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10),
+        relational.customer_orders_fulljoin_stats(sf_dir),
+        relational.docs_quantile_cont(sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        hop, pr, ro, tw, fj, qc = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
         [
             pd.DataFrame(
@@ -481,27 +500,42 @@ def _incremental_meta(sf_dir: str):
 def _relational_meta2(sf_dir: str):
     """Funnel + per-group discrete quantiles + Markov transition counts as
     ONE gated union (kind, gkey, k2, a) — the second relational fused slot
-    (same shape discipline as relational_meta: tiny outputs, legs run
-    serially to stay clear of the lazy-fsspec thread race).  funnel rows
+    (same shape discipline as relational_meta: tiny outputs).  funnel rows
     carry k2=step; pct rows are the quantile table MELTED long (k2 = the
     percentile as an integer, a = the discrete quantile value); trans rows
-    carry gkey='prev>cur'."""
+    carry gkey='prev>cur'.  With 13 legs, serial execution dominates the
+    gate-window cost — so ALL plans are constructed serially on the driver
+    (including each derive_num_buckets count, which also resolves the lazy
+    fsspec import), then the independent Datasets EXECUTE in threads: the
+    documented safe pattern (the embedding_cluster_meta precedent; the
+    fsspec race only bites when read_parquet plan CONSTRUCTION overlaps).
+    events_cumulative_users executes internally, so it runs first,
+    serially."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
     import pandas as pd
 
     from hepdata_validator_ray.pipelines import relational
 
-    fu = relational.events_funnel(sf_dir).to_pandas()
-    qd = relational.docs_quantile_disc(sf_dir).to_pandas()
-    tr = relational.events_type_transitions(sf_dir).to_pandas()
-    im = relational.events_interval_merge(sf_dir).to_pandas()
-    st = relational.events_streaks(sf_dir).to_pandas()
-    pa_ = relational.events_paths(sf_dir).to_pandas()
-    mo = relational.events_mad_outliers(sf_dir).to_pandas()
-    wd = relational.events_window_dedup(sf_dir).to_pandas()
-    gf = relational.events_daily_gapfill(sf_dir).to_pandas()
-    co = relational.events_cohort_retention(sf_dir).to_pandas()
     cu = relational.events_cumulative_users(sf_dir)
+    plans = [
+        relational.events_funnel(sf_dir),
+        relational.docs_quantile_disc(sf_dir),
+        relational.events_type_transitions(sf_dir),
+        relational.events_interval_merge(sf_dir),
+        relational.events_streaks(sf_dir),
+        relational.events_paths(sf_dir),
+        relational.events_mad_outliers(sf_dir),
+        relational.events_window_dedup(sf_dir),
+        relational.events_daily_gapfill(sf_dir),
+        relational.events_cohort_retention(sf_dir),
+        relational.events_type_overlap(sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov = list(
+            ex.map(lambda d: d.to_pandas(), plans)
+        )
     pct_long = []
     for k2, col in ((25, "q25"), (50, "q50"), (75, "q75"), (90, "q90")):
         pct_long.append(
@@ -603,6 +637,14 @@ def _relational_meta2(sf_dir: str):
                     "gkey": cu["day"],
                     "k2": cu["n_new"].astype("int64"),
                     "a": cu["n_cum"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "overlap",
+                    "gkey": ov["type_a"] + "|" + ov["type_b"],
+                    "k2": ov["n_users"].astype("int64"),
+                    "a": pd.Series([0] * len(ov), dtype="int64"),
                 }
             ),
         ],
@@ -907,6 +949,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_gapfill": lambda sf: relational.events_daily_gapfill(sf),
         "events_cohort_retention": lambda sf: relational.events_cohort_retention(sf),
         "events_cumulative_users": lambda sf: relational.events_cumulative_users(sf),
+        # grouped vector aggregate + audience overlap; gated via the
+        # embedding_cluster_meta centroid leg / relational_meta2 overlap leg
+        "embedding_label_centroids": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).label_centroid_sums(emb(sf)),
+        "events_type_overlap": lambda sf: relational.events_type_overlap(sf),
     }
 
 
@@ -1515,6 +1563,11 @@ f AS (SELECT user_id, min(week) AS cw FROM w GROUP BY 1),
 p AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week, w.week - f.cw AS week_offset
       FROM w JOIN f USING (user_id))
 SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users FROM p GROUP BY 1, 2)
+UNION ALL SELECT 'overlap', type_a || '|' || type_b, n_users, 0::BIGINT FROM (
+WITH m AS (SELECT DISTINCT user_id, coalesce(event_type, '<NULL>') AS t FROM events)
+SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_users
+FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
+GROUP BY 1, 2)
 UNION ALL SELECT 'cumu', day, n_new, n_cum FROM (
 WITH d AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
 c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
@@ -1613,6 +1666,20 @@ SELECT coalesce(source, '<NULL>') AS source,
        quantile_cont(n_chars, 0.5) AS p50,
        quantile_cont(n_chars, 0.75) AS p75
 FROM documents GROUP BY 1 HAVING count(n_chars) > 0""",
+        # grouped vector aggregate: per-label quantized centroid sums via
+        # DuckDB's zipping parallel unnest (value + range index)
+        "embedding_label_centroids": """
+SELECT label::BIGINT AS label, i::BIGINT AS dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sum_q FROM (
+  SELECT label, unnest(range(len(embedding))) AS i,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS q
+  FROM embeddings)
+GROUP BY 1, 2""",
+        # audience overlap: distinct users shared per unordered type pair
+        "events_type_overlap": """
+WITH m AS (SELECT DISTINCT user_id, coalesce(event_type, '<NULL>') AS t FROM events)
+SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_users
+FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
+GROUP BY 1, 2""",
         # calendar spine with zero-filled quiet days (the generate_series
         # op; static range(0,2000) join — this DuckDB lacks lateral series)
         "events_daily_gapfill": """
@@ -2172,7 +2239,14 @@ FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
      JOIN embeddings b ON a.vec_id < b.vec_id
      JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-GROUP BY b.vec_id""",
+GROUP BY b.vec_id
+UNION ALL
+SELECT 'centroid', label * 1000 + dim, n, sum_q FROM (
+  SELECT label::BIGINT AS label, i::BIGINT AS dim, count(*)::BIGINT AS n, sum(qv)::BIGINT AS sum_q FROM (
+    SELECT label, unnest(range(len(embedding))) AS i,
+           floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS qv
+    FROM embeddings)
+  GROUP BY 1, 2)""",
         # fused-union legs (tail queries, verified locally by the same SQL)
         "embedding_kmeans": f"""
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),

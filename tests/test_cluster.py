@@ -114,3 +114,27 @@ def test_assign_tie_breaks_to_lowest_centroid():
 def test_load_rows_missing_centroid_raises():
     with pytest.raises(ValueError, match="centroid vec_ids"):
         cluster.kmeans_assign_quantized(EMB, centroid_ids=(0, 10**9)).to_pandas()
+
+
+def test_label_centroid_sums_local_reference():
+    """Distributed grouped vector aggregate equals a local numpy reference."""
+    import numpy as np
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.cluster import _quantize, label_centroid_sums
+
+    SF = "/root/testdata/sf0.001"
+    out = (
+        label_centroid_sums(f"{SF}/embeddings.parquet")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    ref = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+    q = _quantize(np.stack(ref["embedding"].to_numpy()))
+    labels = ref["label"].to_numpy().astype(np.int64)
+    for lab in np.unique(labels):
+        m = labels == lab
+        sub = out[out["label"] == lab].sort_values("dim")
+        assert (sub["n"].to_numpy() == m.sum()).all()
+        assert (sub["sum_q"].to_numpy() == q[m].sum(axis=0)).all()

@@ -285,3 +285,28 @@ def test_gapfill_quiet_days_and_cohort(tmp_path):
     cu = events_cumulative_users(d)
     assert list(cu["n_new"]) == [1, 1]
     assert list(cu["n_cum"]) == [1, 2]
+
+
+def test_type_overlap_counts(tmp_path):
+    from hepdata_validator_ray.pipelines.relational import events_type_overlap
+
+    # user 1 did view+click (twice each — distinct collapses), user 2 only
+    # view, user 3 click+purchase → pairs: (click,view)=1,
+    # (click,purchase)=1, no (purchase,view)
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 1, "view", 1.0),
+            (3, 1, 2, "click", 1.0),
+            (4, 1, 3, "click", 1.0),
+            (5, 2, 0, "view", 1.0),
+            (6, 3, 0, "click", 1.0),
+            (7, 3, 1, "purchase", 1.0),
+        ],
+    )
+    out = events_type_overlap(d).to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"type_a": "click", "type_b": "purchase", "n_users": 1},
+        {"type_a": "click", "type_b": "view", "n_users": 1},
+    ]
