@@ -332,11 +332,12 @@ def _embedding_cluster_meta(sf_dir: str):
     # (plan construction stays serial; see bench._consume_concurrent)
     km_ds = cluster.kmeans_assign_quantized(emb)
     sd_ds = cluster.semantic_dedup_removed(emb, threshold=0.4)
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    ce_ds = cluster.label_centroid_sums(emb)
+    with ThreadPoolExecutor(max_workers=3) as ex:
         km_f = ex.submit(km_ds.to_pandas)
         sd_f = ex.submit(sd_ds.to_pandas)
-        km, sd = km_f.result(), sd_f.result()
-    ce = cluster.label_centroid_sums(emb).to_pandas()
+        ce_f = ex.submit(ce_ds.to_pandas)
+        km, sd, ce = km_f.result(), sd_f.result(), ce_f.result()
     return pd.concat(
         [
             pd.DataFrame(
@@ -1057,7 +1058,7 @@ jp AS (
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
 ),
 p AS (SELECT doc_id_a, doc_id_b, round(jaccard, 6) AS jaccard FROM jp WHERE jaccard >= 0.3)"""
-    return {
+    o = {
         "v_row_violations": row_violations_cte + "\nSELECT doc_id, check_name FROM v",
         # full suite at version 1.2.0: everything above PLUS the opt-in
         # uniqueItems list check (row-local list dedup, SURVEY §2.6)
@@ -1498,82 +1499,7 @@ UNION ALL SELECT 'pct', source, 50::BIGINT, q50 FROM q
 UNION ALL SELECT 'pct', source, 75::BIGINT, q75 FROM q
 UNION ALL SELECT 'pct', source, 90::BIGINT, q90 FROM q
 UNION ALL SELECT 'trans', prev || '>' || event_type, 0::BIGINT, count(*)::BIGINT
-          FROM o WHERE prev IS NOT NULL GROUP BY 2
-UNION ALL SELECT 'islands', CAST(user_id AS VARCHAR), n_islands, covered_us FROM (
-  WITH e AS (SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) + 1800000000 AS te FROM events),
-  w AS (SELECT user_id, t, te,
-          CASE WHEN t > coalesce(max(te) OVER (PARTITION BY user_id ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t - 1) THEN 1 ELSE 0 END AS ni
-        FROM e),
-  i AS (SELECT user_id, t, te,
-          sum(ni) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS island
-        FROM w),
-  isl AS (SELECT user_id, island, max(te) - min(t) AS cov FROM i GROUP BY user_id, island)
-  SELECT user_id, count(*)::BIGINT AS n_islands, sum(cov)::BIGINT AS covered_us
-  FROM isl GROUP BY user_id)
-UNION ALL SELECT 'streak', CAST(user_id AS VARCHAR) || '|' || streak_type, streak_len, 0::BIGINT FROM (
-  WITH os AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et, ts, event_id,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn,
-       row_number() OVER (PARTITION BY user_id, coalesce(event_type, '<NULL>')
-                          ORDER BY ts, event_id) rnt
-    FROM events),
-  runs AS (SELECT user_id, et, count(*)::BIGINT AS len
-           FROM os GROUP BY user_id, et, rn - rnt),
-  best AS (SELECT user_id, et AS streak_type, len AS streak_len,
-           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, et ASC) rk FROM runs)
-  SELECT user_id, streak_len, streak_type FROM best WHERE rk = 1)
-UNION ALL SELECT 'path', CAST(user_id AS VARCHAR) || '|' || path, n_events, 0::BIGINT FROM (
-  WITH op AS (SELECT user_id, coalesce(event_type, '<NULL>') AS et,
-                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-              FROM events)
-  SELECT user_id, string_agg(et, '>' ORDER BY rn) FILTER (WHERE rn <= 8) AS path,
-         count(*)::BIGINT AS n_events
-  FROM op GROUP BY user_id)
-UNION ALL SELECT kind, event_type, k2, a FROM (
-  WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
-                    floor(value * 100)::BIGINT AS cents
-             FROM events WHERE value IS NOT NULL),
-  m AS (SELECT event_type, quantile_disc(cents, 0.5)::BIGINT AS med FROM c GROUP BY event_type),
-  d AS (SELECT c.event_type, c.cents, m.med, abs(c.cents - m.med) AS dev
-        FROM c JOIN m USING (event_type)),
-  md AS (SELECT event_type, quantile_disc(dev, 0.5)::BIGINT AS mad FROM d GROUP BY event_type),
-  f AS (SELECT d.event_type, any_value(d.med)::BIGINT AS med, any_value(md.mad)::BIGINT AS mad,
-               count(*) FILTER (WHERE d.dev > 3 * md.mad)::BIGINT AS n_outliers
-        FROM d JOIN md USING (event_type) GROUP BY d.event_type)
-  SELECT 'mad' AS kind, event_type, mad AS k2, med AS a FROM f
-  UNION ALL SELECT 'madout', event_type, 0::BIGINT, n_outliers FROM f)
-UNION ALL SELECT 'windedup', event_type, n_rows, n_kept FROM (
-  SELECT event_type, count(*)::BIGINT AS n_rows,
-         count(DISTINCT (user_id, epoch_us(ts) // 600000000))::BIGINT AS n_kept
-  FROM (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id, ts FROM events)
-  GROUP BY event_type)
-UNION ALL SELECT 'gapfill', CAST(user_id AS VARCHAR) || '|' || day, n, 0::BIGINT FROM (
-WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-a AS (SELECT user_id, day, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
-span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
-spine AS (SELECT s.user_id, s.d0 + r.range AS day
-          FROM span s JOIN range(0, 2000) r ON r.range <= s.d1 - s.d0)
-SELECT spine.user_id,
-       strftime(make_timestamp(spine.day * 86400000000), '%Y-%m-%d') AS day,
-       coalesce(a.n, 0)::BIGINT AS n
-FROM spine LEFT JOIN a ON a.user_id = spine.user_id AND a.day = spine.day)
-UNION ALL SELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset, n_users FROM (
-WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
-f AS (SELECT user_id, min(week) AS cw FROM w GROUP BY 1),
-p AS (SELECT DISTINCT w.user_id, f.cw AS cohort_week, w.week - f.cw AS week_offset
-      FROM w JOIN f USING (user_id))
-SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users FROM p GROUP BY 1, 2)
-UNION ALL SELECT 'overlap', type_a || '|' || type_b, n_users, 0::BIGINT FROM (
-WITH m AS (SELECT DISTINCT user_id, coalesce(event_type, '<NULL>') AS t FROM events)
-SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS n_users
-FROM m a JOIN m b ON a.user_id = b.user_id AND a.t < b.t
-GROUP BY 1, 2)
-UNION ALL SELECT 'cumu', day, n_new, n_cum FROM (
-WITH d AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day FROM events GROUP BY 1),
-c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
-SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
-       sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
-FROM c)""",
+          FROM o WHERE prev IS NOT NULL GROUP BY 2""",
         # tumbling windows: epoch-us floor division both sides; the value
         # sum is integer cents (floor(value*100)) so no float SUM order risk
         "events_tumbling": """
@@ -1753,27 +1679,7 @@ FROM (
          count(*)::BIGINT AS n_docs,
          sum(coalesce(n_chars, 0))::BIGINT AS sum_chars
   FROM documents GROUP BY ROLLUP(source, lang)
-)
-UNION ALL
-SELECT 'fjoin', segment, n_rows_matched, n_rows_cust_only, n_rows_order_only FROM (
-  SELECT coalesce(c_mktsegment, '<NONE>') AS segment,
-         count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_matched,
-         count(*) FILTER (c_custkey IS NOT NULL AND o_orderkey IS NULL)::BIGINT AS n_rows_cust_only,
-         count(*) FILTER (c_custkey IS NULL AND o_orderkey IS NOT NULL)::BIGINT AS n_rows_order_only
-  FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey GROUP BY 1)
-UNION ALL
-SELECT 'pcont', source, (quantile_cont(n_chars, 0.25) * 4)::BIGINT,
-       (quantile_cont(n_chars, 0.5) * 4)::BIGINT, (quantile_cont(n_chars, 0.75) * 4)::BIGINT
-FROM (SELECT coalesce(source, '<NULL>') AS source, n_chars FROM documents)
-GROUP BY source HAVING count(n_chars) > 0
-UNION ALL
-SELECT 'topw', source || '|' || word, rank, n, 0::BIGINT FROM (
-WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word
-           FROM documents WHERE text IS NOT NULL),
-c AS (SELECT source, word, count(*)::BIGINT AS n FROM w GROUP BY source, word),
-r AS (SELECT source, word, n,
-      row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC)::BIGINT AS rank FROM c)
-SELECT source, word, n, rank FROM r WHERE rank <= 10)""",
+)""",
         # hopping windows (60 min window / 30 min hop → each event lands in
         # 2 windows): replicate via unnest([0,1]), same integer-cents sum
         "events_hopping": """
@@ -2171,31 +2077,7 @@ FROM documents GROUP BY 1, 2
 UNION ALL
 SELECT 'sample' AS kind, CAST(doc_id AS VARCHAR) AS key, 1::BIGINT AS n
 FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5
-UNION ALL
-SELECT kind, source AS key, n FROM (
-WITH w AS (SELECT doc_id, coalesce(source, '<NULL>') AS source,
-   CASE coalesce(source, '<NULL>') WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
-        WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 100 END AS wx,
-   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
-  FROM documents),
-c AS (SELECT doc_id, source,
-      (wx // 100 + CASE WHEN b < wx % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies FROM w)
-SELECT 'mix' AS kind, source, sum(n_copies)::BIGINT AS n FROM c GROUP BY source
-UNION ALL
-SELECT 'mixdocs', source, count(*)::BIGINT FROM c GROUP BY source)
-UNION ALL
-SELECT 'ek', CAST(doc_id AS VARCHAR), rank FROM (
-  SELECT doc_id, row_number() OVER (ORDER BY
-    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id)::BIGINT AS rank
-  FROM documents) WHERE rank <= 50
-UNION ALL
-SELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM (
-  SELECT coalesce(source, '<NULL>') AS source, doc_id,
-         row_number() OVER (PARTITION BY coalesce(source, '<NULL>')
-           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
-                    doc_id)::BIGINT AS rank
-  FROM documents) WHERE rank <= 5""",
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 5""",
         # epoch-weighted domain mixture: per-source resample plan (the
         # Pile-style mix primitive; weights fixed in _MIX_X100)
         "mixture_counts": """
@@ -2239,14 +2121,7 @@ FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
      JOIN embeddings b ON a.vec_id < b.vec_id
      JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-GROUP BY b.vec_id
-UNION ALL
-SELECT 'centroid', label * 1000 + dim, n, sum_q FROM (
-  SELECT label::BIGINT AS label, i::BIGINT AS dim, count(*)::BIGINT AS n, sum(qv)::BIGINT AS sum_q FROM (
-    SELECT label, unnest(range(len(embedding))) AS i,
-           floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS qv
-    FROM embeddings)
-  GROUP BY 1, 2)""",
+GROUP BY b.vec_id""",
         # fused-union legs (tail queries, verified locally by the same SQL)
         "embedding_kmeans": f"""
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
@@ -2365,3 +2240,50 @@ WITH chars AS (
 SELECT doc_id, bin::BIGINT AS bin, count(*)::BIGINT AS n
 FROM chars GROUP BY doc_id, bin""",
     }
+
+    # Fused-union oracles are COMPOSED from the standalone leg oracles so
+    # the two copies can never drift (session review finding: verbatim
+    # duplicates desynchronize silently).
+    o["relational_meta"] += (
+        "\nUNION ALL\nSELECT 'fjoin', segment, n_rows_matched, n_rows_cust_only,"
+        " n_rows_order_only FROM (" + o["customer_orders_fulljoin"] + ")"
+        "\nUNION ALL\nSELECT 'pcont', source, (p25*4)::BIGINT, (p50*4)::BIGINT,"
+        " (p75*4)::BIGINT FROM (" + o["docs_quantile_cont"] + ")"
+        "\nUNION ALL\nSELECT 'topw', source || '|' || word, rank, n, 0::BIGINT FROM ("
+        + o["text_top_words"] + ")"
+    )
+    o["relational_meta2"] += (
+        "\nUNION ALL\nSELECT 'islands', CAST(user_id AS VARCHAR), n_islands,"
+        " covered_us FROM (" + o["events_interval_merge"] + ")"
+        "\nUNION ALL\nSELECT 'streak', CAST(user_id AS VARCHAR) || '|' || streak_type,"
+        " streak_len, 0::BIGINT FROM (" + o["events_streaks"] + ")"
+        "\nUNION ALL\nSELECT 'path', CAST(user_id AS VARCHAR) || '|' || path,"
+        " n_events, 0::BIGINT FROM (" + o["events_paths"] + ")"
+        "\nUNION ALL\nSELECT 'mad', event_type, mad, med FROM ("
+        + o["events_mad_outliers"] + ")"
+        "\nUNION ALL\nSELECT 'madout', event_type, 0::BIGINT, n_outliers FROM ("
+        + o["events_mad_outliers"] + ")"
+        "\nUNION ALL\nSELECT 'windedup', event_type, n_rows, n_kept FROM ("
+        + o["events_window_dedup"] + ")"
+        "\nUNION ALL\nSELECT 'gapfill', CAST(user_id AS VARCHAR) || '|' || day, n,"
+        " 0::BIGINT FROM (" + o["events_daily_gapfill"] + ")"
+        "\nUNION ALL\nSELECT 'cohort', CAST(cohort_week AS VARCHAR), week_offset,"
+        " n_users FROM (" + o["events_cohort_retention"] + ")"
+        "\nUNION ALL\nSELECT 'overlap', type_a || '|' || type_b, n_users,"
+        " 0::BIGINT FROM (" + o["events_type_overlap"] + ")"
+        "\nUNION ALL\nSELECT 'cumu', day, n_new, n_cum FROM ("
+        + o["events_cumulative_users"] + ")"
+    )
+    o["sampling_assignment"] += (
+        "\nUNION ALL\nSELECT 'mix', source, n_rows_out FROM (" + o["mixture_counts"] + ")"
+        "\nUNION ALL\nSELECT 'mixdocs', source, n_docs FROM (" + o["mixture_counts"] + ")"
+        "\nUNION ALL\nSELECT 'ek', CAST(doc_id AS VARCHAR), rank FROM ("
+        + o["exact_k_sample"] + ")"
+        "\nUNION ALL\nSELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM ("
+        + o["exact_k_per_group"] + ")"
+    )
+    o["embedding_cluster_meta"] += (
+        "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("
+        + o["embedding_label_centroids"] + ")"
+    )
+    return o

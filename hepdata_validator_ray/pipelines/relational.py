@@ -11,6 +11,13 @@ compose into arbitrary analytics).  Patterns used:
   dim tables (SURVEY.md §2.4 J1)
 - grouped aggregates with named aliases so the DuckDB oracle matches by
   column name
+
+Epoch-bucketing contract: every time-window kernel floor-divides int64
+epoch microseconds (numpy ``//`` floors) while the DuckDB oracles use SQL
+``//`` (truncates toward zero) — identical for ts >= 1970-01-01, divergent
+before it.  Pre-1970 timestamps are out of contract for the whole family
+(tumbling/hopping/window_dedup/gapfill/cohort/cumulative); a real ingest
+would reject them at validation (the doc-kind router's ts range check).
 """
 
 from __future__ import annotations
@@ -1810,7 +1817,7 @@ def events_cohort_retention(sf_dir: str, num_buckets: int | None = None) -> "ray
     )
 
 
-def events_cumulative_users(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+def events_cumulative_users(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Running distinct-user count per day (the cumulative-distinct window
     SQL needs a first-seen trick for): day d's value counts every user
     whose FIRST event is on or before d.  Output (day, n_new, n_cum).

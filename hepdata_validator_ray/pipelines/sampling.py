@@ -333,15 +333,13 @@ def mixture_resample_counts(
         )
         return g.groupby(strata_col, as_index=False).sum()
 
+    from ray.data.aggregate import Sum
+
     return (
         ray.data.read_parquet(docs_path, columns=[key, strata_col])
         .map_batches(partial, batch_format="pandas", batch_size=8192)
         .groupby(strata_col)
-        .sum(["n_docs", "n_rows_out"])
-        .map_batches(
-            lambda t: t.rename_columns([strata_col, "n_docs", "n_rows_out"]),
-            batch_format="pyarrow",
-        )
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_rows_out", alias_name="n_rows_out"))
     )
 
 

@@ -310,3 +310,19 @@ def test_type_overlap_counts(tmp_path):
         {"type_a": "click", "type_b": "purchase", "n_users": 1},
         {"type_a": "click", "type_b": "view", "n_users": 1},
     ]
+
+
+def test_gapfill_oracle_span_bound_holds():
+    """The gapfill oracle joins a STATIC range(0, 2000); pin the data
+    contract it relies on — no user's first-to-last span reaches 2000 days
+    at either gate scale (review finding: the bound was unasserted)."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        mx = duckdb.sql(
+            f"""SELECT max(d1 - d0) FROM (
+                  SELECT min(epoch_us(ts) // 86400000000) d0,
+                         max(epoch_us(ts) // 86400000000) d1
+                  FROM read_parquet('{sf}/events.parquet') GROUP BY user_id)"""
+        ).fetchone()[0]
+        assert mx < 2000, f"{sf}: span {mx} breaks the static-series oracle bound"
