@@ -533,6 +533,11 @@ def _relational_meta2(sf_dir: str):
         relational.events_cohort_retention(sf_dir),
         relational.events_type_overlap(sf_dir),
     ]
+    # rolling-active + daily-delta execute eagerly by design (their output
+    # axis is |days|-sized); they run serially BEFORE the thread pool so
+    # every read_parquet construction stays on the driver thread
+    rl = relational.events_rolling_active_users(sf_dir)
+    dd = relational.events_daily_delta(sf_dir)
     with ThreadPoolExecutor(max_workers=4) as ex:
         fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov = list(
             ex.map(lambda d: d.to_pandas(), plans)
@@ -646,6 +651,22 @@ def _relational_meta2(sf_dir: str):
                     "gkey": ov["type_a"] + "|" + ov["type_b"],
                     "k2": ov["n_users"].astype("int64"),
                     "a": pd.Series([0] * len(ov), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "roll7",
+                    "gkey": rl["day"],
+                    "k2": rl["n_active"].astype("int64"),
+                    "a": pd.Series([0] * len(rl), dtype="int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "dod",
+                    "gkey": dd["day"] + "|" + dd["event_type"],
+                    "k2": dd["n"].astype("int64"),
+                    "a": dd["n_prev"].astype("int64"),
                 }
             ),
         ],
@@ -956,6 +977,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).label_centroid_sums(emb(sf)),
         "events_type_overlap": lambda sf: relational.events_type_overlap(sf),
+        # rolling 7-day active users (sliding-window distinct via per-user
+        # interval union + delta sweep) and day-over-day per-type deltas;
+        # gated via relational_meta2's roll7/dod legs
+        "events_rolling_active": lambda sf: relational.events_rolling_active_users(sf),
+        "events_daily_delta": lambda sf: relational.events_daily_delta(sf),
     }
 
 
@@ -1632,6 +1658,23 @@ c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
 SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
        sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
 FROM c""",
+        # rolling 7-day active users (static spine; global span bound
+        # pinned by test) and per-type day-over-day deltas
+        "events_rolling_active": """
+WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+spine AS (SELECT b.d0 + r.range AS day FROM b JOIN range(0, 2000) r ON r.range <= b.d1 - b.d0)
+SELECT strftime(make_timestamp(spine.day * 86400000000), '%Y-%m-%d') AS day,
+       count(DISTINCT p.user_id)::BIGINT AS n_active
+FROM spine LEFT JOIN p ON p.day BETWEEN spine.day - 6 AND spine.day
+GROUP BY spine.day""",
+        "events_daily_delta": """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, coalesce(event_type,'<NULL>') AS event_type FROM events),
+c AS (SELECT day, event_type, count(*)::BIGINT AS n FROM d GROUP BY 1, 2)
+SELECT strftime(make_timestamp(c.day * 86400000000), '%Y-%m-%d') AS day,
+       c.event_type, c.n, coalesce(p.n, 0)::BIGINT AS n_prev,
+       (c.n - coalesce(p.n, 0))::BIGINT AS delta
+FROM c LEFT JOIN c p ON p.day = c.day - 1 AND p.event_type = c.event_type""",
         # grouped heavy hitters: top-10 words per source, (n DESC, word ASC)
         "text_top_words": """
 WITH w AS (SELECT coalesce(source,'<NULL>') AS source, unnest(string_split(text, ' ')) AS word
@@ -2273,6 +2316,10 @@ FROM chars GROUP BY doc_id, bin""",
         " 0::BIGINT FROM (" + o["events_type_overlap"] + ")"
         "\nUNION ALL\nSELECT 'cumu', day, n_new, n_cum FROM ("
         + o["events_cumulative_users"] + ")"
+        "\nUNION ALL\nSELECT 'roll7', day, n_active, 0::BIGINT FROM ("
+        + o["events_rolling_active"] + ")"
+        "\nUNION ALL\nSELECT 'dod', day || '|' || event_type, n, n_prev FROM ("
+        + o["events_daily_delta"] + ")"
     )
     o["sampling_assignment"] += (
         "\nUNION ALL\nSELECT 'mix', source, n_rows_out FROM (" + o["mixture_counts"] + ")"

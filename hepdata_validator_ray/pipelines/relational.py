@@ -1906,3 +1906,118 @@ def events_type_overlap(sf_dir: str, num_buckets: int | None = None) -> "ray.dat
         .map_groups(per_bucket, batch_format="pandas")
     )
     return partials.groupby(["type_a", "type_b"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def events_rolling_active_users(sf_dir: str, window_days: int = 7, num_buckets: int | None = None) -> pd.DataFrame:
+    """Rolling N-day active users (sliding-window DISTINCT — the op a naive
+    SQL needs an O(days×rows) band join for): for every calendar day in the
+    global span, how many users had ≥1 event in the trailing N days.
+
+    Shape: one user_id exchange; per user the covered OUTPUT days are the
+    union of [day, day+N) intervals over the user's active days — the
+    interval-merge kernel — emitted as (start, +1) / (end, −1) DELTAS, so a
+    bucket ships O(islands) rows, never per-day rows.  The global sweep is
+    a groupby-sum over the delta axis plus a cumsum on the |days|-sized
+    spine (corpus-size-free, like events_cumulative_users).  Output
+    (day, n_active), all integers."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    DAY_US = np.int64(86_400_000_000)
+    w = np.int64(window_days)
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series(dtype="int64"), "delta": pd.Series(dtype="int64")})
+        day = df["ts"].to_numpy().astype("datetime64[us]").view("i8") // DAY_US
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+            .sort_values(["user_id", "day"], kind="mergesort")
+        )
+        users = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        n = len(d)
+        # interval union of [d, d+w) per user: next island when gap > w
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        new_island = np.r_[True, d[1:] > d[:-1] + w]
+        new_island[seg_starts] = True
+        isl_starts = np.flatnonzero(new_island)
+        isl_last = np.r_[isl_starts[1:] - 1, n - 1]
+        starts = d[isl_starts]
+        ends = d[isl_last] + w  # exclusive
+        out = pd.DataFrame(
+            {
+                "day": np.r_[starts, ends],
+                "delta": np.r_[np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)],
+            }
+        )
+        return out.groupby("day", as_index=False).sum()
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    dl = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(deltas, batch_format="pandas")
+        .groupby("day")
+        .aggregate(_Sum("delta", alias_name="delta"))
+    ).to_pandas()
+    dl = dl.sort_values("day").reset_index(drop=True)
+    dkeys = dl["day"].to_numpy()
+    dvals = dl["delta"].to_numpy().astype(np.int64)
+    # spine = event-day span only (deltas extend w-1 days past the last
+    # event; the report stops at the last EVENT day by definition)
+    d0 = int(dkeys[0])
+    d1 = int(dkeys[-1] - w)  # last event day = last end - w
+    spine = np.arange(d0, d1 + 1, dtype=np.int64)
+    run = np.zeros(len(spine), dtype=np.int64)
+    idx = np.searchsorted(spine, dkeys)
+    m = idx < len(spine)
+    np.add.at(run, idx[m], dvals[m])
+    n_active = np.cumsum(run)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(spine * 86_400, unit="s").strftime("%Y-%m-%d"),
+            "n_active": n_active,
+        }
+    )
+
+
+def events_daily_delta(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day change per event type: (day, event_type, n, n_prev,
+    delta) where n_prev is the PREVIOUS CALENDAR DAY's count (0 when
+    absent — a true day lag, not a lag over present-rows only).  The
+    per-(day,type) aggregate is the tiny events_daily table; the lag is a
+    driver-side vectorized shift over that |days|×|types| axis
+    (corpus-size-free)."""
+    DAY_US = 86_400_000_000
+
+    base = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "day": df["ts"].to_numpy().astype("datetime64[us]").view("i8") // DAY_US,
+                    "event_type": df["event_type"].fillna("<NULL>"),
+                    "n": np.ones(len(df), dtype=np.int64),
+                }
+            ).groupby(["day", "event_type"], as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    base = base.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = base.copy()
+    prev["day"] = prev["day"] + 1
+    m = base.merge(
+        prev.rename(columns={"n": "n_prev"}), on=["day", "event_type"], how="left"
+    )
+    m["n_prev"] = m["n_prev"].fillna(0).astype("int64")
+    m["n"] = m["n"].astype("int64")
+    m["delta"] = (m["n"] - m["n_prev"]).astype("int64")
+    m["day"] = pd.to_datetime(m["day"] * 86_400, unit="s").dt.strftime("%Y-%m-%d")
+    return m[["day", "event_type", "n", "n_prev", "delta"]]

@@ -326,3 +326,42 @@ def test_gapfill_oracle_span_bound_holds():
                   FROM read_parquet('{sf}/events.parquet') GROUP BY user_id)"""
         ).fetchone()[0]
         assert mx < 2000, f"{sf}: span {mx} breaks the static-series oracle bound"
+
+
+def test_rolling_active_window_semantics(tmp_path):
+    from hepdata_validator_ray.pipelines.relational import events_rolling_active_users
+
+    # user 1 active day 0; user 2 active day 5; user 3 active day 0 AND 9.
+    # 7-day window: day 0 → {1,3}=2; day 5 → {1,3(from d0? d0>=5-6 yes),2}=3;
+    # day 6 → {1,2,3}=3 (d0 still within [0,6]); day 7 → {2}=1 (d0 aged out,
+    # d5 in); day 9 → {3}+{2? d5>=3 yes}=2.
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 2, 5 * 24 * 60, "view", 1.0),
+            (3, 3, 0, "view", 1.0),
+            (4, 3, 9 * 24 * 60, "view", 1.0),
+        ],
+    )
+    out = events_rolling_active_users(d)
+    got = dict(zip(out["day"], out["n_active"]))
+    assert got["2024-01-01"] == 2
+    assert got["2024-01-06"] == 3
+    assert got["2024-01-07"] == 3  # day 6: users 1,3 (d0), 2 (d5)
+    assert got["2024-01-08"] == 1  # day 7: only user 2's d5 within window
+    assert got["2024-01-10"] == 2  # day 9: user 3's d9 + user 2's d5
+    assert len(out) == 10  # full spine, first to last event day
+
+
+def test_rolling_oracle_global_span_bound():
+    """The rolling oracle's spine uses a static range(0, 2000) over the
+    GLOBAL span — pin that bound too (the gapfill test pins per-user)."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        mx = duckdb.sql(
+            f"""SELECT max(epoch_us(ts) // 86400000000) - min(epoch_us(ts) // 86400000000)
+                FROM read_parquet('{sf}/events.parquet')"""
+        ).fetchone()[0]
+        assert mx < 2000, f"{sf}: global span {mx}"
