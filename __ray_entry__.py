@@ -881,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_unpivot": lambda sf: relational.events_daily_unpivot(sf),
         # REGR_SLOPE/REGR_INTERCEPT from the same integer-exact stats
         "events_value_regression": lambda sf: relational.events_value_regression(sf),
+        # skewness / excess kurtosis from integer-exact power sums (the
+        # corr template extended to 3rd/4th moments)
+        "events_value_moments": lambda sf: relational.events_value_moments(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1834,6 +1837,41 @@ WITH x AS (
 SELECT event_type, n_pairs, slope,
        (sy::DOUBLE - slope * sx::DOUBLE) / n_pairs::DOUBLE AS intercept
 FROM r""",
+        # population skewness / excess kurtosis from the SAME integer power
+        # sums the kernel ships; the scalar expressions are spelled with
+        # identical parenthesization (deliberately NOT skewness()/kurtosis()
+        # aggregates, whose accumulation order isn't reproducible from
+        # sufficient statistics)
+        "events_value_moments": """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+), s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_vals,
+         sum(k)::BIGINT AS s1, sum(k * k)::BIGINT AS s2,
+         sum(k * k * k)::BIGINT AS s3, sum(k * k * k * k)::BIGINT AS s4
+  FROM x GROUP BY event_type
+), v AS (
+  SELECT event_type, n_vals,
+         n_vals::DOUBLE AS n, s1::DOUBLE AS d1, s2::DOUBLE AS d2,
+         s3::DOUBLE AS d3, s4::DOUBLE AS d4,
+         n_vals::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE AS vn
+  FROM s
+)
+SELECT event_type, n_vals,
+       CASE WHEN vn > 0
+            THEN (n * n * d3 - 3.0 * n * d1 * d2 + 2.0 * d1 * d1 * d1)
+                 / (vn * sqrt(vn))
+            ELSE NULL END AS skew_pop,
+       CASE WHEN vn > 0
+            THEN (n * n * n * d4 - 4.0 * n * n * d1 * d3 + 6.0 * n * d1 * d1 * d2 - 3.0 * d1 * d1 * d1 * d1)
+                 / (vn * vn)
+                 - 3.0
+            ELSE NULL END AS kurt_pop
+FROM v""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

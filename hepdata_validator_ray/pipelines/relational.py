@@ -1293,6 +1293,105 @@ def events_value_regression(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
     return bucketed_aggregate(ds, "event_type", _suffstats_partial(key), combine, num_buckets=8)
 
 
+def _kmoment_partial(key: str):
+    """Map-side partial for higher-moment statistics: per batch and
+    event_type, INTEGER-EXACT (n, Σk, Σk², Σk³, Σk⁴) over the ``key`` int
+    extracted from the props JSON (same compiled-regex grammar as
+    events_props_stats / _suffstats_partial).  k is bounded (0..99 in the
+    synthetic contract), so k⁴ ≤ 9.8e7 and the int64 power sums stay exact
+    past 10¹¹ rows — the partials sum associatively with no float
+    summation-order divergence however the batches split."""
+    import re
+
+    import pyarrow as pa
+
+    pat = re.compile(r'[{,]\s*"' + re.escape(key) + r'"\s*:\s*(-?\d+)\s*[,}]')
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        y = pd.to_numeric(df["props"].str.extract(pat, expand=False), errors="coerce")
+        ok = y.notna().to_numpy()
+        k = y.to_numpy(dtype=np.float64)[ok].astype(np.int64)
+        k2 = k * k
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy()[ok],
+                    "n_vals": 1,
+                    "s1": k,
+                    "s2": k2,
+                    "s3": k2 * k,
+                    "s4": k2 * k2,
+                }
+            )
+            .groupby("event_type", as_index=False)[_KMOMENTS]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return partial
+
+
+_KMOMENTS = ["n_vals", "s1", "s2", "s3", "s4"]
+
+
+def events_value_moments(sf_dir: str, key: str = "k") -> "ray.data.Dataset":
+    """Per-group skewness and excess kurtosis (population form) of the props
+    ``key`` int field, from INTEGER-EXACT decomposable power sums
+    (n, Σk, Σk², Σk³, Σk⁴) — the corr/regression template extended to 3rd
+    and 4th moments.  With vn = n*Σk² − Σk*Σk:
+
+        skew_pop = (n*n*Σk³ − 3.0*n*Σk*Σk² + 2.0*Σk*Σk*Σk) / (vn*sqrt(vn))
+        kurt_pop = (n*n*n*Σk⁴ − 4.0*n*n*Σk*Σk³ + 6.0*n*Σk*Σk*Σk²
+                    − 3.0*Σk*Σk*Σk*Σk) / (vn*vn) − 3.0
+
+    Both expressions are spelled with IDENTICAL parenthesization in this
+    kernel and the DuckDB oracle, so the doubles hash bit-equal (the oracle
+    computes the same integer sums in SQL and applies the same scalar
+    expression — deliberately NOT DuckDB's skewness()/kurtosis() aggregates,
+    whose internal accumulation order is not reproducible from sufficient
+    statistics).  Both are NULL when vn ≤ 0 (zero variance or n < 2).
+    Rows whose props don't parse are excluded."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False)[_KMOMENTS].sum()
+        n = g["n_vals"].to_numpy(dtype=np.float64)
+        s1 = g["s1"].to_numpy(dtype=np.float64)
+        s2 = g["s2"].to_numpy(dtype=np.float64)
+        s3 = g["s3"].to_numpy(dtype=np.float64)
+        s4 = g["s4"].to_numpy(dtype=np.float64)
+        vn = n * s2 - s1 * s1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            skew = np.where(
+                vn > 0,
+                (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) / (vn * np.sqrt(vn)),
+                np.nan,
+            )
+            kurt = np.where(
+                vn > 0,
+                (n * n * n * s4 - 4.0 * n * n * s1 * s3 + 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1)
+                / (vn * vn)
+                - 3.0,
+                np.nan,
+            )
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_vals": g["n_vals"].astype("int64"),
+                "skew_pop": skew,
+                "kurt_pop": kurt,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+    return bucketed_aggregate(ds, "event_type", _kmoment_partial(key), combine, num_buckets=8)
+
+
 def events_daily_unpivot(
     sf_dir: str,
     values: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),

@@ -686,6 +686,55 @@ def test_events_value_corr_degenerate_and_nulls(tmp_path):
     assert "c" not in out.index
 
 
+def test_events_value_moments_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import events_value_moments
+
+    got = events_value_moments(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    want = _oracle_df("events_value_moments").sort_values("event_type").reset_index(drop=True)
+    # bit-identical doubles: identical parenthesization over identical
+    # integer power sums (NOT DuckDB's skewness()/kurtosis(), whose internal
+    # accumulation isn't reproducible from sufficient statistics)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_events_value_moments_degenerate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_value_moments
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 5 + ["b", "b", "c", "d"]),
+                "value": pa.array([1.0] * 9, type=pa.float64()),
+                # a: right-skewed sample; b: zero variance -> NULLs;
+                # c: single value -> vn = 0 -> NULLs; d: unparseable props
+                "props": pa.array(
+                    ['{"k": 0}', '{"k": 0}', '{"k": 1}', '{"k": 1}', '{"k": 10}',
+                     '{"k": 7}', '{"k": 7}', '{"k": 3}', "not json"]
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_value_moments(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_vals"] == 5 and out.loc["a", "skew_pop"] > 1.0
+    assert out.loc["b", "n_vals"] == 2 and pd.isna(out.loc["b", "skew_pop"])
+    assert pd.isna(out.loc["b", "kurt_pop"])
+    assert out.loc["c", "n_vals"] == 1 and pd.isna(out.loc["c", "kurt_pop"])
+    assert "d" not in out.index
+    # scipy-free sanity: population skew/kurt of a's sample via numpy
+    import numpy as np
+
+    k = np.array([0.0, 0.0, 1.0, 1.0, 10.0])
+    m = k.mean()
+    m2 = ((k - m) ** 2).mean()
+    assert out.loc["a", "skew_pop"] == pytest.approx(((k - m) ** 3).mean() / m2**1.5)
+    assert out.loc["a", "kurt_pop"] == pytest.approx(((k - m) ** 4).mean() / m2**2 - 3.0)
+
+
 def test_events_daily_unpivot_matches_duckdb():
     from hepdata_validator_ray.pipelines.relational import events_daily_unpivot
 
