@@ -884,6 +884,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skewness / excess kurtosis from integer-exact power sums (the
         # corr template extended to 3rd/4th moments)
         "events_value_moments": lambda sf: relational.events_value_moments(sf),
+        # the SQL ranking-window family (row_number/rank/dense_rank/
+        # percent_rank/cume_dist) per source in one exchange
+        "docs_rank_windows": lambda sf: relational.docs_rank_windows(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -1872,6 +1875,18 @@ SELECT event_type, n_vals,
                  - 3.0
             ELSE NULL END AS kurt_pop
 FROM v""",
+        # ranking windows: rn carries the full deterministic tie-break,
+        # the peer-frame functions order by n_chars only (SQL peers)
+        "docs_rank_windows": """
+SELECT doc_id, source,
+       row_number() OVER w1 AS rn,
+       rank() OVER w2 AS rnk,
+       dense_rank() OVER w2 AS drnk,
+       percent_rank() OVER w2 AS pr,
+       cume_dist() OVER w2 AS cd
+FROM (SELECT doc_id, source, coalesce(n_chars, 0) AS nc FROM documents)
+WINDOW w1 AS (PARTITION BY source ORDER BY nc DESC, doc_id),
+       w2 AS (PARTITION BY source ORDER BY nc DESC)""",
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """

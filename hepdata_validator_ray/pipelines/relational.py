@@ -1161,6 +1161,63 @@ def docs_ntile(sf_dir: str, n: int = 4) -> "ray.data.Dataset":
     return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)
 
 
+def docs_rank_windows(sf_dir: str) -> "ray.data.Dataset":
+    """The SQL ranking-window family in one pass: per source, ROW_NUMBER
+    (full (n_chars DESC, doc_id) tie-break), RANK / DENSE_RANK /
+    PERCENT_RANK / CUME_DIST (peers = equal n_chars, per SQL semantics —
+    the peer frame ignores the doc_id tie-break).  NULL n_chars coalesces
+    to 0 on both sides (the docs_ntile convention).
+
+    One source-keyed exchange; in-bucket everything is vectorized over the
+    (source, n_chars DESC, doc_id) mergesort order: run starts flag rank,
+    per-source cumsum of the flag gives dense_rank, a run-end transform
+    gives cume_dist.  percent_rank = (rank−1)/(cnt−1) and
+    cume_dist = peer_end/cnt are single divisions of exact integer doubles,
+    so they hash bit-equal against the SQL window functions (percent_rank
+    of a single-row partition is 0, pinned by test)."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["n_chars"] = df["n_chars"].fillna(0).astype("int64")
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        idx = df.groupby("source").cumcount().to_numpy()
+        cnt = df.groupby("source")["doc_id"].transform("size").to_numpy()
+        src = df["source"].to_numpy()
+        nc = df["n_chars"].to_numpy()
+        p = np.arange(len(df))
+        flag = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            flag[1:] = (src[1:] != src[:-1]) | (nc[1:] != nc[:-1])
+        start_p = np.maximum.accumulate(np.where(flag, p, -1))
+        rank = idx[start_p] + 1
+        dense = pd.Series(flag).groupby(df["source"]).cumsum().to_numpy()
+        run_id = np.cumsum(flag)
+        peer_end = pd.Series(idx).groupby(run_id).transform("max").to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(cnt > 1, (rank - 1.0) / (cnt - 1.0), 0.0)
+        cd = (peer_end + 1.0) / cnt
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "rn": (idx + 1).astype("int64"),
+                "rnk": rank.astype("int64"),
+                "drnk": dense.astype("int64"),
+                "pr": pr,
+                "cd": cd,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)
+
+
 #: column order of the moment-statistic partials shared by the corr and
 #: regression aggregates
 _SUFFSTATS = ["n_pairs", "sx", "sy", "sxy", "sxx", "syy"]

@@ -735,6 +735,40 @@ def test_events_value_moments_degenerate(tmp_path):
     assert out.loc["a", "kurt_pop"] == pytest.approx(((k - m) ** 4).mean() / m2**2 - 3.0)
 
 
+def test_docs_rank_windows_matches_duckdb():
+    from hepdata_validator_ray.pipelines.relational import docs_rank_windows
+
+    got = docs_rank_windows(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _oracle_df("docs_rank_windows").sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_docs_rank_windows_ties_and_single_row(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import docs_rank_windows
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "source": pa.array(["a", "a", "a", "a", "b"]),
+                # a: 5,5,3,1 (tie at top); b: single row
+                "n_chars": pa.array([5, 5, 3, 1, 9], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = docs_rank_windows(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "rn"] == 1 and out.loc[2, "rn"] == 2  # doc_id tie-break
+    assert out.loc[1, "rnk"] == 1 and out.loc[2, "rnk"] == 1  # peers share rank
+    assert out.loc[3, "rnk"] == 3 and out.loc[3, "drnk"] == 2  # rank gaps, dense doesn't
+    assert out.loc[1, "pr"] == 0.0 and out.loc[4, "pr"] == 1.0
+    assert out.loc[1, "cd"] == 0.5  # two peers of four rows
+    assert out.loc[5, "pr"] == 0.0 and out.loc[5, "cd"] == 1.0  # single-row partition
+
+
 def test_events_daily_unpivot_matches_duckdb():
     from hepdata_validator_ray.pipelines.relational import events_daily_unpivot
 
