@@ -464,6 +464,40 @@ def _relational_meta(sf_dir: str):
     )
 
 
+def _graph_meta(sf_dir: str):
+    """Fixed-point PageRank + degree-ordered triangle counting as ONE gated
+    union (kind, node, a) — the graph-algorithm slot.  Legs run serially:
+    both pipelines execute internally (materialize() between exchange
+    rounds), so thread-pooling the to_pandas adds nothing and the serial
+    order keeps every read_parquet plan construction on the driver thread
+    (the lazy-fsspec convention)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import graph
+
+    pr = graph.pagerank(sf_dir).to_pandas()
+    tri = graph.triangle_counts(sf_dir).to_pandas()
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "pr",
+                    "node": pr["ntype"] + ":" + pr["key"].astype("int64").astype(str),
+                    "a": pr["rank_fp"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "tri",
+                    "node": "p:" + tri["node"].astype("int64").astype(str),
+                    "a": tri["n_tri"].astype("int64"),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
 def _incremental_meta(sf_dir: str):
     """Forward incremental-content counts + bidirectional snapshot diff as
     ONE gated union (kind, k1, a): 'inc' rows carry the anti-join counts
@@ -756,13 +790,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "filtered_lineitem_count": relational.filtered_lineitem_count,
         "orders_customer_native_join": relational.orders_customer_native_join,
-        # fixed-point PageRank over the orders⋈lineitem trade graph — the
-        # iterative-algorithm gate (top_customers moved to the tail: its
-        # global top-k evidence overlaps v_longest_sequences +
-        # top_parts_per_brand; oracle retained)
-        "graph_pagerank": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
-        ).pagerank(sf),
+        # the graph-algorithm gate: fixed-point PageRank + degree-ordered
+        # triangle counting as one union (top_customers moved to the tail:
+        # its global top-k evidence overlaps v_longest_sequences +
+        # top_parts_per_brand; graph_pagerank's standalone oracle retained
+        # in the tail)
+        "graph_meta": _graph_meta,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "stratified_sample": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
@@ -887,6 +920,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the SQL ranking-window family (row_number/rank/dense_rank/
         # percent_rank/cume_dist) per source in one exchange
         "docs_rank_windows": lambda sf: relational.docs_rank_windows(sf),
+        # gated inside graph_meta; standalone oracles retained here
+        "graph_pagerank": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).pagerank(sf),
+        "graph_triangles": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).triangle_counts(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -2091,6 +2131,12 @@ FROM s""",
         "graph_pagerank": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).pagerank_oracle_sql(n_iter=3),
+        # triangle counts: DISTINCT-edges triple self-join (generated next
+        # to the kernel; orientation-invariant so it matches the
+        # degree-ordered wedge join exactly)
+        "graph_triangles": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).triangle_oracle_sql(),
         # same explicit ASCII classes as the pandas kernel; length() counts
         # CHARACTERS (like pandas .str.len(); strlen counts bytes and would
         # diverge on any non-ASCII char); null text stays null on both sides
@@ -2340,6 +2386,13 @@ FROM chars GROUP BY doc_id, bin""",
     # Fused-union oracles are COMPOSED from the standalone leg oracles so
     # the two copies can never drift (session review finding: verbatim
     # duplicates desynchronize silently).
+    o["graph_meta"] = (
+        "SELECT 'pr' AS kind, ntype || ':' || key::VARCHAR AS node, rank_fp AS a FROM ("
+        + o["graph_pagerank"]
+        + ")\nUNION ALL\nSELECT 'tri', 'p:' || node::VARCHAR, n_tri FROM ("
+        + o["graph_triangles"]
+        + ")"
+    )
     o["relational_meta"] += (
         "\nUNION ALL\nSELECT 'fjoin', segment, n_rows_matched, n_rows_cust_only,"
         " n_rows_order_only FROM (" + o["customer_orders_fulljoin"] + ")"

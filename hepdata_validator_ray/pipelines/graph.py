@@ -219,3 +219,310 @@ def pagerank_oracle_sql(n_iter: int = 3) -> str:
 SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS ntype,
        (node // 2)::BIGINT AS key, r AS rank_fp FROM r{n_iter}"""
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge join)
+# --------------------------------------------------------------------------
+
+
+def _within_group_pairs(group_key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered index pairs (i, j) with i < j inside each contiguous run
+    of equal ``group_key`` values — fully vectorized (the repeat +
+    segmented-arange kernel; no per-group Python).  Returns (first_idx,
+    second_idx) into the input order; 'first' always precedes 'second'
+    within its run, so a rank-sorted input yields rank-oriented pairs."""
+    n = len(group_key)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    flag = np.ones(n, dtype=bool)
+    flag[1:] = group_key[1:] != group_key[:-1]
+    starts = np.maximum.accumulate(np.where(flag, np.arange(n), 0))
+    j = np.arange(n) - starts  # in-group index == pairs ending at this row
+    total = int(j.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    second = np.repeat(np.arange(n), j)
+    pcum = np.concatenate([[0], np.cumsum(j)])[:-1]
+    first = np.repeat(starts, j) + (np.arange(total) - np.repeat(pcum, j))
+    return first, second
+
+
+def copurchase_edges(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Distinct undirected co-purchase edges (a < b): parts appearing in the
+    same order.  Two bucketed exchanges: rows of one order meet on
+    hash(orderkey) (within-order pair generation is the vectorized
+    segmented-pairs kernel — per-order part counts are small by the data
+    contract, ≤ a dozen, so the per-order quadratic blowup is bounded);
+    identical pairs from different orders then meet on hash(a) for the
+    global distinct.  Map-side (order, part) dedup shrinks exchange 1."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    line = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        line, target_rows_per_bucket=1_000_000, lo=16
+    )
+
+    def distinct_op(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["l_orderkey", "l_partkey"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates(["l_orderkey", "l_partkey"])
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(dtype=np.int64)
+        p = df["l_partkey"].to_numpy(dtype=np.int64)
+        fi, si = _within_group_pairs(o)
+        out = pd.DataFrame({"a": p[fi], "b": p[si]}).drop_duplicates(["a", "b"])
+        return out
+
+    pairs = (
+        line.map_batches(distinct_op, batch_format="pyarrow")
+        .map_batches(lambda t: with_bucket(t, "l_orderkey", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(order_pairs, batch_format="pandas")
+    )
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates(["a", "b"])
+        return df.astype({"a": "int64", "b": "int64"})
+
+    return (
+        pairs.map_batches(lambda t: with_bucket(t, "a", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(pair_distinct, batch_format="pandas")
+    )
+
+
+def triangle_counts(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-node triangle counts over the co-purchase graph — the classic
+    degree-ordered wedge join (Cohen / Suri–Vassilvitskii MR algorithm),
+    expressed as bucketed exchanges end to end; no driver-side adjacency,
+    no node-scale broadcast:
+
+    1. degrees via one node-keyed exchange over both endpoints;
+    2. degrees attach to edges via TWO tagged-union exchanges (the
+       pagerank/connected-components repartition-join pattern — degree
+       rows and edge rows meet on the same hash bucket);
+    3. each edge orients low-rank → high-rank where rank = (deg, id):
+       every triangle then materializes exactly once, as a wedge at its
+       lowest-rank corner matched against one oriented edge, and wedge
+       volume is the O(m^1.5) optimum instead of Σ deg² — the hot-node
+       (celebrity-part) guard;
+    4. wedges (out-adjacency pairs, rank-sorted so pair orientation is
+       free) meet oriented edges on hash(pair) in one more tagged union;
+       matches emit per-corner count partials, summed by a final
+       node-keyed exchange.
+
+    Counts are exact integers — the oracle is a DISTINCT-edges triple
+    self-join, hash-exact by construction."""
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        bucketed_aggregate,
+        derive_num_buckets,
+        with_bucket,
+    )
+
+    edges = copurchase_edges(sf_dir, num_buckets=num_buckets).materialize()
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        edges, target_rows_per_bucket=500_000, lo=16
+    )
+
+    # -- 1. degrees -------------------------------------------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        u, c = np.unique(node, return_counts=True)
+        return pa.Table.from_arrays([pa.array(u), pa.array(c.astype(np.int64))], names=["node", "deg"])
+
+    def deg_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=[BUCKET_COL])
+            .groupby("node", as_index=False)["deg"]
+            .sum()
+            .astype("int64")
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(lambda t: with_bucket(t, "node", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(deg_combine, batch_format="pandas")
+    ).materialize()
+
+    # -- 2. attach degrees (two tagged-union exchanges) --------------------
+    def tag_edges_a(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))
+        return pa.Table.from_arrays([t["a"], t["b"], fill], names=["k", "b", "deg"])
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))
+        return pa.Table.from_arrays([t["node"], fill, t["deg"]], names=["k", "b", "deg"])
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_deg = df["b"].to_numpy() == _TAG
+        dmap = dict(zip(df.loc[is_deg, "k"], df.loc[is_deg, "deg"]))
+        e = df[~is_deg]
+        if not len(e):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "da")})
+        return pd.DataFrame(
+            {
+                "a": e["k"].astype("int64"),
+                "b": e["b"].astype("int64"),
+                "da": e["k"].map(dmap).astype("int64"),
+            }
+        )
+
+    with_da = (
+        edges.map_batches(tag_edges_a, batch_format="pyarrow")
+        .union(degrees.map_batches(tag_deg, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "k", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach_a, batch_format="pandas")
+    )
+
+    def tag_edges_b(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))
+        return pa.Table.from_arrays([t["b"], t["a"], t["da"], fill], names=["k", "a", "da", "deg"])
+
+    def tag_deg_b(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))
+        return pa.Table.from_arrays([t["node"], fill, fill, t["deg"]], names=["k", "a", "da", "deg"])
+
+    def attach_b_and_orient(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_deg = df["da"].to_numpy() == _TAG
+        dmap = dict(zip(df.loc[is_deg, "k"], df.loc[is_deg, "deg"]))
+        e = df[~is_deg]
+        if not len(e):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("src", "dst", "dd")})
+        a = e["a"].to_numpy(dtype=np.int64)
+        b = e["k"].to_numpy(dtype=np.int64)
+        da = e["da"].to_numpy(dtype=np.int64)
+        db = e["k"].map(dmap).to_numpy(dtype=np.int64)
+        # rank = (deg, id): lower rank becomes src
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        dd = np.where(a_first, db, da)
+        return pd.DataFrame({"src": src, "dst": dst, "dd": dd})
+
+    oriented = (
+        with_da.map_batches(tag_edges_b, batch_format="pyarrow")
+        .union(degrees.map_batches(tag_deg_b, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "k", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach_b_and_orient, batch_format="pandas")
+    ).materialize()
+
+    # -- 3. wedges at the lowest-rank corner -------------------------------
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("y", "z", "u")})
+        # rank-sort out-adjacency: pair (first, second) is then oriented
+        df = df.sort_values(["src", "dd", "dst"], kind="mergesort")
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        fi, si = _within_group_pairs(src)
+        return pd.DataFrame({"y": dst[fi], "z": dst[si], "u": src[fi]})
+
+    wedge_ds = (
+        oriented.map_batches(lambda t: with_bucket(t, "src", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    # -- 4. wedge ⋈ edge on the PACKED pair, then per-node count ------------
+    # (y, z) packs losslessly into one int64 — node ids are < 2^32 by data
+    # contract (part keys; guarded below).  The packed pair IS the exchange
+    # key and the match value: wedge rows ship 2 int64 columns instead of 4
+    # and the in-bucket match is a single-int64 isin, not a two-column merge.
+    _PAIR_MASK = np.uint64(0xFFFFFFFF)
+
+    def _pack(y: np.ndarray, z: np.ndarray) -> np.ndarray:
+        yu = y.astype(np.uint64)
+        zu = z.astype(np.uint64)
+        if len(yu) and (int(yu.max()) >> 32 or int(zu.max()) >> 32):
+            raise ValueError(
+                "triangle_counts packs node ids into 32-bit halves; remap ids "
+                "below 2^32 (or switch the pair key to the hashed-pair path)"
+            )
+        return ((yu << np.uint64(32)) | zu).view(np.int64)
+
+    def key_wedges(t: pa.Table) -> pa.Table:
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = t["z"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays([pa.array(_pack(y, z)), t["u"]], names=["pk", "u"])
+
+    def key_edges(t: pa.Table) -> pa.Table:
+        y = t["src"].to_numpy(zero_copy_only=False)
+        z = t["dst"].to_numpy(zero_copy_only=False)
+        fill = pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))
+        return pa.Table.from_arrays([pa.array(_pack(y, z)), fill], names=["pk", "u"])
+
+    def match_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_edge = df["u"].to_numpy() == _TAG
+        pk = df["pk"].to_numpy(dtype=np.int64)
+        w_pk = pk[~is_edge]
+        hit = np.isin(w_pk, pk[is_edge])
+        m_pk = w_pk[hit]
+        if not len(m_pk):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("node", "cnt")})
+        mu = df["u"].to_numpy(dtype=np.int64)[~is_edge][hit]
+        upk = m_pk.view(np.uint64)
+        node = np.concatenate(
+            [mu, (upk >> np.uint64(32)).astype(np.int64), (upk & _PAIR_MASK).astype(np.int64)]
+        )
+        u, c = np.unique(node, return_counts=True)
+        return pd.DataFrame({"node": u.astype(np.int64), "cnt": c.astype(np.int64)})
+
+    matched = (
+        wedge_ds.map_batches(key_wedges, batch_format="pyarrow")
+        .union(oriented.map_batches(key_edges, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "pk", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(match_and_count, batch_format="pandas")
+    )
+
+    def final_sum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("node", as_index=False)["cnt"].sum()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": df["node"].astype("int64"), "n_tri": df["cnt"].astype("int64")}),
+            preserve_index=False,
+        )
+
+    return bucketed_aggregate(matched, "node", None, final_sum, num_buckets=max(8, nb // 2))
+
+
+def triangle_oracle_sql() -> str:
+    """DuckDB oracle: DISTINCT co-purchase edges, then the canonical triple
+    self-join (each triangle materializes once as a < b < c by part id —
+    orientation-invariant, so it matches the degree-ordered kernel count)."""
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT l1.p AS a, l2.p AS b
+  FROM li l1 JOIN li l2 ON l1.o = l2.o AND l1.p < l2.p
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, count(*)::BIGINT AS n_tri
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node"""
