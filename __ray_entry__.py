@@ -517,6 +517,9 @@ def _incremental_meta(sf_dir: str):
     diff = dedup.snapshot_diff(
         f"{sf_dir}/documents.parquet", ensure_mutated_documents_parquet(sf_dir)
     ).to_pandas()
+    link = dedup.edit_distance_links(
+        f"{sf_dir}/documents.parquet", ensure_mutated_documents_parquet(sf_dir)
+    ).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -527,6 +530,15 @@ def _incremental_meta(sf_dir: str):
                 }
             ),
             pd.DataFrame({"kind": "diff", "k1": diff["status"], "a": diff["doc_id"].astype("int64")}),
+            pd.DataFrame(
+                {
+                    "kind": "link",
+                    "k1": link["doc_id_a"].astype("int64").astype(str)
+                    + ">"
+                    + link["doc_id_b"].astype("int64").astype(str),
+                    "a": link["dist"].astype("int64"),
+                }
+            ),
         ],
         ignore_index=True,
     )
@@ -920,6 +932,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the SQL ranking-window family (row_number/rank/dense_rank/
         # percent_rank/cume_dist) per source in one exchange
         "docs_rank_windows": lambda sf: relational.docs_rank_windows(sf),
+        # record linkage: blocked edit-distance join between the two crawls
+        # (gated as incremental_meta's link leg; standalone oracle here)
+        "linkage_edit_distance": lambda sf: dedup.edit_distance_links(
+            f"{sf}/documents.parquet",
+            __import__(
+                "hepdata_validator_ray.synth", fromlist=["x"]
+            ).ensure_mutated_documents_parquet(sf),
+        ),
         # gated inside graph_meta; standalone oracles retained here
         "graph_pagerank": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
@@ -1927,6 +1947,31 @@ SELECT doc_id, source,
 FROM (SELECT doc_id, source, coalesce(n_chars, 0) AS nc FROM documents)
 WINDOW w1 AS (PARTITION BY source ORDER BY nc DESC, doc_id),
        w2 AS (PARTITION BY source ORDER BY nc DESC)""",
+        # blocked record linkage between the two crawls: the oracle states
+        # the SAME blocking join (source + 16-char text prefix) and scores
+        # candidates with DuckDB's native levenshtein() over the 16-char
+        # suffix window — exact integer distances, hash-exact vs the
+        # batched-DP numpy kernel (cell-exact parity pinned in tests)
+        "linkage_edit_distance": """
+WITH o AS (
+  SELECT doc_id,
+         coalesce(source,'') || '|' || substr(coalesce(text,''), 1, 16) AS bk,
+         right(coalesce(text,''), 16) AS sfx
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         coalesce(source,'') || '|' || substr(coalesce(text,''), 1, 16) AS bk,
+         right(coalesce(text,''), 16) AS sfx
+  FROM read_parquet('{mutated}'))
+SELECT o.doc_id AS doc_id_a, n.doc_id AS doc_id_b,
+       levenshtein(o.sfx, n.sfx)::BIGINT AS dist
+FROM o JOIN n ON o.bk = n.bk
+WHERE levenshtein(o.sfx, n.sfx) <= 14""".replace(
+            "{mutated}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(
+                "/root/testdata/sf0.01"
+            ),
+        ),
         # pivot: conditional aggregation mirrors the engine's declared
         # category list; out-of-list / NULL types fold into n_other
         "events_daily_pivot": """
@@ -2434,6 +2479,10 @@ FROM chars GROUP BY doc_id, bin""",
         + o["exact_k_sample"] + ")"
         "\nUNION ALL\nSELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM ("
         + o["exact_k_per_group"] + ")"
+    )
+    o["incremental_meta"] += (
+        "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
+        " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
     )
     o["embedding_cluster_meta"] += (
         "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("

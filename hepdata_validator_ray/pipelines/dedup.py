@@ -1179,3 +1179,139 @@ def dup_span_stats(
             batch_format="pyarrow",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Record linkage: blocked edit-distance join
+# --------------------------------------------------------------------------
+
+
+def _levenshtein_batch(a: pd.Series, b: pd.Series, width: int) -> np.ndarray:
+    """Exact unit-cost Levenshtein distance for P string pairs at once —
+    the DP runs as width² vectorized numpy steps over the PAIR axis (no
+    per-pair Python), the standard trick for batched small-string DP.
+    Strings are ASCII by the documents data contract and pre-truncated to
+    ``width`` chars; verified cell-exact against DuckDB's levenshtein()
+    over random length-0..12 pairs."""
+    la = a.str.len().to_numpy(dtype=np.int64)
+    lb = b.str.len().to_numpy(dtype=np.int64)
+    P = len(a)
+    am = np.frombuffer("".join(a.str.ljust(width, "\x00")).encode("ascii"), dtype=np.uint8).reshape(P, width)
+    bm = np.frombuffer("".join(b.str.ljust(width, "\x00")).encode("ascii"), dtype=np.uint8).reshape(P, width)
+    rows = [np.tile(np.arange(width + 1, dtype=np.int32), (P, 1))]
+    prev = rows[0]
+    for i in range(1, width + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = am[:, i - 1][:, None]
+        cost = (ai != bm).astype(np.int32)
+        for j in range(1, width + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), prev[:, j - 1] + cost[:, j - 1]
+            )
+        rows.append(cur)
+        prev = cur
+    dp = np.stack(rows)  # (width+1, P, width+1)
+    return dp[la, np.arange(P), lb].astype(np.int64)
+
+
+def edit_distance_links(
+    base_path: str,
+    new_path: str,
+    max_dist: int = 14,
+    block_prefix: int = 16,
+    window: int = 16,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Record linkage between two crawls by blocked edit distance: block on
+    the STABLE fields (source + first ``block_prefix`` text chars — edits
+    in this corpus append, so prefixes survive), then score candidates on
+    the VOLATILE field (exact Levenshtein over the last ``window`` chars)
+    and keep pairs with distance ≤ ``max_dist``.  The classic
+    blocking-then-fuzzy-match shape: candidate volume is Σ|L_g|·|R_g| over
+    blocks — bounded by the block key's selectivity, never |base|·|new| —
+    and each block's pairs are generated by a vectorized segmented
+    cross-product (repeat / mod arithmetic, no per-block Python).
+
+    One tagged-union exchange co-locates both sides of a block; the DP is
+    ``_levenshtein_batch`` (width² numpy steps over the pair axis).  The
+    DuckDB oracle states the same blocking join with its native
+    levenshtein(); distances are exact integers, hash-exact."""
+
+    def prep(side: int, path: str):
+        def fn(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            txt = df["text"].fillna("")
+            bk = df["source"].fillna("") + "|" + txt.str[:block_prefix]
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "bk": bk,
+                        "doc_id": df["doc_id"].astype("int64"),
+                        "sfx": txt.str[-window:],
+                        "side": np.int64(side),
+                    }
+                ),
+                preserve_index=False,
+            )
+
+        return ray.data.read_parquet(path, columns=["doc_id", "source", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    def link(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df.sort_values(["bk", "side", "doc_id"], kind="mergesort").reset_index(drop=True)
+        empty = pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(dtype="int64"),
+                "doc_id_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        # contiguous (bk, side) runs -> per-block left/right extents
+        g = df.groupby("bk", sort=False)
+        side = df["side"].to_numpy()
+        pos = np.arange(len(df))
+        blk = g.ngroup().to_numpy()
+        is_l = side == 0
+        # per block: left start/count, right start/count
+        nblk = blk[-1] + 1 if len(blk) else 0
+        l_cnt = np.bincount(blk[is_l], minlength=nblk)
+        r_cnt = np.bincount(blk[~is_l], minlength=nblk)
+        l_start = np.full(nblk, -1, dtype=np.int64)
+        r_start = np.full(nblk, -1, dtype=np.int64)
+        # first position of each (block, side) run (sorted: left precedes right)
+        first_of_blk = np.unique(blk, return_index=True)[1]
+        l_start[l_cnt > 0] = first_of_blk[l_cnt > 0]
+        r_start[r_cnt > 0] = first_of_blk[r_cnt > 0] + l_cnt[r_cnt > 0]
+        m = l_cnt * r_cnt  # pairs per block
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        keep = m > 0
+        off = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(m[keep])])[:-1], m[keep])
+        rrep = np.repeat(r_cnt[keep], m[keep])
+        li = np.repeat(l_start[keep], m[keep]) + off // rrep
+        ri = np.repeat(r_start[keep], m[keep]) + off % rrep
+        d = _levenshtein_batch(
+            df["sfx"].iloc[li].reset_index(drop=True),
+            df["sfx"].iloc[ri].reset_index(drop=True),
+            window,
+        )
+        ok = d <= max_dist
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id_a": ids[li[ok]], "doc_id_b": ids[ri[ok]], "dist": d[ok]}
+        )
+
+    both = prep(0, base_path).union(prep(1, new_path))
+    return (
+        both.map_batches(lambda t: with_bucket(t, "bk", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(link, batch_format="pandas")
+    )
