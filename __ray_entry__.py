@@ -2102,6 +2102,75 @@ UNION ALL SELECT doc_id, 'quality_bucket', n FROM qb
 UNION ALL SELECT e.doc_id, 'dup_spans', count(*) FILTER (WHERE sdf.df >= 2)::BIGINT
   FROM expl e JOIN (SELECT s, count(*)::BIGINT AS df FROM expl GROUP BY s) sdf USING (s)
   GROUP BY e.doc_id""",
+        # standalone oracles for the training_meta legs (same SQL semantics
+        # as the fused oracle above, restated over each leg's own output
+        # schema — any drift between the two spellings fails the gate,
+        # since both run against the same engine code)
+        "training_packing": """
+WITH n AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM n)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // 512)::BIGINT AS pack_first,
+       ((tok_start + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS pack_last,
+       ((tok_start + greatest(n_tokens, 1) - 1) // 512 - tok_start // 512 + 1)::BIGINT AS n_packs
+FROM s""",
+        "training_contamination": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh
+  FROM w),
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+ev AS (SELECT DISTINCT s FROM expl WHERE doc_id % 97 = 0)
+SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS contam_hits
+FROM documents d LEFT JOIN (
+  SELECT e.doc_id, count(DISTINCT e.s)::BIGINT AS n
+  FROM expl e JOIN ev USING (s) GROUP BY e.doc_id
+) c USING (doc_id)""",
+        "training_lm_scores": """
+WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*)::BIGINT AS c FROM wx GROUP BY word)
+SELECT wx.doc_id, SUM(wc.c)::BIGINT AS lm_freq_sum, count(*)::BIGINT AS n_tokens
+FROM wx JOIN wc USING (word) GROUP BY wx.doc_id""",
+        "rag_chunks": """
+WITH k AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+         CASE WHEN len(string_split(text, ' ')) <= 64 THEN 0
+              ELSE (len(string_split(text, ' ')) - 64 + 47) // 48 END AS kmax
+  FROM documents),
+e AS (SELECT doc_id, n, unnest(range(0, kmax + 1)) AS chunk_idx FROM k)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * 48)::BIGINT AS w_start,
+       least(chunk_idx * 48 + 64, n)::BIGINT AS w_end
+FROM e""",
+        # PII scrub counts: the IDENTICAL RE2-safe regexes run on both
+        # engines over the same sequential-replacement stages (URL first —
+        # it may embed @ or digits); n_redacted_chars adds back the
+        # replacement-token lengths (5/7/7)
+        "training_pii_scrub": """
+WITH s1 AS (SELECT doc_id, text,
+                   regexp_replace(text, 'XURLX', '<URL>', 'g') AS t1,
+                   len(regexp_extract_all(text, 'XURLX'))::BIGINT AS n_urls
+            FROM documents),
+s2 AS (SELECT *, regexp_replace(t1, 'XEMAILX', '<EMAIL>', 'g') AS t2,
+              len(regexp_extract_all(t1, 'XEMAILX'))::BIGINT AS n_emails FROM s1),
+s3 AS (SELECT *, regexp_replace(t2, 'XPHONEX', '<PHONE>', 'g') AS t3,
+              len(regexp_extract_all(t2, 'XPHONEX'))::BIGINT AS n_phones FROM s2)
+SELECT doc_id, n_urls, n_emails, n_phones,
+       (strlen(text) - strlen(t3) + 5*n_urls + 7*n_emails + 7*n_phones)::BIGINT AS n_redacted_chars
+FROM s3""".replace(
+            "XURLX", __import__("hepdata_validator_ray.pipelines.training", fromlist=["x"]).URL_PATTERN
+        ).replace(
+            "XEMAILX", __import__("hepdata_validator_ray.pipelines.training", fromlist=["x"]).EMAIL_PATTERN
+        ).replace(
+            "XPHONEX", __import__("hepdata_validator_ray.pipelines.training", fromlist=["x"]).PHONE_PATTERN
+        ),
         # quality + Gopher/C4-style repetition counts — bigram key uses ' '
         # concat, injective because words are themselves space-split
         "text_quality": """
