@@ -578,6 +578,7 @@ def _relational_meta2(sf_dir: str):
         relational.events_daily_gapfill(sf_dir),
         relational.events_cohort_retention(sf_dir),
         relational.events_type_overlap(sf_dir),
+        relational.events_time_band_pairs(sf_dir),
     ]
     # rolling-active + daily-delta execute eagerly by design (their output
     # axis is |days|-sized); they run serially BEFORE the thread pool so
@@ -585,7 +586,7 @@ def _relational_meta2(sf_dir: str):
     rl = relational.events_rolling_active_users(sf_dir)
     dd = relational.events_daily_delta(sf_dir)
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov = list(
+        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj = list(
             ex.map(lambda d: d.to_pandas(), plans)
         )
     pct_long = []
@@ -713,6 +714,16 @@ def _relational_meta2(sf_dir: str):
                     "gkey": dd["day"] + "|" + dd["event_type"],
                     "k2": dd["n"].astype("int64"),
                     "a": dd["n_prev"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "bandjoin",
+                    "gkey": bj["event_id_a"].astype("int64").astype(str)
+                    + ">"
+                    + bj["event_id_b"].astype("int64").astype(str),
+                    "k2": bj["dt_us"].astype("int64"),
+                    "a": pd.Series([0] * len(bj), dtype="int64"),
                 }
             ),
         ],
@@ -1048,6 +1059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gated via relational_meta2's roll7/dod legs
         "events_rolling_active": lambda sf: relational.events_rolling_active_users(sf),
         "events_daily_delta": lambda sf: relational.events_daily_delta(sf),
+        # non-equi time-band range join (gated as relational_meta2's
+        # bandjoin leg; standalone oracle here)
+        "events_time_band_pairs": lambda sf: relational.events_time_band_pairs(sf),
     }
 
 
@@ -1724,6 +1738,13 @@ c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
 SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
        sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
 FROM c""",
+        # the non-equi time-band range join: native SQL theta self-join;
+        # strict > on ts matches the engine's orientation rule
+        "events_time_band_pairs": """
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       date_diff('microsecond', a.ts, b.ts)::BIGINT AS dt_us
+FROM events a JOIN events b
+  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 SECONDS""",
         # rolling 7-day active users (static spine; global span bound
         # pinned by test) and per-type day-over-day deltas
         "events_rolling_active": """
@@ -2540,6 +2561,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["events_rolling_active"] + ")"
         "\nUNION ALL\nSELECT 'dod', day || '|' || event_type, n, n_prev FROM ("
         + o["events_daily_delta"] + ")"
+        "\nUNION ALL\nSELECT 'bandjoin', CAST(event_id_a AS VARCHAR) || '>' ||"
+        " CAST(event_id_b AS VARCHAR), dt_us, 0::BIGINT FROM ("
+        + o["events_time_band_pairs"] + ")"
     )
     o["sampling_assignment"] += (
         "\nUNION ALL\nSELECT 'mix', source, n_rows_out FROM (" + o["mixture_counts"] + ")"

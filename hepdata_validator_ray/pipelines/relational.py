@@ -2177,3 +2177,94 @@ def events_daily_delta(sf_dir: str) -> pd.DataFrame:
     m["delta"] = (m["n"] - m["n_prev"]).astype("int64")
     m["day"] = pd.to_datetime(m["day"] * 86_400, unit="s").dt.strftime("%Y-%m-%d")
     return m[["day", "event_type", "n", "n_prev", "delta"]]
+
+
+def events_time_band_pairs(
+    sf_dir: str, band_seconds: int = 10, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Global time-band self-join — the true NON-EQUI range join: all
+    event pairs (a, b) with ``a.ts < b.ts <= a.ts + band_seconds``,
+    regardless of user.  Output (event_id_a, event_id_b, dt_us).
+
+    The banded-exchange shape (the standard distributed range-join
+    partitioning): band window ``k = ts_us // band_us``; a pair's right
+    side can only sit in the left side's window k or k+1, so every event
+    ships NATIVE to partition ``k % nb`` plus one OVERFLOW copy to
+    ``(k-1) % nb`` — exactly 2× the input rows move, never a cross
+    product.  In-partition, lefts are the natives only (each event is
+    native to exactly one partition, so each pair is generated exactly
+    once); candidates are all rows present, searchsorted against
+    ``(ta, ta + band]`` bounds, pairs expanded by the segmented-arange
+    kernel.  Far-away windows that share a partition by the modulus are
+    filtered by the same range check — correctness never depends on the
+    partition count.  Output volume is the join's true cardinality
+    (quadratic in any single burst — an inherent property of the range
+    join, not of this plan); strict ``<`` on ts means simultaneous events
+    never pair, which keeps the pair set orientation-unambiguous without
+    an id tie-break.  Null-ts rows drop map-side, matching the SQL join
+    predicate's null semantics."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets
+
+    band_us = np.int64(band_seconds) * 1_000_000
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=250_000, lo=8
+    )
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna()]
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        k = ts // band_us
+        native = pd.DataFrame(
+            {"event_id": eid, "ts_us": ts, "native": np.True_, BUCKET_COL: k % nb}
+        )
+        overflow = pd.DataFrame(
+            {"event_id": eid, "ts_us": ts, "native": np.False_, BUCKET_COL: (k - 1) % nb}
+        )
+        return pd.concat([native, overflow], ignore_index=True)
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id_a": pd.Series(dtype="int64"),
+                "event_id_b": pd.Series(dtype="int64"),
+                "dt_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        # candidate side: every distinct event in the partition (an event
+        # appears native+overflow in ONE partition only when nb == 1)
+        cand = df.drop_duplicates("event_id").sort_values("ts_us", kind="mergesort")
+        cts = cand["ts_us"].to_numpy()
+        cid = cand["event_id"].to_numpy()
+        left = df[df["native"]]
+        ta = left["ts_us"].to_numpy()
+        la = left["event_id"].to_numpy()
+        lo = np.searchsorted(cts, ta, side="right")
+        hi = np.searchsorted(cts, ta + band_us, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        keep = cnt > 0
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt[keep])))[:-1], cnt[keep]
+        )
+        idx = np.repeat(lo[keep], cnt[keep]) + off
+        rep_a = np.repeat(np.arange(len(ta))[keep], cnt[keep])
+        return pd.DataFrame(
+            {
+                "event_id_a": la[rep_a],
+                "event_id_b": cid[idx],
+                "dt_us": cts[idx] - ta[rep_a],
+            }
+        )
+
+    return (
+        ds.map_batches(replicate, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(pair, batch_format="pandas")
+    )
