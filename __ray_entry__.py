@@ -1062,6 +1062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-equi time-band range join (gated as relational_meta2's
         # bandjoin leg; standalone oracle here)
         "events_time_band_pairs": lambda sf: relational.events_time_band_pairs(sf),
+        # per-source z-score + min-max feature normalization (broadcast
+        # integer group stats, float-parenthesization-exact)
+        "docs_feature_scaling": lambda sf: relational.docs_feature_scaling(sf),
     }
 
 
@@ -1738,6 +1741,22 @@ c AS (SELECT day, count(*)::BIGINT AS n_new FROM d GROUP BY 1)
 SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day, n_new,
        sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS n_cum
 FROM c""",
+        # per-source feature scaling: z and mm spelled with the engine's
+        # exact parenthesization over integer-exact group sums (corr
+        # precedent), so the doubles hash bit-equal
+        "docs_feature_scaling": """
+WITH s AS (
+  SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS sx, sum(n_chars * n_chars)::BIGINT AS sxx,
+         min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+SELECT d.doc_id, s.source,
+       CASE WHEN (sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) > 0
+            THEN (d.n_chars - sx::DOUBLE/n)
+                 / sqrt(sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) END AS z,
+       CASE WHEN mx > mn THEN (d.n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE END AS mm
+FROM documents d JOIN s ON coalesce(d.source, '<NULL>') = s.source
+WHERE d.n_chars IS NOT NULL""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

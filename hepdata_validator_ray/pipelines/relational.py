@@ -2268,3 +2268,87 @@ def events_time_band_pairs(
         .groupby(BUCKET_COL)
         .map_groups(pair, batch_format="pandas")
     )
+
+
+def docs_feature_scaling(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source feature normalization of n_chars — the training-feature
+    preprocessing pair: population z-score and min-max, broadcast from
+    integer-exact group statistics.  Two passes, NO wide shuffle: pass 1
+    aggregates (n, Σx, Σx², min, max) per source with map-side combine
+    (≤|sources| partial rows per batch; the group-count axis, not the
+    corpus axis); pass 2 broadcasts the tiny stats table via ray.put and
+    applies the per-row float transform vectorized per batch.
+
+    Float-parenthesization contract (the corr/regression precedent): both
+    engines evaluate z = (x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) and
+    mm = (x - mn) / (mx - mn) from the SAME exact int64 sums with the
+    SAME operation order, so the doubles hash bit-equal.  z is NULL when
+    the variance term is <= 0, mm is NULL when mx == mn; NULL n_chars
+    rows are excluded end-to-end (they enter neither the stats nor the
+    output); NULL source groups as '<NULL>' (the docs_lang_mode key
+    convention)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ok = df["n_chars"].notna()
+        x = df["n_chars"].to_numpy(dtype=np.float64)[ok.to_numpy()].astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "source": df["source"].fillna("<NULL>").to_numpy()[ok.to_numpy()],
+                    "n": 1,
+                    "sx": x,
+                    "sxx": x * x,
+                    "mn": x,
+                    "mx": x,
+                }
+            )
+            .groupby("source", as_index=False)
+            .agg(n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            ray.data.aggregate.Min("mn", alias_name="mn"),
+            ray.data.aggregate.Max("mx", alias_name="mx"),
+        )
+        .to_pandas()  # ≤|sources| rows — the broadcastable axis
+    )
+    mean = {}
+    sq = {}
+    mn_d = {}
+    rng_d = {}
+    for _, r in stats.iterrows():
+        n = float(r["n"])
+        m = float(r["sx"]) / n
+        v = float(r["sxx"]) / n - m * m
+        mean[r["source"]] = m
+        sq[r["source"]] = np.sqrt(v) if v > 0 else np.nan
+        mn_d[r["source"]] = np.int64(r["mn"])
+        rng_d[r["source"]] = np.float64(r["mx"] - r["mn"]) if r["mx"] > r["mn"] else np.nan
+    stats_ref = ray.put((mean, sq, mn_d, rng_d))
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        mean, sq, mn_d, rng_d = ray.get(stats_ref)
+        df = df[df["n_chars"].notna()]
+        src = df["source"].fillna("<NULL>")
+        x = df["n_chars"].to_numpy(dtype=np.float64).astype(np.int64)
+        m = src.map(mean).to_numpy(dtype=np.float64)
+        s = src.map(sq).to_numpy(dtype=np.float64)
+        mn = src.map(mn_d).to_numpy(dtype=np.float64)
+        rng = src.map(rng_d).to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (x - m) / s
+            mm = (x - mn) / rng
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(dtype=np.int64), "source": src, "z": z, "mm": mm}
+        )
+
+    return ds.map_batches(transform, batch_format="pandas")

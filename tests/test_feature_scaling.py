@@ -1,0 +1,70 @@
+"""Per-source z-score / min-max normalization (relational.docs_feature_scaling):
+bit-exact float parity vs DuckDB evaluating the identically-parenthesized
+expression, plus degenerate groups (constant, singleton) and NULL handling."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hepdata_validator_ray.pipelines.relational import docs_feature_scaling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(path):
+    return duckdb.sql(
+        f"""
+WITH s AS (
+  SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS sx, sum(n_chars * n_chars)::BIGINT AS sxx,
+         min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx
+  FROM read_parquet('{path}') WHERE n_chars IS NOT NULL GROUP BY 1)
+SELECT d.doc_id, s.source,
+       CASE WHEN (sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) > 0
+            THEN (d.n_chars - sx::DOUBLE/n)
+                 / sqrt(sxx::DOUBLE/n - (sx::DOUBLE/n)*(sx::DOUBLE/n)) END AS z,
+       CASE WHEN mx > mn THEN (d.n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE END AS mm
+FROM read_parquet('{path}') d JOIN s ON coalesce(d.source, '<NULL>') = s.source
+WHERE d.n_chars IS NOT NULL ORDER BY doc_id
+"""
+    ).df()
+
+
+def test_feature_scaling_bit_exact(ray_session):
+    got = (
+        docs_feature_scaling(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _oracle(f"{SF}/documents.parquet")
+    # check_exact: the floats must be BIT-identical, not just close —
+    # both engines evaluate the same parenthesization over the same ints
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+def test_feature_scaling_degenerate_groups(ray_session, tmp_path):
+    d = tmp_path / "sf"
+    d.mkdir()
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["const", "const", "const", "solo", None, None],
+            "n_chars": pd.array([7, 7, 7, 42, 5, None], dtype="Int64"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+    got = docs_feature_scaling(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # NULL n_chars row (doc 5) excluded end-to-end
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+    # constant group: zero variance and zero range -> both NULL
+    const = got[got["source"] == "const"]
+    assert const["z"].isna().all() and const["mm"].isna().all()
+    # singleton group: same (n=1 variance 0, mx==mn)
+    solo = got[got["source"] == "solo"]
+    assert solo["z"].isna().all() and solo["mm"].isna().all()
+    # NULL source groups under '<NULL>' and scales within that group
+    nul = got[got["source"] == "<NULL>"]
+    assert len(nul) == 1 and nul["z"].isna().all()  # single non-null member
