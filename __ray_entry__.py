@@ -1065,6 +1065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source z-score + min-max feature normalization (broadcast
         # integer group stats, float-parenthesization-exact)
         "docs_feature_scaling": lambda sf: relational.docs_feature_scaling(sf),
+        # TPC-H Q5: two native hash joins (lineitem, orders x customer) +
+        # broadcast dims, integer fixed-point revenue
+        "q5_regional_revenue": lambda sf: relational.q5_regional_revenue(sf),
     }
 
 
@@ -1757,6 +1760,22 @@ SELECT d.doc_id, s.source,
        CASE WHEN mx > mn THEN (d.n_chars - mn)::DOUBLE / (mx - mn)::DOUBLE END AS mm
 FROM documents d JOIN s ON coalesce(d.source, '<NULL>') = s.source
 WHERE d.n_chars IS NOT NULL""",
+        # TPC-H Q5 local-supplier volume; revenue in integer fixed-point
+        # (cents x discount-hundredths = 1e-4 dollars) so the sum is
+        # associative and hash-exact
+        "q5_regional_revenue": """
+SELECT n_name, count(*)::BIGINT AS n_lines,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS rev_fp4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+JOIN region r ON nn.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n_name""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

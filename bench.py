@@ -169,6 +169,15 @@ def pipeline_pagerank(sf_dir: str) -> int:
     return pagerank(sf_dir, n_iter=3).count()
 
 
+def pipeline_q5_join(sf_dir: str) -> int:
+    """TPC-H Q5: two native hash-partitioned joins (lineitem⋈(orders⋈
+    customer)) + broadcast dims + integer fixed-point aggregate — the
+    multi-way relational join pipeline."""
+    from hepdata_validator_ray.pipelines.relational import q5_regional_revenue
+
+    return q5_regional_revenue(sf_dir).count()
+
+
 def pipeline_training_pack(sf_dir: str) -> int:
     """Distributed prefix-sum packing + contamination + LM scoring — the
     training-prep trio as one number (they share the documents read)."""
@@ -251,6 +260,7 @@ PIPELINES = {
     "sessionize": pipeline_sessionize,
     "content_dedup": pipeline_content_dedup,
     "asof_join": pipeline_asof_join,
+    "q5_join": pipeline_q5_join,
     "ngram_jaccard": pipeline_ngram_jaccard,
     "training_pack": pipeline_training_pack,
     "mm_codec": pipeline_mm_codec,

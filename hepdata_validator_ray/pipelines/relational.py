@@ -2352,3 +2352,162 @@ def docs_feature_scaling(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(transform, batch_format="pandas")
+
+
+def q5_regional_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q5 (local-supplier volume): revenue per nation for orders in
+    a date year, customers in one region, and line items whose SUPPLIER
+    sits in the customer's own nation.  The multi-way join showcase:
+
+    - the two BIG sides (lineitem, orders⋈customer) meet in Ray Data's
+      native hash-partitioned inner joins — orders⋈customer on custkey,
+      then lineitem⋈that on orderkey; at 100 TB these are the genuinely
+      unbroadcastable tables and each joins on its natural key once;
+    - the DIM tables (supplier→nationkey, nation⋈region) broadcast as
+      plain dicts — supplier is the classic small side (10k rows/SF);
+    - orders are pruned AT THE READ with a parquet row-group filter on
+      o_orderdate (plus column pruning everywhere), so the year's slice
+      is all that enters the join;
+    - revenue is INTEGER fixed-point: cents(price) × (100 − hundredths
+      (discount)) — units of 10⁻⁴ dollars — so partial sums associate
+      and the DuckDB oracle is hash-exact (prices/discounts carry 2
+      decimals by the TPC-H data contract; round-to-nearest of p*100 has
+      no .5 ties).  Output (n_name, n_lines, rev_fp4)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq_meta
+
+    def _meta_rows(path: str) -> int:
+        # footer-only row count: no Ray execution, no data read
+        return _pq_meta.ParquetFile(path).metadata.num_rows
+
+    def _nblocks(rows: int, target: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
+        return int(min(hi, max(lo, -(-rows // target))))
+
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].to_numpy())
+    in_region = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(in_region["n_nationkey"].to_numpy(), in_region["n_name"].to_numpy()))
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_nat_ref = ray.put(dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())))
+    nat_name_ref = ray.put(nat_name)
+
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+    # Native hash joins cannot digest a side whose shuffle receives no
+    # rows at all: empty blocks are skipped by the shuffle map, so the
+    # aggregator's finalize builds a ZERO-COLUMN partition table and
+    # pa.Table.join raises "no match for key field".  A fully-pruned
+    # date window (and, transitively, an empty orders⋈customer result)
+    # hits exactly that.  Guard: union ONE sentinel row (all keys = -1,
+    # impossible for TPC-H keys) into each join leg; it survives every
+    # join by construction, pins every partition's schema (a non-empty
+    # block ships typed — if empty — shards to ALL partitions), and is
+    # stripped after the final aggregate.
+    sent_orders = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_custkey": pa.array([-1], pa.int64())})
+    )
+    sent_cust = ray.data.from_arrow(
+        pa.table({"c_custkey": pa.array([-1], pa.int64()), "c_nationkey": pa.array([-1], pa.int32())})
+    )
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "l_suppkey": pa.array([-1], pa.int64()),
+                "l_extendedprice": pa.array([0.0], pa.float64()),
+                "l_discount": pa.array([0.0], pa.float64()),
+            }
+        )
+    )
+
+    # block counts from parquet footers (pre-filter row counts are an
+    # upper proxy; keeps blocks ~500k rows so the shuffle map isn't
+    # dominated by per-tiny-block push overhead)
+    nb_orders = _nblocks(_meta_rows(_pq(sf_dir, "orders")))
+    nb_cust = _nblocks(_meta_rows(_pq(sf_dir, "customer")))
+    nb_li = _nblocks(_meta_rows(_pq(sf_dir, "lineitem")))
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(_pc.field("o_orderdate") >= _pc.scalar(lo)) & (_pc.field("o_orderdate") < _pc.scalar(hi)),
+            override_num_blocks=nb_orders,
+        )
+        .select_columns(["o_orderkey", "o_custkey"])
+        .union(sent_orders)
+    )
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"], override_num_blocks=nb_cust
+    ).union(sent_cust)
+    nparts = nb_cust
+    oc = orders.join(cust, join_type="inner", num_partitions=nparts, on=("o_custkey",), right_on=("c_custkey",))
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=nb_li,
+    ).union(sent_li)
+    lparts = nb_li
+    j = li.join(
+        oc.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner",
+        num_partitions=lparts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    class Finish:
+        def __init__(self, supp_ref, name_ref):
+            # sentinel mappings keep the fabricated row alive through the
+            # nation-match filter and the final aggregate (schema pin)
+            self.supp_nat = {**ray.get(supp_ref), -1: -1}
+            self.nat_name = {**ray.get(name_ref), -1: "<SENTINEL>"}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            s_nat = df["l_suppkey"].map(self.supp_nat)
+            keep = (s_nat == df["c_nationkey"]) & df["c_nationkey"].isin(self.nat_name)
+            df = df[keep.to_numpy(dtype=bool)]
+            if len(df) == 0:
+                # typed empty frame: a schemaless empty block would make
+                # the downstream aggregate warn about schema drift
+                return pd.DataFrame(
+                    {"n_name": pd.Series([], dtype=object),
+                     "n_lines": pd.Series([], dtype="int64"),
+                     "rev_fp4": pd.Series([], dtype="int64")}
+                )
+            cents = np.round(df["l_extendedprice"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+            d100 = np.round(df["l_discount"].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+            g = (
+                pd.DataFrame(
+                    {
+                        "n_name": df["c_nationkey"].map(self.nat_name),
+                        "n_lines": 1,
+                        "rev_fp4": cents * (100 - d100),
+                    }
+                )
+                .groupby("n_name", as_index=False)
+                .sum()
+            )
+            return g.astype({"n_lines": "int64", "rev_fp4": "int64"})
+
+    def _strip_sentinel(t: pa.Table) -> pa.Table:
+        # the aggregate output always holds the sentinel group, so this
+        # block is never empty and the UDF always runs (schema stays)
+        return t.filter(pc.not_equal(t["n_name"], "<SENTINEL>"))
+
+    return (
+        j.map_batches(
+            Finish,
+            fn_constructor_args=(supp_nat_ref, nat_name_ref),
+            batch_format="pandas",
+            concurrency=(1, 4),
+        )
+        .groupby("n_name")
+        .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("rev_fp4", alias_name="rev_fp4"))
+        .map_batches(_strip_sentinel, batch_format="pyarrow")
+    )

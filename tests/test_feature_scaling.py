@@ -68,3 +68,20 @@ def test_feature_scaling_degenerate_groups(ray_session, tmp_path):
     # NULL source groups under '<NULL>' and scales within that group
     nul = got[got["source"] == "<NULL>"]
     assert len(nul) == 1 and nul["z"].isna().all()  # single non-null member
+
+
+def test_q5_empty_window_stable_schema(ray_session):
+    """A date window before the data span returns ZERO rows with the
+    stable (n_name, n_lines, rev_fp4) schema — the join chain must not
+    collapse to a schemaless frame."""
+    from hepdata_validator_ray.pipelines.relational import q5_regional_revenue
+
+    out = q5_regional_revenue(
+        "/root/testdata/sf0.001", date_lo="1990-01-01", date_hi="1991-01-01"
+    ).materialize()
+    assert out.count() == 0
+    # the sentinel row pins the schema through the join chain and the
+    # aggregate even when every partition is otherwise empty (to_pandas
+    # on a 0-row dataset drops columns — the Dataset schema is the
+    # contract)
+    assert sorted(out.schema().names) == ["n_lines", "n_name", "rev_fp4"]
