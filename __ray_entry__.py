@@ -1068,6 +1068,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q5: two native hash joins (lineitem, orders x customer) +
         # broadcast dims, integer fixed-point revenue
         "q5_regional_revenue": lambda sf: relational.q5_regional_revenue(sf),
+        # TPC-H Q3: broadcast segment semi-join + map-side lineitem
+        # pre-aggregation into ONE native hash join + deterministic top-k
+        "q3_shipping_priority": lambda sf: relational.q3_shipping_priority(sf),
     }
 
 
@@ -1776,6 +1779,23 @@ JOIN region r ON nn.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
 GROUP BY n_name""",
+        # TPC-H Q3 top-k unshipped revenue; all-integer output (epoch days,
+        # priority leading digit, fixed-point revenue); unique-key
+        # tie-break makes the LIMIT deterministic
+        "q3_shipping_priority": """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS rev_fp4,
+       date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT AS o_date_days,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS o_pri
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-15' AND l.l_shipdate > DATE '1998-06-15'
+GROUP BY 1, 3, 4
+ORDER BY rev_fp4 DESC, l_orderkey
+LIMIT 10""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

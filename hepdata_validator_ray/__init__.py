@@ -28,6 +28,10 @@ Public surface:
 
 import hepdata_validator_ray.tuning  # noqa: F401  (allocator tuning, import side effect)
 
+from hepdata_validator_ray import rayfix as _rayfix
+
+_rayfix.apply()  # hash-shuffle empty-block schema-broadcast fix (see rayfix.py)
+
 from hepdata_validator_ray.schema import (
     SEQUENCE_SCHEMA,
     VIOLATION_SCHEMA,

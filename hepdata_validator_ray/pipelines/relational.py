@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 
 def _pq(sf_dir: str, table: str) -> str:
@@ -2399,16 +2399,17 @@ def q5_regional_revenue(
 
     lo = pd.Timestamp(date_lo)
     hi = pd.Timestamp(date_hi)
-    # Native hash joins cannot digest a side whose shuffle receives no
-    # rows at all: empty blocks are skipped by the shuffle map, so the
-    # aggregator's finalize builds a ZERO-COLUMN partition table and
-    # pa.Table.join raises "no match for key field".  A fully-pruned
-    # date window (and, transitively, an empty orders⋈customer result)
-    # hits exactly that.  Guard: union ONE sentinel row (all keys = -1,
-    # impossible for TPC-H keys) into each join leg; it survives every
-    # join by construction, pins every partition's schema (a non-empty
-    # block ships typed — if empty — shards to ALL partitions), and is
-    # stripped after the final aggregate.
+    # Native hash joins cannot digest a side whose shuffle never ships
+    # a schema: partitions that receive no rows finalize a ZERO-COLUMN
+    # table and pa.Table.join raises "no match for key field".
+    # rayfix.py patches the hash-shuffle schema broadcast so empty
+    # TYPED blocks disseminate their schema (upstream drops it); the
+    # remaining all-empty-side case (a fully-pruned date window emits
+    # only SCHEMALESS empty blocks) is covered by ONE matched sentinel
+    # row per join leg (all keys = -1, impossible for TPC-H keys): it
+    # survives every join and the final aggregate by construction, so
+    # the pipeline keeps its schema even on zero real rows, and is
+    # stripped at the end.
     sent_orders = ray.data.from_arrow(
         pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_custkey": pa.array([-1], pa.int64())})
     )
@@ -2510,4 +2511,148 @@ def q5_regional_revenue(
         .groupby("n_name")
         .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("rev_fp4", alias_name="rev_fp4"))
         .map_batches(_strip_sentinel, batch_format="pyarrow")
+    )
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """TPC-H Q3 (shipping priority): top-k unshipped orders by revenue for
+    one market segment — the join+top-k composite:
+
+    - customer is reduced to a BROADCAST custkey set (semi-join filter
+      inside the orders map, no customer shuffle at all — the segment
+      predicate makes it the classic small side);
+    - lineitem is PRE-AGGREGATED map-side to one (l_orderkey, rev
+      partial) row per order per block BEFORE the join, so the single
+      native hash join moves order-granular partials, not line items;
+    - both filtered reads prune at the parquet layer (o_orderdate <
+      cutoff row-group filter; l_shipdate > cutoff);
+    - the q5 sentinel-row guard pins schemas through the join and the
+      aggregate on empty windows;
+    - revenue is the same integer fixed-point (1e-4 dollars) as Q5;
+      dates ship as epoch DAYS and priority as its leading digit, so
+      every output column is integer/string-exact vs the DuckDB oracle.
+
+    Output: (l_orderkey, o_date_days, o_pri, rev_fp4), top-k by
+    (rev_fp4 DESC, l_orderkey ASC) — the unique-key tie-break makes the
+    LIMIT deterministic."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pqm
+
+    def _meta_rows(path: str) -> int:
+        return _pqm.ParquetFile(path).metadata.num_rows
+
+    def _nblocks(rows: int, target: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
+        return int(min(hi, max(lo, -(-rows // target))))
+
+    cut = pd.Timestamp(cutoff)
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_keys = np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy(np.int64))
+    seg_ref = ray.put(seg_keys)
+
+    sent_orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([-1], pa.int64()),
+                "o_date_days": pa.array([-1], pa.int64()),
+                "o_pri": pa.array([-1], pa.int64()),
+            }
+        )
+    )
+    sent_li = ray.data.from_arrow(
+        pa.table({"l_orderkey": pa.array([-1], pa.int64()), "rev_fp4": pa.array([0], pa.int64())})
+    )
+
+    class SemiOrders:
+        """Broadcast semi-join: keep segment customers' orders; emit epoch
+        days + priority digit (integer-exact columns)."""
+
+        def __init__(self, keys_ref):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos[pos == len(self.keys)] = 0
+            keep = self.keys[pos] == ck if len(self.keys) else np.zeros(len(ck), dtype=bool)
+            t = t.filter(pa.array(keep))
+            days = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+            pri = pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1).cast(pa.int64())
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_date_days": pa.array(days, pa.int64()),
+                    "o_pri": pri,
+                }
+            )
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        # map-side pre-aggregation: one row per distinct orderkey per block
+        cents = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        d100 = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = cents * (100 - d100)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "rev_fp4": pa.array(np.bincount(inv, weights=rev).astype(np.int64), pa.int64()),
+            }
+        )
+
+    nb_orders = _nblocks(_meta_rows(_pq(sf_dir, "orders")))
+    nb_li = _nblocks(_meta_rows(_pq(sf_dir, "lineitem")))
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            filter=_pc.field("o_orderdate") < _pc.scalar(cut),
+            override_num_blocks=nb_orders,
+        )
+        .map_batches(SemiOrders, fn_constructor_args=(seg_ref,), batch_format="pyarrow", concurrency=(1, 8))
+        .union(sent_orders)
+    )
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=_pc.field("l_shipdate") > _pc.scalar(cut),
+            override_num_blocks=nb_li,
+        )
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["l_orderkey"], -1))
+
+    agg = j.groupby("l_orderkey").aggregate(
+        Sum("rev_fp4", alias_name="rev_fp4"),
+        # o_date_days / o_pri are functionally dependent on the order
+        # key; Min is just "the value" and keeps one exchange
+        Min("o_date_days", alias_name="o_date_days"),
+        Min("o_pri", alias_name="o_pri"),
+    )
+    # keep the sentinel THROUGH the sort (a sort over all-empty blocks
+    # loses the schema), take k+1, strip it, re-limit: the sentinel
+    # (rev 0, key -1) sorts after every real row — real revenues are
+    # > 0 except 100%-discount lines, and those tie-break on the real
+    # (positive) order key — so the top k real rows are never displaced
+    return (
+        agg.sort(["rev_fp4", "l_orderkey"], descending=[True, False])
+        .limit(k + 1)
+        .map_batches(_strip, batch_format="pyarrow")
+        .limit(k)
     )

@@ -1,0 +1,133 @@
+"""Targeted runtime fixes for Ray Data 2.49 hash-shuffle schema broadcast.
+
+Upstream bug (ray/data/_internal/execution/operators/hash_shuffle.py):
+
+The hash-shuffle operator (native joins, hash aggregates) disseminates
+schemas to aggregator partitions that receive no rows by fanning out
+TYPED EMPTY shards — but only for the FIRST block submitted per input
+sequence (``send_empty_blocks=should_broadcast_schemas``, flag set
+unconditionally at hash_shuffle.py:588-589).  If that first block is
+EMPTY, ``_shuffle_block`` short-circuits before fanning anything out
+(hash_shuffle.py:223-225), the one-shot flag is consumed anyway, and
+every partition that later receives no rows finalizes a ZERO-COLUMN
+table — ``pa.Table.join`` then raises ``No match for key field
+reference ... on left/right side of the join``.
+
+Empty blocks are normal in a streaming pipeline: a fully-pruned
+filtered read emits schemaless empty blocks, a selective map UDF emits
+typed empty blocks, and an upstream join emits typed empty blocks for
+its empty partitions.  Whether a join crashes therefore depends on the
+RACE between the first non-empty block and any empty block reaching the
+shuffle — reproducibly lost for empty-side joins (see
+tests/test_feature_scaling.py empty-window tests).
+
+Two surgical patches, applied idempotently at package import:
+
+1. ``_shuffle_block``: an empty block that still carries a schema
+   (>0 columns) and is asked to broadcast now fans out typed empty
+   shards to every partition instead of short-circuiting.  Schemaless
+   empty blocks (0 columns — nothing to broadcast) keep the original
+   short-circuit.
+
+2. ``HashShufflingOperatorBase._do_add_input_inner``: wrapped so the
+   one-shot broadcast flag is RE-ARMED when the submitted bundle was
+   all-empty — a schemaless empty first block no longer permanently
+   consumes the broadcast; the first block that can actually carry a
+   schema does.
+
+Together with one matched sentinel row per join leg (see
+``relational.q5_regional_revenue``) this makes native joins total on
+empty inputs.  Scale note: re-broadcasts only happen while the stream
+has produced nothing but empty blocks; once any non-empty block is
+shuffled the flag latches exactly as upstream intended.
+"""
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+_APPLIED = False
+
+
+def apply() -> bool:
+    """Install both patches (idempotent). Returns True if active."""
+    global _APPLIED
+    if _APPLIED:
+        return True
+    try:
+        import ray
+        from ray.data._internal.arrow_block import ArrowBlockAccessor  # noqa: F401
+        from ray.data._internal.execution.operators import hash_shuffle as _hs
+        from ray.data.block import BlockAccessor, BlockExecStats, BlockType
+        from ray.data._internal.table_block import TableBlockAccessor
+    except Exception as exc:  # pragma: no cover - ray layout drift
+        logger.warning("rayfix: hash-shuffle patch not applied: %s", exc)
+        return False
+
+    if getattr(_hs, "_hvr_schema_fix", False):
+        _APPLIED = True
+        return True
+
+    _orig_shuffle_remote = _hs._shuffle_block
+    # the underlying python function of the @ray.remote wrapper
+    _orig_shuffle_fn = _orig_shuffle_remote._function
+
+    def _shuffle_block_fixed(
+        block,
+        input_index,
+        key_columns,
+        pool,
+        block_transformer=None,
+        send_empty_blocks=False,
+        override_partition_id=None,
+    ):
+        stats = BlockExecStats.builder()
+        if block_transformer is not None:
+            blk = block_transformer(block)
+        else:
+            blk = block
+        blk = TableBlockAccessor.try_convert_block_type(blk, block_type=BlockType.ARROW)
+        if blk.num_rows == 0 and blk.num_columns > 0 and send_empty_blocks:
+            # the upstream short-circuit dropped the schema broadcast on
+            # empty typed blocks; fan typed empty shards to EVERY
+            # partition so no aggregator finalizes a zero-column table
+            empty = blk.schema.empty_table()
+            awaitables = []
+            for pid in range(pool.num_partitions):
+                agg = pool.get_aggregator_for_partition(pid)
+                awaitables.append(agg.submit.remote(input_index, pid, ray.put(empty)))
+            pending = awaitables
+            while pending:
+                _, pending = ray.wait(pending, num_returns=len(pending), timeout=1)
+            meta = BlockAccessor.for_block(blk).get_metadata(exec_stats=stats.build())
+            return (meta, {})
+        return _orig_shuffle_fn(
+            block,
+            input_index,
+            key_columns,
+            pool,
+            block_transformer=block_transformer,
+            send_empty_blocks=send_empty_blocks,
+            override_partition_id=override_partition_id,
+        )
+
+    _hs._shuffle_block = ray.remote(_shuffle_block_fixed)
+
+    _orig_add = _hs.HashShufflingOperatorBase._do_add_input_inner
+
+    def _do_add_input_inner_fixed(self, input_bundle, input_index):
+        before = self._has_schemas_broadcasted[input_index]
+        _orig_add(self, input_bundle, input_index)
+        if not before and all(
+            (m.num_rows or 0) == 0 for m in input_bundle.metadata
+        ):
+            # an all-empty bundle could not have carried a schema to
+            # every partition unless it was typed (patch 1 handles that
+            # case); re-arm so the first non-empty block broadcasts
+            self._has_schemas_broadcasted[input_index] = False
+
+    _hs.HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner_fixed
+    _hs._hvr_schema_fix = True
+    _APPLIED = True
+    return True

@@ -85,3 +85,22 @@ def test_q5_empty_window_stable_schema(ray_session):
     # on a 0-row dataset drops columns — the Dataset schema is the
     # contract)
     assert sorted(out.schema().names) == ["n_lines", "n_name", "rev_fp4"]
+
+
+def test_q3_empty_window_stable_schema(ray_session):
+    """Cutoff past the data span: every order qualifies on date but no
+    lineitem ships after it — zero rows, stable schema via the sentinel."""
+    from hepdata_validator_ray.pipelines.relational import q3_shipping_priority
+
+    out = q3_shipping_priority("/root/testdata/sf0.001", cutoff="2050-01-01").materialize()
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["l_orderkey", "o_date_days", "o_pri", "rev_fp4"]
+
+
+def test_q3_k_truncates(ray_session):
+    from hepdata_validator_ray.pipelines.relational import q3_shipping_priority
+
+    out = q3_shipping_priority("/root/testdata/sf0.001", k=3).to_pandas()
+    assert len(out) == 3
+    # descending revenue with ascending orderkey tie-break
+    assert list(out["rev_fp4"]) == sorted(out["rev_fp4"], reverse=True)

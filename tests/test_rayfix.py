@@ -1,0 +1,72 @@
+"""Regression tests for the hash-shuffle schema-broadcast fix (rayfix.py).
+
+Upstream Ray 2.49 drops the typed-empty-shard schema broadcast whenever
+the first block submitted to a join input is empty
+(hash_shuffle.py:223-225 short-circuit + :588-589 one-shot flag), so a
+join whose side is all typed empty blocks crashes in finalize with
+``No match for key field reference``.  These tests pin the deterministic
+repro and the patched behavior.
+"""
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray
+
+import hepdata_validator_ray  # noqa: F401  (applies rayfix at import)
+from hepdata_validator_ray import rayfix
+
+
+def test_patch_applied():
+    assert rayfix.apply() is True
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    assert getattr(hs, "_hvr_schema_fix", False) is True
+
+
+def test_join_all_typed_empty_side(ray_session):
+    """Pre-patch this crashed reliably: the left side's blocks are all
+    TYPED empty (a selective in-UDF filter), so no partition ever
+    receives a left shard and finalize builds zero-column tables."""
+    lo = pd.Timestamp("1990-01-01")
+    hi = pd.Timestamp("1991-01-01")
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filt, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).materialize()
+    assert j.count() == 0
+    # the broadcast keeps the join output schema intact on empty results
+    assert sorted(j.schema().names) == ["c_nationkey", "o_custkey", "o_orderkey"]
+
+
+def test_join_nonempty_still_correct(ray_session):
+    """The patch must not change non-empty join results."""
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "a": pa.array([10, 20, 30, 40], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4, 5], pa.int64()), "b": pa.array([200, 400, 500], pa.int64())})
+    )
+    j = (
+        left.join(right, join_type="inner", num_partitions=4, on=("k",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(j["k"]) == [2, 4]
+    assert list(j["a"]) == [20, 40]
+    assert list(j["b"]) == [200, 400]
