@@ -1071,6 +1071,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3: broadcast segment semi-join + map-side lineitem
         # pre-aggregation into ONE native hash join + deterministic top-k
         "q3_shipping_priority": lambda sf: relational.q3_shipping_priority(sf),
+        # TPC-H Q18: HAVING-pruned heavy-hitter orders into two native
+        # joins (orders, customer) + deterministic top-k
+        "q18_large_volume": lambda sf: relational.q18_large_volume_customers(sf),
     }
 
 
@@ -1796,6 +1799,22 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 3, 4
 ORDER BY rev_fp4 DESC, l_orderkey
 LIMIT 10""",
+        # TPC-H Q18: HAVING over the order-level quantity aggregate;
+        # quantities are integer-valued (1..50) so sum_qty is int64-exact;
+        # totalprice in cents, date in epoch days; unique-orderkey
+        # tie-break makes the LIMIT deterministic
+        "q18_large_volume": """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       date_diff('day', TIMESTAMP '1970-01-01', o.o_orderdate)::BIGINT AS o_date_days,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
+       sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS sum_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(CAST(l.l_quantity AS BIGINT)) > 250
+ORDER BY o_total_cents DESC, o_orderkey
+LIMIT 100""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

@@ -2656,3 +2656,149 @@ def q3_shipping_priority(
         .map_batches(_strip, batch_format="pyarrow")
         .limit(k)
     )
+
+
+def q18_large_volume_customers(
+    sf_dir: str,
+    qty_threshold: int = 250,
+    k: int = 100,
+) -> "ray.data.Dataset":
+    """TPC-H Q18 (large-volume customers): orders whose total line-item
+    quantity exceeds a threshold, with their customer — the
+    HAVING-over-aggregate + join composite:
+
+    - lineitem pre-aggregates map-side (per-block orderkey partials)
+      then once globally; the HAVING filter runs right on the aggregate
+      output, so only HOT orders (a tiny heavy-hitter set) enter any
+      join;
+    - hot orders ⋈ orders and ⋈ customer are native hash joins — at
+      100 TB orders/customer are unbroadcastable, and each join's left
+      side is already threshold-pruned;
+    - quantities are integer-valued by the TPC-H contract (1..50), so
+      sum_qty is int64-exact; o_totalprice ships as cents; dates as
+      epoch days — every column hash-exact vs DuckDB;
+    - the q5/q3 sentinel guard (matched key -1 rows, HAVING keeps the
+      sentinel explicitly, strip after sort via k+1) makes the pipeline
+      total when no order clears the threshold.
+
+    Output: (c_custkey, c_name, o_orderkey, o_date_days, o_total_cents,
+    sum_qty), top-k by (o_total_cents DESC, o_orderkey ASC)."""
+    import pyarrow.parquet as _pqm
+
+    def _meta_rows(path: str) -> int:
+        return _pqm.ParquetFile(path).metadata.num_rows
+
+    def _nblocks(rows: int, target: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
+        return int(min(hi, max(lo, -(-rows // target))))
+
+    sent_hot = ray.data.from_arrow(
+        pa.table({"l_orderkey": pa.array([-1], pa.int64()), "sum_qty": pa.array([0], pa.int64())})
+    )
+    sent_orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([-1], pa.int64()),
+                "o_custkey": pa.array([-1], pa.int64()),
+                "o_date_days": pa.array([-1], pa.int64()),
+                "o_total_cents": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_cust = ray.data.from_arrow(
+        pa.table({"c_custkey": pa.array([-1], pa.int64()), "c_name": pa.array(["<SENTINEL>"], pa.string())})
+    )
+
+    def _li_qty_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _having(t: pa.Table) -> pa.Table:
+        # HAVING sum_qty > T; the matched sentinel is kept explicitly
+        keep = pc.or_(pc.greater(t["sum_qty"], qty_threshold), pc.equal(t["l_orderkey"], -1))
+        return t.filter(keep)
+
+    def _orders_proj(t: pa.Table) -> pa.Table:
+        days = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_date_days": pa.array(days, pa.int64()),
+                "o_total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    nb_li = _nblocks(_meta_rows(_pq(sf_dir, "lineitem")))
+    nb_orders = _nblocks(_meta_rows(_pq(sf_dir, "orders")))
+    nb_cust = _nblocks(_meta_rows(_pq(sf_dir, "customer")))
+
+    hot = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_quantity"],
+            override_num_blocks=nb_li,
+        )
+        .map_batches(_li_qty_partial, batch_format="pyarrow")
+        .union(sent_hot)
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(_having, batch_format="pyarrow")
+    )
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            override_num_blocks=nb_orders,
+        )
+        .map_batches(_orders_proj, batch_format="pyarrow")
+        .union(sent_orders)
+    )
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_name"], override_num_blocks=nb_cust
+    ).union(sent_cust)
+
+    ho = hot.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    hoc = ho.join(
+        cust,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "customer")), target=1_000_000),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "o_orderkey": t["l_orderkey"],
+                "o_date_days": t["o_date_days"],
+                "o_total_cents": t["o_total_cents"],
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["o_orderkey"], -1))
+
+    return (
+        hoc.map_batches(_finish, batch_format="pyarrow")
+        .sort(["o_total_cents", "o_orderkey"], descending=[True, False])
+        .limit(k + 1)
+        .map_batches(_strip, batch_format="pyarrow")
+        .limit(k)
+    )

@@ -104,3 +104,16 @@ def test_q3_k_truncates(ray_session):
     assert len(out) == 3
     # descending revenue with ascending orderkey tie-break
     assert list(out["rev_fp4"]) == sorted(out["rev_fp4"], reverse=True)
+
+
+def test_q18_impossible_threshold_stable_schema(ray_session):
+    """No order can clear sum_qty > 10^9 — zero rows, stable schema."""
+    from hepdata_validator_ray.pipelines.relational import q18_large_volume_customers
+
+    out = q18_large_volume_customers(
+        "/root/testdata/sf0.001", qty_threshold=10**9
+    ).materialize()
+    assert out.count() == 0
+    assert sorted(out.schema().names) == [
+        "c_custkey", "c_name", "o_date_days", "o_orderkey", "o_total_cents", "sum_qty",
+    ]
