@@ -1074,6 +1074,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q18: HAVING-pruned heavy-hitter orders into two native
         # joins (orders, customer) + deterministic top-k
         "q18_large_volume": lambda sf: relational.q18_large_volume_customers(sf),
+        # per-source winsorization: discrete-quantile bounds broadcast
+        # into a stateless clamp map (composition of docs_quantile_disc)
+        "docs_winsorize": lambda sf: relational.docs_winsorize(sf),
     }
 
 
@@ -1815,6 +1818,22 @@ GROUP BY 1, 2, 3, 4, 5
 HAVING sum(CAST(l.l_quantity AS BIGINT)) > 250
 ORDER BY o_total_cents DESC, o_orderkey
 LIMIT 100""",
+        # per-source winsorization at exact discrete quantiles (same
+        # quantile_disc ceil(q*n)-1 convention as docs_quantile_disc);
+        # null-n_chars docs are out of contract on both sides
+        "docs_winsorize": """
+WITH b AS (
+  SELECT coalesce(source, '<NULL>') AS source,
+         quantile_disc(n_chars, 0.05) AS lo,
+         quantile_disc(n_chars, 0.95) AS hi
+  FROM documents GROUP BY 1 HAVING count(n_chars) > 0
+)
+SELECT d.doc_id, b.source, d.n_chars,
+       CASE WHEN d.n_chars < b.lo THEN b.lo
+            WHEN d.n_chars > b.hi THEN b.hi
+            ELSE d.n_chars END AS n_chars_w
+FROM documents d JOIN b ON coalesce(d.source, '<NULL>') = b.source
+WHERE d.n_chars IS NOT NULL""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

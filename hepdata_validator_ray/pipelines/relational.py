@@ -2802,3 +2802,48 @@ def q18_large_volume_customers(
         .map_batches(_strip, batch_format="pyarrow")
         .limit(k)
     )
+
+
+def docs_winsorize(
+    sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95
+) -> "ray.data.Dataset":
+    """Per-source winsorization: clamp every document's n_chars into its
+    source's exact discrete [p05, p95] band — the outlier-robust
+    normalization a quality-filtering pipeline applies before thresholding.
+
+    Composition, not a new exchange: the per-source bounds come from
+    ``docs_quantile_disc`` (one source-keyed exchange over (source,
+    n_chars) — tiny output, one row per source), materialize as a
+    broadcast dict, and the clamp itself is a stateless vectorized
+    map over the documents read.  Sources with zero non-null n_chars
+    have no bounds and their documents are omitted (the oracle's inner
+    join).  Integer in, integer out → hash-exact."""
+    bounds = docs_quantile_disc(sf_dir, qs=(q_lo, q_hi)).to_pandas()
+    lo_c, hi_c = (f"q{int(round(q * 100))}" for q in (q_lo, q_hi))
+    lo_map = dict(zip(bounds["source"], bounds[lo_c].astype(np.int64)))
+    hi_map = dict(zip(bounds["source"], bounds[hi_c].astype(np.int64)))
+    maps_ref = ray.put((lo_map, hi_map))
+
+    class Clamp:
+        def __init__(self, ref):
+            self.lo_map, self.hi_map = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].fillna("<NULL>")
+            lo = src.map(self.lo_map)
+            keep = lo.notna().to_numpy(dtype=bool) & df["n_chars"].notna().to_numpy(dtype=bool)
+            df, src, lo = df[keep], src[keep], lo[keep]
+            hi = src.map(self.hi_map).to_numpy(np.int64)
+            n = df["n_chars"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "source": src,
+                    "n_chars": n,
+                    "n_chars_w": np.clip(n, lo.to_numpy(np.int64), hi),
+                }
+            )
+
+    return ray.data.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    ).map_batches(Clamp, fn_constructor_args=(maps_ref,), batch_format="pandas", concurrency=(1, 8))

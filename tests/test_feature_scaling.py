@@ -117,3 +117,22 @@ def test_q18_impossible_threshold_stable_schema(ray_session):
     assert sorted(out.schema().names) == [
         "c_custkey", "c_name", "o_date_days", "o_orderkey", "o_total_cents", "sum_qty",
     ]
+
+
+def test_winsorize_clamps_to_group_bounds(ray_session):
+    from hepdata_validator_ray.pipelines.relational import docs_winsorize
+
+    out = docs_winsorize("/root/testdata/sf0.001").to_pandas()
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    for src, g in out.groupby("source"):
+        vals = docs[docs["source"].fillna("<NULL>") == src]["n_chars"].dropna().sort_values().to_numpy()
+        import numpy as np
+        lo = vals[max(int(np.ceil(0.05 * len(vals))) - 1, 0)]
+        hi = vals[max(int(np.ceil(0.95 * len(vals))) - 1, 0)]
+        assert (g["n_chars_w"] >= lo).all() and (g["n_chars_w"] <= hi).all()
+        inside = (g["n_chars"] >= lo) & (g["n_chars"] <= hi)
+        assert (g.loc[inside, "n_chars_w"] == g.loc[inside, "n_chars"]).all()
+    assert len(out) == len(docs[docs["n_chars"].notna()])
