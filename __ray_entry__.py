@@ -1077,6 +1077,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source winsorization: discrete-quantile bounds broadcast
         # into a stateless clamp map (composition of docs_quantile_disc)
         "docs_winsorize": lambda sf: relational.docs_winsorize(sf),
+        # deterministic MLM mask selection (integer rule, engine- and
+        # layout-independent): per-doc masked-label summary
+        "training_mlm_mask": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).mlm_mask_stats(_seq(sf)),
     }
 
 
@@ -1834,6 +1839,26 @@ SELECT d.doc_id, b.source, d.n_chars,
             ELSE d.n_chars END AS n_chars_w
 FROM documents d JOIN b ON coalesce(d.source, '<NULL>') = b.source
 WHERE d.n_chars IS NOT NULL""",
+        # deterministic MLM masking: same integer rule spelled in SQL
+        # ((did*K1 + pos*K2) % 1000 < 150, did = trailing digit run of
+        # doc_id, pos 0-based); NULL/empty-token docs out of contract
+        "training_mlm_mask": f"""
+WITH t AS (
+  SELECT coalesce(doc_id, '<NULL>') AS doc_id,
+         coalesce(try_cast(regexp_extract(doc_id, '[0-9]+') AS BIGINT), 0) AS did,
+         CAST(unnest(tokens) AS BIGINT) AS tok,
+         CAST(generate_subscripts(tokens, 1) AS BIGINT) - 1 AS pos
+  FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) > 0
+), m AS (
+  SELECT doc_id, tok, pos,
+         ((did * 2654435761 + pos * 40503) % 1000) < 150 AS msk
+  FROM t
+)
+SELECT doc_id, count(*)::BIGINT AS n_tok,
+       coalesce(sum(CASE WHEN msk THEN 1 ELSE 0 END), 0)::BIGINT AS n_masked,
+       coalesce(sum(CASE WHEN msk THEN tok END), 0)::BIGINT AS masked_sum,
+       coalesce(min(CASE WHEN msk THEN pos END), -1)::BIGINT AS first_masked
+FROM m GROUP BY doc_id""",
         # the non-equi time-band range join: native SQL theta self-join;
         # strict > on ts matches the engine's orientation rule
         "events_time_band_pairs": """

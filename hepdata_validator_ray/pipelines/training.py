@@ -37,6 +37,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -525,4 +526,116 @@ def chunk_counts(
 
     return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
         fn, batch_format="pandas", batch_size=4096
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM masking (BERT-style span selection, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: multiplicative mixers for the per-position mask decision (Knuth's
+#: 2654435761 and a distinct odd constant for the position term)
+_MLM_K1 = 2654435761
+_MLM_K2 = 40503
+
+
+def mlm_mask_stats(
+    seq_path: str, rate_x1000: int = 150, mod: int = 1000
+) -> "ray.data.Dataset":
+    """Deterministic MLM-style mask selection over tokenized sequences:
+    token at position ``pos`` of document ``did`` is masked iff
+    ``(did*K1 + pos*K2) % mod < rate_x1000`` — a pure-integer rule, so
+    the exact same token set is selected by any engine on any partition
+    layout (unlike RNG masking, which is irreproducible across runs and
+    engines).  15% default, the BERT convention.
+
+    Per-doc output (the label-side summary a masking stage must get
+    right): token count, masked count, masked-label sum, first masked
+    position (-1 when nothing masked).  The whole kernel runs on the
+    zero-copy Arrow list buffers: one segmented pass, no per-token
+    Python.  Docs with NULL/empty tokens are out of contract (the
+    violations corpus routes them to the validation pipeline)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks_col = t["tokens"]
+        valid = pc.and_(
+            toks_col.is_valid().combine_chunks()
+            if isinstance(toks_col, pa.ChunkedArray)
+            else toks_col.is_valid(),
+            pc.greater(pc.list_value_length(toks_col), 0),
+        )
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "n_masked": pa.array([], pa.int64()),
+                    "masked_sum": pa.array([], pa.int64()),
+                    "first_masked": pa.array([], pa.int64()),
+                }
+            )
+        toks = t["tokens"].combine_chunks() if isinstance(t["tokens"], pa.ChunkedArray) else t["tokens"]
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[0]
+        offs0 = offs - base  # window-relative segment bounds
+        vals = vals[base : offs[-1]]
+        lens = np.diff(offs0)
+        # doc ids: the trailing digit run of doc_id (0 when absent/null)
+        did = (
+            t["doc_id"]
+            .to_pandas()
+            .str.extract(r"(\d+)", expand=False)
+            .fillna("0")
+            .astype(np.int64)
+            .to_numpy()
+        )
+        pos = np.arange(offs0[-1], dtype=np.int64) - np.repeat(offs0[:-1], lens)
+        h = (np.repeat(did, lens) * _MLM_K1 + pos * _MLM_K2) % mod
+        msk = h < rate_x1000
+        starts = offs0[:-1]
+        n_masked = np.add.reduceat(msk.astype(np.int64), starts)
+        masked_sum = np.add.reduceat(np.where(msk, vals, 0), starts)
+        big = np.int64(1) << 60
+        first = np.minimum.reduceat(np.where(msk, pos, big), starts)
+        return pa.table(
+            {
+                # NULL doc_ids group under '<NULL>' (repo convention;
+                # Ray's groupby cannot sort a null-containing string key)
+                "doc_id": pc.coalesce(t["doc_id"], pa.scalar("<NULL>", pa.string())),
+                "n_tok": pa.array(lens, pa.int64()),
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "masked_sum": pa.array(masked_sum, pa.int64()),
+                # +big sentinel (not -1) so the duplicate-doc Min below
+                # matches SQL's NULL-ignoring min over the union
+                "first_masked": pa.array(first, pa.int64()),
+            }
+        )
+
+    def decode_first(t: pa.Table) -> pa.Table:
+        big = 1 << 60
+        fm = t["first_masked"]
+        return t.set_column(
+            t.schema.get_field_index("first_masked"),
+            "first_masked",
+            pc.if_else(pc.greater_equal(fm, big), pa.scalar(-1, pa.int64()), fm),
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"])
+        .map_batches(fn, batch_format="pyarrow")
+        # the corpus deliberately contains duplicate doc_ids (the dup
+        # check's fixture); SQL's GROUP BY merges them, so do we — the
+        # exchange moves 5 ints per doc
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_tok", alias_name="n_tok"),
+            Sum("n_masked", alias_name="n_masked"),
+            Sum("masked_sum", alias_name="masked_sum"),
+            Min("first_masked", alias_name="first_masked"),
+        )
+        .map_batches(decode_first, batch_format="pyarrow")
     )

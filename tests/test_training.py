@@ -309,3 +309,30 @@ def test_quality_buckets_zero_word_docs_excluded(tmp_path):
     # the null-text doc contributes no words: excluded (matches SQL unnest)
     assert set(asg["doc_id"]) == {0, 1, 3}
     assert set(asg["bucket"]) <= {0, 1, 2}
+
+
+def test_mlm_mask_partition_invariant_and_rate(ray_session):
+    """The integer mask rule must select the same tokens at any batch
+    split, and the global rate must sit near 15%."""
+    from hepdata_validator_ray.pipelines.training import mlm_mask_stats
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet("/root/testdata/sf0.001")
+    a = mlm_mask_stats(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import ray as _ray
+
+    b = (
+        _ray.data.read_parquet(p, override_num_blocks=3)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .write_parquet("/tmp/hvr_mlm_reblocked", mode="overwrite")
+    )
+    c = mlm_mask_stats("/tmp/hvr_mlm_reblocked").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, c)
+    rate = a["n_masked"].sum() / a["n_tok"].sum()
+    assert 0.12 < rate < 0.18
+    # nothing masked => first_masked == -1; something masked => in range
+    masked = a[a["n_masked"] > 0]
+    assert (masked["first_masked"] >= 0).all()
+    assert (a.loc[a["n_masked"] == 0, "first_masked"] == -1).all()
