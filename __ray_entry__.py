@@ -1082,6 +1082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mlm_mask": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).mlm_mask_stats(_seq(sf)),
+        # word co-occurrence counts within a ±2 window (PMI count side):
+        # per-batch ordinal-code canonical pairs, one multi-key exchange
+        "text_cooccurrence": lambda sf: text.word_cooccurrence_top(docs(sf)),
     }
 
 
@@ -1891,6 +1894,19 @@ c AS (SELECT source, word, count(*)::BIGINT AS n FROM w GROUP BY source, word),
 r AS (SELECT source, word, n,
       row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC)::BIGINT AS rank FROM c)
 SELECT source, rank, word, n FROM r WHERE rank <= 10""",
+        # unordered word co-occurrence within a ±2 positional window;
+        # (w1,w2) unique after the GROUP BY so the LIMIT is deterministic
+        "text_cooccurrence": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, count(*)::BIGINT AS n
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND (b.i - a.i) IN (1, 2)
+GROUP BY 1, 2
+ORDER BY n DESC, w1, w2
+LIMIT 100""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

@@ -580,3 +580,76 @@ def top_words_per_source(docs_path: str, k: int = 10, num_buckets: int | None = 
         .groupby(BUCKET_COL)
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def word_cooccurrence_top(
+    docs_path: str, max_dist: int = 2, k: int = 100
+) -> "ray.data.Dataset":
+    """Top-k unordered word co-occurrence pairs within a ±``max_dist``
+    positional window — the count side of a PMI / word-embedding
+    co-occurrence build.
+
+    Shape mirrors token_bigrams_top: (1) map-side combine — each batch
+    explodes words once, forms the offset-1..max_dist shifted pairs
+    (never crossing a document boundary), canonicalizes to (min,max) ON
+    ORDINAL CODES (per-batch factorize + lexical-rank remap, so the
+    min/max runs on int32, not Python string compares) and collapses to
+    per-batch (w1, w2, n) partials; (2) one native multi-key groupby-sum
+    exchange over the pair-vocabulary-sized partials; (3) deterministic
+    global top-k (n DESC, w1 ASC, w2 ASC).  Word semantics = single-space
+    split (the string_split parity convention); NULL text contributes
+    nothing."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "w1": pd.Series(dtype="object"),
+                "w2": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        words = df["text"].str.split(" ")
+        flat, offsets = _explode_words(words)
+        if not len(flat):
+            return empty
+        codes, uniques = pd.factorize(flat)
+        # remap to LEXICAL-rank codes so integer min/max == least/greatest
+        order = np.argsort(uniques)
+        rank_of = np.empty(len(uniques), dtype=np.int64)
+        rank_of[order] = np.arange(len(uniques), dtype=np.int64)
+        lex = rank_of[codes]
+        vocab_sorted = uniques[order]
+        nv = np.int64(len(vocab_sorted))
+        # row id per position, to mask pairs that straddle documents
+        lens = np.diff(offsets)
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keys = []
+        for o in range(1, max_dist + 1):
+            if len(lex) <= o:
+                break
+            a, b = lex[:-o], lex[o:]
+            same = seg[:-o] == seg[o:]
+            lo = np.minimum(a[same], b[same])
+            hi = np.maximum(a[same], b[same])
+            keys.append(lo * nv + hi)
+        if not keys:
+            return empty
+        key = np.concatenate(keys)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "w1": vocab_sorted[uk // nv],
+                "w2": vocab_sorted[uk % nv],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(docs_path, columns=["text"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -78,3 +78,27 @@ def test_tfidf_rare_term_wins_over_common():
     # 'common' has df=N so idf=0; 'filler' (tf=1, df=2) scores higher
     assert out.loc[1, "top_term"] == "filler"
     assert out.loc[2, "top_term"] == "other"  # df=1 wins in doc 2
+
+
+def test_cooccurrence_boundary_and_window(ray_session, tmp_path):
+    """Crafted: pairs never straddle documents; distance ≤ 2 only;
+    canonical (min,max) ordering."""
+    import pandas as pd
+    import ray as _ray
+    from hepdata_validator_ray.pipelines.text import word_cooccurrence_top
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["b a c b", "z", None],
+        }
+    ).to_parquet(p)
+    out = (
+        word_cooccurrence_top(p, max_dist=2, k=100)
+        .to_pandas()
+        .set_index(["w1", "w2"])["n"]
+        .to_dict()
+    )
+    # doc1 pairs: d1: (b,a),(a,c),(c,b); d2: (b,c),(a,b) -> canonical counts
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
