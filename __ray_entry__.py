@@ -1085,6 +1085,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word co-occurrence counts within a ±2 window (PMI count side):
         # per-batch ordinal-code canonical pairs, one multi-key exchange
         "text_cooccurrence": lambda sf: text.word_cooccurrence_top(docs(sf)),
+        # trending types: trailing-7d counts ranked per day (map-side
+        # day×type collapse, corpus-free driver window)
+        "events_trending": lambda sf: relational.events_trending_types(sf),
     }
 
 
@@ -1907,6 +1910,27 @@ FROM w a JOIN w b ON a.doc_id = b.doc_id AND (b.i - a.i) IN (1, 2)
 GROUP BY 1, 2
 ORDER BY n DESC, w1, w2
 LIMIT 100""",
+        # trending types: trailing-7-calendar-day counts (RANGE frame —
+        # absent days contribute 0) ranked per day, top 3; only types
+        # with >=1 event on the day are ranked
+        "events_trending": """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         coalesce(event_type, '<NULL>') AS event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT day, event_type,
+         sum(n) OVER (PARTITION BY event_type ORDER BY day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS n7
+  FROM c
+), r AS (
+  SELECT day, event_type, n7,
+         row_number() OVER (PARTITION BY day ORDER BY n7 DESC, event_type)::BIGINT AS rk
+  FROM w
+)
+SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+       event_type, n7, rk
+FROM r WHERE rk <= 3""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

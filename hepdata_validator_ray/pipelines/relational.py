@@ -2847,3 +2847,52 @@ def docs_winsorize(
     return ray.data.read_parquet(
         _pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
     ).map_batches(Clamp, fn_constructor_args=(maps_ref,), batch_format="pandas", concurrency=(1, 8))
+
+
+def events_trending_types(sf_dir: str, window_days: int = 7, k: int = 3) -> pd.DataFrame:
+    """Trending event types: per calendar day, the top-k types by their
+    TRAILING ``window_days``-day count — the "what's hot this week"
+    product-analytics composite.
+
+    The corpus collapses map-side to (day, type, n) partials (one tiny
+    |days|×|types| exchange, the events_daily shape); the trailing
+    window and per-day ranking run driver-side on that corpus-size-free
+    table: per type a prefix-sum + searchsorted over its sorted days
+    (true calendar window — absent days contribute 0, matching SQL's
+    RANGE frame), then a vectorized (day, n7 DESC, type ASC) ranking.
+    Only types with ≥1 event on the day are ranked (the SQL contract:
+    rows of the per-day aggregate)."""
+    DAY_US = 86_400_000_000
+
+    base = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "day": df["ts"].to_numpy().astype("datetime64[us]").view("i8") // DAY_US,
+                    "event_type": df["event_type"].fillna("<NULL>"),
+                    "n": np.ones(len(df), dtype=np.int64),
+                }
+            ).groupby(["day", "event_type"], as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    base = base.sort_values(["event_type", "day"]).reset_index(drop=True)
+    n7 = np.empty(len(base), dtype=np.int64)
+    for _, g in base.groupby("event_type", sort=False):
+        days = g["day"].to_numpy(np.int64)
+        csum = np.cumsum(g["n"].to_numpy(np.int64))
+        lo = np.searchsorted(days, days - (window_days - 1), side="left")
+        n7[g.index.to_numpy()] = csum - np.where(lo > 0, csum[lo - 1], 0)
+    base["n7"] = n7
+    base = base.sort_values(
+        ["day", "n7", "event_type"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    base["rk"] = base.groupby("day").cumcount() + 1
+    out = base[base["rk"] <= k].copy()
+    out["day"] = pd.to_datetime(out["day"] * 86_400, unit="s").dt.strftime("%Y-%m-%d")
+    out["n7"] = out["n7"].astype("int64")
+    out["rk"] = out["rk"].astype("int64")
+    return out[["day", "event_type", "n7", "rk"]].reset_index(drop=True)

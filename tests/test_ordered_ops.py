@@ -180,3 +180,33 @@ def test_funnel_single_hot_user_skew():
         # with 20k shuffled events on one user the full chain is
         # essentially certain to exist
         assert out["n_users"].tolist() == [1, 1, 1]
+
+
+def test_trending_window_ages_out(ray_session, tmp_path):
+    """A day-0 spike counts toward the trailing-7d total on day 6 but is
+    gone by day 13; types without an event on a day are not ranked."""
+    import numpy as np
+    import pandas as pd
+    from hepdata_validator_ray.pipelines.relational import events_trending_types
+
+    day = 86_400_000_000
+    rows = []
+    # type A: 10 events day0, 1 event day6, 1 event day13
+    rows += [(i, 1, "A", pd.Timestamp(0)) for i in range(10)]
+    rows += [(100, 1, "A", pd.Timestamp(6 * day * 1000))]
+    rows += [(101, 1, "A", pd.Timestamp(13 * day * 1000))]
+    # type B: 1 event per day, days 0..13
+    rows += [(200 + d, 2, "B", pd.Timestamp(d * day * 1000)) for d in range(14)]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    p = str(tmp_path / "events.parquet")
+    df.to_parquet(p)
+    out = events_trending_types(str(tmp_path))
+    d6 = out[out["day"] == "1970-01-07"].set_index("event_type")
+    assert d6.loc["A", "rk"] == 1 and d6.loc["A", "n7"] == 11  # spike still in window
+    assert d6.loc["B", "n7"] == 7
+    d7 = out[out["day"] == "1970-01-08"]
+    assert "A" not in set(d7["event_type"])  # no A event on day 7 -> unranked
+    d13 = out[out["day"] == "1970-01-14"].set_index("event_type")
+    assert d13.loc["A", "n7"] == 1  # day-0 spike aged out
