@@ -197,3 +197,54 @@ def test_hopping_hot_window_single_user(tmp_path):
     assert (out["n_events"] == n).all() and (out["n_users"] == 1).all()
     assert int(out["n_events"].sum()) == 2 * n
     assert (out["sum_cents"] == n * 125).all()
+
+
+def test_q18_hot_orderkey_absorbed_map_side(ray_session, tmp_path):
+    """200k line items on ONE order: the map-side per-block orderkey
+    partials collapse the hot key BEFORE the join, so the exchange moves
+    at most one row per block for it — and the HAVING result is exact."""
+    import numpy as np
+    import pandas as pd
+    from hepdata_validator_ray.pipelines.relational import q18_large_volume_customers
+
+    n = 200_000
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.full(n, 7, dtype=np.int64),
+            "l_partkey": np.arange(n, dtype=np.int64),
+            "l_suppkey": np.ones(n, dtype=np.int64),
+            "l_linenumber": np.arange(n, dtype=np.int32),
+            "l_quantity": np.full(n, 2.0),
+            "l_extendedprice": np.full(n, 10.0),
+            "l_discount": np.zeros(n),
+            "l_tax": np.zeros(n),
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.to_datetime(["1996-01-01"] * n).astype("datetime64[us]"),
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": np.array([7, 8], dtype=np.int64),
+            "o_custkey": np.array([1, 2], dtype=np.int64),
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [123.45, 1.0],
+            "o_orderdate": pd.to_datetime(["1996-01-01", "1996-01-02"]).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2], dtype=np.int64),
+            "c_name": ["alice", "bob"],
+            "c_nationkey": np.array([0, 0], dtype=np.int32),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    out = q18_large_volume_customers(str(tmp_path), qty_threshold=100).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["o_orderkey"] == 7 and r["sum_qty"] == 2 * n
+    assert r["c_name"] == "alice" and r["o_total_cents"] == 12345
