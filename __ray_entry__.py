@@ -731,6 +731,84 @@ def _relational_meta2(sf_dir: str):
     )
 
 
+def _relational_meta3(sf_dir: str):
+    """The native-join + new-op fused slot: TPC-H Q5/Q3/Q18, per-source
+    winsorization, deterministic MLM masking, word co-occurrence, and
+    trending types as ONE gated union (kind, gkey, a, b, c) — pulled
+    inside the driver's 50-query window (the relational_meta shape
+    discipline).  Plans are CONSTRUCTED serially on the driver (the
+    documented lazy-fsspec pattern), then the independent Datasets
+    execute in threads; events_trending_types executes internally, so
+    it runs first, serially."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines import relational, text, training
+
+    tr = relational.events_trending_types(sf_dir)
+    plans = [
+        relational.q5_regional_revenue(sf_dir),
+        relational.q3_shipping_priority(sf_dir),
+        relational.q18_large_volume_customers(sf_dir),
+        relational.docs_winsorize(sf_dir),
+        training.mlm_mask_stats(_seq(sf_dir)),
+        text.word_cooccurrence_top(f"{sf_dir}/documents.parquet"),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        q5, q3, q18, wz, ml, co = list(ex.map(lambda d: d.to_pandas(), plans))
+    z = lambda df: pd.Series(np.zeros(len(df), dtype=np.int64))  # noqa: E731
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {"kind": "q5", "gkey": q5["n_name"],
+                 "a": q5["n_lines"].astype("int64"),
+                 "b": q5["rev_fp4"].astype("int64"), "c": z(q5)}
+            ),
+            pd.DataFrame(
+                {"kind": "q3", "gkey": q3["l_orderkey"].astype("int64").astype(str),
+                 "a": q3["rev_fp4"].astype("int64"),
+                 "b": q3["o_date_days"].astype("int64"),
+                 "c": q3["o_pri"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": "q18",
+                 "gkey": q18["c_name"] + "|" + q18["c_custkey"].astype("int64").astype(str)
+                 + "|" + q18["o_orderkey"].astype("int64").astype(str),
+                 "a": q18["o_date_days"].astype("int64"),
+                 "b": q18["o_total_cents"].astype("int64"),
+                 "c": q18["sum_qty"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": "wins",
+                 "gkey": wz["source"] + "|" + wz["doc_id"].astype("int64").astype(str),
+                 "a": wz["n_chars"].astype("int64"),
+                 "b": wz["n_chars_w"].astype("int64"), "c": z(wz)}
+            ),
+            pd.DataFrame(
+                {"kind": "mlm", "gkey": ml["doc_id"],
+                 "a": ml["n_tok"].astype("int64"),
+                 "b": ml["masked_sum"].astype("int64"),
+                 # pack (first_masked, n_masked) into one int64 (both
+                 # bounded far below 2^32; +1 keeps the -1 case positive)
+                 "c": ((ml["first_masked"].astype("int64") + 1) * 4294967296
+                       + ml["n_masked"].astype("int64"))}
+            ),
+            pd.DataFrame(
+                {"kind": "cooc", "gkey": co["w1"] + "|" + co["w2"],
+                 "a": co["n"].astype("int64"), "b": z(co), "c": z(co)}
+            ),
+            pd.DataFrame(
+                {"kind": "trend", "gkey": tr["day"] + "|" + tr["event_type"],
+                 "a": tr["n7"].astype("int64"),
+                 "b": tr["rk"].astype("int64"), "c": z(tr)}
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
 def _kmeans_fit_sizes(sf_dir: str):
     """Lloyd-fit e2e: fit k=8 centroids distributed, then report the fitted
     assignment's cluster sizes (rows-only tail query; the fit itself is
@@ -767,7 +845,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- validation suite over the tokenized-sequence table -------------
         "v_row_violations": lambda sf: validation.row_violations(_seq(sf)),
-        "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
+        # native-join + new-op fused slot (q5/q3/q18/winsorize/mlm/
+        # co-occurrence/trending) — in-window; legs oracled standalone in
+        # the tail; displaces v_violation_counts (its evidence is
+        # subsumed by the row-exact v_row_violations gate; oracle kept)
+        "relational_meta3": _relational_meta3,
         "v_row_violations_v12": lambda sf: validation.row_violations(_seq(sf), version="1.2.0"),
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
@@ -1088,6 +1170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trending types: trailing-7d counts ranked per day (map-side
         # day×type collapse, corpus-free driver window)
         "events_trending": lambda sf: relational.events_trending_types(sf),
+        # displaced from the window by relational_meta3 (evidence
+        # subsumed by v_row_violations' row-exact gate); oracle retained
+        "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
     }
 
 
@@ -2741,5 +2826,25 @@ FROM chars GROUP BY doc_id, bin""",
     o["embedding_cluster_meta"] += (
         "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("
         + o["embedding_label_centroids"] + ")"
+    )
+    # relational_meta3: composed from the standalone leg entries so the
+    # two spellings can never desync (the meta2 precedent)
+    o["relational_meta3"] = (
+        "SELECT 'q5' AS kind, n_name AS gkey, n_lines AS a, rev_fp4 AS b,"
+        " 0::BIGINT AS c FROM (" + o["q5_regional_revenue"] + ")"
+        "\nUNION ALL\nSELECT 'q3', CAST(l_orderkey AS VARCHAR), rev_fp4,"
+        " o_date_days, o_pri FROM (" + o["q3_shipping_priority"] + ")"
+        "\nUNION ALL\nSELECT 'q18', c_name || '|' || CAST(c_custkey AS VARCHAR)"
+        " || '|' || CAST(o_orderkey AS VARCHAR), o_date_days, o_total_cents,"
+        " sum_qty FROM (" + o["q18_large_volume"] + ")"
+        "\nUNION ALL\nSELECT 'wins', source || '|' || CAST(doc_id AS VARCHAR),"
+        " n_chars, n_chars_w, 0::BIGINT FROM (" + o["docs_winsorize"] + ")"
+        "\nUNION ALL\nSELECT 'mlm', doc_id, n_tok, masked_sum,"
+        " (first_masked + 1) * 4294967296 + n_masked FROM ("
+        + o["training_mlm_mask"] + ")"
+        "\nUNION ALL\nSELECT 'cooc', w1 || '|' || w2, n, 0::BIGINT, 0::BIGINT"
+        " FROM (" + o["text_cooccurrence"] + ")"
+        "\nUNION ALL\nSELECT 'trend', day || '|' || event_type, n7, rk,"
+        " 0::BIGINT FROM (" + o["events_trending"] + ")"
     )
     return o
