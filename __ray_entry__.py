@@ -991,6 +991,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet",
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(sf),
         ),
+        # CDC MERGE (upsert + tombstone apply): one doc_id-keyed tagged
+        # exchange; closed-loop-pinned (merge(base, delta) == v2)
+        "merge_upsert": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).merge_upsert(
+            f"{sf}/documents.parquet",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_delta_parquet(sf),
+        ),
         # fused-union legs of relational_meta2 + the running-total
         # projection of events_lag_trailing — all independently queryable
         # with their own oracle entries
@@ -1498,6 +1506,23 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR (o.text IS DISTINCT FROM n.text)""".replace(
             "{mutated}",
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_mutated_documents_parquet(
+                "/root/testdata/sf0.01"
+            ),
+        ),
+        # CDC MERGE: SQL's own full-outer upsert-apply over the same
+        # base + delta files; md5 proves CONTENT equality, not just keys
+        "merge_upsert": """
+SELECT coalesce(d.doc_id, b.doc_id) AS doc_id,
+       md5(coalesce(CASE WHEN d.doc_id IS NOT NULL THEN d.text ELSE b.text END,
+                    '<NULL>')) AS text_md5,
+       CASE WHEN d.doc_id IS NOT NULL THEN d.lang ELSE b.lang END AS lang,
+       CASE WHEN d.doc_id IS NOT NULL THEN d.source ELSE b.source END AS source,
+       (CASE WHEN d.doc_id IS NOT NULL THEN d.n_chars ELSE b.n_chars END)::BIGINT AS n_chars,
+       CASE WHEN d.doc_id IS NOT NULL THEN 'delta' ELSE 'base' END AS origin
+FROM documents b FULL OUTER JOIN read_parquet('{delta}') d ON b.doc_id = d.doc_id
+WHERE NOT coalesce(d.deleted, false)""".replace(
+            "{delta}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_delta_parquet(
                 "/root/testdata/sf0.01"
             ),
         ),

@@ -1315,3 +1315,77 @@ def edit_distance_links(
         .groupby(BUCKET_COL)
         .map_groups(link, batch_format="pandas")
     )
+
+
+def merge_upsert(
+    base_path: str, delta_path: str, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """CDC MERGE (upsert-apply): apply a delta snapshot — upsert rows +
+    ``deleted=True`` tombstones — to a base table, producing the merged
+    table state.  The lakehouse MERGE INTO primitive as one exchange:
+
+    - both sides are read column-pruned, TAGGED (base 0 / delta 1) and
+      bucketed on doc_id, so every doc's base row and delta row meet in
+      one partition (the snapshot_diff shape);
+    - in-bucket the winner is picked vectorized: lexsort by
+      (doc_id, tag), last row per doc_id run (delta shadows base),
+      tombstones dropped;
+    - output carries ``text_md5`` (md5 of text, '<NULL>' for null) so
+      the gated query proves CONTENT equality against the DuckDB merge,
+      not just keys — the per-row hashlib is the documented md5
+      oracle-parity convention (sampling precedent), off the production
+      path (a production caller keeps the text column instead);
+    - ``origin`` says which side won ('base'/'delta').
+
+    The closed-loop contract: merge_upsert(base, delta(base→v2)) must
+    equal the v2 snapshot exactly (pinned in tests)."""
+    import pyarrow.parquet as _pqm
+
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    nb = num_buckets or int(
+        min(4096, max(8, -(-_pqm.ParquetFile(base_path).metadata.num_rows // 2_000_000)))
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        t = t.append_column("deleted", pa.array(np.zeros(t.num_rows, dtype=bool)))
+        t = t.append_column("tag", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+        return with_bucket(t, "doc_id", nb)
+
+    def tag_delta(t: pa.Table) -> pa.Table:
+        t = t.select(cols + ["deleted"])
+        t = t.append_column("tag", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        return with_bucket(t, "doc_id", nb)
+
+    base = ray.data.read_parquet(base_path, columns=cols).map_batches(
+        tag_base, batch_format="pyarrow"
+    )
+    delta = ray.data.read_parquet(delta_path, columns=cols + ["deleted"]).map_batches(
+        tag_delta, batch_format="pyarrow"
+    )
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        order = np.lexsort((df["tag"].to_numpy(), df["doc_id"].to_numpy()))
+        df = df.iloc[order]
+        ids = df["doc_id"].to_numpy()
+        last = np.ones(len(ids), dtype=bool)
+        last[:-1] = ids[1:] != ids[:-1]
+        w = df[last & ~df["deleted"].to_numpy(dtype=bool)]
+        md5 = [
+            hashlib.md5((t if isinstance(t, str) else "<NULL>").encode()).hexdigest()
+            for t in w["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": w["doc_id"].astype("int64"),
+                "text_md5": md5,
+                "lang": w["lang"],
+                "source": w["source"],
+                "n_chars": w["n_chars"].astype("int64"),
+                "origin": np.where(w["tag"].to_numpy() == 1, "delta", "base"),
+            }
+        )
+
+    return base.union(delta).groupby(BUCKET_COL).map_groups(winners, batch_format="pandas")

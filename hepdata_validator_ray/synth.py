@@ -306,6 +306,50 @@ def ensure_mutated_documents_parquet(sf_dir: str) -> str:
     return str(out)
 
 
+def ensure_delta_parquet(sf_dir: str) -> str:
+    """A deterministic CDC DELTA between the base documents table and the
+    ensure_mutated_documents_parquet second crawl: one row per upserted
+    doc (changed text / brand-new doc, ``deleted=False``) and one
+    TOMBSTONE per removed doc (``deleted=True``, payload columns NULL).
+    Derived mechanically from the two snapshots (anti/semi joins over
+    doc_id + text inequality), so ``merge_upsert(base, delta)`` must
+    reproduce the v2 snapshot exactly — the closed-loop contract the
+    merge tests pin."""
+    import pandas as pd
+
+    tag = Path(sf_dir).name or "default"
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-mutated" / "documents_delta.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    v2 = pd.read_parquet(ensure_mutated_documents_parquet(sf_dir))
+    base_ids = set(base["doc_id"].tolist())
+    v2_ids = set(v2["doc_id"].tolist())
+    removed = sorted(base_ids - v2_ids)
+    base_text = dict(zip(base["doc_id"], base["text"]))
+    in_base = v2["doc_id"].isin(base_ids)
+    changed = v2[in_base & (v2["doc_id"].map(base_text) != v2["text"])]
+    added = v2[~in_base]
+    ups = pd.concat([changed, added], ignore_index=True)
+    ups["deleted"] = False
+    tomb = pd.DataFrame(
+        {
+            "doc_id": np.array(removed, dtype=np.int64),
+            "text": pd.Series([None] * len(removed), dtype=object),
+            "lang": pd.Series([None] * len(removed), dtype=object),
+            "source": pd.Series([None] * len(removed), dtype=object),
+            "n_chars": pd.Series([np.int64(0)] * len(removed), dtype="int64"),
+            "deleted": True,
+        }
+    )
+    delta = pd.concat([ups, tomb], ignore_index=True).sort_values("doc_id")
+    tmp = out.with_suffix(".tmp")
+    delta.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return str(out)
+
+
 # ---------------------------------------------------------------------------
 # Ground truth for tests
 # ---------------------------------------------------------------------------

@@ -139,3 +139,40 @@ def test_mutated_documents_fixture_deterministic_and_classified():
     assert by["changed"] == set(ids[(ids % 7 == 2) & (ids % 10 != 3)])
     assert len(by["added"]) == max((ids % 10 != 3).sum() // 20, 1)
     assert by["added"].isdisjoint(set(ids))
+
+
+def test_merge_upsert_closed_loop(ray_session):
+    """merge(base, delta(base→v2)) must equal the v2 snapshot exactly —
+    upserts shadow, tombstones delete, untouched rows pass through."""
+    import hashlib
+
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import merge_upsert
+    from hepdata_validator_ray.synth import (
+        ensure_delta_parquet,
+        ensure_mutated_documents_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v2 = pd.read_parquet(ensure_mutated_documents_parquet(sf)).sort_values("doc_id").reset_index(drop=True)
+    out = (
+        merge_upsert(f"{sf}/documents.parquet", ensure_delta_parquet(sf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    v2["text_md5"] = [
+        hashlib.md5((t if isinstance(t, str) else "<NULL>").encode()).hexdigest()
+        for t in v2["text"]
+    ]
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "text_md5", "lang", "source", "n_chars"]],
+        v2[["doc_id", "text_md5", "lang", "source", "n_chars"]],
+        check_dtype=False,
+    )
+    # origin: exactly the delta's upsert rows won as 'delta'
+    delta = pd.read_parquet(ensure_delta_parquet(sf))
+    assert set(out.loc[out["origin"] == "delta", "doc_id"]) == set(
+        delta.loc[~delta["deleted"], "doc_id"]
+    )
