@@ -513,12 +513,17 @@ def _incremental_meta(sf_dir: str):
         ensure_shifted_sequences_parquet,
     )
 
+    from hepdata_validator_ray.synth import ensure_delta_parquet
+
     inc = dedup.content_incremental_new(ensure_shifted_sequences_parquet(sf_dir), _seq(sf_dir))
     diff = dedup.snapshot_diff(
         f"{sf_dir}/documents.parquet", ensure_mutated_documents_parquet(sf_dir)
     ).to_pandas()
     link = dedup.edit_distance_links(
         f"{sf_dir}/documents.parquet", ensure_mutated_documents_parquet(sf_dir)
+    ).to_pandas()
+    mg = dedup.merge_upsert(
+        f"{sf_dir}/documents.parquet", ensure_delta_parquet(sf_dir)
     ).to_pandas()
     return pd.concat(
         [
@@ -537,6 +542,17 @@ def _incremental_meta(sf_dir: str):
                     + ">"
                     + link["doc_id_b"].astype("int64").astype(str),
                     "a": link["dist"].astype("int64"),
+                }
+            ),
+            # CDC merge leg: full content evidence (md5 + origin + lang/
+            # source in the key, n_chars as the value)
+            pd.DataFrame(
+                {
+                    "kind": "merge",
+                    "k1": mg["doc_id"].astype("int64").astype(str)
+                    + "|" + mg["text_md5"] + "|" + mg["lang"].fillna("<NULL>")
+                    + "|" + mg["source"].fillna("<NULL>") + "|" + mg["origin"],
+                    "a": mg["n_chars"].astype("int64"),
                 }
             ),
         ],
@@ -2847,6 +2863,9 @@ FROM chars GROUP BY doc_id, bin""",
     o["incremental_meta"] += (
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
+        "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"
+        " || '|' || coalesce(lang, '<NULL>') || '|' || coalesce(source, '<NULL>')"
+        " || '|' || origin, n_chars FROM (" + o["merge_upsert"] + ")"
     )
     o["embedding_cluster_meta"] += (
         "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("
