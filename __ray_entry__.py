@@ -1194,6 +1194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trending types: trailing-7d counts ranked per day (map-side
         # day×type collapse, corpus-free driver window)
         "events_trending": lambda sf: relational.events_trending_types(sf),
+        # order-preserving global row index (distributed zipWithIndex):
+        # per-source local index + broadcast prefix offsets, no global sort
+        "docs_row_index": lambda sf: relational.docs_global_row_index(sf),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2057,6 +2060,13 @@ WITH c AS (
 SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
        event_type, n7, rk
 FROM r WHERE rk <= 3""",
+        # order-preserving global row index under the (source, doc_id)
+        # total order; '<NULL>' literal keeps NULL-source ordering
+        # identical on both sides
+        "docs_row_index": """
+SELECT doc_id, coalesce(source, '<NULL>') AS source,
+       (row_number() OVER (ORDER BY coalesce(source, '<NULL>'), doc_id) - 1)::BIGINT AS idx
+FROM documents""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

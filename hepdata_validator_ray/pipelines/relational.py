@@ -2896,3 +2896,71 @@ def events_trending_types(sf_dir: str, window_days: int = 7, k: int = 3) -> pd.D
     out["n7"] = out["n7"].astype("int64")
     out["rk"] = out["rk"].astype("int64")
     return out[["day", "event_type", "n7", "rk"]].reset_index(drop=True)
+
+
+def docs_global_row_index(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Order-preserving global row index (the distributed zipWithIndex):
+    every document gets its 0-based rank under the total order
+    (source, doc_id) — the deterministic sharding / resume-key primitive
+    a training run uses to address examples.
+
+    No global sort: one source-keyed exchange assigns each group its
+    LOCAL (in-source) index vectorized; the per-source row counts — a
+    |sources|-sized table — come back to the driver, prefix-sum in
+    source order, and broadcast as each source's global offset.
+    rank = offset[source] + local_idx.  NULL source groups under
+    '<NULL>' (and sorts with that literal on both sides)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    import pyarrow.parquet as _pqm
+
+    nb = num_buckets or int(
+        min(4096, max(8, -(-_pqm.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows // 2_000_000)))
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("source"),
+            "source",
+            pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+        )
+        return with_bucket(t, "source", nb)
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source"]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+
+    # phase 1: per-source totals (tiny)
+    counts = (
+        ds.groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(counts["source"], np.r_[0, np.cumsum(counts["n"].to_numpy(np.int64))[:-1]])
+    )
+    off_ref = ray.put(offsets)
+
+    # phase 2: in-source local index + broadcast offset (ray.get of the
+    # tiny dict is served from the local object store per task)
+    def index_group(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["source", "doc_id"], kind="mergesort"
+        )
+        src = df["source"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        lens = np.diff(np.r_[starts, len(src)])
+        local = np.arange(len(src), dtype=np.int64) - np.repeat(starts, lens)
+        base = df["source"].map(offs).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "source": df["source"],
+                "idx": base + local,
+            }
+        )
+
+    return ds.groupby(BUCKET_COL).map_groups(index_group, batch_format="pandas")
