@@ -1197,6 +1197,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-preserving global row index (distributed zipWithIndex):
         # per-source local index + broadcast prefix offsets, no global sort
         "docs_row_index": lambda sf: relational.docs_global_row_index(sf),
+        # pairwise centroid dot products in integer space (cluster
+        # confusion summary; rides the label_centroid_sums exchange)
+        "centroid_pair_dots": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).centroid_pair_dots(f"{sf}/embeddings.parquet"),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2880,6 +2885,16 @@ FROM chars GROUP BY doc_id, bin""",
     o["embedding_cluster_meta"] += (
         "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("
         + o["embedding_label_centroids"] + ")"
+    )
+    # centroid pair dots: composed from the centroid long-form entry —
+    # integer self-join on dim, so the matmul is provably the SQL join
+    o["centroid_pair_dots"] = (
+        "WITH lc AS (" + o["embedding_label_centroids"] + ")\n"
+        "SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,\n"
+        "       sum(a.sum_q * b.sum_q)::BIGINT AS dot_q,\n"
+        "       min(a.n)::BIGINT AS n_a, min(b.n)::BIGINT AS n_b\n"
+        "FROM lc a JOIN lc b ON a.dim = b.dim AND a.label < b.label\n"
+        "GROUP BY 1, 2"
     )
     # relational_meta3: composed from the standalone leg entries so the
     # two spellings can never desync (the meta2 precedent)

@@ -337,3 +337,33 @@ def label_centroid_sums(emb_path: str) -> "ray.data.Dataset":
         .groupby(["label", "dim"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
     )
+
+
+def centroid_pair_dots(emb_path: str) -> pd.DataFrame:
+    """Pairwise centroid similarity in INTEGER space: for every label
+    pair a < b, the dot product of their quantized centroid-sum vectors
+    plus both member counts — the cluster-confusion summary (cosine =
+    dot_q / (|a||b|·n_a·n_b·S²) downstream, but the gated artifact stays
+    int64-exact).  Rides the distributed label_centroid_sums exchange
+    (|labels|×dim rows); the pair matmul runs on that tiny table
+    driver-side.  int64 bound: per-dim |sum_q| must stay below ~3·10⁸
+    (n·S·|x| — holds through ~10⁵ members per label at unit-scale
+    embeddings; quantize coarser beyond)."""
+    lc = label_centroid_sums(emb_path).to_pandas()
+    piv = lc.pivot(index="label", columns="dim", values="sum_q").sort_index()
+    labels = piv.index.to_numpy(np.int64)
+    m = piv.to_numpy(np.int64)
+    ns = (
+        lc[lc["dim"] == 0].set_index("label")["n"].reindex(piv.index).to_numpy(np.int64)
+    )
+    dots = m @ m.T  # integer-exact
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pd.DataFrame(
+        {
+            "label_a": labels[ia],
+            "label_b": labels[ib],
+            "dot_q": dots[ia, ib].astype(np.int64),
+            "n_a": ns[ia],
+            "n_b": ns[ib],
+        }
+    )
