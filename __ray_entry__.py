@@ -1202,6 +1202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_pair_dots": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).centroid_pair_dots(f"{sf}/embeddings.parquet"),
+        # incremental materialized-state maintenance: first-seen-day
+        # state persisted from the base half, min-merged with the delta
+        # half in one exchange; closed loop == full recompute
+        "events_first_seen": lambda sf: relational.events_first_seen_update(sf),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2072,6 +2076,12 @@ FROM r WHERE rk <= 3""",
 SELECT doc_id, coalesce(source, '<NULL>') AS source,
        (row_number() OVER (ORDER BY coalesce(source, '<NULL>'), doc_id) - 1)::BIGINT AS idx
 FROM documents""",
+        # the incremental-state closed loop: updated first-seen state
+        # must equal min(day) per user over the WHOLE corpus
+        "events_first_seen": """
+SELECT user_id::BIGINT AS user_id,
+       min(epoch_us(ts) // 86400000000)::BIGINT AS first_day
+FROM events GROUP BY 1""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

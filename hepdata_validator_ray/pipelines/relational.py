@@ -2964,3 +2964,71 @@ def docs_global_row_index(sf_dir: str, num_buckets: int | None = None) -> "ray.d
         )
 
     return ds.groupby(BUCKET_COL).map_groups(index_group, batch_format="pandas")
+
+
+def events_first_seen_update(
+    sf_dir: str, state_dir: str | None = None
+) -> "ray.data.Dataset":
+    """Incremental materialized-state maintenance (the streaming-view
+    pattern of SURVEY §2.8): the state is (user_id, first_day) — each
+    user's first-seen calendar day.  Phase 1 builds the state from the
+    BASE half of the corpus (ts before the midpoint day, derived from
+    the parquet column statistics — no data scan) and PERSISTS it as the
+    partitioned state artifact; phase 2 ingests only the DELTA half
+    (read pruned to ts ≥ cutoff), collapses it map-side to per-batch
+    (user, min day) partials, and min-merges them with the state read in
+    ONE user-keyed exchange — the delta path never rescans the base.
+
+    The closed-loop contract (pinned in tests + the oracle): the updated
+    state equals min(day) per user over the WHOLE corpus."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pqm
+
+    from ray.data.aggregate import Min
+
+    DAY_US = np.int64(86_400_000_000)
+    ev = _pq(sf_dir, "events")
+    # cutoff from footer statistics only (no scan)
+    md = _pqm.ParquetFile(ev).metadata
+    ts_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("ts")
+    lo = min(md.row_group(g).column(ts_idx).statistics.min for g in range(md.num_row_groups))
+    hi = max(md.row_group(g).column(ts_idx).statistics.max for g in range(md.num_row_groups))
+    cutoff = lo + (hi - lo) / 2
+
+    def day_partials(lo_f=None, hi_f=None):
+        def fn(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            day = ts // DAY_US
+            order = np.argsort(uid, kind="stable")
+            uid, day = uid[order], day[order]
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            return pa.table(
+                {
+                    "user_id": pa.array(uid[starts], pa.int64()),
+                    "first_day": pa.array(np.minimum.reduceat(day, starts), pa.int64()),
+                }
+            )
+        return fn
+
+    import hashlib as _hl
+
+    # stable digest (Python's hash() is per-process salted)
+    state_dir = state_dir or f"/tmp/hvr_state/first_seen-{_hl.md5(ev.encode()).hexdigest()[:12]}"
+    base = (
+        ray.data.read_parquet(ev, columns=["user_id", "ts"], filter=_pc.field("ts") < _pc.scalar(cutoff))
+        .map_batches(day_partials(), batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("first_day", alias_name="first_day"))
+    )
+    base.write_parquet(state_dir, mode="overwrite")
+
+    delta = ray.data.read_parquet(
+        ev, columns=["user_id", "ts"], filter=_pc.field("ts") >= _pc.scalar(cutoff)
+    ).map_batches(day_partials(), batch_format="pyarrow")
+    state = ray.data.read_parquet(state_dir)
+    return (
+        state.union(delta)
+        .groupby("user_id")
+        .aggregate(Min("first_day", alias_name="first_day"))
+    )

@@ -574,3 +574,26 @@ def test_declarative_enum_rejects_scalar_string():
 
     with pytest.raises(ValueError, match="enum value"):
         compile_declared_check({"column": "source", "keyword": "enum", "value": "web"})
+
+
+def test_first_seen_update_uses_delta_only(ray_session, tmp_path):
+    """The update phase must produce the same state as a full recompute,
+    and the persisted base-state artifact must exist and be user-keyed."""
+    import os
+
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.relational import events_first_seen_update
+
+    sd = str(tmp_path / "state")
+    out = events_first_seen_update("/root/testdata/sf0.001", state_dir=sd).to_pandas()
+    assert os.path.isdir(sd) and any(f.endswith(".parquet") for f in os.listdir(sd))
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"])
+    full = (
+        ev.assign(day=ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000)
+        .groupby("user_id", as_index=False)["day"].min()
+        .rename(columns={"day": "first_day"})
+    )
+    got = out.sort_values("user_id").reset_index(drop=True)
+    exp = full.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"), check_dtype=False)
