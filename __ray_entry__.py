@@ -1206,6 +1206,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state persisted from the base half, min-merged with the delta
         # half in one exchange; closed loop == full recompute
         "events_first_seen": lambda sf: relational.events_first_seen_update(sf),
+        # market-basket frequent pairs (Apriori k=2 support counts):
+        # orderkey exchange + segmented-pairs kernel + pair-keyed sum
+        "basket_pairs": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).frequent_part_pairs(sf),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2082,6 +2087,15 @@ FROM documents""",
 SELECT user_id::BIGINT AS user_id,
        min(epoch_us(ts) // 86400000000)::BIGINT AS first_day
 FROM events GROUP BY 1""",
+        # market-basket support counts: pairs counted once per DISTINCT
+        # (order, part); (n, a, b) unique so the LIMIT is deterministic
+        "basket_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a, b.l_partkey AS b, count(*)::BIGINT AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n DESC, a, b
+LIMIT 100""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

@@ -526,3 +526,59 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node"""
+
+
+def frequent_part_pairs(
+    sf_dir: str, k: int = 100, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Market-basket frequent pairs: the top-k part pairs by SUPPORT
+    (number of distinct orders containing both) — the association-rule
+    counting pass (Apriori k=2).
+
+    Same partitioning as copurchase_edges — rows of one order meet on
+    hash(orderkey), within-order pairs come from the vectorized
+    segmented-pairs kernel (per-order part counts are bounded by the
+    data contract, so the quadratic blowup is too) — but each pair is
+    counted ONCE PER ORDER (map-side per-bucket groupby partials)
+    instead of deduped, then one pair-keyed groupby-sum exchange and a
+    deterministic (n DESC, a, b) top-k."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    line = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        line, target_rows_per_bucket=1_000_000, lo=16
+    )
+
+    def order_pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).drop_duplicates(["l_orderkey", "l_partkey"])
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(dtype=np.int64)
+        p = df["l_partkey"].to_numpy(dtype=np.int64)
+        fi, si = _within_group_pairs(o)
+        if not len(fi):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        # one support count per (order, pair) — parts are distinct and
+        # sorted within the order, so (p[fi], p[si]) is already canonical
+        out = (
+            pd.DataFrame({"a": p[fi], "b": p[si]})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        line.map_batches(lambda t: with_bucket(t, "l_orderkey", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(order_pair_counts, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )
