@@ -1211,6 +1211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).frequent_part_pairs(sf),
+        # cross-source contamination matrix: distinct 3-gram shingles
+        # shared per source pair (int64 bitmask OR-reduce per shingle)
+        "source_overlap": lambda sf: text.source_overlap_matrix(docs(sf)),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2096,6 +2099,20 @@ FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY n DESC, a, b
 LIMIT 100""",
+        # cross-source duplication audit: distinct word 3-gram shingles
+        # shared per source pair (parallel unnest zips the slices)
+        "source_overlap": """
+WITH sp AS (
+  SELECT coalesce(source, '<NULL>') AS source, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT DISTINCT source,
+         unnest(w[1:len(w)-2]) || ' ' || unnest(w[2:len(w)-1]) || ' ' || unnest(w[3:len(w)]) AS sh
+  FROM sp WHERE len(w) >= 3
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+GROUP BY 1, 2""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

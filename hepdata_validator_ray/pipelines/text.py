@@ -653,3 +653,96 @@ def word_cooccurrence_top(
         .sort(["n", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def source_overlap_matrix(
+    docs_path: str, shingle_k: int = 3, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Cross-source duplication audit: for every source pair (a < b), the
+    number of DISTINCT word ``shingle_k``-grams that appear in both — the
+    contamination matrix a corpus-mix review reads before blending
+    sources.
+
+    Shape: per batch, each doc's shingle strings are built vectorized
+    (object-array concat over the exploded word buffer) and collapsed to
+    distinct (shingle, source-BIT) rows — sources map to bits of one
+    int64 via a broadcast enumeration, so the per-shingle source set is
+    an OR-reduce, not a set union.  ONE shingle-keyed exchange ORs the
+    masks per shingle; the |distinct masks| ≤ 2^|sources| mask counts
+    collapse map-side, and the pair expansion (popcount pairs) runs on
+    that tiny table driver-side.  Output (src_a, src_b, n_shared)."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    srcs = sorted(
+        pd.read_parquet(docs_path, columns=["source"])["source"]
+        .fillna("<NULL>")
+        .unique()
+        .tolist()
+    )
+    if len(srcs) > 62:
+        raise ValueError("source_overlap_matrix supports <= 62 sources (int64 bitmask)")
+    bit_of = {s: np.int64(1) << i for i, s in enumerate(srcs)}
+
+    def shingle_masks(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ")
+        flat, offsets = _explode_words(words)
+        empty = pd.DataFrame(
+            {"sh": pd.Series(dtype="object"), "mask": pd.Series(dtype="int64")}
+        )
+        if not len(flat):
+            return empty
+        lens = np.diff(offsets)
+        seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n = len(flat)
+        if n < shingle_k:
+            return empty
+        ok = np.ones(n - shingle_k + 1, dtype=bool)
+        parts = [flat[: n - shingle_k + 1]]
+        for j in range(1, shingle_k):
+            ok &= seg[j : n - shingle_k + 1 + j] == seg[: n - shingle_k + 1]
+            parts.append(flat[j : n - shingle_k + 1 + j])
+        sh = parts[0].copy()
+        for p in parts[1:]:
+            sh = np.char.add(np.char.add(sh.astype(object).astype(str), " "), p.astype(object).astype(str))
+        src = df["source"].fillna("<NULL>").to_numpy()
+        row_src = np.repeat(src, lens)[: n - shingle_k + 1][ok]
+        out = pd.DataFrame({"sh": sh[ok], "mask": [bit_of[s] for s in row_src]})
+        # per-batch OR-collapse: one row per distinct shingle
+        return out.groupby("sh", sort=False, as_index=False)["mask"].agg(np.bitwise_or.reduce)
+
+    def or_per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby("sh", sort=False, as_index=False)["mask"].agg(np.bitwise_or.reduce)
+        # collapse to mask histogram — the exchange output is tiny
+        h = g.groupby("mask", as_index=False).size().rename(columns={"size": "n"})
+        h["n"] = h["n"].astype("int64")
+        return h[["mask", "n"]]
+
+    ds = ray.data.read_parquet(docs_path, columns=["source", "text"]).map_batches(
+        shingle_masks, batch_format="pandas", batch_size=4096
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=2_000_000, lo=8
+    )
+    hist = (
+        ds.map_batches(lambda t: with_bucket(t, "sh", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(or_per_shingle, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+
+    # pair expansion on the <= 2^|sources| mask histogram (driver-side)
+    rows = []
+    masks = hist["mask"].to_numpy(np.int64)
+    ns = hist["n"].to_numpy(np.int64)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            both = (masks & bit_of[a] != 0) & (masks & bit_of[b] != 0)
+            rows.append((a, b, int(ns[both].sum())))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "n_shared"])
+    out["n_shared"] = out["n_shared"].astype("int64")
+    # pairs sharing nothing are absent (the oracle's inner join)
+    return out[out["n_shared"] > 0].reset_index(drop=True)

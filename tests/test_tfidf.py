@@ -102,3 +102,27 @@ def test_cooccurrence_boundary_and_window(ray_session, tmp_path):
     )
     # doc1 pairs: d1: (b,a),(a,c),(c,b); d2: (b,c),(a,b) -> canonical counts
     assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_source_overlap_bitmask_semantics(ray_session, tmp_path):
+    """Crafted: shingle shared across 3 sources counts toward all 3
+    pairs; a within-source repeat counts once; no cross-doc shingles."""
+    import pandas as pd
+    from hepdata_validator_ray.pipelines.text import source_overlap_matrix
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "source": ["s1", "s2", "s3", "s1", "s2"],
+            "text": [
+                "x y z tail1",     # s1 has 'x y z'
+                "x y z tail2",     # s2 has 'x y z'
+                "x y z tail3",     # s3 has 'x y z'
+                "x y z again",     # s1 repeat -> still one distinct shingle
+                "a b",             # too short for a 3-gram
+            ],
+        }
+    ).to_parquet(p)
+    out = source_overlap_matrix(p).set_index(["src_a", "src_b"])["n_shared"].to_dict()
+    assert out == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
