@@ -1214,6 +1214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-source contamination matrix: distinct 3-gram shingles
         # shared per source pair (int64 bitmask OR-reduce per shingle)
         "source_overlap": lambda sf: text.source_overlap_matrix(docs(sf)),
+        # week-over-week growth in basis points (sign-split trunc
+        # division parity; Thursday-epoch weeks)
+        "events_wow_growth": lambda sf: relational.events_wow_growth(sf),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2113,6 +2116,18 @@ WITH sp AS (
 SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
 FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
 GROUP BY 1, 2""",
+        # WoW growth in basis points; the CASE sign-split makes DuckDB's
+        # toward-zero // and numpy's floor // provably identical
+        "events_wow_growth": """
+WITH c AS (
+  SELECT epoch_us(ts) // 604800000000 AS wk,
+         coalesce(event_type, '<NULL>') AS event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.wk::BIGINT AS wk, a.event_type, a.n, b.n AS n_prev,
+       (CASE WHEN a.n >= b.n THEN (a.n - b.n) * 10000 // b.n
+             ELSE -((b.n - a.n) * 10000 // b.n) END)::BIGINT AS growth_bps
+FROM c a JOIN c b ON a.event_type = b.event_type AND a.wk = b.wk + 1""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

@@ -3032,3 +3032,48 @@ def events_first_seen_update(
         .groupby("user_id")
         .aggregate(Min("first_day", alias_name="first_day"))
     )
+
+
+def events_wow_growth(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week growth per event type in BASIS POINTS — the growth
+    dashboard op, integer-exact across engines: the corpus collapses
+    map-side to (week, type, n) (one tiny exchange, Thursday-epoch weeks
+    = epoch_us // 7 days, the cohort-retention convention), the calendar
+    lag joins week w to w-1 driver-side on that |weeks|×|types| table,
+    and growth_bps = trunc((n - n_prev)·10⁴ / n_prev) is spelled as a
+    SIGN-SPLIT floor division on BOTH sides (DuckDB's // truncates
+    toward zero, numpy's floors — the split makes them identical).
+    Weeks whose previous calendar week has no rows are excluded."""
+    WEEK_US = np.int64(7 * 86_400_000_000)
+
+    base = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "wk": df["ts"].to_numpy().astype("datetime64[us]").view("i8") // WEEK_US,
+                    "event_type": df["event_type"].fillna("<NULL>"),
+                    "n": np.ones(len(df), dtype=np.int64),
+                }
+            ).groupby(["wk", "event_type"], as_index=False).sum(),
+            batch_format="pandas",
+        )
+        .groupby(["wk", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    prev = base.rename(columns={"n": "n_prev"}).copy()
+    prev["wk"] = prev["wk"] + 1
+    m = base.merge(prev, on=["wk", "event_type"], how="inner")
+    n, p = m["n"].to_numpy(np.int64), m["n_prev"].to_numpy(np.int64)
+    d = n - p
+    bps = np.where(d >= 0, (d * 10000) // p, -(((-d) * 10000) // p))
+    out = pd.DataFrame(
+        {
+            "wk": m["wk"].astype("int64"),
+            "event_type": m["event_type"],
+            "n": n,
+            "n_prev": p,
+            "growth_bps": bps.astype(np.int64),
+        }
+    )
+    return out
