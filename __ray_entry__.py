@@ -763,7 +763,13 @@ def _relational_meta3(sf_dir: str):
 
     from hepdata_validator_ray.pipelines import relational, text, training
 
+    from hepdata_validator_ray.pipelines import cluster, graph
+
+    # eager legs (they execute internally) run serially first
     tr = relational.events_trending_types(sf_dir)
+    ww = relational.events_wow_growth(sf_dir)
+    cd = cluster.centroid_pair_dots(f"{sf_dir}/embeddings.parquet")
+    ov = text.source_overlap_matrix(f"{sf_dir}/documents.parquet")
     plans = [
         relational.q5_regional_revenue(sf_dir),
         relational.q3_shipping_priority(sf_dir),
@@ -771,9 +777,12 @@ def _relational_meta3(sf_dir: str):
         relational.docs_winsorize(sf_dir),
         training.mlm_mask_stats(_seq(sf_dir)),
         text.word_cooccurrence_top(f"{sf_dir}/documents.parquet"),
+        graph.frequent_part_pairs(sf_dir),
+        relational.docs_global_row_index(sf_dir),
+        relational.events_first_seen_update(sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=4) as ex:
-        q5, q3, q18, wz, ml, co = list(ex.map(lambda d: d.to_pandas(), plans))
+        q5, q3, q18, wz, ml, co, bk, ri, fs = list(ex.map(lambda d: d.to_pandas(), plans))
     z = lambda df: pd.Series(np.zeros(len(df), dtype=np.int64))  # noqa: E731
     return pd.concat(
         [
@@ -819,6 +828,34 @@ def _relational_meta3(sf_dir: str):
                 {"kind": "trend", "gkey": tr["day"] + "|" + tr["event_type"],
                  "a": tr["n7"].astype("int64"),
                  "b": tr["rk"].astype("int64"), "c": z(tr)}
+            ),
+            pd.DataFrame(
+                {"kind": "wow", "gkey": ww["wk"].astype("int64").astype(str) + "|" + ww["event_type"],
+                 "a": ww["n"].astype("int64"), "b": ww["n_prev"].astype("int64"),
+                 "c": ww["growth_bps"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": "cdot",
+                 "gkey": cd["label_a"].astype("int64").astype(str) + "|" + cd["label_b"].astype("int64").astype(str),
+                 "a": cd["dot_q"].astype("int64"), "b": cd["n_a"].astype("int64"),
+                 "c": cd["n_b"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": "ovl", "gkey": ov["src_a"] + "|" + ov["src_b"],
+                 "a": ov["n_shared"].astype("int64"), "b": z(ov), "c": z(ov)}
+            ),
+            pd.DataFrame(
+                {"kind": "bask",
+                 "gkey": bk["a"].astype("int64").astype(str) + "|" + bk["b"].astype("int64").astype(str),
+                 "a": bk["n"].astype("int64"), "b": z(bk), "c": z(bk)}
+            ),
+            pd.DataFrame(
+                {"kind": "ridx", "gkey": ri["source"] + "|" + ri["doc_id"].astype("int64").astype(str),
+                 "a": ri["idx"].astype("int64"), "b": z(ri), "c": z(ri)}
+            ),
+            pd.DataFrame(
+                {"kind": "fseen", "gkey": fs["user_id"].astype("int64").astype(str),
+                 "a": fs["first_day"].astype("int64"), "b": z(fs), "c": z(fs)}
             ),
         ],
         ignore_index=True,
@@ -2971,5 +3008,19 @@ FROM chars GROUP BY doc_id, bin""",
         " FROM (" + o["text_cooccurrence"] + ")"
         "\nUNION ALL\nSELECT 'trend', day || '|' || event_type, n7, rk,"
         " 0::BIGINT FROM (" + o["events_trending"] + ")"
+        "\nUNION ALL\nSELECT 'wow', CAST(wk AS VARCHAR) || '|' || event_type,"
+        " n, n_prev, growth_bps FROM (" + o["events_wow_growth"] + ")"
+        "\nUNION ALL\nSELECT 'cdot', CAST(label_a AS VARCHAR) || '|' ||"
+        " CAST(label_b AS VARCHAR), dot_q, n_a, n_b FROM ("
+        + o["centroid_pair_dots"] + ")"
+        "\nUNION ALL\nSELECT 'ovl', src_a || '|' || src_b, n_shared,"
+        " 0::BIGINT, 0::BIGINT FROM (" + o["source_overlap"] + ")"
+        "\nUNION ALL\nSELECT 'bask', CAST(a AS VARCHAR) || '|' ||"
+        " CAST(b AS VARCHAR), n, 0::BIGINT, 0::BIGINT FROM ("
+        + o["basket_pairs"] + ")"
+        "\nUNION ALL\nSELECT 'ridx', source || '|' || CAST(doc_id AS VARCHAR),"
+        " idx, 0::BIGINT, 0::BIGINT FROM (" + o["docs_row_index"] + ")"
+        "\nUNION ALL\nSELECT 'fseen', CAST(user_id AS VARCHAR), first_day,"
+        " 0::BIGINT, 0::BIGINT FROM (" + o["events_first_seen"] + ")"
     )
     return o
