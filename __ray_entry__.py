@@ -1254,6 +1254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # week-over-week growth in basis points (sign-split trunc
         # division parity; Thursday-epoch weeks)
         "events_wow_growth": lambda sf: relational.events_wow_growth(sf),
+        # deterministic JL random projection (formula-derived ±1 matrix,
+        # integer matmul — reproducible by any engine, no RNG state)
+        "embedding_projection": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).embedding_random_projection(f"{sf}/embeddings.parquet"),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2165,6 +2170,22 @@ SELECT a.wk::BIGINT AS wk, a.event_type, a.n, b.n AS n_prev,
        (CASE WHEN a.n >= b.n THEN (a.n - b.n) * 10000 // b.n
              ELSE -((b.n - a.n) * 10000 // b.n) END)::BIGINT AS growth_bps
 FROM c a JOIN c b ON a.event_type = b.event_type AND a.wk = b.wk + 1""",
+        # deterministic JL projection: the ±1 matrix is generated from
+        # the same bounded-integer rule inside SQL (range cross join)
+        "embedding_projection": """
+WITH e AS (
+  SELECT vec_id, unnest(range(len(embedding)))::BIGINT AS i,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS q
+  FROM embeddings
+), r AS (
+  SELECT i.range::BIGINT AS i, j.range::BIGINT AS j,
+         CASE WHEN (i.range * 2654435761 + j.range * 40503) % 1000 < 500
+              THEN 1 ELSE -1 END AS s
+  FROM range(64) i, range(16) j
+)
+SELECT e.vec_id, r.j, sum(e.q * r.s)::BIGINT AS y
+FROM e JOIN r ON e.i = r.i
+GROUP BY 1, 2""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

@@ -367,3 +367,47 @@ def centroid_pair_dots(emb_path: str) -> pd.DataFrame:
             "n_b": ns[ib],
         }
     )
+
+
+def embedding_random_projection(
+    emb_path: str, out_dim: int = 16
+) -> "ray.data.Dataset":
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    Rademacher (±1) sign matrix: y = q(x) · R, where q is the corpus
+    quantization (floor(x·1000 + 0.5) — integer-exact across engines)
+    and R[i, j] = +1 iff (i·2654435761 + j·40503) % 1000 < 500 else −1 —
+    the same bounded-integer rule family as the MLM mask, so the whole
+    projection is reproducible by ANY engine from the formula alone (no
+    shipped RNG state) and the DuckDB oracle is hash-exact.
+
+    The map is stateless and embarrassingly parallel: R (in_dim×out_dim,
+    a few KB) is built once per task from the rule; each batch stacks
+    its vectors and does ONE int64 matmul.  Output long form
+    (vec_id, j, y) — the layout the downstream LSH/ANN stages read.
+    int64 bound: |q|≤~10³·|x| and in_dim=64 keeps |y| < 10⁶ — far from
+    overflow at any realistic embedding scale."""
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"), "j": pd.Series(dtype="int64"),
+                 "y": pd.Series(dtype="int64")}
+            )
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        d = q.shape[1]
+        i = np.arange(d, dtype=np.int64)[:, None]
+        j = np.arange(out_dim, dtype=np.int64)[None, :]
+        r = np.where((i * 2654435761 + j * 40503) % 1000 < 500, np.int64(1), np.int64(-1))
+        y = q @ r
+        vid = df["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vid, out_dim),
+                "j": np.tile(np.arange(out_dim, dtype=np.int64), len(vid)),
+                "y": y.reshape(-1),
+            }
+        )
+
+    return ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
+        project, batch_format="pandas", batch_size=4096
+    )
