@@ -752,12 +752,10 @@ def _relational_meta3(sf_dir: str):
     winsorization, deterministic MLM masking, word co-occurrence, and
     trending types as ONE gated union (kind, gkey, a, b, c) — pulled
     inside the driver's 50-query window (the relational_meta shape
-    discipline).  Plans are CONSTRUCTED serially on the driver (the
-    documented lazy-fsspec pattern), then the independent Datasets
-    execute in threads; events_trending_types executes internally, so
-    it runs first, serially."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    discipline).  All 14 legs construct AND execute serially — the
+    threaded variant deadlocked at this leg count (concurrent
+    native-join executions starve each other's aggregator-actor
+    creation on a small CPU budget)."""
     import numpy as np
     import pandas as pd
 
@@ -770,19 +768,21 @@ def _relational_meta3(sf_dir: str):
     ww = relational.events_wow_growth(sf_dir)
     cd = cluster.centroid_pair_dots(f"{sf_dir}/embeddings.parquet")
     ov = text.source_overlap_matrix(f"{sf_dir}/documents.parquet")
-    plans = [
-        relational.q5_regional_revenue(sf_dir),
-        relational.q3_shipping_priority(sf_dir),
-        relational.q18_large_volume_customers(sf_dir),
-        relational.docs_winsorize(sf_dir),
-        training.mlm_mask_stats(_seq(sf_dir)),
-        text.word_cooccurrence_top(f"{sf_dir}/documents.parquet"),
-        graph.frequent_part_pairs(sf_dir),
-        relational.docs_global_row_index(sf_dir),
-        relational.events_first_seen_update(sf_dir),
-    ]
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        q5, q3, q18, wz, ml, co, bk, ri, fs = list(ex.map(lambda d: d.to_pandas(), plans))
+    # the remaining legs execute SERIALLY: at 14 legs the threaded
+    # variant can deadlock — concurrent native-join executions each
+    # spawn aggregator-actor pools and can starve each other's actor
+    # creation on a small CPU budget (observed wedged at this leg count;
+    # serial is deterministic and only ~2x the threaded wall here)
+    q5 = relational.q5_regional_revenue(sf_dir).to_pandas()
+    q3 = relational.q3_shipping_priority(sf_dir).to_pandas()
+    q18 = relational.q18_large_volume_customers(sf_dir).to_pandas()
+    wz = relational.docs_winsorize(sf_dir).to_pandas()
+    ml = training.mlm_mask_stats(_seq(sf_dir)).to_pandas()
+    co = text.word_cooccurrence_top(f"{sf_dir}/documents.parquet").to_pandas()
+    bk = graph.frequent_part_pairs(sf_dir).to_pandas()
+    ri = relational.docs_global_row_index(sf_dir).to_pandas()
+    fs = relational.events_first_seen_update(sf_dir).to_pandas()
+    pj = cluster.embedding_random_projection(f"{sf_dir}/embeddings.parquet").to_pandas()
     z = lambda df: pd.Series(np.zeros(len(df), dtype=np.int64))  # noqa: E731
     return pd.concat(
         [
@@ -856,6 +856,11 @@ def _relational_meta3(sf_dir: str):
             pd.DataFrame(
                 {"kind": "fseen", "gkey": fs["user_id"].astype("int64").astype(str),
                  "a": fs["first_day"].astype("int64"), "b": z(fs), "c": z(fs)}
+            ),
+            pd.DataFrame(
+                {"kind": "proj",
+                 "gkey": pj["vec_id"].astype("int64").astype(str) + "|" + pj["j"].astype("int64").astype(str),
+                 "a": pj["y"].astype("int64"), "b": z(pj), "c": z(pj)}
             ),
         ],
         ignore_index=True,
@@ -3043,5 +3048,8 @@ FROM chars GROUP BY doc_id, bin""",
         " idx, 0::BIGINT, 0::BIGINT FROM (" + o["docs_row_index"] + ")"
         "\nUNION ALL\nSELECT 'fseen', CAST(user_id AS VARCHAR), first_day,"
         " 0::BIGINT, 0::BIGINT FROM (" + o["events_first_seen"] + ")"
+        "\nUNION ALL\nSELECT 'proj', CAST(vec_id AS VARCHAR) || '|' ||"
+        " CAST(j AS VARCHAR), y, 0::BIGINT, 0::BIGINT FROM ("
+        + o["embedding_projection"] + ")"
     )
     return o
