@@ -83,6 +83,19 @@ def apply() -> bool:
         override_partition_id=None,
     ):
         stats = BlockExecStats.builder()
+        # fast path: non-empty blocks go straight to the original (the
+        # transformer must NOT run here — the original applies it, and
+        # running it twice would tax every block of every shuffle)
+        if BlockAccessor.for_block(block).num_rows() > 0:
+            return _orig_shuffle_fn(
+                block,
+                input_index,
+                key_columns,
+                pool,
+                block_transformer=block_transformer,
+                send_empty_blocks=send_empty_blocks,
+                override_partition_id=override_partition_id,
+            )
         if block_transformer is not None:
             blk = block_transformer(block)
         else:
