@@ -1264,6 +1264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_projection": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).embedding_random_projection(f"{sf}/embeddings.parquet"),
+        # distributed selection: exact global order statistics via
+        # range-aligned buckets + prefix offsets (no sort materialization)
+        "docs_order_stats": lambda sf: relational.docs_order_statistics(sf),
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
@@ -2191,6 +2194,18 @@ WITH e AS (
 SELECT e.vec_id, r.j, sum(e.q * r.s)::BIGINT AS y
 FROM e JOIN r ON e.i = r.i
 GROUP BY 1, 2""",
+        # distributed selection: default ranks derive from the TOTAL row
+        # count (the kernel's parquet-footer num_rows), ordering over
+        # non-null n_chars with doc_id tie-break
+        "docs_order_stats": """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         (row_number() OVER (ORDER BY n_chars, doc_id) - 1)::BIGINT AS rank
+  FROM documents WHERE n_chars IS NOT NULL
+), n AS (SELECT count(*)::BIGINT AS c FROM documents)
+SELECT rank, doc_id, n_chars::BIGINT AS n_chars
+FROM r, n
+WHERE rank IN (0, c // 4, c // 2, (3 * c) // 4, c - 1)""",
         # standalone bounded range join: views in the hour before each
         # purchase (same user), half-open window
         "events_range_join": """

@@ -3077,3 +3077,90 @@ def events_wow_growth(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+def docs_order_statistics(
+    sf_dir: str, ranks: tuple[int, ...] | None = None, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Exact GLOBAL order statistics by distributed selection — the
+    median-of-100TB primitive: the value (and doc) at chosen 0-based
+    global ranks under the total order (n_chars, doc_id), WITHOUT a
+    global sort materialization.
+
+    Range partitioning, not hash: each row's bucket is its value's
+    position in equal-width value bins (bounds from the parquet FOOTER
+    min/max — no scan), so buckets are ORDER-ALIGNED; per-bucket counts
+    prefix-sum into global bucket offsets driver-side (|buckets| ints);
+    each bucket then sorts only ITS rows, adds its offset, and keeps
+    the requested ranks.  Shuffle = one exchange of (n_chars, doc_id);
+    driver traffic = |buckets| counts.  Equal-width bins assume a
+    non-pathological value distribution — salt or re-bin by sampled
+    quantiles for adversarial skew (documented trade-off)."""
+    import pyarrow.parquet as _pqm
+
+    from ray.data.aggregate import Count
+    from hepdata_validator_ray.ops import BUCKET_COL
+
+    path = _pq(sf_dir, "documents")
+    md = _pqm.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("n_chars")
+    vmin = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+    vmax = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+    n_total = md.num_rows
+    if ranks is None:
+        ranks = (0, n_total // 4, n_total // 2, (3 * n_total) // 4, n_total - 1)
+    ranks_arr = np.asarray(sorted(set(ranks)), dtype=np.int64)
+    nb = num_buckets or int(min(4096, max(8, -(-n_total // 2_000_000))))
+    span = max(int(vmax) - int(vmin) + 1, 1)
+
+    def binize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["n_chars"]))
+        v = t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = (v - int(vmin)) * nb // span
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(v, pa.int64()),
+                BUCKET_COL: pa.array(np.clip(b, 0, nb - 1), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "n_chars"]).map_batches(
+        binize, batch_format="pyarrow"
+    )
+    counts = (
+        ds.groupby(BUCKET_COL).aggregate(Count(alias_name="n")).to_pandas()
+        .sort_values(BUCKET_COL)
+        .reset_index(drop=True)
+    )
+    offs = np.zeros(nb, dtype=np.int64)
+    offs[counts[BUCKET_COL].to_numpy(np.int64)] = counts["n"].to_numpy(np.int64)
+    starts = np.r_[0, np.cumsum(offs)[:-1]]
+    starts_by_bucket = {int(b): int(s) for b, s in enumerate(starts)}
+    start_ref = ray.put((starts_by_bucket, ranks_arr))
+
+    def select_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"rank": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64"),
+                 "n_chars": pd.Series(dtype="int64")}
+            )
+        starts_map, want = ray.get(start_ref)
+        b = int(df[BUCKET_COL].iloc[0])
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["n_chars", "doc_id"], kind="mergesort"
+        )
+        gidx = starts_map[b] + np.arange(len(df), dtype=np.int64)
+        hit = np.isin(gidx, want)
+        out = df[hit].copy()
+        out["rank"] = gidx[hit]
+        return pd.DataFrame(
+            {
+                "rank": out["rank"].astype("int64"),
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_chars": out["n_chars"].astype("int64"),
+            }
+        )
+
+    return ds.groupby(BUCKET_COL).map_groups(select_ranks, batch_format="pandas")

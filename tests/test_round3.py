@@ -597,3 +597,24 @@ def test_first_seen_update_uses_delta_only(ray_session, tmp_path):
     got = out.sort_values("user_id").reset_index(drop=True)
     exp = full.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"), check_dtype=False)
+
+
+def test_order_statistics_partition_invariant(ray_session):
+    """The selected (rank, value) set must not depend on the bucket
+    count — range-aligned offsets make correctness partition-invariant."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.relational import docs_order_statistics
+
+    a = (
+        docs_order_statistics("/root/testdata/sf0.001", num_buckets=8)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    b = (
+        docs_order_statistics("/root/testdata/sf0.001", num_buckets=64)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 5 and a["rank"].iloc[0] == 0
+    # values are nondecreasing in rank
+    assert a["n_chars"].is_monotonic_increasing
