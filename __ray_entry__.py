@@ -783,6 +783,7 @@ def _relational_meta3(sf_dir: str):
     ri = relational.docs_global_row_index(sf_dir).to_pandas()
     fs = relational.events_first_seen_update(sf_dir).to_pandas()
     pj = cluster.embedding_random_projection(f"{sf_dir}/embeddings.parquet").to_pandas()
+    osx = relational.docs_order_statistics(sf_dir).to_pandas()
     z = lambda df: pd.Series(np.zeros(len(df), dtype=np.int64))  # noqa: E731
     return pd.concat(
         [
@@ -861,6 +862,11 @@ def _relational_meta3(sf_dir: str):
                 {"kind": "proj",
                  "gkey": pj["vec_id"].astype("int64").astype(str) + "|" + pj["j"].astype("int64").astype(str),
                  "a": pj["y"].astype("int64"), "b": z(pj), "c": z(pj)}
+            ),
+            pd.DataFrame(
+                {"kind": "ostat", "gkey": osx["rank"].astype("int64").astype(str),
+                 "a": osx["doc_id"].astype("int64"),
+                 "b": osx["n_chars"].astype("int64"), "c": z(osx)}
             ),
         ],
         ignore_index=True,
@@ -3066,5 +3072,7 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'proj', CAST(vec_id AS VARCHAR) || '|' ||"
         " CAST(j AS VARCHAR), y, 0::BIGINT, 0::BIGINT FROM ("
         + o["embedding_projection"] + ")"
+        "\nUNION ALL\nSELECT 'ostat', CAST(rank AS VARCHAR), doc_id,"
+        " n_chars, 0::BIGINT FROM (" + o["docs_order_stats"] + ")"
     )
     return o
