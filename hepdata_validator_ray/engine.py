@@ -994,7 +994,7 @@ class ValidationEngine:
 
             def _dup_worker():
                 try:
-                    dup_result["df"] = self._dup_pass(files, out_dir, manifest)
+                    dup_result["summary"] = self._dup_pass(files, out_dir, manifest)
                 except BaseException as e:  # surfaced after join
                     dup_result["error"] = e
 
@@ -1035,8 +1035,9 @@ class ValidationEngine:
             dup_thread.join()
             if "error" in dup_result:
                 raise dup_result["error"]
-            dup_df = dup_result["df"]
-            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            # n_dup counts ALL members of each duplicate group (the synth
+            # ground truth, oracles and verdicts share this convention)
+            n_dup = dup_result["summary"]["n_dup_rows"]
             if n_dup:
                 violation_counts["doc_id_duplicates"] = violation_counts.get("doc_id_duplicates", 0) + n_dup
                 total_violations += n_dup
@@ -1497,7 +1498,21 @@ class ValidationEngine:
         return sketch_rows.groupby("partition_id").map_groups(score_group, batch_format="pandas").to_pandas()
 
     # -- duplicate pass ------------------------------------------------------
-    def _dup_pass(self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None) -> pd.DataFrame:
+    def _dup_pass(
+        self, files: list[str], out_dir: Path | None, manifest: CheckpointManifest | None
+    ) -> dict:
+        """Distributed duplicate pass (A1).  The dup set NEVER lands on the
+        driver: ``duplicate_ids_dataset`` collapses to distributed
+        (doc_id, cnt) dup-class blocks, the violation rows are emitted by
+        ``map_batches`` and sunk with a distributed ``write_parquet``, and
+        only the two counts (+ the parquet path) enter the manifest.  At an
+        adversarial dup rate — e.g. 20% of 10^12 rows duplicated, the exact
+        input a validator must survive — the driver holds two ints, not the
+        dup list (reference analogue: submission_file_validator.py:140-156
+        holds the table-name set in memory; at its scale that is fine).
+
+        Returns ``{"n_duplicate_ids": classes, "n_dup_rows": member rows}``.
+        """
         # key on scrubbed paths so archive mode (fresh temp dir per run)
         # recognizes the same input set across runs
         files_key = chunk_key([_strip_prefix(self.config.scrub_prefix, f) for f in files])
@@ -1505,35 +1520,50 @@ class ValidationEngine:
             e = manifest.get_all("dup_pass")[-1]
             # reuse only when the INPUT FILE SET is unchanged — incremental
             # ingest must re-shuffle doc_ids across old+new files
-            if e.get("files_key") == files_key:
-                return pd.DataFrame(e["dups"]) if e.get("dups") else pd.DataFrame(columns=["doc_id", "cnt"])
+            if e.get("files_key") == files_key and "n_dup_rows" in e:
+                return {
+                    "n_duplicate_ids": int(e["n_duplicate_ids"]),
+                    "n_dup_rows": int(e["n_dup_rows"]),
+                }
         t0 = time.perf_counter()
-        dup_df = duplicate_ids_dataset(files).to_pandas()
-        if out_dir is not None and len(dup_df):
-            vio = pa.Table.from_pydict(
-                {
-                    "partition_id": ["<global>"] * len(dup_df),
-                    "row_idx": pa.nulls(len(dup_df), pa.int64()),
-                    "doc_id": dup_df["doc_id"].tolist(),
-                    "check_name": ["doc_id_duplicates"] * len(dup_df),
-                    "level": ["error"] * len(dup_df),
-                    "detail": [M.msg_duplicate("doc_id", d) for d in dup_df["doc_id"]],
-                },
-                schema=VIOLATION_SCHEMA,
-            )
+        dup_ds = duplicate_ids_dataset(files).materialize()
+        n_classes = dup_ds.count()
+        n_dup_rows = 0
+        if n_classes:
+            from ray.data.aggregate import Sum
+
+            agg = dup_ds.aggregate(Sum("cnt", alias_name="n_dup_rows"))
+            n_dup_rows = int(agg["n_dup_rows"] or 0)
+        dups_path = None
+        if out_dir is not None and n_classes:
+
+            def to_violations(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_pylist()
+                return pa.Table.from_pydict(
+                    {
+                        "partition_id": ["<global>"] * len(ids),
+                        "row_idx": pa.nulls(len(ids), pa.int64()),
+                        "doc_id": [str(d) for d in ids],
+                        "check_name": ["doc_id_duplicates"] * len(ids),
+                        "level": ["error"] * len(ids),
+                        "detail": [M.msg_duplicate("doc_id", d) for d in ids],
+                    },
+                    schema=VIOLATION_SCHEMA,
+                )
+
             ddir = out_dir / "violations" / "duplicates"
             ddir.mkdir(parents=True, exist_ok=True)
-            import pyarrow.parquet as pq
-
-            pq.write_table(vio, ddir / "dups.parquet")
+            dup_ds.map_batches(to_violations, batch_format="pyarrow").write_parquet(str(ddir))
+            dups_path = str(ddir)
         if manifest:
             manifest.append(
                 {
                     "type": "dup_pass",
                     "files_key": files_key,
-                    "n_duplicate_ids": int(len(dup_df)),
+                    "n_duplicate_ids": int(n_classes),
+                    "n_dup_rows": int(n_dup_rows),
+                    "dups_path": dups_path,
                     "wall_s": time.perf_counter() - t0,
-                    "dups": dup_df.to_dict(orient="list"),
                 }
             )
-        return dup_df
+        return {"n_duplicate_ids": int(n_classes), "n_dup_rows": int(n_dup_rows)}

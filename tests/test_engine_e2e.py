@@ -530,3 +530,45 @@ def test_skipped_checks_not_reported_passed(tmp_path):
     assert "source" in req.detail.iloc[0]
     # checks not touching 'source' still ran and their verdicts are real
     assert v[v.check_name == "token_length_consistency"].n_violations.iloc[0] > 0
+
+
+def test_high_dup_rate_distributed_violation_emit(tmp_path):
+    """Adversarial dup rate (25% of rows duplicated): the dup pass must emit
+    violations via the distributed writer and record only COUNTS in the
+    manifest — the driver never holds the dup list (round-3 verdict #1)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    data = tmp_path / "data"
+    data.mkdir()
+    # rows 0..799 and 600..1399 — 200 overlapping global indices → 200 dup
+    # classes × 2 members = 400 dup rows out of 1600 (25%)
+    pq.write_table(generate_sequences_table(800, seed=7, inject=False, row_offset=0), data / "a.parquet")
+    pq.write_table(generate_sequences_table(800, seed=7, inject=False, row_offset=600), data / "b.parquet")
+    out = tmp_path / "out"
+    eng = ValidationEngine(ValidationConfig(enable_sketches=False))
+    res = eng.validate(str(data), output_dir=str(out))
+    assert res.violation_counts["doc_id_duplicates"] == 400
+
+    # distributed sink: a DIRECTORY of parquet (write_parquet), one row per class
+    ddir = out / "violations" / "duplicates"
+    vio = pads.dataset(str(ddir)).to_table().to_pandas()
+    assert len(vio) == 200
+    assert (vio.check_name == "doc_id_duplicates").all()
+    assert vio.detail.str.startswith("Duplicate").all()
+
+    # manifest carries counts + path only — never the dup list
+    entries = [json.loads(l) for l in (out / "manifest.jsonl").read_text().splitlines()]
+    dup_entries = [e for e in entries if e["type"] == "dup_pass"]
+    assert len(dup_entries) == 1
+    e = dup_entries[0]
+    assert e["n_duplicate_ids"] == 200 and e["n_dup_rows"] == 400
+    assert "dups" not in e
+    assert e["dups_path"] == str(ddir)
+
+    # resume reuses the manifest counts: identical result, no new dup_pass entry
+    res2 = ValidationEngine(ValidationConfig(enable_sketches=False)).validate(str(data), output_dir=str(out))
+    assert res2.violation_counts["doc_id_duplicates"] == 400
+    entries2 = [json.loads(l) for l in (out / "manifest.jsonl").read_text().splitlines()]
+    assert len([e for e in entries2 if e["type"] == "dup_pass"]) == 1
