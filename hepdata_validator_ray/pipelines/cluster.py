@@ -82,6 +82,43 @@ def _assign_quantized(q: np.ndarray, cq: np.ndarray) -> tuple[np.ndarray, np.nda
 #: present at every test scale (embeddings >= 500 rows at all SFs)
 DEFAULT_CENTROID_IDS = (0, 101, 217, 333, 449)
 
+#: pairwise-block edge for within-cell SemDeDup: peak similarity-matrix
+#: memory per step is BLOCK^2 float64 (~33 MB at 2048) regardless of cell
+#: size, so a skewed hot cell degrades to more block steps, never to an
+#: O(n^2) allocation in one task.
+SEMDEDUP_CELL_BLOCK = 2048
+
+
+def _semdedup_winners(
+    m: np.ndarray, threshold: float, block: int = SEMDEDUP_CELL_BLOCK
+) -> np.ndarray:
+    """For row-normalized vectors ``m`` (ordered by ascending vec_id),
+    return per-row ``winner`` indices: the SMALLEST index a < b with
+    cosine(a, b) >= threshold, or -1 when none exists (row survives).
+
+    Blockwise-exact: identical output to the dense ``m @ m.T`` formulation
+    for any ``block`` — a-blocks are scanned in ascending order and a b
+    entry is only written once, so the first hit IS the min index.  Early
+    exit per b-block once every entry has a winner makes the dup-dense
+    case (the hot-cell hazard) CHEAPER, not just bounded."""
+    n = len(m)
+    winner = np.full(n, -1, dtype=np.int64)
+    for bs in range(0, n, block):
+        be = min(bs + block, n)
+        wblk = winner[bs:be]  # numpy view — writes land in `winner`
+        for as_ in range(0, be, block):
+            if (wblk >= 0).all():
+                break
+            ae = min(as_ + block, be)
+            hit = (m[as_:ae] @ m[bs:be].T) >= threshold
+            if ae > bs:  # blocks straddle the diagonal: enforce a < b
+                hit &= np.arange(as_, ae)[:, None] < np.arange(bs, be)[None, :]
+            fresh = (wblk < 0) & hit.any(axis=0)
+            if fresh.any():
+                # argmax over bool = first True row = min a within the block
+                wblk[fresh] = as_ + hit[:, fresh].argmax(axis=0)
+    return winner
+
 
 def kmeans_assign_quantized(
     emb_path: str, centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS
@@ -223,6 +260,7 @@ def semantic_dedup_removed(
     centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS,
     threshold: float = 0.4,
     centroids: np.ndarray | None = None,
+    cell_block: int = SEMDEDUP_CELL_BLOCK,
 ) -> "ray.data.Dataset":
     """(removed_id, winner_id) pairs: vector b is removed when some a < b in
     the SAME cell has cosine(a, b) >= threshold; winner = min such a.
@@ -266,16 +304,15 @@ def semantic_dedup_removed(
         )
 
     def in_cell(g: pd.DataFrame) -> pd.DataFrame:
-        # exact pairwise cosine within one cell; the cell is the memory unit
+        # exact pairwise cosine within one cell, BLOCKWISE: the cell is the
+        # parallelism unit but the memory unit is cell_block^2 — a skewed
+        # hot cell costs more steps, never an n^2 allocation (r3 verdict #2)
         g = g.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ m.T
         ids = g["vec_id"].to_numpy()
-        n = len(ids)
-        iu = np.triu(sims >= threshold, k=1)  # rows: a (earlier), cols: b (later)
-        removed_mask = iu.any(axis=0)
-        winners = iu.argmax(axis=0)  # first True row index == min a (ids sorted)
+        winners = _semdedup_winners(m, threshold, cell_block)
+        removed_mask = winners >= 0
         out = pd.DataFrame(
             {
                 "removed_id": ids[removed_mask].astype(np.int64),
