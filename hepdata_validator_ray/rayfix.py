@@ -44,14 +44,44 @@ shuffled the flag latches exactly as upstream intended.
 from __future__ import annotations
 
 import logging
+import warnings
 
 logger = logging.getLogger(__name__)
 
 _APPLIED = False
 
 
+def _attach_points(hs):
+    """Resolve the Ray internals both patches hook. Raises AttributeError on
+    Ray layout drift (e.g. an upgrade renames ``_shuffle_block``), which
+    ``apply`` converts into the loud not-applied path."""
+    shuffle_remote = hs._shuffle_block
+    shuffle_fn = shuffle_remote._function  # python fn under the @ray.remote wrapper
+    orig_add = hs.HashShufflingOperatorBase._do_add_input_inner
+    return shuffle_remote, shuffle_fn, orig_add
+
+
+def _warn_not_applied(exc: BaseException) -> None:
+    """LOUD failure: a silent drop of this patch would regress empty-side
+    native joins to the upstream submission-order race (crash in finalize
+    with ``No match for key field reference``) — only the per-leg sentinel
+    rows (see relational.q5_regional_revenue) would still cover the
+    all-empty case.  Emit a RuntimeWarning (visible by default) on top of
+    the log line so an unnoticed Ray upgrade fails the pinned
+    test_patch_applied AND announces itself in any interactive run."""
+    msg = (
+        "rayfix: hash-shuffle schema-broadcast patch NOT applied "
+        f"({type(exc).__name__}: {exc}). Empty-side native joins may crash "
+        "with 'No match for key field reference' — Ray internals drifted "
+        "(upgrade?); re-pin rayfix._attach_points against the new layout."
+    )
+    logger.error(msg)
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def apply() -> bool:
-    """Install both patches (idempotent). Returns True if active."""
+    """Install both patches (idempotent). Returns True if active; on
+    failure warns LOUDLY (RuntimeWarning + error log) and returns False."""
     global _APPLIED
     if _APPLIED:
         return True
@@ -62,16 +92,18 @@ def apply() -> bool:
         from ray.data.block import BlockAccessor, BlockExecStats, BlockType
         from ray.data._internal.table_block import TableBlockAccessor
     except Exception as exc:  # pragma: no cover - ray layout drift
-        logger.warning("rayfix: hash-shuffle patch not applied: %s", exc)
+        _warn_not_applied(exc)
         return False
 
     if getattr(_hs, "_hvr_schema_fix", False):
         _APPLIED = True
         return True
 
-    _orig_shuffle_remote = _hs._shuffle_block
-    # the underlying python function of the @ray.remote wrapper
-    _orig_shuffle_fn = _orig_shuffle_remote._function
+    try:
+        _orig_shuffle_remote, _orig_shuffle_fn, _orig_add_probe = _attach_points(_hs)
+    except Exception as exc:
+        _warn_not_applied(exc)
+        return False
 
     def _shuffle_block_fixed(
         block,
@@ -127,7 +159,7 @@ def apply() -> bool:
 
     _hs._shuffle_block = ray.remote(_shuffle_block_fixed)
 
-    _orig_add = _hs.HashShufflingOperatorBase._do_add_input_inner
+    _orig_add = _orig_add_probe
 
     def _do_add_input_inner_fixed(self, input_bundle, input_index):
         before = self._has_schemas_broadcasted[input_index]

@@ -24,6 +24,37 @@ def test_patch_applied():
     assert getattr(hs, "_hvr_schema_fix", False) is True
 
 
+def test_attach_points_raise_on_layout_drift():
+    """A Ray upgrade that renames either hook point must raise, not
+    silently no-op, so apply() takes the loud not-applied path."""
+
+    class Drifted:  # simulates ray.data hash_shuffle after a rename
+        pass
+
+    with pytest.raises(AttributeError):
+        rayfix._attach_points(Drifted())
+
+
+def test_apply_warns_loudly_when_patch_cannot_attach(monkeypatch):
+    """Failure to attach must emit a RuntimeWarning (visible by default),
+    not just a log line — the documented guard against a silent Ray
+    upgrade regressing empty-side joins."""
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    monkeypatch.setattr(rayfix, "_APPLIED", False)
+    monkeypatch.delattr(hs, "_hvr_schema_fix")
+
+    def boom(_hs):
+        raise AttributeError("_shuffle_block gone (simulated Ray upgrade)")
+
+    monkeypatch.setattr(rayfix, "_attach_points", boom)
+    with pytest.warns(RuntimeWarning, match="NOT applied"):
+        assert rayfix.apply() is False
+    # monkeypatch teardown restores _hvr_schema_fix/_APPLIED, so the
+    # already-installed patch stays active for the rest of the session
+    # (pinned by test_patch_applied).
+
+
 def test_join_all_typed_empty_side(ray_session):
     """Pre-patch this crashed reliably: the left side's blocks are all
     TYPED empty (a selective in-UDF filter), so no partition ever
