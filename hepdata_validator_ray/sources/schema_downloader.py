@@ -47,7 +47,11 @@ class SuiteRefResolver:
             with open(url2pathname(uri[len("file://"):]), "r") as f:
                 return json.load(f)
         if uri.startswith(("http://", "https://")):
-            with urlopen(uri, timeout=10) as resp:  # pragma: no cover - no network in sandbox
+            # exercised end-to-end against a local-socket http.server in
+            # tests/test_schema_downloader.py (mirrors reference
+            # testsuite/test_schema_downloader.py:60-76, which hits
+            # hepdata.net; this sandbox has loopback only)
+            with urlopen(uri, timeout=10) as resp:
                 return json.loads(resp.read())
         with open(uri, "r") as f:
             return json.load(f)

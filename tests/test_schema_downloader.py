@@ -98,6 +98,63 @@ def test_ref_target_overrides_siblings(tmp_path):
     assert res == {"x": 2, "y": 3}  # referenced keys win (reference order)
 
 
+@pytest.fixture
+def http_server(served_dir):
+    """A REAL local-socket HTTP server over the served fixtures — closes the
+    reference parity gap (testsuite/test_schema_downloader.py:60-76 hits
+    hepdata.net; we hit 127.0.0.1, exercising the same urlopen path)."""
+    import http.server
+    import threading
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(served_dir), **kw)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    t.join(timeout=5)
+
+
+def test_resolver_real_http_fetch(http_server):
+    """$ref resolution across documents fetched over real HTTP: refs inside
+    an http-fetched doc resolve relative to ITS url (part.json -> leaf.json
+    both travel the socket)."""
+    res = SuiteRefResolver(http_server).resolve("base.json")
+    assert res == {
+        "name": "base_suite",
+        "version": "1.1.1",
+        "kept": 1,
+        "nested": {"inner": [{"deep": True}, 7]},
+    }
+
+
+def test_resolver_real_http_404(http_server):
+    with pytest.raises(FileNotFoundError) as e:
+        SuiteRefResolver(http_server).resolve("missing.json")
+    assert str(e.value) == f"Unable to find the desired schema {http_server}/missing.json"
+
+
+def test_downloader_real_http_end_to_end(http_server, tmp_path):
+    """Reference parity (test_schema_downloader.py:60-76): download a named
+    suite through the structured-URL downloader over a live socket, cache
+    it, and reload from cache."""
+    dl = HTTPSuiteDownloader(
+        suites_resolver=SuiteRefResolver(http_server),
+        suites_url="https://testing.com/test-project/schemas/1.0.0",
+        cache_root=str(tmp_path / "cache"),
+    )
+    spec = dl.suites_resolver.resolve("real_schema.json")
+    assert spec == {"field_1": "value_1", "field_2": "value_2"}
+    dl.save_locally("real_schema.json", spec)
+    assert dl.load_cached("real_schema.json") == spec
+
+
 def test_suite_loader_uses_ref_resolution_and_cache(tmp_path):
     """End-to-end: a local suite config whose check list comes from a $ref'd
     fragment loads into a working CheckSuite; a structured remote URL served
