@@ -377,10 +377,12 @@ def _relational_meta(sf_dir: str):
     (kind, gkey, a, b, c) — three relational families driver-gated in a
     single window slot (the training_meta slot-saving shape).  Each output
     is tiny (|windows| / |types| / |sources|×|langs| rows).  Plans are
-    constructed serially on the driver (resolving the lazy fsspec import),
-    then the six independent Datasets execute in threads — the documented
-    safe split (the fsspec race only bites when read_parquet plan
-    CONSTRUCTION overlaps; see relational_meta2)."""
+    constructed serially on the driver (resolving the lazy fsspec import);
+    the native-join leg executes serially first (joins must not contend
+    for aggregator actors — see meta3), then the five non-join Datasets
+    execute in threads — the documented safe split (the fsspec race only
+    bites when read_parquet plan CONSTRUCTION overlaps; see
+    relational_meta2)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pandas as pd
@@ -393,11 +395,16 @@ def _relational_meta(sf_dir: str):
         relational.events_props_stats(sf_dir),
         relational.docs_rollup_stats(sf_dir),
         _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10),
-        relational.customer_orders_fulljoin_stats(sf_dir),
         relational.docs_quantile_cont(sf_dir),
     ]
+    # the full-outer-join leg runs SERIAL, before the thread pool: a native
+    # hash join spawns an aggregator-actor pool, and concurrent native-join
+    # executions starve each other's actor creation on small CPU budgets
+    # (the meta3 wedge; ADVICE r3) — one join among threaded non-join legs
+    # is the same hazard class, so don't run it under contention at all
+    fj = relational.customer_orders_fulljoin_stats(sf_dir).to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
-        hop, pr, ro, tw, fj, qc = list(ex.map(lambda d: d.to_pandas(), plans))
+        hop, pr, ro, tw, qc = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
         [
             pd.DataFrame(

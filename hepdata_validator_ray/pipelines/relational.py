@@ -31,6 +31,20 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 
+def _int_group_sums(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-key int64 sums: np.add.reduceat over key-sorted runs.
+    Replaces np.bincount(inv, weights=...), whose float64 accumulator
+    silently loses integer exactness above 2^53 — per-(block,key)
+    partials at 100 TB can cross that, and the hash-exact oracle
+    contract depends on every partial staying integral (ADVICE r3)."""
+    if len(keys) == 0:
+        return keys.astype(np.int64), vals.astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    return ks[starts], np.add.reduceat(vals[order], starts)
+
+
 def _pq(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
@@ -2596,11 +2610,11 @@ def q3_shipping_priority(
         d100 = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         rev = cents * (100 - d100)
-        uk, inv = np.unique(ok, return_inverse=True)
+        uk, sums = _int_group_sums(ok, rev)
         return pa.table(
             {
                 "l_orderkey": pa.array(uk, pa.int64()),
-                "rev_fp4": pa.array(np.bincount(inv, weights=rev).astype(np.int64), pa.int64()),
+                "rev_fp4": pa.array(sums, pa.int64()),
             }
         )
 
@@ -2646,10 +2660,12 @@ def q3_shipping_priority(
         Min("o_pri", alias_name="o_pri"),
     )
     # keep the sentinel THROUGH the sort (a sort over all-empty blocks
-    # loses the schema), take k+1, strip it, re-limit: the sentinel
-    # (rev 0, key -1) sorts after every real row — real revenues are
-    # > 0 except 100%-discount lines, and those tie-break on the real
-    # (positive) order key — so the top k real rows are never displaced
+    # loses the schema), take k+1, strip it, re-limit.  Invariant: exactly
+    # ONE sentinel row (rev 0, key -1) exists, so the top k+1 always
+    # contains the true top-k real rows REGARDLESS of where the sentinel
+    # sorts (at rev_fp4 ties with 100%-discount orders the -1 key sorts
+    # FIRST, not last — the k+1 slack is what absorbs it, so do not
+    # "optimize" the slack away)
     return (
         agg.sort(["rev_fp4", "l_orderkey"], descending=[True, False])
         .limit(k + 1)
@@ -2711,11 +2727,11 @@ def q18_large_volume_customers(
     def _li_qty_partial(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uk, inv = np.unique(ok, return_inverse=True)
+        uk, sums = _int_group_sums(ok, qty)
         return pa.table(
             {
                 "l_orderkey": pa.array(uk, pa.int64()),
-                "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64), pa.int64()),
+                "sum_qty": pa.array(sums, pa.int64()),
             }
         )
 
@@ -3011,10 +3027,22 @@ def events_first_seen_update(
             )
         return fn
 
-    import hashlib as _hl
+    if state_dir is None:
+        # UNIQUE per invocation: a fixed input-keyed path races concurrent
+        # executions (bench sweep vs oracle gate) — write_parquet(overwrite)
+        # against the other run's read of the same dir can yield partial /
+        # mixed state (ADVICE r3).  Callers that want a durable, shared
+        # state artifact pass state_dir explicitly and own its lifecycle.
+        import hashlib as _hl
+        import tempfile as _tf
 
-    # stable digest (Python's hash() is per-process salted)
-    state_dir = state_dir or f"/tmp/hvr_state/first_seen-{_hl.md5(ev.encode()).hexdigest()[:12]}"
+        import os as _os
+
+        _os.makedirs("/tmp/hvr_state", exist_ok=True)
+        state_dir = _tf.mkdtemp(
+            prefix=f"first_seen-{_hl.md5(ev.encode()).hexdigest()[:12]}-",
+            dir="/tmp/hvr_state",
+        )
     base = (
         ray.data.read_parquet(ev, columns=["user_id", "ts"], filter=_pc.field("ts") < _pc.scalar(cutoff))
         .map_batches(day_partials(), batch_format="pyarrow")

@@ -161,15 +161,31 @@ def apply() -> bool:
 
     _orig_add = _orig_add_probe
 
+    def _bundle_schemaless(bundle) -> bool:
+        """True when the bundle provably carries no column schema — the only
+        case patch 1 could NOT have fanned typed empty shards out.  An
+        indeterminable schema re-arms too (a duplicate broadcast is a
+        harmless redundant fan-out; a missed one is a finalize crash)."""
+        s = getattr(bundle, "schema", None)
+        if s is None:
+            return True
+        names = getattr(s, "names", None)
+        if names is None:  # Ray Schema wrapper around an arrow schema
+            names = getattr(getattr(s, "base_schema", None), "names", None)
+        return names is None or len(names) == 0
+
     def _do_add_input_inner_fixed(self, input_bundle, input_index):
         before = self._has_schemas_broadcasted[input_index]
         _orig_add(self, input_bundle, input_index)
-        if not before and all(
-            (m.num_rows or 0) == 0 for m in input_bundle.metadata
+        if (
+            not before
+            # all blocks KNOWN empty (num_rows=None is unknown, not empty —
+            # upstream submitted it as a potential schema carrier)
+            and all(m.num_rows == 0 for m in input_bundle.metadata)
+            # typed all-empty bundles already broadcast via patch 1; only a
+            # schemaless bundle consumed the one-shot flag with nothing sent
+            and _bundle_schemaless(input_bundle)
         ):
-            # an all-empty bundle could not have carried a schema to
-            # every partition unless it was typed (patch 1 handles that
-            # case); re-arm so the first non-empty block broadcasts
             self._has_schemas_broadcasted[input_index] = False
 
     _hs.HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner_fixed
