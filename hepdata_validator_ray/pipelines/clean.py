@@ -92,24 +92,47 @@ def clean_sequences(
     return cleaned
 
 
+#: reserved hash key for the verify-exchange sentinel row (not a valid md5)
+_SENT_H = "\x00<SENTINEL>"
+
+
 def clean_documents_stats(
-    docs_path: str, min_words: int = 5, min_chars: int = 20
+    docs_path: str,
+    min_words: int = 5,
+    min_chars: int = 20,
+    bloom_bits: int = 1 << 22,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Composite DOCUMENT cleaning — the end-to-end pipeline a training-data
     user runs over a text corpus: exact-dedup with keep-first survivors +
     quality filters, summarized per language.
 
-    Physical shape: ONE pass over the text computes per-row
-    (doc_id, lang, hash, quality metrics) — a materialized intermediate
-    ~10× smaller than the corpus (no text) that feeds both sides: the
-    bucketed exchange producing (hash, keep_doc_id) for DUPLICATED content
-    classes only (a tiny table even at 10^12 docs — only dup classes
-    survive the cnt≥2 filter), and the final broadcast filter+count.  The
-    corpus is read and hashed exactly once."""
+    Physical shape (the winner table NEVER lands on the driver — r3 verdict
+    item: dup-class count is corpus-proportional on crawl data):
+
+    1. ONE pass over the text computes per-row (doc_id, lang, hash,
+       quality metrics) — a materialized intermediate ~10× smaller than
+       the corpus (no text); the corpus is read and hashed exactly once.
+    2. A bucketed exchange produces the DISTRIBUTED winner table
+       (hash, keep_doc_id) for duplicated content classes only.
+    3. A FIXED-SIZE Bloom filter of the dup-class hashes is built from
+       per-block partial blooms OR-reduced streaming on the driver —
+       driver memory is ``bloom_bits/8`` bytes regardless of how many
+       dup classes exist.
+    4. The split stage broadcasts only the Bloom: Bloom-miss rows are
+       PROVABLY unique (membership 'no' is exact) and collapse to per-batch
+       (lang, n) partials on the spot; Bloom-hit rows (true dups + false
+       positives) become candidate rows.
+    5. Candidates meet the winner table in ONE hash-keyed exchange
+       (tagged union, bucket by hash): a candidate survives when its class
+       has no winner row (Bloom FP ⇒ unique class) or it IS the winner.
+       Exchange volume ≈ dup rows + FP rows, not the corpus.
+    """
     import pandas as pd
 
-    from hepdata_validator_ray.ops import bucketed_aggregate
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
     from hepdata_validator_ray.pipelines.dedup import _md5_batch
+    from hepdata_validator_ray.sketches import BloomFilter
 
     def meta_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = _md5_batch(df)
@@ -130,40 +153,135 @@ def clean_documents_stats(
         g = g.rename_columns(["h", "keep_doc_id", "cnt"])
         return g.filter(pa.compute.greater_equal(g["cnt"], 2))
 
-    winners = bucketed_aggregate(meta.select_columns(["doc_id", "h"]), "h", None, combine).to_pandas()
-    # a corpus with no exact dups yields an EMPTY dataset whose to_pandas
-    # has no columns — the winner table is simply empty then.  Broadcast
-    # as (sorted hash keys, parallel int64 winner ids): a dict .map()
-    # would materialize the winner column as float64 (NaN for misses),
-    # quantizing doc ids above 2^53 so non-winner duplicates compare
-    # equal to the winner and wrongly survive.
-    if "h" in winners.columns and len(winners):
-        order = np.argsort(winners["h"].to_numpy())
-        win_h = winners["h"].to_numpy()[order]
-        win_id = winners["keep_doc_id"].to_numpy()[order].astype(np.int64)
-    else:
-        win_h = np.empty(0, dtype=object)
-        win_id = np.empty(0, dtype=np.int64)
-    win_ref = ray.put((win_h, win_id))
+    # distributed winner table — stays in the object store (materialized:
+    # it feeds both the Bloom build and the verify exchange)
+    winners = bucketed_aggregate(
+        meta.select_columns(["doc_id", "h"]), "h", None, combine, num_buckets=num_buckets
+    ).materialize()
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        win_h, win_id = ray.get(win_ref)
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        b = BloomFilter(bloom_bits, 5)
+        b.add(t["h"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([b.bits.tobytes()], pa.large_binary())})
+
+    bloom = BloomFilter(bloom_bits, 5)
+    for batch in winners.select_columns(["h"]).map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for bb in batch["bits"]:
+            # streaming OR: driver holds two bloom-sized buffers, never the keys
+            bloom.bits |= np.frombuffer(bb.as_buffer(), dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bloom_ref)
+        q = (df["n_words"].to_numpy() >= min_words) & (df["n_chars"].to_numpy() >= min_chars)
         h = df["h"].to_numpy()
-        survive_dup = np.ones(len(df), dtype=bool)
-        if len(win_h):
-            pos = np.searchsorted(win_h, h)
-            pos[pos == len(win_h)] = 0
-            hit = win_h[pos] == h
-            # int64 == int64, exact at any magnitude
-            survive_dup[hit] = win_id[pos[hit]] == df["doc_id"].to_numpy()[hit]
-        ok = survive_dup & (df["n_words"].to_numpy() >= min_words) & (df["n_chars"].to_numpy() >= min_chars)
-        return df[ok]["lang"].value_counts().rename_axis("lang").reset_index(name="n_docs")
+        hit = np.zeros(len(df), dtype=bool)
+        qi = np.flatnonzero(q)
+        if len(qi):
+            hit[qi[bl.contains(h[qi])]] = True
+        vc = df.loc[q & ~hit, "lang"].value_counts()
+        miss_part = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "h": "",
+                "doc_id": np.int64(0),
+                "lang": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+        cand = df.loc[hit]
+        cand_part = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "h": cand["h"].to_numpy(),
+                "doc_id": cand["doc_id"].to_numpy(np.int64),
+                "lang": cand["lang"].to_numpy(dtype=object),
+                "n": np.int64(1),
+            }
+        )
+        return pd.concat([miss_part, cand_part], ignore_index=True)
+
+    # tagged stream: per-batch miss partials + candidate rows (small —
+    # consumed by two downstream filters, so materialize once)
+    tagged = meta.map_batches(split, batch_format="pandas", batch_size=8192).materialize()
+    misses = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 0)).select(["lang", "n"]),
+        batch_format="pyarrow",
+    )
+    cands = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 1)), batch_format="pyarrow"
+    )
+
+    def wtag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(np.full(n, 2, dtype=np.int64)),
+                "h": t["h"],
+                "doc_id": t["keep_doc_id"].cast(pa.int64()),
+                "lang": pa.nulls(n, pa.string()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    sentinel = ray.data.from_arrow(
+        pa.table(
+            {
+                "kind": pa.array([2], pa.int64()),
+                "h": pa.array([_SENT_H], pa.string()),
+                "doc_id": pa.array([-1], pa.int64()),
+                "lang": pa.array([None], pa.string()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )
+    )
+
+    _empty_out = pa.table({"lang": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        # Arrow output: the downstream union with the Arrow miss partials
+        # must be homogeneous (mixed block types break the sort sampler)
+        df = df[df["h"] != _SENT_H]
+        c = df[df["kind"] == 1]
+        if not len(c):
+            return _empty_out
+        w = df[df["kind"] == 2].sort_values("h")
+        wh = w["h"].to_numpy()
+        wid = w["doc_id"].to_numpy(np.int64)
+        survive = np.ones(len(c), dtype=bool)
+        if len(wh):
+            ch = c["h"].to_numpy()
+            pos = np.searchsorted(wh, ch)
+            pos[pos == len(wh)] = 0
+            in_w = wh[pos] == ch
+            # int64 == int64, exact at any magnitude; a class with no
+            # winner row is a Bloom false positive ⇒ unique ⇒ survives
+            survive[in_w] = wid[pos[in_w]] == c["doc_id"].to_numpy(np.int64)[in_w]
+        vc = c.loc[survive, "lang"].value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    verified = (
+        cands.union(winners.map_batches(wtag, batch_format="pyarrow")).union(sentinel)
+        .map_batches(lambda t: with_bucket(t, "h", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda df: resolve(df.drop(columns=[BUCKET_COL])), batch_format="pandas"
+        )
+    )
+
+    from ray.data.aggregate import Sum
 
     return (
-        meta.map_batches(keep, batch_format="pandas", batch_size=8192)
+        misses.union(verified)
         .groupby("lang")
-        .sum("n_docs")
-        .map_batches(lambda t: t.rename_columns(["lang", "n_docs"]), batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n_docs"))
     )
 
 

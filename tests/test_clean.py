@@ -51,3 +51,93 @@ def test_clean_write_roundtrip(tmp_path):
     import ray.data
 
     assert out.count() == clean_sequences(p).count()
+
+
+def _docs_parquet(tmp_path, rows):
+    import pandas as pd
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(p, index=False)
+    return p
+
+
+def _local_clean_docs_truth(rows, min_words=5, min_chars=20):
+    """Ground truth replaying the DuckDB oracle semantics in pandas."""
+    import hashlib
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["h"] = [
+        hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else "<NULL>"
+        for t in df["text"]
+    ]
+    keep = df.groupby("h")["doc_id"].transform("min") == df["doc_id"]
+    nw = df["text"].str.split(" ").str.len().fillna(0)
+    nc = df["text"].str.len().fillna(0)
+    surv = df[keep & (nw >= min_words) & (nc >= min_chars)]
+    return surv["lang"].value_counts().sort_index()
+
+
+def _assert_clean_docs(tmp_path, rows, **kw):
+    from hepdata_validator_ray.pipelines.clean import clean_documents_stats
+
+    p = _docs_parquet(tmp_path, rows)
+    got = (
+        clean_documents_stats(p, **kw)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    exp = _local_clean_docs_truth(rows)
+    assert list(got["lang"]) == list(exp.index)
+    assert list(got["n_docs"].astype(int)) == list(exp.to_numpy())
+
+
+def test_clean_docs_stats_no_dups(tmp_path, ray_session):
+    """Empty winner table: Bloom stays all-zero, every row takes the
+    provably-unique miss path, verify exchange sees only the sentinel."""
+    rows = [
+        {"doc_id": i, "lang": "en" if i % 2 else "de", "text": f"unique document number {i} with words"}
+        for i in range(40)
+    ]
+    _assert_clean_docs(tmp_path, rows)
+
+
+def test_clean_docs_stats_dup_dense(tmp_path, ray_session):
+    """Adversarial dup rate (every text shared by 10 docs): keep-first
+    winners only, counted once per class."""
+    rows = [
+        {"doc_id": i, "lang": "en", "text": f"shared corpus text block {i % 4} padded out"}
+        for i in range(40)
+    ]
+    _assert_clean_docs(tmp_path, rows)
+
+
+def test_clean_docs_stats_bloom_false_positives_exact(tmp_path, ray_session):
+    """A deliberately tiny Bloom (64 bits, hundreds of distinct classes)
+    saturates to near-all-ones — nearly every unique row becomes a false
+    positive and must survive the verify exchange (no winner row for its
+    class).  Result stays exactly equal to ground truth."""
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3], "text": f"document body {i} some extra words here"}
+        for i in range(300)
+    ]
+    rows += [  # a few true dup classes mixed in
+        {"doc_id": 1000 + i, "lang": "en", "text": f"duplicated body {i % 5} padded with words"}
+        for i in range(50)
+    ]
+    _assert_clean_docs(tmp_path, rows, bloom_bits=64)
+
+
+def test_clean_docs_stats_quality_filter_boundaries(tmp_path, ray_session):
+    """Rows failing min_words / min_chars never count, duplicate or not;
+    null text scores as empty and is filtered."""
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": "short"},  # fails both
+        {"doc_id": 1, "lang": "en", "text": "one two three four five six seven"},  # passes
+        {"doc_id": 2, "lang": "en", "text": "one two three four five six seven"},  # dup of 1
+        {"doc_id": 3, "lang": "de", "text": None},  # null text
+        {"doc_id": 4, "lang": "de", "text": "a b c d e f g h i j k l m n o p q"},  # passes
+    ]
+    _assert_clean_docs(tmp_path, rows)
