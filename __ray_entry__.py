@@ -759,12 +759,24 @@ def _relational_meta3(sf_dir: str):
     winsorization, deterministic MLM masking, word co-occurrence, and
     trending types as ONE gated union (kind, gkey, a, b, c) — pulled
     inside the driver's 50-query window (the relational_meta shape
-    discipline).  All 14 legs construct AND execute serially — the
-    threaded variant deadlocked at this leg count (concurrent
-    native-join executions starve each other's aggregator-actor
-    creation on a small CPU budget)."""
+    discipline).
+
+    Execution shape (r4, replacing the fully-serial r3 workaround):
+    plans ALWAYS construct serially (the fsspec lazy-import race), then
+    - the three native-join legs execute at most TWO at a time under a
+      scoped aggregator-CPU override (0.03 CPU/partition): each join
+      pool then reserves ~0.25 CPU instead of num_partitions/2, so two
+      pools + their actor stages coexist even on a 4-CPU budget.  All
+      three pairs measured wedge-free at num_cpus=4 (×3 repeats); three
+      -at-once still starves actor creation there, hence the pool of 2.
+    - the non-join lazy legs execute in a thread pool of 3 (the
+      relational_meta/meta2 discipline — none of them spawns
+      aggregator-actor pools; aggregates are sort-based AllToAll)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
     import pandas as pd
+    import ray.data
 
     from hepdata_validator_ray.pipelines import relational, text, training
 
@@ -775,22 +787,43 @@ def _relational_meta3(sf_dir: str):
     ww = relational.events_wow_growth(sf_dir)
     cd = cluster.centroid_pair_dots(f"{sf_dir}/embeddings.parquet")
     ov = text.source_overlap_matrix(f"{sf_dir}/documents.parquet")
-    # the remaining legs execute SERIALLY: at 14 legs the threaded
-    # variant can deadlock — concurrent native-join executions each
-    # spawn aggregator-actor pools and can starve each other's actor
-    # creation on a small CPU budget (observed wedged at this leg count;
-    # serial is deterministic and only ~2x the threaded wall here)
-    q5 = relational.q5_regional_revenue(sf_dir).to_pandas()
-    q3 = relational.q3_shipping_priority(sf_dir).to_pandas()
-    q18 = relational.q18_large_volume_customers(sf_dir).to_pandas()
-    wz = relational.docs_winsorize(sf_dir).to_pandas()
-    ml = training.mlm_mask_stats(_seq(sf_dir)).to_pandas()
-    co = text.word_cooccurrence_top(f"{sf_dir}/documents.parquet").to_pandas()
-    bk = graph.frequent_part_pairs(sf_dir).to_pandas()
-    ri = relational.docs_global_row_index(sf_dir).to_pandas()
-    fs = relational.events_first_seen_update(sf_dir).to_pandas()
-    pj = cluster.embedding_random_projection(f"{sf_dir}/embeddings.parquet").to_pandas()
-    osx = relational.docs_order_statistics(sf_dir).to_pandas()
+
+    ctx = ray.data.DataContext.get_current()
+    prev = (
+        ctx.join_operator_actor_num_cpus_per_partition_override,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.03
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.03
+    try:
+        jplans = [
+            relational.q5_regional_revenue(sf_dir),
+            relational.q3_shipping_priority(sf_dir),
+            relational.q18_large_volume_customers(sf_dir),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            q5, q3, q18 = list(ex.map(lambda d: d.to_pandas(), jplans))
+    finally:
+        (
+            ctx.join_operator_actor_num_cpus_per_partition_override,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ) = prev
+
+    # non-join legs: serial construction (some run sub-queries eagerly
+    # while building — winsorize bounds, first-seen base state), threaded
+    # execution
+    nplans = [
+        relational.docs_winsorize(sf_dir),
+        training.mlm_mask_stats(_seq(sf_dir)),
+        text.word_cooccurrence_top(f"{sf_dir}/documents.parquet"),
+        graph.frequent_part_pairs(sf_dir),
+        relational.docs_global_row_index(sf_dir),
+        relational.events_first_seen_update(sf_dir),
+        cluster.embedding_random_projection(f"{sf_dir}/embeddings.parquet"),
+        relational.docs_order_statistics(sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        wz, ml, co, bk, ri, fs, pj, osx = list(ex.map(lambda d: d.to_pandas(), nplans))
     z = lambda df: pd.Series(np.zeros(len(df), dtype=np.int64))  # noqa: E731
     return pd.concat(
         [
