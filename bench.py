@@ -269,6 +269,29 @@ PIPELINES = {
     "pagerank": pipeline_pagerank,
 }
 
+#: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
+#: sample landing above 2× its band triggers an in-artifact solo re-run
+#: (best-of-3) so the driver's BENCH json itself distinguishes a real
+#: regression from sandbox page-fault bimodality (VERDICT r3 item 3)
+BAND_TYP_HI = {
+    "validate_full": 3.0,
+    "row_checks": 6.0,
+    "q1": 7.0,
+    "dedup_minhash": 9.0,
+    "ann_topk": 3.0,
+    "text_quality": 1.7,
+    "sessionize": 4.0,
+    "content_dedup": 14.0,
+    "asof_join": 1.8,
+    "q5_join": 6.0,
+    "ngram_jaccard": 15.0,
+    "training_pack": 12.0,
+    "mm_codec": 5.0,
+    "cluster_semdedup": 12.0,
+    "bm25": 3.0,
+    "pagerank": 10.0,
+}
+
 #: rows processed by the flagship (for throughput) — n returned by pipeline
 HEADLINE = "validate_full"
 #: scaling mode uses the big variant so compute dominates fixed overheads
@@ -384,11 +407,33 @@ def main():
         total += best
         if name == HEADLINE:
             headline_rows, headline_sec = n, best
+    # escalation pass: any pipeline >2× its committed band re-runs SOLO in
+    # a FRESH process (own Ray session, warmup, best-of-3) so the artifact
+    # carries the regression-vs-environment evidence itself — an in-session
+    # recheck stays contaminated by sweep worker churn / object-store state
+    solo = {}
+    for name, sec in queries.items():
+        band = BAND_TYP_HI.get(name)
+        if band is not None and sec > 2.0 * band:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                env=dict(os.environ, GRAFT_SF_DIR=SF_DIR),
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if p.returncode == 0 and lines:
+                solo[name] = json.loads(lines[-1])["sec"]
+            else:
+                solo[name] = None  # escalation itself failed — surface it
     out = {
         "metric": METRIC,
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "solo_recheck": solo,
+        "band_typ_hi": {k: BAND_TYP_HI[k] for k in solo},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "headline_rows": headline_rows,

@@ -94,7 +94,12 @@ def trade_edges(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Datase
             {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64"), "outdeg": deg}
         )
 
-    nb = num_buckets if num_buckets is not None else derive_num_buckets(joined, target_rows_per_bucket=1_000_000, lo=16)
+    # derive the bucket count from LINEITEM's metadata-only parquet count,
+    # not from `joined` — count() on a joined dataset EXECUTES the join,
+    # so the old form ran the native join twice (~2x the whole edge-build
+    # wall).  |joined| <= |lineitem| exactly (each lineitem matches one
+    # order), x2 orientations
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(line, target_rows_per_bucket=500_000, lo=16)
     return (
         joined.map_batches(to_edges, batch_format="pyarrow")
         # map-side dedup shrinks the exchange before the shuffle
