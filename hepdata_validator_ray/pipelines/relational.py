@@ -3107,6 +3107,56 @@ def events_wow_growth(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+#: composite sort key for distributed selection: lexicographic (value,
+#: doc_id) — numpy structured comparison IS field-lexicographic, so
+#: searchsorted against sampled boundary pairs is the bucket function
+_OSTAT_KEY = np.dtype([("v", "i8"), ("id", "i8")])
+
+
+def _ostat_sample_boundaries(path: str, nb: int, n_total: int) -> np.ndarray:
+    """Sampled-quantile bucket boundaries over the COMPOSITE key (n_chars,
+    doc_id): a deterministic hash-strided sample (splitmix64(doc_id) %
+    stride == 0 — layout-independent, no shipped RNG state) collapses to
+    ~64·nb pairs on the driver, whose even-position order statistics become
+    the nb−1 cut points.  Because doc_id is unique the composite sample has
+    no duplicate keys, so even an ALL-ONE-VALUE corpus (the adversarial
+    equal-width-bin case) splits across buckets by doc_id — per-bucket load
+    is bounded by sampling error (~n/nb · (1+ε)), never by value
+    multiplicity."""
+    from hepdata_validator_ray.ops import splitmix64 as _sm64
+
+    target = min(max(nb * 64, 1024), 1 << 18)
+    stride = max(1, n_total // target)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["n_chars"]))
+        ids = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = _sm64(ids.view(np.uint64)) % np.uint64(stride) == 0
+        return pa.table(
+            {
+                "v": pa.array(
+                    t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)[sel], pa.int64()
+                ),
+                "id": pa.array(ids[sel], pa.int64()),
+            }
+        )
+
+    smp = (
+        ray.data.read_parquet(path, columns=["doc_id", "n_chars"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # bounded: ~`target` rows regardless of corpus size
+    )
+    arr = np.empty(len(smp), dtype=_OSTAT_KEY)
+    if len(smp):
+        arr["v"] = smp["v"].to_numpy(np.int64)
+        arr["id"] = smp["id"].to_numpy(np.int64)
+        arr.sort()
+    if len(arr) < 2 or nb < 2:
+        return arr[:0]  # degenerate sample -> single bucket (still exact)
+    cut_pos = np.clip(np.round(np.arange(1, nb) * len(arr) / nb).astype(np.int64), 0, len(arr) - 1)
+    return np.unique(arr[cut_pos])
+
+
 def docs_order_statistics(
     sf_dir: str, ranks: tuple[int, ...] | None = None, num_buckets: int | None = None
 ) -> "ray.data.Dataset":
@@ -3115,15 +3165,16 @@ def docs_order_statistics(
     global ranks under the total order (n_chars, doc_id), WITHOUT a
     global sort materialization.
 
-    Range partitioning, not hash: each row's bucket is its value's
-    position in equal-width value bins (bounds from the parquet FOOTER
-    min/max — no scan), so buckets are ORDER-ALIGNED; per-bucket counts
+    Range partitioning, not hash: each row's bucket is its composite key's
+    position among SAMPLED-QUANTILE boundaries over (n_chars, doc_id)
+    (one column-pruned sampling pass, ~64·nb pairs on the driver — see
+    ``_ostat_sample_boundaries``; replaces the r3 equal-width footer bins,
+    whose skew hole this closes: value mass concentrated in one bin now
+    splits by doc_id).  Buckets are ORDER-ALIGNED; per-bucket counts
     prefix-sum into global bucket offsets driver-side (|buckets| ints);
     each bucket then sorts only ITS rows, adds its offset, and keeps
     the requested ranks.  Shuffle = one exchange of (n_chars, doc_id);
-    driver traffic = |buckets| counts.  Equal-width bins assume a
-    non-pathological value distribution — salt or re-bin by sampled
-    quantiles for adversarial skew (documented trade-off)."""
+    driver traffic = |buckets| counts + the bounded boundary sample."""
     import pyarrow.parquet as _pqm
 
     from ray.data.aggregate import Count
@@ -3131,26 +3182,28 @@ def docs_order_statistics(
 
     path = _pq(sf_dir, "documents")
     md = _pqm.ParquetFile(path).metadata
-    names = [md.schema.column(i).name for i in range(md.num_columns)]
-    ci = names.index("n_chars")
-    vmin = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
-    vmax = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
     n_total = md.num_rows
     if ranks is None:
         ranks = (0, n_total // 4, n_total // 2, (3 * n_total) // 4, n_total - 1)
     ranks_arr = np.asarray(sorted(set(ranks)), dtype=np.int64)
     nb = num_buckets or int(min(4096, max(8, -(-n_total // 2_000_000))))
-    span = max(int(vmax) - int(vmin) + 1, 1)
+    cuts = _ostat_sample_boundaries(path, nb, n_total)
+    cuts_ref = ray.put(cuts)
+    nb = len(cuts) + 1  # effective bucket count (distinct boundaries + 1)
 
     def binize(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["n_chars"]))
         v = t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = (v - int(vmin)) * nb // span
+        ids = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = np.empty(len(v), dtype=_OSTAT_KEY)
+        keys["v"] = v
+        keys["id"] = ids
+        b = np.searchsorted(ray.get(cuts_ref), keys, side="right")
         return pa.table(
             {
-                "doc_id": t["doc_id"].cast(pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
                 "n_chars": pa.array(v, pa.int64()),
-                BUCKET_COL: pa.array(np.clip(b, 0, nb - 1), pa.int64()),
+                BUCKET_COL: pa.array(b.astype(np.int64), pa.int64()),
             }
         )
 

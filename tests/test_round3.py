@@ -618,3 +618,46 @@ def test_order_statistics_partition_invariant(ray_session):
     assert len(a) == 5 and a["rank"].iloc[0] == 0
     # values are nondecreasing in rank
     assert a["n_chars"].is_monotonic_increasing
+
+
+def test_order_statistics_adversarial_skew_bounded_buckets(ray_session, tmp_path):
+    """The r3 skew hole, closed by sampled composite-key boundaries: ALL
+    rows share one n_chars value (equal-width bins would put 100% of the
+    mass in one bucket).  The result must stay exact AND the sampled
+    boundaries must split the mass by doc_id with per-bucket load bounded
+    near n/nb."""
+    import numpy as np
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.relational import (
+        _OSTAT_KEY,
+        _ostat_sample_boundaries,
+        docs_order_statistics,
+    )
+
+    n, nb = 20_000, 16
+    sf = tmp_path / "skew"
+    sf.mkdir()
+    pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "n_chars": np.int64(777)}).to_parquet(
+        sf / "documents.parquet", index=False
+    )
+    got = (
+        docs_order_statistics(str(sf), num_buckets=nb)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # ground truth: total order is (n_chars, doc_id) = doc_id order here
+    want_ranks = [0, n // 4, n // 2, (3 * n) // 4, n - 1]
+    assert list(got["rank"]) == want_ranks
+    assert list(got["doc_id"]) == want_ranks  # doc_id == position
+    assert (got["n_chars"] == 777).all()
+
+    # bucket-load bound: replay the bucket function over the full corpus
+    cuts = _ostat_sample_boundaries(str(sf / "documents.parquet"), nb, n)
+    assert len(cuts) >= nb // 2, "single-value corpus must still split by doc_id"
+    keys = np.zeros(n, dtype=_OSTAT_KEY)
+    keys["v"] = 777
+    keys["id"] = np.arange(n)
+    loads = np.bincount(np.searchsorted(cuts, keys, side="right"), minlength=len(cuts) + 1)
+    assert loads.max() <= 4 * (n // (len(cuts) + 1)), loads
