@@ -236,11 +236,15 @@ def _training_meta(sf_dir: str):
         tag("quality_bucket", "bucket"), batch_format="pyarrow"
     )
     from hepdata_validator_ray.pipelines import dedup as _dd
+    from hepdata_validator_ray.pipelines import text as _tx
 
     sp = _dd.dup_span_stats(docs).map_batches(
         tag("dup_spans", "n_dup_shingles"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm).union(ck).union(qb).union(sp)
+    bp = _tx.boilerplate_scrub_stats(docs).map_batches(
+        tag("bp_words_kept", "n_words_kept"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp)
 
 
 def _compound_violations(sf_dir: str):
@@ -390,12 +394,17 @@ def _relational_meta(sf_dir: str):
     from hepdata_validator_ray.pipelines import relational
     from hepdata_validator_ray.pipelines import text as _text
 
+    from hepdata_validator_ray.pipelines import retrieval as _retr
+
     plans = [
         relational.events_hopping(sf_dir),
         relational.events_props_stats(sf_dir),
         relational.docs_rollup_stats(sf_dir),
         _text.top_words_per_source(f"{sf_dir}/documents.parquet", k=10),
         relational.docs_quantile_cont(sf_dir),
+        # inverted-index build: its df exchange executes eagerly during
+        # (serial) construction; the final posting filter threads
+        _retr.inverted_index(f"{sf_dir}/documents.parquet"),
     ]
     # the full-outer-join leg runs SERIAL, before the thread pool: a native
     # hash join spawns an aggregator-actor pool, and concurrent native-join
@@ -404,7 +413,7 @@ def _relational_meta(sf_dir: str):
     # is the same hazard class, so don't run it under contention at all
     fj = relational.customer_orders_fulljoin_stats(sf_dir).to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
-        hop, pr, ro, tw, qc = list(ex.map(lambda d: d.to_pandas(), plans))
+        hop, pr, ro, tw, qc, pidx = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
         [
             pd.DataFrame(
@@ -464,6 +473,15 @@ def _relational_meta(sf_dir: str):
                     "a": (qc["p25"] * 4).astype("int64"),
                     "b": (qc["p50"] * 4).astype("int64"),
                     "c": (qc["p75"] * 4).astype("Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "pidx",
+                    "gkey": pidx["word"],
+                    "a": pidx["doc_id"].astype("int64"),
+                    "b": pidx["tf"].astype("int64"),
+                    "c": pidx["first_pos"].astype("Int64"),
                 }
             ),
         ],
@@ -1316,6 +1334,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
+        # C4-style boilerplate removal: drop 2-word chunks occurring in
+        # >= 12 distinct docs, report surviving words per doc (also an
+        # in-window training_meta leg, metric 'bp_words_kept')
+        "text_boilerplate": lambda sf: text.boilerplate_scrub_stats(docs(sf)),
+        # inverted-index build: long-form posting rows (word, doc_id, tf,
+        # first_pos) for df>=2 terms (also the in-window relational_meta
+        # 'pidx' leg)
+        "text_inverted_index": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).inverted_index(docs(sf)),
     }
 
 
@@ -2951,6 +2979,30 @@ sc AS (
   FROM tf JOIN df USING (word)
 )
 SELECT doc_id, word AS top_term, tf AS top_tf, df AS top_df FROM sc WHERE rk = 1""",
+        # C4-style boilerplate removal: non-overlapping 2-word chunks (list
+        # slices replay the engine's chunking; last chunk may be partial),
+        # chunks in >= 12 distinct docs removed, surviving words per doc
+        "text_boilerplate": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, unnest(list_transform(range(0, (len(ws)+1)//2),
+        i -> array_to_string(ws[i*2+1 : i*2+2], ' '))) AS line
+      FROM w WHERE len(ws) > 0),
+cl AS (SELECT doc_id, line, count(*)::BIGINT AS reps,
+              len(string_split(line, ' '))::BIGINT AS nw FROM c GROUP BY doc_id, line),
+bdf AS (SELECT line, count(DISTINCT doc_id) AS df FROM c GROUP BY line)
+SELECT cl.doc_id, COALESCE(sum(nw * reps) FILTER (WHERE bdf.df < 12), 0)::BIGINT AS n_words_kept
+FROM cl JOIN bdf USING (line) GROUP BY cl.doc_id""",
+        # inverted-index build: one posting row per distinct (term, doc)
+        # for df>=2 terms; first_pos is DuckDB list_position (1-based)
+        "text_inverted_index": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wx AS (SELECT doc_id, ws, unnest(ws) AS word FROM w),
+g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
+             any_value(list_position(ws, word))::BIGINT AS first_pos
+      FROM wx GROUP BY word, doc_id),
+wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
+SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
+WHERE wdf.df >= 2""",
         # --- similarity -------------------------------------------------------
         "ann_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -3017,6 +3069,12 @@ FROM chars GROUP BY doc_id, bin""",
         " (p75*4)::BIGINT FROM (" + o["docs_quantile_cont"] + ")"
         "\nUNION ALL\nSELECT 'topw', source || '|' || word, rank, n, 0::BIGINT FROM ("
         + o["text_top_words"] + ")"
+        "\nUNION ALL\nSELECT 'pidx', word, doc_id, tf, first_pos FROM ("
+        + o["text_inverted_index"] + ")"
+    )
+    o["training_meta"] += (
+        "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("
+        + o["text_boilerplate"] + ")"
     )
     o["relational_meta2"] += (
         "\nUNION ALL\nSELECT 'islands', CAST(user_id AS VARCHAR), n_islands,"

@@ -178,3 +178,68 @@ scored AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
        doc_id, dl, tf_total
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (long-form posting lists)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs_path: str, min_df: int = 2, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Distributed inverted-index build — the index-construction
+    counterpart of ``bm25_topk``'s query side: one long-form posting row
+    (word, doc_id, tf, first_pos) per distinct (term, doc) for every term
+    whose document frequency >= ``min_df`` (df pruning drops hapax noise;
+    first_pos is 1-based, DuckDB ``list_position`` parity).
+
+    Physical shape: ONE pass computes per-doc term stats (pandas C groupby
+    over the exploded word buffer), materialized as the distributed
+    posting table; term df is then ONE vocabulary-sized exchange over that
+    table (a posting row is already distinct per (term, doc), so df is a
+    plain value count), and the qualifying term set — vocabulary-bounded
+    by construction — broadcasts back as the final filter.  The corpus
+    text is read once; nothing corpus-scale touches the driver."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+    from hepdata_validator_ray.pipelines.text import _explode_words
+
+    def stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
+        flat, offs = _explode_words(df["text"].str.split(" "))
+        lens = np.diff(offs)
+        row = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        g = (
+            pd.DataFrame({"row": row, "word": flat, "pos": pos})
+            .groupby(["row", "word"], sort=False)
+            .agg(tf=("pos", "size"), first_pos=("pos", "min"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "word": g["word"],
+                "doc_id": df["doc_id"].to_numpy()[g["row"].to_numpy()].astype(np.int64),
+                "tf": g["tf"].astype("int64"),
+                "first_pos": g["first_pos"].astype("int64"),
+            }
+        )
+
+    postings = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(stats_batch, batch_format="pandas", batch_size=4096)
+        .materialize()  # feeds the df exchange AND the final filter
+    )
+    dfs = grouped_value_counts(
+        postings.select_columns(["word"]), "word", min_count=min_df, num_buckets=num_buckets
+    ).to_pandas()  # vocabulary-bounded
+    terms = np.sort(dfs["word"].to_numpy(dtype=object)) if len(dfs) else np.empty(0, dtype=object)
+    terms_ref = ray.put(terms)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(terms_ref)
+        if not len(t):
+            return df.iloc[0:0]
+        return df[np.isin(df["word"].to_numpy(dtype=object), t)]
+
+    return postings.map_batches(keep, batch_format="pandas", batch_size=8192)

@@ -746,3 +746,109 @@ def source_overlap_matrix(
     out["n_shared"] = out["n_shared"].astype("int64")
     # pairs sharing nothing are absent (the oracle's inner join)
     return out[out["n_shared"] > 0].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate removal (df-thresholded word chunks)
+# ---------------------------------------------------------------------------
+
+#: siphash key for chunk-string content (shared convention: pandas' C
+#: siphash over the exact string the DuckDB oracle groups by)
+_CHUNK_KEY = "0123456789abcdef"
+
+
+def _chunk_strings(
+    flat: np.ndarray, offsets: np.ndarray, chunk_words: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-overlapping ``chunk_words``-word chunk strings per row (the C4
+    'line' unit on a newline-free corpus), fully vectorized over the
+    exploded word buffer: chunk i of a row covers words [i*k, (i+1)*k); the
+    last chunk may be partial.  Returns (chunk strings object array,
+    words-per-chunk int64, per-row chunk offsets)."""
+    lens = np.diff(offsets)
+    n_chunks = np.where(lens > 0, -(-lens // chunk_words), 0).astype(np.int64)
+    out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64), out_off
+    local = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], n_chunks)
+    starts = np.repeat(offsets[:-1], n_chunks) + local * chunk_words
+    ends = np.minimum(starts + chunk_words, np.repeat(offsets[1:], n_chunks))
+    parts = flat[starts].copy()
+    for j in range(1, chunk_words):
+        idx = starts + j
+        valid = idx < ends
+        if valid.any():
+            parts[valid] = parts[valid] + " " + flat[idx[valid]]
+    return parts, (ends - starts).astype(np.int64), out_off
+
+
+def boilerplate_chunk_df(
+    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(h, cnt) for chunk CONTENT classes occurring in >= min_df distinct
+    docs — the boilerplate table.  Per-batch: chunk strings → siphash →
+    per-doc distinct (shared _per_row_distinct kernel) → distributed
+    value counts.  The qualifying set is bounded by corpus_chunks/min_df
+    (boilerplate is by definition common), i.e. vocabulary-scale."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    def distinct_chunk_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
+        flat, offs = _explode_words(df["text"].str.split(" "))
+        chunks, _nw, c_off = _chunk_strings(flat, offs, chunk_words)
+        if not len(chunks):
+            return pd.DataFrame({"h": pd.Series(dtype="uint64")})
+        h = pd.util.hash_array(chunks, hash_key=_CHUNK_KEY, categorize=False)
+        seg = np.repeat(np.arange(len(df), dtype=np.int64), np.diff(c_off))
+        order, first = _per_row_distinct(h, seg)
+        return pd.DataFrame({"h": h[order][first]})
+
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        distinct_chunk_hashes, batch_format="pandas", batch_size=4096
+    )
+    return grouped_value_counts(ds, "h", min_count=min_df, num_buckets=num_buckets)
+
+
+def boilerplate_scrub_stats(
+    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """C4/RefinedWeb-style boilerplate removal, summarized per doc: split
+    each doc into non-overlapping ``chunk_words``-word chunks, drop every
+    chunk whose content occurs in >= ``min_df`` DISTINCT docs, and report
+    (doc_id, n_words_kept) — the surviving word count.
+
+    Physical shape: one distributed df exchange over per-doc-distinct
+    chunk hashes builds the (bounded, common-by-definition) boilerplate
+    set, broadcast via ray.put as a sorted uint64 array; the scrub pass
+    then re-chunks each batch and segment-sums surviving chunk word
+    counts.  The corpus text is read twice, never materialized; driver
+    traffic = the boilerplate set.  The DuckDB oracle replays the chunking
+    with list slices and groups by chunk STRING (the engine's siphash is
+    injective up to ~2^-64 collisions)."""
+    bp = boilerplate_chunk_df(docs_path, chunk_words, min_df, num_buckets).to_pandas()
+    bp_h = np.sort(bp["h"].to_numpy(np.uint64)) if len(bp) else np.empty(0, dtype=np.uint64)
+    bp_ref = ray.put(bp_h)
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bp_ref)
+        df = df[df["text"].notna()]
+        flat, offs = _explode_words(df["text"].str.split(" "))
+        chunks, nw, c_off = _chunk_strings(flat, offs, chunk_words)
+        if len(chunks):
+            h = pd.util.hash_array(chunks, hash_key=_CHUNK_KEY, categorize=False)
+            if len(bset):
+                pos = np.searchsorted(bset, h)
+                pos[pos == len(bset)] = 0
+                nw = np.where(bset[pos] == h, 0, nw)
+            kept = _segment_sum(nw, c_off)
+        else:
+            kept = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_words_kept": kept}
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas", batch_size=4096
+    )

@@ -1,0 +1,99 @@
+"""Round-4 operators: C4-style boilerplate removal and the inverted-index
+build — crafted-fixture arithmetic the sf tables can't pin (threshold
+edges, partial chunks, position ties), plus local ground-truth replays of
+the oracle semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hepdata_validator_ray.pipelines.retrieval import inverted_index
+from hepdata_validator_ray.pipelines.text import (
+    _chunk_strings,
+    _explode_words,
+    boilerplate_scrub_stats,
+)
+
+
+def _write_docs(tmp_path, texts):
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}).to_parquet(
+        p, index=False
+    )
+    return p
+
+
+def test_chunk_strings_kernel():
+    flat, offs = _explode_words(pd.Series([["a", "b", "c", "d", "e"], ["x"], []]))
+    chunks, nw, c_off = _chunk_strings(flat, offs, 2)
+    assert list(chunks) == ["a b", "c d", "e", "x"]
+    assert list(nw) == [2, 2, 1, 1]
+    assert list(c_off) == [0, 3, 4, 4]
+
+
+def test_boilerplate_scrub_crafted(tmp_path, ray_session):
+    """'b1 b2' occurs in 3 distinct docs (df=3, removed at min_df=3);
+    'u1 u2' in only one (kept); the partial trailing chunk 'tail' is a
+    1-word chunk and counts as such."""
+    texts = [
+        "b1 b2 u1 u2 tail",  # chunks: 'b1 b2'(drop), 'u1 u2'(keep), 'tail'(keep) -> 3
+        "b1 b2 k1 k2",       # 'b1 b2'(drop), 'k1 k2'(keep) -> 2
+        "b1 b2",             # all removed -> 0
+        "solo",              # single 1-word chunk, df=1 -> 1
+    ]
+    got = (
+        boilerplate_scrub_stats(_write_docs(tmp_path, texts), chunk_words=2, min_df=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_words_kept"]) == [3, 2, 0, 1]
+
+
+def test_boilerplate_within_doc_repeats_count_once_for_df(tmp_path, ray_session):
+    """df counts DISTINCT docs: a chunk repeated 5× inside one doc has
+    df=1 and survives; but once another doc pushes it over min_df, EVERY
+    occurrence (all repeats) is removed."""
+    texts = ["r1 r2 " * 5 + "end", "other words"]
+    p = _write_docs(tmp_path, [t.strip() for t in texts])
+    keep_all = boilerplate_scrub_stats(p, chunk_words=2, min_df=2).to_pandas()
+    assert sorted(keep_all["n_words_kept"]) == [2, 11]  # nothing crosses df=2
+    p2 = str(tmp_path / "docs2.parquet")
+    pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64), "text": [("r1 r2 " * 5 + "end").strip(), "r1 r2 only"]}
+    ).to_parquet(p2, index=False)
+    got = boilerplate_scrub_stats(p2, chunk_words=2, min_df=2).to_pandas().sort_values("doc_id")
+    # doc0: five 'r1 r2' chunks all removed, 'end' kept -> 1
+    # doc1: 'r1 r2' removed, 'only' kept -> 1
+    assert list(got["n_words_kept"]) == [1, 1]
+
+
+def test_inverted_index_positions_tf_and_pruning(tmp_path, ray_session):
+    texts = [
+        "w x w y w",   # w: tf=3 first=1; x: tf=1 first=2; y: tf=1 first=4
+        "y w",         # y: first=1; w: first=2
+        "z z z",       # z only here -> pruned at min_df=2
+    ]
+    got = (
+        inverted_index(_write_docs(tmp_path, texts), min_df=2)
+        .to_pandas()
+        .sort_values(["word", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "word": ["w", "w", "y", "y"],
+            "doc_id": [0, 1, 0, 1],
+            "tf": [3, 1, 1, 1],
+            "first_pos": [1, 2, 4, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "tf": "int64", "first_pos": "int64"}), exp
+    )
+    assert "z" not in set(got["word"])
+
+
+def test_inverted_index_no_qualifying_terms(tmp_path, ray_session):
+    got = inverted_index(_write_docs(tmp_path, ["a b", "c d"]), min_df=2).to_pandas()
+    assert len(got) == 0
