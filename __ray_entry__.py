@@ -244,7 +244,10 @@ def _training_meta(sf_dir: str):
     bp = _tx.boilerplate_scrub_stats(docs).map_batches(
         tag("bp_words_kept", "n_words_kept"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp)
+    xc = training.contamination_exact_spans(docs).map_batches(
+        tag("exact_contam", "n_hits"), batch_format="pyarrow"
+    )
+    return pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp).union(xc)
 
 
 def _compound_violations(sf_dir: str):
@@ -1344,6 +1347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_inverted_index": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).inverted_index(docs(sf)),
+        # GPT-3-style exact-substring decontamination (complements the
+        # shingle-overlap contamination; in-window training_meta leg
+        # 'exact_contam')
+        "training_contamination_exact": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["x"]
+        ).contamination_exact_spans(docs(sf)),
     }
 
 
@@ -3003,6 +3012,15 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        # exact-substring decontamination: the eval set is the MIDDLE
+        # 5-word span of each eval-slice doc; LEFT JOIN keeps zero-hit docs
+        "training_contamination_exact": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ev AS (SELECT DISTINCT array_to_string(ws[((len(ws)-5)//2 + 1) : ((len(ws)-5)//2 + 5)], ' ') AS s
+       FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 5)
+SELECT d.doc_id, COALESCE(sum(CASE WHEN contains(d.text, e.s) THEN 1 END), 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN ev e ON contains(d.text, e.s)
+GROUP BY d.doc_id""",
         # --- similarity -------------------------------------------------------
         "ann_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -3075,6 +3093,8 @@ FROM chars GROUP BY doc_id, bin""",
     o["training_meta"] += (
         "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("
         + o["text_boilerplate"] + ")"
+        "\nUNION ALL SELECT doc_id, 'exact_contam', n_hits FROM ("
+        + o["training_contamination_exact"] + ")"
     )
     o["relational_meta2"] += (
         "\nUNION ALL\nSELECT 'islands', CAST(user_id AS VARCHAR), n_islands,"

@@ -639,3 +639,59 @@ def mlm_mask_stats(
         )
         .map_batches(decode_first, batch_format="pyarrow")
     )
+
+
+def eval_exact_spans(docs_path: str, span_words: int = 5, eval_mod: int = 97) -> list[str]:
+    """Deterministic eval-benchmark strings: for every eval doc (doc_id %
+    eval_mod == 0) with >= span_words words, the MIDDLE span_words-word
+    span, distinct.  Bounded by the eval slice, not the corpus — the
+    broadcast side of exact decontamination."""
+    import pandas as pd
+
+    spans: set[str] = set()
+    ds = ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["doc_id"].to_numpy() % eval_mod == 0) & df["text"].notna()]
+        out = []
+        for t in df["text"]:
+            ws = t.split(" ")
+            if len(ws) >= span_words:
+                m = (len(ws) - span_words) // 2
+                out.append(" ".join(ws[m : m + span_words]))
+        return pd.DataFrame({"s": pd.Series(out, dtype="object")})
+
+    for b in ds.map_batches(pick, batch_format="pandas", batch_size=4096).iter_batches(
+        batch_format="pandas"
+    ):
+        spans.update(b["s"].tolist())
+    return sorted(spans)
+
+
+def contamination_exact_spans(
+    docs_path: str, span_words: int = 5, eval_mod: int = 97
+) -> "ray.data.Dataset":
+    """GPT-3-style EXACT-SUBSTRING decontamination (the complement of the
+    shingle-overlap ``contamination_flags``): per doc, the number of
+    distinct eval strings occurring verbatim inside its text.  The eval
+    set — the middle ``span_words``-word span of each eval-slice doc — is
+    benchmark-bounded and broadcasts via ray.put; each batch runs one
+    vectorized C substring scan per eval string (pandas str.contains,
+    regex=False).  Eval docs hit their own span by construction; filter
+    doc_id % eval_mod != 0 downstream to act on the train side only."""
+    import pandas as pd
+
+    spans = eval_exact_spans(docs_path, span_words=span_words, eval_mod=eval_mod)
+    spans_ref = ray.put(spans)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(spans_ref)
+        hits = np.zeros(len(df), dtype=np.int64)
+        text = df["text"].fillna("")
+        for s in ev:
+            hits += text.str.contains(s, regex=False).to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "n_hits": hits})
+
+    return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas", batch_size=4096
+    )

@@ -97,3 +97,38 @@ def test_inverted_index_positions_tf_and_pruning(tmp_path, ray_session):
 def test_inverted_index_no_qualifying_terms(tmp_path, ray_session):
     got = inverted_index(_write_docs(tmp_path, ["a b", "c d"]), min_df=2).to_pandas()
     assert len(got) == 0
+
+
+def test_contamination_exact_spans_cross_doc(tmp_path, ray_session):
+    """A train doc containing an eval doc's middle span verbatim is
+    flagged; partial overlap is not; eval docs hit their own span."""
+    from hepdata_validator_ray.pipelines.training import contamination_exact_spans
+
+    # doc 0 is the eval doc (0 % 97 == 0): middle 5 words of 7 -> words[1:6]
+    eval_text = "pre m1 m2 m3 m4 m5 post"          # span = "m1 m2 m3 m4 m5"
+    texts = [
+        eval_text,                                  # doc 0: hits own span -> 1
+        "x m1 m2 m3 m4 m5 y",                       # doc 1: contains span -> 1
+        "m1 m2 m3 m4 other",                        # doc 2: partial -> 0
+        "clean text entirely",                      # doc 3 -> 0
+    ]
+    got = (
+        contamination_exact_spans(_write_docs(tmp_path, texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_hits"]) == [1, 1, 0, 0]
+
+
+def test_contamination_exact_spans_no_eval_docs(tmp_path, ray_session):
+    """Short eval docs (< span_words words) contribute no eval strings;
+    every doc then scores 0 (the LEFT-JOIN total semantics)."""
+    from hepdata_validator_ray.pipelines.training import contamination_exact_spans
+
+    got = (
+        contamination_exact_spans(_write_docs(tmp_path, ["a b", "c d e"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["n_hits"]) == [0, 0]
