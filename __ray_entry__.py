@@ -340,11 +340,15 @@ def _embedding_cluster_meta(sf_dir: str):
     km_ds = cluster.kmeans_assign_quantized(emb)
     sd_ds = cluster.semantic_dedup_removed(emb, threshold=0.4)
     ce_ds = cluster.label_centroid_sums(emb)
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    # outlier mining executes its centroid exchange eagerly during (serial)
+    # construction; the distance/top-k pipeline threads with the others
+    ol_ds = cluster.embedding_label_outliers(emb)
+    with ThreadPoolExecutor(max_workers=4) as ex:
         km_f = ex.submit(km_ds.to_pandas)
         sd_f = ex.submit(sd_ds.to_pandas)
         ce_f = ex.submit(ce_ds.to_pandas)
-        km, sd, ce = km_f.result(), sd_f.result(), ce_f.result()
+        ol_f = ex.submit(ol_ds.to_pandas)
+        km, sd, ce, ol = km_f.result(), sd_f.result(), ce_f.result(), ol_f.result()
     return pd.concat(
         [
             pd.DataFrame(
@@ -372,6 +376,14 @@ def _embedding_cluster_meta(sf_dir: str):
                     "a": (ce["label"].astype("int64") * 1000 + ce["dim"].astype("int64")),
                     "b": ce["n"].astype("int64"),
                     "c": ce["sum_q"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "outlier",
+                    "a": ol["label"].astype("int64"),
+                    "b": ol["vec_id"].astype("int64"),
+                    "c": ol["d2"].astype("int64"),
                 }
             ),
         ],
@@ -1353,6 +1365,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_contamination_exact": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).contamination_exact_spans(docs(sf)),
+        # per-label outlier mining: k farthest members from the rounded
+        # integer label centroid (in-window embedding_cluster_meta leg
+        # 'outlier'); likely-mislabeled-vector curation
+        "embedding_outliers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).embedding_label_outliers(emb(sf)),
     }
 
 
@@ -2014,6 +2032,24 @@ SELECT label::BIGINT AS label, i::BIGINT AS dim, count(*)::BIGINT AS n, sum(q)::
          floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS q
   FROM embeddings)
 GROUP BY 1, 2""",
+        # per-label outliers: rounded integer centroid via the SIGN-SPLIT
+        # floor((2S+n)/(2n)) (DuckDB // truncates toward zero, numpy
+        # floors), then exact int64 squared distances, top-5 per label
+        "embedding_outliers": """
+WITH e AS (
+  SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+         unnest(range(len(embedding))) AS i,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)::BIGINT AS v
+  FROM embeddings),
+s AS (SELECT label, i, sum(v)::BIGINT AS S, count(*)::BIGINT AS n FROM e GROUP BY label, i),
+c AS (SELECT label, i,
+             CASE WHEN 2*S + n >= 0 THEN (2*S + n) // (2*n)
+                  ELSE -(( -(2*S + n) + 2*n - 1) // (2*n)) END AS cr
+      FROM s),
+d AS (SELECT e.vec_id, e.label, sum((e.v - c.cr) * (e.v - c.cr))::BIGINT AS d2
+      FROM e JOIN c ON e.label = c.label AND e.i = c.i GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk FROM d)
+SELECT label, vec_id, d2 FROM r WHERE rk <= 5""",
         # audience overlap: distinct users shared per unordered type pair
         "events_type_overlap": """
 WITH m AS (SELECT DISTINCT user_id, coalesce(event_type, '<NULL>') AS t FROM events)
@@ -3143,6 +3179,8 @@ FROM chars GROUP BY doc_id, bin""",
     o["embedding_cluster_meta"] += (
         "\nUNION ALL\nSELECT 'centroid', label * 1000 + dim, n, sum_q FROM ("
         + o["embedding_label_centroids"] + ")"
+        "\nUNION ALL\nSELECT 'outlier', label, vec_id, d2 FROM ("
+        + o["embedding_outliers"] + ")"
     )
     # centroid pair dots: composed from the centroid long-form entry —
     # integer self-join on dim, so the matmul is provably the SQL join

@@ -448,3 +448,59 @@ def embedding_random_projection(
     return ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]).map_batches(
         project, batch_format="pandas", batch_size=4096
     )
+
+
+def embedding_label_outliers(emb_path: str, k: int = 5) -> "ray.data.Dataset":
+    """Per-label outlier mining — the curation op that surfaces likely
+    MISLABELED vectors: for every label, the k members FARTHEST (quantized
+    squared euclidean) from the label's rounded integer centroid, ordered
+    by (d2 DESC, vec_id ASC).  Output (label, vec_id, d2), k rows/label.
+
+    Integer-exact across engines at any scale: the centroid numerator
+    comes from the existing ``label_centroid_sums`` exchange (label×dim
+    rows), the rounded centroid is the pure-integer floor((2·S + n) /
+    (2·n)) — spelled as floor division in numpy and sign-split in the
+    DuckDB oracle (DuckDB // truncates toward zero, numpy floors) — and
+    every distance is an int64 sum of squares of quantized residuals.
+    Physical shape: one tiny centroid broadcast, per-batch distances +
+    per-batch per-label partial top-k, one |labels|-keyed exchange for the
+    final top-k merge."""
+    sums = label_centroid_sums(emb_path).to_pandas()  # |labels|×dim, tiny
+    labels_sorted = np.sort(sums["label"].unique().astype(np.int64))
+    dim = int(sums["dim"].max()) + 1
+    piv = sums.sort_values(["label", "dim"])
+    S = piv["sum_q"].to_numpy(np.int64).reshape(len(labels_sorted), dim)
+    n = piv["n"].to_numpy(np.int64).reshape(len(labels_sorted), dim)[:, 0]
+    cent = (2 * S + n[:, None]) // (2 * n[:, None])  # numpy floors
+    cent_ref = ray.put((labels_sorted, cent))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lab_keys, cents = ray.get(cent_ref)
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        labels = df["label"].to_numpy().astype(np.int64)
+        li = np.searchsorted(lab_keys, labels)
+        r = q - cents[li]
+        d2 = (r * r).sum(axis=1)
+        out = pd.DataFrame(
+            {"label": labels, "vec_id": df["vec_id"].astype("int64"), "d2": d2}
+        )
+        return (
+            out.sort_values(["label", "d2", "vec_id"], ascending=[True, False, True])
+            .groupby("label", sort=False)
+            .head(k)
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["label", "d2", "vec_id"], ascending=[True, False, True])
+            .groupby("label", sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "label", "embedding"])
+        .map_batches(partial_topk, batch_format="pandas", batch_size=4096)
+        .groupby("label")
+        .map_groups(final_topk, batch_format="pandas")
+    )

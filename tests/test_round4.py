@@ -132,3 +132,39 @@ def test_contamination_exact_spans_no_eval_docs(tmp_path, ray_session):
         .sort_values("doc_id")
     )
     assert list(got["n_hits"]) == [0, 0]
+
+
+def test_embedding_label_outliers_crafted(tmp_path, ray_session):
+    """A planted far vector is the label's top outlier; negative
+    coordinates exercise the sign-split rounded-centroid path; ties break
+    on vec_id ascending."""
+    from hepdata_validator_ray.pipelines.cluster import embedding_label_outliers
+
+    rows = []
+    # label 0: three near-identical vectors + one far outlier (vec 3)
+    for i, v in enumerate([[-0.5, 0.1], [-0.5, 0.1], [-0.5, 0.1], [9.0, -9.0]]):
+        rows.append({"vec_id": i, "label": 0, "embedding": v})
+    # label 1: two equidistant vectors (tie on d2 -> vec_id order)
+    rows.append({"vec_id": 10, "label": 1, "embedding": [1.0, 0.0]})
+    rows.append({"vec_id": 11, "label": 1, "embedding": [-1.0, 0.0]})
+    p = str(tmp_path / "emb.parquet")
+    pd.DataFrame(rows).to_parquet(p, index=False)
+    got = (
+        embedding_label_outliers(p, k=2)
+        .to_pandas()
+        .sort_values(["label", "d2", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    l0 = got[got["label"] == 0]
+    assert list(l0["vec_id"])[0] == 3  # the planted outlier ranks first
+    l1 = got[got["label"] == 1]
+    assert list(l1["vec_id"]) == [10, 11]  # exact d2 tie -> vec_id order
+    assert l1["d2"].nunique() == 1
+    # local replay of the integer contract for label 0
+    q = np.floor(np.array([[-0.5, 0.1], [-0.5, 0.1], [-0.5, 0.1], [9.0, -9.0]]) * 1000 + 0.5).astype(np.int64)
+    S, n = q.sum(0), 4
+    cent = (2 * S + n) // (2 * n)
+    d2 = ((q - cent) ** 2).sum(1)
+    exp0 = {int(v): int(d) for v, d in zip([0, 1, 2, 3], d2)}
+    for r in l0.itertuples(index=False):
+        assert exp0[int(r.vec_id)] == int(r.d2)
