@@ -1075,7 +1075,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixture plan fused into one union
         "sampling_assignment": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).sampling_assignment(docs(sf), mixture_x100=_MIX_X100, exact_k=50, exact_k_group=5),
+        ).sampling_assignment(
+            docs(sf), mixture_x100=_MIX_X100, exact_k=50, exact_k_group=5, leakage=True
+        ),
         # --- embedding clustering / semantic dedup -----------------------------
         # integer-exact quantized k-means assignment + SemDeDup-style
         # within-cell removal as one union (kind, a, b, c)
@@ -1371,6 +1373,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).embedding_label_outliers(emb(sf)),
+        # cross-split content-leakage audit (in-window via
+        # sampling_assignment's 'leak'/'leakdocs' legs)
+        "split_leakage": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).split_leakage_stats(docs(sf)),
     }
 
 
@@ -3048,6 +3055,16 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        # cross-split content leakage: a doc is leaky when its content
+        # class (md5, nulls as '<NULL>') spans more than one split
+        "split_leakage": """
+WITH d AS (SELECT doc_id, coalesce(md5(text), '<NULL>') AS h,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 10
+            THEN 'test' ELSE 'train' END AS split FROM documents),
+g AS (SELECT h, count(DISTINCT split) AS n_splits FROM d GROUP BY h)
+SELECT d.split, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE g.n_splits > 1)::BIGINT AS n_leaky_docs
+FROM d JOIN g USING (h) GROUP BY d.split""",
         # exact-substring decontamination: the eval set is the MIDDLE
         # 5-word span of each eval-slice doc; LEFT JOIN keeps zero-hit docs
         "training_contamination_exact": """
@@ -3164,6 +3181,8 @@ FROM chars GROUP BY doc_id, bin""",
     o["sampling_assignment"] += (
         "\nUNION ALL\nSELECT 'mix', source, n_rows_out FROM (" + o["mixture_counts"] + ")"
         "\nUNION ALL\nSELECT 'mixdocs', source, n_docs FROM (" + o["mixture_counts"] + ")"
+        "\nUNION ALL\nSELECT 'leak', split, n_leaky_docs FROM (" + o["split_leakage"] + ")"
+        "\nUNION ALL\nSELECT 'leakdocs', split, n_docs FROM (" + o["split_leakage"] + ")"
         "\nUNION ALL\nSELECT 'ek', CAST(doc_id AS VARCHAR), rank FROM ("
         + o["exact_k_sample"] + ")"
         "\nUNION ALL\nSELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM ("

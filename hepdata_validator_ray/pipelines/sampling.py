@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 _SPLIT_KEY = "hvr-split-key-01"  # 16-byte siphash key for the production path
@@ -126,13 +127,17 @@ def sampling_assignment(
     mixture_x100: dict[str, int] | None = None,
     exact_k: int | None = None,
     exact_k_group: int | None = None,
+    leakage: bool = False,
 ) -> "ray.data.Dataset":
     """Split counts AND the exact deterministic-sample id set AND (when
     ``mixture_x100`` is given) the epoch-weighted mixture plan as ONE
     union — (kind, key, n): ('split', 'train'/'test', count) rows,
     ('sample', <doc_id>, 1) rows, ('mix', <source>, n_rows_out) +
     ('mixdocs', <source>, n_docs) rows (slot-saving fusion; every leg
-    stays independently queryable)."""
+    stays independently queryable).  ``leakage=True`` adds the
+    cross-split content-contamination audit: ('leak', <split>,
+    n_leaky_docs) + ('leakdocs', <split>, n_docs) rows from
+    ``split_leakage_stats``."""
 
     def split_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -190,6 +195,25 @@ def sampling_assignment(
                     }
                 ),
                 batch_format="pandas",
+            )
+        )
+    if leakage:
+        def leak_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {"kind": "leak", "key": df["split"].astype(str), "n": df["n_leaky_docs"].astype("int64")}
+                    ),
+                    pd.DataFrame(
+                        {"kind": "leakdocs", "key": df["split"].astype(str), "n": df["n_docs"].astype("int64")}
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+        out = out.union(
+            split_leakage_stats(docs_path, test_pct=test_pct).map_batches(
+                leak_rows, batch_format="pandas"
             )
         )
     return out
@@ -441,4 +465,58 @@ def exact_k_per_group(
         ds.map_batches(lambda t: with_bucket(t, strata_col, nb), batch_format="pyarrow")
         .groupby(BUCKET_COL)
         .map_groups(topk, batch_format="pandas")
+    )
+
+
+def split_leakage_stats(
+    docs_path: str, test_pct: int = 10, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Train/test contamination audit over the SPLIT boundary: a doc is
+    LEAKY when its exact content class (md5(text), nulls as '<NULL>')
+    spans more than one split under the standard hash split rule.  Output
+    (split, n_docs, n_leaky_docs) — the per-split leak report a training
+    pipeline checks before shipping a split.
+
+    One content-keyed bucketed exchange: per-batch (h, split, n) partials
+    collapse map-side; each bucket sees every partial of its classes, so
+    n_splits-per-class and per-split doc counts are in-bucket groupbys;
+    the final exchange is |splits|-sized.  Nothing corpus-scale touches
+    the driver."""
+    from hepdata_validator_ray.ops import bucketed_aggregate
+    from hepdata_validator_ray.pipelines.dedup import _md5_batch
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas()
+        out = _md5_batch(df)
+        out["split"] = np.where(
+            _bucket_of(df["doc_id"].to_numpy(), 100) < test_pct, "test", "train"
+        )
+        g = out.groupby(["h", "split"], as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas().groupby(["h", "split"], as_index=False)["n"].sum()
+        leaky = (df.groupby("h")["split"].transform("nunique") > 1).to_numpy()
+        g = (
+            df.assign(ln=np.where(leaky, df["n"], 0))
+            .groupby("split", as_index=False)
+            .agg(n_docs=("n", "sum"), n_leaky_docs=("ln", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        bucketed_aggregate(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+            "h",
+            partial,
+            combine,
+            num_buckets=num_buckets,
+        )
+        .groupby("split")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_leaky_docs", alias_name="n_leaky_docs"),
+        )
     )

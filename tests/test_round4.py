@@ -168,3 +168,33 @@ def test_embedding_label_outliers_crafted(tmp_path, ray_session):
     exp0 = {int(v): int(d) for v, d in zip([0, 1, 2, 3], d2)}
     for r in l0.itertuples(index=False):
         assert exp0[int(r.vec_id)] == int(r.d2)
+
+
+def test_split_leakage_crafted(tmp_path, ray_session):
+    """Docs sharing content across the train/test boundary are leaky in
+    BOTH splits; same-split duplicates are not leakage."""
+    import hashlib
+
+    from hepdata_validator_ray.pipelines.sampling import split_leakage_stats
+
+    def split_of(doc_id):
+        return "test" if int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100 < 10 else "train"
+
+    # find one test-split and three train-split ids deterministically
+    ids = list(range(200))
+    test_ids = [i for i in ids if split_of(i) == "test"]
+    train_ids = [i for i in ids if split_of(i) == "train"]
+    a_test, a_train = test_ids[0], train_ids[0]   # shared content -> leaky
+    b1, b2 = train_ids[1], train_ids[2]           # same-split dup -> clean
+    rows = [
+        {"doc_id": a_test, "text": "leaked shared content"},
+        {"doc_id": a_train, "text": "leaked shared content"},
+        {"doc_id": b1, "text": "train only duplicate"},
+        {"doc_id": b2, "text": "train only duplicate"},
+        {"doc_id": train_ids[3], "text": "unique"},
+    ]
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(p, index=False)
+    got = split_leakage_stats(p).to_pandas().set_index("split")
+    assert int(got.loc["test", "n_docs"]) == 1 and int(got.loc["test", "n_leaky_docs"]) == 1
+    assert int(got.loc["train", "n_docs"]) == 4 and int(got.loc["train", "n_leaky_docs"]) == 1
