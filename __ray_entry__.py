@@ -1378,6 +1378,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).split_leakage_stats(docs(sf)),
+        # per-group distinct: the exact twin (oracled) of the HLL path
+        "events_type_users": lambda sf: relational.approx_distinct_users_per_type(
+            sf, exact=True
+        ),
+        # per-group HLL approximate distinct: |groups|x2^p-byte exchange,
+        # row-count-independent.  Probabilistic -> no SQL oracle; pinned by
+        # tests/test_round4.py within 3 standard errors of the exact twin
+        "events_type_users_approx": lambda sf: relational.approx_distinct_users_per_type(sf),
     }
 
 
@@ -3055,6 +3063,10 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        "events_type_users": """
+SELECT coalesce(event_type, '<NULL>') AS event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1""",
         # cross-split content leakage: a doc is leaky when its content
         # class (md5, nulls as '<NULL>') spans more than one split
         "split_leakage": """

@@ -3245,3 +3245,82 @@ def docs_order_statistics(
         )
 
     return ds.groupby(BUCKET_COL).map_groups(select_ranks, batch_format="pandas")
+
+
+def approx_distinct_users_per_type(
+    sf_dir: str, p: int = 12, exact: bool = False
+) -> "ray.data.Dataset | pd.DataFrame":
+    """Per-group approximate COUNT DISTINCT — the 10^12-row spelling of
+    "distinct users per event type": per batch each group contributes ONE
+    HLL register array (2^p bytes), groups merge registers by elementwise
+    max in one |groups|-keyed exchange, and the estimate reads off the
+    merged registers.  Exchange volume = |groups| x 2^p bytes x n_batches
+    — independent of row count (the exact twin ships every (type, user)
+    pair).  Output (event_type, n_users_approx int64).
+
+    ``exact=True`` returns the exact twin — same exchange SHAPE (per-batch
+    distinct collapse, one keyed exchange) but corpus-proportional volume
+    — used by the oracle gate and the pytest that pins the HLL estimate
+    within 3 standard errors (1.04/sqrt(2^p)) of it."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+    from hepdata_validator_ray.sketches import HyperLogLog
+
+    ev = _pq(sf_dir, "events")
+
+    if exact:
+        from ray.data.aggregate import Count
+
+        def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[["event_type", "user_id"]].copy()
+            g["event_type"] = g["event_type"].fillna("<NULL>")
+            return g.drop_duplicates()
+
+        return (
+            ray.data.read_parquet(ev, columns=["event_type", "user_id"])
+            .map_batches(distinct_pairs, batch_format="pandas", batch_size=8192)
+            .groupby(["event_type", "user_id"])
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(
+                lambda df: df[["event_type"]]
+                .value_counts()
+                .rename_axis("event_type")
+                .reset_index(name="n_partial"),
+                batch_format="pandas",
+            )
+            .groupby("event_type")
+            .sum("n_partial")
+            .map_batches(
+                lambda t: t.rename_columns(["event_type", "n_users"]), batch_format="pyarrow"
+            )
+        )
+
+    def partial_hll(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].fillna("<NULL>")
+        out_t, out_r = [], []
+        for t, sub in df.groupby(et, sort=False):
+            h = HyperLogLog(p)
+            h.add(sub["user_id"].to_numpy())
+            out_t.append(t)
+            out_r.append(h.registers.tobytes())
+        return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        rows = []
+        for t, sub in df.groupby("event_type", sort=False):
+            h = HyperLogLog(p)
+            h.registers = np.maximum.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in sub["regs"]]
+            )
+            rows.append((t, int(round(h.estimate()))))
+        return pd.DataFrame(rows, columns=["event_type", "n_users_approx"]).astype(
+            {"n_users_approx": "int64"}
+        )
+
+    return (
+        ray.data.read_parquet(ev, columns=["event_type", "user_id"])
+        .map_batches(partial_hll, batch_format="pandas", batch_size=16384)
+        .map_batches(lambda t: with_bucket(t, "event_type", 16), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -198,3 +198,50 @@ def test_split_leakage_crafted(tmp_path, ray_session):
     got = split_leakage_stats(p).to_pandas().set_index("split")
     assert int(got.loc["test", "n_docs"]) == 1 and int(got.loc["test", "n_leaky_docs"]) == 1
     assert int(got.loc["train", "n_docs"]) == 4 and int(got.loc["train", "n_leaky_docs"]) == 1
+
+
+def test_grouped_hll_within_error_and_batching_invariant(ray_session):
+    """Per-group HLL estimate lands within 3 standard errors
+    (3·1.04/√(2^p)) of the exact per-group distinct, and the estimate is
+    identical across batch sizes (register max-merge is associative and
+    commutative — layout independence, the property a distributed sketch
+    must have)."""
+    from hepdata_validator_ray.pipelines.relational import approx_distinct_users_per_type
+
+    SF = "/root/testdata/sf0.001"
+    exact = (
+        approx_distinct_users_per_type(SF, exact=True)
+        .to_pandas()
+        .set_index("event_type")["n_users"]
+    )
+    approx = (
+        approx_distinct_users_per_type(SF)
+        .to_pandas()
+        .set_index("event_type")["n_users_approx"]
+    )
+    assert set(exact.index) == set(approx.index)
+    rel = (approx - exact).abs() / exact
+    assert (rel <= 3 * 1.04 / np.sqrt(1 << 12)).all(), rel.to_dict()
+
+
+def test_grouped_hll_merge_is_layout_independent(tmp_path, ray_session):
+    """Same rows, two different file layouts -> identical estimates."""
+    import pyarrow.parquet as pq
+    import pyarrow as paw
+
+    from hepdata_validator_ray.pipelines.relational import approx_distinct_users_per_type
+
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"])
+    src["ts"] = pd.Timestamp("2020-01-01")  # schema padding unused by the op
+    for name, parts in [("one", [src]), ("many", np.array_split(src, 7))]:
+        # the op reads <sf_dir>/events.parquet — write it as a PART DIR
+        d = tmp_path / name / "events.parquet"
+        d.mkdir(parents=True)
+        for i, part in enumerate(parts):
+            pq.write_table(paw.Table.from_pandas(part.reset_index(drop=True)), d / f"p{i}.parquet")
+    a = approx_distinct_users_per_type(str(tmp_path / "one")).to_pandas()
+    b = approx_distinct_users_per_type(str(tmp_path / "many")).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("event_type").reset_index(drop=True),
+        b.sort_values("event_type").reset_index(drop=True),
+    )
