@@ -2893,9 +2893,18 @@ reach(u, v) AS (
 cl AS (
   SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
   FROM reach GROUP BY u
+),
+rep AS (
+  SELECT cl.cluster_id, cl.doc_id, coalesce(d.n_chars, 0)::BIGINT AS nc,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY coalesce(d.n_chars, 0) DESC, cl.doc_id) AS rk,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN documents d USING (doc_id)
 )
 SELECT 'pair' AS kind, doc_id_a::BIGINT AS a, doc_id_b::BIGINT AS b, jaccard FROM p
-UNION ALL SELECT 'cluster', doc_id::BIGINT, cluster_id, NULL::DOUBLE FROM cl""",
+UNION ALL SELECT 'cluster', doc_id::BIGINT, cluster_id, NULL::DOUBLE FROM cl
+UNION ALL SELECT 'rep', cluster_id, doc_id, nc::DOUBLE FROM rep WHERE rk = 1
+UNION ALL SELECT 'repn', cluster_id, n_members::BIGINT, NULL::DOUBLE FROM rep WHERE rk = 1""",
         # the LSH scale path gated against the EXACT all-pairs oracle: the
         # gated config (3 planes × 24 tables) reaches full recall at gate
         # scale, and in-bucket verification is exact cosine, so the outputs

@@ -648,7 +648,8 @@ def ngram_dedup_meta(
     # scale this derives back up to the cap
     n_pairs = pairs_ds.count()
     nb = int(min(64, max(4, -(-n_pairs // 250_000))))
-    cc = connected_components_ds(real, num_buckets=nb)
+    # materialized: feeds the cluster leg AND the representative join
+    cc = connected_components_ds(real, num_buckets=nb).materialize()
 
     def cluster_rows(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -661,8 +662,140 @@ def ngram_dedup_meta(
             names=["kind", "a", "b", "jaccard"],
         )
 
-    return pairs_ds.map_batches(pair_rows, batch_format="pyarrow").union(
-        cc.map_batches(cluster_rows, batch_format="pyarrow")
+    def rep_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays(
+                    [
+                        pa.array(["rep"] * n, type=pa.string()),
+                        pa.array(["repn"] * n, type=pa.string()),
+                    ]
+                ),
+                pa.concat_arrays([t["cluster_id"].cast(pa.int64()).combine_chunks()] * 2),
+                pa.concat_arrays(
+                    [
+                        t["rep_doc_id"].cast(pa.int64()).combine_chunks(),
+                        t["n_members"].cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                pa.concat_arrays(
+                    [
+                        t["rep_n_chars"].cast(pa.float64()).combine_chunks(),
+                        pa.nulls(n, type=pa.float64()),
+                    ]
+                ),
+            ],
+            names=["kind", "a", "b", "jaccard"],
+        )
+
+    reps = cluster_representatives(cc, docs_path)
+    return (
+        pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .union(cc.map_batches(cluster_rows, batch_format="pyarrow"))
+        .union(reps.map_batches(rep_rows, batch_format="pyarrow"))
+    )
+
+
+def cluster_representatives(
+    cc: "ray.data.Dataset", docs_path: str, num_buckets: int = 16
+) -> "ray.data.Dataset":
+    """Quality-based representative per near-dup cluster — the curation
+    step after clustering: keep the member with the LARGEST n_chars
+    (ties → smallest doc_id), i.e. prefer the most complete copy rather
+    than the min-id one.  Output (cluster_id, rep_doc_id, rep_n_chars,
+    n_members).
+
+    Fully distributed (the member set is corpus-proportional on dup-dense
+    corpora): the docs table streams (doc_id, n_chars) pruned to two int
+    columns into a tagged-union repartition join with the cluster rows on
+    hash(doc_id) (the CC/pagerank attach pattern — int64 sentinel, not
+    nulls), then one cluster_id-keyed exchange does the per-cluster
+    argmax + member count."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    if cc.count() == 0:
+        # no clusters: skip the corpus n_chars read entirely (cc arrives
+        # materialized from ngram_dedup_meta, so count() is metadata)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in ("cluster_id", "rep_doc_id", "rep_n_chars", "n_members")
+                }
+            )
+        )
+
+    def tag_members(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "cluster_id": t["cluster_id"].cast(pa.int64()),
+                "n_chars": pa.array(np.full(t.num_rows, _TAG64, dtype=np.int64)),
+            }
+        )
+
+    def tag_chars(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].cast(pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "cluster_id": pa.array(np.full(t.num_rows, _TAG64, dtype=np.int64)),
+                "n_chars": nc,
+            }
+        )
+
+    chars = ray.data.read_parquet(docs_path, columns=["doc_id", "n_chars"]).map_batches(
+        tag_chars, batch_format="pyarrow"
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_chars = df["cluster_id"].to_numpy() == _TAG64
+        cmap = dict(zip(df.loc[is_chars, "doc_id"], df.loc[is_chars, "n_chars"]))
+        m = df[~is_chars]
+        if not len(m):
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("cluster_id", "doc_id", "n_chars")}
+            )
+        return pd.DataFrame(
+            {
+                "cluster_id": m["cluster_id"].astype("int64"),
+                "doc_id": m["doc_id"].astype("int64"),
+                "n_chars": m["doc_id"].map(cmap).astype("int64"),
+            }
+        )
+
+    def argmax_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "rep_doc_id": pd.Series(dtype="int64"),
+                    "rep_n_chars": pd.Series(dtype="int64"),
+                    "n_members": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"], ascending=[True, False, True])
+        g = df.groupby("cluster_id", sort=False)
+        head = g.head(1).rename(columns={"doc_id": "rep_doc_id", "n_chars": "rep_n_chars"})
+        head["n_members"] = g.size().to_numpy()
+        return head.reset_index(drop=True).astype("int64")
+
+    members = cc.map_batches(tag_members, batch_format="pyarrow")
+    attached = (
+        members.union(chars)
+        .map_batches(lambda t: with_bucket(t, "doc_id", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach, batch_format="pandas")
+    )
+    return (
+        attached.map_batches(
+            lambda t: with_bucket(t, "cluster_id", num_buckets), batch_format="pyarrow"
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(argmax_group, batch_format="pandas")
     )
 
 

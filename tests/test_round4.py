@@ -245,3 +245,40 @@ def test_grouped_hll_merge_is_layout_independent(tmp_path, ray_session):
         a.sort_values("event_type").reset_index(drop=True),
         b.sort_values("event_type").reset_index(drop=True),
     )
+
+
+def test_cluster_representatives_prefers_quality_over_min_id(tmp_path, ray_session):
+    """The representative is the LARGEST member (ties -> min doc_id), not
+    the min-id cluster label — the keep-best-copy curation semantic."""
+    import ray.data
+
+    from hepdata_validator_ray.pipelines.dedup import cluster_representatives
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3, 7, 8], dtype=np.int64),
+            "n_chars": np.array([10, 50, 50, 5, None], dtype="float"),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.to_parquet(p, index=False)
+    cc = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": np.array([1, 2, 3, 7, 8], dtype=np.int64),
+                "cluster_id": np.array([1, 1, 1, 7, 7], dtype=np.int64),
+            }
+        )
+    )
+    got = (
+        cluster_representatives(cc, p)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    # cluster 1: members 1(10) 2(50) 3(50) -> rep=2 (largest, tie -> min id)
+    # cluster 7: members 7(5) 8(null->0) -> rep=7
+    assert list(got["cluster_id"]) == [1, 7]
+    assert list(got["rep_doc_id"]) == [2, 7]
+    assert list(got["rep_n_chars"]) == [50, 5]
+    assert list(got["n_members"]) == [3, 2]
