@@ -3086,15 +3086,22 @@ g AS (SELECT h, count(DISTINCT split) AS n_splits FROM d GROUP BY h)
 SELECT d.split, count(*)::BIGINT AS n_docs,
        count(*) FILTER (WHERE g.n_splits > 1)::BIGINT AS n_leaky_docs
 FROM d JOIN g USING (h) GROUP BY d.split""",
-        # exact-substring decontamination: the eval set is the MIDDLE
-        # 5-word span of each eval-slice doc; LEFT JOIN keeps zero-hit docs
+        # exact-span decontamination: the eval set is the MIDDLE 5-word
+        # span of each eval-slice doc; a hit is WORD-ALIGNED (the span
+        # equals one of the doc's 5-word shingles — the GPT-3 n-gram
+        # overlap definition); LEFT JOIN keeps zero-hit docs
         "training_contamination_exact": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ev AS (SELECT DISTINCT array_to_string(ws[((len(ws)-5)//2 + 1) : ((len(ws)-5)//2 + 5)], ' ') AS s
-       FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 5)
-SELECT d.doc_id, COALESCE(sum(CASE WHEN contains(d.text, e.s) THEN 1 END), 0)::BIGINT AS n_hits
-FROM documents d LEFT JOIN ev e ON contains(d.text, e.s)
-GROUP BY d.doc_id""",
+       FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 5),
+shg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 5 THEN []
+          ELSE list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> array_to_string(ws[i : i + 4], ' '))) END) AS s
+        FROM w),
+hits AS (SELECT shg.doc_id, count(DISTINCT shg.s)::BIGINT AS n
+         FROM shg JOIN ev USING (s) GROUP BY shg.doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)""",
         # --- similarity -------------------------------------------------------
         "ann_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),

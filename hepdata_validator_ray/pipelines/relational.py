@@ -3324,3 +3324,58 @@ def approx_distinct_users_per_type(
         .groupby(BUCKET_COL)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def events_rolling_median(
+    sf_dir: str, window: int = 7, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Per-user ROLLING MEDIAN — the windowed-aggregate family's
+    order-statistic member (rolling sums/lags exist; median resists the
+    usual prefix tricks): for each event, the median of the user's last
+    ``window`` values (cents), ordered by (ts, event_id), including the
+    current row and fewer-than-window prefixes.
+
+    Output (event_id, user_id, med_cents_x2): the doubled median is ALWAYS
+    integral (one middle ×2, or the sum of two middles), so the column is
+    int64 hash-exact — both engines average two int64 middles in float64,
+    exact below 2^52.  One user-keyed exchange; in-bucket the per-user
+    windows run through pandas' C rolling-median kernel."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "user_id", "value"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("event_id", "user_id", "med_cents_x2")}
+            )
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts": df["ts"].to_numpy(),
+                "cents": cents,
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        med = (
+            df.groupby("user_id", sort=False)["cents"]
+            .rolling(window, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "med_cents_x2": np.round(med * 2.0).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )

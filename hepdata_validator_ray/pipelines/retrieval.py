@@ -233,13 +233,26 @@ def inverted_index(
     dfs = grouped_value_counts(
         postings.select_columns(["word"]), "word", min_count=min_df, num_buckets=num_buckets
     ).to_pandas()  # vocabulary-bounded
-    terms = np.sort(dfs["word"].to_numpy(dtype=object)) if len(dfs) else np.empty(0, dtype=object)
-    terms_ref = ray.put(terms)
+    # membership travels as SORTED siphash keys: uint64 searchsorted is
+    # ~20x cheaper per batch than object-array isin at a 50k-term
+    # vocabulary, and the string itself never needs to match — a 2^-64
+    # collision only lets a sub-min_df posting row through
+    _KEY = "hvr-invidx-key-0"
+    if len(dfs):
+        terms_h = np.sort(
+            pd.util.hash_array(dfs["word"].to_numpy(dtype=object), hash_key=_KEY, categorize=False)
+        )
+    else:
+        terms_h = np.empty(0, dtype=np.uint64)
+    terms_ref = ray.put(terms_h)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(terms_ref)
         if not len(t):
             return df.iloc[0:0]
-        return df[np.isin(df["word"].to_numpy(dtype=object), t)]
+        h = pd.util.hash_array(df["word"].to_numpy(dtype=object), hash_key=_KEY, categorize=False)
+        pos = np.searchsorted(t, h)
+        pos[pos == len(t)] = 0
+        return df[t[pos] == h]
 
-    return postings.map_batches(keep, batch_format="pandas", batch_size=8192)
+    return postings.map_batches(keep, batch_format="pandas", batch_size=65536)

@@ -671,25 +671,56 @@ def eval_exact_spans(docs_path: str, span_words: int = 5, eval_mod: int = 97) ->
 def contamination_exact_spans(
     docs_path: str, span_words: int = 5, eval_mod: int = 97
 ) -> "ray.data.Dataset":
-    """GPT-3-style EXACT-SUBSTRING decontamination (the complement of the
+    """GPT-3-style exact-span decontamination (the complement of the
     shingle-overlap ``contamination_flags``): per doc, the number of
-    distinct eval strings occurring verbatim inside its text.  The eval
-    set — the middle ``span_words``-word span of each eval-slice doc — is
-    benchmark-bounded and broadcasts via ray.put; each batch runs one
-    vectorized C substring scan per eval string (pandas str.contains,
-    regex=False).  Eval docs hit their own span by construction; filter
-    doc_id % eval_mod != 0 downstream to act on the train side only."""
+    distinct eval spans occurring verbatim WORD-ALIGNED inside its text —
+    i.e. as one of the doc's ``span_words``-word shingles, the n-gram
+    overlap definition GPT-3's decontamination used.  The eval set — the
+    middle span of each eval-slice doc — is benchmark-bounded and
+    broadcasts as SORTED shingle hashes.
+
+    Scale shape (replaces a first cut that ran one str.contains pass PER
+    eval string — O(|eval|·corpus) chars, measured fatal at 5k spans ×
+    500k docs): each batch makes ONE pass through the shared shingle-hash
+    kernel and one searchsorted membership probe, so cost is O(corpus
+    shingles · log|eval|) regardless of eval size.  Eval docs hit their
+    own span by construction; filter doc_id % eval_mod != 0 downstream to
+    act on the train side only."""
     import pandas as pd
 
+    from hepdata_validator_ray.pipelines.dedup import (
+        _WORD_KEY_MINHASH,
+        _shingle_hashes,
+        _word_hashes,
+    )
+    from hepdata_validator_ray.pipelines.text import _per_row_distinct
+
     spans = eval_exact_spans(docs_path, span_words=span_words, eval_mod=eval_mod)
-    spans_ref = ray.put(spans)
+    if spans:
+        wh, offs = _word_hashes(pd.Series(spans), _WORD_KEY_MINHASH)
+        sh, _ = _shingle_hashes(wh, offs, span_words)  # one hash per span
+        ev_hashes = np.sort(np.unique(sh))
+    else:
+        ev_hashes = np.empty(0, dtype=np.uint64)
+    ev_ref = ray.put(ev_hashes)
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        ev = ray.get(spans_ref)
+        ev = ray.get(ev_ref)
+        df = df.reset_index(drop=True)
         hits = np.zeros(len(df), dtype=np.int64)
-        text = df["text"].fillna("")
-        for s in ev:
-            hits += text.str.contains(s, regex=False).to_numpy()
+        if len(ev):
+            wh, offs = _word_hashes(df["text"], _WORD_KEY_MINHASH)
+            sh, sh_off = _shingle_hashes(wh, offs, span_words)
+            if len(sh):
+                pos = np.searchsorted(ev, sh)
+                pos[pos == len(ev)] = 0
+                hit = ev[pos] == sh
+                seg = np.repeat(np.arange(len(df), dtype=np.int64), np.diff(sh_off))
+                m_sh, m_seg = sh[hit], seg[hit]
+                if len(m_sh):
+                    # distinct matched spans per doc (shared distinct kernel)
+                    order, first = _per_row_distinct(m_sh, m_seg)
+                    np.add.at(hits, m_seg[order][first], 1)
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "n_hits": hits})
 
     return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(

@@ -282,3 +282,23 @@ def test_cluster_representatives_prefers_quality_over_min_id(tmp_path, ray_sessi
     assert list(got["rep_doc_id"]) == [2, 7]
     assert list(got["rep_n_chars"]) == [50, 5]
     assert list(got["n_members"]) == [3, 2]
+
+
+def test_contamination_exact_spans_word_aligned_only(tmp_path, ray_session):
+    """The hit definition is WORD-ALIGNED (GPT-3 n-gram overlap): a doc
+    containing the span only as an unaligned char substring (glued to the
+    previous word) does NOT count."""
+    from hepdata_validator_ray.pipelines.training import contamination_exact_spans
+
+    texts = [
+        "pre m1 m2 m3 m4 m5 post",   # eval doc (id 0): span 'm1 m2 m3 m4 m5'
+        "zzzm1 m2 m3 m4 m5",         # char-contains but NOT word-aligned -> 0
+        "ok m1 m2 m3 m4 m5",         # word-aligned -> 1
+    ]
+    got = (
+        contamination_exact_spans(_write_docs(tmp_path, texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_hits"]) == [1, 0, 1]
