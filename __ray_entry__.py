@@ -635,6 +635,7 @@ def _relational_meta2(sf_dir: str):
         relational.events_cohort_retention(sf_dir),
         relational.events_type_overlap(sf_dir),
         relational.events_time_band_pairs(sf_dir),
+        relational.events_rolling_median(sf_dir),
     ]
     # rolling-active + daily-delta execute eagerly by design (their output
     # axis is |days|-sized); they run serially BEFORE the thread pool so
@@ -642,7 +643,7 @@ def _relational_meta2(sf_dir: str):
     rl = relational.events_rolling_active_users(sf_dir)
     dd = relational.events_daily_delta(sf_dir)
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj = list(
+        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj, rm = list(
             ex.map(lambda d: d.to_pandas(), plans)
         )
     pct_long = []
@@ -674,6 +675,14 @@ def _relational_meta2(sf_dir: str):
                     "gkey": tr["prev_type"] + ">" + tr["cur_type"],
                     "k2": np.int64(0),
                     "a": tr["n"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "rollmed",
+                    "gkey": rm["event_id"].astype("int64").astype(str),
+                    "k2": rm["user_id"].astype("int64"),
+                    "a": rm["med_cents_x2"].astype("int64"),
                 }
             ),
             pd.DataFrame(
@@ -1386,6 +1395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row-count-independent.  Probabilistic -> no SQL oracle; pinned by
         # tests/test_round4.py within 3 standard errors of the exact twin
         "events_type_users_approx": lambda sf: relational.approx_distinct_users_per_type(sf),
+        # per-user rolling median (order-statistic window; doubled median
+        # rides int64 exactly; in-window via relational_meta2's rollmed leg)
+        "events_rolling_median": lambda sf: relational.events_rolling_median(sf),
     }
 
 
@@ -3072,6 +3084,12 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        "events_rolling_median": """
+WITH c AS (SELECT event_id, user_id, ts, floor(value * 100)::BIGINT AS cents FROM events)
+SELECT event_id, user_id,
+       CAST(round(2 * median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS med_cents_x2
+FROM c""",
         "events_type_users": """
 SELECT coalesce(event_type, '<NULL>') AS event_type,
        count(DISTINCT user_id)::BIGINT AS n_users
@@ -3184,6 +3202,8 @@ FROM chars GROUP BY doc_id, bin""",
         " streak_len, 0::BIGINT FROM (" + o["events_streaks"] + ")"
         "\nUNION ALL\nSELECT 'path', CAST(user_id AS VARCHAR) || '|' || path,"
         " n_events, 0::BIGINT FROM (" + o["events_paths"] + ")"
+        "\nUNION ALL\nSELECT 'rollmed', CAST(event_id AS VARCHAR), user_id,"
+        " med_cents_x2 FROM (" + o["events_rolling_median"] + ")"
         "\nUNION ALL\nSELECT 'mad', event_type, mad, med FROM ("
         + o["events_mad_outliers"] + ")"
         "\nUNION ALL\nSELECT 'madout', event_type, 0::BIGINT, n_outliers FROM ("

@@ -302,3 +302,32 @@ def test_contamination_exact_spans_word_aligned_only(tmp_path, ray_session):
         .reset_index(drop=True)
     )
     assert list(got["n_hits"]) == [1, 0, 1]
+
+
+def test_rolling_median_window_semantics(tmp_path, ray_session):
+    """Rolling median includes the current row, honors min_periods=1
+    prefixes, and even windows average the two middles (doubled median
+    stays integral)."""
+    import pyarrow.parquet as pq
+    import pyarrow as paw
+
+    from hepdata_validator_ray.pipelines.relational import events_rolling_median
+
+    d = tmp_path / "events.parquet"
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]),
+            "user_id": np.int64(7),
+            "value": [1.00, 3.00, 2.00, 10.00],
+        }
+    )
+    pq.write_table(paw.Table.from_pandas(df), d)
+    got = (
+        events_rolling_median(str(tmp_path), window=2)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # windows (w=2): [100]->200, [100,300]->400, [300,200]->500, [200,1000]->1200
+    assert list(got["med_cents_x2"]) == [200, 400, 500, 1200]
