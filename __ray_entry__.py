@@ -1398,6 +1398,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user rolling median (order-statistic window; doubled median
         # rides int64 exactly; in-window via relational_meta2's rollmed leg)
         "events_rolling_median": lambda sf: relational.events_rolling_median(sf),
+        # exact heavy hitters over the unbounded shingle space: MG 2-pass
+        # with a validity certificate (never silently approximate)
+        "text_heavy_hitters": lambda sf: text.heavy_hitter_shingles(docs(sf), k=20),
     }
 
 
@@ -3084,6 +3087,15 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        "text_heavy_hitters": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+shg AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN []
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                i -> array_to_string(ws[i : i + 2], ' ')) END) AS s
+        FROM w)
+SELECT s AS shingle, count(*)::BIGINT AS n FROM shg GROUP BY s
+ORDER BY n DESC, s LIMIT 20""",
         "events_rolling_median": """
 WITH c AS (SELECT event_id, user_id, ts, floor(value * 100)::BIGINT AS cents FROM events)
 SELECT event_id, user_id,

@@ -852,3 +852,145 @@ def boilerplate_scrub_stats(
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         scrub, batch_format="pandas", batch_size=4096
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with bounded memory (Misra-Gries 2-pass)
+# ---------------------------------------------------------------------------
+
+#: sentinel shingle keys for the MG exchange's bookkeeping rows (\x00 cannot
+#: appear in a whitespace-split word shingle)
+_MG_THR = "\x00<MG_THR>"
+_MG_DROP = "\x00<MG_DROP>"
+
+
+def _shingle_strings(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Overlapping k-word shingle STRINGS per row (the training_meta shg
+    convention: 0 words → none, 0<len<k → one join-all shingle), built by
+    k vectorized object concats over the exploded word buffer."""
+    flat, offs = _explode_words(texts.str.split(" "))
+    lens = np.diff(offs)
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return np.empty(0, dtype=object), out_off
+    local = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], counts)
+    starts = np.repeat(offs[:-1], counts) + local
+    ends = np.minimum(starts + k, np.repeat(offs[1:], counts))
+    parts = flat[starts].copy()
+    for j in range(1, k):
+        idx = starts + j
+        valid = idx < ends
+        if valid.any():
+            parts[valid] = parts[valid] + " " + flat[idx[valid]]
+    return parts, out_off
+
+
+def heavy_hitter_shingles(
+    docs_path: str, k: int = 20, capacity: int = 8192, shingle_k: int = 3, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """EXACT top-k shingles over an UNBOUNDED key space with BOUNDED
+    memory — the Misra-Gries 2-pass (``top_words`` relies on a
+    vocabulary-sized exchange; shingle space grows with the corpus, so
+    heavy-hitter mining needs a sketch):
+
+    1. each batch emits its MG residual summary — per-shingle count minus
+       the (C+1)-th largest batch count, positives only (≤C rows) — plus
+       one bookkeeping row carrying that threshold (an item ABSENT from a
+       batch summary has batch count ≤ thr_b, so Σ thr_b bounds any
+       absent item's global count);
+    2. one shingle-keyed exchange sums residuals per item exactly (all of
+       an item's rows co-locate); each bucket forwards its top-C rows and
+       the max residual it dropped;
+    3. the driver merges buckets×C bounded rows, keeps the global top-C
+       as candidates, and sets missed_bound = Σ thr_b + max(dropped,
+       first residual beyond top-C);
+    4. an exact RECOUNT pass (broadcast candidate strings) yields true
+       counts, and the result is CERTIFIED: the k-th exact count must
+       exceed missed_bound, else the run raises (raise ``capacity``) —
+       the output is provably the exact top-k, never silently
+       approximate.
+
+    Output (shingle, n), top-k by (n DESC, shingle ASC)."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sh, _ = _shingle_strings(df["text"], shingle_k)
+        if not len(sh):
+            return pd.DataFrame({"s": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
+        vc = pd.Series(sh).value_counts()
+        thr = int(vc.iloc[capacity]) if len(vc) > capacity else 0
+        resid = (vc - thr)[lambda x: x > 0]
+        out = pd.DataFrame({"s": resid.index.to_numpy(dtype=object), "n": resid.to_numpy(np.int64)})
+        return pd.concat(
+            [out, pd.DataFrame({"s": [_MG_THR], "n": [thr]})], ignore_index=True
+        )
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby("s", as_index=False)["n"].sum()
+        thr_rows = g[g["s"] == _MG_THR]
+        items = g[g["s"] != _MG_THR].sort_values(["n", "s"], ascending=[False, True])
+        kept = items.head(capacity)
+        dropped = int(items["n"].iloc[capacity]) if len(items) > capacity else 0
+        return pd.concat(
+            [kept, thr_rows, pd.DataFrame({"s": [_MG_DROP], "n": [dropped]})],
+            ignore_index=True,
+        )
+
+    summary = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(mg_partial, batch_format="pandas", batch_size=4096)
+        .map_batches(lambda t: with_bucket(t, "s", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()  # bounded: num_buckets × (capacity + 2) rows
+    )
+    thr_sum = int(summary.loc[summary["s"] == _MG_THR, "n"].sum())
+    drop_max = int(summary.loc[summary["s"] == _MG_DROP, "n"].max())
+    items = summary[~summary["s"].isin([_MG_THR, _MG_DROP])].sort_values(
+        ["n", "s"], ascending=[False, True]
+    )
+    cand = items.head(capacity)
+    beyond = int(items["n"].iloc[capacity]) if len(items) > capacity else 0
+    missed_bound = thr_sum + max(drop_max, beyond)
+    cand_ref = ray.put(np.sort(cand["s"].to_numpy(dtype=object)))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        sh, _ = _shingle_strings(df["text"], shingle_k)
+        if not len(sh) or not len(cs):
+            return pd.DataFrame({"s": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
+        pos = np.searchsorted(cs, sh)
+        pos[pos == len(cs)] = 0
+        hit = cs[pos] == sh
+        vc = pd.Series(sh[hit]).value_counts()
+        return pd.DataFrame({"s": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)})
+
+    exact = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(recount, batch_format="pandas", batch_size=4096)
+        .groupby("s")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ capacity rows
+        .sort_values(["n", "s"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    kth = int(exact["n"].iloc[-1]) if len(exact) else 0
+    # lossless summaries (no batch ever subtracted, no bucket/global
+    # pruning) are complete by construction — fewer than k rows then just
+    # means the corpus has fewer distinct shingles
+    lossless = thr_sum == 0 and drop_max == 0 and beyond == 0
+    if not lossless and (len(exact) < k or kth <= missed_bound):
+        raise ValueError(
+            f"heavy-hitter certificate failed: k-th count {kth} (rows={len(exact)}) "
+            f"<= missed bound {missed_bound}; raise capacity (C={capacity}) for this corpus"
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame({"shingle": exact["s"].astype(str), "n": exact["n"].astype("int64")})
+    )

@@ -331,3 +331,38 @@ def test_rolling_median_window_semantics(tmp_path, ray_session):
     )
     # windows (w=2): [100]->200, [100,300]->400, [300,200]->500, [200,1000]->1200
     assert list(got["med_cents_x2"]) == [200, 400, 500, 1200]
+
+
+def test_heavy_hitters_exact_and_certified(tmp_path, ray_session):
+    """MG 2-pass returns the exact top-k with a validity certificate; an
+    undersized capacity FAILS LOUDLY instead of silently approximating."""
+    from hepdata_validator_ray.pipelines.text import heavy_hitter_shingles
+
+    # 3 heavy shingles (counts 30/20/10 via repetition) over noise docs
+    texts = (
+        ["h1 h2 h3"] * 30
+        + ["m1 m2 m3"] * 20
+        + ["l1 l2 l3"] * 10
+        + [f"n{i} n{i+1} n{i+2} n{i+3}" for i in range(100)]
+    )
+    p = _write_docs(tmp_path, texts)
+    got = heavy_hitter_shingles(p, k=3, capacity=512).to_pandas()
+    assert list(got["shingle"]) == ["h1 h2 h3", "m1 m2 m3", "l1 l2 l3"]
+    assert list(got["n"]) == [30, 20, 10]
+
+    with pytest.raises(ValueError, match="certificate failed"):
+        # capacity 2 over ~203 distinct shingles in ONE batch: thresholds
+        # dominate the k-th count -> must raise
+        heavy_hitter_shingles(p, k=3, capacity=2)
+
+
+def test_heavy_hitters_lossless_small_corpus(tmp_path, ray_session):
+    """A corpus with fewer distinct shingles than capacity is summarized
+    losslessly: fewer than k rows is legitimate, no false certificate."""
+    from hepdata_validator_ray.pipelines.text import heavy_hitter_shingles
+
+    got = heavy_hitter_shingles(
+        _write_docs(tmp_path, ["a b c", "a b c", "x y z"]), k=10, capacity=512
+    ).to_pandas()
+    assert list(got["shingle"]) == ["a b c", "x y z"]
+    assert list(got["n"]) == [2, 1]
