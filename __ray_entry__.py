@@ -1401,6 +1401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact heavy hitters over the unbounded shingle space: MG 2-pass
         # with a validity certificate (never silently approximate)
         "text_heavy_hitters": lambda sf: text.heavy_hitter_shingles(docs(sf), k=20),
+        # BPE tokenizer training, iteration 1: top adjacent byte pairs
+        # within words (alphabet-bounded 65k-key exchange at any scale)
+        "text_bpe_pairs": lambda sf: text.bpe_merge_pair_counts(docs(sf), k=50),
     }
 
 
@@ -3087,6 +3090,11 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        "text_bpe_pairs": """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL),
+pr AS (SELECT substr(word, i, 2) AS pair
+       FROM (SELECT word, unnest(range(1, strlen(word))) AS i FROM w WHERE strlen(word) >= 2))
+SELECT pair, count(*)::BIGINT AS n FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
         "text_heavy_hitters": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 shg AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN []

@@ -994,3 +994,48 @@ def heavy_hitter_shingles(
     return ray.data.from_pandas(
         pd.DataFrame({"shingle": exact["s"].astype(str), "n": exact["n"].astype("int64")})
     )
+
+
+def bpe_merge_pair_counts(docs_path: str, k: int = 50) -> "ray.data.Dataset":
+    """The FIRST iteration of BPE tokenizer training: corpus-wide counts of
+    adjacent BYTE pairs within words (word boundaries never pair), top-k by
+    (n DESC, pair ASC).  Output (pair, n) with pair as the 2-char string.
+
+    Fully vectorized: each batch's words flatten into one uint8 buffer with
+    \\x00 separators, pairs are two shifted views, the separator-spanning
+    mask drops boundaries, and the per-batch histogram is ONE bincount over
+    pair codes (a*256+b) — a <=65k-cell partial, so the exchange is
+    alphabet-bounded (65k keys) at any corpus size.  The same per-word
+    weighting BPE uses on raw corpora: every occurrence counts."""
+    from ray.data.aggregate import Sum
+
+    def pair_hist(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].dropna()
+        if not len(texts):
+            return pd.DataFrame({"code": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        joined = "\x00".join(texts.tolist()).replace(" ", "\x00")
+        buf = np.frombuffer(joined.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if len(buf) < 2:
+            return pd.DataFrame({"code": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        a, b = buf[:-1].astype(np.int64), buf[1:].astype(np.int64)
+        ok = (a != 0) & (b != 0)
+        codes = a[ok] * 256 + b[ok]
+        hist = np.bincount(codes, minlength=0)
+        nz = np.flatnonzero(hist)
+        return pd.DataFrame({"code": nz.astype(np.int64), "n": hist[nz].astype(np.int64)})
+
+    agg = (
+        ray.data.read_parquet(docs_path, columns=["text"])
+        .map_batches(pair_hist, batch_format="pandas", batch_size=4096)
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # alphabet-bounded: <= 65,536 rows at any scale
+    )
+    agg["pair"] = [chr(c // 256) + chr(c % 256) for c in agg["code"]]
+    out = (
+        agg.sort_values(["n", "pair"], ascending=[False, True])
+        .head(k)[["pair", "n"]]
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    return ray.data.from_pandas(out)

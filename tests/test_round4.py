@@ -366,3 +366,14 @@ def test_heavy_hitters_lossless_small_corpus(tmp_path, ray_session):
     ).to_pandas()
     assert list(got["shingle"]) == ["a b c", "x y z"]
     assert list(got["n"]) == [2, 1]
+
+
+def test_bpe_pair_counts_word_boundaries(tmp_path, ray_session):
+    """Byte pairs never span word boundaries; every occurrence counts."""
+    from hepdata_validator_ray.pipelines.text import bpe_merge_pair_counts
+
+    texts = ["abab ab", "ba x"]  # 'ab': 2(in abab) + 1 = 3; 'ba': 1 + 1 = 2; 'b a' never pairs
+    got = bpe_merge_pair_counts(_write_docs(tmp_path, texts), k=10).to_pandas()
+    d = dict(zip(got["pair"], got["n"]))
+    assert d["ab"] == 3 and d["ba"] == 2
+    assert "b " not in d and " a" not in d
