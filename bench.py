@@ -233,6 +233,25 @@ def pipeline_cluster_semdedup(sf_dir: str) -> int:
     )
 
 
+def pipeline_curation(sf_dir: str) -> int:
+    """Round-4 curation family as one number: C4-style boilerplate scrub +
+    cross-split leakage audit + word-aligned exact-span decontamination,
+    executed concurrently (independent pipelines over the documents
+    table)."""
+    from hepdata_validator_ray.pipelines.sampling import split_leakage_stats
+    from hepdata_validator_ray.pipelines.text import boilerplate_scrub_stats
+    from hepdata_validator_ray.pipelines.training import contamination_exact_spans
+
+    d = f"{sf_dir}/documents.parquet"
+    return _consume_concurrent(
+        [
+            lambda: boilerplate_scrub_stats(d),
+            lambda: split_leakage_stats(d),
+            lambda: contamination_exact_spans(sf_dir),
+        ]
+    )
+
+
 SCALING_ROWS = int(os.environ.get("HVR_SCALING_ROWS", "4000000"))
 
 
@@ -267,6 +286,7 @@ PIPELINES = {
     "cluster_semdedup": pipeline_cluster_semdedup,
     "bm25": pipeline_bm25,
     "pagerank": pipeline_pagerank,
+    "curation": pipeline_curation,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -290,6 +310,7 @@ BAND_TYP_HI = {
     "cluster_semdedup": 12.0,
     "bm25": 3.0,
     "pagerank": 10.0,
+    "curation": 4.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
