@@ -1404,6 +1404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training, iteration 1: top adjacent byte pairs
         # within words (alphabet-bounded 65k-key exchange at any scale)
         "text_bpe_pairs": lambda sf: text.bpe_merge_pair_counts(docs(sf), k=50),
+        # vocabulary-coverage audit: per-doc OOV occurrences vs the
+        # corpus top-V vocabulary (one vocab exchange + broadcast)
+        "text_vocab_oov": lambda sf: text.vocab_oov_stats(docs(sf), top_v=20),
     }
 
 
@@ -3090,6 +3093,14 @@ g AS (SELECT word, doc_id, count(*)::BIGINT AS tf,
 wdf AS (SELECT word, count(*)::BIGINT AS df FROM g GROUP BY word)
 SELECT g.word, g.doc_id, g.tf, g.first_pos FROM g JOIN wdf USING (word)
 WHERE wdf.df >= 2""",
+        "text_vocab_oov": """
+WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE text IS NOT NULL),
+v AS (SELECT w FROM (SELECT w, count(*) AS c FROM wx GROUP BY w ORDER BY c DESC, w LIMIT 20)),
+sc AS (SELECT wx.doc_id, count(*)::BIGINT AS n_tok,
+              count(*) FILTER (WHERE wx.w NOT IN (SELECT w FROM v))::BIGINT AS n_oov
+       FROM wx GROUP BY wx.doc_id)
+SELECT d.doc_id, COALESCE(sc.n_tok, 0)::BIGINT AS n_tok, COALESCE(sc.n_oov, 0)::BIGINT AS n_oov
+FROM documents d LEFT JOIN sc USING (doc_id)""",
         "text_bpe_pairs": """
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL),
 pr AS (SELECT substr(word, i, 2) AS pair

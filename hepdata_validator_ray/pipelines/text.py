@@ -1039,3 +1039,52 @@ def bpe_merge_pair_counts(docs_path: str, k: int = 50) -> "ray.data.Dataset":
         .astype({"n": "int64"})
     )
     return ray.data.from_pandas(out)
+
+
+def vocab_oov_stats(docs_path: str, top_v: int = 20) -> "ray.data.Dataset":
+    """Vocabulary-coverage audit — the tokenizer-fit metric: fix the
+    vocabulary as the corpus's top-``top_v`` words (by count DESC, word
+    ASC) and report per doc (doc_id, n_tok, n_oov) where n_oov counts
+    token OCCURRENCES outside the vocabulary.  High-OOV docs are the ones
+    a whitespace/BPE tokenizer will fragment.
+
+    One vocabulary-sized word-count exchange (value-counts partials →
+    grouped sum), driver keeps top_v words (bounded), broadcast; the
+    scoring pass is one exploded isin + segmented sum per batch."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    def word_rows(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _explode_words(df["text"].str.split(" "))
+        return pd.DataFrame({"w": pd.Series(flat, dtype="object")})
+
+    counts = grouped_value_counts(
+        ray.data.read_parquet(docs_path, columns=["text"]).map_batches(
+            word_rows, batch_format="pandas", batch_size=4096
+        ),
+        "w",
+    ).to_pandas()  # vocabulary-bounded
+    vocab = (
+        counts.sort_values(["cnt", "w"], ascending=[False, True])
+        .head(top_v)["w"]
+        .to_numpy(dtype=object)
+    )
+    vocab_ref = ray.put(np.sort(vocab))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        words = df["text"].str.split(" ")
+        flat, offs = _explode_words(words)
+        in_vocab = np.isin(flat, v) if len(flat) else np.empty(0, dtype=bool)
+        n_tok = words.str.len().fillna(0).astype("int64").to_numpy()
+        n_in = _segment_sum(in_vocab, offs)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tok": n_tok,
+                "n_oov": (n_tok - n_in).astype(np.int64),
+            }
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pandas", batch_size=4096
+    )

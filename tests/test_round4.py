@@ -377,3 +377,20 @@ def test_bpe_pair_counts_word_boundaries(tmp_path, ray_session):
     d = dict(zip(got["pair"], got["n"]))
     assert d["ab"] == 3 and d["ba"] == 2
     assert "b " not in d and " a" not in d
+
+
+def test_vocab_oov_top_v_tie_break(tmp_path, ray_session):
+    """Vocabulary ties at the top-V boundary break by word ASC; OOV
+    counts occurrences, not distinct words."""
+    from hepdata_validator_ray.pipelines.text import vocab_oov_stats
+
+    # counts: a=3, b=2, c=2, z=1 -> top_v=2 vocab = {a, b} (c loses the tie)
+    texts = ["a a b c", "a b c z"]
+    got = (
+        vocab_oov_stats(_write_docs(tmp_path, texts), top_v=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_tok"]) == [4, 4]
+    assert list(got["n_oov"]) == [1, 2]  # doc0: c; doc1: c z
