@@ -427,6 +427,11 @@ def _relational_meta(sf_dir: str):
     # (the meta3 wedge; ADVICE r3) — one join among threaded non-join legs
     # is the same hazard class, so don't run it under contention at all
     fj = relational.customer_orders_fulljoin_stats(sf_dir).to_pandas()
+    # BPE training is iterative (drives its own exchanges eagerly), so it
+    # also runs in the serial phase, never under thread contention
+    bpe = _text.bpe_train_iterations(
+        f"{sf_dir}/documents.parquet", n_iters=3, k=20
+    ).to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
         hop, pr, ro, tw, qc, pidx = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
@@ -497,6 +502,19 @@ def _relational_meta(sf_dir: str):
                     "a": pidx["doc_id"].astype("int64"),
                     "b": pidx["tf"].astype("int64"),
                     "c": pidx["first_pos"].astype("Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "bpe",
+                    "gkey": bpe["it"].astype("int64").astype(str)
+                    + "|"
+                    + bpe["left_tok"]
+                    + "|"
+                    + bpe["right_tok"],
+                    "a": bpe["n"].astype("int64"),
+                    "b": pd.array([0] * len(bpe), dtype="int64"),
+                    "c": pd.array([0] * len(bpe), dtype="Int64"),
                 }
             ),
         ],
@@ -1404,6 +1422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training, iteration 1: top adjacent byte pairs
         # within words (alphabet-bounded 65k-key exchange at any scale)
         "text_bpe_pairs": lambda sf: text.bpe_merge_pair_counts(docs(sf), k=50),
+        "text_bpe_train": lambda sf: text.bpe_train_iterations(docs(sf), n_iters=3, k=20),
         # vocabulary-coverage audit: per-doc OOV occurrences vs the
         # corpus top-V vocabulary (one vocab exchange + broadcast)
         "text_vocab_oov": lambda sf: text.vocab_oov_stats(docs(sf), top_v=20),
@@ -3106,6 +3125,46 @@ WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE t
 pr AS (SELECT substr(word, i, 2) AS pair
        FROM (SELECT word, unnest(range(1, strlen(word))) AS i FROM w WHERE strlen(word) >= 2))
 SELECT pair, count(*)::BIGINT AS n FROM pr GROUP BY pair ORDER BY n DESC, pair LIMIT 50""",
+        # BPE training iterations 1..3: the winner merge applies via SQL
+        # replace(), whose leftmost-non-overlapping greedy IS the BPE rule
+        # (a != b pairs can never overlap; a == b reduces to run parity) —
+        # merged tokens become marker chars chr(1)/chr(2) and render back
+        # through nested replaces (chr(2) first: its expansion may contain
+        # chr(1), never vice versa).  Winner tie-break (n DESC, rendered
+        # left, rendered right) matches the engine exactly.
+        "text_bpe_train": """
+WITH wc AS (
+  SELECT word, count(*)::BIGINT AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL)
+  GROUP BY word),
+p1 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc WHERE strlen(word) >= 2)
+  GROUP BY mp),
+w1 AS (SELECT mp FROM p1 ORDER BY n DESC, mp LIMIT 1),
+wc2 AS (SELECT replace(word, (SELECT mp FROM w1), chr(1)) AS word, c FROM wc),
+p2 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc2 WHERE strlen(word) >= 2)
+  GROUP BY mp),
+r2 AS (SELECT mp,
+  replace(substr(mp, 1, 1), chr(1), (SELECT mp FROM w1)) AS lt,
+  replace(substr(mp, 2, 1), chr(1), (SELECT mp FROM w1)) AS rt, n FROM p2),
+w2 AS (SELECT mp FROM r2 ORDER BY n DESC, lt, rt LIMIT 1),
+wc3 AS (SELECT replace(word, (SELECT mp FROM w2), chr(2)) AS word, c FROM wc2),
+p3 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc3 WHERE strlen(word) >= 2)
+  GROUP BY mp),
+r3 AS (SELECT mp,
+  replace(replace(substr(mp, 1, 1), chr(2), (SELECT mp FROM w2)), chr(1), (SELECT mp FROM w1)) AS lt,
+  replace(replace(substr(mp, 2, 1), chr(2), (SELECT mp FROM w2)), chr(1), (SELECT mp FROM w1)) AS rt, n FROM p3)
+SELECT * FROM (SELECT 1::BIGINT AS it, substr(mp, 1, 1) AS left_tok, substr(mp, 2, 1) AS right_tok, n
+               FROM p1 ORDER BY n DESC, left_tok, right_tok LIMIT 20)
+UNION ALL
+SELECT * FROM (SELECT 2::BIGINT, lt, rt, n FROM r2 ORDER BY n DESC, lt, rt LIMIT 20)
+UNION ALL
+SELECT * FROM (SELECT 3::BIGINT, lt, rt, n FROM r3 ORDER BY n DESC, lt, rt LIMIT 20)""",
         "text_heavy_hitters": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 shg AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN []
@@ -3219,6 +3278,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["text_top_words"] + ")"
         "\nUNION ALL\nSELECT 'pidx', word, doc_id, tf, first_pos FROM ("
         + o["text_inverted_index"] + ")"
+        "\nUNION ALL\nSELECT 'bpe', CAST(it AS VARCHAR) || '|' || left_tok"
+        " || '|' || right_tok, n, 0::BIGINT, 0::BIGINT FROM ("
+        + o["text_bpe_train"] + ")"
     )
     o["training_meta"] += (
         "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("

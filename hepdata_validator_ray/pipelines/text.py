@@ -1088,3 +1088,163 @@ def vocab_oov_stats(docs_path: str, top_v: int = 20) -> "ray.data.Dataset":
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pandas", batch_size=4096
     )
+
+
+def _bpe_merge_positions(toks: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Greedy LEFTMOST non-overlapping match positions of pair (a, b) in a
+    token-id stream (the textbook BPE rule, and exactly what SQL replace()
+    does on strings).  When a != b matches can never overlap (a match at
+    i+1 would need toks[i+1] == a AND == b); when a == b the matches inside
+    a run of a's are the EVEN offsets from the run start (aaaa -> AA,
+    aaa -> Aa)."""
+    if len(toks) < 2:
+        return np.empty(0, dtype=np.int64)
+    if a != b:
+        return np.flatnonzero((toks[:-1] == a) & (toks[1:] == b))
+    is_a = toks == a
+    cand = np.flatnonzero(is_a[:-1] & is_a[1:])
+    if not len(cand):
+        return cand
+    starts = np.flatnonzero(is_a & np.concatenate(([True], ~is_a[:-1])))
+    rs = starts[np.searchsorted(starts, cand, side="right") - 1]
+    return cand[((cand - rs) % 2) == 0]
+
+
+def _bpe_apply_merge(toks: np.ndarray, a: int, b: int, new_id: int) -> np.ndarray:
+    """Apply ONE BPE merge (a, b) -> new_id with greedy leftmost semantics
+    (see _bpe_merge_positions)."""
+    m = _bpe_merge_positions(toks, a, b)
+    if not len(m):
+        return toks
+    out = toks.copy()
+    out[m] = new_id
+    keep = np.ones(len(out), dtype=bool)
+    keep[m + 1] = False
+    return out[keep]
+
+
+def _bpe_render(tok_id: int, merges: list[tuple[int, int]], memo: dict[int, str]) -> str:
+    """Token id -> surface string: byte ids render as chr(id); merged ids
+    (256 + i) expand recursively through the merge table."""
+    got = memo.get(tok_id)
+    if got is not None:
+        return got
+    if tok_id < 256:
+        s = chr(tok_id)
+    else:
+        a, b = merges[tok_id - 256]
+        s = _bpe_render(a, merges, memo) + _bpe_render(b, merges, memo)
+    memo[tok_id] = s
+    return s
+
+
+def bpe_train_iterations(docs_path: str, n_iters: int = 3, k: int = 20) -> "ray.data.Dataset":
+    """BPE tokenizer TRAINING, iterations 1..n_iters: at each iteration
+    report the top-k adjacent token-pair counts (it, left_tok, right_tok, n)
+    over the corpus, pick the winner ((n DESC, left, right) tie-break),
+    apply the merge, and recount.  Iteration 1 reproduces
+    bpe_merge_pair_counts; iteration i counts pairs AFTER merges 1..i-1.
+
+    The scale design is the one real BPE trainers use: ONE corpus pass
+    collapses to the distinct (word, count) table (a vocabulary-bounded
+    exchange, materialized once, stays distributed); every iteration is a
+    map_batches over that collapsed table — per-word pair counts weighted
+    by the word's corpus count (integer scatter-add, never float) — plus
+    one alphabet-bounded exchange (<= (256 + n_iters)^2 bincount cells).
+    The merge table broadcast to the kernels is n_iters pairs of ints
+    (closure capture; a production-size table would ride ray.put).  No
+    iteration rescans the corpus, so n_iters is decoupled from data size.
+    Merge application is vectorized over the whole batch buffer
+    (word-separator id 0 can't participate in a pair)."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    def word_rows(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _explode_words(df["text"].str.split(" "))
+        return pd.DataFrame({"w": pd.Series(flat, dtype="object")})
+
+    wc = grouped_value_counts(
+        ray.data.read_parquet(docs_path, columns=["text"]).map_batches(
+            word_rows, batch_format="pandas", batch_size=4096
+        ),
+        "w",
+    ).materialize()  # vocabulary-bounded: the collapsed distinct-word table
+
+    merges: list[tuple[int, int]] = []
+    vmax = 256 + n_iters  # token-id alphabet bound across all iterations
+    frames: list[pd.DataFrame] = []
+
+    for it in range(1, n_iters + 1):
+        cur = list(merges)  # snapshot for this iteration's kernel
+
+        def pair_hist(df: pd.DataFrame, _m=cur) -> pd.DataFrame:
+            words = df["w"].astype(str).tolist()
+            if not words:
+                return pd.DataFrame(
+                    {"code": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+                )
+            cnts = df["cnt"].to_numpy(np.int64)
+            joined = "\x00".join(words)
+            toks = np.frombuffer(
+                joined.encode("utf-8", "surrogatepass"), dtype=np.uint8
+            ).astype(np.int64)
+            # per-position weight = owning word's corpus count (separator
+            # positions get the left word's weight; they never pair anyway)
+            lens = np.fromiter(
+                (len(w.encode("utf-8", "surrogatepass")) for w in words),
+                dtype=np.int64,
+                count=len(words),
+            )
+            wt = np.repeat(cnts, lens + 1)[: len(toks)]
+            for j, (a, b) in enumerate(_m):
+                m = _bpe_merge_positions(toks, a, b)
+                if not len(m):
+                    continue
+                toks = toks.copy()
+                toks[m] = 256 + j
+                keep = np.ones(len(toks), dtype=bool)
+                keep[m + 1] = False
+                # weights contract with the SAME keep-mask (the merged
+                # token keeps the left position's weight — both positions
+                # belong to the same word, so they are equal anyway)
+                toks = toks[keep]
+                wt = wt[keep]
+            if len(toks) < 2:
+                return pd.DataFrame(
+                    {"code": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+                )
+            a_, b_ = toks[:-1], toks[1:]
+            ok = (a_ != 0) & (b_ != 0)
+            codes = a_[ok] * vmax + b_[ok]
+            hist = np.zeros(vmax * vmax, dtype=np.int64)
+            np.add.at(hist, codes, wt[:-1][ok])  # integer-exact scatter-add
+            nz = np.flatnonzero(hist)
+            return pd.DataFrame({"code": nz.astype(np.int64), "n": hist[nz]})
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            wc.map_batches(pair_hist, batch_format="pandas", batch_size=8192)
+            .groupby("code")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()  # alphabet-bounded: <= (256 + n_iters)^2 rows
+        )
+        if not len(agg):
+            break
+        memo: dict[int, str] = {}
+        agg["left_tok"] = [
+            _bpe_render(int(c) // vmax, merges, memo) for c in agg["code"]
+        ]
+        agg["right_tok"] = [
+            _bpe_render(int(c) % vmax, merges, memo) for c in agg["code"]
+        ]
+        agg = agg.sort_values(
+            ["n", "left_tok", "right_tok"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        top = agg.head(k)[["left_tok", "right_tok", "n"]].copy()
+        top.insert(0, "it", np.int64(it))
+        frames.append(top)
+        win = agg.iloc[0]
+        merges.append((int(win["code"]) // vmax, int(win["code"]) % vmax))
+
+    out = pd.concat(frames, ignore_index=True).astype({"it": "int64", "n": "int64"})
+    return ray.data.from_pandas(out)

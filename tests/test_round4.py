@@ -394,3 +394,43 @@ def test_vocab_oov_top_v_tie_break(tmp_path, ray_session):
     )
     assert list(got["n_tok"]) == [4, 4]
     assert list(got["n_oov"]) == [1, 2]  # doc0: c; doc1: c z
+
+
+def test_bpe_merge_positions_run_parity():
+    """Greedy leftmost semantics: a != b matches can't overlap; a == b
+    takes even offsets within each run (aaaa -> AA, aaa -> Aa)."""
+    from hepdata_validator_ray.pipelines.text import _bpe_apply_merge, _bpe_merge_positions
+
+    t = np.array([97, 97, 97, 97, 0, 97, 97, 97], dtype=np.int64)  # 'aaaa' 'aaa'
+    m = _bpe_merge_positions(t, 97, 97)
+    assert list(m) == [0, 2, 5]  # aaaa -> two merges; aaa -> one, leftover 'a'
+    out = _bpe_apply_merge(t, 97, 97, 256)
+    assert list(out) == [256, 256, 0, 256, 97]
+    # a != b: 'abab' merges BOTH (never overlapping)
+    t2 = np.array([97, 98, 97, 98], dtype=np.int64)
+    assert list(_bpe_apply_merge(t2, 97, 98, 300)) == [300, 300]
+
+
+def test_bpe_train_iterations_crafted(tmp_path, ray_session):
+    """Three iterations on a crafted corpus: iteration 1 picks 'ab'
+    (count 5 beats 'ba' 3 via run structure), iteration 2 counts pairs
+    involving the MERGED token, and a merge of the merged token with a
+    byte follows — verified against hand-computed greedy-BPE counts."""
+    from hepdata_validator_ray.pipelines.text import bpe_train_iterations
+
+    # 'ababab': pairs ab=3 ba=2; 'abc' x2: ab=2 bc=2  -> it1 winner 'ab' (5)
+    texts = ["ababab abc", "abc"]
+    got = bpe_train_iterations(_write_docs(tmp_path, texts), n_iters=3, k=5).to_pandas()
+    it1 = got[got["it"] == 1]
+    d1 = {(l, r): n for l, r, n in it1[["left_tok", "right_tok", "n"]].itertuples(index=False)}
+    assert d1[("a", "b")] == 5 and d1[("b", "a")] == 2 and d1[("b", "c")] == 2
+    # after merging 'ab': 'ababab' -> AB AB AB, 'abc' -> AB c
+    it2 = got[got["it"] == 2]
+    d2 = {(l, r): n for l, r, n in it2[["left_tok", "right_tok", "n"]].itertuples(index=False)}
+    assert d2[("ab", "ab")] == 2 and d2[("ab", "c")] == 2
+    assert ("a", "b") not in d2  # fully consumed by the merge
+    # it2 winner: n=2 tie between (ab,ab) and (ab,c) -> left asc, then
+    # right asc: 'ab' < 'c', so (ab,ab) wins; it3 counts (abab, ab) etc.
+    it3 = got[got["it"] == 3]
+    d3 = {(l, r): n for l, r, n in it3[["left_tok", "right_tok", "n"]].itertuples(index=False)}
+    assert d3[("abab", "ab")] == 1 and d3[("ab", "c")] == 2
