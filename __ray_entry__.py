@@ -178,8 +178,10 @@ def _training_meta(sf_dir: str):
     benchmark-contamination distinct-shingle hits, and the corpus-frequency
     unigram-LM score.  The oracle recomputes all five metrics in SQL
     (window prefix sum, list-function shingles, word-count self-join)."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray.data
 
     from hepdata_validator_ray.pipelines import training
 
@@ -247,7 +249,22 @@ def _training_meta(sf_dir: str):
     xc = training.contamination_exact_spans(docs).map_batches(
         tag("exact_contam", "n_hits"), batch_format="pyarrow"
     )
-    return pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp).union(xc)
+    # padding audit executes eagerly (histogram exchange inside) and its
+    # output is |buckets| rows; reshape to the union's long form here
+    pad = training.length_bucket_padding_stats(docs).to_pandas()
+    pad_rows = pd.concat(
+        [
+            pd.DataFrame(
+                {"doc_id": pad["bucket"], "metric": f"pad_{c}", "n": pad[c]}
+            )
+            for c in ("n_docs", "n_batches", "padded_cells", "waste")
+        ],
+        ignore_index=True,
+    )
+    pd_leg = ray.data.from_pandas(pad_rows)
+    return (
+        pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp).union(xc).union(pd_leg)
+    )
 
 
 def _compound_violations(sf_dir: str):
@@ -1423,6 +1440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # within words (alphabet-bounded 65k-key exchange at any scale)
         "text_bpe_pairs": lambda sf: text.bpe_merge_pair_counts(docs(sf), k=50),
         "text_bpe_train": lambda sf: text.bpe_train_iterations(docs(sf), n_iters=3, k=20),
+        "training_padding_audit": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.training", fromlist=["training"]
+        ).length_bucket_padding_stats(docs(sf)),
         # vocabulary-coverage audit: per-doc OOV occurrences vs the
         # corpus top-V vocabulary (one vocab exchange + broadcast)
         "text_vocab_oov": lambda sf: text.vocab_oov_stats(docs(sf), top_v=20),
@@ -2737,6 +2757,24 @@ UNION ALL SELECT e.doc_id, 'dup_spans', count(*) FILTER (WHERE sdf.df >= 2)::BIG
         # as the fused oracle above, restated over each leg's own output
         # schema — any drift between the two spellings fails the gate,
         # since both run against the same engine code)
+        # padding audit: the engine's histogram closed form vs the naive
+        # row_number chunking — batch stats are invariant to tie order
+        # within equal lengths, so the arbitrary-vs-pinned tie-break
+        # difference cannot desync the two spellings
+        "training_padding_audit": """
+WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS len,
+                  coalesce(n_chars, 0) // 256 AS bucket FROM documents),
+r AS (SELECT bucket, len,
+             row_number() OVER (PARTITION BY bucket ORDER BY len, doc_id) - 1 AS rn
+      FROM d),
+ch AS (SELECT bucket, rn // 8 AS chunk, count(*)::BIGINT AS cnt,
+              max(len)::BIGINT AS mx, sum(len)::BIGINT AS sm
+       FROM r GROUP BY 1, 2)
+SELECT bucket::BIGINT AS bucket, sum(cnt)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_batches, sum(sm)::BIGINT AS sum_len,
+       sum(cnt * mx)::BIGINT AS padded_cells,
+       (sum(cnt * mx) - sum(sm))::BIGINT AS waste
+FROM ch GROUP BY 1""",
         "training_packing": """
 WITH n AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
 s AS (
@@ -3287,6 +3325,14 @@ FROM chars GROUP BY doc_id, bin""",
         + o["text_boilerplate"] + ")"
         "\nUNION ALL SELECT doc_id, 'exact_contam', n_hits FROM ("
         + o["training_contamination_exact"] + ")"
+        "\nUNION ALL SELECT bucket, 'pad_n_docs', n_docs FROM ("
+        + o["training_padding_audit"] + ")"
+        "\nUNION ALL SELECT bucket, 'pad_n_batches', n_batches FROM ("
+        + o["training_padding_audit"] + ")"
+        "\nUNION ALL SELECT bucket, 'pad_padded_cells', padded_cells FROM ("
+        + o["training_padding_audit"] + ")"
+        "\nUNION ALL SELECT bucket, 'pad_waste', waste FROM ("
+        + o["training_padding_audit"] + ")"
     )
     o["relational_meta2"] += (
         "\nUNION ALL\nSELECT 'islands', CAST(user_id AS VARCHAR), n_islands,"

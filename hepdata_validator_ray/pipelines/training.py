@@ -726,3 +726,73 @@ def contamination_exact_spans(
     return ray.data.read_parquet(_pq(docs_path), columns=["doc_id", "text"]).map_batches(
         scan, batch_format="pandas", batch_size=4096
     )
+
+
+def length_bucket_padding_stats(
+    docs_path: str, bucket_width: int = 256, batch_rows: int = 8
+) -> "ray.data.Dataset":
+    """Length-bucketed batching PADDING AUDIT — the batch-efficiency metric
+    a training run tunes bucket_width/batch_rows against.  Semantics: docs
+    group into length buckets (bucket = len // bucket_width); within a
+    bucket, docs sort by length and chunk into batches of ``batch_rows``;
+    a batch pads every member to its max.  Output per bucket: n_docs,
+    n_batches, sum_len, padded_cells (Σ batch_size·batch_max, partial
+    batch included), waste (= padded_cells − sum_len).
+
+    Scale design: batch stats over the SORTED multiset are a pure function
+    of the length HISTOGRAM — batch maxima are the lengths at ranks
+    ≡ batch_rows−1 (mod batch_rows), countable per histogram run in O(1)
+    (#{r ∈ [lo, hi) : r ≡ G−1 (mod G)} = ⌊hi/G⌋ − ⌊lo/G⌋), and tie order
+    within equal lengths provably cannot change any batch's (count, max,
+    sum).  So the ONLY exchange is a value-counts of len — bounded by the
+    length DOMAIN (≤ max doc length rows) at any corpus size — and the
+    finale is O(distinct lengths) driver arithmetic.  No sort, no
+    row-scale shuffle, no per-chunk enumeration (10^12 rows / G batches
+    are never materialized)."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    def lens(t: pa.Table) -> pa.Table:
+        v = pc.coalesce(t["n_chars"], pa.scalar(0, pa.int64()))
+        return pa.Table.from_arrays([pc.cast(v, pa.int64())], names=["len"])
+
+    vc = (
+        grouped_value_counts(
+            ray.data.read_parquet(docs_path, columns=["n_chars"]).map_batches(
+                lens, batch_format="pyarrow"
+            ),
+            "len",
+        )
+        .to_pandas()  # length-domain-bounded at any corpus size
+        .sort_values("len")
+        .reset_index(drop=True)
+    )
+    G = int(batch_rows)
+    rows = []
+    if len(vc):
+        vc["bucket"] = (vc["len"].to_numpy(np.int64) // bucket_width).astype(np.int64)
+        for bucket, grp in vc.groupby("bucket", sort=True):
+            v = grp["len"].to_numpy(np.int64)
+            c = grp["cnt"].to_numpy(np.int64)
+            hi = np.cumsum(c)
+            lo = hi - c
+            n = int(hi[-1])
+            padded = G * int(np.sum(v * (hi // G - lo // G)))
+            rem = n % G
+            if rem:
+                padded += rem * int(v[-1])  # partial batch holds the largest lengths
+            total = int(np.sum(v * c))
+            rows.append(
+                {
+                    "bucket": int(bucket),
+                    "n_docs": n,
+                    "n_batches": -(-n // G),
+                    "sum_len": total,
+                    "padded_cells": padded,
+                    "waste": padded - total,
+                }
+            )
+    out = pd.DataFrame(
+        rows, columns=["bucket", "n_docs", "n_batches", "sum_len", "padded_cells", "waste"]
+    ).astype("int64" if rows else {c: "int64" for c in
+        ["bucket", "n_docs", "n_batches", "sum_len", "padded_cells", "waste"]})
+    return ray.data.from_pandas(out)

@@ -434,3 +434,59 @@ def test_bpe_train_iterations_crafted(tmp_path, ray_session):
     it3 = got[got["it"] == 3]
     d3 = {(l, r): n for l, r, n in it3[["left_tok", "right_tok", "n"]].itertuples(index=False)}
     assert d3[("abab", "ab")] == 1 and d3[("ab", "c")] == 2
+
+
+def test_length_bucket_padding_closed_form(tmp_path, ray_session):
+    """The histogram closed form equals naive sort-and-chunk, including
+    the partial batch (padded to ITS max, not the bucket max) and
+    cross-run batch boundaries."""
+    from hepdata_validator_ray.pipelines.training import length_bucket_padding_stats
+
+    # one bucket (width 256): lengths 5,5,5,7,9 with G=2 ->
+    # batches [5,5],[5,7],[9]: padded = 10+14+9 = 33, sum = 31, waste 2
+    lens = [5, 5, 5, 7, 9, 300, 301]  # + bucket 1: [300,301] -> padded 602
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(lens)),
+            "text": ["x"] * len(lens),
+            "n_chars": lens,
+            "source": ["s"] * len(lens),
+            "lang": ["en"] * len(lens),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = (
+        length_bucket_padding_stats(p, bucket_width=256, batch_rows=2)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert list(got["bucket"]) == [0, 1]
+    assert list(got["n_docs"]) == [5, 2]
+    assert list(got["n_batches"]) == [3, 1]
+    assert list(got["sum_len"]) == [31, 601]
+    assert list(got["padded_cells"]) == [33, 602]
+    assert list(got["waste"]) == [2, 1]
+
+
+def test_length_bucket_padding_null_and_empty(tmp_path, ray_session):
+    """NULL n_chars coalesces to 0; an all-null corpus still produces a
+    bucket-0 row with zero waste."""
+    from hepdata_validator_ray.pipelines.training import length_bucket_padding_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["x", "y"],
+            "n_chars": pd.array([None, None], dtype="Int64"),
+            "source": ["s", "s"],
+            "lang": ["en", "en"],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = length_bucket_padding_stats(p, bucket_width=256, batch_rows=8).to_pandas()
+    assert list(got["bucket"]) == [0]
+    assert list(got["n_docs"]) == [2]
+    assert list(got["padded_cells"]) == [0] and list(got["waste"]) == [0]
