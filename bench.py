@@ -268,6 +268,17 @@ def pipeline_validate_full_big(sf_dir: str) -> int:
     return res.n_rows
 
 
+def pipeline_bpe_train(sf_dir: str) -> int:
+    """BPE tokenizer training, 3 iterations: one corpus collapse to the
+    distinct (word, count) table, then three histogram-exchange rounds
+    over it (alphabet-bounded) — the tokens-payload training pipeline."""
+    from hepdata_validator_ray.pipelines.text import bpe_train_iterations
+
+    return len(
+        bpe_train_iterations(f"{sf_dir}/documents.parquet", n_iters=3, k=20).to_pandas()
+    )
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -287,6 +298,7 @@ PIPELINES = {
     "bm25": pipeline_bm25,
     "pagerank": pipeline_pagerank,
     "curation": pipeline_curation,
+    "bpe_train": pipeline_bpe_train,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -311,6 +323,7 @@ BAND_TYP_HI = {
     "bm25": 3.0,
     "pagerank": 10.0,
     "curation": 4.0,
+    "bpe_train": 3.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

@@ -729,7 +729,10 @@ def contamination_exact_spans(
 
 
 def length_bucket_padding_stats(
-    docs_path: str, bucket_width: int = 256, batch_rows: int = 8
+    docs_path: str,
+    bucket_width: int = 256,
+    batch_rows: int = 8,
+    length_col: str = "n_chars",
 ) -> "ray.data.Dataset":
     """Length-bucketed batching PADDING AUDIT — the batch-efficiency metric
     a training run tunes bucket_width/batch_rows against.  Semantics: docs
@@ -752,12 +755,15 @@ def length_bucket_padding_stats(
     from hepdata_validator_ray.ops import grouped_value_counts
 
     def lens(t: pa.Table) -> pa.Table:
-        v = pc.coalesce(t["n_chars"], pa.scalar(0, pa.int64()))
-        return pa.Table.from_arrays([pc.cast(v, pa.int64())], names=["len"])
+        col = t[length_col]
+        if length_col == "text":  # derive length when no length column exists
+            col = pc.utf8_length(col)
+        v = pc.coalesce(pc.cast(col, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.Table.from_arrays([v], names=["len"])
 
     vc = (
         grouped_value_counts(
-            ray.data.read_parquet(docs_path, columns=["n_chars"]).map_batches(
+            ray.data.read_parquet(docs_path, columns=[length_col]).map_batches(
                 lens, batch_format="pyarrow"
             ),
             "len",
