@@ -249,6 +249,12 @@ def _training_meta(sf_dir: str):
     xc = training.contamination_exact_spans(docs).map_batches(
         tag("exact_contam", "n_hits"), batch_format="pyarrow"
     )
+    # BPE encode: the learned 3-merge table applied back to every doc
+    from hepdata_validator_ray.pipelines import text as _tx2
+
+    be = _tx2.bpe_encode_token_counts(docs, n_merges=3).map_batches(
+        tag("bpe_ntok", "n_tok_bpe"), batch_format="pyarrow"
+    )
     # padding audit executes eagerly (histogram exchange inside) and its
     # output is |buckets| rows; reshape to the union's long form here
     pad = training.length_bucket_padding_stats(docs).to_pandas()
@@ -263,7 +269,15 @@ def _training_meta(sf_dir: str):
     )
     pd_leg = ray.data.from_pandas(pad_rows)
     return (
-        pk.union(ct).union(lm).union(ck).union(qb).union(sp).union(bp).union(xc).union(pd_leg)
+        pk.union(ct)
+        .union(lm)
+        .union(ck)
+        .union(qb)
+        .union(sp)
+        .union(bp)
+        .union(xc)
+        .union(be)
+        .union(pd_leg)
     )
 
 
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # within words (alphabet-bounded 65k-key exchange at any scale)
         "text_bpe_pairs": lambda sf: text.bpe_merge_pair_counts(docs(sf), k=50),
         "text_bpe_train": lambda sf: text.bpe_train_iterations(docs(sf), n_iters=3, k=20),
+        "text_bpe_encode": lambda sf: text.bpe_encode_token_counts(docs(sf), n_merges=3),
         "training_padding_audit": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["training"]
         ).length_bucket_padding_stats(docs(sf)),
@@ -3203,6 +3218,48 @@ UNION ALL
 SELECT * FROM (SELECT 2::BIGINT, lt, rt, n FROM r2 ORDER BY n DESC, lt, rt LIMIT 20)
 UNION ALL
 SELECT * FROM (SELECT 3::BIGINT, lt, rt, n FROM r3 ORDER BY n DESC, lt, rt LIMIT 20)""",
+        # BPE ENCODE: train the same 3 merges, then apply them to every doc
+        # in order (nested replace = greedy leftmost application) — each
+        # remaining character is one token, so n_tok_bpe = Σ strlen over
+        # the doc's marker-replaced words; NULL text encodes to 0 tokens
+        "text_bpe_encode": """
+WITH wc AS (
+  SELECT word, count(*)::BIGINT AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL)
+  GROUP BY word),
+p1 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc WHERE strlen(word) >= 2)
+  GROUP BY mp),
+w1 AS (SELECT mp FROM p1 ORDER BY n DESC, mp LIMIT 1),
+wc2 AS (SELECT replace(word, (SELECT mp FROM w1), chr(1)) AS word, c FROM wc),
+p2 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc2 WHERE strlen(word) >= 2)
+  GROUP BY mp),
+r2 AS (SELECT mp,
+  replace(substr(mp, 1, 1), chr(1), (SELECT mp FROM w1)) AS lt,
+  replace(substr(mp, 2, 1), chr(1), (SELECT mp FROM w1)) AS rt, n FROM p2),
+w2 AS (SELECT mp FROM r2 ORDER BY n DESC, lt, rt LIMIT 1),
+wc3 AS (SELECT replace(word, (SELECT mp FROM w2), chr(2)) AS word, c FROM wc2),
+p3 AS (
+  SELECT substr(word, i, 2) AS mp, sum(c)::BIGINT AS n
+  FROM (SELECT word, c, unnest(range(1, strlen(word))) AS i FROM wc3 WHERE strlen(word) >= 2)
+  GROUP BY mp),
+r3 AS (SELECT mp,
+  replace(replace(substr(mp, 1, 1), chr(2), (SELECT mp FROM w2)), chr(1), (SELECT mp FROM w1)) AS lt,
+  replace(replace(substr(mp, 2, 1), chr(2), (SELECT mp FROM w2)), chr(1), (SELECT mp FROM w1)) AS rt, n FROM p3),
+w3 AS (SELECT mp FROM r3 ORDER BY n DESC, lt, rt LIMIT 1),
+enc AS (
+  SELECT doc_id,
+         strlen(replace(replace(replace(word,
+                 (SELECT mp FROM w1), chr(1)),
+                 (SELECT mp FROM w2), chr(2)),
+                 (SELECT mp FROM w3), chr(3)))::BIGINT AS ntk
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL))
+SELECT d.doc_id, coalesce(sum(e.ntk), 0)::BIGINT AS n_tok_bpe
+FROM documents d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id""",
         "text_heavy_hitters": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 shg AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN []
@@ -3325,6 +3382,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["text_boilerplate"] + ")"
         "\nUNION ALL SELECT doc_id, 'exact_contam', n_hits FROM ("
         + o["training_contamination_exact"] + ")"
+        "\nUNION ALL SELECT doc_id, 'bpe_ntok', n_tok_bpe FROM ("
+        + o["text_bpe_encode"] + ")"
         "\nUNION ALL SELECT bucket, 'pad_n_docs', n_docs FROM ("
         + o["training_padding_audit"] + ")"
         "\nUNION ALL SELECT bucket, 'pad_n_batches', n_batches FROM ("

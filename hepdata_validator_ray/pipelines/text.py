@@ -1138,24 +1138,11 @@ def _bpe_render(tok_id: int, merges: list[tuple[int, int]], memo: dict[int, str]
     return s
 
 
-def bpe_train_iterations(docs_path: str, n_iters: int = 3, k: int = 20) -> "ray.data.Dataset":
-    """BPE tokenizer TRAINING, iterations 1..n_iters: at each iteration
-    report the top-k adjacent token-pair counts (it, left_tok, right_tok, n)
-    over the corpus, pick the winner ((n DESC, left, right) tie-break),
-    apply the merge, and recount.  Iteration 1 reproduces
-    bpe_merge_pair_counts; iteration i counts pairs AFTER merges 1..i-1.
-
-    The scale design is the one real BPE trainers use: ONE corpus pass
-    collapses to the distinct (word, count) table (a vocabulary-bounded
-    exchange, materialized once, stays distributed); every iteration is a
-    map_batches over that collapsed table — per-word pair counts weighted
-    by the word's corpus count (integer scatter-add, never float) — plus
-    one alphabet-bounded exchange (<= (256 + n_iters)^2 bincount cells).
-    The merge table broadcast to the kernels is n_iters pairs of ints
-    (closure capture; a production-size table would ride ray.put).  No
-    iteration rescans the corpus, so n_iters is decoupled from data size.
-    Merge application is vectorized over the whole batch buffer
-    (word-separator id 0 can't participate in a pair)."""
+def _bpe_train(
+    docs_path: str, n_iters: int, k: int
+) -> tuple[list[pd.DataFrame], list[tuple[int, int]]]:
+    """Shared BPE training loop: returns (per-iteration top-k frames,
+    learned merge table).  See bpe_train_iterations for the design."""
     from hepdata_validator_ray.ops import grouped_value_counts
 
     def word_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1246,5 +1233,80 @@ def bpe_train_iterations(docs_path: str, n_iters: int = 3, k: int = 20) -> "ray.
         win = agg.iloc[0]
         merges.append((int(win["code"]) // vmax, int(win["code"]) % vmax))
 
+    return frames, merges
+
+
+def bpe_train_iterations(docs_path: str, n_iters: int = 3, k: int = 20) -> "ray.data.Dataset":
+    """BPE tokenizer TRAINING, iterations 1..n_iters: at each iteration
+    report the top-k adjacent token-pair counts (it, left_tok, right_tok, n)
+    over the corpus, pick the winner ((n DESC, left, right) tie-break),
+    apply the merge, and recount.  Iteration 1 reproduces
+    bpe_merge_pair_counts; iteration i counts pairs AFTER merges 1..i-1.
+
+    The scale design is the one real BPE trainers use: ONE corpus pass
+    collapses to the distinct (word, count) table (a vocabulary-bounded
+    exchange, materialized once, stays distributed); every iteration is a
+    map_batches over that collapsed table — per-word pair counts weighted
+    by the word's corpus count (integer scatter-add, never float) — plus
+    one alphabet-bounded exchange (<= (256 + n_iters)^2 bincount cells).
+    The merge table broadcast to the kernels is n_iters pairs of ints
+    (closure capture; a production-size table would ride ray.put).  No
+    iteration rescans the corpus, so n_iters is decoupled from data size.
+    Merge application is vectorized over the whole batch buffer
+    (word-separator id 0 can't participate in a pair)."""
+    frames, _ = _bpe_train(docs_path, n_iters, k)
     out = pd.concat(frames, ignore_index=True).astype({"it": "int64", "n": "int64"})
     return ray.data.from_pandas(out)
+
+
+def bpe_encode_token_counts(docs_path: str, n_merges: int = 3) -> "ray.data.Dataset":
+    """The tokenizer LIFECYCLE closed end-to-end: train ``n_merges`` BPE
+    merges on the corpus (see bpe_train_iterations), then ENCODE every doc
+    with the learned table and report (doc_id, n_tok_bpe) — each remaining
+    token-id position after greedy merge application is one token
+    (whitespace separates words and is never a token; NULL text encodes to
+    0 tokens).
+
+    The encode pass is one corpus map_batches: docs flatten into a single
+    byte buffer with separator 0, a doc-index array rides along and
+    contracts under the SAME keep-mask as each merge, and per-doc counts
+    are one bincount over the surviving non-separator positions.  The
+    merge table shipped to encoders is n_merges int pairs."""
+    _, merges = _bpe_train(docs_path, n_merges, k=1)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        n = len(df)
+        if not n:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "n_tok_bpe": pd.Series(dtype="int64")}
+            )
+        joined = "\x00".join(t.replace(" ", "\x00") for t in texts)
+        buf = np.frombuffer(
+            joined.encode("utf-8", "surrogatepass"), dtype=np.uint8
+        ).astype(np.int64)
+        lens = np.fromiter(
+            (len(t.encode("utf-8", "surrogatepass")) for t in texts),
+            dtype=np.int64,
+            count=n,
+        )
+        didx = np.repeat(np.arange(n, dtype=np.int64), lens + 1)[: len(buf)]
+        for j, (a, b) in enumerate(merges):
+            m = _bpe_merge_positions(buf, a, b)
+            if not len(m):
+                continue
+            buf = buf.copy()
+            buf[m] = 256 + j
+            keep = np.ones(len(buf), dtype=bool)
+            keep[m + 1] = False
+            buf = buf[keep]
+            didx = didx[keep]
+        tok = buf != 0
+        counts = np.bincount(didx[tok], minlength=n) if len(buf) else np.zeros(n, np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_tok_bpe": counts.astype(np.int64)}
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        encode, batch_format="pandas", batch_size=4096
+    )

@@ -490,3 +490,34 @@ def test_length_bucket_padding_null_and_empty(tmp_path, ray_session):
     assert list(got["bucket"]) == [0]
     assert list(got["n_docs"]) == [2]
     assert list(got["padded_cells"]) == [0] and list(got["waste"]) == [0]
+
+
+def test_bpe_encode_counts_crafted(tmp_path, ray_session):
+    """Encode applies the learned merges in order: 'ababab abc'/'abc'
+    learns ab, then ab+ab, then ab+c — so 'ababab' -> [abab, ab] = 2
+    tokens, 'abc' -> [abc] = 1; whitespace is never a token and NULL
+    text encodes to 0."""
+    from hepdata_validator_ray.pipelines.text import bpe_encode_token_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["ababab abc", "abc", None],
+            "source": ["s"] * 3,
+            "lang": ["en"] * 3,
+            "n_chars": [10, 3, 0],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = (
+        bpe_encode_token_counts(p, n_merges=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # merges: 1) a+b=ab (5)  2) tie at 2 between (ab,ab) and (ab,c) ->
+    # (ab,ab) wins on right_tok 'ab' < 'c'  3) (ab,c) or (abab,ab)? counts:
+    # abab+ab=1, ab+c=2 -> ab+c wins.  doc0: abab ab abc -> [abab, ab] +
+    # [abc] = 3;  doc1: [abc] = 1;  doc2: 0
+    assert list(got["n_tok_bpe"]) == [3, 1, 0]
