@@ -614,6 +614,9 @@ def _incremental_meta(sf_dir: str):
     mg = dedup.merge_upsert(
         f"{sf_dir}/documents.parquet", ensure_delta_parquet(sf_dir)
     ).to_pandas()
+    from hepdata_validator_ray.pipelines import validation as _val
+
+    dg = _val.degenerate_sequence_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -642,6 +645,17 @@ def _incremental_meta(sf_dir: str):
                     + "|" + mg["text_md5"] + "|" + mg["lang"].fillna("<NULL>")
                     + "|" + mg["source"].fillna("<NULL>") + "|" + mg["origin"],
                     "a": mg["n_chars"].astype("int64"),
+                }
+            ),
+            # degenerate-sequence QC: both stats packed (the mlm-leg rule)
+            pd.DataFrame(
+                {
+                    "kind": "degen",
+                    "k1": dg["doc_id"].fillna("<NULL>")
+                    + "|"
+                    + dg["n_tok"].astype("int64").astype(str),
+                    "a": dg["n_distinct"].astype("int64") * 4294967296
+                    + dg["max_run"].astype("int64"),
                 }
             ),
         ],
@@ -1153,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ==== no_oracle tail (position >50: pytest/golden-verified) ===========
         # displaced from the window by relational_meta; oracle retained
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
+        "v_degenerate_sequences": lambda sf: validation.degenerate_sequence_stats(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1644,6 +1659,22 @@ FROM read_parquet('{p}') GROUP BY source""",
         "v_ntok_hist": f"""
 SELECT CAST(floor(n_tok / 64.0) AS BIGINT) AS bucket, count(*)::BIGINT AS n
 FROM read_parquet('{p}') GROUP BY 1""",
+        # degenerate-sequence QC: strictly PER-ROW list lambdas (no doc_id
+        # join — duplicate/NULL doc_ids must not collapse); run starts are
+        # value-change positions, run lengths their forward differences
+        "v_degenerate_sequences": f"""
+SELECT doc_id, n_tok, n_distinct,
+       (CASE WHEN n_tok = 0 THEN 0 ELSE
+         list_aggregate(list_transform(range(1, len(st) + 1),
+           j -> coalesce(st[j + 1], n_tok + 1) - st[j]), 'max')
+       END)::BIGINT AS max_run
+FROM (
+  SELECT doc_id, coalesce(len(tokens), 0)::BIGINT AS n_tok,
+         coalesce(len(list_distinct(tokens)), 0)::BIGINT AS n_distinct,
+         CASE WHEN tokens IS NULL THEN [] ELSE
+           list_filter(range(1, len(tokens) + 1),
+             i -> i = 1 OR tokens[i] IS DISTINCT FROM tokens[i - 1]) END AS st
+  FROM read_parquet('{p}'))""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3435,6 +3466,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["exact_k_per_group"] + ")"
     )
     o["incremental_meta"] += (
+        "\nUNION ALL\nSELECT 'degen', coalesce(doc_id, '<NULL>') || '|' ||"
+        " CAST(n_tok AS VARCHAR), n_distinct * 4294967296 + max_run FROM ("
+        + o["v_degenerate_sequences"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -511,3 +511,62 @@ def ntok_quantiles_combined(seq_path: str) -> pd.DataFrame:
     out["min_n_tok"] = out["min_n_tok"].astype("int64")
     out["max_n_tok"] = out["max_n_tok"].astype("int64")
     return out[["source", "p50", "p90", "p99", "min_n_tok", "max_n_tok"]]
+
+
+def degenerate_sequence_stats(seq_path: str) -> "ray.data.Dataset":
+    """Degenerate-sequence QC (the repeated-token pathology detector a
+    token-corpus validator needs): per sequence, the DISTINCT token count
+    and the MAX RUN length (longest block of consecutive equal tokens).
+    A near-constant sequence (n_distinct ≈ 1) or a long run flags a
+    degenerate/looping generation.  Output (doc_id, n_tok, n_distinct,
+    max_run); empty sequences report zeros.
+
+    One zero-copy pass, no exchange: each batch's list column flattens to
+    (values, offsets); run boundaries are value-changes OR sequence starts
+    (one vectorized comparison), per-sequence max-run via np.maximum.at
+    over run lengths; distinct counts from one np.unique over the packed
+    (sequence-index, token) pairs.  Per-row work only — the operator
+    parallelizes embarrassingly at any corpus size."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        # ListArray.values covers the whole underlying buffer; slice to
+        # this array's window so positions align with rebased offsets
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        nvals = len(vals)
+        doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = lens.astype(np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        max_run = np.zeros(n, dtype=np.int64)
+        if nvals:
+            seq_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # run starts: position 0, a value change, or a sequence start
+            change = np.empty(nvals, dtype=bool)
+            change[0] = True
+            change[1:] = (vals[1:] != vals[:-1]) | (seq_idx[1:] != seq_idx[:-1])
+            starts = np.flatnonzero(change)
+            run_lens = np.diff(np.r_[starts, nvals])
+            run_seq = seq_idx[starts]
+            np.maximum.at(max_run, run_seq, run_lens)
+            # distinct per sequence: unique packed (seq, token) keys —
+            # collision-free since the token offset < the range width
+            width = int(vals.max()) - int(vals.min()) + 1
+            pairs = np.unique(seq_idx * width + (vals - int(vals.min())))
+            n_distinct += np.bincount(pairs // width, minlength=n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_id),
+                "n_tok": pa.array(n_tok, type=pa.int64()),
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "max_run": pa.array(max_run, type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=16384
+    )

@@ -521,3 +521,51 @@ def test_bpe_encode_counts_crafted(tmp_path, ray_session):
     # abab+ab=1, ab+c=2 -> ab+c wins.  doc0: abab ab abc -> [abab, ab] +
     # [abc] = 3;  doc1: [abc] = 1;  doc2: 0
     assert list(got["n_tok_bpe"]) == [3, 1, 0]
+
+
+def test_degenerate_sequence_stats_crafted(tmp_path, ray_session):
+    """Run/distinct semantics pinned: runs break on value change AND on
+    sequence boundaries (a run never spans rows); empty and NULL token
+    lists report zeros; an all-same sequence has n_distinct=1 and
+    max_run=n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import degenerate_sequence_stats
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "tokens": pa.array(
+                [[7, 7, 7, 7], [1, 2, 2, 3, 2], [], None, [5]],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([4, 5, 0, 0, 1], type=pa.int32()),
+            "source": ["s"] * 5,
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        degenerate_sequence_stats(p)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_tok"]) == [4, 5, 0, 0, 1]
+    assert list(got["n_distinct"]) == [1, 3, 0, 0, 1]
+    assert list(got["max_run"]) == [4, 2, 0, 0, 1]
+    # boundary: two adjacent rows ending/starting with the same token must
+    # NOT merge runs — craft rows [9,9] and [9,9,9] in one file
+    t2 = pa.table(
+        {
+            "doc_id": ["x", "y"],
+            "tokens": pa.array([[9, 9], [9, 9, 9]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 3], type=pa.int32()),
+            "source": ["s", "s"],
+        }
+    )
+    p2 = str(tmp_path / "seq2.parquet")
+    pq.write_table(t2, p2)
+    got2 = degenerate_sequence_stats(p2).to_pandas().sort_values("doc_id")
+    assert list(got2["max_run"]) == [2, 3]
