@@ -617,6 +617,7 @@ def _incremental_meta(sf_dir: str):
     from hepdata_validator_ray.pipelines import validation as _val
 
     dg = _val.degenerate_sequence_stats(_seq(sf_dir)).to_pandas()
+    uk = _val.rare_token_unk_stats(_seq(sf_dir), min_count=60).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -657,6 +658,14 @@ def _incremental_meta(sf_dir: str):
                     "a": dg["n_distinct"].astype("int64") * 4294967296
                     + dg["max_run"].astype("int64"),
                 }
+            ),
+            # UNK audit: two legs, NOT packed — per-source token totals
+            # exceed 2^32 at real scale, so packing would overflow there
+            pd.DataFrame(
+                {"kind": "unk_tok", "k1": uk["source"], "a": uk["n_tok"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {"kind": "unk_unk", "k1": uk["source"], "a": uk["n_unk"].astype("int64")}
             ),
         ],
         ignore_index=True,
@@ -1168,6 +1177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced from the window by relational_meta; oracle retained
         "v_ntok_hist": lambda sf: validation.ntok_histogram(_seq(sf)),
         "v_degenerate_sequences": lambda sf: validation.degenerate_sequence_stats(_seq(sf)),
+        # min_count=60 sits at ~p10 of the sf0.01 token-frequency curve, so
+        # the gate exercises a non-trivial rare set (min corpus freq is 41)
+        "v_rare_token_unk": lambda sf: validation.rare_token_unk_stats(_seq(sf), min_count=60),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1675,6 +1687,18 @@ FROM (
            list_filter(range(1, len(tokens) + 1),
              i -> i = 1 OR tokens[i] IS DISTINCT FROM tokens[i - 1]) END AS st
   FROM read_parquet('{p}'))""",
+        # vocabulary-pruning impact: tokens with corpus freq < 60 count as
+        # UNK; per-source totals plus the '<all>' roll-up
+        "v_rare_token_unk": f"""
+WITH tok AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS t
+             FROM read_parquet('{p}')),
+cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+per AS (SELECT source, count(*)::BIGINT AS n_tok,
+               count(*) FILTER (WHERE c < 60)::BIGINT AS n_unk
+        FROM tok JOIN cnt USING (t) GROUP BY source)
+SELECT * FROM per
+UNION ALL
+SELECT '<all>', sum(n_tok)::BIGINT, sum(n_unk)::BIGINT FROM per""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3469,6 +3493,10 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'degen', coalesce(doc_id, '<NULL>') || '|' ||"
         " CAST(n_tok AS VARCHAR), n_distinct * 4294967296 + max_run FROM ("
         + o["v_degenerate_sequences"] + ")"
+        "\nUNION ALL\nSELECT 'unk_tok', source, n_tok FROM ("
+        + o["v_rare_token_unk"] + ")"
+        "\nUNION ALL\nSELECT 'unk_unk', source, n_unk FROM ("
+        + o["v_rare_token_unk"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

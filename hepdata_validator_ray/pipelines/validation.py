@@ -570,3 +570,81 @@ def degenerate_sequence_stats(seq_path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
         stats, batch_format="pyarrow", batch_size=16384
     )
+
+
+def rare_token_unk_stats(seq_path: str, min_count: int = 5) -> "ray.data.Dataset":
+    """Vocabulary-pruning impact audit over the token table: if every token
+    with corpus frequency < ``min_count`` were replaced by UNK, what share
+    of each source's token stream degrades?  Output per source
+    (source, n_tok, n_unk) plus an '<all>' row — the go/no-go number for a
+    vocab-size cut.
+
+    Two passes, both bounded: (1) the corpus token histogram — per-batch
+    bincount partials into a vocabulary-bounded exchange; the rare-token
+    id set (≤ vocab size) broadcasts via ray.put as a sorted int array.
+    (2) per-batch np.isin over the flattened values + per-source segmented
+    sums into a |sources|-sized groupby.  Token ids never leave int64;
+    NULL sources group under '<NULL>'."""
+    from ray.data.aggregate import Sum
+
+    def tok_hist(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        if not len(vals):
+            return pa.Table.from_pydict(
+                {"t": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.Table.from_pydict(
+            {"t": pa.array(uniq, type=pa.int64()), "c": pa.array(cnt, type=pa.int64())}
+        )
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["tokens"])
+        .map_batches(tok_hist, batch_format="pyarrow", batch_size=16384)
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded at any corpus size
+    )
+    rare = np.sort(hist.loc[hist["c"] < min_count, "t"].to_numpy(np.int64))
+    rare_ref = ray.put(rare)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rare_ref)
+        src = df["source"].fillna("<NULL>")
+        toks = df["tokens"]
+        lens = toks.map(lambda x: 0 if x is None else len(x)).to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in toks if x is not None and len(x)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        is_unk = np.isin(flat, r) if len(flat) else np.empty(0, dtype=bool)
+        seq_idx = np.repeat(np.arange(len(df)), lens)
+        unk_per_row = np.zeros(len(df), dtype=np.int64)
+        np.add.at(unk_per_row, seq_idx[is_unk], 1)  # integer-exact
+        out = pd.DataFrame({"source": src, "n_tok": lens, "n_unk": unk_per_row})
+        g = out.groupby("source", as_index=False, sort=False).sum()
+        return g
+
+    per_src = (
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"])
+        .map_batches(score, batch_format="pandas", batch_size=8192)
+        .groupby("source")
+        .aggregate(Sum("n_tok", alias_name="n_tok"), Sum("n_unk", alias_name="n_unk"))
+        .to_pandas()  # |sources|-bounded
+    )
+    allrow = pd.DataFrame(
+        {
+            "source": ["<all>"],
+            "n_tok": [int(per_src["n_tok"].sum())],
+            "n_unk": [int(per_src["n_unk"].sum())],
+        }
+    )
+    out = pd.concat([per_src, allrow], ignore_index=True).astype(
+        {"n_tok": "int64", "n_unk": "int64"}
+    )
+    return ray.data.from_pandas(out)

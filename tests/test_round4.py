@@ -569,3 +569,36 @@ def test_degenerate_sequence_stats_crafted(tmp_path, ray_session):
     pq.write_table(t2, p2)
     got2 = degenerate_sequence_stats(p2).to_pandas().sort_values("doc_id")
     assert list(got2["max_run"]) == [2, 3]
+
+
+def test_rare_token_unk_threshold_edge(tmp_path, ray_session):
+    """Tokens with corpus freq == min_count are NOT rare (strict <);
+    NULL sources group under '<NULL>'; the '<all>' row sums the rest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import rare_token_unk_stats
+
+    # token 1 appears 3x (rare at min_count=4? 3<4 yes), token 2 appears
+    # exactly 4x (NOT rare), token 3 appears 5x (not rare)
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": pa.array(
+                [[1, 2, 2, 3], [1, 2, 3, 3], [1, 2, 3, 3]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([4, 4, 4], type=pa.int32()),
+            "source": pa.array(["s1", "s1", None]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        rare_token_unk_stats(p, min_count=4)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert list(got["source"]) == ["<NULL>", "<all>", "s1"]
+    assert list(got["n_tok"]) == [4, 12, 8]
+    assert list(got["n_unk"]) == [1, 3, 2]  # only token 1 (freq 3) is rare
