@@ -281,6 +281,35 @@ def _training_meta(sf_dir: str):
     )
 
 
+def _dedup_exact_meta_fused(sf_dir: str):
+    """exact_dedup_meta's (kind, h, n) union extended with the CDC
+    chunk-dedup profile over the TOKEN table (kind cdc_n / cdc_dup,
+    h = source) — the storage-dedup primitive rides the same gate slot."""
+    import pandas as pd
+    import ray.data
+
+    from hepdata_validator_ray.pipelines import dedup
+
+    base = dedup.exact_dedup_meta(f"{sf_dir}/documents.parquet")
+    cdc = dedup.cdc_chunk_dedup_stats(_seq(sf_dir)).to_pandas()
+    rows = pd.concat(
+        [
+            pd.DataFrame(
+                {"kind": "cdc_n", "h": cdc["source"], "n": cdc["n_chunks"].astype("int64")}
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "cdc_dup",
+                    "h": cdc["source"],
+                    "n": cdc["n_dup_chunks"].astype("int64"),
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    return base.union(ray.data.from_pandas(rows))
+
+
 def _compound_violations(sf_dir: str):
     """The compound-check extension surface (any_of + best-error selection)
     under the correctness gate: a row violates the compound iff it fails
@@ -1137,7 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ------------------------------------------------------------
         # keep-first survivors + dup-group summary off ONE content-hash
         # exchange (both legs stay independently queryable in the tail)
-        "dedup_exact_meta": lambda sf: dedup.exact_dedup_meta(docs(sf)),
+        "dedup_exact_meta": _dedup_exact_meta_fused,
         "dedup_sequence_content": lambda sf: _seq_content_summary(sf),
         # verified ngram-Jaccard pairs + near-dup clusters off ONE LSH /
         # verify pass (the heaviest pipeline no longer runs twice); both
@@ -1180,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # min_count=60 sits at ~p10 of the sf0.01 token-frequency curve, so
         # the gate exercises a non-trivial rare set (min corpus freq is 41)
         "v_rare_token_unk": lambda sf: validation.rare_token_unk_stats(_seq(sf), min_count=60),
+        "dedup_cdc_chunks": lambda sf: dedup.cdc_chunk_dedup_stats(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1699,6 +1729,26 @@ per AS (SELECT source, count(*)::BIGINT AS n_tok,
 SELECT * FROM per
 UNION ALL
 SELECT '<all>', sum(n_tok)::BIGINT, sum(n_unk)::BIGINT FROM per""",
+        # CDC chunk dedup: per-row chunk lists via list lambdas (boundary
+        # = position 1 or the divisible pair rule; both engines' % agree on
+        # remainder == 0 regardless of sign), exact-content multiplicity,
+        # per-source roll-up
+        "dedup_cdc_chunks": f"""
+WITH d AS (
+  SELECT coalesce(source, '<NULL>') AS source, tokens,
+         coalesce(len(tokens), 0) AS n,
+         CASE WHEN tokens IS NULL THEN []
+              ELSE list_filter(range(1, len(tokens) + 1),
+                i -> i = 1 OR ((CAST(tokens[i-1] AS BIGINT) * 1000003 + tokens[i]) % 61) = 0) END AS st
+  FROM read_parquet('{p}')),
+ch AS (
+  SELECT source, unnest(list_transform(range(1, len(st) + 1),
+           j -> array_to_string(tokens[st[j] : coalesce(st[j + 1], n + 1) - 1], ','))) AS key
+  FROM d),
+m AS (SELECT key, count(*)::BIGINT AS c FROM ch GROUP BY key)
+SELECT ch.source, count(*)::BIGINT AS n_chunks,
+       count(*) FILTER (WHERE m.c >= 2)::BIGINT AS n_dup_chunks
+FROM ch JOIN m USING (key) GROUP BY ch.source""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3488,6 +3538,12 @@ FROM chars GROUP BY doc_id, bin""",
         + o["exact_k_sample"] + ")"
         "\nUNION ALL\nSELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM ("
         + o["exact_k_per_group"] + ")"
+    )
+    o["dedup_exact_meta"] += (
+        "\nUNION ALL SELECT 'cdc_n', source, n_chunks FROM ("
+        + o["dedup_cdc_chunks"] + ")"
+        "\nUNION ALL SELECT 'cdc_dup', source, n_dup_chunks FROM ("
+        + o["dedup_cdc_chunks"] + ")"
     )
     o["incremental_meta"] += (
         "\nUNION ALL\nSELECT 'degen', coalesce(doc_id, '<NULL>') || '|' ||"

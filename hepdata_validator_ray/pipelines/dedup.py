@@ -25,6 +25,7 @@ import itertools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1541,3 +1542,87 @@ def merge_upsert(
         )
 
     return base.union(delta).groupby(BUCKET_COL).map_groups(winners, batch_format="pandas")
+
+
+def cdc_chunk_dedup_stats(
+    seq_path: str, window_mult: int = 1000003, divisor: int = 61, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Content-defined-chunking dedup profile over the TOKEN table — the
+    storage-dedup primitive (CDC: chunk boundaries derive from content, so
+    an insertion only reshapes neighboring chunks, unlike fixed windows):
+    a new chunk starts at row position 1 and wherever the deterministic
+    pair rule divides ((tok[i-1] * window_mult + tok[i]) % divisor == 0,
+    avg chunk ≈ divisor tokens).  Output per source: (source, n_chunks,
+    n_dup_chunks) where a chunk is dup when its exact token-id sequence
+    occurs ≥ 2 times anywhere in the corpus.
+
+    Physical plan (the dup_span_stats shape): boundaries are one vectorized
+    mask over the flattened values (row starts force chunk starts; the pair
+    rule never fires across rows), chunk keys come from ONE
+    pyarrow binary_join over the re-chunked list array (no per-chunk
+    Python), and the single corpus-scale exchange is key-bucketed
+    (``bucketed_aggregate``) — within a bucket multiplicity is exact, and
+    only |sources|-sized partials leave.  Divisibility is sign-safe on
+    both engines (numpy and SQL % agree on remainder == 0)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, derive_num_buckets
+
+    ds = ray.data.read_parquet(seq_path, columns=["source", "tokens"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, lo=16)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        nvals = len(vals)
+        empty = pa.Table.from_pydict(
+            {"key": pa.array([], type=pa.string()), "source": pa.array([], type=pa.string())}
+        )
+        if not nvals:
+            return empty
+        lens = np.diff(offs)
+        seq_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        base = offs[:-1] - offs[0]
+        row_start = np.zeros(nvals, dtype=bool)
+        row_start[base[lens > 0]] = True
+        prev = np.empty_like(vals)
+        prev[0] = 0
+        prev[1:] = vals[:-1]
+        hit = ((prev * window_mult + vals) % divisor) == 0
+        start_mask = row_start | (~row_start & hit)
+        chunk_starts = np.flatnonzero(start_mask)
+        strs = pc.cast(pa.array(vals, type=pa.int64()), pa.string())
+        arr_offsets = np.r_[chunk_starts, nvals].astype(np.int32)
+        chunks = pa.ListArray.from_arrays(pa.array(arr_offsets, type=pa.int32()), strs)
+        keys = pc.binary_join(chunks, pa.scalar(",", pa.string()))
+        src = (
+            t.column("source")
+            .to_pandas()
+            .fillna("<NULL>")
+            .to_numpy(dtype=object)[seq_idx[chunk_starts]]
+        )
+        return pa.Table.from_pydict(
+            {"key": keys, "source": pa.array(src, type=pa.string())}
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cnt = df.groupby("key")["key"].transform("size")
+        df["dup"] = (cnt >= 2).astype(np.int64)
+        g = (
+            df.groupby("source", as_index=False)
+            .agg(n_chunks=("key", "size"), n_dup_chunks=("dup", "sum"))
+            .astype({"n_chunks": "int64", "n_dup_chunks": "int64"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        bucketed_aggregate(ds, "key", pairs, combine, num_buckets=nb)
+        .groupby("source")
+        .sum(["n_chunks", "n_dup_chunks"])
+        .map_batches(
+            lambda t: t.rename_columns(["source", "n_chunks", "n_dup_chunks"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -602,3 +602,41 @@ def test_rare_token_unk_threshold_edge(tmp_path, ray_session):
     assert list(got["source"]) == ["<NULL>", "<all>", "s1"]
     assert list(got["n_tok"]) == [4, 12, 8]
     assert list(got["n_unk"]) == [1, 3, 2]  # only token 1 (freq 3) is rare
+
+
+def test_cdc_chunk_boundary_and_dup_semantics(tmp_path, ray_session):
+    """CDC semantics pinned: boundaries at row starts and divisible pairs;
+    an inserted token only reshapes its own chunk's neighborhood (the CDC
+    property), and exact repeated chunks count as dup across AND within
+    rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.dedup import cdc_chunk_dedup_stats
+
+    # divisor=61, mult=1000003: pair (61, 0) -> 61*1000003 % 61 == 0 so a
+    # boundary fires BEFORE the 0 at position 2 of [61, 0, 5].  Rows a & b
+    # share the chunk [61]; c is unique.
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": pa.array(
+                [[61, 0, 5], [61, 0, 5], [1, 2, 3]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([3, 3, 3], type=pa.int32()),
+            "source": pa.array(["s1", "s2", "s2"]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        cdc_chunk_dedup_stats(p)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # rows a/b each chunk as [61] + [0,5] (both duplicated across rows);
+    # row c is one chunk [1,2,3], unique
+    assert list(got["source"]) == ["s1", "s2"]
+    assert list(got["n_chunks"]) == [2, 3]
+    assert list(got["n_dup_chunks"]) == [2, 2]
