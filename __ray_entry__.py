@@ -647,6 +647,7 @@ def _incremental_meta(sf_dir: str):
 
     dg = _val.degenerate_sequence_stats(_seq(sf_dir)).to_pandas()
     uk = _val.rare_token_unk_stats(_seq(sf_dir), min_count=60).to_pandas()
+    ks = _val.ks_drift_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -695,6 +696,19 @@ def _incremental_meta(sf_dir: str):
             ),
             pd.DataFrame(
                 {"kind": "unk_unk", "k1": uk["source"], "a": uk["n_unk"].astype("int64")}
+            ),
+            # KS drift: denominators ride the key, the exact integer
+            # numerator is the value
+            pd.DataFrame(
+                {
+                    "kind": "ks",
+                    "k1": ks["source"]
+                    + "|"
+                    + ks["n_src"].astype("int64").astype(str)
+                    + "|"
+                    + ks["n_rest"].astype("int64").astype(str),
+                    "a": ks["ks_num"].astype("int64"),
+                }
             ),
         ],
         ignore_index=True,
@@ -1210,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the gate exercises a non-trivial rare set (min corpus freq is 41)
         "v_rare_token_unk": lambda sf: validation.rare_token_unk_stats(_seq(sf), min_count=60),
         "dedup_cdc_chunks": lambda sf: dedup.cdc_chunk_dedup_stats(_seq(sf)),
+        "v_ks_drift": lambda sf: validation.ks_drift_stats(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1749,6 +1764,25 @@ m AS (SELECT key, count(*)::BIGINT AS c FROM ch GROUP BY key)
 SELECT ch.source, count(*)::BIGINT AS n_chunks,
        count(*) FILTER (WHERE m.c >= 2)::BIGINT AS n_dup_chunks
 FROM ch JOIN m USING (key) GROUP BY ch.source""",
+        # integer-exact KS drift, source vs rest-of-corpus over n_tok: the
+        # numerator max|cum_s·n_rest − cum_rest·n_s| never leaves integers
+        "v_ks_drift": f"""
+WITH h AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v, count(*)::BIGINT AS c
+           FROM read_parquet('{p}') GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM h GROUP BY source),
+na AS (SELECT sum(n)::BIGINT AS n_all FROM tot),
+grid AS (SELECT t.source, vv.v FROM tot t CROSS JOIN (SELECT DISTINCT v FROM h) vv),
+cum AS (SELECT g.source, g.v,
+          sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v)::BIGINT AS cs
+        FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v),
+ca AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS call
+       FROM (SELECT v, sum(c)::BIGINT AS c FROM h GROUP BY v)),
+ks AS (SELECT cum.source,
+          max(abs(cum.cs * (na.n_all - tot.n) - (ca.call - cum.cs) * tot.n))::BIGINT AS ks_num
+       FROM cum JOIN ca USING (v) JOIN tot ON tot.source = cum.source CROSS JOIN na
+       GROUP BY cum.source)
+SELECT ks.source, ks.ks_num, tot.n AS n_src, (na.n_all - tot.n)::BIGINT AS n_rest
+FROM ks JOIN tot ON tot.source = ks.source CROSS JOIN na""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3553,6 +3587,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["v_rare_token_unk"] + ")"
         "\nUNION ALL\nSELECT 'unk_unk', source, n_unk FROM ("
         + o["v_rare_token_unk"] + ")"
+        "\nUNION ALL\nSELECT 'ks', source || '|' || CAST(n_src AS VARCHAR)"
+        " || '|' || CAST(n_rest AS VARCHAR), ks_num FROM ("
+        + o["v_ks_drift"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -648,3 +648,68 @@ def rare_token_unk_stats(seq_path: str, min_count: int = 5) -> "ray.data.Dataset
         {"n_tok": "int64", "n_unk": "int64"}
     )
     return ray.data.from_pandas(out)
+
+
+def ks_drift_stats(seq_path: str) -> "ray.data.Dataset":
+    """Distribution-drift verdict (the A5 family) as an EXACT integer:
+    for each source, the Kolmogorov–Smirnov distance between its n_tok
+    distribution and the REST of the corpus, reported as the integer
+    numerator ks_num = max_v |cum_src(v)·n_rest − cum_rest(v)·n_src|
+    (the true KS statistic is ks_num / (n_src·n_rest) — cross-multiplied
+    so no float ever enters, making the drift check oracle-gateable where
+    KL/chi² cannot be).  Output (source, ks_num, n_src, n_rest).
+
+    One (source, n_tok) histogram exchange — bounded by
+    |sources| × |length domain| at any corpus size — then a driver-side
+    cumulative closed form on the tiny table.  Bound: ks_num ≤
+    n_src·n_rest, so int64 holds below ~3·10⁹ total rows; beyond that the
+    same pipeline should emit the numerator as a decimal string (the
+    comparison stays exact), documented rather than silently truncated."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(t["n_tok"], pa.int64()),
+                ],
+                names=["source", "v"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "v"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # |sources| x |length domain|, bounded
+    )
+    if not len(hist):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "ks_num": pd.Series(dtype="int64"),
+                    "n_src": pd.Series(dtype="int64"),
+                    "n_rest": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    pivot = (
+        hist.pivot_table(index="v", columns="source", values="c", aggfunc="sum", fill_value=0)
+        .sort_index()
+        .astype(np.int64)
+    )
+    cum = pivot.cumsum()
+    totals = pivot.sum()
+    n_all = int(totals.sum())
+    call = cum.sum(axis=1).to_numpy(np.int64)
+    rows = []
+    for src in sorted(totals.index):
+        n_s = int(totals[src])
+        n_r = n_all - n_s
+        cs = cum[src].to_numpy(np.int64)
+        ks = int(np.max(np.abs(cs * n_r - (call - cs) * n_s))) if n_r else 0
+        rows.append({"source": src, "ks_num": ks, "n_src": n_s, "n_rest": n_r})
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"ks_num": "int64", "n_src": "int64", "n_rest": "int64"})
+    )

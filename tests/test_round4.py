@@ -640,3 +640,30 @@ def test_cdc_chunk_boundary_and_dup_semantics(tmp_path, ray_session):
     assert list(got["source"]) == ["s1", "s2"]
     assert list(got["n_chunks"]) == [2, 3]
     assert list(got["n_dup_chunks"]) == [2, 2]
+
+
+def test_ks_drift_integer_exact(tmp_path, ray_session):
+    """KS numerator pinned against a hand computation: src A = [1,1,2],
+    B = [2,3]: at v=1 |2*2-0*3|=4, v=2 |3*2-1*3|=3, v=3 |3*2-2*3|=0 ->
+    ks_num(A)=4 with (n_src=3, n_rest=2); symmetric for B."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import ks_drift_stats
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d", "e"],
+            "tokens": pa.array([[0]] * 5, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1, 2, 2, 3], type=pa.int32()),
+            "source": pa.array(["A", "A", "A", "B", "B"]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = ks_drift_stats(p).to_pandas().sort_values("source").reset_index(drop=True)
+    assert list(got["source"]) == ["A", "B"]
+    assert list(got["n_src"]) == [3, 2]
+    assert list(got["n_rest"]) == [2, 3]
+    # A: cum_A = [2,3,3], cum_B = [0,1,2]; |cum_A*2 - cum_B*3| = [4,3,0]
+    assert list(got["ks_num"]) == [4, 4]  # KS is symmetric src<->rest
