@@ -648,6 +648,7 @@ def _incremental_meta(sf_dir: str):
     dg = _val.degenerate_sequence_stats(_seq(sf_dir)).to_pandas()
     uk = _val.rare_token_unk_stats(_seq(sf_dir), min_count=60).to_pandas()
     ks = _val.ks_drift_stats(_seq(sf_dir)).to_pandas()
+    rp = _val.token_ngram_repetition_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -708,6 +709,16 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + ks["n_rest"].astype("int64").astype(str),
                     "a": ks["ks_num"].astype("int64"),
+                }
+            ),
+            # 3-gram repetition: both per-row stats packed (each bounded by
+            # the sequence length, so 2^32 can't overflow here)
+            pd.DataFrame(
+                {
+                    "kind": "rep3",
+                    "k1": rp["doc_id"].fillna("<NULL>"),
+                    "a": rp["n_ngrams"].astype("int64") * 4294967296
+                    + rp["n_distinct_ngrams"].astype("int64"),
                 }
             ),
         ],
@@ -1225,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_rare_token_unk": lambda sf: validation.rare_token_unk_stats(_seq(sf), min_count=60),
         "dedup_cdc_chunks": lambda sf: dedup.cdc_chunk_dedup_stats(_seq(sf)),
         "v_ks_drift": lambda sf: validation.ks_drift_stats(_seq(sf)),
+        "v_token_ngram_repetition": lambda sf: validation.token_ngram_repetition_stats(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1783,6 +1795,15 @@ ks AS (SELECT cum.source,
        GROUP BY cum.source)
 SELECT ks.source, ks.ks_num, tot.n AS n_src, (na.n_all - tot.n)::BIGINT AS n_rest
 FROM ks JOIN tot ON tot.source = ks.source CROSS JOIN na""",
+        # within-sequence 3-gram repetition: per-row list lambdas, slice
+        # strings as exact n-gram identity
+        "v_token_ngram_repetition": f"""
+SELECT doc_id,
+       greatest(coalesce(len(tokens), 0) - 2, 0)::BIGINT AS n_ngrams,
+       (CASE WHEN coalesce(len(tokens), 0) < 3 THEN 0 ELSE
+         len(list_distinct(list_transform(range(1, len(tokens) - 1),
+           i -> array_to_string(tokens[i : i + 2], ',')))) END)::BIGINT AS n_distinct_ngrams
+FROM read_parquet('{p}')""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3590,6 +3611,9 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'ks', source || '|' || CAST(n_src AS VARCHAR)"
         " || '|' || CAST(n_rest AS VARCHAR), ks_num FROM ("
         + o["v_ks_drift"] + ")"
+        "\nUNION ALL\nSELECT 'rep3', coalesce(doc_id, '<NULL>'),"
+        " n_ngrams * 4294967296 + n_distinct_ngrams FROM ("
+        + o["v_token_ngram_repetition"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -713,3 +713,51 @@ def ks_drift_stats(seq_path: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(
         pd.DataFrame(rows).astype({"ks_num": "int64", "n_src": "int64", "n_rest": "int64"})
     )
+
+
+def token_ngram_repetition_stats(seq_path: str, k: int = 3) -> "ray.data.Dataset":
+    """Within-sequence n-gram repetition (the Gopher duplicate-n-gram
+    fraction at TOKEN level): per sequence, total k-gram count and
+    DISTINCT k-gram count — (n_ngrams − n_distinct_ngrams)/n_ngrams is the
+    repetition share that flags looping generations which per-token run
+    length (degenerate_sequence_stats) misses.
+
+    Per-row op, no exchange: k-grams are k shifted views of the flattened
+    values; cross-row windows drop via one seq-index comparison; EXACT
+    distinct counts come from np.unique over a structured (seq, t0..tk−1)
+    row view — no hashing, so the SQL twin (list_distinct over slice
+    strings) can never diverge on collisions."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tri = np.zeros(n, dtype=np.int64)
+        n_dist = np.zeros(n, dtype=np.int64)
+        if len(vals) >= k:
+            seq_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            valid = seq_idx[: len(vals) - k + 1] == seq_idx[k - 1 :]
+            tri_seg = seq_idx[: len(vals) - k + 1][valid]
+            cols = [tri_seg] + [vals[j : len(vals) - k + 1 + j][valid] for j in range(k)]
+            mat = np.column_stack(cols)
+            if len(mat):
+                dt = [(f"f{i}", "<i8") for i in range(k + 1)]
+                uniq = np.unique(np.ascontiguousarray(mat).view(dt))
+                n_dist += np.bincount(uniq[f"f0"].ravel(), minlength=n)
+                n_tri += np.bincount(tri_seg, minlength=n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_id),
+                "n_ngrams": pa.array(n_tri, type=pa.int64()),
+                "n_distinct_ngrams": pa.array(n_dist, type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
+        stats, batch_format="pyarrow", batch_size=16384
+    )

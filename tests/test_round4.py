@@ -667,3 +667,33 @@ def test_ks_drift_integer_exact(tmp_path, ray_session):
     assert list(got["n_rest"]) == [2, 3]
     # A: cum_A = [2,3,3], cum_B = [0,1,2]; |cum_A*2 - cum_B*3| = [4,3,0]
     assert list(got["ks_num"]) == [4, 4]  # KS is symmetric src<->rest
+
+
+def test_token_ngram_repetition_crafted(tmp_path, ray_session):
+    """3-gram repetition pinned: [1,2,1,2,1,2,1] has 5 trigrams but only
+    2 distinct; windows never span rows; len<3 rows report zeros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_ngram_repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": pa.array(
+                [[1, 2, 1, 2, 1, 2, 1], [3, 4], [5, 6, 7]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([7, 2, 3], type=pa.int32()),
+            "source": ["s"] * 3,
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        token_ngram_repetition_stats(p)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_ngrams"]) == [5, 0, 1]
+    assert list(got["n_distinct_ngrams"]) == [2, 0, 1]
