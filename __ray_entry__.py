@@ -649,6 +649,7 @@ def _incremental_meta(sf_dir: str):
     uk = _val.rare_token_unk_stats(_seq(sf_dir), min_count=60).to_pandas()
     ks = _val.ks_drift_stats(_seq(sf_dir)).to_pandas()
     rp = _val.token_ngram_repetition_stats(_seq(sf_dir)).to_pandas()
+    cv = _val.token_coverage_curve(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -719,6 +720,16 @@ def _incremental_meta(sf_dir: str):
                     "k1": rp["doc_id"].fillna("<NULL>"),
                     "a": rp["n_ngrams"].astype("int64") * 4294967296
                     + rp["n_distinct_ngrams"].astype("int64"),
+                }
+            ),
+            # coverage curve: total rides the key, covered is the value
+            pd.DataFrame(
+                {
+                    "kind": "cover",
+                    "k1": cv["v_top"].astype("int64").astype(str)
+                    + "|"
+                    + cv["total"].astype("int64").astype(str),
+                    "a": cv["covered"].astype("int64"),
                 }
             ),
         ],
@@ -1237,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cdc_chunks": lambda sf: dedup.cdc_chunk_dedup_stats(_seq(sf)),
         "v_ks_drift": lambda sf: validation.ks_drift_stats(_seq(sf)),
         "v_token_ngram_repetition": lambda sf: validation.token_ngram_repetition_stats(_seq(sf)),
+        "v_token_coverage": lambda sf: validation.token_coverage_curve(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1804,6 +1816,17 @@ SELECT doc_id,
          len(list_distinct(list_transform(range(1, len(tokens) - 1),
            i -> array_to_string(tokens[i : i + 2], ',')))) END)::BIGINT AS n_distinct_ngrams
 FROM read_parquet('{p}')""",
+        # coverage curve: top-V by (count DESC, token ASC), cumulative
+        # occurrence coverage at each ladder point
+        "v_token_coverage": f"""
+WITH cnt AS (SELECT t, count(*)::BIGINT AS c
+             FROM (SELECT unnest(tokens) AS t FROM read_parquet('{p}')) GROUP BY t),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rn FROM cnt),
+tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS total FROM cnt)
+SELECT v.v_top::BIGINT AS v_top,
+       coalesce((SELECT sum(c) FROM rk WHERE rn <= v.v_top), 0)::BIGINT AS covered,
+       tot.total
+FROM (SELECT unnest([1, 10, 100, 1000, 10000]) AS v_top) v CROSS JOIN tot""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3614,6 +3637,9 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'rep3', coalesce(doc_id, '<NULL>'),"
         " n_ngrams * 4294967296 + n_distinct_ngrams FROM ("
         + o["v_token_ngram_repetition"] + ")"
+        "\nUNION ALL\nSELECT 'cover', CAST(v_top AS VARCHAR) || '|' ||"
+        " CAST(total AS VARCHAR), covered FROM ("
+        + o["v_token_coverage"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

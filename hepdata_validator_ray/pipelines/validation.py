@@ -761,3 +761,55 @@ def token_ngram_repetition_stats(seq_path: str, k: int = 3) -> "ray.data.Dataset
     return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
         stats, batch_format="pyarrow", batch_size=16384
     )
+
+
+def token_coverage_curve(
+    seq_path: str, ladder: tuple = (1, 10, 100, 1000, 10000)
+) -> "ray.data.Dataset":
+    """Tokenizer-fit curve: for each vocabulary size V in ``ladder``, how
+    many token OCCURRENCES the top-V tokens (by count DESC, id ASC) cover —
+    (v_top, covered, total).  The coverage elbow is how a vocab size gets
+    chosen; all integers, so the curve is oracle-exact.
+
+    One vocabulary-bounded token-histogram exchange (per-batch np.unique
+    partials → grouped sum), then the ladder is a driver-side cumsum over
+    the sorted histogram — the corpus is never rescanned per V."""
+    from ray.data.aggregate import Sum
+
+    def tok_hist(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        if not len(vals):
+            return pa.Table.from_pydict(
+                {"t": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            )
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.Table.from_pydict(
+            {"t": pa.array(uniq, type=pa.int64()), "c": pa.array(cnt, type=pa.int64())}
+        )
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["tokens"])
+        .map_batches(tok_hist, batch_format="pyarrow", batch_size=16384)
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocabulary-bounded
+        .sort_values(["c", "t"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    total = int(hist["c"].sum()) if len(hist) else 0
+    cum = np.cumsum(hist["c"].to_numpy(np.int64)) if len(hist) else np.empty(0, np.int64)
+    rows = [
+        {
+            "v_top": int(v),
+            "covered": int(cum[min(int(v), len(cum)) - 1]) if len(cum) else 0,
+            "total": total,
+        }
+        for v in ladder
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"v_top": "int64", "covered": "int64", "total": "int64"})
+    )

@@ -697,3 +697,28 @@ def test_token_ngram_repetition_crafted(tmp_path, ray_session):
     )
     assert list(got["n_ngrams"]) == [5, 0, 1]
     assert list(got["n_distinct_ngrams"]) == [2, 0, 1]
+
+
+def test_token_coverage_curve_ladder(tmp_path, ray_session):
+    """Coverage ladder pinned: counts {5:3, 7:2, 9:1} -> top-1 covers 3
+    (token 5), top-10 covers all 6; ladder points beyond the vocab clamp
+    to the full cumsum; tie-break is (count DESC, id ASC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_coverage_curve
+
+    t = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "tokens": pa.array([[5, 7, 5, 9], [5, 7]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([4, 2], type=pa.int32()),
+            "source": ["s", "s"],
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = token_coverage_curve(p, ladder=(1, 2, 10)).to_pandas()
+    assert list(got["v_top"]) == [1, 2, 10]
+    assert list(got["covered"]) == [3, 5, 6]
+    assert list(got["total"]) == [6, 6, 6]
