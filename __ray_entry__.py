@@ -281,6 +281,33 @@ def _training_meta(sf_dir: str):
     )
 
 
+def _sampling_assignment_fused(sf_dir: str):
+    """sampling_assignment's (kind, key, n) union extended with the
+    largest-remainder proportional allocation over the SEQUENCES table
+    (kind alloc, key = source|n_src, n = allocated slots)."""
+    import pandas as pd
+    import ray.data
+
+    from hepdata_validator_ray.pipelines import sampling
+
+    base = sampling.sampling_assignment(
+        f"{sf_dir}/documents.parquet",
+        mixture_x100=_MIX_X100,
+        exact_k=50,
+        exact_k_group=5,
+        leakage=True,
+    )
+    al = sampling.proportional_allocation(_seq(sf_dir), k_total=100).to_pandas()
+    rows = pd.DataFrame(
+        {
+            "kind": "alloc",
+            "key": al["source"] + "|" + al["n_src"].astype("int64").astype(str),
+            "n": al["alloc"].astype("int64"),
+        }
+    )
+    return base.union(ray.data.from_pandas(rows))
+
+
 def _dedup_exact_meta_fused(sf_dir: str):
     """exact_dedup_meta's (kind, h, n) union extended with the CDC
     chunk-dedup profile over the TOKEN table (kind cdc_n / cdc_dup,
@@ -1219,11 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sampling / splitting ---------------------------------------------
         # split counts + deterministic-sample id set + epoch-weighted
         # mixture plan fused into one union
-        "sampling_assignment": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
-        ).sampling_assignment(
-            docs(sf), mixture_x100=_MIX_X100, exact_k=50, exact_k_group=5, leakage=True
-        ),
+        "sampling_assignment": _sampling_assignment_fused,
         # --- embedding clustering / semantic dedup -----------------------------
         # integer-exact quantized k-means assignment + SemDeDup-style
         # within-cell removal as one union (kind, a, b, c)
@@ -1249,6 +1272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ks_drift": lambda sf: validation.ks_drift_stats(_seq(sf)),
         "v_token_ngram_repetition": lambda sf: validation.token_ngram_repetition_stats(_seq(sf)),
         "v_token_coverage": lambda sf: validation.token_coverage_curve(_seq(sf)),
+        "sampling_allocation": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).proportional_allocation(_seq(sf), k_total=100),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1827,6 +1853,20 @@ SELECT v.v_top::BIGINT AS v_top,
        coalesce((SELECT sum(c) FROM rk WHERE rn <= v.v_top), 0)::BIGINT AS covered,
        tot.total
 FROM (SELECT unnest([1, 10, 100, 1000, 10000]) AS v_top) v CROSS JOIN tot""",
+        # Hamilton apportionment of 100 eval slots across sources: floors
+        # plus one top-up per largest remainder ((100·n) mod N DESC,
+        # source ASC) — Σ alloc == 100 exactly
+        "sampling_allocation": f"""
+WITH tot AS (SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n
+             FROM read_parquet('{p}') GROUP BY 1),
+na AS (SELECT sum(n)::BIGINT AS nn FROM tot),
+base AS (SELECT source, n, (100 * n) // na.nn AS fl, (100 * n) % na.nn AS rem
+         FROM tot CROSS JOIN na),
+s AS (SELECT sum(fl)::BIGINT AS sfl FROM base),
+rk AS (SELECT source, n, fl, row_number() OVER (ORDER BY rem DESC, source ASC) AS r FROM base)
+SELECT rk.source, rk.n AS n_src,
+       (rk.fl + CASE WHEN rk.r <= 100 - s.sfl THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM rk CROSS JOIN s""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3616,6 +3656,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["exact_k_sample"] + ")"
         "\nUNION ALL\nSELECT 'ekg', source || '|' || CAST(doc_id AS VARCHAR), rank FROM ("
         + o["exact_k_per_group"] + ")"
+        "\nUNION ALL\nSELECT 'alloc', source || '|' || CAST(n_src AS VARCHAR), alloc FROM ("
+        + o["sampling_allocation"] + ")"
     )
     o["dedup_exact_meta"] += (
         "\nUNION ALL SELECT 'cdc_n', source, n_chunks FROM ("

@@ -520,3 +520,62 @@ def split_leakage_stats(
             Sum("n_leaky_docs", alias_name="n_leaky_docs"),
         )
     )
+
+
+def proportional_allocation(seq_path: str, k_total: int = 100) -> "ray.data.Dataset":
+    """Stratified-sample SIZING by the largest-remainder method (Hamilton
+    apportionment): allocate ``k_total`` eval slots across sources
+    proportionally to row counts — alloc = ⌊K·n_s/N⌋ plus one top-up for
+    the R = K − Σ⌊·⌋ largest remainders ((K·n_s) mod N DESC, source ASC
+    tie-break).  Output (source, n_src, alloc); Σ alloc == k_total exactly,
+    every step integer-exact.
+
+    One |sources|-bounded count exchange; the apportionment is driver
+    arithmetic on that tiny table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    tot = (
+        ray.data.read_parquet(seq_path, columns=["source"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string()))],
+                names=["source"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |sources|-bounded
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    if not len(tot):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_src": pd.Series(dtype="int64"),
+                    "alloc": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    n = tot["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    fl = (k_total * n) // total
+    rem = (k_total * n) % total
+    r = int(k_total - fl.sum())
+    # top-up the R largest remainders; ties break on source ASC (tot is
+    # already source-sorted, and argsort is stable over -rem)
+    order = np.argsort(-rem, kind="stable")
+    alloc = fl.copy()
+    alloc[order[:r]] += 1
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"source": tot["source"], "n_src": n, "alloc": alloc.astype(np.int64)}
+        )
+    )

@@ -722,3 +722,34 @@ def test_token_coverage_curve_ladder(tmp_path, ray_session):
     assert list(got["v_top"]) == [1, 2, 10]
     assert list(got["covered"]) == [3, 5, 6]
     assert list(got["total"]) == [6, 6, 6]
+
+
+def test_proportional_allocation_largest_remainder(tmp_path, ray_session):
+    """Hamilton apportionment pinned: counts (7, 2, 1), K=10 -> floors
+    (7, 2, 1) sum 10, no top-ups; counts (5, 4, 2), K=10 over N=11 ->
+    floors (4, 3, 1) + 2 top-ups by remainder (6/7/9 -> B and C? rem =
+    (10n) mod 11 = (6, 7, 9) -> C then B get +1) = (4, 4, 2); Σ == K."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import proportional_allocation
+
+    t = pa.table(
+        {
+            "doc_id": [str(i) for i in range(11)],
+            "tokens": pa.array([[0]] * 11, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * 11, type=pa.int32()),
+            "source": pa.array(["A"] * 5 + ["B"] * 4 + ["C"] * 2),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        proportional_allocation(p, k_total=10)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_src"]) == [5, 4, 2]
+    assert list(got["alloc"]) == [4, 4, 2]
+    assert int(got["alloc"].sum()) == 10
