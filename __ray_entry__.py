@@ -507,6 +507,7 @@ def _relational_meta(sf_dir: str):
         # inverted-index build: its df exchange executes eagerly during
         # (serial) construction; the final posting filter threads
         _retr.inverted_index(f"{sf_dir}/documents.parquet"),
+        _text.lang_confusion_matrix(f"{sf_dir}/documents.parquet"),
     ]
     # the full-outer-join leg runs SERIAL, before the thread pool: a native
     # hash join spawns an aggregator-actor pool, and concurrent native-join
@@ -520,7 +521,7 @@ def _relational_meta(sf_dir: str):
         f"{sf_dir}/documents.parquet", n_iters=3, k=20
     ).to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
-        hop, pr, ro, tw, qc, pidx = list(ex.map(lambda d: d.to_pandas(), plans))
+        hop, pr, ro, tw, qc, pidx, lc = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
         [
             pd.DataFrame(
@@ -602,6 +603,15 @@ def _relational_meta(sf_dir: str):
                     "a": bpe["n"].astype("int64"),
                     "b": pd.array([0] * len(bpe), dtype="int64"),
                     "c": pd.array([0] * len(bpe), dtype="Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "langconf",
+                    "gkey": lc["lang"] + "|" + lc["pred_lang"],
+                    "a": lc["n"].astype("int64"),
+                    "b": pd.array([0] * len(lc), dtype="int64"),
+                    "c": pd.array([0] * len(lc), dtype="Int64"),
                 }
             ),
         ],
@@ -1275,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampling_allocation": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).proportional_allocation(_seq(sf), k_total=100),
+        "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -3141,6 +3152,21 @@ UNION ALL SELECT 'n_dup_docs', '<all>', coalesce(sum(cnt), 0)::BIGINT FROM g WHE
         "text_langid_fp": langid_cte + f"""
 SELECT doc_id,{langid_select},{fp_select}
 FROM s""",
+        # label-quality audit: declared lang vs the SAME generated scoring
+        # exprs (per-row, no doc_id join — duplicate ids must not collapse)
+        "text_lang_confusion": r"""
+WITH w AS (
+  SELECT coalesce(lang, '<NULL>') AS lang, text,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\v]+'), x -> x <> '') AS lws
+  FROM documents
+), s AS (
+  SELECT lang, text,
+    """ + _score_exprs + f"""
+  FROM w
+)
+SELECT lang,{langid_select},
+       count(*)::BIGINT AS n
+FROM s GROUP BY 1, 2""",
         "text_langid": langid_cte + f"""
 SELECT doc_id,{langid_select}
 FROM s""",
@@ -3599,6 +3625,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'bpe', CAST(it AS VARCHAR) || '|' || left_tok"
         " || '|' || right_tok, n, 0::BIGINT, 0::BIGINT FROM ("
         + o["text_bpe_train"] + ")"
+        "\nUNION ALL\nSELECT 'langconf', lang || '|' || pred_lang, n,"
+        " 0::BIGINT, 0::BIGINT FROM (" + o["text_lang_confusion"] + ")"
     )
     o["training_meta"] += (
         "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("

@@ -1310,3 +1310,37 @@ def bpe_encode_token_counts(docs_path: str, n_merges: int = 3) -> "ray.data.Data
     return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         encode, batch_format="pandas", batch_size=4096
     )
+
+
+class LangConfusionStage(LangIdStage):
+    """Label-quality audit stage: per batch, the declared ``lang`` column
+    against the stopword-scored prediction, pre-aggregated to
+    (lang, pred_lang, n) partials — the shuffle moves ≤ |langs|² rows per
+    batch."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+        pred = self.predict_batch(df["text"])
+        out = pd.DataFrame(
+            {"lang": df["lang"].fillna("<NULL>"), "pred_lang": pred}
+        )
+        g = out.groupby(["lang", "pred_lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+
+def lang_confusion_matrix(docs_path: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """Language-label CONFUSION MATRIX — the label-quality audit a crawl
+    corpus needs before per-language sampling: counts per (declared lang,
+    predicted lang).  Off-diagonal mass flags mislabeled documents; the
+    'unknown' column flags unscorable text.  One actor-pool pass
+    (stopword tables built once per actor) with per-batch map-side
+    collapse, then a |langs|²-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ray.data.read_parquet(docs_path, columns=["lang", "text"])
+        .map_batches(
+            LangConfusionStage, batch_format="pandas", batch_size=4096, concurrency=(1, concurrency)
+        )
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

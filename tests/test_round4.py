@@ -753,3 +753,38 @@ def test_proportional_allocation_largest_remainder(tmp_path, ray_session):
     assert list(got["n_src"]) == [5, 4, 2]
     assert list(got["alloc"]) == [4, 4, 2]
     assert int(got["alloc"].sum()) == 10
+
+
+def test_lang_confusion_matrix_crafted(tmp_path, ray_session):
+    """Label audit pinned: declared lang vs stopword argmax — a German doc
+    labeled 'en' lands in the (en, de) off-diagonal cell; NULL lang groups
+    under '<NULL>'; NULL/unscorable text predicts 'unknown'."""
+    from hepdata_validator_ray.pipelines.text import lang_confusion_matrix
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the and of with",      # en
+                "der die das und ist",  # de, but labeled en
+                None,                    # unknown
+                "xyzzy qwerty",          # no stopwords -> unknown
+            ],
+            "lang": ["en", "en", None, "fr"],
+            "source": ["s"] * 4,
+            "n_chars": [10, 10, 0, 10],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = (
+        lang_confusion_matrix(p)
+        .to_pandas()
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    cells = {(l, pr): n for l, pr, n in got.itertuples(index=False)}
+    assert cells[("en", "en")] == 1
+    assert cells[("en", "de")] == 1
+    assert cells[("<NULL>", "unknown")] == 1
+    assert cells[("fr", "unknown")] == 1
