@@ -687,6 +687,7 @@ def _incremental_meta(sf_dir: str):
     ks = _val.ks_drift_stats(_seq(sf_dir)).to_pandas()
     rp = _val.token_ngram_repetition_stats(_seq(sf_dir)).to_pandas()
     cv = _val.token_coverage_curve(_seq(sf_dir)).to_pandas()
+    ic = _val.id_source_consistency(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -767,6 +768,15 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + cv["total"].astype("int64").astype(str),
                     "a": cv["covered"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "idsrc",
+                    "k1": ic["source"]
+                    + "|"
+                    + ic["n_rows"].astype("int64").astype(str),
+                    "a": ic["n_mismatch"].astype("int64"),
                 }
             ),
         ],
@@ -1286,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).proportional_allocation(_seq(sf), k_total=100),
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
+        "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1878,6 +1889,13 @@ rk AS (SELECT source, n, fl, row_number() OVER (ORDER BY rem DESC, source ASC) A
 SELECT rk.source, rk.n AS n_src,
        (rk.fl + CASE WHEN rk.r <= 100 - s.sfl THEN 1 ELSE 0 END)::BIGINT AS alloc
 FROM rk CROSS JOIN s""",
+        # cross-field consistency: doc_id's embedded source segment must
+        # equal the source column (NULL-safe; NULL doc_id always mismatches)
+        "v_id_source_consistency": f"""
+SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE doc_id IS NULL
+         OR string_split(doc_id, '-')[2] IS DISTINCT FROM source)::BIGINT AS n_mismatch
+FROM read_parquet('{p}') GROUP BY 1""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3710,6 +3728,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'cover', CAST(v_top AS VARCHAR) || '|' ||"
         " CAST(total AS VARCHAR), covered FROM ("
         + o["v_token_coverage"] + ")"
+        "\nUNION ALL\nSELECT 'idsrc', source || '|' || CAST(n_rows AS VARCHAR),"
+        " n_mismatch FROM (" + o["v_id_source_consistency"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

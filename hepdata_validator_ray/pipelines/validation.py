@@ -813,3 +813,33 @@ def token_coverage_curve(
     return ray.data.from_pandas(
         pd.DataFrame(rows).astype({"v_top": "int64", "covered": "int64", "total": "int64"})
     )
+
+
+def id_source_consistency(seq_path: str) -> "ray.data.Dataset":
+    """Cross-FIELD consistency check (the referential cousin of the format
+    checks): the doc_id convention embeds the source (``doc-<source>-N``),
+    so its middle segment must equal the row's source column.  Output per
+    source: (source, n_rows, n_mismatch) — mismatch = NULL doc_id or a
+    segment that differs (NULL-safe comparison).  One vectorized pandas
+    pass with map-side collapse into a |sources|-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"]
+        seg = df["doc_id"].str.split("-").str[1]
+        # NULL-safe inequality: mismatch when exactly one side is null or
+        # both non-null and different; matching nulls are consistent
+        bad = (seg.isna() != src.isna()) | (seg.notna() & src.notna() & (seg != src))
+        bad |= df["doc_id"].isna()
+        out = pd.DataFrame({"source": src.fillna("<NULL>"), "bad": bad.astype(np.int64)})
+        g = out.groupby("source", as_index=False).agg(
+            n_rows=("bad", "size"), n_mismatch=("bad", "sum")
+        )
+        return g.astype({"n_rows": "int64", "n_mismatch": "int64"})
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["doc_id", "source"])
+        .map_batches(score, batch_format="pandas", batch_size=16384)
+        .groupby("source")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_mismatch", alias_name="n_mismatch"))
+    )

@@ -788,3 +788,36 @@ def test_lang_confusion_matrix_crafted(tmp_path, ray_session):
     assert cells[("en", "de")] == 1
     assert cells[("<NULL>", "unknown")] == 1
     assert cells[("fr", "unknown")] == 1
+
+
+def test_id_source_consistency_null_safety(tmp_path, ray_session):
+    """Cross-field check pinned: embedded segment != source is a mismatch,
+    matching NULLs are consistent, NULL doc_id always mismatches, a
+    dash-less doc_id vs non-null source mismatches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import id_source_consistency
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                ["doc-wiki-1", "doc-news-2", None, "nodash", "doc-web-5"]
+            ),
+            "tokens": pa.array([[0]] * 5, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * 5, type=pa.int32()),
+            "source": pa.array(["wiki", "wiki", "wiki", "web", None]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        id_source_consistency(p)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    cells = {s: (r, m) for s, r, m in got.itertuples(index=False)}
+    assert cells["wiki"] == (3, 2)   # news-segment + NULL doc_id mismatch
+    assert cells["web"] == (1, 1)    # dash-less segment is NULL vs 'web'
+    assert cells["<NULL>"] == (1, 1) # 'web' segment vs NULL source
