@@ -688,6 +688,7 @@ def _incremental_meta(sf_dir: str):
     rp = _val.token_ngram_repetition_stats(_seq(sf_dir)).to_pandas()
     cv = _val.token_coverage_curve(_seq(sf_dir)).to_pandas()
     ic = _val.id_source_consistency(_seq(sf_dir)).to_pandas()
+    pl = _val.parquet_layout_audit(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -777,6 +778,19 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + ic["n_rows"].astype("int64").astype(str),
                     "a": ic["n_mismatch"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "playout",
+                    "k1": pl["file"]
+                    + "|"
+                    + pl["n_row_groups"].astype("int64").astype(str)
+                    + "|"
+                    + pl["min_rg_rows"].astype("int64").astype(str)
+                    + "|"
+                    + pl["max_rg_rows"].astype("int64").astype(str),
+                    "a": pl["n_rows"].astype("int64"),
                 }
             ),
         ],
@@ -1297,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).proportional_allocation(_seq(sf), k_total=100),
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
+        "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1896,6 +1911,17 @@ SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_rows,
        count(*) FILTER (WHERE doc_id IS NULL
          OR string_split(doc_id, '-')[2] IS DISTINCT FROM source)::BIGINT AS n_mismatch
 FROM read_parquet('{p}') GROUP BY 1""",
+        # physical-layout audit straight from parquet footers (DuckDB's
+        # parquet_metadata is per row-group per column — dedupe first)
+        "v_parquet_layout": f"""
+WITH rg AS (SELECT DISTINCT regexp_extract(file_name, '[^/]+$') AS file,
+                   row_group_id, row_group_num_rows
+            FROM parquet_metadata('{p}'))
+SELECT file, count(*)::BIGINT AS n_row_groups,
+       sum(row_group_num_rows)::BIGINT AS n_rows,
+       min(row_group_num_rows)::BIGINT AS min_rg_rows,
+       max(row_group_num_rows)::BIGINT AS max_rg_rows
+FROM rg GROUP BY file""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3730,6 +3756,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["v_token_coverage"] + ")"
         "\nUNION ALL\nSELECT 'idsrc', source || '|' || CAST(n_rows AS VARCHAR),"
         " n_mismatch FROM (" + o["v_id_source_consistency"] + ")"
+        "\nUNION ALL\nSELECT 'playout', file || '|' || CAST(n_row_groups AS VARCHAR)"
+        " || '|' || CAST(min_rg_rows AS VARCHAR) || '|' || CAST(max_rg_rows AS VARCHAR),"
+        " n_rows FROM (" + o["v_parquet_layout"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -843,3 +843,45 @@ def id_source_consistency(seq_path: str) -> "ray.data.Dataset":
         .groupby("source")
         .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_mismatch", alias_name="n_mismatch"))
     )
+
+
+def parquet_layout_audit(seq_path: str) -> "ray.data.Dataset":
+    """Physical-LAYOUT audit from parquet FOOTERS only (no data scan): per
+    file, (file, n_row_groups, n_rows, min_rg_rows, max_rg_rows).  Tiny
+    row groups destroy scan throughput and huge ones defeat row-group
+    pruning — at 100 TB this audit is the difference between a read plan
+    that prunes and one that can't, and it costs one footer read per file,
+    parallelized as a Dataset over the file list (a task per path batch),
+    never touching a data page."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(seq_path):
+        files = sorted(
+            os.path.join(seq_path, f) for f in os.listdir(seq_path) if f.endswith(".parquet")
+        )
+    else:
+        files = [seq_path]
+
+    def footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in batch["path"]:
+            md = pq.ParquetFile(path).metadata
+            sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            rows.append(
+                {
+                    "file": os.path.basename(path),
+                    "n_row_groups": md.num_row_groups,
+                    "n_rows": int(sum(sizes)),
+                    "min_rg_rows": int(min(sizes)) if sizes else 0,
+                    "max_rg_rows": int(max(sizes)) if sizes else 0,
+                }
+            )
+        return pd.DataFrame(rows).astype(
+            {c: "int64" for c in ("n_row_groups", "n_rows", "min_rg_rows", "max_rg_rows")}
+        )
+
+    return ray.data.from_items([{"path": f} for f in files]).map_batches(
+        footer_stats, batch_format="pandas", batch_size=64
+    )

@@ -821,3 +821,22 @@ def test_id_source_consistency_null_safety(tmp_path, ray_session):
     assert cells["wiki"] == (3, 2)   # news-segment + NULL doc_id mismatch
     assert cells["web"] == (1, 1)    # dash-less segment is NULL vs 'web'
     assert cells["<NULL>"] == (1, 1) # 'web' segment vs NULL source
+
+
+def test_parquet_layout_audit_multi_row_group(tmp_path, ray_session):
+    """Footer audit pinned: a file written with row_group_size=2 over 5
+    rows reports 3 groups (2,2,1) — min 1, max 2 — without reading data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import parquet_layout_audit
+
+    t = pa.table({"doc_id": [str(i) for i in range(5)], "n_tok": list(range(5))})
+    p = tmp_path / "f.parquet"
+    pq.write_table(t, str(p), row_group_size=2)
+    got = parquet_layout_audit(str(tmp_path)).to_pandas()
+    assert list(got["file"]) == ["f.parquet"]
+    assert list(got["n_row_groups"]) == [3]
+    assert list(got["n_rows"]) == [5]
+    assert list(got["min_rg_rows"]) == [1]
+    assert list(got["max_rg_rows"]) == [2]
