@@ -689,6 +689,7 @@ def _incremental_meta(sf_dir: str):
     cv = _val.token_coverage_curve(_seq(sf_dir)).to_pandas()
     ic = _val.id_source_consistency(_seq(sf_dir)).to_pandas()
     pl = _val.parquet_layout_audit(_seq(sf_dir)).to_pandas()
+    tm = _val.trimmed_sum_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -791,6 +792,17 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + pl["max_rg_rows"].astype("int64").astype(str),
                     "a": pl["n_rows"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "trim",
+                    "k1": tm["source"]
+                    + "|"
+                    + tm["n"].astype("int64").astype(str)
+                    + "|"
+                    + tm["n_kept"].astype("int64").astype(str),
+                    "a": tm["sum_kept"].astype("int64"),
                 }
             ),
         ],
@@ -1312,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
+        "v_trimmed_stats": lambda sf: validation.trimmed_sum_stats(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1922,6 +1935,19 @@ SELECT file, count(*)::BIGINT AS n_row_groups,
        min(row_group_num_rows)::BIGINT AS min_rg_rows,
        max(row_group_num_rows)::BIGINT AS max_rg_rows
 FROM rg GROUP BY file""",
+        # 5%-trimmed per-source sum: rank range [k, n−k) over (v, arbitrary
+        # tie order) — tied values are interchangeable so both engines agree
+        "v_trimmed_stats": f"""
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}')),
+r AS (SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) - 1 AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d)
+SELECT source, max(n)::BIGINT AS n,
+       count(*) FILTER (WHERE rn >= (n * 5) // 100 AND rn < n - (n * 5) // 100)::BIGINT AS n_kept,
+       coalesce(sum(v) FILTER (WHERE rn >= (n * 5) // 100 AND rn < n - (n * 5) // 100), 0)::BIGINT AS sum_kept
+FROM r GROUP BY source""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3759,6 +3785,9 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'playout', file || '|' || CAST(n_row_groups AS VARCHAR)"
         " || '|' || CAST(min_rg_rows AS VARCHAR) || '|' || CAST(max_rg_rows AS VARCHAR),"
         " n_rows FROM (" + o["v_parquet_layout"] + ")"
+        "\nUNION ALL\nSELECT 'trim', source || '|' || CAST(n AS VARCHAR)"
+        " || '|' || CAST(n_kept AS VARCHAR), sum_kept FROM ("
+        + o["v_trimmed_stats"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

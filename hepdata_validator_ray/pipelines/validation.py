@@ -885,3 +885,60 @@ def parquet_layout_audit(seq_path: str) -> "ray.data.Dataset":
     return ray.data.from_items([{"path": f} for f in files]).map_batches(
         footer_stats, batch_format="pandas", batch_size=64
     )
+
+
+def trimmed_sum_stats(seq_path: str, trim_pct: int = 5) -> "ray.data.Dataset":
+    """Robust per-source location statistic, integer-exact: drop the
+    lowest and highest ⌊n·trim_pct/100⌋ n_tok values per source and report
+    (source, n, n_kept, sum_kept) — the trimmed mean is sum_kept/n_kept,
+    left rational so the gate never sees a float.  Equal values are
+    interchangeable, so which tied rows fall to the trim is value-
+    irrelevant and both engines agree without a tie-break.
+
+    Same scale shape as the padding audit: ONE |sources|×|length-domain|
+    histogram exchange, then the trimmed range [k, n−k) is summed over
+    histogram runs in O(runs) driver arithmetic — no sort, no row-scale
+    shuffle at any corpus size."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(t["n_tok"], pa.int64()),
+                ],
+                names=["source", "v"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "v"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # bounded by |sources| x |length domain|
+    )
+    rows = []
+    for src, grp in hist.groupby("source", sort=True):
+        grp = grp.sort_values("v")
+        v = grp["v"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        hi = np.cumsum(c)
+        lo = hi - c
+        n = int(hi[-1])
+        k = (n * trim_pct) // 100
+        a, b = k, n - k  # kept rank range [a, b)
+        overlap = np.clip(np.minimum(hi, b) - np.maximum(lo, a), 0, None)
+        rows.append(
+            {
+                "source": src,
+                "n": n,
+                "n_kept": int(overlap.sum()),
+                "sum_kept": int(np.sum(v * overlap)),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["source", "n", "n_kept", "sum_kept"])
+    return ray.data.from_pandas(
+        out.astype({"n": "int64", "n_kept": "int64", "sum_kept": "int64"})
+        if len(out)
+        else out
+    )

@@ -840,3 +840,37 @@ def test_parquet_layout_audit_multi_row_group(tmp_path, ray_session):
     assert list(got["n_rows"]) == [5]
     assert list(got["min_rg_rows"]) == [1]
     assert list(got["max_rg_rows"]) == [2]
+
+
+def test_trimmed_sum_histogram_closed_form(tmp_path, ray_session):
+    """Trim semantics pinned: n=10 values [1..10], 10% trim -> k=1, keep
+    ranks [1, 9) = values 2..9, sum 44; a tie-heavy source trims tied
+    values identically regardless of order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import trimmed_sum_stats
+
+    vals_a = list(range(1, 11))          # 1..10
+    vals_b = [5, 5, 5, 5, 5, 9, 9, 9]    # ties across the cut
+    t = pa.table(
+        {
+            "doc_id": [str(i) for i in range(len(vals_a) + len(vals_b))],
+            "tokens": pa.array([[0]] * (len(vals_a) + len(vals_b)), type=pa.list_(pa.int32())),
+            "n_tok": pa.array(vals_a + vals_b, type=pa.int32()),
+            "source": pa.array(["A"] * len(vals_a) + ["B"] * len(vals_b)),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        trimmed_sum_stats(p, trim_pct=10)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    a = got[got.source == "A"].iloc[0]
+    assert (a["n"], a["n_kept"], a["sum_kept"]) == (10, 8, 44)
+    # B: n=8, k=0 (8*10//100=0) -> everything kept
+    b = got[got.source == "B"].iloc[0]
+    assert (b["n"], b["n_kept"], b["sum_kept"]) == (8, 8, 52)
