@@ -1948,6 +1948,13 @@ SELECT source, max(n)::BIGINT AS n,
        count(*) FILTER (WHERE rn >= (n * 5) // 100 AND rn < n - (n * 5) // 100)::BIGINT AS n_kept,
        coalesce(sum(v) FILTER (WHERE rn >= (n * 5) // 100 AND rn < n - (n * 5) // 100), 0)::BIGINT AS sum_kept
 FROM r GROUP BY source""",
+        # deterministic global shuffle order, md5-parity path: the exact
+        # (hash64, key) ordering as one window; duplicate keys get the two
+        # adjacent ranks in both engines (identical rows either way)
+        "shuffle_ranks": """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id) - 1)::BIGINT AS shuffle_rank
+FROM documents""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
