@@ -298,12 +298,21 @@ def _sampling_assignment_fused(sf_dir: str):
         leakage=True,
     )
     al = sampling.proportional_allocation(_seq(sf_dir), k_total=100).to_pandas()
-    rows = pd.DataFrame(
-        {
-            "kind": "alloc",
-            "key": al["source"] + "|" + al["n_src"].astype("int64").astype(str),
-            "n": al["alloc"].astype("int64"),
-        }
+    sa = sampling.shuffle_adjacency_audit(f"{sf_dir}/documents.parquet").to_pandas()
+    rows = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "kind": "alloc",
+                    "key": al["source"] + "|" + al["n_src"].astype("int64").astype(str),
+                    "n": al["alloc"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {"kind": "shadj", "key": sa["source"], "n": sa["n_adj"].astype("int64")}
+            ),
+        ],
+        ignore_index=True,
     )
     return base.union(ray.data.from_pandas(rows))
 
@@ -1325,6 +1334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
         "v_trimmed_stats": lambda sf: validation.trimmed_sum_stats(_seq(sf)),
+        "shuffle_adjacency": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).shuffle_adjacency_audit(docs(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1955,6 +1967,16 @@ FROM r GROUP BY source""",
 SELECT doc_id,
        (row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, doc_id) - 1)::BIGINT AS shuffle_rank
 FROM documents""",
+        # shuffle-quality audit: same-source adjacency in the shuffle order
+        # (full (h, key, source) tie-break on both engines)
+        "shuffle_adjacency": """
+WITH r AS (SELECT coalesce(source, '<NULL>') AS source,
+       row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                          doc_id, coalesce(source, '<NULL>')) AS rn
+  FROM documents),
+p AS (SELECT source, lag(source) OVER (ORDER BY rn) AS prev FROM r)
+SELECT source, count(*) FILTER (WHERE prev = source)::BIGINT AS n_adj
+FROM p GROUP BY source""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3763,6 +3785,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["exact_k_per_group"] + ")"
         "\nUNION ALL\nSELECT 'alloc', source || '|' || CAST(n_src AS VARCHAR), alloc FROM ("
         + o["sampling_allocation"] + ")"
+        "\nUNION ALL\nSELECT 'shadj', source, n_adj FROM ("
+        + o["shuffle_adjacency"] + ")"
     )
     o["dedup_exact_meta"] += (
         "\nUNION ALL SELECT 'cdc_n', source, n_chunks FROM ("

@@ -579,3 +579,99 @@ def proportional_allocation(seq_path: str, k_total: int = 100) -> "ray.data.Data
             {"source": tot["source"], "n_src": n, "alloc": alloc.astype(np.int64)}
         )
     )
+
+
+def shuffle_adjacency_audit(
+    docs_path: str, key: str = "doc_id", key_fn: str = "md5", num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Shuffle-QUALITY audit: in the deterministic global shuffle order
+    (hash64(key), key, source — the training order), how many consecutive
+    pairs share a source?  Excess same-source adjacency means the shuffle
+    isn't mixing (bad for SGD); output (source, n_adj) counts pairs whose
+    BOTH members belong to that source, zero rows included.
+
+    No global sort: the hash's top bits form order-preserving range
+    buckets (every h in bucket k < every h in bucket k+1), so adjacency is
+    in-bucket-local except at bucket seams; each bucket reports its
+    per-source counts plus its first/last source, and the driver stitches
+    the ≤ nb seams in bucket order.  The full tie-break (h, key, source)
+    makes the order — and therefore the counts — engine-independent even
+    for duplicate keys with differing sources."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets
+
+    ds = ray.data.read_parquet(docs_path, columns=[key, "source"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=500_000, lo=8
+    )
+    bits = max(1, (nb - 1).bit_length())
+    nb = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash64(df[key].to_numpy(), key_fn=key_fn)
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy(),
+                "source": df["source"].fillna("<NULL>"),
+                "h": h,
+                BUCKET_COL: (h >> shift).astype(np.int64),
+            }
+        )
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df[BUCKET_COL].iloc[0])
+        df = df.sort_values(["h", key, "source"], kind="mergesort")
+        src = df["source"].to_numpy(dtype=object)
+        same = src[1:] == src[:-1]
+        u, c = (
+            np.unique(src[:-1][same], return_counts=True)
+            if same.any()
+            else (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        )
+        out = pd.DataFrame(
+            {"kind": "adj", "source": u, "n": c.astype(np.int64), "bucket": b}
+        )
+        edge = pd.DataFrame(
+            {
+                "kind": ["first", "last"],
+                "source": [src[0], src[-1]],
+                "n": [0, 0],
+                "bucket": [b, b],
+            }
+        )
+        seen_src = np.unique(src)  # the bucket's source universe (zero rows)
+        seen = pd.DataFrame(
+            {"kind": "seen", "source": seen_src, "n": 0, "bucket": b}
+        )
+        return pd.concat([out, edge, seen], ignore_index=True)
+
+    parts = (
+        ray.data.read_parquet(docs_path, columns=[key, "source"])
+        .map_batches(hashed, batch_format="pandas", batch_size=8192)
+        .groupby(BUCKET_COL)
+        .map_groups(in_bucket, batch_format="pandas")
+        .to_pandas()  # <= nb x (|sources| + 2) rows — bounded
+    )
+    adj = (
+        parts[parts["kind"] == "adj"].groupby("source")["n"].sum().astype(np.int64)
+        if len(parts)
+        else pd.Series(dtype=np.int64)
+    )
+    counts = dict(adj)
+    # stitch seams between consecutive NON-EMPTY buckets in bucket order
+    firsts = parts[parts["kind"] == "first"].set_index("bucket")["source"].sort_index()
+    lasts = parts[parts["kind"] == "last"].set_index("bucket")["source"].sort_index()
+    order = sorted(firsts.index)
+    for b1, b2 in zip(order, order[1:]):
+        if lasts[b1] == firsts[b2]:
+            counts[lasts[b1]] = counts.get(lasts[b1], 0) + 1
+    # zero rows for every source present in the corpus
+    all_src = sorted(set(parts["source"])) if len(parts) else []
+    out = pd.DataFrame(
+        {"source": all_src, "n_adj": [int(counts.get(s, 0)) for s in all_src]}
+    )
+    return ray.data.from_pandas(
+        out.astype({"n_adj": "int64"})
+        if len(out)
+        else pd.DataFrame({"source": pd.Series(dtype="object"), "n_adj": pd.Series(dtype="int64")})
+    )

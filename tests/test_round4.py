@@ -874,3 +874,37 @@ def test_trimmed_sum_histogram_closed_form(tmp_path, ray_session):
     # B: n=8, k=0 (8*10//100=0) -> everything kept
     b = got[got.source == "B"].iloc[0]
     assert (b["n"], b["n_kept"], b["sum_kept"]) == (8, 8, 52)
+
+
+def test_shuffle_adjacency_seam_stitching(tmp_path, ray_session):
+    """Adjacency counts are bucket-count invariant (seams stitched across
+    order-preserving range buckets) and match a brute-force reordering."""
+    import hashlib
+
+    from hepdata_validator_ray.pipelines.sampling import shuffle_adjacency_audit
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": ["x"] * n,
+            "source": [f"s{i % 3}" for i in range(n)],
+            "lang": ["en"] * n,
+            "n_chars": [1] * n,
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    # brute force: order by (md5 hash64, doc_id, source), count same-source
+    order = sorted(
+        zip(df["doc_id"], df["source"]),
+        key=lambda t: (int(hashlib.md5(str(t[0]).encode()).hexdigest()[:16], 16), t[0], t[1]),
+    )
+    want: dict = {}
+    for (_, a), (_, b) in zip(order, order[1:]):
+        if a == b:
+            want[a] = want.get(a, 0) + 1
+    for nb in (2, 16):
+        got = shuffle_adjacency_audit(p, num_buckets=nb).to_pandas()
+        cells = dict(zip(got["source"], got["n_adj"]))
+        assert cells == {s: want.get(s, 0) for s in ("s0", "s1", "s2")}
