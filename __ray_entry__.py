@@ -799,7 +799,11 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + pl["min_rg_rows"].astype("int64").astype(str)
                     + "|"
-                    + pl["max_rg_rows"].astype("int64").astype(str),
+                    + pl["max_rg_rows"].astype("int64").astype(str)
+                    + "|"
+                    + pl["compressed_bytes"].astype("int64").astype(str)
+                    + "|"
+                    + pl["uncompressed_bytes"].astype("int64").astype(str),
                     "a": pl["n_rows"].astype("int64"),
                 }
             ),
@@ -1939,14 +1943,20 @@ FROM read_parquet('{p}') GROUP BY 1""",
         # physical-layout audit straight from parquet footers (DuckDB's
         # parquet_metadata is per row-group per column — dedupe first)
         "v_parquet_layout": f"""
-WITH rg AS (SELECT DISTINCT regexp_extract(file_name, '[^/]+$') AS file,
-                   row_group_id, row_group_num_rows
-            FROM parquet_metadata('{p}'))
-SELECT file, count(*)::BIGINT AS n_row_groups,
-       sum(row_group_num_rows)::BIGINT AS n_rows,
-       min(row_group_num_rows)::BIGINT AS min_rg_rows,
-       max(row_group_num_rows)::BIGINT AS max_rg_rows
-FROM rg GROUP BY file""",
+WITH m AS (SELECT regexp_extract(file_name, '[^/]+$') AS file, row_group_id,
+                  row_group_num_rows, total_compressed_size, total_uncompressed_size
+           FROM parquet_metadata('{p}')),
+rg AS (SELECT DISTINCT file, row_group_id, row_group_num_rows FROM m),
+agg AS (SELECT file, count(*)::BIGINT AS n_row_groups,
+               sum(row_group_num_rows)::BIGINT AS n_rows,
+               min(row_group_num_rows)::BIGINT AS min_rg_rows,
+               max(row_group_num_rows)::BIGINT AS max_rg_rows
+        FROM rg GROUP BY file),
+by AS (SELECT file, sum(total_compressed_size)::BIGINT AS compressed_bytes,
+              sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes
+       FROM m GROUP BY file)
+SELECT agg.*, by.compressed_bytes, by.uncompressed_bytes
+FROM agg JOIN by USING (file)""",
         # 5%-trimmed per-source sum: rank range [k, n−k) over (v, arbitrary
         # tie order) — tied values are interchangeable so both engines agree
         "v_trimmed_stats": f"""
@@ -3814,7 +3824,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'idsrc', source || '|' || CAST(n_rows AS VARCHAR),"
         " n_mismatch FROM (" + o["v_id_source_consistency"] + ")"
         "\nUNION ALL\nSELECT 'playout', file || '|' || CAST(n_row_groups AS VARCHAR)"
-        " || '|' || CAST(min_rg_rows AS VARCHAR) || '|' || CAST(max_rg_rows AS VARCHAR),"
+        " || '|' || CAST(min_rg_rows AS VARCHAR) || '|' || CAST(max_rg_rows AS VARCHAR)"
+        " || '|' || CAST(compressed_bytes AS VARCHAR) || '|' || CAST(uncompressed_bytes AS VARCHAR),"
         " n_rows FROM (" + o["v_parquet_layout"] + ")"
         "\nUNION ALL\nSELECT 'trim', source || '|' || CAST(n AS VARCHAR)"
         " || '|' || CAST(n_kept AS VARCHAR), sum_kept FROM ("

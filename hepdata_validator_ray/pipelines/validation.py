@@ -869,6 +869,13 @@ def parquet_layout_audit(seq_path: str) -> "ray.data.Dataset":
         for path in batch["path"]:
             md = pq.ParquetFile(path).metadata
             sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+            comp = uncomp = 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    col = rg.column(j)
+                    comp += col.total_compressed_size
+                    uncomp += col.total_uncompressed_size
             rows.append(
                 {
                     "file": os.path.basename(path),
@@ -876,10 +883,22 @@ def parquet_layout_audit(seq_path: str) -> "ray.data.Dataset":
                     "n_rows": int(sum(sizes)),
                     "min_rg_rows": int(min(sizes)) if sizes else 0,
                     "max_rg_rows": int(max(sizes)) if sizes else 0,
+                    "compressed_bytes": int(comp),
+                    "uncompressed_bytes": int(uncomp),
                 }
             )
         return pd.DataFrame(rows).astype(
-            {c: "int64" for c in ("n_row_groups", "n_rows", "min_rg_rows", "max_rg_rows")}
+            {
+                c: "int64"
+                for c in (
+                    "n_row_groups",
+                    "n_rows",
+                    "min_rg_rows",
+                    "max_rg_rows",
+                    "compressed_bytes",
+                    "uncompressed_bytes",
+                )
+            }
         )
 
     return ray.data.from_items([{"path": f} for f in files]).map_batches(
