@@ -268,6 +268,31 @@ def pipeline_validate_full_big(sf_dir: str) -> int:
     return res.n_rows
 
 
+def pipeline_token_qc(sf_dir: str) -> int:
+    """The token-table QC suite as one number: degenerate-sequence stats,
+    3-gram repetition, rare-token UNK audit, KS drift and the coverage
+    curve, executed concurrently over the synthetic sequences table."""
+    from hepdata_validator_ray.pipelines.validation import (
+        degenerate_sequence_stats,
+        ks_drift_stats,
+        rare_token_unk_stats,
+        token_coverage_curve,
+        token_ngram_repetition_stats,
+    )
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(sf_dir)
+    return _consume_concurrent(
+        [
+            lambda: degenerate_sequence_stats(p),
+            lambda: token_ngram_repetition_stats(p),
+            lambda: rare_token_unk_stats(p, min_count=60),
+            lambda: ks_drift_stats(p),
+            lambda: token_coverage_curve(p),
+        ]
+    )
+
+
 def pipeline_bpe_train(sf_dir: str) -> int:
     """BPE tokenizer training, 3 iterations: one corpus collapse to the
     distinct (word, count) table, then three histogram-exchange rounds
@@ -299,6 +324,7 @@ PIPELINES = {
     "pagerank": pipeline_pagerank,
     "curation": pipeline_curation,
     "bpe_train": pipeline_bpe_train,
+    "token_qc": pipeline_token_qc,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -324,6 +350,7 @@ BAND_TYP_HI = {
     "pagerank": 10.0,
     "curation": 4.0,
     "bpe_train": 3.0,
+    "token_qc": 35.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

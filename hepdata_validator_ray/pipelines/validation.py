@@ -612,27 +612,26 @@ def rare_token_unk_stats(seq_path: str, min_count: int = 5) -> "ray.data.Dataset
     rare = np.sort(hist.loc[hist["c"] < min_count, "t"].to_numpy(np.int64))
     rare_ref = ray.put(rare)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: pa.Table) -> pd.DataFrame:
+        # zero-copy Arrow offsets/values — no Python-object list traversal
         r = ray.get(rare_ref)
-        src = df["source"].fillna("<NULL>")
-        toks = df["tokens"]
-        lens = toks.map(lambda x: 0 if x is None else len(x)).to_numpy(np.int64)
-        flat = (
-            np.concatenate([np.asarray(x, dtype=np.int64) for x in toks if x is not None and len(x)])
-            if lens.sum()
-            else np.empty(0, dtype=np.int64)
-        )
-        is_unk = np.isin(flat, r) if len(flat) else np.empty(0, dtype=bool)
-        seq_idx = np.repeat(np.arange(len(df)), lens)
-        unk_per_row = np.zeros(len(df), dtype=np.int64)
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        src = t.column("source").to_pandas().fillna("<NULL>")
+        is_unk = np.isin(vals, r) if len(vals) else np.empty(0, dtype=bool)
+        seq_idx = np.repeat(np.arange(len(lens)), lens)
+        unk_per_row = np.zeros(len(lens), dtype=np.int64)
         np.add.at(unk_per_row, seq_idx[is_unk], 1)  # integer-exact
-        out = pd.DataFrame({"source": src, "n_tok": lens, "n_unk": unk_per_row})
-        g = out.groupby("source", as_index=False, sort=False).sum()
-        return g
+        out = pd.DataFrame({"source": src, "n_tok": lens.astype(np.int64), "n_unk": unk_per_row})
+        return out.groupby("source", as_index=False, sort=False).sum()
 
     per_src = (
         ray.data.read_parquet(seq_path, columns=["source", "tokens"])
-        .map_batches(score, batch_format="pandas", batch_size=8192)
+        .map_batches(score, batch_format="pyarrow", batch_size=8192)
         .groupby("source")
         .aggregate(Sum("n_tok", alias_name="n_tok"), Sum("n_unk", alias_name="n_unk"))
         .to_pandas()  # |sources|-bounded
