@@ -699,6 +699,7 @@ def _incremental_meta(sf_dir: str):
     ic = _val.id_source_consistency(_seq(sf_dir)).to_pandas()
     pl = _val.parquet_layout_audit(_seq(sf_dir)).to_pandas()
     tm = _val.trimmed_sum_stats(_seq(sf_dir)).to_pandas()
+    vg = _val.vocab_growth_curve(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -816,6 +817,13 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + tm["n_kept"].astype("int64").astype(str),
                     "a": tm["sum_kept"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "vocab",
+                    "k1": vg["k_pos"].astype("int64").astype(str),
+                    "a": vg["n_distinct_seen"].astype("int64"),
                 }
             ),
         ],
@@ -1341,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_adjacency": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).shuffle_adjacency_audit(docs(sf)),
+        "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -1987,6 +1996,21 @@ WITH r AS (SELECT coalesce(source, '<NULL>') AS source,
 p AS (SELECT source, lag(source) OVER (ORDER BY rn) AS prev FROM r)
 SELECT source, count(*) FILTER (WHERE prev = source)::BIGINT AS n_adj
 FROM p GROUP BY source""",
+        # Heaps'-law vocabulary growth in the deterministic shuffle order:
+        # first global position per token (ACTUAL list lengths, coalesced
+        # NULL-id hashing, (h, id, len) tie-break), counted at a K ladder
+        "v_vocab_growth": f"""
+WITH r AS (SELECT coalesce(doc_id, '<NULL>') AS did, tokens, coalesce(len(tokens), 0) AS tl,
+       ('0x' || substr(md5(coalesce(doc_id, '<NULL>')), 1, 16))::UBIGINT AS h
+  FROM read_parquet('{p}')),
+o AS (SELECT did, tokens, tl,
+       coalesce(sum(tl) OVER (ORDER BY h, did, tl ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM r),
+t AS (SELECT off + generate_subscripts(tokens, 1) - 1 AS pos, unnest(tokens) AS tok FROM o),
+f AS (SELECT tok, min(pos)::BIGINT AS fp FROM t GROUP BY tok)
+SELECT k.k_pos::BIGINT AS k_pos,
+  (SELECT count(*) FROM f WHERE fp < k.k_pos)::BIGINT AS n_distinct_seen
+FROM (SELECT unnest([1000, 10000, 100000, 1000000]) AS k_pos) k""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3830,6 +3854,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'trim', source || '|' || CAST(n AS VARCHAR)"
         " || '|' || CAST(n_kept AS VARCHAR), sum_kept FROM ("
         + o["v_trimmed_stats"] + ")"
+        "\nUNION ALL\nSELECT 'vocab', CAST(k_pos AS VARCHAR), n_distinct_seen FROM ("
+        + o["v_vocab_growth"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

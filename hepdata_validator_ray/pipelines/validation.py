@@ -960,3 +960,118 @@ def trimmed_sum_stats(seq_path: str, trim_pct: int = 5) -> "ray.data.Dataset":
         if len(out)
         else out
     )
+
+
+def vocab_growth_curve(
+    seq_path: str, ladder: tuple = (1000, 10000, 100000, 1000000), num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Vocabulary GROWTH curve (Heaps'-law empirics): reading the corpus in
+    the deterministic shuffle order (hash64(doc_id), doc_id, n_tok), how
+    many DISTINCT token ids have been seen after the first K token
+    positions, for each K in ``ladder`` — (k_pos, n_distinct_seen).  The
+    curve's flattening is the other half of the vocab-size decision next
+    to token_coverage_curve.
+
+    No global sort: hash top bits form order-preserving range buckets;
+    per-bucket n_tok sums prefix-sum driver-side into bucket base offsets
+    (the sequence_packing shape), in-bucket sort + local cumsum give each
+    doc its global token offset, and each token's FIRST global position
+    min-reduces through one vocabulary-bounded exchange.  The ladder is a
+    driver-side searchsorted over the sorted first positions.  Duplicate
+    doc_ids order by the (h, doc_id, n_tok) tie-break — deterministic on
+    both engines whenever duplicates differ in length (full ties would
+    need content interchangeability)."""
+    from ray.data.aggregate import Min, Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets
+    from hepdata_validator_ray.pipelines.sampling import _hash64
+
+    ds = ray.data.read_parquet(seq_path, columns=["doc_id", "n_tok", "tokens"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=500_000, lo=8
+    )
+    bits = max(1, (nb - 1).bit_length())
+    nb = 1 << bits
+    shift = np.uint64(64 - bits)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        # NULL ids coalesce to a sentinel BEFORE hashing/ordering so both
+        # engines hash and sort the identical key string
+        ids = t.column("doc_id").to_pandas().fillna("<NULL>").astype(str).to_numpy(dtype=object)
+        h = _hash64(ids, key_fn="md5")
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)  # ACTUAL list lengths (n_tok may lie — use truth)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, type=pa.string()),
+                col,
+                pa.array(h.astype(np.int64), type=pa.int64()),
+                pa.array(lens, type=pa.int64()),
+                pa.array((h >> shift).astype(np.int64), type=pa.int64()),
+            ],
+            names=["doc_id", "tokens", "h", "tok_len", BUCKET_COL],
+        )
+
+    hds = ds.map_batches(hashed, batch_format="pyarrow", batch_size=8192).materialize()
+
+    counts = (
+        hds.select_columns([BUCKET_COL, "tok_len"])
+        .groupby(BUCKET_COL)
+        .aggregate(Sum("tok_len", alias_name="n"))
+        .to_pandas()
+    )
+    offs = np.zeros(nb + 1, dtype=np.int64)
+    offs[counts[BUCKET_COL].to_numpy(np.int64) + 1] = counts["n"].to_numpy(np.int64)
+    np.cumsum(offs, out=offs)
+    base_ref = ray.put(offs[:nb])
+
+    def first_pos(t: pa.Table) -> pa.Table:
+        # zero-copy arrow path end to end: sort keys via a NARROW pandas
+        # frame, reorder the table once, then every position derives from
+        # repeat/cumsum arithmetic on the flattened values — no per-row
+        # allocations (the sandbox charges ~1ms per fresh page, so 20k
+        # tiny np.arange/concatenate calls would cost two minutes)
+        base = int(ray.get(base_ref)[int(t.column(BUCKET_COL)[0].as_py())])
+        keys = t.select(["h", "doc_id", "tok_len"]).to_pandas()
+        order = keys.sort_values(["h", "doc_id", "tok_len"], kind="mergesort").index.to_numpy()
+        t = t.take(pa.array(order))
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        if not len(flat):
+            return pa.Table.from_pydict(
+                {"t": pa.array([], type=pa.int64()), "p": pa.array([], type=pa.int64())}
+            )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_off = base + starts
+        total = int(lens.sum())
+        pos = np.repeat(doc_off - starts, lens) + np.arange(total, dtype=np.int64)
+        # per-token min position within the bucket (one lexsort)
+        o2 = np.lexsort((pos, flat))
+        ft, fp = flat[o2], pos[o2]
+        first = np.concatenate(([True], ft[1:] != ft[:-1]))
+        return pa.Table.from_pydict(
+            {"t": pa.array(ft[first], type=pa.int64()), "p": pa.array(fp[first], type=pa.int64())}
+        )
+
+    firsts = (
+        hds.groupby(BUCKET_COL)
+        .map_groups(first_pos, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Min("p", alias_name="p"))
+        .to_pandas()  # vocabulary-bounded
+    )
+    fp = np.sort(firsts["p"].to_numpy(np.int64)) if len(firsts) else np.empty(0, np.int64)
+    rows = [
+        {"k_pos": int(k), "n_distinct_seen": int(np.searchsorted(fp, int(k), side="left"))}
+        for k in ladder
+    ]
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"k_pos": "int64", "n_distinct_seen": "int64"})
+    )

@@ -908,3 +908,34 @@ def test_shuffle_adjacency_seam_stitching(tmp_path, ray_session):
         got = shuffle_adjacency_audit(p, num_buckets=nb).to_pandas()
         cells = dict(zip(got["source"], got["n_adj"]))
         assert cells == {s: want.get(s, 0) for s in ("s0", "s1", "s2")}
+
+
+def test_vocab_growth_curve_order_and_ladder(tmp_path, ray_session):
+    """Growth curve pinned against a brute-force replay of the shuffle
+    order: first positions honor the (hash, id, len) order and ladder
+    points count strictly-before-K first occurrences."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import vocab_growth_curve
+
+    toks = {"a": [1, 2, 1], "b": [2, 3], "c": [4], "d": [1]}
+    t = pa.table(
+        {
+            "doc_id": list(toks),
+            "tokens": pa.array(list(toks.values()), type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(v) for v in toks.values()], type=pa.int32()),
+            "source": ["s"] * len(toks),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    order = sorted(toks, key=lambda d: (int(hashlib.md5(d.encode()).hexdigest()[:16], 16), d))
+    stream = [x for d in order for x in toks[d]]
+    def brute(k):
+        return len(set(stream[:k]))
+    got = vocab_growth_curve(p, ladder=(1, 3, 5, 100)).to_pandas()
+    assert list(got["k_pos"]) == [1, 3, 5, 100]
+    assert list(got["n_distinct_seen"]) == [brute(1), brute(3), brute(5), brute(100)]
