@@ -867,6 +867,7 @@ def _relational_meta2(sf_dir: str):
         relational.events_type_overlap(sf_dir),
         relational.events_time_band_pairs(sf_dir),
         relational.events_rolling_median(sf_dir),
+        relational.events_out_of_order_stats(sf_dir),
     ]
     # rolling-active + daily-delta execute eagerly by design (their output
     # axis is |days|-sized); they run serially BEFORE the thread pool so
@@ -874,7 +875,7 @@ def _relational_meta2(sf_dir: str):
     rl = relational.events_rolling_active_users(sf_dir)
     dd = relational.events_daily_delta(sf_dir)
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj, rm = list(
+        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj, rm, oo = list(
             ex.map(lambda d: d.to_pandas(), plans)
         )
     pct_long = []
@@ -914,6 +915,16 @@ def _relational_meta2(sf_dir: str):
                     "gkey": rm["event_id"].astype("int64").astype(str),
                     "k2": rm["user_id"].astype("int64"),
                     "a": rm["med_cents_x2"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "replay",
+                    "gkey": oo["user_id"].astype("int64").astype(str)
+                    + "|"
+                    + oo["n_events"].astype("int64").astype(str),
+                    "k2": oo["n_late"].astype("int64"),
+                    "a": oo["max_late_us"].astype("int64"),
                 }
             ),
             pd.DataFrame(
@@ -1350,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).shuffle_adjacency_audit(docs(sf)),
         "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
+        "events_replay_disorder": lambda sf: relational.events_out_of_order_stats(sf),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -2011,6 +2023,18 @@ f AS (SELECT tok, min(pos)::BIGINT AS fp FROM t GROUP BY tok)
 SELECT k.k_pos::BIGINT AS k_pos,
   (SELECT count(*) FROM f WHERE fp < k.k_pos)::BIGINT AS n_distinct_seen
 FROM (SELECT unnest([1000, 10000, 100000, 1000000]) AS k_pos) k""",
+        # backfill-replay disorder: lateness vs the running per-user
+        # watermark when events replay in the md5-parity hash order
+        "events_replay_disorder": """
+WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       max(epoch_us(ts)) OVER (PARTITION BY user_id
+         ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(*) FILTER (WHERE wm > us)::BIGINT AS n_late,
+       coalesce(max(CASE WHEN wm > us THEN wm - us END), 0)::BIGINT AS max_late_us
+FROM r GROUP BY user_id""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3786,6 +3810,9 @@ FROM chars GROUP BY doc_id, bin""",
         " n_events, 0::BIGINT FROM (" + o["events_paths"] + ")"
         "\nUNION ALL\nSELECT 'rollmed', CAST(event_id AS VARCHAR), user_id,"
         " med_cents_x2 FROM (" + o["events_rolling_median"] + ")"
+        "\nUNION ALL\nSELECT 'replay', CAST(user_id AS VARCHAR) || '|' ||"
+        " CAST(n_events AS VARCHAR), n_late, max_late_us FROM ("
+        + o["events_replay_disorder"] + ")"
         "\nUNION ALL\nSELECT 'mad', event_type, mad, med FROM ("
         + o["events_mad_outliers"] + ")"
         "\nUNION ALL\nSELECT 'madout', event_type, 0::BIGINT, n_outliers FROM ("

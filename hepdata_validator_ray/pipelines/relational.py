@@ -3379,3 +3379,51 @@ def events_rolling_median(
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def events_out_of_order_stats(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Backfill-REPLAY disorder audit — watermark/late-event accounting for
+    the common pattern of replaying a historical stream in deterministic
+    shuffle order (content-hash order, the layout-independent training
+    replay): per user, an event is LATE when its ts is older than the
+    running max ts among previously-replayed events, and its lateness is
+    that watermark minus ts.  Output per user: (user_id, n_events, n_late,
+    max_late_us) — max_late_us bounds the reorder buffer / watermark delay
+    a consumer of the replayed stream needs.
+
+    Same physical plan as sessionize: user-hash-bucketed exchange, then one
+    vectorized pandas pass over ALL the bucket's users (sort by (user,
+    replay hash, event_id), per-user running max via grouped cummax,
+    integer microsecond arithmetic — no float, no per-user Python).  The
+    replay hash is the md5-parity hash64 (see deterministic_shuffle_ranks),
+    so the oracle replays the identical order."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+    from hepdata_validator_ray.pipelines.sampling import _hash64
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df["_h"] = _hash64(df["event_id"].to_numpy(), key_fn="md5")
+        df = df.sort_values(["user_id", "_h", "event_id"], kind="mergesort")
+        us = pd.Series(
+            df["ts"].to_numpy().astype("datetime64[us]").view("i8"), index=df.index
+        )  # epoch microseconds, integer-exact
+        wm = us.groupby(df["user_id"]).cummax().groupby(df["user_id"]).shift()
+        late_us = (wm - us).fillna(0).astype("int64").clip(lower=0)
+        is_late = late_us > 0
+        out = pd.DataFrame(
+            {"user_id": df["user_id"], "n": 1, "late": is_late.astype("int64"), "lus": late_us}
+        )
+        g = out.groupby("user_id", as_index=False).agg(
+            n_events=("n", "sum"), n_late=("late", "sum"), max_late_us=("lus", "max")
+        )
+        return g.astype({"n_events": "int64", "n_late": "int64", "max_late_us": "int64"})
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds)
+    return (
+        ds.map_batches(
+            lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(late, batch_format="pandas")
+    )

@@ -939,3 +939,45 @@ def test_vocab_growth_curve_order_and_ladder(tmp_path, ray_session):
     got = vocab_growth_curve(p, ladder=(1, 3, 5, 100)).to_pandas()
     assert list(got["k_pos"]) == [1, 3, 5, 100]
     assert list(got["n_distinct_seen"]) == [brute(1), brute(3), brute(5), brute(100)]
+
+
+def test_replay_disorder_watermark_semantics(tmp_path, ray_session):
+    """Replay-disorder lateness pinned on a crafted stream: with replay
+    order (by md5 hash of event_id) differing from ts order, lateness is
+    watermark-minus-ts against the running max of previously replayed
+    events, per user."""
+    import hashlib
+
+    from hepdata_validator_ray.pipelines.relational import events_out_of_order_stats
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+         "2024-01-01 00:03:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": ts,
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(str(d / "events.parquet"), index=False)
+    got = events_out_of_order_stats(str(d)).to_pandas()
+    # brute force
+    order = sorted(range(4), key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16), i))
+    us = (ts.view("int64") // 1000).tolist()
+    wm, late, mx = None, 0, 0
+    for i in order:
+        if wm is not None and wm > us[i]:
+            late += 1
+            mx = max(mx, wm - us[i])
+        wm = us[i] if wm is None else max(wm, us[i])
+    assert list(got["n_events"]) == [4]
+    assert list(got["n_late"]) == [late]
+    assert list(got["max_late_us"]) == [mx]
+    assert late > 0  # the crafted hash order must actually disorder
