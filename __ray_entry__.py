@@ -529,6 +529,9 @@ def _relational_meta(sf_dir: str):
     bpe = _text.bpe_train_iterations(
         f"{sf_dir}/documents.parquet", n_iters=3, k=20
     ).to_pandas()
+    from hepdata_validator_ray.pipelines import profile as _prof
+
+    pu = _prof.label_purity_stats(f"{sf_dir}/documents.parquet").to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
         hop, pr, ro, tw, qc, pidx, lc = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
@@ -621,6 +624,15 @@ def _relational_meta(sf_dir: str):
                     "a": lc["n"].astype("int64"),
                     "b": pd.array([0] * len(lc), dtype="int64"),
                     "c": pd.array([0] * len(lc), dtype="Int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "purity",
+                    "gkey": pu["source"],
+                    "a": pu["n_rows"].astype("int64"),
+                    "b": pu["n_langs"].astype("int64"),
+                    "c": pu["n_majority"].astype("Int64"),
                 }
             ),
         ],
@@ -1362,6 +1374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).shuffle_adjacency_audit(docs(sf)),
         "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
         "events_replay_disorder": lambda sf: relational.events_out_of_order_stats(sf),
+        "profile_label_purity": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).label_purity_stats(docs(sf)),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -2035,6 +2050,18 @@ SELECT user_id, count(*)::BIGINT AS n_events,
        count(*) FILTER (WHERE wm > us)::BIGINT AS n_late,
        coalesce(max(CASE WHEN wm > us THEN wm - us END), 0)::BIGINT AS max_late_us
 FROM r GROUP BY user_id""",
+        # label purity (source -> lang FD audit): majority tie-break toward
+        # the lexicographically smallest lang on both engines
+        "profile_label_purity": """
+WITH pc2 AS (SELECT coalesce(source, '<NULL>') AS source,
+                    coalesce(lang, '<NULL>') AS lang, count(*)::BIGINT AS n
+             FROM documents GROUP BY 1, 2),
+rk AS (SELECT source, lang, n,
+              row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS r
+       FROM pc2)
+SELECT source, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_langs,
+       max(CASE WHEN r = 1 THEN n END)::BIGINT AS n_majority
+FROM rk GROUP BY source""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3784,6 +3811,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["text_bpe_train"] + ")"
         "\nUNION ALL\nSELECT 'langconf', lang || '|' || pred_lang, n,"
         " 0::BIGINT, 0::BIGINT FROM (" + o["text_lang_confusion"] + ")"
+        "\nUNION ALL\nSELECT 'purity', source, n_rows, n_langs, n_majority"
+        " FROM (" + o["profile_label_purity"] + ")"
     )
     o["training_meta"] += (
         "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("

@@ -133,3 +133,64 @@ def profile_oracle_sql(table: str, columns: list[str]) -> str:
 FROM {table}"""
         )
     return "\nUNION ALL ".join(legs)
+
+
+def label_purity_stats(docs_path: str) -> "ray.data.Dataset":
+    """Functional-dependency / label-purity audit over (source → lang):
+    per source, how many distinct lang labels occur, how many rows there
+    are, and how many carry the MAJORITY label — n_majority/n_rows is the
+    purity, n_langs > 1 the FD violation signal (a mislabeled-partition
+    detector).  Majority ties break toward the lexicographically smallest
+    lang so both engines agree.
+
+    One (source, lang) pair-counts exchange — bounded by
+    |sources|×|langs| at any corpus size — then the per-source argmax is
+    driver arithmetic on that tiny table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ray.data.read_parquet(docs_path, columns=["source", "lang"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.coalesce(t["lang"], pa.scalar("<NULL>", pa.string())),
+                ],
+                names=["source", "lang"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |sources| x |langs|, bounded
+    )
+    if not len(pairs):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_langs": pd.Series(dtype="int64"),
+                    "n_majority": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    rows = []
+    for src, grp in pairs.groupby("source", sort=True):
+        grp = grp.sort_values(["n", "lang"], ascending=[False, True])
+        rows.append(
+            {
+                "source": src,
+                "n_rows": int(grp["n"].sum()),
+                "n_langs": int(len(grp)),
+                "n_majority": int(grp["n"].iloc[0]),
+            }
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"n_rows": "int64", "n_langs": "int64", "n_majority": "int64"})
+    )

@@ -981,3 +981,28 @@ def test_replay_disorder_watermark_semantics(tmp_path, ray_session):
     assert list(got["n_late"]) == [late]
     assert list(got["max_late_us"]) == [mx]
     assert late > 0  # the crafted hash order must actually disorder
+
+
+def test_label_purity_majority_tie_break(tmp_path, ray_session):
+    """Purity audit pinned: a 2-2 lang tie takes the lexicographically
+    smaller lang as majority; NULL langs group under '<NULL>'."""
+    from hepdata_validator_ray.pipelines.profile import label_purity_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["x"] * 6,
+            "source": ["A", "A", "A", "A", "B", "B"],
+            "lang": ["en", "en", "de", "de", None, "fr"],
+            "n_chars": [1] * 6,
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = (
+        label_purity_stats(p).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    a = got[got.source == "A"].iloc[0]
+    assert (a["n_rows"], a["n_langs"], a["n_majority"]) == (4, 2, 2)  # de wins tie
+    b = got[got.source == "B"].iloc[0]
+    assert (b["n_rows"], b["n_langs"], b["n_majority"]) == (2, 2, 1)
