@@ -1006,3 +1006,61 @@ def test_label_purity_majority_tie_break(tmp_path, ray_session):
     assert (a["n_rows"], a["n_langs"], a["n_majority"]) == (4, 2, 2)  # de wins tie
     b = got[got.source == "B"].iloc[0]
     assert (b["n_rows"], b["n_langs"], b["n_majority"]) == (2, 2, 1)
+
+
+def test_new_ops_partition_layout_invariance(tmp_path, ray_session):
+    """Every round-4 sequence-table operator must give IDENTICAL results
+    whether the corpus arrives as one file or many (the north-rule's
+    partitioning-explicit claim): same rows from a 1-file and a 7-file
+    layout of the same data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.dedup import cdc_chunk_dedup_stats
+    from hepdata_validator_ray.pipelines.sampling import proportional_allocation
+    from hepdata_validator_ray.pipelines.training import length_bucket_padding_stats
+    from hepdata_validator_ray.pipelines.validation import (
+        degenerate_sequence_stats,
+        ks_drift_stats,
+        rare_token_unk_stats,
+        token_coverage_curve,
+        token_ngram_repetition_stats,
+        trimmed_sum_stats,
+        vocab_growth_curve,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 700
+    toks = [rng.integers(0, 50, size=rng.integers(3, 40)).astype(np.int32).tolist() for _ in range(n)]
+    t = pa.table(
+        {
+            "doc_id": [f"doc-s{i % 3}-{i:05d}" for i in range(n)],
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            "source": [f"s{i % 3}" for i in range(n)],
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(t, str(one / "all.parquet"))
+    for j in range(7):
+        pq.write_table(t.slice(j * 100, 100), str(many / f"p{j}.parquet"))
+
+    ops = [
+        ("degen", lambda p: degenerate_sequence_stats(p), ["doc_id"]),
+        ("rep3", lambda p: token_ngram_repetition_stats(p), ["doc_id"]),
+        ("unk", lambda p: rare_token_unk_stats(p, min_count=5), ["source"]),
+        ("ks", lambda p: ks_drift_stats(p), ["source"]),
+        ("cover", lambda p: token_coverage_curve(p, ladder=(1, 10, 100)), ["v_top"]),
+        ("trim", lambda p: trimmed_sum_stats(p), ["source"]),
+        ("pad", lambda p: length_bucket_padding_stats(p, length_col="n_tok"), ["bucket"]),
+        ("cdc", lambda p: cdc_chunk_dedup_stats(p), ["source"]),
+        ("alloc", lambda p: proportional_allocation(p, k_total=10), ["source"]),
+        ("vocab", lambda p: vocab_growth_curve(p, ladder=(10, 1000)), ["k_pos"]),
+    ]
+    for name, fn, keys in ops:
+        a = fn(str(one)).to_pandas().sort_values(keys).reset_index(drop=True)
+        b = fn(str(many)).to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), name
