@@ -653,6 +653,7 @@ def _graph_meta(sf_dir: str):
 
     pr = graph.pagerank(sf_dir).to_pandas()
     tri = graph.triangle_counts(sf_dir).to_pandas()
+    kc = graph.kcore_membership(sf_dir).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -667,6 +668,13 @@ def _graph_meta(sf_dir: str):
                     "kind": "tri",
                     "node": "p:" + tri["node"].astype("int64").astype(str),
                     "a": tri["n_tri"].astype("int64"),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "kind": "core",
+                    "node": kc["node"].astype("int64").astype(str),
+                    "a": kc["deg_core"].astype("int64"),
                 }
             ),
         ],
@@ -1377,6 +1385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_label_purity": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).label_purity_stats(docs(sf)),
+        "graph_kcore": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).kcore_membership(sf),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -3368,6 +3379,9 @@ FROM s""",
         "graph_triangles": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).triangle_oracle_sql(),
+        "graph_kcore": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).kcore_oracle_sql(),
         # same explicit ASCII classes as the pandas kernel; length() counts
         # CHARACTERS (like pandas .str.len(); strlen counts bytes and would
         # diverge on any non-ASCII char); null text stays null on both sides
@@ -3795,6 +3809,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["graph_pagerank"]
         + ")\nUNION ALL\nSELECT 'tri', 'p:' || node::VARCHAR, n_tri FROM ("
         + o["graph_triangles"]
+        + ")\nUNION ALL\nSELECT 'core', CAST(node AS VARCHAR), deg_core FROM ("
+        + o["graph_kcore"]
         + ")"
     )
     o["relational_meta"] += (

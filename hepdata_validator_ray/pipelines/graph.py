@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -605,3 +606,125 @@ def frequent_part_pairs(
         .astype({"a": "int64", "b": "int64", "n": "int64"})
     )
     return ray.data.from_pandas(winners)
+
+
+def kcore_membership(
+    sf_dir: str, k: int = 45, max_iter: int = 8, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """k-CORE decomposition of the co-purchase trade graph — the classic
+    peel: repeatedly delete nodes with degree < k (and their edges) until
+    fixpoint; output the surviving nodes with their in-core degree
+    (node, deg_core).  The k-core is ORDER-INDEPENDENT (the fixpoint is
+    unique no matter the peel order), which is exactly what makes it
+    gate-exact: the oracle unrolls ``max_iter`` prune rounds statically
+    and extra rounds are no-ops.
+
+    Fully distributed peel, no node-scale driver state: every round is
+    (1) one src-keyed degree exchange over the shrinking edge table,
+    (2) the dead-node table (distributed — worst case it IS node-scale)
+    meets the edges in TWO tagged-union exchanges (on src, then dst — the
+    pagerank/CC repartition-join pattern) that drop dead endpoints
+    in-bucket.  The driver sees only the per-round dead COUNT; edges are
+    materialized between rounds like every iterative pipeline here.
+    Raises if the peel hasn't converged after ``max_iter`` rounds (the
+    oracle unrolls exactly that many — silence would desync)."""
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        derive_num_buckets,
+        grouped_value_counts,
+        with_bucket,
+    )
+
+    _TAG = np.iinfo(np.int64).min
+
+    cur = trade_edges(sf_dir).select_columns(["src", "dst"]).materialize()
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        cur, target_rows_per_bucket=1_000_000, lo=16
+    )
+
+    def remove_dead(edges: "ray.data.Dataset", dead: "ray.data.Dataset", key: str, other: str):
+        def edge_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.cast(t[key], pa.int64()), pc.cast(t[other], pa.int64())],
+                names=["kk", "oo"],
+            )
+
+        def dead_rows(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(t["src"], pa.int64()),
+                    pa.array(np.full(t.num_rows, _TAG, np.int64)),
+                ],
+                names=["kk", "oo"],
+            )
+
+        u = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            dead.map_batches(dead_rows, batch_format="pyarrow")
+        )
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=[BUCKET_COL])
+            deadk = df.loc[df["oo"] == _TAG, "kk"].unique()
+            live = df[(df["oo"] != _TAG) & (~df["kk"].isin(deadk))]
+            return pd.DataFrame(
+                {
+                    key: live["kk"].to_numpy(np.int64),
+                    other: live["oo"].to_numpy(np.int64),
+                }
+            )
+
+        return (
+            u.map_batches(lambda t: with_bucket(t, "kk", nb), batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(prune, batch_format="pandas")
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        deg = grouped_value_counts(cur, "src")
+        dead = deg.map_batches(
+            lambda t: t.filter(pc.less(t["cnt"], pa.scalar(k, pa.int64()))).select(["src"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if dead.count() == 0:
+            converged = True
+            break
+        cur = remove_dead(cur, dead, "src", "dst")
+        cur = remove_dead(cur, dead, "dst", "src").materialize()
+    if not converged:
+        raise ValueError(
+            f"k-core peel did not converge within max_iter={max_iter} rounds; "
+            f"raise max_iter (and unroll the oracle identically)"
+        )
+    out = grouped_value_counts(cur, "src")
+    return out.map_batches(
+        lambda t: t.rename_columns(["node", "deg_core"]), batch_format="pyarrow"
+    )
+
+
+def kcore_oracle_sql(k: int = 45, max_iter: int = 8) -> str:
+    """Generated DuckDB oracle: the identical edge construction, then
+    ``max_iter`` statically-unrolled prune rounds (extra rounds no-op at
+    fixpoint — k-core is peel-order independent)."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default and e{i}
+    # references e{i-1} three times, so the naive unroll re-evaluates the
+    # chain 3^max_iter times (measured: fd exhaustion at 8 rounds)
+    parts = [
+        """
+WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e0 AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)"""
+    ]
+    for i in range(1, max_iter + 1):
+        parts.append(
+            f""",
+bad{i} AS MATERIALIZED (SELECT src FROM e{i-1} GROUP BY src HAVING count(*) < {k}),
+e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e
+        WHERE e.src NOT IN (SELECT src FROM bad{i})
+          AND e.dst NOT IN (SELECT src FROM bad{i}))"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, count(*)::BIGINT AS deg_core FROM e{max_iter} GROUP BY src"""
+    )
+    return "".join(parts)

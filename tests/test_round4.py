@@ -1064,3 +1064,75 @@ def test_new_ops_partition_layout_invariance(tmp_path, ray_session):
         a = fn(str(one)).to_pandas().sort_values(keys).reset_index(drop=True)
         b = fn(str(many)).to_pandas().sort_values(keys).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), name
+
+
+def test_kcore_cascade_peel(tmp_path, ray_session):
+    """Cascade semantics pinned: a chain hanging off a clique peels over
+    MULTIPLE rounds (removing the tail lowers the next node's degree),
+    and the 2-core is exactly the triangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.graph import kcore_membership
+
+    # build via the orders/lineitem trade encoding: customer c and
+    # supplier s become nodes 2c and 2s+1; an (order: cust, supp) row is
+    # an undirected edge.  Triangle needs odd cycles — bipartite graphs
+    # have none, so use a 4-cycle (2-core) plus a pendant chain instead:
+    # c1-s1-c2-s2-c1 cycle, plus s2-c3-s3 chain (c3, s3 peel in 2 rounds)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(6), type=pa.int64()),
+            "o_custkey": pa.array([1, 2, 2, 1, 3, 3], type=pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(6), type=pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 2, 2, 3], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    got = (
+        kcore_membership(str(d), k=2, max_iter=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # 2-core: the 4-cycle c1(2), c2(4), s1(3), s2(5); c3(6)/s3(7) peel:
+    # s3 has degree 1 -> gone round 1; c3 drops to 1 -> gone round 2
+    assert list(got["node"]) == [2, 3, 4, 5]
+    assert list(got["deg_core"]) == [2, 2, 2, 2]
+
+
+def test_kcore_nonconvergence_raises(tmp_path, ray_session):
+    """An undersized max_iter raises loudly instead of silently desyncing
+    from the statically-unrolled oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hepdata_validator_ray.pipelines.graph import kcore_membership
+
+    # a 5-node path peels one endpoint pair per round at k=2: needs > 1
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(4), type=pa.int64()),
+            "o_custkey": pa.array([1, 2, 2, 3], type=pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(range(4), type=pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 2], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    with _pytest.raises(ValueError, match="did not converge"):
+        kcore_membership(str(d), k=2, max_iter=1)
