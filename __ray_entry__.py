@@ -720,6 +720,7 @@ def _incremental_meta(sf_dir: str):
     pl = _val.parquet_layout_audit(_seq(sf_dir)).to_pandas()
     tm = _val.trimmed_sum_stats(_seq(sf_dir)).to_pandas()
     vg = _val.vocab_growth_curve(_seq(sf_dir)).to_pandas()
+    fr = _val.token_framing_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -844,6 +845,22 @@ def _incremental_meta(sf_dir: str):
                     "kind": "vocab",
                     "k1": vg["k_pos"].astype("int64").astype(str),
                     "a": vg["n_distinct_seen"].astype("int64"),
+                }
+            ),
+            # framing audit: the three end-token counts ride the key (each
+            # bounded by per-source row count — string-safe at any scale),
+            # interior-EOS rows are the value
+            pd.DataFrame(
+                {
+                    "kind": "frame",
+                    "k1": fr["source"]
+                    + "|"
+                    + fr["n_rows"].astype("int64").astype(str)
+                    + "|"
+                    + fr["n_bad_first"].astype("int64").astype(str)
+                    + "|"
+                    + fr["n_bad_last"].astype("int64").astype(str),
+                    "a": fr["n_interior_eos"].astype("int64"),
                 }
             ),
         ],
@@ -1375,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).proportional_allocation(_seq(sf), k_total=100),
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
+        "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
         "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
         "v_trimmed_stats": lambda sf: validation.trimmed_sum_stats(_seq(sf)),
         "shuffle_adjacency": lambda sf: __import__(
@@ -1980,6 +1998,16 @@ rk AS (SELECT source, n, fl, row_number() OVER (ORDER BY rem DESC, source ASC) A
 SELECT rk.source, rk.n AS n_src,
        (rk.fl + CASE WHEN rk.r <= 100 - s.sfl THEN 1 ELSE 0 END)::BIGINT AS alloc
 FROM rk CROSS JOIN s""",
+        # framing audit: 1-based list indexing makes tokens[1]/tokens[len]
+        # NULL on empty/NULL lists -> IS DISTINCT FROM counts them bad;
+        # interior slice [2 : len-1] is inclusive on both ends in DuckDB
+        "v_token_framing": f"""
+SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE tokens[1] IS DISTINCT FROM 0)::BIGINT AS n_bad_first,
+       count(*) FILTER (WHERE tokens[coalesce(len(tokens), 0)] IS DISTINCT FROM 1)::BIGINT AS n_bad_last,
+       count(*) FILTER (WHERE coalesce(len(tokens), 0) >= 3 AND
+         len(list_filter(tokens[2 : len(tokens) - 1], x -> x = 1)) > 0)::BIGINT AS n_interior_eos
+FROM read_parquet('{p}') GROUP BY 1""",
         # cross-field consistency: doc_id's embedded source segment must
         # equal the source column (NULL-safe; NULL doc_id always mismatches)
         "v_id_source_consistency": f"""
@@ -3928,6 +3956,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["v_trimmed_stats"] + ")"
         "\nUNION ALL\nSELECT 'vocab', CAST(k_pos AS VARCHAR), n_distinct_seen FROM ("
         + o["v_vocab_growth"] + ")"
+        "\nUNION ALL\nSELECT 'frame', source || '|' || CAST(n_rows AS VARCHAR)"
+        " || '|' || CAST(n_bad_first AS VARCHAR) || '|' || CAST(n_bad_last AS VARCHAR),"
+        " n_interior_eos FROM (" + o["v_token_framing"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -1136,3 +1136,40 @@ def test_kcore_nonconvergence_raises(tmp_path, ray_session):
     pq.write_table(lineitem, str(d / "lineitem.parquet"))
     with _pytest.raises(ValueError, match="did not converge"):
         kcore_membership(str(d), k=2, max_iter=1)
+
+
+def test_token_framing_crafted(tmp_path, ray_session):
+    """Framing audit pinned: [BOS..EOS] clean, empty/NULL lists bad on both
+    ends, interior EOS only counted strictly inside, single-token and
+    two-token edge rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_framing_stats
+
+    rows = [
+        [0, 7, 1],        # clean
+        [0, 1],           # clean (no interior possible)
+        [],               # bad first + bad last
+        None,             # bad first + bad last
+        [0, 1, 5, 1],     # clean ends, ONE interior EOS row
+        [3, 7, 1],        # bad first
+        [0, 7, 7],        # bad last
+        [0],              # bad last (single token: first==last==BOS)
+        [1, 1, 1],        # bad first, interior EOS
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) if r else 0 for r in rows], type=pa.int32()),
+            "source": pa.array(["s"] * 5 + ["t"] * 4),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = token_framing_stats(p).to_pandas().set_index("source")
+    s = got.loc["s"]
+    assert (s["n_rows"], s["n_bad_first"], s["n_bad_last"], s["n_interior_eos"]) == (5, 2, 2, 1)
+    tt = got.loc["t"]
+    assert (tt["n_rows"], tt["n_bad_first"], tt["n_bad_last"], tt["n_interior_eos"]) == (4, 2, 2, 1)
