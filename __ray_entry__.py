@@ -532,6 +532,7 @@ def _relational_meta(sf_dir: str):
     from hepdata_validator_ray.pipelines import profile as _prof
 
     pu = _prof.label_purity_stats(f"{sf_dir}/documents.parquet").to_pandas()
+    ka = _prof.k_anonymity_stats(f"{sf_dir}/documents.parquet").to_pandas()
     with ThreadPoolExecutor(max_workers=3) as ex:
         hop, pr, ro, tw, qc, pidx, lc = list(ex.map(lambda d: d.to_pandas(), plans))
     return pd.concat(
@@ -635,6 +636,17 @@ def _relational_meta(sf_dir: str):
                     "c": pu["n_majority"].astype("Int64"),
                 }
             ),
+            # k-anonymity: min cell rides the key (unbounded at scale),
+            # counts take the integer slots
+            pd.DataFrame(
+                {
+                    "kind": "kanon",
+                    "gkey": ka["source"] + "|" + ka["min_cell"].astype("int64").astype(str),
+                    "a": ka["n_rows"].astype("int64"),
+                    "b": ka["n_cells"].astype("int64"),
+                    "c": ka["n_small_cells"].astype("Int64"),
+                }
+            ),
         ],
         ignore_index=True,
     )
@@ -721,6 +733,9 @@ def _incremental_meta(sf_dir: str):
     tm = _val.trimmed_sum_stats(_seq(sf_dir)).to_pandas()
     vg = _val.vocab_growth_curve(_seq(sf_dir)).to_pandas()
     fr = _val.token_framing_stats(_seq(sf_dir)).to_pandas()
+    ft = _val.footer_stats_truth_audit(_seq(sf_dir)).to_pandas()
+    cn, rm = _val.token_concentration_and_rank_mass(_seq(sf_dir))  # one shared exchange
+    cdg = _val.corpus_digest_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -861,6 +876,57 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + fr["n_bad_last"].astype("int64").astype(str),
                     "a": fr["n_interior_eos"].astype("int64"),
+                }
+            ),
+            # footer-truth audit: all four bounds ride the key (NULL-safe
+            # via the shared '<NULL>' spelling), stats_ok is the value
+            pd.DataFrame(
+                {
+                    "kind": "ftruth",
+                    "k1": ft["file"]
+                    + "|"
+                    + ft["n_rows"].astype("int64").astype(str)
+                    + "|"
+                    + ft["footer_min"].astype(str).replace("<NA>", "<NULL>")
+                    + "|"
+                    + ft["footer_max"].astype(str).replace("<NA>", "<NULL>")
+                    + "|"
+                    + ft["data_min"].astype(str).replace("<NA>", "<NULL>")
+                    + "|"
+                    + ft["data_max"].astype(str).replace("<NA>", "<NULL>"),
+                    "a": ft["stats_ok"].astype("int64"),
+                }
+            ),
+            # concentration: totals ride the key, Σ c² is the value
+            pd.DataFrame(
+                {
+                    "kind": "conc",
+                    "k1": cn["source"]
+                    + "|"
+                    + cn["n_tok"].astype("int64").astype(str)
+                    + "|"
+                    + cn["n_distinct_tokens"].astype("int64").astype(str),
+                    "a": cn["sum_c2"].astype("int64"),
+                }
+            ),
+            # rank mass: totals + depth ride the key, Σ rank is the value
+            pd.DataFrame(
+                {
+                    "kind": "rmass",
+                    "k1": rm["source"]
+                    + "|"
+                    + rm["n_tok"].astype("int64").astype(str)
+                    + "|"
+                    + rm["max_rank"].astype("int64").astype(str),
+                    "a": rm["sum_rank"].astype("int64"),
+                }
+            ),
+            # content digest: row count rides the key, digest is the value
+            pd.DataFrame(
+                {
+                    "kind": "digest",
+                    "k1": cdg["source"] + "|" + cdg["n_rows"].astype("int64").astype(str),
+                    "a": cdg["digest"].astype("int64"),
                 }
             ),
         ],
@@ -1393,6 +1459,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
+        "v_footer_stats_truth": lambda sf: validation.footer_stats_truth_audit(_seq(sf)),
+        "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
+        "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
+        "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
         "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
         "v_trimmed_stats": lambda sf: validation.trimmed_sum_stats(_seq(sf)),
         "shuffle_adjacency": lambda sf: __import__(
@@ -1403,6 +1473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_label_purity": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).label_purity_stats(docs(sf)),
+        "profile_k_anonymity": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).k_anonymity_stats(docs(sf)),
         "graph_kcore": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_membership(sf),
@@ -2008,6 +2081,64 @@ SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_rows,
        count(*) FILTER (WHERE coalesce(len(tokens), 0) >= 3 AND
          len(list_filter(tokens[2 : len(tokens) - 1], x -> x = 1)) > 0)::BIGINT AS n_interior_eos
 FROM read_parquet('{p}') GROUP BY 1""",
+        # footer-statistics truthfulness: footer-claimed n_tok bounds
+        # (min/max over row-group column stats) vs the recomputed data
+        # bounds; missing footer stats -> NULL bounds, stats_ok = 0
+        "v_footer_stats_truth": f"""
+WITH m AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS file,
+         min(CAST(stats_min_value AS BIGINT)) AS footer_min,
+         max(CAST(stats_max_value AS BIGINT)) AS footer_max
+  FROM parquet_metadata('{p}') WHERE path_in_schema = 'n_tok' GROUP BY 1),
+d AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS file, count(*)::BIGINT AS n_rows,
+         min(n_tok)::BIGINT AS data_min, max(n_tok)::BIGINT AS data_max
+  FROM read_parquet('{p}', filename=true) GROUP BY 1)
+SELECT m.file, coalesce(d.n_rows, 0)::BIGINT AS n_rows,
+       m.footer_min, m.footer_max, d.data_min, d.data_max,
+       (CASE WHEN m.footer_min IS NOT NULL AND m.footer_max IS NOT NULL
+             AND m.footer_min = d.data_min AND m.footer_max = d.data_max
+        THEN 1 ELSE 0 END)::BIGINT AS stats_ok
+FROM m LEFT JOIN d USING (file)""",
+        # token concentration (Simpson collision numerator): integer-exact
+        # Σ c² over per-(source, token) counts; sources with only empty
+        # token lists are absent on both engines
+        "v_token_concentration": f"""
+WITH tok AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS t
+             FROM read_parquet('{p}')),
+c AS (SELECT source, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+SELECT source, sum(c)::BIGINT AS n_tok, count(*)::BIGINT AS n_distinct_tokens,
+       sum(c * c)::BIGINT AS sum_c2
+FROM c GROUP BY source""",
+        # rank-mass audit: dense frequency ranks (count DESC, token ASC,
+        # 0-based) joined back per occurrence; integer rank sums
+        "v_token_rank_mass": f"""
+WITH tok AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS t
+             FROM read_parquet('{p}')),
+cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+rk AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) - 1 AS r FROM cnt)
+SELECT source, count(*)::BIGINT AS n_tok, sum(r)::BIGINT AS sum_rank,
+       max(r)::BIGINT AS max_rank
+FROM tok JOIN rk USING (t) GROUP BY source""",
+        # corpus content digest: md5-parity hash64 per row, modular sum per
+        # source — order/partitioning-invariant equality certificate.
+        # array_to_string([]) is NULL in DuckDB, so the empty-list case
+        # needs its own '' arm to stay distinct from a NULL list
+        "v_corpus_digest": f"""
+WITH r AS (
+  SELECT coalesce(source, '<NULL>') AS source,
+         ('0x' || substr(md5(coalesce(doc_id, '<NULL>') || '|' ||
+            CASE WHEN tokens IS NULL THEN '<NULL>'
+                 WHEN len(tokens) = 0 THEN ''
+                 ELSE array_to_string(tokens, ',') END), 1, 16))::UBIGINT
+           % 2147483647::UBIGINT AS h
+  FROM read_parquet('{p}')),
+per AS (SELECT source, count(*)::BIGINT AS n_rows,
+               (sum(h::BIGINT) % 2147483647)::BIGINT AS digest
+        FROM r GROUP BY source)
+SELECT * FROM per
+UNION ALL
+SELECT '<all>', sum(n_rows)::BIGINT, (sum(digest) % 2147483647)::BIGINT FROM per""",
         # cross-field consistency: doc_id's embedded source segment must
         # equal the source column (NULL-safe; NULL doc_id always mismatches)
         "v_id_source_consistency": f"""
@@ -2101,6 +2232,15 @@ rk AS (SELECT source, lang, n,
 SELECT source, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_langs,
        max(CASE WHEN r = 1 THEN n END)::BIGINT AS n_majority
 FROM rk GROUP BY source""",
+        # k-anonymity cell-size audit over the (source, lang) QI pair
+        "profile_k_anonymity": """
+WITH pc2 AS (SELECT coalesce(source, '<NULL>') AS source,
+                    coalesce(lang, '<NULL>') AS lang, count(*)::BIGINT AS n
+             FROM documents GROUP BY 1, 2)
+SELECT source, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_cells,
+       count(*) FILTER (WHERE n < 5)::BIGINT AS n_small_cells,
+       min(n)::BIGINT AS min_cell
+FROM pc2 GROUP BY source""",
         "v_violations_by_partition": f"""
 WITH s AS (SELECT * FROM read_parquet('{p}', filename=true)),
 v AS (
@@ -3857,6 +3997,8 @@ FROM chars GROUP BY doc_id, bin""",
         " 0::BIGINT, 0::BIGINT FROM (" + o["text_lang_confusion"] + ")"
         "\nUNION ALL\nSELECT 'purity', source, n_rows, n_langs, n_majority"
         " FROM (" + o["profile_label_purity"] + ")"
+        "\nUNION ALL\nSELECT 'kanon', source || '|' || CAST(min_cell AS VARCHAR),"
+        " n_rows, n_cells, n_small_cells FROM (" + o["profile_k_anonymity"] + ")"
     )
     o["training_meta"] += (
         "\nUNION ALL SELECT doc_id, 'bp_words_kept', n_words_kept FROM ("
@@ -3959,6 +4101,20 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'frame', source || '|' || CAST(n_rows AS VARCHAR)"
         " || '|' || CAST(n_bad_first AS VARCHAR) || '|' || CAST(n_bad_last AS VARCHAR),"
         " n_interior_eos FROM (" + o["v_token_framing"] + ")"
+        "\nUNION ALL\nSELECT 'ftruth', file || '|' || CAST(n_rows AS VARCHAR)"
+        " || '|' || coalesce(CAST(footer_min AS VARCHAR), '<NULL>')"
+        " || '|' || coalesce(CAST(footer_max AS VARCHAR), '<NULL>')"
+        " || '|' || coalesce(CAST(data_min AS VARCHAR), '<NULL>')"
+        " || '|' || coalesce(CAST(data_max AS VARCHAR), '<NULL>'),"
+        " stats_ok FROM (" + o["v_footer_stats_truth"] + ")"
+        "\nUNION ALL\nSELECT 'conc', source || '|' || CAST(n_tok AS VARCHAR)"
+        " || '|' || CAST(n_distinct_tokens AS VARCHAR), sum_c2 FROM ("
+        + o["v_token_concentration"] + ")"
+        "\nUNION ALL\nSELECT 'rmass', source || '|' || CAST(n_tok AS VARCHAR)"
+        " || '|' || CAST(max_rank AS VARCHAR), sum_rank FROM ("
+        + o["v_token_rank_mass"] + ")"
+        "\nUNION ALL\nSELECT 'digest', source || '|' || CAST(n_rows AS VARCHAR),"
+        " digest FROM (" + o["v_corpus_digest"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

@@ -304,6 +304,33 @@ def pipeline_bpe_train(sf_dir: str) -> int:
     )
 
 
+def pipeline_seq_audit(sf_dir: str) -> int:
+    """The round-4 sequence-audit family as one number: token framing,
+    corpus content digest and the fused concentration + rank-mass audits
+    (one shared |sources|x|vocab| histogram exchange), plus the footer-
+    statistics truthfulness audit — framing/digest/ftruth overlap as
+    concurrent streams, the fused histogram pair runs after (it drives
+    its own exchange and returns driver-side tables)."""
+    from hepdata_validator_ray.pipelines.validation import (
+        corpus_digest_stats,
+        footer_stats_truth_audit,
+        token_concentration_and_rank_mass,
+        token_framing_stats,
+    )
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(sf_dir)
+    n = _consume_concurrent(
+        [
+            lambda: token_framing_stats(p),
+            lambda: corpus_digest_stats(p),
+            lambda: footer_stats_truth_audit(p),
+        ]
+    )
+    cn, rm = token_concentration_and_rank_mass(p)
+    return n + len(cn) + len(rm)
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -325,6 +352,7 @@ PIPELINES = {
     "curation": pipeline_curation,
     "bpe_train": pipeline_bpe_train,
     "token_qc": pipeline_token_qc,
+    "seq_audit": pipeline_seq_audit,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -351,6 +379,7 @@ BAND_TYP_HI = {
     "curation": 4.0,
     "bpe_train": 3.0,
     "token_qc": 35.0,
+    "seq_audit": 90.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

@@ -194,3 +194,62 @@ def label_purity_stats(docs_path: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(
         pd.DataFrame(rows).astype({"n_rows": "int64", "n_langs": "int64", "n_majority": "int64"})
     )
+
+
+def k_anonymity_stats(docs_path: str, k: int = 5) -> "ray.data.Dataset":
+    """k-anonymity cell-size audit over the (source, lang) quasi-identifier
+    pair — the governance pre-check before releasing per-cell statistics
+    or sampling per cell: a cell with fewer than ``k`` rows identifies its
+    members.  Per source: (n_rows, n_cells, n_small_cells, min_cell) where
+    cells are the (source, lang) groups and small means n < k.
+
+    One (source, lang) pair-counts exchange — |sources|×|langs|-bounded at
+    any corpus size — then driver arithmetic on the tiny table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    pairs = (
+        ray.data.read_parquet(docs_path, columns=["source", "lang"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.coalesce(t["lang"], pa.scalar("<NULL>", pa.string())),
+                ],
+                names=["source", "lang"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |sources| x |langs|, bounded
+    )
+    if not len(pairs):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_cells": pd.Series(dtype="int64"),
+                    "n_small_cells": pd.Series(dtype="int64"),
+                    "min_cell": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    g = (
+        pairs.assign(one=1, small=(pairs["n"] < k).astype("int64"))
+        .groupby("source", as_index=False, sort=True)
+        .agg(
+            n_rows=("n", "sum"),
+            n_cells=("one", "sum"),
+            n_small_cells=("small", "sum"),
+            min_cell=("n", "min"),
+        )
+        .astype(
+            {"n_rows": "int64", "n_cells": "int64", "n_small_cells": "int64", "min_cell": "int64"}
+        )
+    )
+    return ray.data.from_pandas(g)

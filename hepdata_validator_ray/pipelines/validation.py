@@ -1231,3 +1231,231 @@ def footer_stats_truth_audit(seq_path: str, column: str = "n_tok") -> "ray.data.
     return ray.data.from_pandas(
         out[["file", "n_rows", "footer_min", "footer_max", "data_min", "data_max", "stats_ok"]]
     )
+
+
+def token_source_histogram(seq_path: str):
+    """Shared bounded exchange for the concentration + rank-mass audits:
+    the per-(source, token) occurrence histogram as a driver-side table
+    (source_code, token, c) plus the sorted source list.
+
+    Shape: a |sources|-bounded enumeration pass (per-batch distinct, no
+    exchange), then ONE histogram exchange keyed on a single PACKED int64
+    (source_code << 32 | token — the int-key fast path; a (string, int)
+    two-column groupby over pandas-format blocks both wedges Ray 2.49's
+    hash aggregator and pays the slow path), |sources|×|vocab|-bounded at
+    any corpus size.  Returns (srcs, codes, tokens, counts) numpy views."""
+    from ray.data.aggregate import Sum
+
+    src_rows = (
+        ray.data.read_parquet(seq_path, columns=["source"])
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "source": pc.unique(
+                        pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string()))
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # ≤ |batches| × |sources| rows — tiny
+    )
+    srcs = sorted(src_rows["source"].unique().tolist())
+    code_of = {s: i for i, s in enumerate(srcs)}
+    if not srcs:
+        z = np.array([], dtype=np.int64)
+        return srcs, z, z, z
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        if not len(vals):
+            return pa.Table.from_pydict(
+                {"pk": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+            )
+        src = t.column("source").to_pandas().fillna("<NULL>")
+        row_code = src.map(code_of).to_numpy(np.int64)[np.repeat(np.arange(len(lens)), lens)]
+        key = row_code * (1 << 32) + vals  # token ids < 2^32 by schema
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"pk": pa.array(uk, type=pa.int64()), "c": pa.array(cnt.astype(np.int64), type=pa.int64())}
+        )
+
+    pairs = (
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"])
+        .map_batches(pair_counts, batch_format="pyarrow", batch_size=16384)
+        .groupby("pk")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # |sources| x |vocab|, bounded
+    )
+    pk = pairs["pk"].to_numpy(np.int64)
+    return srcs, pk >> 32, pk & 0xFFFFFFFF, pairs["c"].to_numpy(np.int64)
+
+
+def _concentration_from_hist(srcs, codes, tokens, counts) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n_tok": pd.Series(dtype="int64"),
+            "n_distinct_tokens": pd.Series(dtype="int64"),
+            "sum_c2": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(codes):
+        return empty
+    return (
+        pd.DataFrame({"source": np.array(srcs, dtype=object)[codes], "c": counts})
+        .assign(one=1, c2=counts * counts)
+        .groupby("source", as_index=False, sort=True)
+        .agg(n_tok=("c", "sum"), n_distinct_tokens=("one", "sum"), sum_c2=("c2", "sum"))
+        .astype({"n_tok": "int64", "n_distinct_tokens": "int64", "sum_c2": "int64"})
+    )
+
+
+def _rank_mass_from_hist(srcs, codes, tokens, counts) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n_tok": pd.Series(dtype="int64"),
+            "sum_rank": pd.Series(dtype="int64"),
+            "max_rank": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(codes):
+        return empty
+    # corpus counts per token -> dense frequency ranks (count DESC, t ASC)
+    tdf = pd.DataFrame({"t": tokens, "c": counts}).groupby("t", as_index=False)["c"].sum()
+    tdf = tdf.sort_values(["c", "t"], ascending=[False, True]).reset_index(drop=True)
+    rank_of = pd.Series(np.arange(len(tdf), dtype=np.int64), index=tdf["t"])
+    r = rank_of.loc[tokens].to_numpy(np.int64)
+    df = pd.DataFrame(
+        {
+            "source": np.array(srcs, dtype=object)[codes],
+            "n_tok": counts,
+            "sum_rank": counts * r,  # Σ_t c_{s,t}·rank(t), integer exact
+            "max_rank": r,
+        }
+    )
+    return (
+        df.groupby("source", as_index=False, sort=True)
+        .agg(n_tok=("n_tok", "sum"), sum_rank=("sum_rank", "sum"), max_rank=("max_rank", "max"))
+        .astype({"n_tok": "int64", "sum_rank": "int64", "max_rank": "int64"})
+    )
+
+
+def token_concentration_stats(seq_path: str) -> "ray.data.Dataset":
+    """Token-CONCENTRATION audit (Simpson / collision statistic, integer
+    exact): per source, (n_tok, n_distinct_tokens, sum_c2) where c are the
+    per-token occurrence counts within the source and sum_c2 = Σ c² is the
+    unnormalized Simpson index numerator — sum_c2/n_tok² is the probability
+    two random token draws collide, the skew/degeneracy signal a
+    drift-vs-reference check wants without any float entering the gate.
+
+    One token_source_histogram exchange; the per-source collapse is driver
+    arithmetic on the bounded table.  Σ c² stays in int64 below ~3·10⁹
+    occurrences of one token within one source (the KS bound discipline);
+    beyond that a decimal-string escape hatch applies."""
+    return ray.data.from_pandas(_concentration_from_hist(*token_source_histogram(seq_path)))
+
+
+def token_rank_mass_stats(seq_path: str) -> "ray.data.Dataset":
+    """Vocabulary-compaction / rank-MASS audit: remap every token id to its
+    dense corpus frequency rank (0-based, count DESC then token ASC — the
+    id layout a vocab compaction would assign) and report per source
+    (n_tok, sum_rank, max_rank).  sum_rank is the integer area under the
+    source's rank-frequency curve (lower = mass concentrated in frequent
+    tokens — more compressible); max_rank is the source's effective
+    vocabulary depth.  sum_rank < vocab · n_tok stays in int64 up to
+    ~10¹⁴ tokens per source at a 50k vocab.
+
+    Derived ENTIRELY from the shared token_source_histogram exchange:
+    Σ_positions rank(tok) ≡ Σ_t c_{s,t}·rank(t), so no second corpus pass
+    and no broadcast remap table are needed — the rank join is driver
+    arithmetic on the |sources|×|vocab|-bounded table."""
+    return ray.data.from_pandas(_rank_mass_from_hist(*token_source_histogram(seq_path)))
+
+
+def token_concentration_and_rank_mass(seq_path: str):
+    """Both audits off ONE shared histogram exchange (the fused-gate path:
+    two corpus passes become one)."""
+    h = token_source_histogram(seq_path)
+    return _concentration_from_hist(*h), _rank_mass_from_hist(*h)
+
+
+#: modulus for the corpus-digest accumulator: a Mersenne prime small enough
+#: that per-batch partial sums (< 2^31 · batch_size) and the exchange's sum
+#: of per-batch partials (< 2^31 · n_batches) both stay far inside int64 —
+#: safe to ~4·10⁹ batches ≈ 2.8·10¹⁴ rows per source at the default batch
+#: size; beyond that, split the accumulator (decimal-string escape hatch).
+DIGEST_MOD = 2147483647
+
+
+def corpus_digest_stats(seq_path: str) -> "ray.data.Dataset":
+    """Order-independent corpus CONTENT DIGEST per source — the equality
+    certificate a resumable 100-TB run needs: two layouts / two replays of
+    the same corpus produce identical digests, and any single-row content
+    change moves its source's digest with probability 1 − 1/DIGEST_MOD.
+    digest = Σ_rows (md5-hash64(doc_id | tokens) mod DIGEST_MOD) mod
+    DIGEST_MOD, summed per source (plus an '<all>' roll-up), so the digest
+    is invariant to row order and partitioning by construction (modular
+    addition commutes).  Output (source, n_rows, digest).
+
+    md5 is kept for DuckDB oracle parity (the dedup-family convention —
+    hash64 = the first 16 hex chars, big-endian); the row strings are
+    built zero-copy via one pyarrow cast + binary_join per batch, and the
+    exchange carries only |sources|-sized integer partials."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # binary_join maps a NULL list to "" (same as an EMPTY list) — mask
+        # NULL lists explicitly so they digest as '<NULL>' like the SQL twin
+        joined = pc.binary_join(pc.cast(col, pa.list_(pa.string())), ",")
+        s = joined.to_pandas().fillna("<NULL>")
+        null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if null_rows.any():
+            s = s.mask(pd.Series(null_rows, index=s.index), "<NULL>")
+        did = t.column("doc_id").to_pandas().fillna("<NULL>")
+        src = t.column("source").to_pandas().fillna("<NULL>")
+        n = len(s)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5((a + "|" + b).encode()).digest()[:8], "big")
+                % DIGEST_MOD
+                for a, b in zip(did, s)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        df = pd.DataFrame({"source": src, "n_rows": np.ones(n, dtype=np.int64), "h": h})
+        g = df.groupby("source", as_index=False, sort=False).agg(
+            n_rows=("n_rows", "sum"), h=("h", "sum")
+        )
+        g["h"] = g["h"] % DIGEST_MOD  # keep partials small for the exchange
+        return g.astype({"n_rows": "int64", "h": "int64"})
+
+    per_src = (
+        ray.data.read_parquet(seq_path, columns=["doc_id", "source", "tokens"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("source")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("h", alias_name="h"))
+        .to_pandas()  # |sources|-bounded
+    )
+    per_src["digest"] = per_src["h"] % DIGEST_MOD
+    allrow = pd.DataFrame(
+        {
+            "source": ["<all>"],
+            "n_rows": [int(per_src["n_rows"].sum())],
+            "digest": [int(per_src["h"].sum()) % DIGEST_MOD],
+        }
+    )
+    out = pd.concat([per_src[["source", "n_rows", "digest"]], allrow], ignore_index=True)
+    return ray.data.from_pandas(out.astype({"n_rows": "int64", "digest": "int64"}))

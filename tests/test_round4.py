@@ -1173,3 +1173,168 @@ def test_token_framing_crafted(tmp_path, ray_session):
     assert (s["n_rows"], s["n_bad_first"], s["n_bad_last"], s["n_interior_eos"]) == (5, 2, 2, 1)
     tt = got.loc["t"]
     assert (tt["n_rows"], tt["n_bad_first"], tt["n_bad_last"], tt["n_interior_eos"]) == (4, 2, 2, 1)
+
+
+def test_footer_stats_truth_audit(tmp_path, ray_session):
+    """Footer-truth audit pinned: multi-row-group footers aggregate to the
+    true data bounds (stats_ok=1); a file written WITHOUT statistics
+    reports NULL footer bounds and stats_ok=0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import footer_stats_truth_audit
+
+    d = tmp_path / "seqs"
+    d.mkdir()
+
+    def tbl(ntoks):
+        return pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(ntoks))]),
+                "tokens": pa.array([[0] * v for v in ntoks], type=pa.list_(pa.int32())),
+                "n_tok": pa.array(ntoks, type=pa.int32()),
+                "source": pa.array(["s"] * len(ntoks)),
+            }
+        )
+
+    pq.write_table(tbl([5, 9, 2, 7]), str(d / "a.parquet"), row_group_size=2)
+    pq.write_table(tbl([4, 4]), str(d / "b.parquet"), write_statistics=False)
+    got = footer_stats_truth_audit(str(d)).to_pandas().set_index("file")
+    a = got.loc["a.parquet"]
+    assert (a["n_rows"], a["footer_min"], a["footer_max"], a["stats_ok"]) == (4, 2, 9, 1)
+    assert (a["data_min"], a["data_max"]) == (2, 9)
+    b = got.loc["b.parquet"]
+    assert b["n_rows"] == 2 and b["stats_ok"] == 0
+    assert pd.isna(b["footer_min"]) and pd.isna(b["footer_max"])
+    assert (b["data_min"], b["data_max"]) == (4, 4)
+
+
+def test_token_concentration_crafted(tmp_path, ray_session):
+    """Concentration audit pinned: Σ c² over per-(source, token) counts —
+    hand-computed collision numerators, cross-row accumulation within a
+    source, empty/NULL lists contribute nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_concentration_stats
+
+    rows = [
+        ("s", [7, 7, 7, 9]),   # s: 7→3, 9→1 (so far)
+        ("s", [9, 5]),         # s: 9→2, 5→1  ⇒ c = {3,2,1}, Σc²=14, n_tok=6, nd=3
+        ("t", []),             # nothing
+        ("t", None),           # nothing
+        ("t", [4, 4]),         # t: c={2}, Σc²=4, n_tok=2, nd=1
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) if r[1] else 0 for r in rows], type=pa.int32()),
+            "source": pa.array([r[0] for r in rows]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = token_concentration_stats(p).to_pandas().set_index("source")
+    s = got.loc["s"]
+    assert (s["n_tok"], s["n_distinct_tokens"], s["sum_c2"]) == (6, 3, 14)
+    tt = got.loc["t"]
+    assert (tt["n_tok"], tt["n_distinct_tokens"], tt["sum_c2"]) == (2, 1, 4)
+
+
+def test_token_rank_mass_crafted(tmp_path, ray_session):
+    """Rank-mass audit pinned: corpus ranks (count DESC, token ASC,
+    0-based) with a count tie broken by token id; per-source rank sums and
+    depth hand-computed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_rank_mass_stats
+
+    # corpus counts: 7→3, 9→2, 5→2, 3→1  ⇒ ranks 7→0, 5→1 (tie 2-2: 5<9), 9→2, 3→3
+    rows = [
+        ("s", [7, 7, 9]),   # ranks 0,0,2: sum 2, max 2, n 3
+        ("s", [5]),         # rank 1: s ⇒ sum 3, max 2, n 4
+        ("t", [9, 5, 3, 7]),  # ranks 2,1,3,0: sum 6, max 3, n 4
+        ("t", None),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[1]) if r[1] else 0 for r in rows], type=pa.int32()),
+            "source": pa.array([r[0] for r in rows]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = token_rank_mass_stats(p).to_pandas().set_index("source")
+    s = got.loc["s"]
+    assert (s["n_tok"], s["sum_rank"], s["max_rank"]) == (4, 3, 2)
+    tt = got.loc["t"]
+    assert (tt["n_tok"], tt["sum_rank"], tt["max_rank"]) == (4, 6, 3)
+
+
+def test_corpus_digest_invariance_and_sensitivity(tmp_path, ray_session):
+    """Digest certificate pinned: identical corpus in a different row order
+    and file layout gives IDENTICAL digests; a single-token change moves
+    the affected source's digest (and '<all>'), leaving others fixed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import corpus_digest_stats
+
+    def write(rows, d):
+        d.mkdir(exist_ok=True)
+        for i, chunk in enumerate(rows):
+            t = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk]),
+                    "tokens": pa.array([r[2] for r in chunk], type=pa.list_(pa.int32())),
+                    "n_tok": pa.array(
+                        [len(r[2]) if r[2] else 0 for r in chunk], type=pa.int32()
+                    ),
+                    "source": pa.array([r[1] for r in chunk]),
+                }
+            )
+            pq.write_table(t, str(d / f"part{i}.parquet"))
+        return str(d)
+
+    base = [("a", "s", [1, 2, 3]), ("b", "s", [4]), ("c", "t", None), ("d", "t", [9, 9])]
+    p1 = write([base], tmp_path / "one")
+    p2 = write([[base[2], base[0]], [base[3], base[1]]], tmp_path / "two")
+    g1 = corpus_digest_stats(p1).to_pandas().set_index("source").sort_index()
+    g2 = corpus_digest_stats(p2).to_pandas().set_index("source").sort_index()
+    pd.testing.assert_frame_equal(g1, g2)
+    mut = [r if r[0] != "b" else ("b", "s", [5]) for r in base]
+    g3 = corpus_digest_stats(write([mut], tmp_path / "mut")).to_pandas().set_index("source")
+    assert g3.loc["s", "digest"] != g1.loc["s", "digest"]
+    assert g3.loc["t", "digest"] == g1.loc["t", "digest"]
+    assert g3.loc["<all>", "digest"] != g1.loc["<all>", "digest"]
+    # roll-up identity: <all> = Σ per-source digests (mod DIGEST_MOD)
+    from hepdata_validator_ray.pipelines.validation import DIGEST_MOD
+
+    assert g1.loc["<all>", "digest"] == (g1.loc["s", "digest"] + g1.loc["t", "digest"]) % DIGEST_MOD
+
+
+def test_k_anonymity_crafted(tmp_path, ray_session):
+    """k-anonymity audit pinned: cell sizes straddling k=5, NULL lang cells
+    counted as their own cell, min over a source's cells."""
+    from hepdata_validator_ray.pipelines.profile import k_anonymity_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": ["x"] * 12,
+            "source": ["A"] * 8 + ["B"] * 4,
+            "lang": ["en"] * 5 + ["de"] * 2 + [None] + ["fr"] * 4,
+            "n_chars": [1] * 12,
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    got = k_anonymity_stats(p, k=5).to_pandas().set_index("source")
+    a = got.loc["A"]  # cells: en=5 (ok), de=2 (small), <NULL>=1 (small)
+    assert (a["n_rows"], a["n_cells"], a["n_small_cells"], a["min_cell"]) == (8, 3, 2, 1)
+    b = got.loc["B"]  # fr=4 -> small
+    assert (b["n_rows"], b["n_cells"], b["n_small_cells"], b["min_cell"]) == (4, 1, 1, 4)
