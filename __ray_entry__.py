@@ -1485,6 +1485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused-union legs of dedup_exact_meta / ann_meta / dedup_ngram_meta,
         # still independently queryable with their own oracle entries
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
+        "dedup_prefix_join": lambda sf: dedup.prefix_similarity_join(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_nearpair_documents_parquet(sf)
+        ),
         "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(
             docs(sf), threshold=0.3, method="ngram", distributed=True
         ),
@@ -2372,6 +2375,31 @@ FROM n""".replace(
         # bidirectional snapshot diff vs the deterministic mutated second
         # crawl (both engines read the same fixture file; IS DISTINCT FROM
         # gives the NULL-safe text-equality the siphash keys reproduce)
+        # prefix-filter EXACT similarity join vs BRUTE-FORCE all-pairs SQL:
+        # the oracle is algorithm-independent, so equality certifies the
+        # prefix filter's completeness theorem at gate scale (same shingle
+        # semantics as the dedup_ngram_jaccard oracle; integer threshold
+        # q*I >= p*(n_a+n_b-I) so no float enters)
+        "dedup_prefix_join": """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM read_parquet('{np}')),
+shg AS (SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         END AS sh FROM w),
+jp AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+         len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+       FROM shg a JOIN shg b ON a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, n_inter, n_a, n_b
+FROM jp WHERE 2 * n_inter >= n_a + n_b - n_inter""".replace(
+            "{np}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_nearpair_documents_parquet(
+                "/root/testdata/sf0.01"
+            ),
+        ),
         "dedup_snapshot_diff": """
 WITH o AS (SELECT doc_id, text FROM documents),
 n AS (SELECT doc_id, text FROM read_parquet('{mutated}'))

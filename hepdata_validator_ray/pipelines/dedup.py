@@ -1626,3 +1626,246 @@ def cdc_chunk_dedup_stats(
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter EXACT set-similarity self-join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+#: validity-certificate cap for one prefix-shingle candidate group: pairs
+#: from one group are quadratic, and EXACTNESS forbids dropping any — an
+#: oversized group raises instead of silently approximating (the Misra-
+#: Gries certificate discipline).  df-ascending prefix ordering is the
+#: documented optimization path that shrinks groups at hostile corpora.
+PREFIX_GROUP_CAP = 4000
+
+
+def prefix_filter_candidates(
+    docs_path: str,
+    thr_num: int = 1,
+    thr_den: int = 2,
+    shingle_k: int = 3,
+    num_buckets: int = 64,
+    cap: int = PREFIX_GROUP_CAP,
+) -> "ray.data.Dataset":
+    """COMPLETE candidate pairs for word-shingle Jaccard ≥ thr_num/thr_den,
+    by prefix filtering (AllPairs): order every doc's distinct shingle set
+    by one fixed global total order (int64 hash order — ANY shared total
+    order preserves the theorem; df-ascending merely minimizes candidates),
+    keep each doc's first ``n − ⌈t·n⌉ + 1`` shingles, and emit a candidate
+    for every pair sharing a prefix shingle.  Theorem: if J(A,B) ≥ t and
+    both prefixes are disjoint, then |A∩B| ≤ (n_A − L_A) < ⌈t·n_A⌉ ≤ t·|A∪B|
+    — contradiction; so the candidate set provably contains every
+    qualifying pair (no LSH recall loss).  A size filter
+    (q·min(n_a,n_b) ≥ p·max(n_a,n_b)) prunes inside each group.
+
+    One shingle-keyed bucketed exchange; per-group pair generation is
+    quadratic and therefore capped by a VALIDITY CERTIFICATE (raise, never
+    drop).  Output (doc_id_a, doc_id_b), a < b, deduped within buckets;
+    cross-bucket duplicates remain (consumers dedupe — the verified join
+    collects the small side anyway)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    def gen(df: pd.DataFrame) -> pa.Table:
+        wh, offs = _word_hashes(df["text"].fillna(""), _WORD_KEY_MINHASH)
+        sh, sh_off = _shingle_hashes(wh, offs, shingle_k)
+        shi = sh.view(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        out_sh: list = []
+        out_id: list = []
+        out_n: list = []
+        for i in range(len(ids)):
+            u = np.unique(shi[sh_off[i] : sh_off[i + 1]])
+            n = len(u)
+            if n == 0:
+                continue
+            pl = n - ((thr_num * n + thr_den - 1) // thr_den) + 1
+            out_sh.append(u[:pl])
+            out_id.append(np.full(pl, ids[i], dtype=np.int64))
+            out_n.append(np.full(pl, n, dtype=np.int64))
+        if not out_sh:
+            return pa.Table.from_pydict(
+                {
+                    "sh": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "sh": pa.array(np.concatenate(out_sh), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "n": pa.array(np.concatenate(out_n), type=pa.int64()),
+            }
+        )
+
+    rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        gen, batch_format="pandas", batch_size=2048
+    )
+
+    empty = pd.DataFrame(
+        {"doc_id_a": pd.Series(dtype="int64"), "doc_id_b": pd.Series(dtype="int64")}
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        dup = df.duplicated("sh", keep=False)
+        df = df[dup]
+        if not len(df):
+            return empty
+        outs = []
+        for shv, g in df.groupby("sh", sort=False):
+            m = len(g)
+            if m > cap:
+                raise ValueError(
+                    f"prefix_filter_candidates: prefix group for shingle {shv} has "
+                    f"{m} docs > cap {cap}; exactness forbids dropping pairs — raise "
+                    "the cap or switch the global order to df-ascending"
+                )
+            gid = g["doc_id"].to_numpy(np.int64)
+            gn = g["n"].to_numpy(np.int64)
+            ai, bi = np.triu_indices(m, k=1)
+            na_, nb_ = gn[ai], gn[bi]
+            keep = thr_den * np.minimum(na_, nb_) >= thr_num * np.maximum(na_, nb_)
+            a = np.minimum(gid[ai], gid[bi])[keep]
+            b = np.maximum(gid[ai], gid[bi])[keep]
+            outs.append(pd.DataFrame({"doc_id_a": a, "doc_id_b": b}))
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True)
+        return out.drop_duplicates(ignore_index=True)
+
+    return (
+        rows.map_batches(lambda t: with_bucket(t, "sh", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def prefix_similarity_join(
+    docs_path: str, thr_num: int = 1, thr_den: int = 2, shingle_k: int = 3
+) -> "ray.data.Dataset":
+    """EXACT word-shingle Jaccard self-join at threshold thr_num/thr_den —
+    prefix-filter candidates (complete by theorem, unlike LSH banding)
+    verified with INTEGER arithmetic: a pair qualifies iff
+    q·|A∩B| ≥ p·(n_a + n_b − |A∩B|), so no float enters the gate.  Output
+    (doc_id_a, doc_id_b, n_inter, n_a, n_b) for qualifying pairs.
+
+    Verification reuses the ngram-family join shape: the deduped candidate
+    set (the SMALL side by construction) broadcasts its doc-id set to prune
+    the shingle-set build; exchange 1 attaches each endpoint's sorted
+    shingle set on hash(doc_id) (tagged union, int64 sentinel); exchange 2
+    meets the two endpoints per pair for the sorted-set intersection.
+    Reference analogue: hepdata-validator has no similarity machinery —
+    this is part of the §2.9-adjacent training-data surface (SURVEY §6)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, grouped_pairs, with_bucket
+
+    cands = prefix_filter_candidates(
+        docs_path, thr_num=thr_num, thr_den=thr_den, shingle_k=shingle_k
+    )
+    seen: set = set()
+    for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        seen.update(zip(b["doc_id_a"].to_pylist(), b["doc_id_b"].to_pylist()))
+    empty = pd.DataFrame(
+        {
+            "doc_id_a": pd.Series(dtype="int64"),
+            "doc_id_b": pd.Series(dtype="int64"),
+            "n_inter": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+        }
+    )
+    if not seen:
+        return ray.data.from_pandas(empty)
+    pair_arr = np.array(sorted(seen), dtype=np.int64)  # (n_pairs, 2), deduped
+    cand_ids = np.unique(pair_arr)
+    ids_ref = ray.put(cand_ids)
+
+    sh_type = pa.list_(pa.int64())
+    join_schema = pa.schema(
+        [("doc_id", pa.int64()), ("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("sh", sh_type)]
+    )
+
+    class ShingleSetRows:
+        def __init__(self, r):
+            self.ids = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            keep = np.isin(df["doc_id"].to_numpy(), self.ids)
+            df = df[keep]
+            wh, offs = _word_hashes(df["text"].fillna(""), _WORD_KEY_MINHASH)
+            sh, sh_off = _shingle_hashes(wh, offs, shingle_k)
+            shi = sh.view(np.int64)
+            sets = [np.unique(shi[sh_off[i] : sh_off[i + 1]]) for i in range(len(df))]
+            n = len(df)
+            tag = pa.array(np.full(n, _TAG64, dtype=np.int64))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+                    tag,
+                    tag,
+                    pa.array(sets, type=sh_type),
+                ],
+                schema=join_schema,
+            )
+
+    shingle_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        ShingleSetRows,
+        fn_constructor_args=(ids_ref,),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=2,
+    )
+    pair_rows_tbl = pa.Table.from_arrays(
+        [
+            pa.array(np.concatenate([pair_arr[:, 0], pair_arr[:, 1]]), type=pa.int64()),
+            pa.array(np.concatenate([pair_arr[:, 0], pair_arr[:, 0]]), type=pa.int64()),
+            pa.array(np.concatenate([pair_arr[:, 1], pair_arr[:, 1]]), type=pa.int64()),
+            pa.nulls(2 * len(pair_arr), sh_type),
+        ],
+        schema=join_schema,
+    )
+    pair_rows = ray.data.from_arrow(pair_rows_tbl)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_sh = df["doc_id_a"].to_numpy() == _TAG64
+        sh_map = dict(zip(df.loc[is_sh, "doc_id"], df.loc[is_sh, "sh"]))
+        pr = df[~is_sh]
+        return pd.DataFrame(
+            {
+                "doc_id_a": pr["doc_id_a"].astype("int64"),
+                "doc_id_b": pr["doc_id_b"].astype("int64"),
+                "ep": pr["doc_id"].astype("int64"),  # WHICH endpoint this set is
+                "sh": pr["doc_id"].map(sh_map),
+            }
+        )
+
+    sided = (
+        pair_rows.union(shingle_rows)
+        .map_batches(lambda t: with_bucket(t, "doc_id", 64), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        a_first = int(g["ep"].iloc[0]) == int(g["doc_id_a"].iloc[0])
+        sa = np.asarray(g["sh"].iloc[0 if a_first else 1])
+        sb = np.asarray(g["sh"].iloc[1 if a_first else 0])
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        na, nb = int(sa.size), int(sb.size)
+        if thr_den * inter < thr_num * (na + nb - inter):
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id_a": [int(g["doc_id_a"].iloc[0])],
+                "doc_id_b": [int(g["doc_id_b"].iloc[0])],
+                "n_inter": [inter],
+                "n_a": [na],
+                "n_b": [nb],
+            }
+        )
+
+    return grouped_pairs(sided, ["doc_id_a", "doc_id_b"], verify, empty=empty)

@@ -387,3 +387,27 @@ def expected_violation_doc_rows(n_rows: int) -> dict[str, set[int]]:
         classes.setdefault(int(idx[j]) % DUP_CLASS_MOD, []).append(int(j))
     out["doc_id_duplicates"] = {j for grp in classes.values() if len(grp) >= 2 for j in grp}
     return out
+
+
+def ensure_nearpair_documents_parquet(sf_dir: str) -> str:
+    """The near-dup-pair SELF-JOIN fixture: the base documents table
+    unioned with the mutated 'second crawl' whose doc_ids are offset by
+    1,000,000 — so every surviving (base, mutated) twin is a same-corpus
+    near-duplicate pair (identical for untouched rows, one-suffix-word
+    apart for the ``[rev2]`` rows).  A pure function of the two tables;
+    both engines read the same file."""
+    import pandas as pd
+
+    tag = Path(sf_dir).name or "default"
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-nearpair" / "documents_np.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    mut = pd.read_parquet(ensure_mutated_documents_parquet(sf_dir)).copy()
+    mut["doc_id"] = mut["doc_id"] + 1_000_000
+    df = pd.concat([base, mut], ignore_index=True)
+    tmp = out.with_suffix(".tmp")
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return str(out)

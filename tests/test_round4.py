@@ -1338,3 +1338,62 @@ def test_k_anonymity_crafted(tmp_path, ray_session):
     assert (a["n_rows"], a["n_cells"], a["n_small_cells"], a["min_cell"]) == (8, 3, 2, 1)
     b = got.loc["B"]  # fr=4 -> small
     assert (b["n_rows"], b["n_cells"], b["n_small_cells"], b["min_cell"]) == (4, 1, 1, 4)
+
+
+def test_prefix_similarity_join_completeness_brute_force(tmp_path, ray_session):
+    """Prefix-filter exact similarity join pinned against brute force: every
+    pair with shingle Jaccard >= 1/2 is found (completeness theorem), no
+    extras, and the integer triples match a numpy recompute."""
+    from hepdata_validator_ray.pipelines.dedup import (
+        _shingle_hashes,
+        _word_hashes,
+        _WORD_KEY_MINHASH,
+        prefix_similarity_join,
+    )
+
+    texts = [
+        "a b c d e f g h",        # 0: base
+        "a b c d e f g h",        # 1: identical -> J=1
+        "a b c d e f g x",        # 2: one tail word changed -> J high
+        "z y x w v u t s",        # 3: unrelated
+        "a b c d e f g h i j",    # 4: superset-ish
+        "q r",                    # 5: short (single whole-text shingle)
+        "q r",                    # 6:短 twin -> J=1
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+
+    wh, offs = _word_hashes(df["text"], _WORD_KEY_MINHASH)
+    sh, sh_off = _shingle_hashes(wh, offs, 3)
+    shi = sh.view(np.int64)
+    sets = [np.unique(shi[sh_off[i] : sh_off[i + 1]]) for i in range(len(df))]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            na, nb = sets[i].size, sets[j].size
+            if 2 * inter >= (na + nb - inter):
+                want.add((i, j, int(inter), int(na), int(nb)))
+
+    got = prefix_similarity_join(p).to_pandas()
+    got_set = {
+        (int(r.doc_id_a), int(r.doc_id_b), int(r.n_inter), int(r.n_a), int(r.n_b))
+        for r in got.itertuples()
+    }
+    assert got_set == want and len(want) >= 2
+
+
+def test_prefix_filter_group_cap_certificate(tmp_path, ray_session):
+    """An oversized prefix group RAISES (validity certificate) instead of
+    silently dropping pairs."""
+    from hepdata_validator_ray.pipelines.dedup import prefix_filter_candidates
+
+    # 30 identical docs share every prefix shingle -> one group of 30 > cap
+    df = pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64), "text": ["same text here okay"] * 30}
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    with pytest.raises(Exception, match="cap"):
+        prefix_filter_candidates(p, cap=10).to_pandas()
