@@ -1463,6 +1463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
         "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
+        "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
+            _seq(sf),
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+        ),
         "v_parquet_layout": lambda sf: validation.parquet_layout_audit(_seq(sf)),
         "v_trimmed_stats": lambda sf: validation.trimmed_sum_stats(_seq(sf)),
         "shuffle_adjacency": lambda sf: __import__(
@@ -2358,6 +2362,25 @@ GROUP BY source""",
         # EXISTS + IS NOT DISTINCT FROM: NULL token rows group like the
         # engine's null-sentinel semantics (null matches null), keeping
         # n_new + n_seen_before == |new| even with NULLs present
+        # cross-snapshot n_tok histogram L1 (total-variation numerator):
+        # FULL OUTER join of the two bounded histograms, all integers
+        "v_snapshot_length_drift": f"""
+WITH ho AS (SELECT coalesce(source, '<NULL>') AS s, n_tok::BIGINT AS v, count(*)::BIGINT AS c
+            FROM read_parquet('{p}') GROUP BY 1, 2),
+hn AS (SELECT coalesce(source, '<NULL>') AS s, n_tok::BIGINT AS v, count(*)::BIGINT AS c
+       FROM read_parquet('{{shifted}}') GROUP BY 1, 2),
+j AS (SELECT coalesce(ho.s, hn.s) AS source,
+             coalesce(ho.c, 0)::BIGINT AS co, coalesce(hn.c, 0)::BIGINT AS cn
+      FROM ho FULL OUTER JOIN hn ON ho.s = hn.s AND ho.v = hn.v)
+SELECT source, sum(co)::BIGINT AS n_old, sum(cn)::BIGINT AS n_new,
+       sum(abs(co - cn))::BIGINT AS l1
+FROM j GROUP BY source""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
         "content_incremental_new": f"""
 WITH o AS (SELECT DISTINCT tokens FROM read_parquet('{p}')),
 n AS (SELECT tokens FROM read_parquet('{{shifted}}'))

@@ -1459,3 +1459,49 @@ def corpus_digest_stats(seq_path: str) -> "ray.data.Dataset":
     )
     out = pd.concat([per_src[["source", "n_rows", "digest"]], allrow], ignore_index=True)
     return ray.data.from_pandas(out.astype({"n_rows": "int64", "digest": "int64"}))
+
+
+def snapshot_length_drift(old_path: str, new_path: str) -> "ray.data.Dataset":
+    """Cross-SNAPSHOT drift as an exact integer: per source, the L1
+    distance Σ_v |c_old(v) − c_new(v)| between the two snapshots' n_tok
+    histograms (the total-variation numerator: TV = l1 / (n_old + n_new)
+    when normalized) plus both row totals — the ingest-regression check a
+    recurring pipeline runs before accepting a new crawl, gateable where
+    KL cannot be because no float enters.
+
+    One |sources|×|length-domain|-bounded histogram exchange PER SNAPSHOT
+    (the ks_drift shape), then a driver-side outer merge of the two tiny
+    tables.  Sources appearing in only one snapshot drift by their full
+    mass."""
+    from ray.data.aggregate import Count
+
+    def hist(path: str) -> pd.DataFrame:
+        return (
+            ray.data.read_parquet(path, columns=["source", "n_tok"])
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                        pc.cast(t["n_tok"], pa.int64()),
+                    ],
+                    names=["source", "v"],
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(["source", "v"])
+            .aggregate(Count(alias_name="c"))
+            .to_pandas()  # |sources| x |length domain|, bounded
+        )
+
+    ho = hist(old_path).rename(columns={"c": "co"})
+    hn = hist(new_path).rename(columns={"c": "cn"})
+    j = ho.merge(hn, on=["source", "v"], how="outer")
+    j["co"] = j["co"].fillna(0).astype("int64")
+    j["cn"] = j["cn"].fillna(0).astype("int64")
+    g = (
+        j.assign(ad=(j["co"] - j["cn"]).abs())
+        .groupby("source", as_index=False, sort=True)
+        .agg(n_old=("co", "sum"), n_new=("cn", "sum"), l1=("ad", "sum"))
+        .astype({"n_old": "int64", "n_new": "int64", "l1": "int64"})
+    )
+    return ray.data.from_pandas(g)

@@ -1397,3 +1397,33 @@ def test_prefix_filter_group_cap_certificate(tmp_path, ray_session):
     df.to_parquet(p, index=False)
     with pytest.raises(Exception, match="cap"):
         prefix_filter_candidates(p, cap=10).to_pandas()
+
+
+def test_snapshot_length_drift_crafted(tmp_path, ray_session):
+    """L1 drift pinned: hand-computed per-source histogram distances,
+    one-sided sources drift by their full mass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import snapshot_length_drift
+
+    def write(rows, name):
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+                "tokens": pa.array([[0] * v for _, v in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([v for _, v in rows], type=pa.int32()),
+                "source": pa.array([s for s, _ in rows]),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(t, p)
+        return p
+
+    old = write([("s", 3), ("s", 3), ("s", 5), ("t", 2)], "old.parquet")
+    new = write([("s", 3), ("s", 7), ("u", 1)], "new.parquet")
+    got = snapshot_length_drift(old, new).to_pandas().set_index("source")
+    # s: v3 |2-1|=1, v5 |1-0|=1, v7 |0-1|=1 => l1=3
+    assert (got.loc["s", "n_old"], got.loc["s", "n_new"], got.loc["s", "l1"]) == (3, 2, 3)
+    assert (got.loc["t", "n_old"], got.loc["t", "n_new"], got.loc["t", "l1"]) == (1, 0, 1)
+    assert (got.loc["u", "n_old"], got.loc["u", "n_new"], got.loc["u", "l1"]) == (0, 1, 1)
