@@ -48,6 +48,7 @@ Scale notes (100 TB / 256 nodes):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -145,6 +146,32 @@ class ValidationConfig:
     #: full_submission_validator.py:236-249; tested
     #: test_full_submission_validator.py:217-230)
     scrub_prefix: str | None = None
+    #: verify completed chunks' file fingerprints (size + parquet footer
+    #: row/row-group counts — METADATA-only, no data pages) on resume and
+    #: raise StaleCheckpointError when an already-validated input changed
+    #: under the checkpoint: silently reusing a chunk result for different
+    #: bytes is the one way resume can return wrong answers.  Byte-level
+    #: certification is ``validation.corpus_digest_stats``.
+    verify_resume_fingerprints: bool = True
+
+
+class StaleCheckpointError(ValueError):
+    """A completed chunk's input file changed since its manifest entry."""
+
+
+def _file_fingerprint(path: str) -> list:
+    """[size_bytes, n_rows, n_row_groups] — parquet footers only; non-parquet
+    inputs fingerprint by size alone (-1 sentinels)."""
+    size = int(os.stat(path).st_size)
+    if path.endswith(".parquet"):
+        try:
+            import pyarrow.parquet as _pq
+
+            md = _pq.ParquetFile(path).metadata
+            return [size, int(md.num_rows), int(md.num_row_groups)]
+        except Exception:
+            pass
+    return [size, -1, -1]
 
 
 @dataclass
@@ -906,6 +933,28 @@ class ValidationEngine:
         if manifest:
             for e in manifest.get_all("chunk"):
                 completed_files.update(e.get("files", ()))
+        # staleness gate: a completed file whose bytes changed since its
+        # manifest entry would silently reuse a WRONG chunk result — verify
+        # the recorded metadata fingerprints (stat + parquet footer, no data
+        # pages) before trusting the skip.  Old manifests without "fps"
+        # entries skip verification (backward compatible).
+        if manifest and cfg.verify_resume_fingerprints and completed_files:
+            recorded: dict[str, list] = {}
+            for e in manifest.get_all("chunk"):
+                recorded.update(e.get("fps", {}))
+            by_rel = {rel(f): f for f in files}
+            for rf, fp_old in recorded.items():
+                f = by_rel.get(rf)
+                if f is None:
+                    continue  # completed file no longer present — nothing to reuse wrongly
+                fp_now = _file_fingerprint(f)
+                if fp_now != list(fp_old):
+                    raise StaleCheckpointError(
+                        f"checkpoint manifest records fingerprint {fp_old} for "
+                        f"'{rf}' but the file on disk is now {fp_now}; the "
+                        "completed-chunk results no longer describe this input — "
+                        "delete the output dir (or revert the file) to revalidate"
+                    )
         pending = [f for f in files if rel(f) not in completed_files]
         chunks = [pending[i : i + cfg.chunk_files] for i in range(0, len(pending), cfg.chunk_files)]
         t0 = time.perf_counter()
@@ -1019,6 +1068,7 @@ class ValidationEngine:
                         "chunk_key": ckey,
                         "chunk_index": ci,
                         "files": [rel(f) for f in chunk],
+                        "fps": {rel(f): _file_fingerprint(f) for f in chunk},
                         "n_rows": res["n_rows"],
                         "n_violations": res["n_violations"],
                         "violation_counts": res["violation_counts"],

@@ -85,3 +85,42 @@ def test_transient_udf_error_retried_on_opt_in(ray_session, tmp_path):
     exp = _expected()
     assert len(got) == len(exp)
     assert (got["n_chars"].to_numpy() == exp["n_chars"].to_numpy() + 1).all()
+
+
+def test_resume_staleness_detection(tmp_path, ray_session):
+    """A completed input file that CHANGES under the checkpoint raises
+    StaleCheckpointError on resume (metadata fingerprints); an untouched
+    resume replays from the manifest and matches the fresh result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hepdata_validator_ray.engine import (
+        StaleCheckpointError,
+        ValidationConfig,
+        ValidationEngine,
+    )
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    src = ensure_sequences_parquet("/root/testdata/sf0.001")
+    import glob
+    import shutil
+
+    d = tmp_path / "seqs"
+    d.mkdir()
+    for f in sorted(glob.glob(src + "/*.parquet"))[:3]:
+        shutil.copy(f, d)
+    out = tmp_path / "out"
+    eng = ValidationEngine(ValidationConfig(chunk_files=2))
+    r1 = eng.validate(str(d), output_dir=str(out))
+
+    # untouched resume: completed chunks replay, same totals
+    r2 = ValidationEngine(ValidationConfig(chunk_files=2)).validate(str(d), output_dir=str(out))
+    assert (r2.n_rows, r2.n_violations) == (r1.n_rows, r1.n_violations)
+
+    # mutate one completed file -> resume must refuse
+    victim = sorted(d.glob("*.parquet"))[0]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, t.num_rows - 1), victim)
+    with pytest.raises(StaleCheckpointError, match="fingerprint"):
+        ValidationEngine(ValidationConfig(chunk_files=2)).validate(str(d), output_dir=str(out))
