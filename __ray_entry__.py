@@ -1463,6 +1463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
         "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
+        "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
+        "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
             _seq(sf),
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
@@ -2362,6 +2364,34 @@ GROUP BY source""",
         # EXISTS + IS NOT DISTINCT FROM: NULL token rows group like the
         # engine's null-sentinel semantics (null matches null), keeping
         # n_new + n_seen_before == |new| even with NULLs present
+        # per-file integrity profile: same md5-parity modular digest as
+        # v_corpus_digest, at partition grain, plus source-homogeneity
+        "v_file_integrity": f"""
+WITH r AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS file,
+         coalesce(source, '<NULL>') AS source,
+         ('0x' || substr(md5(coalesce(doc_id, '<NULL>') || '|' ||
+            CASE WHEN tokens IS NULL THEN '<NULL>'
+                 WHEN len(tokens) = 0 THEN ''
+                 ELSE array_to_string(tokens, ',') END), 1, 16))::UBIGINT
+           % 2147483647::UBIGINT AS h
+  FROM read_parquet('{p}', filename=true)),
+per AS (SELECT file, source, count(*)::BIGINT AS n, sum(h::BIGINT) AS s
+        FROM r GROUP BY 1, 2)
+SELECT file, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_sources,
+       (sum(s) % 2147483647)::BIGINT AS digest
+FROM per GROUP BY file""",
+        # integer-exact robust width: disc-median (ceil(q*n) rank) of n_tok
+        # and of |n_tok - med| per source — the pinned quantile_disc family
+        "v_ntok_mad": f"""
+WITH s AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}')),
+m AS (SELECT source, quantile_disc(v, 0.5)::BIGINT AS med FROM s GROUP BY source),
+d AS (SELECT s.source, m.med, abs(s.v - m.med)::BIGINT AS av
+      FROM s JOIN m USING (source))
+SELECT source, count(*)::BIGINT AS n, min(med)::BIGINT AS med,
+       quantile_disc(av, 0.5)::BIGINT AS mad
+FROM d GROUP BY source""",
         # cross-snapshot n_tok histogram L1 (total-variation numerator):
         # FULL OUTER join of the two bounded histograms, all integers
         "v_snapshot_length_drift": f"""

@@ -1505,3 +1505,139 @@ def snapshot_length_drift(old_path: str, new_path: str) -> "ray.data.Dataset":
         .astype({"n_old": "int64", "n_new": "int64", "l1": "int64"})
     )
     return ray.data.from_pandas(g)
+
+
+def file_integrity_profile(seq_path: str) -> "ray.data.Dataset":
+    """Per-FILE integrity profile: (file, n_rows, n_sources, digest) — the
+    partition-grain twin of ``corpus_digest_stats``.  When the per-source
+    corpus digest flags divergence, this table binary-searches WHICH file
+    diverged (digest is the same order-invariant md5-parity modular sum);
+    n_sources is the partitioning-homogeneity signal — a 100-TB layout
+    wants source-pure files so source predicates prune at the file level,
+    and any file with n_sources > 1 defeats that pruning.
+
+    One column-pruned pass with include_paths; per-batch partials collapse
+    through a |files|×|sources|-bounded (file, source) exchange; the
+    per-file roll-up is driver arithmetic on that tiny table."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        joined = pc.binary_join(pc.cast(col, pa.list_(pa.string())), ",")
+        s = joined.to_pandas().fillna("<NULL>")
+        null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if null_rows.any():
+            s = s.mask(pd.Series(null_rows, index=s.index), "<NULL>")
+        did = t.column("doc_id").to_pandas().fillna("<NULL>")
+        src = t.column("source").to_pandas().fillna("<NULL>")
+        fil = t.column("path").to_pandas().map(os.path.basename)
+        n = len(s)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5((a + "|" + b).encode()).digest()[:8], "big")
+                % DIGEST_MOD
+                for a, b in zip(did, s)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        g = (
+            pd.DataFrame({"file": fil, "source": src, "n": np.ones(n, dtype=np.int64), "h": h})
+            .groupby(["file", "source"], as_index=False, sort=False)
+            .agg(n=("n", "sum"), h=("h", "sum"))
+        )
+        g["h"] = g["h"] % DIGEST_MOD
+        return g.astype({"n": "int64", "h": "int64"})
+
+    per = (
+        ray.data.read_parquet(seq_path, columns=["doc_id", "source", "tokens"], include_paths=True)
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["file", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("h", alias_name="h"))
+        .to_pandas()  # |files| x |sources|, bounded
+    )
+    if not len(per):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "file": pd.Series(dtype="object"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_sources": pd.Series(dtype="int64"),
+                    "digest": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    g = (
+        per.assign(one=1)
+        .groupby("file", as_index=False, sort=True)
+        .agg(n_rows=("n", "sum"), n_sources=("one", "sum"), digest=("h", "sum"))
+    )
+    g["digest"] = g["digest"] % DIGEST_MOD
+    return ray.data.from_pandas(
+        g.astype({"n_rows": "int64", "n_sources": "int64", "digest": "int64"})
+    )
+
+
+def ntok_mad_stats(seq_path: str) -> "ray.data.Dataset":
+    """Integer-exact robust WIDTH per source: the median absolute deviation
+    of n_tok under the discrete-quantile convention the repo pins
+    (``quantile_disc``: the ceil(q·n)-th smallest, 1-based) — med and MAD
+    both actual data values, no interpolation, so the drift/robust-stats
+    family gains a width statistic that gates exactly.
+
+    Reuses the |sources|×|length-domain| histogram exchange (the ks_drift
+    shape); both medians come from cumulative counts over histogram runs in
+    O(runs) driver arithmetic — the corpus is never re-scanned for the
+    second (absolute-deviation) median."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(t["n_tok"], pa.int64()),
+                ],
+                names=["source", "v"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "v"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # |sources| x |length domain|, bounded
+    )
+    rows = []
+    for src, grp in hist.groupby("source", sort=True):
+        grp = grp.sort_values("v")
+        v = grp["v"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        r = (n + 1) // 2  # ceil(0.5·n), 1-based disc-median rank
+        med = int(v[np.searchsorted(cum, r)])
+        av = np.abs(v - med)
+        order = np.argsort(av, kind="stable")
+        av_s, c_s = av[order], c[order]
+        cum2 = np.cumsum(c_s)
+        mad = int(av_s[np.searchsorted(cum2, r)])
+        rows.append({"source": src, "n": n, "med": med, "mad": mad})
+    if not rows:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "med": pd.Series(dtype="int64"),
+                    "mad": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"n": "int64", "med": "int64", "mad": "int64"})
+    )

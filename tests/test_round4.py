@@ -1427,3 +1427,69 @@ def test_snapshot_length_drift_crafted(tmp_path, ray_session):
     assert (got.loc["s", "n_old"], got.loc["s", "n_new"], got.loc["s", "l1"]) == (3, 2, 3)
     assert (got.loc["t", "n_old"], got.loc["t", "n_new"], got.loc["t", "l1"]) == (1, 0, 1)
     assert (got.loc["u", "n_old"], got.loc["u", "n_new"], got.loc["u", "l1"]) == (0, 1, 1)
+
+
+def test_file_integrity_profile_crafted(tmp_path, ray_session):
+    """Per-file integrity profile pinned: digests localize a corrupted
+    partition (only the touched file's digest moves), n_sources flags
+    mixed-source files, and the file digests sum (mod M) to the corpus
+    digest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import (
+        DIGEST_MOD,
+        corpus_digest_stats,
+        file_integrity_profile,
+    )
+
+    def write(d, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(r[2]) if r[2] else 0 for r in rows], type=pa.int32()),
+                "source": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    d = tmp_path / "seqs"
+    d.mkdir()
+    write(d, "a.parquet", [("x", "s", [1, 2]), ("y", "s", [3])])
+    write(d, "b.parquet", [("z", "s", [4]), ("w", "t", [5])])  # mixed sources
+    got = file_integrity_profile(str(d)).to_pandas().set_index("file")
+    assert (got.loc["a.parquet", "n_rows"], got.loc["a.parquet", "n_sources"]) == (2, 1)
+    assert (got.loc["b.parquet", "n_rows"], got.loc["b.parquet", "n_sources"]) == (2, 2)
+    # file digests reconcile with the corpus roll-up
+    corpus = corpus_digest_stats(str(d)).to_pandas().set_index("source")
+    assert int(got["digest"].sum()) % DIGEST_MOD == int(corpus.loc["<all>", "digest"])
+    # corrupt one file -> only its digest moves
+    write(d, "b.parquet", [("z", "s", [4, 4]), ("w", "t", [5])])
+    got2 = file_integrity_profile(str(d)).to_pandas().set_index("file")
+    assert got2.loc["a.parquet", "digest"] == got.loc["a.parquet", "digest"]
+    assert got2.loc["b.parquet", "digest"] != got.loc["b.parquet", "digest"]
+
+
+def test_ntok_mad_disc_convention(tmp_path, ray_session):
+    """MAD pinned to the disc-quantile convention: even-count source takes
+    the LOWER middle value (rank ceil(n/2)), and the deviation median is a
+    real data deviation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import ntok_mad_stats
+
+    vals = [1, 3, 5, 100]  # med = 3 (rank 2 of 4); |v-3| = [2,0,2,97] -> mad = 2
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(vals))]),
+            "tokens": pa.array([[0] * v for v in vals], type=pa.list_(pa.int32())),
+            "n_tok": pa.array(vals, type=pa.int32()),
+            "source": pa.array(["s"] * len(vals)),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = ntok_mad_stats(p).to_pandas().set_index("source")
+    assert (got.loc["s", "n"], got.loc["s", "med"], got.loc["s", "mad"]) == (4, 3, 2)
