@@ -1463,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
         "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
+        "q12_priority_lines": lambda sf: relational.q12_priority_lines(sf),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2364,6 +2365,16 @@ GROUP BY source""",
         # EXISTS + IS NOT DISTINCT FROM: NULL token rows group like the
         # engine's null-sentinel semantics (null matches null), keeping
         # n_new + n_seen_before == |new| even with NULLs present
+        # Q12-shaped priority audit: selective join + conditional counts
+        "q12_priority_lines": """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag""",
         # per-file integrity profile: same md5-parity modular digest as
         # v_corpus_digest, at partition grain, plus source-homogeneity
         "v_file_integrity": f"""

@@ -3427,3 +3427,130 @@ def events_out_of_order_stats(sf_dir: str, num_buckets: int | None = None) -> "r
         .groupby(BUCKET_COL)
         .map_groups(late, batch_format="pandas")
     )
+
+
+def q12_priority_lines(
+    sf_dir: str,
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01 in epoch microseconds
+    date_hi_us: int = 852_076_800_000_000,  # 1997-01-01
+) -> "ray.data.Dataset":
+    """TPC-H Q12-shaped priority audit over the available columns: for
+    line items shipped inside a date window, per l_returnflag the count
+    whose ORDER is high-priority ('1-URGENT'/'2-HIGH') vs not — the
+    selective-join + conditional-aggregation composite.
+
+    Physical plan (one row-scale exchange total):
+    - lineitem streams column-pruned; each batch filters the ship-date
+      window and collapses to (l_orderkey, l_returnflag, cnt) partials —
+      duplicates across batches are FINE because each partial row joins
+      orders exactly once, so the final sum is unaffected (no pre-join
+      orderkey exchange needed);
+    - partials ⋈ orders(o_orderkey, hi) is THE native hash join; orders is
+      row-scale (unbroadcastable at 100 TB), projected to two ints before
+      the exchange; the q5/q3/q18 matched-sentinel guard (key −1 on both
+      sides, stripped after) keeps the join total when the window is empty;
+    - the finale is a |flags|-bounded groupby of integer conditional sums.
+
+    Output (l_returnflag, high_line_count, low_line_count)."""
+    import pyarrow.parquet as _pqm
+
+    def _meta_rows(path: str) -> int:
+        return _pqm.ParquetFile(path).metadata.num_rows
+
+    def _nblocks(rows: int, target: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
+        return int(min(hi, max(lo, -(-rows // target))))
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= date_lo_us) & (ship < date_hi_us)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        fl = t["l_returnflag"].to_pandas().to_numpy()[keep]
+        if not len(ok):
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "l_returnflag": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(fl)
+        packed = ok * np.int64(len(uniq) + 1) + codes  # |flags| tiny, no overflow
+        uk, sums = _int_group_sums(packed, np.ones(len(ok), dtype=np.int64))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk // (len(uniq) + 1), pa.int64()),
+                "l_returnflag": pa.array(uniq[(uk % (len(uniq) + 1)).astype(np.int64)], pa.string()),
+                "cnt": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def _orders_proj(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"].to_pandas()
+        hi = pri.isin(["1-URGENT", "2-HIGH"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "hi": pa.array(hi, pa.int64()),
+            }
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "l_returnflag": pa.array(["<SENTINEL>"], pa.string()),
+                "cnt": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "hi": pa.array([0], pa.int64())})
+    )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderpriority"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .map_batches(_orders_proj, batch_format="pyarrow")
+        .union(sent_ord)
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["l_orderkey"], -1)
+        t = t.filter(keep)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_line_count": pa.array(cnt * hi, pa.int64()),
+                "low_line_count": pa.array(cnt * (1 - hi), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(_score, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )

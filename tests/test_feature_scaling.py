@@ -136,3 +136,42 @@ def test_winsorize_clamps_to_group_bounds(ray_session):
         inside = (g["n_chars"] >= lo) & (g["n_chars"] <= hi)
         assert (g.loc[inside, "n_chars_w"] == g.loc[inside, "n_chars"]).all()
     assert len(out) == len(docs[docs["n_chars"].notna()])
+
+
+def test_q12_empty_window_stable_schema(ray_session):
+    """An empty ship-date window joins only sentinels — zero rows, stable
+    schema (the matched-sentinel guard keeps the native join total)."""
+    from hepdata_validator_ray.pipelines.relational import q12_priority_lines
+
+    out = q12_priority_lines(
+        "/root/testdata/sf0.001", date_lo_us=0, date_hi_us=1
+    ).materialize()
+    assert out.count() == 0
+    assert len(out.to_pandas()) == 0  # empty aggregate, no crash
+
+
+def test_q12_matches_duckdb_sf0001(ray_session):
+    """Full-window Q12 counts match a DuckDB recompute at sf0.001."""
+    import duckdb
+
+    from hepdata_validator_ray.pipelines.relational import q12_priority_lines
+
+    got = (
+        q12_priority_lines("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT AS low_line_count
+FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') l
+JOIN read_parquet('/root/testdata/sf0.001/orders.parquet') o ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
