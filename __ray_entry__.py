@@ -1464,6 +1464,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
         "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
         "q12_priority_lines": lambda sf: relational.q12_priority_lines(sf),
+        # TPC-H composite batch (pipelines/tpch.py): five DISTINCT physical
+        # join/aggregate shapes — EXISTS-with-cross-side-predicate (q4),
+        # zero-preserving left-outer count-of-counts (q13), conditional-
+        # numerator rational ratio (q14), disjunctive brackets (q19),
+        # native LEFT ANTI + integer-exact scalar threshold (q22)
+        "q4_late_orders": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q4_late_orders(sf),
+        "q13_customer_distribution": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q13_customer_distribution(sf),
+        "q14_promo_revenue": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q14_promo_revenue(sf),
+        "q19_bracket_revenue": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q19_bracket_revenue(sf),
+        "q22_idle_customers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q22_idle_customers(sf),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2375,6 +2395,61 @@ SELECT l_returnflag,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag""",
+        # Q4-shaped: EXISTS whose predicate references BOTH join sides
+        "q4_late_orders": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority""",
+        # Q13-shaped: zero-preserving LEFT JOIN + count-of-counts
+        "q13_customer_distribution": """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+      GROUP BY c_custkey) t
+GROUP BY c_count""",
+        # Q14-shaped: conditional numerator, ratio left rational (fp4 ints)
+        "q14_promo_revenue": """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT)
+                ELSE 0 END)::BIGINT AS promo_rev_fp4,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT
+         AS total_rev_fp4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag""",
+        # Q19-shaped: disjunctive (brand, quantity, size) brackets
+        "q19_bracket_revenue": """
+SELECT p_brand, count(*)::BIGINT AS n_lines,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT
+         AS rev_fp4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+GROUP BY p_brand""",
+        # Q22-shaped: anti-join + integer cross-multiplied mean threshold
+        # (bal·n > Σ avoids ever materializing the float average)
+        "q22_idle_customers": """
+WITH pos AS (
+  SELECT sum(round(c_acctbal*100)::BIGINT) AS s, count(*)::BIGINT AS n
+  FROM customer WHERE round(c_acctbal*100)::BIGINT > 0
+)
+SELECT c_nationkey::BIGINT AS cntrycode,
+       count(*)::BIGINT AS numcust,
+       sum(round(c_acctbal*100)::BIGINT)::BIGINT AS totacctbal_cents
+FROM customer, pos
+WHERE round(c_acctbal*100)::BIGINT * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey""",
         # per-file integrity profile: same md5-parity modular digest as
         # v_corpus_digest, at partition grain, plus source-homogeneity
         "v_file_integrity": f"""
