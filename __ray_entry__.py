@@ -1484,6 +1484,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q22_idle_customers(sf),
+        # TPC-H batch 2 (pipelines/tpch.py): six more DISTINCT shapes —
+        # two-FK-path enrichment (q7), top-k + dimension gather-back (q10),
+        # global argmax with ties (q15), distinct-pair count + anti
+        # exclusion (q16), self-aggregate threshold rejoin (q17),
+        # per-order multi-supplier existence on join colocation (q21)
+        "q7_nation_volume": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q7_nation_volume(sf),
+        "q10_returned_revenue": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q10_returned_revenue(sf),
+        "q15_top_suppliers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q15_top_suppliers(sf),
+        "q16_supplier_diversity": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q16_supplier_diversity(sf),
+        "q17_small_quantity_revenue": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q17_small_quantity_revenue(sf),
+        "q21_blocked_suppliers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q21_blocked_suppliers(sf),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2450,6 +2473,64 @@ WHERE round(c_acctbal*100)::BIGINT * pos.n > pos.s
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_nationkey""",
+        # Q7-shaped: one fact enriched through two independent FK paths
+        "q7_nation_volume": """
+SELECT s.s_nationkey::BIGINT AS supp_nation, c.c_nationkey::BIGINT AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year, count(*)::BIGINT AS n_lines,
+       sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS rev_fp4
+FROM lineitem l JOIN supplier s ON l_suppkey = s_suppkey
+JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND ((s.s_nationkey = 0 AND c.c_nationkey = 1) OR (s.s_nationkey = 1 AND c.c_nationkey = 0))
+GROUP BY 1, 2, 3""",
+        # Q10-shaped: bounded aggregate → deterministic top-k → gather-back
+        "q10_returned_revenue": """
+SELECT c_custkey::BIGINT AS c_custkey, any_value(c_name) AS c_name,
+       any_value(c_nationkey)::BIGINT AS c_nationkey,
+       sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS revenue_fp4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey ORDER BY revenue_fp4 DESC, c_custkey LIMIT 20""",
+        # Q15-shaped: global argmax with ties kept (equality, no sort)
+        "q15_top_suppliers": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT rev.l_suppkey::BIGINT AS s_suppkey, s.s_name AS s_name, rev.r AS total_rev_fp4
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)""",
+        # Q16-shaped: exact distinct-pair count + anti-join exclusion
+        "q16_supplier_diversity": """
+WITH pr AS (
+  SELECT DISTINCT p_brand, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_size::BIGINT AS p_size, count(*)::BIGINT AS supplier_cnt
+FROM pr GROUP BY 1, 2""",
+        # Q17-shaped: the fact joins its own per-key aggregate; threshold
+        # integer cross-multiplied (den·qty·n < num·Σqty — no float avg)
+        "q17_small_quantity_revenue": """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+agg AS (SELECT l_partkey, sum(round(l_quantity)::BIGINT) AS sq, count(*)::BIGINT AS n
+        FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1)
+SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
+       coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
+FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+        # Q21-shaped: per-order multi-supplier existence (the only-late-one)
+        "q21_blocked_suppliers": """
+WITH pair AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2),
+j AS (SELECT p.l_orderkey, p.l_suppkey,
+             (p.ms > o.o_orderdate + INTERVAL 60 DAY)::INT AS late
+      FROM pair p JOIN orders o ON p.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+q AS (SELECT l_orderkey FROM j GROUP BY 1 HAVING count(*) >= 2 AND sum(late) = 1)
+SELECT j.l_suppkey::BIGINT AS s_suppkey, count(*)::BIGINT AS numwait
+FROM j JOIN q USING (l_orderkey) WHERE j.late = 1 GROUP BY 1""",
         # per-file integrity profile: same md5-parity modular digest as
         # v_corpus_digest, at partition grain, plus source-homogeneity
         "v_file_integrity": f"""

@@ -698,3 +698,928 @@ def q22_idle_customers(
             Sum("totacctbal_cents", alias_name="totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: Q7 / Q10 / Q15 / Q16 / Q17 / Q21 shapes (no partsupp /
+# commitdate columns exist in the synthetic tables, so Q16's exclusion
+# list and Q21's lateness predicate are reshaped onto the available
+# columns — the PHYSICAL shapes are the point, and each is new:
+#
+# - Q7  two independent FK enrichment paths over one fact (supplier via
+#       broadcast dim, customer via a chained native join);
+# - Q10 bounded aggregate → deterministic top-k → dimension gather-back
+#       (the enrichment read is filtered to the k winner keys);
+# - Q15 global-scalar argmax with TIES kept (equality filter, no sort);
+# - Q16 exact distinct-pair counting + native LEFT ANTI exclusion;
+# - Q17 self-aggregate threshold: the fact joins ITS OWN per-key
+#       aggregate, comparison integer cross-multiplied;
+# - Q21 per-group multi-entity existence logic evaluated VECTORIZED on
+#       the join's hash-partition colocation guarantee (documented).
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: int = 0,
+    nation_b: int = 1,
+    date_lo_us: int = 788_918_400_000_000,  # 1995-01-01 epoch microseconds
+    date_hi_us: int = 915_148_800_000_000,  # 1999-01-01
+) -> "ray.data.Dataset":
+    """TPC-H Q7-shaped nation-pair trade volume: integer fixed-point
+    revenue per (supplier nation, customer nation, ship year) for line
+    items shipped in a date window where one end sits in ``nation_a`` and
+    the other in ``nation_b`` (both directions, reported separately).
+
+    The shape: ONE fact enriched through TWO independent FK paths —
+    supplier→nation rides a broadcast dict (supplier is the classic small
+    dimension, q5's discipline), while customer→nation must chain through
+    orders, i.e. two native hash joins (orders⋈customer on custkey, then
+    lineitem partials⋈that on orderkey) because orders and lineitem are
+    the genuinely unbroadcastable row-scale tables.
+
+    Map-side collapse packs (orderkey, snat-bit, year-index) into one
+    int64 (years in the window are bounded and asserted), so cross-batch
+    duplicate partials are fine — each packed key joins its order exactly
+    once and the finale re-sums per small group.
+
+    Output (supp_nation, cust_nation, l_year, n_lines, rev_fp4)."""
+    import pyarrow.compute as _pc
+
+    ylo = pd.Timestamp(date_lo_us, unit="us").year
+    nyears = pd.Timestamp(date_hi_us - 1, unit="us").year - ylo + 1
+    if nyears < 1 or nyears > 16:
+        raise ValueError("date window must span 1..16 calendar years")
+    span = np.int64(2 * nyears)
+
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_nat_ref = ray.put(
+        dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy().astype(np.int64)))
+    )
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= date_lo_us) & (ship < date_hi_us)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        snat = pd.Series(sk).map(ray.get(supp_nat_ref)).fillna(-1).to_numpy(dtype=np.int64)
+        sel = (snat == nation_a) | (snat == nation_b)
+        if not sel.any():
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                    "rev_fp4": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep][sel].astype(np.int64)
+        ship_y = (
+            ship[keep][sel].astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        code = (snat[sel] == nation_b).astype(np.int64) * nyears + (ship_y - ylo)
+        rev = _rev_fp4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep][sel],
+            t["l_discount"].to_numpy(zero_copy_only=False)[keep][sel],
+        )
+        packed = ok * span + code
+        uk, rsum = _int_group_sums(packed, rev)
+        _, csum = _int_group_sums(packed, np.ones(len(packed), dtype=np.int64))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk // span, pa.int64()),
+                "code": pa.array(uk % span, pa.int64()),
+                "rev_fp4": pa.array(rsum, pa.int64()),
+                "cnt": pa.array(csum, pa.int64()),
+            }
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "code": pa.array([0], pa.int64()),
+                "rev_fp4": pa.array([0], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_custkey": pa.array([-1], pa.int64())})
+    )
+    sent_cust = ray.data.from_arrow(
+        pa.table({"c_custkey": pa.array([-1], pa.int64()), "cnat": pa.array([-1], pa.int64())})
+    )
+
+    cust = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey", "c_nationkey"],
+            filter=_pc.field("c_nationkey").isin([nation_a, nation_b]),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "customer"))),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"].cast(pa.int64()),
+                    "cnat": t["c_nationkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .union(sent_cust)
+    )
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "o_custkey": t["o_custkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .union(sent_ord)
+    )
+    ord_cust = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "cnat"])
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    joined = li.join(
+        ord_cust,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy()
+        cnat = df["cnat"].to_numpy()
+        code = df["code"].to_numpy()
+        snat = np.where(code >= nyears, nation_b, nation_a)
+        # sentinel strip + the cross-nation predicate (snat, cnat both
+        # restricted to {a, b} upstream, so "different ends" is exact)
+        keep = (ok != -1) & (cnat >= 0) & (snat != cnat)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "gk": pd.Series([], dtype="int64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                    "rev_fp4": pd.Series([], dtype="int64"),
+                }
+            )
+        gk = (code[keep] >= nyears).astype(np.int64) * nyears + (code[keep] % nyears)
+        uk, rs = _int_group_sums(gk, df["rev_fp4"].to_numpy()[keep])
+        _, cs = _int_group_sums(gk, df["cnt"].to_numpy()[keep])
+        return pd.DataFrame({"gk": uk, "n_lines": cs, "rev_fp4": rs})
+
+    agg = (
+        joined.map_batches(_score, batch_format="pandas")
+        .groupby("gk")
+        .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("rev_fp4", alias_name="rev_fp4"))
+    )
+
+    def _finale(t: pa.Table) -> pa.Table:
+        gk = t["gk"].to_numpy(zero_copy_only=False)
+        sb = gk // nyears
+        return pa.table(
+            {
+                "supp_nation": pa.array(np.where(sb == 1, nation_b, nation_a), pa.int64()),
+                "cust_nation": pa.array(np.where(sb == 1, nation_a, nation_b), pa.int64()),
+                "l_year": pa.array(ylo + gk % nyears, pa.int64()),
+                "n_lines": t["n_lines"].cast(pa.int64()),
+                "rev_fp4": t["rev_fp4"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finale, batch_format="pyarrow")
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01
+    date_hi_us: int = 828_316_800_000_000,  # 1996-04-01
+    k: int = 20,
+) -> pd.DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-``k`` customers by
+    integer fixed-point revenue over RETURNED ('R') line items whose
+    orders fall in a quarter, enriched with customer name and nation.
+
+    The shape: row-scale fact join → customer-bounded aggregate →
+    deterministic top-k (revenue DESC, custkey ASC breaks ties exactly as
+    the oracle's ORDER BY) → dimension GATHER-BACK, where the enrichment
+    read is pruned to the k winner keys (a filtered dimension read, not a
+    shuffle join — k is tiny by contract).  A per-batch partial top-k
+    prefilter bounds the global sort input to n_blocks·k rows, so the
+    sort never sees the customer-scale table.
+
+    Returns a pandas DataFrame (c_custkey, c_name, c_nationkey,
+    revenue_fp4) sorted by (revenue_fp4 DESC, c_custkey ASC)."""
+    import pyarrow.compute as _pc
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = _rev_fp4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        uk, rsum = _int_group_sums(ok, rev)
+        return pa.table(
+            {"l_orderkey": pa.array(uk, pa.int64()), "rev_fp4": pa.array(rsum, pa.int64())}
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table({"l_orderkey": pa.array([-1], pa.int64()), "rev_fp4": pa.array([0], pa.int64())})
+    )
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_custkey": pa.array([-1], pa.int64())})
+    )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+            filter=_pc.field("l_returnflag") == _pc.scalar("R"),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(_pc.field("o_orderdate") >= _pc.scalar(pd.Timestamp(date_lo_us, unit="us")))
+            & (_pc.field("o_orderdate") < _pc.scalar(pd.Timestamp(date_hi_us, unit="us"))),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .select_columns(["o_orderkey", "o_custkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "o_custkey": t["o_custkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .union(sent_ord)
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        rev = t["rev_fp4"].to_numpy(zero_copy_only=False)
+        keep = ck != -1  # sentinel strip
+        uk, rsum = _int_group_sums(ck[keep], rev[keep])
+        return pa.table(
+            {"c_custkey": pa.array(uk, pa.int64()), "revenue_fp4": pa.array(rsum, pa.int64())}
+        )
+
+    per_cust = (
+        joined.map_batches(_cust_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_fp4", alias_name="revenue_fp4"))
+    )
+
+    def _topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # partial top-k per batch: the global sort input is n_blocks·k
+        return df.sort_values(
+            ["revenue_fp4", "c_custkey"], ascending=[False, True]
+        ).head(k)
+
+    winners = (
+        per_cust.map_batches(_topk_partial, batch_format="pandas")
+        .sort(["revenue_fp4", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if len(winners) == 0:
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=object),
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "revenue_fp4": pd.Series([], dtype="int64"),
+            }
+        )
+    keys = [int(x) for x in winners["c_custkey"].tolist()]
+    dim = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filter=_pc.field("c_custkey").isin(keys),
+        )
+        .to_pandas()
+    )
+    dim["c_custkey"] = dim["c_custkey"].astype("int64")
+    dim["c_nationkey"] = dim["c_nationkey"].astype("int64")
+    out = winners.merge(dim, on="c_custkey", how="inner")
+    return (
+        out[["c_custkey", "c_name", "c_nationkey", "revenue_fp4"]]
+        .sort_values(["revenue_fp4", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q15_top_suppliers(
+    sf_dir: str,
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01
+    date_hi_us: int = 828_316_800_000_000,  # 1996-04-01
+) -> pd.DataFrame:
+    """TPC-H Q15-shaped top supplier(s): the supplier(s) whose integer
+    fixed-point revenue over a ship-date quarter equals the GLOBAL
+    maximum — ties kept, exactly like the reference query's
+    total_revenue = (SELECT max(...)) equality (no sort, no limit).
+
+    The shape: row-scale fact collapses to a |suppliers|-bounded
+    aggregate (materialized once — both the scalar max and the equality
+    filter read it, never the fact again); the argmax SET is tiny by
+    construction (ties at the exact int64 maximum), so the name
+    gather-back is a key-pruned dimension read.  The sentinel
+    (suppkey −1, rev 0) doubles as the empty-window guard: revenue of a
+    real supplier is strictly positive, so when the window prunes
+    everything the max is the sentinel's 0 and the final strip returns
+    zero rows with a stable schema.
+
+    Returns a pandas DataFrame (s_suppkey, s_name, total_rev_fp4) sorted
+    by s_suppkey."""
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= date_lo_us) & (ship < date_hi_us)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        rev = _rev_fp4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+            t["l_discount"].to_numpy(zero_copy_only=False)[keep],
+        )
+        uk, rsum = _int_group_sums(sk, rev)
+        return pa.table(
+            {"s_suppkey": pa.array(uk, pa.int64()), "total_rev_fp4": pa.array(rsum, pa.int64())}
+        )
+
+    sent = ray.data.from_arrow(
+        pa.table({"s_suppkey": pa.array([-1], pa.int64()), "total_rev_fp4": pa.array([0], pa.int64())})
+    )
+    per_supp = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent)
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_rev_fp4", alias_name="total_rev_fp4"))
+        .materialize()
+    )
+    mx = per_supp.max("total_rev_fp4")
+    winners = (
+        per_supp.filter(expr=f"total_rev_fp4 == {int(mx)}")
+        .to_pandas()
+    )
+    winners = winners[winners["s_suppkey"] != -1]
+    if len(winners) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype=object),
+                "total_rev_fp4": pd.Series([], dtype="int64"),
+            }
+        )
+    import pyarrow.compute as _pc
+
+    keys = [int(x) for x in winners["s_suppkey"].tolist()]
+    dim = ray.data.read_parquet(
+        _pq(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name"],
+        filter=_pc.field("s_suppkey").isin(keys),
+    ).to_pandas()
+    dim["s_suppkey"] = dim["s_suppkey"].astype("int64")
+    out = winners.merge(dim, on="s_suppkey", how="inner")
+    return (
+        out[["s_suppkey", "s_name", "total_rev_fp4"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+def q16_supplier_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q16-shaped supplier diversity: DISTINCT supplier count per
+    part (brand, size), excluding deficit suppliers (s_acctbal < 0 — the
+    synthetic stand-in for Q16's complaint list; no partsupp table exists,
+    so the part↔supplier association is the lineitem fact itself).
+
+    The shape: exact distinct-pair counting + native LEFT ANTI exclusion:
+
+    1. lineitem projects to (l_partkey, l_suppkey) and each batch emits
+       its DISTINCT pairs (lexsort collapse — cross-batch duplicates are
+       fine, step 3 re-distincts);
+    2. pairs ⋈ part(brand→code, size) native on partkey — brand codes
+       parse from the fixed 'Brand#N' vocabulary (raise on contract
+       violation, q4's discipline) so the attr rides one packed int64
+       attr·2³¹ + suppkey (suppkey < 2³¹ asserted);
+    3. ONE groupby on the packed key is the exact global distinct;
+    4. the unpacked (attr, suppkey) rows anti-join the deficit-supplier
+       keys natively on suppkey (left sentinel −2 survives by the q22
+       rule); the finale is an |attrs|-bounded count.
+
+    Output (p_brand, p_size, supplier_cnt)."""
+    import pyarrow.compute as _pc
+
+    def _li_pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk) and not (sk < np.int64(2) ** 31).all():
+            raise ValueError("l_suppkey out of the < 2^31 packing contract")
+        # batch-local distinct pairs via lexsort
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        first = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[first], pa.int64()),
+                "l_suppkey": pa.array(sk[first], pa.int64()),
+            }
+        )
+
+    def _part_proj(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_pandas()
+        code = pd.to_numeric(brand.str.removeprefix("Brand#"), errors="coerce")
+        if code.isna().any():
+            raise ValueError(f"unseen p_brand values: {sorted(brand[code.isna()].unique())}")
+        size = t["p_size"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(size) and not ((size >= 0) & (size < 64)).all():
+            raise ValueError("p_size out of the [0, 64) packing contract")
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "attr": pa.array(code.to_numpy(dtype=np.int64) * 64 + size, pa.int64()),
+            }
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table({"l_partkey": pa.array([-1], pa.int64()), "l_suppkey": pa.array([-2], pa.int64())})
+    )
+    sent_part = ray.data.from_arrow(
+        pa.table({"p_partkey": pa.array([-1], pa.int64()), "attr": pa.array([0], pa.int64())})
+    )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_pairs, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    part = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_brand", "p_size"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .map_batches(_part_proj, batch_format="pyarrow")
+        .union(sent_part)
+    )
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        attr = t["attr"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        # the join sentinel (attr 0, suppkey −2) packs to −2: negative,
+        # impossible for real pairs, stripped after the distinct
+        packed = attr * (np.int64(2) ** 31) + sk
+        return pa.table({"pair": pa.array(np.unique(packed), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        joined.map_batches(_pack, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        pairs = t["pair"].to_numpy(zero_copy_only=False)
+        keep = pairs >= 0
+        pairs = pairs[keep]
+        return pa.table(
+            {
+                "attr": pa.array(pairs // (np.int64(2) ** 31), pa.int64()),
+                "suppkey": pa.array(pairs % (np.int64(2) ** 31), pa.int64()),
+            }
+        )
+
+    # left sentinel −2 (never on the right, whose keys are ≥ 0 real plus
+    # its own −1 sentinel) survives the anti join → schema pinned even
+    # when the distinct table is empty of real rows
+    sent_left = ray.data.from_arrow(
+        pa.table({"attr": pa.array([-1], pa.int64()), "suppkey": pa.array([-2], pa.int64())})
+    )
+    pairs_tbl = distinct.map_batches(_unpack, batch_format="pyarrow").union(sent_left)
+
+    def _excl_proj(t: pa.Table) -> pa.Table:
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"x_suppkey": t["s_suppkey"].cast(pa.int64()).filter(pa.array(bal < 0))}
+        )
+
+    sent_excl = ray.data.from_arrow(pa.table({"x_suppkey": pa.array([-1], pa.int64())}))
+    excl = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "supplier"),
+            columns=["s_suppkey", "s_acctbal"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "supplier"))),
+        )
+        .map_batches(_excl_proj, batch_format="pyarrow")
+        .union(sent_excl)
+    )
+    kept = pairs_tbl.join(
+        excl,
+        join_type="left_anti",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "supplier")), target=1_000_000),
+        on=("suppkey",),
+        right_on=("x_suppkey",),
+    )
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        attr = t["attr"].to_numpy(zero_copy_only=False)
+        sk = t["suppkey"].to_numpy(zero_copy_only=False)
+        attr = attr[sk != -2]  # strip the anti-join survivor sentinel
+        uk, c = _int_group_sums(attr, np.ones(len(attr), dtype=np.int64))
+        return pa.table({"attr": pa.array(uk, pa.int64()), "supplier_cnt": pa.array(c, pa.int64())})
+
+    agg = (
+        kept.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("attr")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+    def _finale(t: pa.Table) -> pa.Table:
+        attr = t["attr"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": pa.array([f"Brand#{int(a) // 64}" for a in attr], pa.string()),
+                "p_size": pa.array(attr % 64, pa.int64()),
+                "supplier_cnt": t["supplier_cnt"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finale, batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str,
+    brand: str = "Brand#2",
+    frac_num: int = 1,
+    frac_den: int = 5,
+) -> "ray.data.Dataset":
+    """TPC-H Q17-shaped small-quantity-order revenue: line count and
+    price-cents total for the brand's line items whose quantity sits
+    STRICTLY below ``frac_num/frac_den`` of that part's average quantity
+    (over ALL of the part's lines).  The yearly average the reference
+    divides by at the end stays RATIONAL — the caller divides.
+
+    The shape: the fact joins ITS OWN per-key aggregate (the
+    aggregate-then-rejoin self-reference no other composite has).  The
+    threshold is never a float: ``qty < (num/den)·(sum/n)`` evaluates as
+    the int64 cross-multiplication ``den·qty·n < num·sum``, so a
+    boundary line can never flip on rounding.
+
+    Physical plan — and why there is no per-part Python:
+    1. lineitem collapses per batch on packed partkey·64+qty (the q19
+       discipline — quantities are integral < 64, asserted), carrying
+       (cnt, price_cents);
+    2. partials ⋈ brand parts prunes ~24/25 of the stream BEFORE the
+       wide ops (duplicate partials fine — unique dimension key);
+    3. ONE groupby on the packed key makes the collapse exact;
+    4. per-part totals (n, Σqty) are a SECOND bounded groupby over the
+       ≤64-rows-per-part collapsed table, which then natively re-joins
+       the collapsed rows on partkey — both sides pair-scale, the
+       comparison fully vectorized;
+    5. the finale unions a typed zero row so the single-group aggregate
+       keeps its schema when nothing qualifies (matching the oracle's
+       always-one-row global aggregate).
+
+    Output exactly one row (p_brand, n_lines, sum_price_cents)."""
+    import pyarrow.compute as _pc
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qtyf = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = np.round(qtyf).astype(np.int64)
+        if not ((qty >= 0) & (qty < 64) & (qty == qtyf)).all():
+            raise ValueError("l_quantity out of the integral [0, 64) data contract")
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        ).astype(np.int64)
+        packed = pk * np.int64(64) + qty
+        uk, csum = _int_group_sums(packed, np.ones(len(pk), dtype=np.int64))
+        _, psum = _int_group_sums(packed, cents)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uk // 64, pa.int64()),
+                "qty": pa.array(uk % 64, pa.int64()),
+                "cnt": pa.array(csum, pa.int64()),
+                "price_cents": pa.array(psum, pa.int64()),
+            }
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([-1], pa.int64()),
+                "qty": pa.array([0], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+                "price_cents": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_part = ray.data.from_arrow(pa.table({"p_partkey": pa.array([-1], pa.int64())}))
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    bparts = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_brand"],
+            filter=_pc.field("p_brand") == _pc.scalar(brand),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .select_columns(["p_partkey"])
+        .map_batches(
+            lambda t: pa.table({"p_partkey": t["p_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .union(sent_part)
+    )
+    pruned = li.join(
+        bparts,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def _repack(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk2": pa.array(pk * np.int64(64) + qty, pa.int64()),
+                "cnt": t["cnt"],
+                "price_cents": t["price_cents"],
+            }
+        )
+
+    collapsed = (
+        pruned.map_batches(_repack, batch_format="pyarrow")
+        .groupby("pk2")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("price_cents", alias_name="price_cents"))
+        .materialize()  # pair-scale; feeds BOTH the totals and the re-join
+    )
+
+    def _split(t: pa.Table) -> pa.Table:
+        pk2 = t["pk2"].to_numpy(zero_copy_only=False)
+        qty = pk2 % 64  # floor mod: sentinel −64 → (−1, 0)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk2 // 64, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "sq": pa.array(qty * cnt, pa.int64()),
+            }
+        )
+
+    totals = (
+        collapsed.map_batches(_split, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+    )
+
+    def _unpack_rows(t: pa.Table) -> pa.Table:
+        pk2 = t["pk2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_partkey": pa.array(pk2 // 64, pa.int64()),
+                "qty": pa.array(pk2 % 64, pa.int64()),
+                "cnt": t["cnt"],
+                "price_cents": t["price_cents"],
+            }
+        )
+
+    rows = collapsed.map_batches(_unpack_rows, batch_format="pyarrow")
+    rejoined = rows.join(
+        totals,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("r_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        # den·qty·n < num·Σqty — int64-exact; the sentinel row (all
+        # zeros) fails the strict inequality and strips here
+        keep = np.int64(frac_den) * qty * n < np.int64(frac_num) * sq
+        return pa.table(
+            {
+                "p_brand": pa.array([brand] * int(keep.sum()), pa.string()),
+                "n_lines": t["cnt"].filter(pa.array(keep)),
+                "sum_price_cents": t["price_cents"].filter(pa.array(keep)),
+            }
+        )
+
+    zero = ray.data.from_arrow(
+        pa.table(
+            {
+                "p_brand": pa.array([brand], pa.string()),
+                "n_lines": pa.array([0], pa.int64()),
+                "sum_price_cents": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return (
+        rejoined.map_batches(_score, batch_format="pyarrow")
+        .union(zero)
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
+def q21_blocked_suppliers(
+    sf_dir: str,
+    late_days: int = 60,
+) -> "ray.data.Dataset":
+    """TPC-H Q21-shaped waiting-supplier audit: per supplier, the number
+    of FINISHED ('F') multi-supplier orders where that supplier was the
+    ONLY late one (shipped more than ``late_days`` after the order date —
+    the synthetic stand-in for receipt-vs-commit, which doesn't exist in
+    this lineitem).  Q21's EXISTS + NOT EXISTS pair over sibling line
+    items is per-order logic touching EVERY supplier of the order.
+
+    Physical plan — and the partitioning assumption it relies on:
+    1. lineitem collapses per batch to (orderkey, suppkey)→max_ship
+       partials (two-key lexsort reduceat; cross-batch duplicate pairs
+       are fine, step 3 re-reduces);
+    2. partials ⋈ F-orders (projected to two ints) native on orderkey;
+    3. the per-order existence logic runs VECTORIZED inside ONE
+       map_batches with ``batch_size=None`` over the join output: Ray's
+       hash join partitions by the key, so every row of an orderkey
+       lands in the same output block, and a whole-block batch sees each
+       order COMPLETE (this colocation guarantee is the documented
+       assumption; the lexsort-reduceat computes per-pair max, per-order
+       distinct-supplier and late-supplier counts with no Python loop);
+    4. qualifying (n_supp ≥ 2, n_late == 1) orders emit their single
+       late supplier; the finale is a |suppliers|-bounded groupby.
+
+    Output (s_suppkey, numwait)."""
+    import pyarrow.compute as _pc
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, ship = ok[order], sk[order], ship[order]
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok[starts], pa.int64()),
+                "l_suppkey": pa.array(sk[starts], pa.int64()),
+                "max_ship_us": pa.array(np.maximum.reduceat(ship, starts), pa.int64()),
+            }
+        )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "l_suppkey": pa.array([-1], pa.int64()),
+                "max_ship_us": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_date_us": pa.array([0], pa.int64())})
+    )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+            filter=_pc.field("o_orderstatus") == _pc.scalar("F"),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .select_columns(["o_orderkey", "o_orderdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "o_date_us": t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .union(sent_ord)
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _per_order(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        ship = t["max_ship_us"].to_numpy(zero_copy_only=False)
+        odate = t["o_date_us"].to_numpy(zero_copy_only=False)
+        if len(ok) == 0:
+            return pa.table(
+                {"s_suppkey": pa.array([], pa.int64()), "numwait": pa.array([], pa.int64())}
+            )
+        # exact per-(order, supplier) collapse within the colocated block
+        order = np.lexsort((sk, ok))
+        ok, sk, ship, odate = ok[order], sk[order], ship[order], odate[order]
+        first = np.r_[True, (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(first)
+        p_ok = ok[starts]
+        p_sk = sk[starts]
+        p_ship = np.maximum.reduceat(ship, starts)
+        p_late = (p_ship > odate[starts] + late_us).astype(np.int64)
+        # per-order counts over the pair-collapsed arrays
+        ostarts = np.flatnonzero(np.r_[True, p_ok[1:] != p_ok[:-1]])
+        n_supp = np.diff(np.r_[ostarts, len(p_ok)])
+        n_late = np.add.reduceat(p_late, ostarts)
+        # broadcast the order verdict back onto its pairs
+        oidx = np.cumsum(np.r_[False, p_ok[1:] != p_ok[:-1]])
+        qual = (n_supp >= 2) & (n_late == 1)
+        emit = qual[oidx] & (p_late == 1)  # the unique late supplier
+        uk, c = _int_group_sums(p_sk[emit], np.ones(int(emit.sum()), dtype=np.int64))
+        return pa.table({"s_suppkey": pa.array(uk, pa.int64()), "numwait": pa.array(c, pa.int64())})
+
+    return (
+        joined.map_batches(_per_order, batch_format="pyarrow", batch_size=None)
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )

@@ -127,3 +127,157 @@ def test_q22_all_customers_active_is_empty(ray_session):
     sentinel, which the finale strips: zero rows, schema intact."""
     out = tpch.q22_idle_customers(SF, since_us=0).materialize()
     assert out.count() == 0
+
+
+def _df_pd(got) -> pd.DataFrame:
+    return got if isinstance(got, pd.DataFrame) else got.to_pandas()
+
+
+def _check_any(got, sql: str) -> None:
+    got = _df_pd(got)
+    key = list(got.columns)
+    got = got.sort_values(key).reset_index(drop=True)
+    want = _df(sql)[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _df(sql: str) -> pd.DataFrame:  # noqa: F811 — widen views for batch 2
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "part", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def test_q7_matches_duckdb_on_a_live_pair(ray_session):
+    # (13, 19) is the busiest cross-nation pair at sf0.001 (58 lines);
+    # the sf0.01 default pair (0, 1) is gate-checked by the driver
+    _check_any(
+        tpch.q7_nation_volume(SF, nation_a=13, nation_b=19),
+        """
+SELECT s.s_nationkey::BIGINT AS supp_nation, c.c_nationkey::BIGINT AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year, count(*)::BIGINT AS n_lines,
+       sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS rev_fp4
+FROM lineitem l JOIN supplier s ON l_suppkey = s_suppkey
+JOIN orders o ON l_orderkey = o_orderkey JOIN customer c ON o_custkey = c_custkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND ((s.s_nationkey = 13 AND c.c_nationkey = 19)
+    OR (s.s_nationkey = 19 AND c.c_nationkey = 13))
+GROUP BY 1, 2, 3""",
+    )
+
+
+def test_q7_dead_pair_is_empty_not_broken(ray_session):
+    """The default (0, 1) pair has no sf0.001 traffic: every sentinel and
+    the empty groupby must pass through without a schema wedge."""
+    out = tpch.q7_nation_volume(SF).materialize()
+    assert out.count() == 0
+
+
+def test_q10_matches_duckdb_with_deterministic_ties(ray_session):
+    got = _df_pd(tpch.q10_returned_revenue(SF))
+    want = _df(
+        """
+SELECT c_custkey::BIGINT AS c_custkey, any_value(c_name) AS c_name,
+       any_value(c_nationkey)::BIGINT AS c_nationkey,
+       sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS revenue_fp4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey ORDER BY revenue_fp4 DESC, c_custkey LIMIT 20"""
+    )
+    # ORDER matters here (top-k is positional): compare row-for-row
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_q10_empty_window_returns_typed_empty(ray_session):
+    out = tpch.q10_returned_revenue(SF, date_lo_us=0, date_hi_us=1)
+    assert len(out) == 0
+    assert list(out.columns) == ["c_custkey", "c_name", "c_nationkey", "revenue_fp4"]
+
+
+def test_q15_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q15_top_suppliers(SF),
+        """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT rev.l_suppkey::BIGINT AS s_suppkey, s.s_name AS s_name, rev.r AS total_rev_fp4
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)""",
+    )
+
+
+def test_q15_empty_window_returns_typed_empty(ray_session):
+    """When the window prunes everything the sentinel's 0 becomes the max
+    and is stripped — zero rows, stable columns."""
+    out = tpch.q15_top_suppliers(SF, date_lo_us=0, date_hi_us=1)
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_rev_fp4"]
+
+
+def test_q16_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q16_supplier_diversity(SF),
+        """
+WITH pr AS (
+  SELECT DISTINCT p_brand, p_size, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_size::BIGINT AS p_size, count(*)::BIGINT AS supplier_cnt
+FROM pr GROUP BY 1, 2""",
+    )
+
+
+def test_q17_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q17_small_quantity_revenue(SF),
+        """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+agg AS (SELECT l_partkey, sum(round(l_quantity)::BIGINT) AS sq, count(*)::BIGINT AS n
+        FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1)
+SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
+       coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
+FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+    )
+
+
+def test_q17_unknown_brand_is_the_zero_row(ray_session):
+    """No parts of the brand → nothing qualifies → exactly the unioned
+    zero row survives (matching the oracle's always-one-row aggregate)."""
+    got = tpch.q17_small_quantity_revenue(SF, brand="Brand#NO_SUCH").to_pandas()
+    assert len(got) == 1
+    assert int(got["n_lines"].iloc[0]) == 0
+    assert int(got["sum_price_cents"].iloc[0]) == 0
+
+
+def test_q21_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q21_blocked_suppliers(SF),
+        """
+WITH pair AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2),
+j AS (SELECT p.l_orderkey, p.l_suppkey,
+             (p.ms > o.o_orderdate + INTERVAL 60 DAY)::INT AS late
+      FROM pair p JOIN orders o ON p.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+q AS (SELECT l_orderkey FROM j GROUP BY 1 HAVING count(*) >= 2 AND sum(late) = 1)
+SELECT j.l_suppkey::BIGINT AS s_suppkey, count(*)::BIGINT AS numwait
+FROM j JOIN q USING (l_orderkey) WHERE j.late = 1 GROUP BY 1""",
+    )
+
+
+def test_q21_everything_late_counts_nobody(ray_session):
+    """late_days=-100000 makes EVERY supplier late, so no order has
+    exactly one late supplier unless it is single-supplier (excluded by
+    n_supp >= 2): zero rows out, schema stable."""
+    out = tpch.q21_blocked_suppliers(SF, late_days=-100000).materialize()
+    got = out.to_pandas()
+    # single-supplier orders are excluded; multi-supplier all-late orders
+    # have n_late >= 2 — nothing qualifies
+    assert len(got) == 0
