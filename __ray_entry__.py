@@ -299,6 +299,8 @@ def _sampling_assignment_fused(sf_dir: str):
     )
     al = sampling.proportional_allocation(_seq(sf_dir), k_total=100).to_pandas()
     sa = sampling.shuffle_adjacency_audit(f"{sf_dir}/documents.parquet").to_pandas()
+    sk = sampling.shard_skew_forecast(_seq(sf_dir)).to_pandas()
+    sk_key = sk["scheme"] + "|" + sk["shard"].astype("int64").astype(str)
     rows = pd.concat(
         [
             pd.DataFrame(
@@ -310,6 +312,10 @@ def _sampling_assignment_fused(sf_dir: str):
             ),
             pd.DataFrame(
                 {"kind": "shadj", "key": sa["source"], "n": sa["n_adj"].astype("int64")}
+            ),
+            pd.DataFrame({"kind": "skew", "key": sk_key, "n": sk["n_rows"].astype("int64")}),
+            pd.DataFrame(
+                {"kind": "skewt", "key": sk_key, "n": sk["n_tok_sum"].astype("int64")}
             ),
         ],
         ignore_index=True,
@@ -1518,6 +1524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_adjacency": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).shuffle_adjacency_audit(docs(sf)),
+        "v_shard_skew": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).shard_skew_forecast(_seq(sf)),
         "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
         "events_replay_disorder": lambda sf: relational.events_out_of_order_stats(sf),
         "profile_label_purity": lambda sf: __import__(
@@ -2246,6 +2255,24 @@ WITH r AS (SELECT coalesce(source, '<NULL>') AS source,
 p AS (SELECT source, lag(source) OVER (ORDER BY rn) AS prev FROM r)
 SELECT source, count(*) FILTER (WHERE prev = source)::BIGINT AS n_adj
 FROM p GROUP BY source""",
+        # pre-shuffle skew forecast: per-shard load of a planned 16-way
+        # hash exchange keyed on the SKEWED source column, plain vs salted
+        # (salt = md5(doc_id) % 8) — the measured go/no-go for salting
+        "v_shard_skew": f"""
+WITH r AS (SELECT coalesce(CAST(source AS VARCHAR), '<NULL>') AS src,
+                  coalesce(CAST(doc_id AS VARCHAR), '<NULL>') AS did,
+                  coalesce(n_tok, 0)::BIGINT AS nt
+           FROM read_parquet('{p}')),
+x AS (
+ SELECT 'plain' AS scheme,
+        (('0x'||substr(md5(src),1,8))::UBIGINT % 16)::BIGINT AS shard, nt FROM r
+ UNION ALL
+ SELECT 'salted',
+        (('0x'||substr(md5(src || '#' ||
+            CAST(('0x'||substr(md5(did),1,8))::UBIGINT % 8 AS VARCHAR)),1,8))::UBIGINT
+         % 16)::BIGINT, nt FROM r)
+SELECT scheme, shard, count(*)::BIGINT AS n_rows, sum(nt)::BIGINT AS n_tok_sum
+FROM x GROUP BY 1, 2""",
         # Heaps'-law vocabulary growth in the deterministic shuffle order:
         # first global position per token (ACTUAL list lengths, coalesced
         # NULL-id hashing, (h, id, len) tie-break), counted at a K ladder
@@ -4311,6 +4338,10 @@ FROM chars GROUP BY doc_id, bin""",
         + o["sampling_allocation"] + ")"
         "\nUNION ALL\nSELECT 'shadj', source, n_adj FROM ("
         + o["shuffle_adjacency"] + ")"
+        "\nUNION ALL\nSELECT 'skew', scheme || '|' || CAST(shard AS VARCHAR), n_rows FROM ("
+        + o["v_shard_skew"] + ")"
+        "\nUNION ALL\nSELECT 'skewt', scheme || '|' || CAST(shard AS VARCHAR), n_tok_sum FROM ("
+        + o["v_shard_skew"] + ")"
     )
     o["dedup_exact_meta"] += (
         "\nUNION ALL SELECT 'cdc_n', source, n_chunks FROM ("

@@ -161,3 +161,63 @@ def test_exact_k_per_group_sizes():
     # every stratum has >=3 docs at sf0.001, so every group returns exactly 3
     assert (sizes == 3).all()
     assert (out.groupby("source")["rank"].max() == 3).all()
+
+
+def test_shard_skew_forecast_hot_key_salting(tmp_path, ray_session):
+    """A corpus dominated by ONE source: the plain scheme must put every
+    hot-key row on a SINGLE shard (that is the skew being forecast),
+    while the salted scheme spreads them over up to n_salts shards;
+    totals are conserved in both schemes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import shard_skew_forecast
+
+    n_hot, n_cold = 400, 20
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n_hot + n_cold)]),
+            "source": pa.array(["hot"] * n_hot + [f"cold{i}" for i in range(n_cold)]),
+            "n_tok": pa.array([3] * (n_hot + n_cold), pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "seq.parquet")
+    got = shard_skew_forecast(str(tmp_path), n_shards=16, n_salts=8).to_pandas()
+    plain = got[got.scheme == "plain"]
+    salted = got[got.scheme == "salted"]
+    # conservation: both schemes account for every row and every token
+    assert int(plain.n_rows.sum()) == n_hot + n_cold == int(salted.n_rows.sum())
+    assert int(plain.n_tok_sum.sum()) == 3 * (n_hot + n_cold) == int(salted.n_tok_sum.sum())
+    # the forecastable skew: one shard carries ALL hot rows under plain...
+    assert int(plain.n_rows.max()) >= n_hot
+    # ...and salting strictly breaks it up (8 salts over 400 rows cannot
+    # land on one shard with the md5 bucketer — pinned, deterministic)
+    assert int(salted.n_rows.max()) < n_hot
+
+
+def test_shard_skew_forecast_layout_independent(tmp_path, ray_session):
+    """Same corpus, 1-file vs 3-file layouts → identical forecasts (the
+    collapse is per batch but the exchange re-sums exactly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import shard_skew_forecast
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"x{i}" for i in range(90)],
+            "source": (["a"] * 60 + ["b"] * 25 + [None] * 5),
+            "n_tok": np.arange(90, dtype=np.int64) % 7,
+        }
+    )
+    one = tmp_path / "one"
+    three = tmp_path / "three"
+    one.mkdir()
+    three.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), one / "all.parquet")
+    for i in range(3):
+        pq.write_table(pa.Table.from_pandas(df.iloc[i * 30 : (i + 1) * 30]), three / f"p{i}.parquet")
+    key = ["scheme", "shard"]
+    a = shard_skew_forecast(str(one)).to_pandas().sort_values(key).reset_index(drop=True)
+    b = shard_skew_forecast(str(three)).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
