@@ -742,6 +742,7 @@ def _incremental_meta(sf_dir: str):
     ft = _val.footer_stats_truth_audit(_seq(sf_dir)).to_pandas()
     cn, rm = _val.token_concentration_and_rank_mass(_seq(sf_dir))  # one shared exchange
     cdg = _val.corpus_digest_stats(_seq(sf_dir)).to_pandas()
+    pr = _val.token_periodicity_stats(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -933,6 +934,19 @@ def _incremental_meta(sf_dir: str):
                     "kind": "digest",
                     "k1": cdg["source"] + "|" + cdg["n_rows"].astype("int64").astype(str),
                     "a": cdg["digest"].astype("int64"),
+                }
+            ),
+            # periodicity: comparable positions ride the key, matches are
+            # the value (lag spikes = fixed-period looping generations)
+            pd.DataFrame(
+                {
+                    "kind": "period",
+                    "k1": pr["source"]
+                    + "|"
+                    + pr["lag"].astype("int64").astype(str)
+                    + "|"
+                    + pr["n_pos"].astype("int64").astype(str),
+                    "a": pr["n_match"].astype("int64"),
                 }
             ),
         ],
@@ -1465,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
+        "v_token_periodicity": lambda sf: validation.token_periodicity_stats(_seq(sf)),
         "v_footer_stats_truth": lambda sf: validation.footer_stats_truth_audit(_seq(sf)),
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
@@ -2182,6 +2197,23 @@ rk AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) - 1 AS r FROM cnt)
 SELECT source, count(*)::BIGINT AS n_tok, sum(r)::BIGINT AS sum_rank,
        max(r)::BIGINT AS max_rank
 FROM tok JOIN rk USING (t) GROUP BY source""",
+        # fixed-lag periodicity: list-slice zip with IS NOT DISTINCT FROM
+        # matches the numpy shifted comparison exactly (the NULL-element
+        # convention); NULL lists contribute zero comparable positions
+        "v_token_periodicity": f"""
+WITH l AS (SELECT unnest([1, 2, 4, 8]) AS lag),
+r AS (SELECT coalesce(source, '<NULL>') AS source, tokens,
+             coalesce(len(tokens), 0)::BIGINT AS n
+      FROM read_parquet('{p}')),
+x AS (SELECT r.source, l.lag::BIGINT AS lag,
+             greatest(n - l.lag, 0)::BIGINT AS n_pos,
+             (CASE WHEN n > l.lag
+                   THEN len(list_filter(list_zip(tokens[1+l.lag:], tokens[:n-l.lag]),
+                                        x -> x[1] IS NOT DISTINCT FROM x[2]))
+                   ELSE 0 END)::BIGINT AS n_match
+      FROM r CROSS JOIN l)
+SELECT source, lag, sum(n_pos)::BIGINT AS n_pos, sum(n_match)::BIGINT AS n_match
+FROM x GROUP BY 1, 2""",
         # corpus content digest: md5-parity hash64 per row, modular sum per
         # source — order/partitioning-invariant equality certificate.
         # array_to_string([]) is NULL in DuckDB, so the empty-list case
@@ -4394,6 +4426,9 @@ FROM chars GROUP BY doc_id, bin""",
         + o["v_token_rank_mass"] + ")"
         "\nUNION ALL\nSELECT 'digest', source || '|' || CAST(n_rows AS VARCHAR),"
         " digest FROM (" + o["v_corpus_digest"] + ")"
+        "\nUNION ALL\nSELECT 'period', source || '|' || CAST(lag AS VARCHAR)"
+        " || '|' || CAST(n_pos AS VARCHAR), n_match FROM ("
+        + o["v_token_periodicity"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

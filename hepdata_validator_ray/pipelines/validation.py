@@ -1644,3 +1644,103 @@ def ntok_mad_stats(seq_path: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(
         pd.DataFrame(rows).astype({"n": "int64", "med": "int64", "mad": "int64"})
     )
+
+
+def token_periodicity_stats(
+    seq_path: str, lags: tuple[int, ...] = (1, 2, 4, 8)
+) -> "ray.data.Dataset":
+    """Fixed-lag self-match audit: per (source, lag), the number of
+    comparable positions (Σ max(n−lag, 0)) and the number of positions
+    where ``tokens[i] == tokens[i+lag]`` — the PERIODIC-repetition
+    detector.  A lag-L spike flags looping generations with period L,
+    which run length (lag 1 only) and distinct-k-gram counting (period
+    must fit inside one window) both under-report; the match RATE stays
+    rational (two int64 sums).
+
+    One zero-copy pass: each lag is one shifted comparison over the
+    flattened values with a per-row validity mask (no k-gram
+    materialization), collapsing to |sources|·|lags| partials per batch;
+    the exchange key is the single string ``source|lag`` (the two-column
+    groupby wedge — see token_source_histogram's note).  NULL lists
+    contribute zero positions; NULL elements match NULL (IS NOT DISTINCT
+    FROM, the SQL twin's convention) via an out-of-int32-range sentinel.
+
+    Output (source, lag, n_pos, n_match)."""
+    from ray.data.aggregate import Sum
+
+    lags = tuple(int(x) for x in lags)
+    if not lags or min(lags) < 1:
+        raise ValueError("lags must be positive")
+
+    _NULL_ELEM = np.int64(1) << 40  # outside int32 token range by contract
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offs[0]
+        null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if null_rows.any():
+            if (lens[null_rows] != 0).any():
+                raise ValueError("null token list with non-zero stored extent")
+        vals_arr = col.values[offs[0] : offs[-1]]  # flattened slice of this batch
+        vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        elem_null = pc.is_null(vals_arr).to_numpy(zero_copy_only=False)
+        if elem_null.any():
+            vals = np.where(elem_null, _NULL_ELEM, vals)
+        src = t.column("source").to_pandas().fillna("<NULL>").astype(str)
+        codes, uniq = pd.factorize(src)
+        nsrc = len(uniq)
+        seq_codes = np.repeat(codes.astype(np.int64), lens)
+        pos_in_row = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1] - base, lens)
+        lens_rep = np.repeat(lens, lens)
+        out_key: list[str] = []
+        out_pos: list[int] = []
+        out_match: list[int] = []
+        for lag in lags:
+            npos_per_src = np.bincount(
+                codes, weights=np.maximum(lens - lag, 0), minlength=nsrc
+            ).astype(np.int64)
+            if len(vals) > lag:
+                valid = pos_in_row[: len(vals) - lag] < lens_rep[: len(vals) - lag] - lag
+                eq = vals[lag:] == vals[:-lag]
+                hit = valid & eq
+                nmatch_per_src = np.bincount(
+                    seq_codes[: len(vals) - lag][hit], minlength=nsrc
+                ).astype(np.int64)
+            else:
+                nmatch_per_src = np.zeros(nsrc, dtype=np.int64)
+            out_key.extend(f"{s}|{lag}" for s in uniq)
+            out_pos.extend(npos_per_src.tolist())
+            out_match.extend(nmatch_per_src.tolist())
+        return pd.DataFrame(
+            {
+                "key": pd.Series(out_key, dtype=object),
+                "n_pos": pd.Series(out_pos, dtype="int64"),
+                "n_match": pd.Series(out_match, dtype="int64"),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .groupby("key")
+        .aggregate(Sum("n_pos", alias_name="n_pos"), Sum("n_match", alias_name="n_match"))
+    )
+
+    def finale(t: pa.Table) -> pa.Table:
+        key = t["key"].to_pandas()
+        sp = key.str.rsplit("|", n=1)
+        return pa.table(
+            {
+                "source": pa.array(sp.str[0], pa.string()),
+                "lag": pa.array(sp.str[1].astype(np.int64), pa.int64()),
+                "n_pos": t["n_pos"].cast(pa.int64()),
+                "n_match": t["n_match"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finale, batch_format="pyarrow")

@@ -1493,3 +1493,84 @@ def test_ntok_mad_disc_convention(tmp_path, ray_session):
     pq.write_table(t, p)
     got = ntok_mad_stats(p).to_pandas().set_index("source")
     assert (got.loc["s", "n"], got.loc["s", "med"], got.loc["s", "mad"]) == (4, 3, 2)
+
+
+def test_token_periodicity_crafted(tmp_path, ray_session):
+    """Periodicity audit pinned by hand: a period-2 looper spikes lag 2
+    (and lag 4, its multiple) without spiking lag 1; NULL lists contribute
+    zero positions; a NULL element matches a NULL element (IS NOT DISTINCT
+    FROM, the SQL twin's convention)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_periodicity_stats
+
+    rows = [
+        [5, 9, 5, 9, 5, 9],   # period 2: lag1 0/5, lag2 4/4, lag4 2/2
+        [3, 3, 3],            # constant: every lag matches fully
+        None,                 # zero positions at every lag
+        [1, None, 1, None],   # NULL elems: lag2 pairs (1,1),(None,None) both match
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r) if r else 0 for r in rows], type=pa.int32()),
+            "source": pa.array(["a", "a", "a", "b"]),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    got = (
+        token_periodicity_stats(p, lags=(1, 2, 4))
+        .to_pandas()
+        .set_index(["source", "lag"])
+        .sort_index()
+    )
+    # source a: rows of len 6, 3, 0
+    assert tuple(got.loc[("a", 1)][["n_pos", "n_match"]]) == (5 + 2, 0 + 2)
+    assert tuple(got.loc[("a", 2)][["n_pos", "n_match"]]) == (4 + 1, 4 + 1)
+    assert tuple(got.loc[("a", 4)][["n_pos", "n_match"]]) == (2 + 0, 2 + 0)
+    # source b: the NULL-element row, len 4
+    assert tuple(got.loc[("b", 1)][["n_pos", "n_match"]]) == (3, 0)
+    assert tuple(got.loc[("b", 2)][["n_pos", "n_match"]]) == (2, 2)
+    assert tuple(got.loc[("b", 4)][["n_pos", "n_match"]]) == (0, 0)
+
+
+def test_token_periodicity_duckdb_parity(ray_session):
+    """sf0.001 synth corpus: the numpy shifted comparison and the SQL
+    list-slice zip agree exactly on every (source, lag) cell."""
+    import duckdb
+
+    from hepdata_validator_ray.pipelines.validation import token_periodicity_stats
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    d = str(ensure_sequences_parquet("/root/testdata/sf0.001"))
+    got = (
+        token_periodicity_stats(d)
+        .to_pandas()
+        .sort_values(["source", "lag"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""
+WITH l AS (SELECT unnest([1, 2, 4, 8]) AS lag),
+r AS (SELECT coalesce(source, '<NULL>') AS source, tokens,
+             coalesce(len(tokens), 0)::BIGINT AS n FROM read_parquet('{d}/*.parquet')),
+x AS (SELECT r.source, l.lag::BIGINT AS lag, greatest(n - l.lag, 0)::BIGINT AS n_pos,
+             (CASE WHEN n > l.lag
+                   THEN len(list_filter(list_zip(tokens[1+l.lag:], tokens[:n-l.lag]),
+                                        x -> x[1] IS NOT DISTINCT FROM x[2]))
+                   ELSE 0 END)::BIGINT AS n_match
+      FROM r CROSS JOIN l)
+SELECT source, lag, sum(n_pos)::BIGINT AS n_pos, sum(n_match)::BIGINT AS n_match
+FROM x GROUP BY 1, 2"""
+        )
+        .df()[["source", "lag", "n_pos", "n_match"]]
+        .sort_values(["source", "lag"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
