@@ -439,18 +439,23 @@ def _embedding_cluster_meta(sf_dir: str):
     emb = f"{sf_dir}/embeddings.parquet"
     # the two legs are independent pipelines — overlap their execution
     # (plan construction stays serial; see bench._consume_concurrent)
+    from hepdata_validator_ray.pipelines import similarity as _sim
+
     km_ds = cluster.kmeans_assign_quantized(emb)
     sd_ds = cluster.semantic_dedup_removed(emb, threshold=0.4)
     ce_ds = cluster.label_centroid_sums(emb)
     # outlier mining executes its centroid exchange eagerly during (serial)
     # construction; the distance/top-k pipeline threads with the others
     ol_ds = cluster.embedding_label_outliers(emb)
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    cal_ds = _sim.similarity_calibration(emb)
+    with ThreadPoolExecutor(max_workers=5) as ex:
         km_f = ex.submit(km_ds.to_pandas)
         sd_f = ex.submit(sd_ds.to_pandas)
         ce_f = ex.submit(ce_ds.to_pandas)
         ol_f = ex.submit(ol_ds.to_pandas)
+        cal_f = ex.submit(cal_ds.to_pandas)
         km, sd, ce, ol = km_f.result(), sd_f.result(), ce_f.result(), ol_f.result()
+        cal = cal_f.result()
     return pd.concat(
         [
             pd.DataFrame(
@@ -486,6 +491,15 @@ def _embedding_cluster_meta(sf_dir: str):
                     "a": ol["label"].astype("int64"),
                     "b": ol["vec_id"].astype("int64"),
                     "c": ol["d2"].astype("int64"),
+                }
+            ),
+            # threshold-calibration CDF over the deterministic pair sample
+            pd.DataFrame(
+                {
+                    "kind": "cal",
+                    "a": cal["thr_x100"].astype("int64"),
+                    "b": cal["n_pairs"].astype("int64"),
+                    "c": cal["n_above"].astype("int64"),
                 }
             ),
         ],
@@ -1743,6 +1757,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).label_centroid_sums(emb(sf)),
+        # cosine-threshold calibration CDF over a deterministic
+        # hash-bucketed pair sample; gated via the cluster meta's cal leg
+        "embedding_similarity_calibration": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.similarity", fromlist=["x"]
+        ).similarity_calibration(emb(sf)),
         "events_type_overlap": lambda sf: relational.events_type_overlap(sf),
         # rolling 7-day active users (sliding-window distinct via per-user
         # interval union + delta sweep) and day-over-day per-type deltas;
@@ -4016,6 +4035,22 @@ FROM embeddings a JOIN asg aa ON a.vec_id = aa.vec_id
      JOIN asg ab ON b.vec_id = ab.vec_id AND aa.cid = ab.cid
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
 GROUP BY b.vec_id""",
+        # threshold-calibration CDF: within-md5-bucket self-join at scale
+        # 100 quantization; "above t" is the uniform integer comparison
+        # dot > 0 AND dot²·10⁴ ≥ t²·qa·qb (for t = 0 it degenerates to
+        # dot > 0 — same expression, no special case)
+        "embedding_similarity_calibration": """
+WITH q AS (SELECT vec_id, ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::UBIGINT % 16 AS b,
+  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*100 + 0.5) AS BIGINT)) AS qe
+  FROM embeddings),
+n AS (SELECT vec_id, b, qe, list_sum(list_transform(qe, x -> x*x))::BIGINT AS qq FROM q),
+pr AS (SELECT list_sum(list_transform(list_zip(a.qe, c.qe), s -> s[1]*s[2]))::BIGINT AS dot,
+              a.qq AS qa, c.qq AS qb
+       FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id),
+t AS (SELECT unnest([0, 20, 40, 60, 80]) AS thr)
+SELECT thr::BIGINT AS thr_x100, count(*)::BIGINT AS n_pairs,
+       count(*) FILTER (WHERE dot > 0 AND dot*dot*10000 >= thr*thr*qa*qb)::BIGINT AS n_above
+FROM pr CROSS JOIN t GROUP BY 1""",
         # duplicated-span diagnostic (tail query; the per-doc dup count is
         # gated inside training_meta as the 'dup_spans' metric)
         "dedup_dup_spans": """
@@ -4440,6 +4475,8 @@ FROM chars GROUP BY doc_id, bin""",
         + o["embedding_label_centroids"] + ")"
         "\nUNION ALL\nSELECT 'outlier', label, vec_id, d2 FROM ("
         + o["embedding_outliers"] + ")"
+        "\nUNION ALL\nSELECT 'cal', thr_x100, n_pairs, n_above FROM ("
+        + o["embedding_similarity_calibration"] + ")"
     )
     # centroid pair dots: composed from the centroid long-form entry —
     # integer self-join on dim, so the matmul is provably the SQL join

@@ -188,3 +188,85 @@ def ann_topk_ivf(
     out["query_id"] = out["query_id"].astype("int64")
     out["neighbor_id"] = out["neighbor_id"].astype("int64")
     return out[["query_id", "neighbor_id", "cos"]]
+
+
+def similarity_calibration(
+    emb_path: str,
+    n_buckets: int = 16,
+    thresholds_x100: tuple[int, ...] = (0, 20, 40, 60, 80),
+) -> "ray.data.Dataset":
+    """Cosine-threshold CALIBRATION over a deterministic pair sample: for
+    each candidate threshold t/100, how many sampled pairs sit at-or-above
+    it — the measurement that picks SemDeDup / near-dup thresholds from
+    the corpus's actual similarity geometry instead of folklore.
+
+    The pair sample is content-derived, not random: vectors hash-bucket by
+    md5(vec_id) % n_buckets (a NON-locality hash — within-bucket pairs are
+    a uniform pair sample, unlike LSH buckets), and all pairs form WITHIN
+    buckets only.  Scale: choose n_buckets ∝ N so the expected bucket stays
+    constant-size; sampled pairs then grow ~N·(bucket−1)/2 — linear, never
+    the N² all-pairs — and each bucket is an independent map_groups task.
+
+    Integer-exact at every step, so the SQL twin is hash-exact: vectors
+    quantize at scale 100 (|x| < 5 asserted — at this scale the full
+    threshold comparison dot²·10⁴ vs t²·‖a‖²·‖b‖² stays inside int64),
+    "above t" is ``dot > 0 AND dot²·10⁴ ≥ t²·qa·qb`` (for t = 0 just
+    dot > 0) — the float cosine never exists.
+
+    Output (thr_x100, n_pairs, n_above)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    thresholds = tuple(int(t) for t in thresholds_x100)
+    if any(t < 0 or t > 100 for t in thresholds):
+        raise ValueError("thresholds_x100 must be within [0, 100]")
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        if len(mat) and np.abs(mat).max() >= 5.0:
+            raise ValueError("|embedding| >= 5: scale-100 int64 ladder bound violated")
+        q = np.floor(mat * 100.0 + 0.5).astype(np.int64)
+        b = np.fromiter(
+            (
+                int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % n_buckets
+                for v in df["vec_id"].to_numpy()
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return pd.DataFrame({"bucket": b, "qe": list(q)})
+
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(df["qe"].to_numpy()).astype(np.int64)
+        n = len(q)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "thr_x100": pd.Series(dtype="int64"),
+                    "n_pairs": pd.Series(dtype="int64"),
+                    "n_above": pd.Series(dtype="int64"),
+                }
+            )
+        dots = q @ q.T  # int64-exact
+        qq = np.einsum("ij,ij->i", q, q)
+        iu = np.triu_indices(n, k=1)
+        d = dots[iu]
+        prod = qq[iu[0]] * qq[iu[1]]
+        n_pairs = len(d)
+        pos = d > 0
+        d2 = d * d * 10_000
+        rows = []
+        for t in thresholds:
+            above = int((pos & (d2 >= t * t * prod)).sum()) if t else int(pos.sum())
+            rows.append((t, n_pairs, above))
+        return pd.DataFrame(rows, columns=["thr_x100", "n_pairs", "n_above"]).astype("int64")
+
+    return (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(_prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby("thr_x100")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"), Sum("n_above", alias_name="n_above"))
+    )

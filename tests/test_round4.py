@@ -1574,3 +1574,72 @@ FROM x GROUP BY 1, 2"""
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_similarity_calibration_crafted(tmp_path, ray_session):
+    """Hand-built geometry: an identical pair (cos 1), an orthogonal pair
+    (cos 0), an antipodal pair (dot < 0) — all forced into ONE bucket by
+    bucket-count 1, so every pair is sampled; the ladder counts are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.similarity import similarity_calibration
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],   # with v0: cos 1
+        [0.0, 1.0, 0.0, 0.0],   # with v0/v1: cos 0; dot 0 is NOT above t=0
+        [-1.0, 0.0, 0.0, 0.0],  # with v0/v1: cos −1 (dot < 0 never counts)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(t, p)
+    got = (
+        similarity_calibration(p, n_buckets=1, thresholds_x100=(0, 50, 100))
+        .to_pandas()
+        .set_index("thr_x100")
+        .sort_index()
+    )
+    # 6 pairs total; only (v0, v1) has dot > 0
+    assert (got["n_pairs"] == 6).all()
+    assert got.loc[0, "n_above"] == 1
+    assert got.loc[50, "n_above"] == 1
+    assert got.loc[100, "n_above"] == 1  # exact cos 1 survives t = 1.00
+
+
+def test_similarity_calibration_duckdb_parity(ray_session):
+    import duckdb
+
+    from hepdata_validator_ray.pipelines.similarity import similarity_calibration
+
+    p = "/root/testdata/sf0.001/embeddings.parquet"
+    got = similarity_calibration(p).to_pandas().sort_values("thr_x100").reset_index(drop=True)
+    want = (
+        duckdb.sql(
+            f"""
+WITH q AS (SELECT vec_id, ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,8))::UBIGINT % 16 AS b,
+  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*100 + 0.5) AS BIGINT)) AS qe
+  FROM read_parquet('{p}')),
+n AS (SELECT vec_id, b, qe, list_sum(list_transform(qe, x -> x*x))::BIGINT AS qq FROM q),
+pr AS (SELECT list_sum(list_transform(list_zip(a.qe, c.qe), s -> s[1]*s[2]))::BIGINT AS dot,
+              a.qq AS qa, c.qq AS qb
+       FROM n a JOIN n c ON a.b = c.b AND a.vec_id < c.vec_id),
+t AS (SELECT unnest([0, 20, 40, 60, 80]) AS thr)
+SELECT thr::BIGINT AS thr_x100, count(*)::BIGINT AS n_pairs,
+       count(*) FILTER (WHERE dot > 0 AND dot*dot*10000 >= thr*thr*qa*qb)::BIGINT AS n_above
+FROM pr CROSS JOIN t GROUP BY 1"""
+        )
+        .df()
+        .sort_values("thr_x100")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[["thr_x100", "n_pairs", "n_above"]], want, check_dtype=False
+    )
