@@ -757,6 +757,13 @@ def _incremental_meta(sf_dir: str):
     cn, rm = _val.token_concentration_and_rank_mass(_seq(sf_dir))  # one shared exchange
     cdg = _val.corpus_digest_stats(_seq(sf_dir)).to_pandas()
     pr = _val.token_periodicity_stats(_seq(sf_dir)).to_pandas()
+    ch = _val.vocab_churn_stats(
+        _seq(sf_dir), ensure_shifted_sequences_parquet(sf_dir)
+    ).to_pandas()
+    cf = _val.compute_cost_forecast(_seq(sf_dir)).to_pandas()
+    from hepdata_validator_ray.synth import ensure_rowgrouped_sequences_parquet
+
+    pg = _val.rowgroup_pruning_audit(ensure_rowgrouped_sequences_parquet(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -961,6 +968,53 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + pr["n_pos"].astype("int64").astype(str),
                     "a": pr["n_match"].astype("int64"),
+                }
+            ),
+            # vocabulary churn: both vocab sizes + gained ride the key,
+            # lost is the value
+            pd.DataFrame(
+                {
+                    "kind": "churn",
+                    "k1": ch["source"]
+                    + "|"
+                    + ch["n_old_vocab"].astype("int64").astype(str)
+                    + "|"
+                    + ch["n_new_vocab"].astype("int64").astype(str)
+                    + "|"
+                    + ch["n_gained"].astype("int64").astype(str),
+                    "a": ch["n_lost"].astype("int64"),
+                }
+            ),
+            # compute forecast: counts/totals ride the key, Σ n_tok² (the
+            # quadratic-attention proxy) is the value
+            pd.DataFrame(
+                {
+                    "kind": "cost",
+                    "k1": cf["source"]
+                    + "|"
+                    + cf["n_seqs"].astype("int64").astype(str)
+                    + "|"
+                    + cf["sum_tok"].astype("int64").astype(str)
+                    + "|"
+                    + cf["n_over"].astype("int64").astype(str)
+                    + "|"
+                    + cf["trunc_loss"].astype("int64").astype(str),
+                    "a": cf["sum_tok_sq"].astype("int64"),
+                }
+            ),
+            # pruning audit: footer-derived skip counts ride the key, the
+            # exact selected-row count is the value
+            pd.DataFrame(
+                {
+                    "kind": "prune",
+                    "k1": pg["file"]
+                    + "|"
+                    + pg["n_rgs"].astype("int64").astype(str)
+                    + "|"
+                    + pg["n_rgs_pruned"].astype("int64").astype(str)
+                    + "|"
+                    + pg["n_rows_pruned"].astype("int64").astype(str),
+                    "a": pg["n_selected"].astype("int64"),
                 }
             ),
         ],
@@ -1494,6 +1548,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
         "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
         "v_token_periodicity": lambda sf: validation.token_periodicity_stats(_seq(sf)),
+        "v_vocab_churn": lambda sf: validation.vocab_churn_stats(
+            _seq(sf),
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+        ),
+        "v_compute_cost": lambda sf: validation.compute_cost_forecast(_seq(sf)),
+        "v_rowgroup_pruning": lambda sf: validation.rowgroup_pruning_audit(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
+        ),
         "v_footer_stats_truth": lambda sf: validation.footer_stats_truth_audit(_seq(sf)),
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
@@ -2639,6 +2701,63 @@ SELECT source, count(*)::BIGINT AS n, min(med)::BIGINT AS med,
 FROM d GROUP BY source""",
         # cross-snapshot n_tok histogram L1 (total-variation numerator):
         # FULL OUTER join of the two bounded histograms, all integers
+        # cross-snapshot vocabulary churn: FULL OUTER join of the two
+        # per-source DISTINCT token sets (NULL elements dropped on both
+        # engines — the join cannot key on NULL)
+        "v_vocab_churn": f"""
+WITH o0 AS (SELECT DISTINCT coalesce(source, '<NULL>') AS s, unnest(tokens) AS t
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+n0 AS (SELECT DISTINCT coalesce(source, '<NULL>') AS s, unnest(tokens) AS t
+       FROM read_parquet('{{shifted}}') WHERE tokens IS NOT NULL),
+o2 AS (SELECT * FROM o0 WHERE t IS NOT NULL),
+n2 AS (SELECT * FROM n0 WHERE t IS NOT NULL),
+j AS (SELECT coalesce(o2.s, n2.s) AS source,
+             (o2.t IS NOT NULL)::INT AS iso, (n2.t IS NOT NULL)::INT AS isn
+      FROM o2 FULL OUTER JOIN n2 ON o2.s = n2.s AND o2.t = n2.t)
+SELECT source, sum(iso)::BIGINT AS n_old_vocab, sum(isn)::BIGINT AS n_new_vocab,
+       sum((1-iso)*isn)::BIGINT AS n_gained, sum((1-isn)*iso)::BIGINT AS n_lost
+FROM j GROUP BY source""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
+        # compute forecast: one n_tok-column pass, Σ n_tok² int64-exact
+        "v_compute_cost": f"""
+SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_seqs,
+       sum(coalesce(n_tok, 0))::BIGINT AS sum_tok,
+       sum(coalesce(n_tok, 0)::BIGINT * coalesce(n_tok, 0)::BIGINT)::BIGINT AS sum_tok_sq,
+       count(*) FILTER (WHERE coalesce(n_tok, 0) > 1024)::BIGINT AS n_over,
+       sum(CASE WHEN coalesce(n_tok, 0) > 1024
+                THEN coalesce(n_tok, 0) - 1024 ELSE 0 END)::BIGINT AS trunc_loss
+FROM read_parquet('{p}') GROUP BY 1""",
+        # row-group pruning effectiveness over the tight-stats re-layout:
+        # prunable = stats-complete AND [min, max] outside [64, 256)
+        "v_rowgroup_pruning": """
+WITH m AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS file, row_group_id,
+         min(row_group_num_rows)::BIGINT AS nr,
+         min(CAST(stats_min_value AS BIGINT)) AS mn,
+         max(CAST(stats_max_value AS BIGINT)) AS mx,
+         count(*) FILTER (WHERE stats_min_value IS NULL OR stats_max_value IS NULL) AS nostats
+  FROM parquet_metadata('{rg}') WHERE path_in_schema = 'n_tok' GROUP BY 1, 2),
+f AS (SELECT file, count(*)::BIGINT AS n_rgs,
+        count(*) FILTER (WHERE nostats = 0 AND (mx < 64 OR mn >= 256))::BIGINT AS n_rgs_pruned,
+        sum(CASE WHEN nostats = 0 AND (mx < 64 OR mn >= 256) THEN nr ELSE 0 END)::BIGINT AS n_rows_pruned
+      FROM m GROUP BY 1),
+d AS (SELECT regexp_extract(filename, '[^/]+$') AS file,
+        count(*) FILTER (WHERE n_tok >= 64 AND n_tok < 256)::BIGINT AS n_selected
+      FROM read_parquet('{rg}', filename=true) GROUP BY 1)
+SELECT f.file, n_rgs, n_rgs_pruned, n_rows_pruned,
+       coalesce(n_selected, 0)::BIGINT AS n_selected
+FROM f LEFT JOIN d USING (file)""".replace(
+            "{rg}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
         "v_snapshot_length_drift": f"""
 WITH ho AS (SELECT coalesce(source, '<NULL>') AS s, n_tok::BIGINT AS v, count(*)::BIGINT AS c
             FROM read_parquet('{p}') GROUP BY 1, 2),
@@ -4464,6 +4583,16 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'period', source || '|' || CAST(lag AS VARCHAR)"
         " || '|' || CAST(n_pos AS VARCHAR), n_match FROM ("
         + o["v_token_periodicity"] + ")"
+        "\nUNION ALL\nSELECT 'churn', source || '|' || CAST(n_old_vocab AS VARCHAR)"
+        " || '|' || CAST(n_new_vocab AS VARCHAR) || '|' || CAST(n_gained AS VARCHAR),"
+        " n_lost FROM (" + o["v_vocab_churn"] + ")"
+        "\nUNION ALL\nSELECT 'cost', source || '|' || CAST(n_seqs AS VARCHAR)"
+        " || '|' || CAST(sum_tok AS VARCHAR) || '|' || CAST(n_over AS VARCHAR)"
+        " || '|' || CAST(trunc_loss AS VARCHAR), sum_tok_sq FROM ("
+        + o["v_compute_cost"] + ")"
+        "\nUNION ALL\nSELECT 'prune', file || '|' || CAST(n_rgs AS VARCHAR)"
+        " || '|' || CAST(n_rgs_pruned AS VARCHAR) || '|' || CAST(n_rows_pruned AS VARCHAR),"
+        " n_selected FROM (" + o["v_rowgroup_pruning"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

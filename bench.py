@@ -331,6 +331,36 @@ def pipeline_seq_audit(sf_dir: str) -> int:
     return n + len(cn) + len(rm)
 
 
+def pipeline_seq_forecast(sf_dir: str) -> int:
+    """The session-4 planning/forecast family as one number: shard-skew
+    forecast (plain vs salted), fixed-lag periodicity, compute-cost
+    forecast and the TPC-H batch-2 headliner q21 — skew/periodicity/cost
+    overlap as concurrent streams (independent bounded exchanges), the
+    row-group pruning audit runs after (footer pass + pruned scan over its
+    own re-laid-out fixture)."""
+    from hepdata_validator_ray.pipelines.sampling import shard_skew_forecast
+    from hepdata_validator_ray.pipelines.validation import (
+        compute_cost_forecast,
+        rowgroup_pruning_audit,
+        token_periodicity_stats,
+    )
+    from hepdata_validator_ray.synth import (
+        ensure_rowgrouped_sequences_parquet,
+        ensure_sequences_parquet,
+    )
+
+    p = ensure_sequences_parquet(sf_dir)
+    n = _consume_concurrent(
+        [
+            lambda: shard_skew_forecast(p),
+            lambda: token_periodicity_stats(p),
+            lambda: compute_cost_forecast(p),
+        ]
+    )
+    rg = ensure_rowgrouped_sequences_parquet(sf_dir)
+    return n + rowgroup_pruning_audit(rg).count()
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -353,6 +383,7 @@ PIPELINES = {
     "bpe_train": pipeline_bpe_train,
     "token_qc": pipeline_token_qc,
     "seq_audit": pipeline_seq_audit,
+    "seq_forecast": pipeline_seq_forecast,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -380,6 +411,7 @@ BAND_TYP_HI = {
     "bpe_train": 3.0,
     "token_qc": 35.0,
     "seq_audit": 90.0,
+    "seq_forecast": 15.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline

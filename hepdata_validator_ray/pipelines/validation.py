@@ -1744,3 +1744,238 @@ def token_periodicity_stats(
         )
 
     return agg.map_batches(finale, batch_format="pyarrow")
+
+
+def vocab_churn_stats(old_path: str, new_path: str) -> "ray.data.Dataset":
+    """Cross-snapshot VOCABULARY churn per source: distinct tokens present
+    in each snapshot, gained (new-only) and lost (old-only) — the
+    content-level companion to ``snapshot_length_drift`` (which sees only
+    length histograms): a tokenizer change, an encoding regression or a
+    filtering change shows up here as churn even when the length
+    distribution is unmoved.
+
+    One pass per snapshot emits batch-local DISTINCT (source, token) pairs
+    tagged with the snapshot bit; presence merges in ONE
+    |sources|×|vocab|-bounded groupby via two Max aggregates (duplicate
+    partials across batches/snapshots are idempotent under Max — no
+    pre-exchange dedup spent); the finale is a |sources|-bounded count.
+    NULL token elements are dropped on both engines (the FULL OUTER join
+    twin cannot key on NULL).
+
+    Output (source, n_old_vocab, n_new_vocab, n_gained, n_lost)."""
+    from ray.data.aggregate import Max, Sum
+
+    def pairs(path: str, col_flag: str):
+        def partial(t: pa.Table) -> pa.Table:
+            col = t.column("tokens")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals_arr = col.values[offs[0] : offs[-1]]
+            vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ~pc.is_null(vals_arr).to_numpy(zero_copy_only=False)
+            src = t.column("source").to_pandas().fillna("<NULL>").astype(str)
+            codes, uniq = pd.factorize(src)
+            lens = np.diff(offs)
+            seq_codes = np.repeat(codes.astype(np.int64), lens)[keep]
+            vals = vals[keep]
+            packed = seq_codes * (np.int64(1) << 33) + vals  # token < 2^33 contract
+            if len(vals) and not ((vals >= 0) & (vals < (np.int64(1) << 33))).all():
+                raise ValueError("token id out of the [0, 2^33) packing contract")
+            up = np.unique(packed)
+            out = pa.table(
+                {
+                    "source": pa.array(
+                        np.asarray(uniq, dtype=object)[(up >> 33).astype(np.int64)],
+                        pa.string(),
+                    ),
+                    "t": pa.array(up & ((np.int64(1) << 33) - 1), pa.int64()),
+                    "is_old": pa.array(
+                        np.full(len(up), 1 if col_flag == "old" else 0, dtype=np.int64),
+                        pa.int64(),
+                    ),
+                    "is_new": pa.array(
+                        np.full(len(up), 1 if col_flag == "new" else 0, dtype=np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            return out
+
+        return ray.data.read_parquet(path, columns=["source", "tokens"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=16384
+        )
+
+    merged = (
+        pairs(old_path, "old")
+        .union(pairs(new_path, "new"))
+        .groupby(["source", "t"])
+        .aggregate(Max("is_old", alias_name="is_old"), Max("is_new", alias_name="is_new"))
+    )
+
+    def finale_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "o": t["is_old"].to_numpy(zero_copy_only=False),
+                "n": t["is_new"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["gained"] = (1 - df["o"]) * df["n"]
+        df["lost"] = (1 - df["n"]) * df["o"]
+        g = df.groupby("source", as_index=False, sort=False).agg(
+            n_old_vocab=("o", "sum"),
+            n_new_vocab=("n", "sum"),
+            n_gained=("gained", "sum"),
+            n_lost=("lost", "sum"),
+        )
+        for c in ("n_old_vocab", "n_new_vocab", "n_gained", "n_lost"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        merged.map_batches(finale_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_old_vocab", alias_name="n_old_vocab"),
+            Sum("n_new_vocab", alias_name="n_new_vocab"),
+            Sum("n_gained", alias_name="n_gained"),
+            Sum("n_lost", alias_name="n_lost"),
+        )
+    )
+
+
+def compute_cost_forecast(seq_path: str, max_len: int = 1024) -> "ray.data.Dataset":
+    """Training compute forecast per source, all int64: sequence count,
+    token total, Σ n_tok² (the quadratic-attention cost proxy — two
+    corpora with equal token totals can differ 100× here), sequences over
+    ``max_len`` and the tokens a truncation at ``max_len`` would discard.
+    The numbers a batch-size / packing / GPU-hour plan is made from, as
+    one cheap metadata-grade pass (n_tok column only, tokens never read).
+
+    Per-batch bincount collapse over factorized sources → |sources|
+    exchange.  NULL n_tok counts as 0 (the shared coalesce convention).
+
+    Output (source, n_seqs, sum_tok, sum_tok_sq, n_over, trunc_loss)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        src = t.column("source").to_pandas().fillna("<NULL>").astype(str)
+        nt = t.column("n_tok").to_pandas().fillna(0).to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(src)
+        k = len(uniq)
+        over = nt > max_len
+
+        def _isum(w: np.ndarray) -> np.ndarray:
+            # integer scatter-add: no float64 accumulator (n_tok² alone can
+            # exceed 2^53 under the int32 column contract — ADVICE r3)
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, codes, w)
+            return acc
+
+        return pd.DataFrame(
+            {
+                "source": np.asarray(uniq, dtype=object),
+                "n_seqs": np.bincount(codes, minlength=k).astype(np.int64),
+                "sum_tok": _isum(nt),
+                "sum_tok_sq": _isum(nt * nt),
+                "n_over": _isum(over.astype(np.int64)),
+                "trunc_loss": _isum(np.where(over, nt - max_len, 0)),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_seqs", alias_name="n_seqs"),
+            Sum("sum_tok", alias_name="sum_tok"),
+            Sum("sum_tok_sq", alias_name="sum_tok_sq"),
+            Sum("n_over", alias_name="n_over"),
+            Sum("trunc_loss", alias_name="trunc_loss"),
+        )
+    )
+
+
+def rowgroup_pruning_audit(
+    seq_path: str, lo: int = 64, hi: int = 256, column: str = "n_tok"
+) -> "ray.data.Dataset":
+    """Row-group PRUNING effectiveness audit for the predicate
+    ``lo <= column < hi``: per file, how many row groups a footer-driven
+    read plan provably skips (stats-complete groups whose [min, max] lies
+    entirely outside the window), how many rows those groups hold (the
+    I/O the plan saves), and the EXACT selected-row count from the data —
+    the go/no-go measurement behind the "prune at the read" doctrine: if
+    n_rgs_pruned ≈ 0 on a hot predicate, the layout needs re-sorting (see
+    synth.ensure_rowgrouped_sequences_parquet's tight-stats layout).
+    Groups without column statistics are never prunable (the conservative
+    read-plan rule; footer_stats_truth_audit certifies the stats
+    themselves).  NULL values never match the predicate, so stats pruning
+    is sound even for groups containing NULLs.
+
+    Two bounded legs (the footer_stats_truth shape): one footer read per
+    file (zero data pages), and one column-pruned scan collapsing to
+    |files| selected-count partials.
+
+    Output (file, n_rgs, n_rgs_pruned, n_rows_pruned, n_selected)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    if os.path.isdir(seq_path):
+        files = sorted(
+            os.path.join(seq_path, f) for f in os.listdir(seq_path) if f.endswith(".parquet")
+        )
+    else:
+        files = [seq_path]
+
+    def footer_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in batch["path"]:
+            md = pq.ParquetFile(path).metadata
+            names = {md.schema.column(j).name: j for j in range(md.num_columns)}
+            j = names.get(column)
+            n_rgs = md.num_row_groups
+            n_pruned = 0
+            rows_pruned = 0
+            for i in range(md.num_row_groups):
+                if j is None:
+                    continue
+                st = md.row_group(i).column(j).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats → never prunable
+                if int(st.max) < lo or int(st.min) >= hi:
+                    n_pruned += 1
+                    rows_pruned += md.row_group(i).num_rows
+            rows.append((os.path.basename(path), n_rgs, n_pruned, rows_pruned))
+        return pd.DataFrame(
+            rows, columns=["file", "n_rgs", "n_rgs_pruned", "n_rows_pruned"]
+        ).astype({"n_rgs": "int64", "n_rgs_pruned": "int64", "n_rows_pruned": "int64"})
+
+    footer = (
+        ray.data.from_pandas(pd.DataFrame({"path": files}))
+        .map_batches(footer_prune, batch_format="pandas", batch_size=4)
+        .to_pandas()  # |files|-bounded
+    )
+
+    def sel_partial(t: pa.Table) -> pd.DataFrame:
+        fn = t.column("path").to_pandas().map(os.path.basename)
+        v = t.column(column).to_pandas()
+        hitv = ((v >= lo) & (v < hi)).fillna(False).to_numpy(dtype=bool)
+        df = pd.DataFrame({"file": fn, "n_selected": hitv.astype(np.int64)})
+        return df.groupby("file", as_index=False, sort=False).agg(
+            n_selected=("n_selected", "sum")
+        )
+
+    sel = (
+        ray.data.read_parquet(files, columns=[column], include_paths=True)
+        .map_batches(sel_partial, batch_format="pyarrow")
+        .groupby("file")
+        .aggregate(Sum("n_selected", alias_name="n_selected"))
+        .to_pandas()  # |files|-bounded
+    )
+    out = footer.merge(sel, on="file", how="left")
+    out["n_selected"] = out["n_selected"].fillna(0).astype("int64")
+    return ray.data.from_pandas(out.sort_values("file").reset_index(drop=True))

@@ -411,3 +411,37 @@ def ensure_nearpair_documents_parquet(sf_dir: str) -> str:
     df.to_parquet(tmp, index=False)
     os.replace(tmp, out)
     return str(out)
+
+
+def ensure_rowgrouped_sequences_parquet(
+    sf_dir: str, row_group_size: int = 256, n_files: int = 4, seed: int = 42
+) -> str:
+    """The SAME sequence corpus re-laid-out with SMALL row groups
+    (``row_group_size`` rows each, sorted by n_tok within each file so the
+    per-row-group n_tok statistics are tight) — the fixture for row-group
+    PRUNING audits, which are degenerate on the base layout's one-row-group
+    files.  Deterministic and idempotent like every synth artifact; content
+    equals the base corpus row-for-row (only layout differs)."""
+    tag = Path(sf_dir).name or "default"
+    rows = ROWS_BY_TAG.get(tag, 2_000)
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-rg{row_group_size}x{n_files}" / "sequences"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    tbl = generate_sequences_table(rows, seed=seed)
+    # sort by (n_tok, doc_id) so row-group stats are tight ranges — the
+    # layout a size-partitioned 100-TB corpus would actually have; NULLs
+    # first is pyarrow's default for ascending sort
+    order = pa.compute.sort_indices(
+        tbl, sort_keys=[("n_tok", "ascending"), ("doc_id", "ascending")]
+    )
+    tbl = tbl.take(order)
+    per = -(-tbl.num_rows // n_files)
+    for f in range(n_files):
+        part = tbl.slice(f * per, per)
+        tmp = out / f"part-{f:02d}.tmp"
+        pq.write_table(part, tmp, row_group_size=row_group_size, compression="NONE")
+        os.replace(tmp, out / f"part-{f:02d}.parquet")
+    done.touch()
+    return str(out)

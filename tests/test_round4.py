@@ -1643,3 +1643,109 @@ FROM pr CROSS JOIN t GROUP BY 1"""
     pd.testing.assert_frame_equal(
         got[["thr_x100", "n_pairs", "n_above"]], want, check_dtype=False
     )
+
+
+def test_vocab_churn_crafted(tmp_path, ray_session):
+    """Hand-built churn: token 7 persists, 8 is lost, 9 is gained; a
+    source present only in the new snapshot churns by its full vocab."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import vocab_churn_stats
+
+    def write(d, rows, srcs):
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+                "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(r) if r else 0 for r in rows], pa.int32()),
+                "source": pa.array(srcs),
+            }
+        )
+        d.mkdir()
+        pq.write_table(t, d / "x.parquet")
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    write(old, [[7, 8], [7]], ["a", "a"])
+    write(new, [[7, 9], None, [5]], ["a", "a", "b"])
+    got = vocab_churn_stats(str(old), str(new)).to_pandas().set_index("source")
+    a = got.loc["a"]
+    assert tuple(a[["n_old_vocab", "n_new_vocab", "n_gained", "n_lost"]]) == (2, 2, 1, 1)
+    b = got.loc["b"]
+    assert tuple(b[["n_old_vocab", "n_new_vocab", "n_gained", "n_lost"]]) == (0, 1, 1, 0)
+
+
+def test_compute_cost_forecast_crafted(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import compute_cost_forecast
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "source": pa.array(["s", "s", "s", None]),
+            "n_tok": pa.array([10, 2000, 1024, None], pa.int32()),
+        }
+    )
+    p = str(tmp_path / "x.parquet")
+    pq.write_table(t, p)
+    got = compute_cost_forecast(p, max_len=1024).to_pandas().set_index("source")
+    s = got.loc["s"]
+    # 1024 is NOT over (strict >); 2000 loses 976 tokens to truncation
+    assert tuple(s[["n_seqs", "sum_tok", "sum_tok_sq", "n_over", "trunc_loss"]]) == (
+        3,
+        3034,
+        10 * 10 + 2000 * 2000 + 1024 * 1024,
+        1,
+        976,
+    )
+    nu = got.loc["<NULL>"]
+    assert tuple(nu[["n_seqs", "sum_tok", "sum_tok_sq", "n_over", "trunc_loss"]]) == (
+        1, 0, 0, 0, 0,
+    )
+
+
+def test_rowgroup_pruning_audit_crafted(tmp_path, ray_session):
+    """Crafted tight-stats layout: rows sorted by n_tok, row groups of 4 —
+    the [10, 30) window must prune exactly the groups whose range lies
+    outside, and the selected count is exact regardless of pruning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import rowgroup_pruning_audit
+
+    nt = list(range(0, 48, 3))  # 0, 3, ..., 45 — sorted, rgs of 4 span 12
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(nt))]),
+            "source": pa.array(["s"] * len(nt)),
+            "n_tok": pa.array(nt, pa.int32()),
+        }
+    )
+    p = tmp_path / "part-00.parquet"
+    pq.write_table(t, p, row_group_size=4)
+    got = rowgroup_pruning_audit(str(tmp_path), lo=10, hi=30).to_pandas().iloc[0]
+    # groups: [0,9] pruned, [12,21] kept, [24,33] kept, [36,45] pruned
+    assert int(got["n_rgs"]) == 4
+    assert int(got["n_rgs_pruned"]) == 2
+    assert int(got["n_rows_pruned"]) == 8
+    # selected: 12,15,18,21,24,27 → 6 rows
+    assert int(got["n_selected"]) == 6
+
+
+def test_rowgroup_pruning_rowgrouped_fixture_content_parity(ray_session):
+    """The re-laid-out pruning fixture carries the SAME corpus content as
+    the base layout (only layout differs): per-source row counts match."""
+    import duckdb
+
+    from hepdata_validator_ray.synth import (
+        ensure_rowgrouped_sequences_parquet,
+        ensure_sequences_parquet,
+    )
+
+    base = str(ensure_sequences_parquet("/root/testdata/sf0.001"))
+    rg = ensure_rowgrouped_sequences_parquet("/root/testdata/sf0.001")
+    q = "SELECT coalesce(source, '<NULL>') s, count(*) n, sum(coalesce(n_tok, 0)) st FROM read_parquet('{}/*.parquet') GROUP BY 1 ORDER BY 1"
+    assert duckdb.sql(q.format(base)).fetchall() == duckdb.sql(q.format(rg)).fetchall()
