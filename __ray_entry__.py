@@ -1059,6 +1059,7 @@ def _relational_meta2(sf_dir: str):
         relational.events_time_band_pairs(sf_dir),
         relational.events_rolling_median(sf_dir),
         relational.events_out_of_order_stats(sf_dir),
+        relational.events_interarrival_spectrum(sf_dir),
     ]
     # rolling-active + daily-delta execute eagerly by design (their output
     # axis is |days|-sized); they run serially BEFORE the thread pool so
@@ -1066,7 +1067,7 @@ def _relational_meta2(sf_dir: str):
     rl = relational.events_rolling_active_users(sf_dir)
     dd = relational.events_daily_delta(sf_dir)
     with ThreadPoolExecutor(max_workers=4) as ex:
-        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj, rm, oo = list(
+        fu, qd, tr, im, st, pa_, mo, wd, gf, co, ov, bj, rm, oo, ia = list(
             ex.map(lambda d: d.to_pandas(), plans)
         )
     pct_long = []
@@ -1116,6 +1117,17 @@ def _relational_meta2(sf_dir: str):
                     + oo["n_events"].astype("int64").astype(str),
                     "k2": oo["n_late"].astype("int64"),
                     "a": oo["max_late_us"].astype("int64"),
+                }
+            ),
+            # inter-arrival spectrum: log-decade (digit-count) gap histogram
+            pd.DataFrame(
+                {
+                    "kind": "iaspec",
+                    "gkey": ia["event_type"]
+                    + "|"
+                    + ia["n_digits"].astype("int64").astype(str),
+                    "k2": np.int64(0),
+                    "a": ia["n_gaps"].astype("int64"),
                 }
             ),
             pd.DataFrame(
@@ -1620,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).shard_skew_forecast(_seq(sf)),
         "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
         "events_replay_disorder": lambda sf: relational.events_out_of_order_stats(sf),
+        "events_interarrival_spectrum": lambda sf: relational.events_interarrival_spectrum(sf),
         "profile_label_purity": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).label_purity_stats(docs(sf)),
@@ -2401,6 +2414,16 @@ f AS (SELECT tok, min(pos)::BIGINT AS fp FROM t GROUP BY tok)
 SELECT k.k_pos::BIGINT AS k_pos,
   (SELECT count(*) FROM f WHERE fp < k.k_pos)::BIGINT AS n_distinct_seen
 FROM (SELECT unnest([1000, 10000, 100000, 1000000]) AS k_pos) k""",
+        # inter-arrival spectrum: gap to the user's previous event (ts,
+        # event_id tie-break shared with the engine's sort), log-decade
+        # bucket = decimal digit count (integer on both engines)
+        "events_interarrival_spectrum": """
+WITH r AS (SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_type, length(CAST(gap AS VARCHAR))::BIGINT AS n_digits,
+       count(*)::BIGINT AS n_gaps
+FROM r WHERE gap IS NOT NULL GROUP BY 1, 2""",
         # backfill-replay disorder: lateness vs the running per-user
         # watermark when events replay in the md5-parity hash order
         "events_replay_disorder": """
@@ -4489,6 +4512,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'replay', CAST(user_id AS VARCHAR) || '|' ||"
         " CAST(n_events AS VARCHAR), n_late, max_late_us FROM ("
         + o["events_replay_disorder"] + ")"
+        "\nUNION ALL\nSELECT 'iaspec', event_type || '|' || CAST(n_digits AS VARCHAR),"
+        " 0::BIGINT, n_gaps FROM (" + o["events_interarrival_spectrum"] + ")"
         "\nUNION ALL\nSELECT 'mad', event_type, mad, med FROM ("
         + o["events_mad_outliers"] + ")"
         "\nUNION ALL\nSELECT 'madout', event_type, 0::BIGINT, n_outliers FROM ("

@@ -3554,3 +3554,83 @@ def q12_priority_lines(
             Sum("low_line_count", alias_name="low_line_count"),
         )
     )
+
+
+def events_interarrival_spectrum(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Inter-arrival SPECTRUM: per event type, a log-decade histogram of
+    the per-user gap (microseconds) to the user's PREVIOUS event of any
+    type, the gap attributed to the LATER event — the burstiness profile
+    that sizes session thresholds and rate limits (a uniform stream and a
+    bursty one with equal event counts differ only here).  Each user's
+    first event has no gap and is not counted.
+
+    INTEGER-exact log bucketing: the bucket is the DECIMAL DIGIT COUNT of
+    the gap (0 → 1 digit), computed by searchsorted against powers of ten
+    — no float log on either engine (the SQL twin is length(CAST(gap AS
+    VARCHAR))).
+
+    Physical plan: the sessionize shape — user-hash-bucketed exchange,
+    one vectorized pandas pass per bucket (sort by (user, ts, event_id),
+    grouped shift, digit bucketing, local collapse), then a
+    |types|×|digits|-bounded groupby over the packed single string key.
+
+    Output (event_type, n_digits, n_gaps)."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    pow10 = np.array([10**k for k in range(1, 19)], dtype=np.int64)
+
+    def spectrum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        # (user, ts, event_id) total order — the deterministic tie-break
+        # shared with the SQL window twin
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = pd.Series(
+            df["ts"].to_numpy().astype("datetime64[us]").view("i8"), index=df.index
+        )
+        gap = (us - us.groupby(df["user_id"].to_numpy()).shift()).to_numpy()
+        has = ~np.isnan(gap)
+        g = gap[has].astype(np.int64)
+        if (g < 0).any():
+            raise AssertionError("negative gap after (user, ts) sort")
+        digits = np.searchsorted(pow10, g, side="right") + 1
+        key = (
+            df["event_type"].to_numpy()[has].astype(object)
+            + "|"
+            + pd.Series(digits).astype(str).to_numpy(dtype=object)
+        )
+        codes, uniq = pd.factorize(key)
+        return pd.DataFrame(
+            {
+                "key": np.asarray(uniq, dtype=object),
+                "n_gaps": np.bincount(codes).astype(np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds)
+    agg = (
+        ds.map_batches(
+            lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(spectrum, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )
+
+    def finale(t: pa.Table) -> pa.Table:
+        key = t["key"].to_pandas()
+        sp = key.str.rsplit("|", n=1)
+        return pa.table(
+            {
+                "event_type": pa.array(sp.str[0], pa.string()),
+                "n_digits": pa.array(sp.str[1].astype(np.int64), pa.int64()),
+                "n_gaps": t["n_gaps"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finale, batch_format="pyarrow")

@@ -1749,3 +1749,35 @@ def test_rowgroup_pruning_rowgrouped_fixture_content_parity(ray_session):
     rg = ensure_rowgrouped_sequences_parquet("/root/testdata/sf0.001")
     q = "SELECT coalesce(source, '<NULL>') s, count(*) n, sum(coalesce(n_tok, 0)) st FROM read_parquet('{}/*.parquet') GROUP BY 1 ORDER BY 1"
     assert duckdb.sql(q.format(base)).fetchall() == duckdb.sql(q.format(rg)).fetchall()
+
+
+def test_interarrival_spectrum_crafted(tmp_path, ray_session):
+    """Hand-built gaps: user 1 at t = 0, 5 µs, 1005 µs → gaps 5 (1 digit)
+    and 1000 (4 digits); user 2's single event contributes nothing; a
+    zero gap (same ts, event_id tie-break) lands in the 1-digit bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_interarrival_spectrum
+
+    ts = pa.array([0, 5, 1005, 7, 42, 42], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "a", "c", "c"]),
+            "value": pa.array([0.0] * 6),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = (
+        events_interarrival_spectrum(str(d))
+        .to_pandas()
+        .set_index(["event_type", "n_digits"])["n_gaps"]
+        .to_dict()
+    )
+    assert got == {("a", 1): 1, ("b", 4): 1, ("c", 1): 1}
