@@ -1565,6 +1565,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
         ),
         "v_compute_cost": lambda sf: validation.compute_cost_forecast(_seq(sf)),
+        # rows-only: approximate by design (t-digest sketch; accuracy
+        # pinned vs exact order stats in tests)
+        "v_ntok_tdigest": lambda sf: validation.ntok_tdigest_quantiles(_seq(sf)),
         "v_rowgroup_pruning": lambda sf: validation.rowgroup_pruning_audit(
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
         ),

@@ -1979,3 +1979,64 @@ def rowgroup_pruning_audit(
     out = footer.merge(sel, on="file", how="left")
     out["n_selected"] = out["n_selected"].fillna(0).astype("int64")
     return ray.data.from_pandas(out.sort_values("file").reset_index(drop=True))
+
+
+def ntok_tdigest_quantiles(
+    seq_path: str, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> pd.DataFrame:
+    """Per-source n_tok quantile ESTIMATES via distributed mergeable
+    t-digests (the north-star's named sketch; ``v_ntok_quantiles`` stays
+    the exact path — this is the unbounded-domain/approximate companion
+    whose state is O(delta) per source regardless of the value domain).
+
+    Physical plan: each batch folds its rows into per-source partial
+    digests and emits them as (source, means, weights) rows — bounded at
+    delta centroids each; one |sources|-keyed ``map_groups`` merges a
+    source's partials (Python over |partials| digest merges, NOT over
+    rows) and reads the quantile ladder off the merged digest.
+
+    Output (source, q_x100, est) — rows-only (approximate by design;
+    accuracy pinned against exact order stats in tests/test_sketches.py
+    and tests/test_round4.py)."""
+    from hepdata_validator_ray.sketches import TDigest
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        src = t.column("source").to_pandas().fillna("<NULL>").astype(str)
+        nt = t.column("n_tok").to_pandas().fillna(0).to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(src)
+        rows = []
+        for c, s in enumerate(uniq):
+            td = TDigest()
+            td.add(nt[codes == c].astype(np.float64))
+            td._compress()
+            rows.append((s, td.means.tolist(), td.weights.tolist(), td.min, td.max))
+        return pd.DataFrame(rows, columns=["source", "means", "weights", "mn", "mx"])
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest()
+        for means, weights, mn, mx in zip(df["means"], df["weights"], df["mn"], df["mx"]):
+            part = TDigest()
+            part.means = np.asarray(list(means), dtype=np.float64)
+            part.weights = np.asarray(list(weights), dtype=np.int64)
+            part.total = int(part.weights.sum())
+            part.min = float(mn)
+            part.max = float(mx)
+            td = td.merge(part)
+        src = df["source"].iloc[0]
+        return pd.DataFrame(
+            {
+                "source": [src] * len(quantiles),
+                "q_x100": [int(round(q * 100)) for q in quantiles],
+                "est": [float(td.quantile(q)) for q in quantiles],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()  # |sources|·|quantiles| — bounded
+        .sort_values(["source", "q_x100"])
+        .reset_index(drop=True)
+    )

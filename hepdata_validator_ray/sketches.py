@@ -255,6 +255,128 @@ class UnigramHistogram:
         return self.counts / max(1, self.total)
 
 
+class TDigest:
+    """Mergeable t-digest (the north-star's named quantile sketch) — the
+    UNBOUNDED-domain companion to HistogramSketch (which stays the default:
+    its integer counts merge EXACTLY, so resume is bit-reproducible, while a
+    t-digest's centroids depend on merge order).  Use this when the value
+    domain is unknown/unbounded so no fixed bucket range exists.
+
+    Classic merging digest (Dunning & Ertl): centroids (mean, weight) kept
+    sorted by mean; compression greedily merges neighbours while the merged
+    centroid's quantile span stays within the k1-scale bound
+    4·n·q(1−q)/delta.  add()/merge() buffer then compress — O(C log C) per
+    compression with C ≤ buffer+delta centroids; quantile() interpolates
+    between centroid means with exact min/max endpoints."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = int(delta)
+        self.means = np.zeros(0, dtype=np.float64)
+        self.weights = np.zeros(0, dtype=np.int64)
+        self.total = 0
+        self.min: float | None = None
+        self.max: float | None = None
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        v = np.asarray(values, dtype=np.float64)
+        mn, mx = float(v.min()), float(v.max())
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+        self._buf.append(v)
+        self._buf_n += len(v)
+        self.total += len(v)
+        if self._buf_n >= 8 * self.delta:
+            self._compress()
+
+    def _compress(self) -> None:
+        if self._buf:
+            bv = np.concatenate(self._buf)
+            means = np.concatenate([self.means, bv])
+            weights = np.concatenate([self.weights, np.ones(len(bv), dtype=np.int64)])
+            self._buf, self._buf_n = [], 0
+        else:
+            means, weights = self.means, self.weights
+        if len(means) == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        n = int(weights.sum())
+
+        def _k(q: float) -> float:
+            # k1 scale function: bounded centroid count (~delta), finest
+            # resolution at the tails (Dunning & Ertl)
+            return self.delta / (2.0 * np.pi) * np.arcsin(2.0 * min(1.0, max(0.0, q)) - 1.0)
+
+        out_m: list[float] = []
+        out_w: list[int] = []
+        cum = 0  # weight strictly before the open centroid
+        k_left = _k(0.0)
+        cm, cw = means[0] * weights[0], int(weights[0])
+        for m, w in zip(means[1:], weights[1:]):
+            w = int(w)
+            if _k((cum + cw + w) / n) - k_left <= 1.0:
+                cm += m * w
+                cw += w
+            else:
+                out_m.append(cm / cw)
+                out_w.append(cw)
+                cum += cw
+                k_left = _k(cum / n)
+                cm, cw = m * w, w
+        out_m.append(cm / cw)
+        out_w.append(cw)
+        self.means = np.asarray(out_m, dtype=np.float64)
+        self.weights = np.asarray(out_w, dtype=np.int64)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        out = TDigest(self.delta)
+        self._compress()
+        other._compress()
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out.total = self.total + other.total
+        mins = [m for m in (self.min, other.min) if m is not None]
+        maxs = [m for m in (self.max, other.max) if m is not None]
+        out.min = min(mins) if mins else None
+        out.max = max(maxs) if maxs else None
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.total == 0:
+            return float("nan")
+        if q <= 0:
+            return float(self.min)
+        if q >= 1:
+            return float(self.max)
+        target = q * self.total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        i = int(np.searchsorted(cum, target))
+        if i == 0:
+            lo_x, lo_c = float(self.min), 0.0
+            hi_x, hi_c = float(self.means[0]), float(cum[0])
+        elif i >= len(self.means):
+            lo_x, lo_c = float(self.means[-1]), float(cum[-1])
+            hi_x, hi_c = float(self.max), float(self.total)
+        else:
+            lo_x, lo_c = float(self.means[i - 1]), float(cum[i - 1])
+            hi_x, hi_c = float(self.means[i]), float(cum[i])
+        if hi_c <= lo_c:
+            return lo_x
+        frac = (target - lo_c) / (hi_c - lo_c)
+        return lo_x + frac * (hi_x - lo_x)
+
+    def n_centroids(self) -> int:
+        self._compress()
+        return len(self.means)
+
+
 class ExactFrequency:
     """Exact frequency map for low-cardinality keys (source column)."""
 

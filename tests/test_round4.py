@@ -1781,3 +1781,31 @@ def test_interarrival_spectrum_crafted(tmp_path, ray_session):
         .to_dict()
     )
     assert got == {("a", 1): 1, ("b", 4): 1, ("c", 1): 1}
+
+
+def test_ntok_tdigest_quantiles_accuracy(ray_session):
+    """The distributed t-digest pipeline's per-source quantile estimates
+    sit within 5% (relative) of DuckDB's exact quantile_disc on the synth
+    corpus — the accuracy contract for the rows-only sketch path."""
+    import duckdb
+
+    from hepdata_validator_ray.pipelines.validation import ntok_tdigest_quantiles
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    d = str(ensure_sequences_parquet("/root/testdata/sf0.001"))
+    got = ntok_tdigest_quantiles(d).set_index(["source", "q_x100"])
+    exact = duckdb.sql(
+        f"""
+SELECT coalesce(source, '<NULL>') AS source,
+       quantile_disc(coalesce(n_tok, 0), 0.50) AS q50,
+       quantile_disc(coalesce(n_tok, 0), 0.95) AS q95,
+       quantile_disc(coalesce(n_tok, 0), 0.99) AS q99
+FROM read_parquet('{d}/*.parquet') GROUP BY 1"""
+    ).df().melt(id_vars="source", var_name="q", value_name="v")
+    exact["q_x100"] = exact["q"].str.removeprefix("q").astype(int)
+    exact = exact.set_index(["source", "q_x100"])
+    assert set(got.index) == set(exact.index)
+    for idx in exact.index:
+        e = float(exact.loc[idx, "v"])
+        g = float(got.loc[idx, "est"])
+        assert abs(g - e) <= 0.05 * max(abs(e), 1.0) + 2.0, (idx, g, e)

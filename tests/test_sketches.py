@@ -153,3 +153,64 @@ def test_kl_and_chisq():
     obs = np.array([50, 50])
     assert chi_squared(obs, np.array([0.5, 0.5])) == pytest.approx(0.0)
     assert chi_squared(obs, np.array([0.9, 0.1])) > 100
+
+
+def test_tdigest_quantiles_close_to_exact():
+    """t-digest quantile estimates within tight relative error of exact
+    order stats on a skewed (lognormal-ish) sample, and centroid count
+    bounded by ~2·delta."""
+    import numpy as np
+
+    from hepdata_validator_ray.sketches import TDigest
+
+    rng = np.random.default_rng(7)
+    x = np.exp(rng.normal(0, 1.2, size=50_000)) * 100.0
+    td = TDigest(delta=100)
+    for chunk in np.array_split(x, 37):
+        td.add(chunk)
+    xs = np.sort(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        exact = xs[int(q * (len(xs) - 1))]
+        est = td.quantile(q)
+        assert abs(est - exact) <= 0.05 * exact + 1e-9, (q, est, exact)
+    assert td.n_centroids() <= 2 * td.delta
+    assert td.quantile(0.0) == xs[0] and td.quantile(1.0) == xs[-1]
+
+
+def test_tdigest_merge_matches_single_digest_accuracy():
+    """Sharded add + tree merge stays as accurate as one digest over the
+    whole stream (the distributed-aggregation contract)."""
+    import numpy as np
+
+    from hepdata_validator_ray.sketches import TDigest
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1000, size=40_000)
+    shards = []
+    for part in np.array_split(x, 16):
+        t = TDigest(delta=100)
+        t.add(part)
+        shards.append(t)
+    while len(shards) > 1:  # tree merge, the engine's reduce shape
+        shards = [
+            shards[i].merge(shards[i + 1]) if i + 1 < len(shards) else shards[i]
+            for i in range(0, len(shards), 2)
+        ]
+    td = shards[0]
+    xs = np.sort(x)
+    assert td.total == len(x)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        exact = xs[int(q * (len(xs) - 1))]
+        assert abs(td.quantile(q) - exact) <= 0.02 * 1000, q
+
+
+def test_tdigest_empty_and_single_value():
+    import numpy as np
+
+    from hepdata_validator_ray.sketches import TDigest
+
+    td = TDigest()
+    assert np.isnan(td.quantile(0.5))
+    td.add(np.array([42.0]))
+    assert td.quantile(0.5) == 42.0
+    assert td.quantile(0.0) == 42.0 == td.quantile(1.0)
