@@ -764,6 +764,7 @@ def _incremental_meta(sf_dir: str):
     from hepdata_validator_ray.synth import ensure_rowgrouped_sequences_parquet
 
     pg = _val.rowgroup_pruning_audit(ensure_rowgrouped_sequences_parquet(sf_dir)).to_pandas()
+    sfp = _val.schema_fingerprint_audit(_seq(sf_dir)).to_pandas()
     return pd.concat(
         [
             pd.DataFrame(
@@ -1015,6 +1016,15 @@ def _incremental_meta(sf_dir: str):
                     + "|"
                     + pg["n_rows_pruned"].astype("int64").astype(str),
                     "a": pg["n_selected"].astype("int64"),
+                }
+            ),
+            # schema fingerprint: leaf count rides the key, digest is the
+            # value (drift = any file whose digest differs)
+            pd.DataFrame(
+                {
+                    "kind": "schema",
+                    "k1": sfp["file"] + "|" + sfp["n_leaves"].astype("int64").astype(str),
+                    "a": sfp["schema_digest"].astype("int64"),
                 }
             ),
         ],
@@ -1568,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: approximate by design (t-digest sketch; accuracy
         # pinned vs exact order stats in tests)
         "v_ntok_tdigest": lambda sf: validation.ntok_tdigest_quantiles(_seq(sf)),
+        "v_schema_fingerprint": lambda sf: validation.schema_fingerprint_audit(_seq(sf)),
         "v_rowgroup_pruning": lambda sf: validation.rowgroup_pruning_audit(
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
         ),
@@ -1619,6 +1630,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_blocked_suppliers": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q21_blocked_suppliers(sf),
+        # TPC-H batch 3: deep-chain composites — conditional-numerator
+        # market share (q8) and per-part-numeric profit expression (q9)
+        "q8_market_share": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q8_market_share(sf),
+        "q9_nation_profit": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q9_nation_profit(sf),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2687,6 +2706,34 @@ SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
        coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
 FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
 WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+        # Q8-shaped: rational market share — two fp4 sums per order year
+        "q8_market_share": """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+  sum(CASE WHEN s_nationkey = 0
+      THEN round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT)
+      ELSE 0 END)::BIGINT AS target_rev_fp4,
+  sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT))::BIGINT
+    AS total_rev_fp4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n ON c_nationkey = n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type = 'ECONOMY' AND n.n_regionkey = 0
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+        # Q9-shaped: profit = rev − retail·qty (the partsupp-less cost
+        # proxy), per supplier nation × order year, int64-exact
+        "q9_nation_profit": """
+SELECT s_nationkey::BIGINT AS supp_nation, year(o_orderdate)::BIGINT AS o_year,
+  count(*)::BIGINT AS n_lines,
+  sum(round(l_extendedprice*100)::BIGINT*(100-round(l_discount*100)::BIGINT)
+      - round(p_retailprice*100)::BIGINT*round(l_quantity)::BIGINT*100)::BIGINT AS profit_fp4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2""",
         # Q21-shaped: per-order multi-supplier existence (the only-late-one)
         "q21_blocked_suppliers": """
 WITH pair AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2),
@@ -2758,6 +2805,16 @@ SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n_seqs,
        sum(CASE WHEN coalesce(n_tok, 0) > 1024
                 THEN coalesce(n_tok, 0) - 1024 ELSE 0 END)::BIGINT AS trunc_loss
 FROM read_parquet('{p}') GROUP BY 1""",
+        # per-file schema fingerprint: md5 over the SORTED leaf name:type
+        # set (parquet physical spellings shared verbatim with pyarrow)
+        "v_schema_fingerprint": f"""
+WITH l AS (SELECT regexp_extract(file_name, '[^/]+$') AS file,
+                  name || ':' || type AS leaf
+           FROM parquet_schema('{p}') WHERE num_children IS NULL)
+SELECT file, count(*)::BIGINT AS n_leaves,
+       ('0x' || substr(md5(string_agg(leaf, '|' ORDER BY leaf)), 1, 8))::UBIGINT::BIGINT
+         AS schema_digest
+FROM l GROUP BY file""",
         # row-group pruning effectiveness over the tight-stats re-layout:
         # prunable = stats-complete AND [min, max] outside [64, 256)
         "v_rowgroup_pruning": """
@@ -4621,6 +4678,8 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'prune', file || '|' || CAST(n_rgs AS VARCHAR)"
         " || '|' || CAST(n_rgs_pruned AS VARCHAR) || '|' || CAST(n_rows_pruned AS VARCHAR),"
         " n_selected FROM (" + o["v_rowgroup_pruning"] + ")"
+        "\nUNION ALL\nSELECT 'schema', file || '|' || CAST(n_leaves AS VARCHAR),"
+        " schema_digest FROM (" + o["v_schema_fingerprint"] + ")"
         "\nUNION ALL\nSELECT 'link', CAST(doc_id_a AS VARCHAR) || '>' ||"
         " CAST(doc_id_b AS VARCHAR), dist FROM (" + o["linkage_edit_distance"] + ")"
         "\nUNION ALL\nSELECT 'merge', CAST(doc_id AS VARCHAR) || '|' || text_md5"

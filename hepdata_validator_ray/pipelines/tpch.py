@@ -1623,3 +1623,418 @@ def q21_blocked_suppliers(
         .groupby("s_suppkey")
         .aggregate(Sum("numwait", alias_name="numwait"))
     )
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: int = 0,
+    target_nation: int = 0,
+    p_type: str = "ECONOMY",
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01
+    date_hi_us: int = 883_612_800_000_000,  # 1998-01-01
+) -> "ray.data.Dataset":
+    """TPC-H Q8-shaped market share: per order year, the revenue a TARGET
+    supplier nation captured of one part type's import volume into one
+    region — the RATIO stays RATIONAL (target and total int64 fp4 sums per
+    year; the caller divides).
+
+    The deep-chain composite: three native joins in sequence (lineitem ⋈
+    type-filtered part on partkey → per-(order, target-bit) collapse →
+    ⋈ (orders ⋈ region-filtered customer)), with the supplier dimension
+    folded in as a broadcast dict and the region's nation set resolved
+    driver-side from the tiny nation/region tables.  The conditional
+    numerator rides a single bit packed next to the orderkey (q4's
+    packed-key discipline), so cross-batch duplicate partials stay safe —
+    every packed key joins its order exactly once.
+
+    Output (o_year, target_rev_fp4, total_rev_fp4)."""
+    import pyarrow.compute as _pc
+
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region_nations = [int(x) for x in nation.loc[nation["n_regionkey"] == region, "n_nationkey"]]
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_nat_ref = ray.put(
+        dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy().astype(np.int64)))
+    )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([-1], pa.int64()),
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "tbit": pa.array([0], pa.int64()),
+                "rev_fp4": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_part = ray.data.from_arrow(pa.table({"p_partkey": pa.array([-1], pa.int64())}))
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_custkey": pa.array([-1], pa.int64()), "o_year": pa.array([0], pa.int64())})
+    )
+    sent_cust = ray.data.from_arrow(pa.table({"c_custkey": pa.array([-1], pa.int64())}))
+
+    def _li_proj(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = pd.Series(sk).map(ray.get(supp_nat_ref)).fillna(-1).to_numpy(dtype=np.int64)
+        rev = _rev_fp4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"].cast(pa.int64()),
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "tbit": pa.array((snat == target_nation).astype(np.int64), pa.int64()),
+                "rev_fp4": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_proj, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    tparts = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_type"],
+            filter=_pc.field("p_type") == _pc.scalar(p_type),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .select_columns(["p_partkey"])
+        .map_batches(
+            lambda t: pa.table({"p_partkey": t["p_partkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .union(sent_part)
+    )
+    pruned = li.join(
+        tparts,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        tb = t["tbit"].to_numpy(zero_copy_only=False)
+        rev = t["rev_fp4"].to_numpy(zero_copy_only=False)
+        keep = ok != -1  # part-join sentinel strip
+        packed = ok[keep] * np.int64(2) + tb[keep]
+        uk, rs = _int_group_sums(packed, rev[keep])
+        return pa.table(
+            {
+                "o_key": pa.array(uk // 2, pa.int64()),
+                "tbit": pa.array(uk % 2, pa.int64()),
+                "rev_fp4": pa.array(rs, pa.int64()),
+            }
+        )
+
+    sent_partial = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_key": pa.array([-1], pa.int64()),
+                "tbit": pa.array([0], pa.int64()),
+                "rev_fp4": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    partials = pruned.map_batches(_collapse, batch_format="pyarrow").union(sent_partial)
+
+    lo_ts = pd.Timestamp(date_lo_us, unit="us")
+    hi_ts = pd.Timestamp(date_hi_us, unit="us")
+
+    def _ord_proj(t: pa.Table) -> pa.Table:
+        yr = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_year": pa.array(yr, pa.int64()),
+            }
+        )
+
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(_pc.field("o_orderdate") >= _pc.scalar(lo_ts))
+            & (_pc.field("o_orderdate") < _pc.scalar(hi_ts)),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .map_batches(_ord_proj, batch_format="pyarrow")
+        .union(sent_ord)
+    )
+    cust = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "customer"),
+            columns=["c_custkey", "c_nationkey"],
+            filter=_pc.field("c_nationkey").isin(region_nations),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "customer"))),
+        )
+        .select_columns(["c_custkey"])
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t["c_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .union(sent_cust)
+    )
+    ord_cust = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_year"])
+
+    joined = partials.join(
+        ord_cust,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("o_key",),
+        right_on=("o_orderkey",),
+    )
+
+    def _finale(t: pa.Table) -> pa.Table:
+        ok = t["o_key"].to_numpy(zero_copy_only=False)
+        keep = ok != -1
+        yr = t["o_year"].to_numpy(zero_copy_only=False)[keep]
+        tb = t["tbit"].to_numpy(zero_copy_only=False)[keep]
+        rev = t["rev_fp4"].to_numpy(zero_copy_only=False)[keep]
+        uy, tot = _int_group_sums(yr, rev)
+        _, tgt = _int_group_sums(yr, rev * tb)
+        return pa.table(
+            {
+                "o_year": pa.array(uy, pa.int64()),
+                "target_rev_fp4": pa.array(tgt, pa.int64()),
+                "total_rev_fp4": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(_finale, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_rev_fp4", alias_name="target_rev_fp4"),
+            Sum("total_rev_fp4", alias_name="total_rev_fp4"),
+        )
+    )
+
+
+def q9_nation_profit(
+    sf_dir: str,
+    name_word: str = "red",
+) -> "ray.data.Dataset":
+    """TPC-H Q9-shaped product-profit by supplier nation and order year,
+    for parts whose name contains ``name_word``.  No partsupp table exists
+    in the synthetic schema, so cost is the part's retail price per unit
+    (cost_fp4 = retail_cents·qty·100 — same 10⁻⁴-dollar fixed point as
+    revenue) and profit_fp4 = rev_fp4 − cost_fp4, which keeps Q9's
+    physical shape intact: fact ⋈ attribute-filtered part (carrying a
+    PER-PART numeric needed by the profit expression, unlike Q8's pure
+    key filter), supplier nation via broadcast, order YEAR via one native
+    orderkey join, finale grouped on the packed (nation, year) key.
+
+    Output (supp_nation, o_year, n_lines, profit_fp4) — profit can be
+    negative (int64, exact)."""
+    import pyarrow.compute as _pc
+
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_nat_ref = ray.put(
+        dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy().astype(np.int64)))
+    )
+
+    sent_li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([-1], pa.int64()),
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "snat": pa.array([0], pa.int64()),
+                "qty": pa.array([0], pa.int64()),
+                "rev_fp4": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    sent_part = ray.data.from_arrow(
+        pa.table({"p_partkey": pa.array([-1], pa.int64()), "retail_cents": pa.array([0], pa.int64())})
+    )
+    sent_ord = ray.data.from_arrow(
+        pa.table({"o_orderkey": pa.array([-1], pa.int64()), "o_year": pa.array([0], pa.int64())})
+    )
+
+    def _li_proj(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = pd.Series(sk).map(ray.get(supp_nat_ref)).fillna(-1).to_numpy(dtype=np.int64)
+        qtyf = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = np.round(qtyf).astype(np.int64)
+        if len(qty) and not ((qty >= 0) & (qty == qtyf)).all():
+            raise ValueError("l_quantity out of the integral data contract")
+        rev = _rev_fp4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"].cast(pa.int64()),
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "snat": pa.array(snat, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+                "rev_fp4": pa.array(rev, pa.int64()),
+            }
+        )
+
+    def _part_proj(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring(t["p_name"], name_word)
+        t = t.filter(keep)
+        cents = np.round(
+            t["p_retailprice"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"].cast(pa.int64()),
+                "retail_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=[
+                "l_partkey",
+                "l_orderkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .map_batches(_li_proj, batch_format="pyarrow")
+        .union(sent_li)
+    )
+    parts = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_name", "p_retailprice"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .map_batches(_part_proj, batch_format="pyarrow")
+        .union(sent_part)
+    )
+    pruned = li.join(
+        parts,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = ok != -1
+        snat = t["snat"].to_numpy(zero_copy_only=False)[keep]
+        if len(snat) and not ((snat >= 0) & (snat < 32)).all():
+            raise ValueError("s_nationkey out of the [0, 32) packing contract")
+        profit = (
+            t["rev_fp4"].to_numpy(zero_copy_only=False)[keep]
+            - t["retail_cents"].to_numpy(zero_copy_only=False)[keep]
+            * t["qty"].to_numpy(zero_copy_only=False)[keep]
+            * np.int64(100)
+        )
+        packed = ok[keep] * np.int64(32) + snat
+        uk, ps = _int_group_sums(packed, profit)
+        _, cs = _int_group_sums(packed, np.ones(len(packed), dtype=np.int64))
+        return pa.table(
+            {
+                "o_key": pa.array(uk // 32, pa.int64()),
+                "snat": pa.array(uk % 32, pa.int64()),
+                "profit_fp4": pa.array(ps, pa.int64()),
+                "n_lines": pa.array(cs, pa.int64()),
+            }
+        )
+
+    sent_partial = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_key": pa.array([-1], pa.int64()),
+                "snat": pa.array([0], pa.int64()),
+                "profit_fp4": pa.array([0], pa.int64()),
+                "n_lines": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    partials = pruned.map_batches(_collapse, batch_format="pyarrow").union(sent_partial)
+
+    def _ord_proj(t: pa.Table) -> pa.Table:
+        yr = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_year": pa.array(yr, pa.int64()),
+            }
+        )
+
+    orders = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_orderdate"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "orders"))),
+        )
+        .map_batches(_ord_proj, batch_format="pyarrow")
+        .union(sent_ord)
+    )
+    joined = partials.join(
+        orders,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "orders")), target=1_000_000),
+        on=("o_key",),
+        right_on=("o_orderkey",),
+    )
+
+    def _finale(t: pa.Table) -> pa.Table:
+        ok = t["o_key"].to_numpy(zero_copy_only=False)
+        keep = ok != -1
+        snat = t["snat"].to_numpy(zero_copy_only=False)[keep]
+        yr = t["o_year"].to_numpy(zero_copy_only=False)[keep]
+        packed = snat * np.int64(8192) + (yr - 1970)
+        uk, ps = _int_group_sums(packed, t["profit_fp4"].to_numpy(zero_copy_only=False)[keep])
+        _, cs = _int_group_sums(packed, t["n_lines"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {
+                "gk": pa.array(uk, pa.int64()),
+                "n_lines": pa.array(cs, pa.int64()),
+                "profit_fp4": pa.array(ps, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_finale, batch_format="pyarrow")
+        .groupby("gk")
+        .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("profit_fp4", alias_name="profit_fp4"))
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        gk = t["gk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(gk // 8192, pa.int64()),
+                "o_year": pa.array(gk % 8192 + 1970, pa.int64()),
+                "n_lines": t["n_lines"].cast(pa.int64()),
+                "profit_fp4": t["profit_fp4"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")

@@ -2040,3 +2040,50 @@ def ntok_tdigest_quantiles(
         .sort_values(["source", "q_x100"])
         .reset_index(drop=True)
     )
+
+
+def schema_fingerprint_audit(seq_path: str) -> "ray.data.Dataset":
+    """Per-file SCHEMA fingerprint: leaf-column count and an md5-parity
+    digest over the sorted ``name:physical_type`` leaf set — the schema
+    DRIFT detector for a corpus assembled from many crawls/writers, where
+    one file silently written with a widened type or a renamed column
+    poisons every downstream reader.  Two files agree on the fingerprint
+    iff their leaf names and parquet physical types agree (the digest is
+    ORDER-insensitive by design — lexicographic sort on both engines —
+    so column reordering alone does not flag; name/type changes do).
+
+    One footer read per file, zero data pages (the playout/ftruth shape);
+    output is |files|-bounded.  Physical types are the parquet spellings
+    ('INT64', 'BYTE_ARRAY', ...) shared verbatim with DuckDB's
+    parquet_schema, which is what makes the SQL twin hash-exact.
+
+    Output (file, n_leaves, schema_digest)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(seq_path):
+        files = sorted(
+            os.path.join(seq_path, f) for f in os.listdir(seq_path) if f.endswith(".parquet")
+        )
+    else:
+        files = [seq_path]
+
+    def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in batch["path"]:
+            sch = pq.ParquetFile(path).metadata.schema
+            leaves = sorted(
+                f"{sch.column(i).name}:{sch.column(i).physical_type}"
+                for i in range(len(sch.names))
+            )
+            dig = int(hashlib.md5("|".join(leaves).encode()).hexdigest()[:8], 16)
+            rows.append((os.path.basename(path), len(leaves), dig))
+        return pd.DataFrame(rows, columns=["file", "n_leaves", "schema_digest"]).astype(
+            {"n_leaves": "int64", "schema_digest": "int64"}
+        )
+
+    return ray.data.from_pandas(pd.DataFrame({"path": files})).map_batches(
+        fingerprint, batch_format="pandas", batch_size=16
+    )

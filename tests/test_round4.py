@@ -1809,3 +1809,33 @@ FROM read_parquet('{d}/*.parquet') GROUP BY 1"""
         e = float(exact.loc[idx, "v"])
         g = float(got.loc[idx, "est"])
         assert abs(g - e) <= 0.05 * max(abs(e), 1.0) + 2.0, (idx, g, e)
+
+
+def test_schema_fingerprint_detects_drift(tmp_path, ray_session):
+    """Two files, one with a widened type (int64 vs int32 n_tok) and one
+    with a renamed column: three distinct digests; identical-schema files
+    agree; column REORDERING alone does not flag (documented)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import schema_fingerprint_audit
+
+    base = pa.table(
+        {"doc_id": pa.array(["a"]), "n_tok": pa.array([1], pa.int32())}
+    )
+    widened = pa.table(
+        {"doc_id": pa.array(["a"]), "n_tok": pa.array([1], pa.int64())}
+    )
+    renamed = pa.table(
+        {"doc_id": pa.array(["a"]), "num_tok": pa.array([1], pa.int32())}
+    )
+    reordered = pa.table(
+        {"n_tok": pa.array([1], pa.int32()), "doc_id": pa.array(["a"])}
+    )
+    for name, t in [("a", base), ("b", widened), ("c", renamed), ("d", reordered), ("e", base)]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+    got = schema_fingerprint_audit(str(tmp_path)).to_pandas().set_index("file")
+    dig = got["schema_digest"]
+    assert dig["a.parquet"] == dig["e.parquet"] == dig["d.parquet"]  # order-insensitive
+    assert len({dig["a.parquet"], dig["b.parquet"], dig["c.parquet"]}) == 3
+    assert (got["n_leaves"] == 2).all()
