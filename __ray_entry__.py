@@ -1638,6 +1638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_nation_profit": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q9_nation_profit(sf),
+        "q6_forecast_revenue": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q6_forecast_revenue(sf),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2706,6 +2709,16 @@ SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
        coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
 FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
 WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+        # Q6-shaped: the pure single-pass filtered aggregate (one row,
+        # always — coalesce matches the engine's unioned zero row)
+        "q6_forecast_revenue": """
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(sum(round(l_extendedprice*100)::BIGINT * round(l_discount*100)::BIGINT), 0)::BIGINT
+         AS revenue_fp4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND round(l_discount*100)::BIGINT BETWEEN 5 AND 7
+  AND round(l_quantity)::BIGINT < 24""",
         # Q8-shaped: rational market share — two fp4 sums per order year
         "q8_market_share": """
 SELECT year(o_orderdate)::BIGINT AS o_year,

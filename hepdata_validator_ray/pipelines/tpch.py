@@ -1514,7 +1514,11 @@ def q21_blocked_suppliers(
        hash join partitions by the key, so every row of an orderkey
        lands in the same output block, and a whole-block batch sees each
        order COMPLETE (this colocation guarantee is the documented
-       assumption; the lexsort-reduceat computes per-pair max, per-order
+       assumption — Ray 2.49's aggregator finalize yields ONE block per
+       partition, pinned by
+       tests/test_rayfix.py::test_hash_shuffle_finalize_yields_one_block_per_partition
+       so an upgrade that splits finalized partitions fails loudly; the
+       lexsort-reduceat computes per-pair max, per-order
        distinct-supplier and late-supplier counts with no Python loop);
     4. qualifying (n_supp ≥ 2, n_late == 1) orders emit their single
        late supplier; the finale is a |suppliers|-bounded groupby.
@@ -2038,3 +2042,75 @@ def q9_nation_profit(
         )
 
     return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01
+    date_hi_us: int = 852_076_800_000_000,  # 1997-01-01
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    qty_below: int = 24,
+) -> "ray.data.Dataset":
+    """TPC-H Q6-shaped forecast-revenue delta: Σ extendedprice·discount
+    over a ship-date year, a discount band and a quantity cap — the pure
+    single-pass filtered aggregate (no join; the simplest composite,
+    included to complete the matrix: with it, every TPC-H query shape
+    except the partsupp-dependent Q2/Q11/Q20 has a native pipeline here).
+
+    All predicates evaluate on integer fixed-point (discount in
+    hundredths, quantity integral-asserted), the product is fp4 =
+    cents·hundredths, and the read is column-pruned with the date window
+    pushed into the parquet scan.  Output is exactly one row
+    (n_lines, revenue_fp4) — a unioned zero row keeps it total when the
+    filters match nothing (the q17 convention)."""
+    import pyarrow.compute as _pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qtyf = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = np.round(qtyf).astype(np.int64)
+        if len(qty) and not (qty == qtyf).all():
+            raise ValueError("l_quantity out of the integral data contract")
+        d100 = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        ).astype(np.int64)
+        cents = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+        ).astype(np.int64)
+        keep = (d100 >= disc_lo_c) & (d100 <= disc_hi_c) & (qty < qty_below)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_fp4": pa.array([int((cents[keep] * d100[keep]).sum())], pa.int64()),
+            }
+        )
+
+    lo_ts = pd.Timestamp(date_lo_us, unit="us")
+    hi_ts = pd.Timestamp(date_hi_us, unit="us")
+    zero = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_lines": pa.array([0], pa.int64()),
+                "revenue_fp4": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(_pc.field("l_shipdate") >= _pc.scalar(lo_ts))
+            & (_pc.field("l_shipdate") < _pc.scalar(hi_ts)),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .select_columns(["l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .union(zero)
+        .groupby("k")
+        .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("revenue_fp4", alias_name="revenue_fp4"))
+        .map_batches(
+            lambda t: t.select(["n_lines", "revenue_fp4"]), batch_format="pyarrow"
+        )
+    )

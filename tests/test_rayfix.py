@@ -101,3 +101,23 @@ def test_join_nonempty_still_correct(ray_session):
     assert list(j["k"]) == [2, 4]
     assert list(j["a"]) == [20, 40]
     assert list(j["b"]) == [200, 400]
+
+
+def test_hash_shuffle_finalize_yields_one_block_per_partition():
+    """q21_blocked_suppliers (and every whole-block per-key vectorized
+    pass) relies on Ray 2.49's hash-shuffle aggregator yielding the
+    finalized partition as ONE block — the upstream source still carries
+    the 'TODO break down blocks to target size' marker.  If a Ray upgrade
+    implements that TODO, partition output may split mid-key and the
+    batch_size=None colocation guarantee dies: this pin fails LOUDLY so
+    the whole-block consumers get re-audited (the rayfix discipline)."""
+    import inspect
+
+    from ray.data._internal.execution.operators import hash_shuffle
+
+    src = inspect.getsource(hash_shuffle.HashShuffleAggregator.finalize)
+    assert "TODO break down blocks" in src and "yield block" in src, (
+        "Ray's hash-shuffle finalize no longer yields one block per "
+        "partition — re-audit q21_blocked_suppliers and any other "
+        "batch_size=None whole-block consumer of join output"
+    )

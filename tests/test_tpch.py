@@ -331,3 +331,22 @@ def test_q9_profit_can_be_negative(ray_session):
 def test_q9_no_matching_part_is_empty(ray_session):
     out = tpch.q9_nation_profit(SF, name_word="zzz_no_such_word").materialize()
     assert out.count() == 0
+
+
+def test_q6_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q6_forecast_revenue(SF),
+        """
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(sum(round(l_extendedprice*100)::BIGINT * round(l_discount*100)::BIGINT), 0)::BIGINT AS revenue_fp4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND round(l_discount*100)::BIGINT BETWEEN 5 AND 7
+  AND round(l_quantity)::BIGINT < 24""",
+    )
+
+
+def test_q6_empty_window_is_the_zero_row(ray_session):
+    got = tpch.q6_forecast_revenue(SF, date_lo_us=0, date_hi_us=1).to_pandas()
+    assert len(got) == 1
+    assert int(got["n_lines"].iloc[0]) == 0 and int(got["revenue_fp4"].iloc[0]) == 0
