@@ -361,6 +361,18 @@ def pipeline_seq_forecast(sf_dir: str) -> int:
     return n + rowgroup_pruning_audit(rg).count()
 
 
+def pipeline_tpch_batch(sf_dir: str) -> int:
+    """TPC-H batches 2+3 headliners end-to-end at sf0.1: q21 (per-order
+    existence on join colocation) then q8 (three-join deep chain) —
+    SERIAL on purpose: concurrent native-join executions contend for
+    aggregator-actor creation (the relational_meta3 lesson)."""
+    from hepdata_validator_ray.pipelines import tpch
+
+    n = tpch.q21_blocked_suppliers(sf_dir).count()
+    n += tpch.q8_market_share(sf_dir).count()
+    return n
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -384,6 +396,7 @@ PIPELINES = {
     "token_qc": pipeline_token_qc,
     "seq_audit": pipeline_seq_audit,
     "seq_forecast": pipeline_seq_forecast,
+    "tpch_batch": pipeline_tpch_batch,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -412,6 +425,7 @@ BAND_TYP_HI = {
     "token_qc": 35.0,
     "seq_audit": 90.0,
     "seq_forecast": 15.0,
+    "tpch_batch": 15.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
