@@ -408,6 +408,23 @@ def _jsonl_violations(sf_dir: str):
     )
 
 
+def _orc_violations(sf_dir: str):
+    """Same check suite over the ORC wire format (source breadth; Ray has
+    no read_orc, so sources/orc.py decodes one file per task).  The oracle
+    is the PARQUET violation SQL — the ORC mirror carries identical rows,
+    so hash-equality certifies cross-format equivalence (the archive-mode
+    discipline)."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.pipelines.validation import _violation_pairs_batch
+    from hepdata_validator_ray.sources.orc import ensure_sequences_orc, read_sequences_orc
+
+    path = ensure_sequences_orc(sf_dir)
+    ctx = CheckContext()
+    return read_sequences_orc(path).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=4096
+    )
+
+
 def _archive_violation_counts(sf_dir: str):
     """Archive entry mode (S3) through the correctness gate: the zipped
     sequences dir must validate to EXACTLY the same per-check counts as the
@@ -1463,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (frees a window slot; both legs stay independently queryable below)
         "v_partition_stats": lambda sf: validation.partition_stats(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
+        "v_row_violations_orc": _orc_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_row_violations_csv": _csv_violations,
         "v_compound_check": _compound_violations,
@@ -4756,4 +4774,7 @@ FROM chars GROUP BY doc_id, bin""",
         "\nUNION ALL\nSELECT 'ostat', CAST(rank AS VARCHAR), doc_id,"
         " n_chars, 0::BIGINT FROM (" + o["docs_order_stats"] + ")"
     )
+    # ORC mirror carries identical rows to the parquet corpus: the parquet
+    # violation SQL doubles as the cross-format-equivalence oracle
+    o["v_row_violations_orc"] = o["v_row_violations"]
     return o

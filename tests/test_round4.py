@@ -1839,3 +1839,37 @@ def test_schema_fingerprint_detects_drift(tmp_path, ray_session):
     assert dig["a.parquet"] == dig["e.parquet"] == dig["d.parquet"]  # order-insensitive
     assert len({dig["a.parquet"], dig["b.parquet"], dig["c.parquet"]}) == 3
     assert (got["n_leaves"] == 2).all()
+
+
+def test_orc_source_roundtrip_and_violations(ray_session):
+    """The ORC mirror reads back row-identical to the parquet corpus
+    (schema + per-source counts), and the check suite over the ORC read
+    produces the same violation multiset as over parquet — cross-format
+    equivalence, the archive-mode discipline."""
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.validation import row_violations
+    from hepdata_validator_ray.sources.orc import ensure_sequences_orc, read_sequences_orc
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.pipelines.validation import _violation_pairs_batch
+
+    sf = "/root/testdata/sf0.001"
+    pq_dir = str(ensure_sequences_parquet(sf))
+    orc_dir = ensure_sequences_orc(sf)
+    ds = read_sequences_orc(orc_dir)
+    assert ds.count() == 2000
+    ctx = CheckContext()
+    got = (
+        ds.map_batches(lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "check_name"], na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        row_violations(pq_dir)
+        .to_pandas()
+        .sort_values(["doc_id", "check_name"], na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
