@@ -1659,6 +1659,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q6_forecast_revenue(sf),
+        # md5-parity simhash twin: the banded pair search gets an
+        # algorithm-INDEPENDENT brute-force oracle (completeness certified
+        # by hash equality, the prefix-join discipline); siphash variant
+        # stays the rows-only production path
+        "dedup_simhash_md5": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).simhash_pairs(f"{sf}/documents.parquet", key_fn="md5"),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2727,6 +2734,25 @@ SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
        coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
 FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
 WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+        # brute-force all-pairs simhash oracle (md5-parity word hashes,
+        # strict-majority bit rule, HUGEINT shift dodges the UBIGINT<<63
+        # overflow); algorithm-independent of the engine's banded search
+        "dedup_simhash_md5": """
+WITH d AS (SELECT doc_id, text FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d WHERE text IS NOT NULL),
+h AS (SELECT doc_id, ('0x'||substr(md5(word),1,16))::UBIGINT AS h FROM w),
+j AS (SELECT unnest(range(64)) AS j),
+b AS (SELECT doc_id, j.j,
+             count(*) FILTER (WHERE (h >> j.j::UBIGINT) & 1::UBIGINT = 1::UBIGINT) AS ones,
+             count(*) AS n
+      FROM h CROSS JOIN j GROUP BY 1, 2),
+s0 AS (SELECT doc_id, sum(CASE WHEN 2*ones > n THEN (1::HUGEINT << j) ELSE 0::HUGEINT END)::UBIGINT AS sh
+       FROM b GROUP BY doc_id),
+s AS (SELECT d.doc_id, coalesce(s0.sh, 0::UBIGINT) AS sh FROM d LEFT JOIN s0 USING (doc_id)),
+pr AS (SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+              bit_count(xor(a.sh, c.sh))::DOUBLE AS hamming
+       FROM s a JOIN s c ON a.doc_id < c.doc_id)
+SELECT doc_id_a, doc_id_b, hamming FROM pr WHERE hamming <= 3""",
         # Q6-shaped: the pure single-pass filtered aggregate (one row,
         # always — coalesce matches the engine's unioned zero row)
         "q6_forecast_revenue": """

@@ -847,11 +847,26 @@ def near_dup_clusters(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> np.ndarray:
+def _simhash_batch(texts: pd.Series, key_fn: str = "siphash") -> np.ndarray:
     """Batch-vectorized 64-bit simhash (Charikar 2002): one siphash pass
     over all words, then 64 bit-plane segmented sums (np.add.reduceat) —
-    no per-word or per-row Python in the hot path (VERDICT r1 #4)."""
-    wh, offs = _word_hashes(texts, _WORD_KEY_SIMHASH)
+    no per-word or per-row Python in the hot path (VERDICT r1 #4).
+    ``key_fn="md5"`` swaps the word hash for the md5-parity hash64 (first
+    16 hex chars, big-endian) so a DuckDB twin can recompute the identical
+    fingerprints — the gate path; siphash stays production."""
+    if key_fn == "md5":
+        from hepdata_validator_ray.pipelines.text import _explode_words
+
+        flat, offs = _explode_words(texts.str.split(" "))
+        import hashlib
+
+        wh = np.fromiter(
+            (int(hashlib.md5(str(w).encode()).hexdigest()[:16], 16) for w in flat),
+            dtype=np.uint64,
+            count=len(flat),
+        )
+    else:
+        wh, offs = _word_hashes(texts, _WORD_KEY_SIMHASH)
     lens = np.diff(offs)
     nonempty = lens > 0
     out = np.zeros(len(lens), dtype=np.uint64)
@@ -871,17 +886,25 @@ def simhash64(words: list[str]) -> int:
 
 
 class SimHashStage:
+    def __init__(self, key_fn: str = "siphash"):
+        self.key_fn = key_fn
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sh = _simhash_batch(df["text"])
+        sh = _simhash_batch(df["text"], key_fn=self.key_fn)
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": pd.array(sh, dtype="uint64")})
 
 
-def simhash_pairs(docs_path: str, max_hamming: int = 3, concurrency: int | None = None) -> "ray.data.Dataset":
+def simhash_pairs(
+    docs_path: str,
+    max_hamming: int = 3,
+    concurrency: int | None = None,
+    key_fn: str = "siphash",
+) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band
     buckets (pigeonhole: distance ≤3 ⇒ one band equal).  Hot-bucket
     truncation surfaces as doc_id_a == -1 rows (hamming = bucket size)."""
     sh = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        SimHashStage(), batch_format="pandas", batch_size=2048, concurrency=concurrency
+        SimHashStage(key_fn), batch_format="pandas", batch_size=2048, concurrency=concurrency
     )
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:

@@ -1873,3 +1873,43 @@ def test_orc_source_roundtrip_and_violations(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_md5_twin_matches_bruteforce(ray_session):
+    """The banded simhash pair search under the md5-parity word hash finds
+    EXACTLY the brute-force all-pairs hamming<=3 set at sf0.001 (23 pairs)
+    — the pigeonhole completeness argument made checkable."""
+    import duckdb
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        simhash_pairs(f"{sf}/documents.parquet", key_fn="md5")
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+WITH d AS (SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d WHERE text IS NOT NULL),
+h AS (SELECT doc_id, ('0x'||substr(md5(word),1,16))::UBIGINT AS h FROM w),
+j AS (SELECT unnest(range(64)) AS j),
+b AS (SELECT doc_id, j.j,
+             count(*) FILTER (WHERE (h >> j.j::UBIGINT) & 1::UBIGINT = 1::UBIGINT) AS ones,
+             count(*) AS n
+      FROM h CROSS JOIN j GROUP BY 1, 2),
+s0 AS (SELECT doc_id, sum(CASE WHEN 2*ones > n THEN (1::HUGEINT << j) ELSE 0::HUGEINT END)::UBIGINT AS sh
+       FROM b GROUP BY doc_id),
+s AS (SELECT d.doc_id, coalesce(s0.sh, 0::UBIGINT) AS sh FROM d LEFT JOIN s0 USING (doc_id)),
+pr AS (SELECT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+              bit_count(xor(a.sh, c.sh))::DOUBLE AS hamming
+       FROM s a JOIN s c ON a.doc_id < c.doc_id)
+SELECT doc_id_a, doc_id_b, hamming FROM pr WHERE hamming <= 3"""
+    ).df().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["doc_id_a", "doc_id_b", "hamming"]], want, check_dtype=False
+    )
