@@ -1666,6 +1666,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_md5": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
         ).simhash_pairs(f"{sf}/documents.parquet", key_fn="md5"),
+        # md5-per-perm minhash twin: banding certified end-to-end in SQL
+        "dedup_minhash_md5": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).minhash_lsh_pairs_md5(f"{sf}/documents.parquet"),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
@@ -2734,6 +2738,30 @@ SELECT 'Brand#2' AS p_brand, count(*)::BIGINT AS n_lines,
        coalesce(sum(round(l.l_extendedprice*100)::BIGINT), 0)::BIGINT AS sum_price_cents
 FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
 WHERE 5*round(l.l_quantity)::BIGINT*a.n < 1*a.sq""",
+        # md5-per-perm minhash LSH oracle: recomputes signatures, band
+        # buckets AND the banded pair set in SQL (list comprehensions build
+        # the k-word shingles; slice end-inclusive → 4 sigs per band)
+        "dedup_minhash_md5": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+sh AS (SELECT doc_id,
+  CASE WHEN len(string_split(text,' ')) < 3 THEN [array_to_string(string_split(text,' '), ' ')]
+       ELSE [array_to_string(string_split(text,' ')[x+1:x+3], ' ') FOR x IN range(len(string_split(text,' ')) - 2)]
+  END AS shingles FROM d),
+sp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+perms AS (SELECT unnest(range(16)) AS p),
+sig AS (SELECT doc_id, p, min(('0x'||substr(md5(CAST(p AS VARCHAR) || '|' || s),1,16))::UBIGINT) AS m
+        FROM sp CROSS JOIN perms GROUP BY 1, 2),
+sigl AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY p) AS sl FROM sig GROUP BY 1),
+bk AS (SELECT doc_id, b,
+       (('0x'||substr(md5('B' || CAST(b AS VARCHAR) || '|' ||
+          array_to_string(sl[b*4+1:b*4+4], ',')),1,16))::UBIGINT >> 1)::BIGINT AS bucket,
+       sl
+       FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS b)),
+pr AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b, a.sl AS sa, c.sl AS sb
+       FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
+SELECT doc_id_a, doc_id_b,
+       (len(list_filter(list_zip(sa, sb), z -> z[1] = z[2]))::DOUBLE / 16) AS est_jaccard
+FROM pr""",
         # brute-force all-pairs simhash oracle (md5-parity word hashes,
         # strict-majority bit rule, HUGEINT shift dodges the UBIGINT<<63
         # overflow); algorithm-independent of the engine's banded search

@@ -1892,3 +1892,108 @@ def prefix_similarity_join(
         )
 
     return grouped_pairs(sided, ["doc_id_a", "doc_id_b"], verify, empty=empty)
+
+
+def minhash_lsh_pairs_md5(
+    docs_path: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """MinHash-LSH candidate pairs under the md5-parity TWIN hashes — the
+    gate path that makes the banding algorithm END-TO-END oracle-checkable
+    (the production pipeline keeps siphash signatures + affine perms +
+    splitmix band folds, none of which SQL can recompute): per-perm hash =
+    md5-hash64 of ``"<perm>|<shingle string>"``, signature = per-perm min
+    over the doc's k-word shingle strings (join-all when 0 < words < k,
+    the _shingle_hashes convention), band bucket = md5-hash64 of
+    ``"B<band>|<sig slice joined>"`` — every step a DuckDB expression, so
+    the SQL twin recomputes identical buckets and the banded pair set is
+    certified by hash equality, not just sampled.
+
+    Same exchange shape as ``minhash_lsh_pairs``: one (bucket, doc_id,
+    sig) row per band per doc, bucketed pair expansion with the
+    HOT_BUCKET_LIMIT sentinel, pair dedupe across bands by Max(est).
+
+    Output (doc_id_a, doc_id_b, est_jaccard)."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("bands must divide num_perm")
+
+    def _h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+    def stage(df: pd.DataFrame) -> pd.DataFrame:
+        out_bucket: list[int] = []
+        out_doc: list[int] = []
+        out_sig: list[str] = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if text is None or (isinstance(text, float) and pd.isna(text)):
+                continue
+            words = str(text).split(" ")
+            if len(words) == 0:
+                continue
+            if len(words) < shingle_k:
+                shingles = [" ".join(words)]
+            else:
+                shingles = [
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(len(words) - shingle_k + 1)
+                ]
+            sig = [
+                min(_h64(f"{p}|{s}") for s in shingles) for p in range(num_perm)
+            ]
+            sig_str = ",".join(str(x) for x in sig)
+            for b in range(bands):
+                band_sig = ",".join(
+                    str(x) for x in sig[b * rows_per_band : (b + 1) * rows_per_band]
+                )
+                # int63: keep the bucket inside int64 for the exchange
+                out_bucket.append(_h64(f"B{b}|{band_sig}") >> 1)
+                out_doc.append(int(doc_id))
+                out_sig.append(sig_str)
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(out_bucket, dtype="int64"),
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "sig": pd.Series(out_sig, dtype=object),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("doc_id")
+        if len(rows) < 2:
+            return _PAIR_EMPTY
+        if len(rows) > HOT_BUCKET_LIMIT:
+            return _hot_row(rows, "est_jaccard")
+        recs = []
+        docs = rows["doc_id"].tolist()
+        sigs = [list(map(int, s.split(","))) for s in rows["sig"]]
+        for i, j in itertools.combinations(range(len(docs)), 2):
+            eq = sum(a == b for a, b in zip(sigs[i], sigs[j]))
+            a, b = sorted((docs[i], docs[j]))
+            recs.append((a, b, eq / num_perm))
+        return (
+            pd.DataFrame(recs, columns=["doc_id_a", "doc_id_b", "est_jaccard"])
+            if recs
+            else _PAIR_EMPTY
+        )
+
+    from hepdata_validator_ray.ops import grouped_pairs
+
+    sh = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        stage, batch_format="pandas", batch_size=2048
+    )
+    return (
+        grouped_pairs(sh, ["bucket"], pairs, empty=_PAIR_EMPTY)
+        .groupby(["doc_id_a", "doc_id_b"])
+        .max("est_jaccard")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id_a", "doc_id_b", "est_jaccard"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -1913,3 +1913,48 @@ SELECT doc_id_a, doc_id_b, hamming FROM pr WHERE hamming <= 3"""
     pd.testing.assert_frame_equal(
         got[["doc_id_a", "doc_id_b", "hamming"]], want, check_dtype=False
     )
+
+
+def test_minhash_md5_twin_lsh_banding_matches_sql(ray_session):
+    """The md5-per-perm minhash twin's banded pair set AND per-pair
+    signature-agreement estimates match the full SQL recomputation at
+    sf0.001 (28 pairs) — LSH banding certified end-to-end, not sampled."""
+    import duckdb
+    import pandas as pd
+
+    from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs_md5
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        minhash_lsh_pairs_md5(f"{sf}/documents.parquet")
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+WITH d AS (SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') WHERE text IS NOT NULL),
+sh AS (SELECT doc_id,
+  CASE WHEN len(string_split(text,' ')) < 3 THEN [array_to_string(string_split(text,' '), ' ')]
+       ELSE [array_to_string(string_split(text,' ')[x+1:x+3], ' ') FOR x IN range(len(string_split(text,' ')) - 2)]
+  END AS shingles FROM d),
+sp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+perms AS (SELECT unnest(range(16)) AS p),
+sig AS (SELECT doc_id, p, min(('0x'||substr(md5(CAST(p AS VARCHAR) || '|' || s),1,16))::UBIGINT) AS m
+        FROM sp CROSS JOIN perms GROUP BY 1, 2),
+sigl AS (SELECT doc_id, list(CAST(m AS VARCHAR) ORDER BY p) AS sl FROM sig GROUP BY 1),
+bk AS (SELECT doc_id, b,
+       (('0x'||substr(md5('B' || CAST(b AS VARCHAR) || '|' ||
+          array_to_string(sl[b*4+1:b*4+4], ',')),1,16))::UBIGINT >> 1)::BIGINT AS bucket,
+       sl
+       FROM sigl CROSS JOIN (SELECT unnest(range(4)) AS b)),
+pr AS (SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b, a.sl AS sa, c.sl AS sb
+       FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.doc_id < c.doc_id)
+SELECT doc_id_a, doc_id_b,
+       (len(list_filter(list_zip(sa, sb), z -> z[1] = z[2]))::DOUBLE / 16) AS est_jaccard
+FROM pr"""
+    ).df().sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["doc_id_a", "doc_id_b", "est_jaccard"]], want, check_dtype=False
+    )
