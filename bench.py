@@ -333,11 +333,11 @@ def pipeline_seq_audit(sf_dir: str) -> int:
 
 def pipeline_seq_forecast(sf_dir: str) -> int:
     """The session-4 planning/forecast family as one number: shard-skew
-    forecast (plain vs salted), fixed-lag periodicity, compute-cost
-    forecast and the TPC-H batch-2 headliner q21 — skew/periodicity/cost
-    overlap as concurrent streams (independent bounded exchanges), the
-    row-group pruning audit runs after (footer pass + pruned scan over its
-    own re-laid-out fixture)."""
+    forecast (plain vs salted), fixed-lag periodicity and compute-cost
+    forecast overlap as concurrent streams (independent bounded
+    exchanges); the row-group pruning audit runs after (footer pass +
+    pruned scan over its own re-laid-out fixture).  TPC-H joins are
+    measured separately in pipeline_tpch_batch."""
     from hepdata_validator_ray.pipelines.sampling import shard_skew_forecast
     from hepdata_validator_ray.pipelines.validation import (
         compute_cost_forecast,

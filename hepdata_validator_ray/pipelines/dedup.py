@@ -902,7 +902,10 @@ def simhash_pairs(
 ) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band
     buckets (pigeonhole: distance ≤3 ⇒ one band equal).  Hot-bucket
-    truncation surfaces as doc_id_a == -1 rows (hamming = bucket size)."""
+    truncation surfaces as doc_id_a == -1 rows (hamming = bucket size) on
+    the production siphash path; the md5 GATE path RAISES instead — its
+    SQL twin enumerates every pair, so a sentinel would silently desync
+    engine and oracle (raise, never drop)."""
     sh = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         SimHashStage(key_fn), batch_format="pandas", batch_size=2048, concurrency=concurrency
     )
@@ -931,6 +934,11 @@ def simhash_pairs(
         if len(rows) < 2:
             return empty
         if len(rows) > HOT_BUCKET_LIMIT:
+            if key_fn == "md5":
+                raise ValueError(
+                    f"md5 simhash gate path hit a hot bucket ({len(rows)} docs "
+                    f"> {HOT_BUCKET_LIMIT}): raise, never drop"
+                )
             return _hot_row(rows, "hamming")
         recs = []
         docs = rows["doc_id"].tolist()
@@ -1969,7 +1977,15 @@ def minhash_lsh_pairs_md5(
         if len(rows) < 2:
             return _PAIR_EMPTY
         if len(rows) > HOT_BUCKET_LIMIT:
-            return _hot_row(rows, "est_jaccard")
+            # GATE path: the SQL twin enumerates every pair, so a truncation
+            # sentinel would silently desync engine and oracle — exactness
+            # forbids approximation here (the prefix-join certificate rule:
+            # raise, never drop).  Production LSH keeps the sentinel arm.
+            raise ValueError(
+                f"md5 minhash gate path hit a hot bucket ({len(rows)} docs > "
+                f"{HOT_BUCKET_LIMIT}): raise, never drop — rescale or use the "
+                "production siphash pipeline"
+            )
         recs = []
         docs = rows["doc_id"].tolist()
         sigs = [list(map(int, s.split(","))) for s in rows["sig"]]

@@ -713,11 +713,9 @@ def shard_skew_forecast(
     def partial(t: pa.Table) -> pd.DataFrame:
         src = t.column(key).to_pandas().fillna("<NULL>").astype(str)
         did = t.column(row_key).to_pandas().fillna("<NULL>").astype(str)
-        nt = (
-            t.column(weight).to_pandas().fillna(0).to_numpy(dtype=np.int64)
-            if weight in t.column_names
-            else np.zeros(len(src), dtype=np.int64)
-        )
+        # the read always projects the weight column; a missing column
+        # fails at the scan, not here
+        nt = t.column(weight).to_pandas().fillna(0).to_numpy(dtype=np.int64)
         n = len(src)
         if n == 0:
             return pd.DataFrame(

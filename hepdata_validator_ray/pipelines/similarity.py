@@ -208,15 +208,19 @@ def similarity_calibration(
     the N² all-pairs — and each bucket is an independent map_groups task.
 
     Integer-exact at every step, so the SQL twin is hash-exact: vectors
-    quantize at scale 100 (|x| < 5 asserted — at this scale the full
-    threshold comparison dot²·10⁴ vs t²·‖a‖²·‖b‖² stays inside int64),
-    "above t" is ``dot > 0 AND dot²·10⁴ ≥ t²·qa·qb`` (for t = 0 just
-    dot > 0) — the float cosine never exists.
+    quantize at scale 100, and the EXACT int64-safety bound is asserted
+    per batch on the quantized squared norms: by Cauchy–Schwarz
+    ``dot² ≤ qa·qb``, so both ladder sides are ≤ 10⁴·qa·qb — requiring
+    ``max(q·q) ≤ 3·10⁷`` keeps every product under 2⁶³ for ANY dimension
+    (a |x|-only bound is dimension-blind and silently wraps above
+    ~121 dims — review finding).  "Above t" is
+    ``dot > 0 AND dot²·10⁴ ≥ t²·qa·qb`` (for t = 0 just dot > 0) — the
+    float cosine never exists.
 
     Output (thr_x100, n_pairs, n_above)."""
-    import hashlib
-
     from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.pipelines.sampling import _bucket_of
 
     thresholds = tuple(int(t) for t in thresholds_x100)
     if any(t < 0 or t > 100 for t in thresholds):
@@ -224,17 +228,15 @@ def similarity_calibration(
 
     def _prep(df: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        if len(mat) and np.abs(mat).max() >= 5.0:
-            raise ValueError("|embedding| >= 5: scale-100 int64 ladder bound violated")
         q = np.floor(mat * 100.0 + 0.5).astype(np.int64)
-        b = np.fromiter(
-            (
-                int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % n_buckets
-                for v in df["vec_id"].to_numpy()
-            ),
-            dtype=np.int64,
-            count=len(df),
-        )
+        if len(q):
+            qq_max = int(np.einsum("ij,ij->i", q, q).max())
+            if qq_max > 30_000_000:
+                raise ValueError(
+                    f"quantized squared norm {qq_max} > 3e7: dot²·10⁴ could "
+                    "exceed int64 — rescale or reduce dimension"
+                )
+        b = _bucket_of(df["vec_id"].to_numpy(), n_buckets, "md5")
         return pd.DataFrame({"bucket": b, "qe": list(q)})
 
     def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:

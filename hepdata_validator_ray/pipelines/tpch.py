@@ -887,7 +887,8 @@ def q7_nation_volume(
                     "rev_fp4": pd.Series([], dtype="int64"),
                 }
             )
-        gk = (code[keep] >= nyears).astype(np.int64) * nyears + (code[keep] % nyears)
+        # code = direction·nyears + year-index already IS the group key
+        gk = code[keep]
         uk, rs = _int_group_sums(gk, df["rev_fp4"].to_numpy()[keep])
         _, cs = _int_group_sums(gk, df["cnt"].to_numpy()[keep])
         return pd.DataFrame({"gk": uk, "n_lines": cs, "rev_fp4": rs})

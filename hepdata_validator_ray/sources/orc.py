@@ -30,7 +30,7 @@ def ensure_sequences_orc(sf_dir: str, n_files: int = 2) -> str:
     """Materialize an ORC mirror of the (small) synthetic sequence table —
     same rows, different wire format.  Deterministic and cached."""
     src = Path(ensure_sequences_parquet(sf_dir))
-    out = src.parent / "orc"
+    out = src.parent / f"orc-f{n_files}"
     done = out / "_DONE"
     if done.exists():
         return str(out)
