@@ -1958,3 +1958,27 @@ FROM pr"""
     pd.testing.assert_frame_equal(
         got[["doc_id_a", "doc_id_b", "est_jaccard"]], want, check_dtype=False
     )
+
+
+def test_minhash_md5_hot_bucket_raises_not_truncates(tmp_path, ray_session):
+    """250 identical docs co-bucket in every band (> HOT_BUCKET_LIMIT):
+    the md5 GATE path must raise (its SQL twin enumerates every pair, so
+    truncation would silently desync engine and oracle) — the
+    raise-never-drop certificate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hepdata_validator_ray.pipelines.dedup import minhash_lsh_pairs_md5
+
+    n = 250
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["the same document text for everyone"] * n),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(Exception, match="hot bucket"):
+        minhash_lsh_pairs_md5(p).materialize()
