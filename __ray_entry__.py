@@ -1597,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned vs exact order stats in tests)
         "v_ntok_tdigest": lambda sf: validation.ntok_tdigest_quantiles(_seq(sf)),
         "v_schema_fingerprint": lambda sf: validation.schema_fingerprint_audit(_seq(sf)),
+        "v_file_order": lambda sf: validation.file_order_audit(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
+        ),
         "v_rowgroup_pruning": lambda sf: validation.rowgroup_pruning_audit(
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
         ),
@@ -2900,6 +2903,23 @@ SELECT file, count(*)::BIGINT AS n_leaves,
        ('0x' || substr(md5(string_agg(leaf, '|' ORDER BY leaf)), 1, 8))::UBIGINT::BIGINT
          AS schema_digest
 FROM l GROUP BY file""",
+        # within-file write-order audit over the re-sorted layout (839
+        # descents at sf0.001): physical row order via file_row_number
+        "v_file_order": """
+WITH r AS (SELECT regexp_extract(filename, '[^/]+$') AS file, file_row_number AS rn,
+                  TRY_CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS ctr
+           FROM read_parquet('{rg}', filename=true, file_row_number=true)),
+v AS (SELECT file, rn, ctr FROM r WHERE ctr IS NOT NULL),
+l AS (SELECT file, ctr, lag(ctr) OVER (PARTITION BY file ORDER BY rn) AS prev FROM v)
+SELECT file, count(*)::BIGINT AS n_valid,
+       count(*) FILTER (WHERE prev IS NOT NULL AND ctr < prev)::BIGINT AS n_desc
+FROM l GROUP BY 1""".replace(
+            "{rg}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
         # row-group pruning effectiveness over the tight-stats re-layout:
         # prunable = stats-complete AND [min, max] outside [64, 256)
         "v_rowgroup_pruning": """

@@ -1982,3 +1982,22 @@ def test_minhash_md5_hot_bucket_raises_not_truncates(tmp_path, ray_session):
     pq.write_table(t, p)
     with pytest.raises(Exception, match="hot bucket"):
         minhash_lsh_pairs_md5(p).materialize()
+
+
+def test_file_order_audit_crafted(tmp_path, ray_session):
+    """Hand-built order: ascending file → 0 descents; one swap → 1; NULL
+    and no-suffix ids are skipped (adjacency over the valid subsequence
+    bridges across them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import file_order_audit
+
+    ids_a = ["doc-s-00000001", "doc-s-00000002", "doc-s-00000003"]
+    # 5 then (skip, skip) then 4: the bridged pair (5, 4) descends once
+    ids_b = ["doc-s-00000005", None, "no-digits-here", "doc-s-00000004"]
+    pq.write_table(pa.table({"doc_id": pa.array(ids_a, pa.string())}), tmp_path / "a.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids_b, pa.string())}), tmp_path / "b.parquet")
+    got = file_order_audit(str(tmp_path)).to_pandas().set_index("file")
+    assert tuple(got.loc["a.parquet"][["n_valid", "n_desc"]]) == (3, 0)
+    assert tuple(got.loc["b.parquet"][["n_valid", "n_desc"]]) == (2, 1)
