@@ -1597,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned vs exact order stats in tests)
         "v_ntok_tdigest": lambda sf: validation.ntok_tdigest_quantiles(_seq(sf)),
         "v_schema_fingerprint": lambda sf: validation.schema_fingerprint_audit(_seq(sf)),
+        "v_file_ranges": lambda sf: validation.file_range_overlap_audit(_seq(sf)),
         "v_file_order": lambda sf: validation.file_order_audit(
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
         ),
@@ -2903,6 +2904,24 @@ SELECT file, count(*)::BIGINT AS n_leaves,
        ('0x' || substr(md5(string_agg(leaf, '|' ORDER BY leaf)), 1, 8))::UBIGINT::BIGINT
          AS schema_digest
 FROM l GROUP BY file""",
+        # cross-file key-range audit: per-file counter spans + pairwise
+        # overlap counts (zero everywhere ⟺ range-sharded layout)
+        "v_file_ranges": f"""
+WITH r AS (SELECT regexp_extract(filename, '[^/]+$') AS file,
+                  TRY_CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS ctr
+           FROM read_parquet('{p}', filename=true)),
+b AS (SELECT file, min(ctr)::BIGINT AS ctr_min, max(ctr)::BIGINT AS ctr_max
+      FROM r WHERE ctr IS NOT NULL GROUP BY 1),
+af AS (SELECT DISTINCT regexp_extract(filename, '[^/]+$') AS file
+       FROM read_parquet('{p}', filename=true)),
+ov AS (SELECT a.file, count(*) FILTER (WHERE c.file IS NOT NULL)::BIGINT AS n_overlaps
+       FROM b a LEFT JOIN b c ON a.file <> c.file
+            AND a.ctr_min <= c.ctr_max AND c.ctr_min <= a.ctr_max
+       GROUP BY 1)
+SELECT af.file, coalesce(b.ctr_min, -1)::BIGINT AS ctr_min,
+       coalesce(b.ctr_max, -1)::BIGINT AS ctr_max,
+       coalesce(ov.n_overlaps, 0)::BIGINT AS n_overlaps
+FROM af LEFT JOIN b USING (file) LEFT JOIN ov USING (file)""",
         # within-file write-order audit over the re-sorted layout (839
         # descents at sf0.001): physical row order via file_row_number
         "v_file_order": """

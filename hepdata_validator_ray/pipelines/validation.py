@@ -2135,3 +2135,82 @@ def file_order_audit(seq_path: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(pd.DataFrame({"path": files})).map_batches(
         audit, batch_format="pandas", batch_size=4
     )
+
+
+def file_range_overlap_audit(seq_path: str) -> "ray.data.Dataset":
+    """Cross-file KEY-RANGE audit: each file's [min, max] span of the
+    doc_id-embedded counter, plus how many OTHER files' spans it overlaps
+    — zero everywhere for range-sharded output (each partition owns a
+    disjoint counter interval, the layout that lets a reader bisect by
+    key and a compactor merge without re-sorting); any positive count
+    says the partitioning key promise is broken for that file.  Rows
+    without a numeric suffix are ignored (the file_order_audit
+    convention); files with NO valid counters report NULL bounds and
+    overlap 0.
+
+    One column-pruned pass collapses to |files|-sized (min, max)
+    partials; the pairwise overlap count is a driver-side interval sweep
+    over the tiny |files| table (O(F log F)), never a row-scale join.
+
+    Output (file, ctr_min, ctr_max, n_overlaps)."""
+    import os
+    import re
+
+    from ray.data.aggregate import Max, Min
+
+    suffix = re.compile(r"(\d+)$")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        fn = t.column("path").to_pandas().map(os.path.basename)
+        ids = t.column("doc_id").to_pandas()
+        ctr = ids.str.extract(suffix, expand=False).astype("float64")
+        df = pd.DataFrame({"file": fn, "c": ctr})
+        df = df.dropna(subset=["c"])
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "file": pd.Series(dtype=object),
+                    "mn": pd.Series(dtype="int64"),
+                    "mx": pd.Series(dtype="int64"),
+                }
+            )
+        g = df.groupby("file", as_index=False, sort=False).agg(mn=("c", "min"), mx=("c", "max"))
+        return g.astype({"mn": "int64", "mx": "int64"})
+
+    import os as _os
+
+    if _os.path.isdir(seq_path):
+        files = sorted(
+            _os.path.join(seq_path, f)
+            for f in _os.listdir(seq_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [seq_path]
+
+    bounds = (
+        ray.data.read_parquet(files, columns=["doc_id"], include_paths=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("file")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()  # |files|-bounded
+    )
+    all_files = pd.DataFrame({"file": [_os.path.basename(f) for f in files]})
+    out = all_files.merge(bounds, on="file", how="left").sort_values("file").reset_index(drop=True)
+    # driver-side interval sweep: overlap(a, b) ⟺ a.mn <= b.mx ∧ b.mn <= a.mx
+    spans = out.dropna(subset=["mn"])
+    n_overlaps = []
+    for _, row in out.iterrows():
+        if pd.isna(row["mn"]):
+            n_overlaps.append(0)
+            continue
+        others = spans[spans["file"] != row["file"]]
+        n_overlaps.append(
+            int(((others["mn"] <= row["mx"]) & (row["mn"] <= others["mx"])).sum())
+        )
+    out["n_overlaps"] = pd.Series(n_overlaps, dtype="int64")
+    # −1 sentinel bounds for counter-less files: keeps the output
+    # NULL-free int64 (hash-stable; the SQL twin coalesces identically)
+    out["ctr_min"] = out["mn"].fillna(-1).astype("int64")
+    out["ctr_max"] = out["mx"].fillna(-1).astype("int64")
+    return ray.data.from_pandas(out[["file", "ctr_min", "ctr_max", "n_overlaps"]])

@@ -2001,3 +2001,25 @@ def test_file_order_audit_crafted(tmp_path, ray_session):
     got = file_order_audit(str(tmp_path)).to_pandas().set_index("file")
     assert tuple(got.loc["a.parquet"][["n_valid", "n_desc"]]) == (3, 0)
     assert tuple(got.loc["b.parquet"][["n_valid", "n_desc"]]) == (2, 1)
+
+
+def test_file_range_overlap_crafted(tmp_path, ray_session):
+    """Disjoint spans → 0 overlaps; one straddling file overlaps both; a
+    counter-less file reports −1 sentinel bounds and 0 overlaps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import file_range_overlap_audit
+
+    def w(name, ids):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.string())}), tmp_path / name)
+
+    w("a.parquet", ["doc-s-00000001", "doc-s-00000010"])
+    w("b.parquet", ["doc-s-00000020", "doc-s-00000030"])
+    w("c.parquet", ["doc-s-00000005", "doc-s-00000025"])  # straddles a and b
+    w("d.parquet", ["no-digits", None])
+    got = file_range_overlap_audit(str(tmp_path)).to_pandas().set_index("file")
+    assert tuple(got.loc["a.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (1, 10, 1)
+    assert tuple(got.loc["b.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (20, 30, 1)
+    assert tuple(got.loc["c.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (5, 25, 2)
+    assert tuple(got.loc["d.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (-1, -1, 0)
