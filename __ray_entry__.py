@@ -1598,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_tdigest": lambda sf: validation.ntok_tdigest_quantiles(_seq(sf)),
         "v_schema_fingerprint": lambda sf: validation.schema_fingerprint_audit(_seq(sf)),
         "v_file_ranges": lambda sf: validation.file_range_overlap_audit(_seq(sf)),
+        "v_file_compaction": lambda sf: validation.file_compaction_plan(_seq(sf)),
         "v_file_order": lambda sf: validation.file_order_audit(
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_rowgrouped_sequences_parquet(sf),
         ),
@@ -4870,4 +4871,23 @@ FROM chars GROUP BY doc_id, bin""",
     # ORC mirror carries identical rows to the parquet corpus: the parquet
     # violation SQL doubles as the cross-format-equivalence oracle
     o["v_row_violations_orc"] = o["v_row_violations"]
+    # compaction plan composed from the spans oracle (two spellings can
+    # never desync); sentinel files get degenerate [-1, -2] intervals so
+    # one gaps-and-islands window covers real and counter-less files alike
+    o["v_file_compaction"] = (
+        "WITH spans AS (" + o["v_file_ranges"] + "),\n"
+        "eff AS (SELECT file, ctr_min,\n"
+        "        CASE WHEN ctr_min = -1 THEN -2 ELSE ctr_max END AS em FROM spans),\n"
+        "ord AS (SELECT file, ctr_min, em,\n"
+        "        max(em) OVER (ORDER BY ctr_min, file\n"
+        "          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM eff),\n"
+        "g AS (SELECT file,\n"
+        "      (sum(CASE WHEN pm IS NULL OR ctr_min > pm THEN 1 ELSE 0 END)\n"
+        "         OVER (ORDER BY ctr_min, file\n"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) AS merge_group\n"
+        "  FROM ord)\n"
+        "SELECT file, merge_group::BIGINT AS merge_group,\n"
+        "       (count(*) OVER (PARTITION BY merge_group))::BIGINT AS group_size FROM g"
+    )
+
     return o

@@ -2214,3 +2214,39 @@ def file_range_overlap_audit(seq_path: str) -> "ray.data.Dataset":
     out["ctr_min"] = out["mn"].fillna(-1).astype("int64")
     out["ctr_max"] = out["mx"].fillna(-1).astype("int64")
     return ray.data.from_pandas(out[["file", "ctr_min", "ctr_max", "n_overlaps"]])
+
+
+def file_compaction_plan(seq_path: str) -> "ray.data.Dataset":
+    """COMPACTION plan from the file counter spans: files whose key ranges
+    transitively overlap must merge together (a sorted-merge compactor
+    cannot split an overlap), so the merge groups are the connected
+    components of the interval graph — computed by the classic
+    gaps-and-islands sweep (sort by span start; a new group starts exactly
+    when the running max of span ends stays below the next start).  Files
+    without counters are each their own singleton group (nothing to
+    merge).  The sweep is driver-side over the |files|-bounded span table
+    (the range-overlap audit's shape); group ids are 0-based in
+    (ctr_min, file) sweep order — deterministic, layout-independent.
+
+    Output (file, merge_group, group_size)."""
+    spans = file_range_overlap_audit(seq_path).to_pandas()  # |files|-bounded
+    spans = spans.sort_values(["ctr_min", "file"]).reset_index(drop=True)
+    group = np.zeros(len(spans), dtype=np.int64)
+    gid = -1
+    run_max = None
+    for i, row in spans.iterrows():
+        if int(row["ctr_min"]) == -1:
+            gid += 1  # counter-less: singleton group
+            group[i] = gid
+            continue
+        if run_max is None or int(row["ctr_min"]) > run_max:
+            gid += 1
+            run_max = int(row["ctr_max"])
+        else:
+            run_max = max(run_max, int(row["ctr_max"]))
+        group[i] = gid
+    spans["merge_group"] = group
+    sizes = spans.groupby("merge_group")["file"].transform("size").astype("int64")
+    spans["group_size"] = sizes
+    out = spans[["file", "merge_group", "group_size"]].sort_values("file").reset_index(drop=True)
+    return ray.data.from_pandas(out)

@@ -2023,3 +2023,31 @@ def test_file_range_overlap_crafted(tmp_path, ray_session):
     assert tuple(got.loc["b.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (20, 30, 1)
     assert tuple(got.loc["c.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (5, 25, 2)
     assert tuple(got.loc["d.parquet"][["ctr_min", "ctr_max", "n_overlaps"]]) == (-1, -1, 0)
+
+
+def test_file_compaction_plan_crafted(tmp_path, ray_session):
+    """Transitive overlap chains merge: a-c-b form ONE group through the
+    straddler; d (disjoint) and e (counter-less) are singletons."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import file_compaction_plan
+
+    def w(name, ids):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.string())}), tmp_path / name)
+
+    w("a.parquet", ["doc-s-00000001", "doc-s-00000010"])
+    w("b.parquet", ["doc-s-00000020", "doc-s-00000030"])
+    w("c.parquet", ["doc-s-00000005", "doc-s-00000025"])  # chains a↔b
+    w("d.parquet", ["doc-s-00000050", "doc-s-00000060"])
+    w("e.parquet", [None, "no-digits"])
+    got = file_compaction_plan(str(tmp_path)).to_pandas().set_index("file")
+    assert (
+        got.loc["a.parquet", "merge_group"]
+        == got.loc["b.parquet", "merge_group"]
+        == got.loc["c.parquet", "merge_group"]
+    )
+    assert got.loc["a.parquet", "group_size"] == 3
+    assert got.loc["d.parquet", "group_size"] == 1
+    assert got.loc["e.parquet", "group_size"] == 1
+    assert len(set(got["merge_group"])) == 3
