@@ -1664,6 +1664,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q6_forecast_revenue(sf),
+        # TPC-H batch 4 completes the matrix (22/22): the partsupp-shaped
+        # queries run over a DETERMINISTICALLY DERIVED partsupp (dbgen's
+        # rotation + integer availqty/cost formulas, recomputed identically
+        # as a CTE in the oracle — the relation never exists on disk)
+        "q2_min_cost_supplier": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q2_min_cost_supplier(sf),
+        "q11_stock_value": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q11_stock_value(sf),
+        "q20_excess_stock": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q20_excess_stock(sf),
         # md5-parity simhash twin: the banded pair search gets an
         # algorithm-INDEPENDENT brute-force oracle (completeness certified
         # by hash equality, the prefix-join discipline); siphash variant
@@ -2018,6 +2031,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus top-V vocabulary (one vocab exchange + broadcast)
         "text_vocab_oov": lambda sf: text.vocab_oov_stats(docs(sf), top_v=20),
     }
+
+
+# Derived-partsupp CTE: the exact SQL spelling of tpch._ps_matrices —
+# 4 rotated suppliers per part (step = max(1, |supplier|//4); distinct
+# because 3·⌊S/4⌋ < S), integer availqty/supplycost formulas.  Shared
+# verbatim by the Q2/Q11/Q20 oracles so the three cannot desync.
+_PS_CTE = """
+WITH sc AS (SELECT count(*)::BIGINT AS s FROM supplier),
+ps AS (
+  SELECT p_partkey::BIGINT AS ps_partkey,
+         ((p_partkey::BIGINT + i.i * greatest(1, sc.s // 4)) % sc.s)::BIGINT AS ps_suppkey
+  FROM part, sc, (SELECT unnest([0, 1, 2, 3])::BIGINT AS i) i),
+ps2 AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey*13 + ps_suppkey*101) % 9999 + 1)::BIGINT AS ps_availqty,
+         ((ps_partkey*7919 + ps_suppkey*104729) % 99901 + 100)::BIGINT AS ps_supplycost_cents
+  FROM ps)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2824,6 +2855,53 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2""",
+        # TPC-H batch 4: the derived-partsupp CTE (shared verbatim by the
+        # three oracles — one spelling, zero desync risk) mirrors
+        # tpch._ps_matrices exactly: 4 rotated suppliers per part, integer
+        # availqty/cost formulas
+        "q2_min_cost_supplier": _PS_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey::BIGINT AS p_partkey
+FROM ps2 JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND p_size >= 25 AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT min(x.ps_supplycost_cents) FROM ps2 x
+    JOIN supplier s2 ON x.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE x.ps_partkey = ps2.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 50""",
+        # Q11-shaped: global-scalar threshold by int64 cross-multiplication;
+        # the ::BIGINT cast on the total raises on overflow exactly where
+        # the engine's assert does
+        "q11_stock_value": _PS_CTE + """
+, v AS (SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty)::BIGINT AS value_cents
+        FROM ps2 JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3' GROUP BY 1)
+SELECT ps_partkey, value_cents FROM v
+WHERE value_cents * 200 > 1 * (SELECT sum(value_cents)::BIGINT FROM v)""",
+        # Q20-shaped: excess stock vs HALF the year's shipped quantity
+        # (2·avail > Σqty strict — integer, and pairs with no shipped lines
+        # are excluded by the inner join, the NULL-comparison semantics)
+        "q20_excess_stock": _PS_CTE + """
+, agg AS (SELECT l_partkey::BIGINT AS apk, l_suppkey::BIGINT AS ask,
+                 sum(round(l_quantity)::BIGINT) AS sq
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2)
+SELECT s_suppkey::BIGINT AS s_suppkey, any_value(s_name) AS s_name,
+       count(*)::BIGINT AS n_pairs
+FROM ps2
+JOIN part ON ps_partkey = p_partkey
+JOIN agg ON apk = ps_partkey AND ask = ps_suppkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_name LIKE '%red%' AND r_name = 'MIDDLE EAST' AND 2*ps_availqty > sq
+GROUP BY 1""",
         # Q21-shaped: per-order multi-supplier existence (the only-late-one)
         "q21_blocked_suppliers": """
 WITH pair AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ms FROM lineitem GROUP BY 1, 2),

@@ -2115,3 +2115,350 @@ def q6_forecast_revenue(
             lambda t: t.select(["n_lines", "revenue_fp4"]), batch_format="pyarrow"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema ships no partsupp table, so the last
+# three TPC-H shapes (Q2 / Q11 / Q20) derive one DETERMINISTICALLY from the
+# part table and the supplier COUNT — the same closed-form integer recipe on
+# both engines (numpy here, a CTE in the oracle), so partsupp never exists on
+# disk yet both sides see the identical 4-suppliers-per-part relation:
+#
+#   step            = max(1, S // 4)                 (S = |supplier|)
+#   ps_suppkey[i]   = (p_partkey + i·step) % S,  i ∈ {0,1,2,3}
+#                     (distinct because 3·⌊S/4⌋ < S — dbgen's own rotation
+#                      scheme, adapted to the 0-based dense keys)
+#   ps_availqty     = (p_partkey·13  + ps_suppkey·101)    % 9999  + 1
+#   ps_supplycost   = (p_partkey·7919 + ps_suppkey·104729) % 99901 + 100  (cents)
+#
+# Every value is int64-bounded (cost < 1e5, avail < 1e4, products ≤ 4e9 per
+# part) and the derivation is BATCH-LOCAL: all four supplier rows of a part
+# materialize inside the part batch that carries it, so per-part reductions
+# (Q2's min-cost argmin, Q11's stock value) need NO exchange at all — the
+# relation is born collapsed.  Only Q20, which meets the row-scale lineitem,
+# pays a keyed exchange (packed partkey·S + suppkey).
+
+
+def _ps_matrices(pk: np.ndarray, S: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n,4) int64 matrices (ps_suppkey, ps_availqty, ps_supplycost_cents)
+    for the derived-partsupp rows of the given part keys."""
+    step = np.int64(max(1, S // 4))
+    sk = (pk[:, None] + np.arange(4, dtype=np.int64)[None, :] * step) % np.int64(S)
+    avail = (pk[:, None] * np.int64(13) + sk * np.int64(101)) % np.int64(9999) + 1
+    cost = (pk[:, None] * np.int64(7919) + sk * np.int64(104729)) % np.int64(99901) + 100
+    return sk, avail, cost
+
+
+def _dense_dim(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Sort a dimension by its key and assert the dbgen dense-key contract
+    (keys exactly 0..n−1) so broadcast lookups can be positional."""
+    df = df.sort_values(key).reset_index(drop=True)
+    keys = df[key].to_numpy().astype(np.int64)
+    if len(keys) and not (keys == np.arange(len(keys), dtype=np.int64)).all():
+        raise ValueError(f"{key} violates the dense 0..n-1 key contract")
+    return df
+
+
+def _region_supplier_mask(sf_dir: str, region_name: str) -> tuple[np.ndarray, pd.DataFrame, np.ndarray]:
+    """(in_region mask over suppkey, supplier dim frame, n_name per suppkey).
+
+    Supplier/nation/region are the broadcast dims (the q7/q8 convention —
+    at extreme SF swap the supplier side for a native join); masks are
+    positional over the dense 0-based keys."""
+    supp = _dense_dim(
+        pd.read_parquet(_pq(sf_dir, "supplier")), "s_suppkey"
+    )
+    nat = _dense_dim(
+        pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]),
+        "n_nationkey",
+    )
+    reg = pd.read_parquet(_pq(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkeys = reg.loc[reg["r_name"] == region_name, "r_regionkey"].to_numpy().astype(np.int64)
+    snat = supp["s_nationkey"].to_numpy().astype(np.int64)
+    nat_reg = nat["n_regionkey"].to_numpy().astype(np.int64)
+    in_region = np.isin(nat_reg[snat], rkeys)
+    n_name = nat["n_name"].to_numpy(dtype=object)[snat]
+    return in_region, supp, n_name
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    p_type: str = "ECONOMY",
+    size_min: int = 25,
+    region_name: str = "EUROPE",
+    k: int = 50,
+) -> pd.DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for every part of the given
+    type with size ≥ ``size_min``, the in-region supplier(s) holding the
+    MINIMUM derived supply cost (ties all kept, as Q2 does), top-``k`` by
+    (s_acctbal DESC, n_name, s_name, p_partkey) — a total order because
+    (s_name, p_partkey) is unique per row, which is what makes the strict
+    LIMIT deterministic on both engines.
+
+    The correlated min-subquery costs NOTHING here: the derived partsupp
+    is born collapsed (all 4 supplier rows of a part live in its batch),
+    so the per-part argmin is a vectorized axis-1 reduction — no exchange,
+    no self-join.  A per-batch partial top-k bounds the global sort input
+    to n_blocks·k rows (the q10 discipline)."""
+    import pyarrow.compute as _pc
+
+    S = _meta_rows(_pq(sf_dir, "supplier"))
+    in_region, supp, n_name = _region_supplier_mask(sf_dir, region_name)
+    dim_ref = ray.put(
+        (
+            in_region,
+            supp["s_acctbal"].to_numpy().astype(np.float64),
+            supp["s_name"].to_numpy(dtype=object),
+            n_name,
+        )
+    )
+
+    def _batch(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inr, acct, snm, nnm = ray.get(dim_ref)
+        sk, _avail, cost = _ps_matrices(pk, S)
+        m = inr[sk]
+        big = np.int64(2**62)
+        minc = np.where(m, cost, big).min(axis=1)
+        keep = m & (cost == minc[:, None])  # no in-region supplier → all False
+        pi, si = np.nonzero(keep)
+        skk = sk[pi, si]
+        return pa.table(
+            {
+                "s_acctbal": pa.array(acct[skk], pa.float64()),
+                "s_name": pa.array(snm[skk].tolist(), pa.string()),
+                "n_name": pa.array(nnm[skk].tolist(), pa.string()),
+                "p_partkey": pa.array(pk[pi], pa.int64()),
+            }
+        )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+        ).head(k)
+
+    ds = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_type", "p_size"],
+            filter=(_pc.field("p_type") == _pc.scalar(p_type))
+            & (_pc.field("p_size") >= _pc.scalar(size_min)),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .select_columns(["p_partkey"])
+        .map_batches(_batch, batch_format="pyarrow")
+        .map_batches(_topk, batch_format="pandas")
+    )
+    out = (
+        ds.sort(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            descending=[True, False, False, False],
+        )
+        .limit(k)
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "s_acctbal": pd.Series([], dtype="float64"),
+                "s_name": pd.Series([], dtype=object),
+                "n_name": pd.Series([], dtype=object),
+                "p_partkey": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.reset_index(drop=True)
+
+
+def q11_stock_value(
+    sf_dir: str,
+    nation_name: str = "NATION_3",
+    frac_num: int = 1,
+    frac_den: int = 200,
+) -> "ray.data.Dataset":
+    """TPC-H Q11-shaped important-stock report: per-part derived stock
+    value Σ(supplycost·availqty) over the nation's suppliers, keeping
+    parts whose value exceeds ``frac_num/frac_den`` of the nation total —
+    the global-scalar-threshold shape.  The threshold never becomes a
+    float: ``value·frac_den > total·frac_num`` is the int64
+    cross-multiplication (the q22 discipline), and the oracle's
+    ``sum(...)::BIGINT`` raises on int64 overflow exactly where the
+    engine's assert does.
+
+    Per-part values are batch-local (the derived relation is born
+    collapsed — p_partkey is unique in part, so no groupby is ever
+    needed); the narrow (partkey, value) table materializes ONCE and
+    feeds both the scalar total and the filter, the training_pack
+    two-consumer discipline."""
+    nat = _dense_dim(
+        pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"]), "n_nationkey"
+    )
+    nkeys = nat.loc[nat["n_name"] == nation_name, "n_nationkey"].to_numpy().astype(np.int64)
+    supp = _dense_dim(
+        pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]), "s_suppkey"
+    )
+    S = len(supp)
+    in_nation = np.isin(supp["s_nationkey"].to_numpy().astype(np.int64), nkeys)
+    mask_ref = ray.put(in_nation)
+
+    def _batch(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ray.get(mask_ref)
+        sk, avail, cost = _ps_matrices(pk, S)
+        inn = m[sk]
+        val = np.where(inn, avail * cost, 0).sum(axis=1)  # ≤ 4·1e4·1e5 = 4e9 per part
+        keep = inn.any(axis=1)
+        return pa.table(
+            {
+                "ps_partkey": pa.array(pk[keep], pa.int64()),
+                "value_cents": pa.array(val[keep], pa.int64()),
+            }
+        )
+
+    vals = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .map_batches(_batch, batch_format="pyarrow")
+        .materialize()  # narrow |part|-bounded table; feeds total AND filter
+    )
+    total = int(vals.sum("value_cents") or 0)
+    if total > (2**62) // max(frac_num, 1):
+        raise ValueError("nation stock total exceeds the int64 threshold bound")
+    lo = np.int64(total) * np.int64(frac_num)
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * np.int64(frac_den) > lo))
+
+    return vals.map_batches(_thresh, batch_format="pyarrow").sort(
+        ["value_cents", "ps_partkey"], descending=[True, False]
+    )
+
+
+def q20_excess_stock(
+    sf_dir: str,
+    name_word: str = "red",
+    date_lo_us: int = 820_454_400_000_000,  # 1996-01-01
+    date_hi_us: int = 852_076_800_000_000,  # 1997-01-01
+    region_name: str = "MIDDLE EAST",
+) -> pd.DataFrame:
+    """TPC-H Q20-shaped excess-stock suppliers: in-region suppliers holding
+    more than HALF a year's shipped quantity (2·availqty > Σqty, strict —
+    integer, never the 0.5· float) of some name-matching part they supply,
+    with the qualifying-pair count per supplier.  Pairs with NO shipped
+    lines are excluded, matching SQL's NULL-comparison semantics in the
+    reference formulation (the inner join enforces it structurally).
+
+    The one keyed exchange: lineitem collapses per batch on the packed
+    (partkey·S + suppkey) key (bound: pk_max·S < 2⁶³ — holds to SF 10⁴⁺;
+    asserted), ONE groupby makes the year sums exact (the threshold filter
+    is not duplicate-safe), then meets the derived partsupp rows of the
+    name-matched parts in a native inner join.  Matched −1 sentinels keep
+    both join sides schema-total when a filter empties one (rayfix
+    discipline); the winner table is supplier-bounded by construction."""
+    S = _meta_rows(_pq(sf_dir, "supplier"))
+    in_region, supp, _n_name = _region_supplier_mask(sf_dir, region_name)
+    mask_ref = ray.put(in_region)
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qtyf = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = np.round(qtyf).astype(np.int64)
+        if len(qty) and not ((qty >= 0) & (qty == qtyf)).all():
+            raise ValueError("l_quantity out of the integral data contract")
+        if len(pk) and pk.max() > (2**62) // max(S, 1):
+            raise ValueError("partkey·S exceeds the packed-key int64 bound")
+        packed = pk * np.int64(S) + sk
+        uk, sq = _int_group_sums(packed, qty)
+        return pa.table({"packed": pa.array(uk, pa.int64()), "sq": pa.array(sq, pa.int64())})
+
+    sent_li = ray.data.from_arrow(
+        pa.table({"packed": pa.array([-1], pa.int64()), "sq": pa.array([0], pa.int64())})
+    )
+    sent_ps = ray.data.from_arrow(
+        pa.table({"ps_packed": pa.array([-1], pa.int64()), "avail": pa.array([0], pa.int64())})
+    )
+
+    li = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "lineitem"),
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter=(pc.field("l_shipdate") >= pc.scalar(pd.Timestamp(date_lo_us, unit="us")))
+            & (pc.field("l_shipdate") < pc.scalar(pd.Timestamp(date_hi_us, unit="us"))),
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "lineitem"))),
+        )
+        .select_columns(["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(sent_li)
+        .groupby("packed")
+        .aggregate(Sum("sq", alias_name="sq"))
+    )
+
+    def _ps_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], name_word))
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ray.get(mask_ref)
+        sk, avail, _cost = _ps_matrices(pk, S)
+        inr = m[sk]
+        pi, si = np.nonzero(inr)
+        return pa.table(
+            {
+                "ps_packed": pa.array(pk[pi] * np.int64(S) + sk[pi, si], pa.int64()),
+                "avail": pa.array(avail[pi, si], pa.int64()),
+            }
+        )
+
+    psds = (
+        ray.data.read_parquet(
+            _pq(sf_dir, "part"),
+            columns=["p_partkey", "p_name"],
+            override_num_blocks=_nblocks(_meta_rows(_pq(sf_dir, "part"))),
+        )
+        .map_batches(_ps_batch, batch_format="pyarrow")
+        .union(sent_ps)
+    )
+    joined = li.join(
+        psds,
+        join_type="inner",
+        num_partitions=_nblocks(_meta_rows(_pq(sf_dir, "part")), target=1_000_000),
+        on=("packed",),
+        right_on=("ps_packed",),
+    )
+
+    def _winners(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        avail = t["avail"].to_numpy(zero_copy_only=False)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        keep = (packed != -1) & (np.int64(2) * avail > sq)
+        skk = packed[keep] % np.int64(S)
+        uk, cnt = _int_group_sums(skk, np.ones(int(keep.sum()), dtype=np.int64))
+        return pa.table(
+            {"s_suppkey": pa.array(uk, pa.int64()), "n_pairs": pa.array(cnt, pa.int64())}
+        )
+
+    won = (
+        joined.map_batches(_winners, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()  # supplier-bounded by construction
+    )
+    if len(won) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+    names = supp[["s_suppkey", "s_name"]].copy()
+    names["s_suppkey"] = names["s_suppkey"].astype("int64")
+    out = won.merge(names, on="s_suppkey", how="inner")
+    return (
+        out[["s_suppkey", "s_name", "n_pairs"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )

@@ -361,3 +361,134 @@ def test_q6_empty_window_is_the_zero_row(ray_session):
     got = tpch.q6_forecast_revenue(SF, date_lo_us=0, date_hi_us=1).to_pandas()
     assert len(got) == 1
     assert int(got["n_lines"].iloc[0]) == 0 and int(got["revenue_fp4"].iloc[0]) == 0
+
+
+# --- batch 4: the derived-partsupp shapes (Q2 / Q11 / Q20) -----------------
+
+_PS_SQL = """
+WITH sc AS (SELECT count(*)::BIGINT AS s FROM supplier),
+ps AS (
+  SELECT p_partkey::BIGINT AS ps_partkey,
+         ((p_partkey::BIGINT + i.i * greatest(1, sc.s // 4)) % sc.s)::BIGINT AS ps_suppkey
+  FROM part, sc, (SELECT unnest([0, 1, 2, 3])::BIGINT AS i) i),
+ps2 AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey*13 + ps_suppkey*101) % 9999 + 1)::BIGINT AS ps_availqty,
+         ((ps_partkey*7919 + ps_suppkey*104729) % 99901 + 100)::BIGINT AS ps_supplycost_cents
+  FROM ps)
+"""
+
+
+def test_ps_derivation_distinct_suppliers_contract():
+    """3·⌊S/4⌋ < S makes the four rotated suppkeys distinct per part, for
+    every supplier-count regime (tiny S=4 through dbgen-scale)."""
+    import numpy as np
+
+    for S in (4, 5, 7, 10, 100, 1000, 10007):
+        pk = np.arange(min(5000, 3 * S), dtype=np.int64)
+        sk, avail, cost = tpch._ps_matrices(pk, S)
+        assert (np.sort(sk, axis=1)[:, 1:] != np.sort(sk, axis=1)[:, :-1]).all()
+        assert (sk >= 0).all() and (sk < S).all()
+        assert (avail >= 1).all() and (avail <= 9999).all()
+        assert (cost >= 100).all() and (cost < 100001).all()
+
+
+def test_q2_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q2_min_cost_supplier(SF),
+        _PS_SQL
+        + """
+SELECT s_acctbal, s_name, n_name, p_partkey::BIGINT AS p_partkey
+FROM ps2 JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND p_size >= 25 AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT min(x.ps_supplycost_cents) FROM ps2 x
+    JOIN supplier s2 ON x.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE x.ps_partkey = ps2.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 50""",
+    )
+
+
+def test_q2_strict_limit_is_deterministic(ray_session):
+    """k=5 < candidate count, so the LIMIT binds here — the
+    (acctbal DESC, n_name, s_name, p_partkey) total order must pick the
+    identical 5 rows on both engines."""
+    _check_any(
+        tpch.q2_min_cost_supplier(SF, k=5),
+        _PS_SQL
+        + """
+SELECT s_acctbal, s_name, n_name, p_partkey::BIGINT AS p_partkey
+FROM ps2 JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND p_size >= 25 AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT min(x.ps_supplycost_cents) FROM ps2 x
+    JOIN supplier s2 ON x.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE x.ps_partkey = ps2.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 5""",
+    )
+
+
+def test_q2_unknown_region_is_empty_with_stable_schema(ray_session):
+    got = tpch.q2_min_cost_supplier(SF, region_name="NOWHERE")
+    assert len(got) == 0
+    assert list(got.columns) == ["s_acctbal", "s_name", "n_name", "p_partkey"]
+
+
+def test_q11_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q11_stock_value(SF),
+        _PS_SQL
+        + """
+, v AS (SELECT ps_partkey, sum(ps_supplycost_cents * ps_availqty)::BIGINT AS value_cents
+        FROM ps2 JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3' GROUP BY 1)
+SELECT ps_partkey, value_cents FROM v
+WHERE value_cents * 200 > 1 * (SELECT sum(value_cents)::BIGINT FROM v)""",
+    )
+
+
+def test_q11_unknown_nation_is_empty(ray_session):
+    out = tpch.q11_stock_value(SF, nation_name="NOWHERE").materialize()
+    assert out.count() == 0
+
+
+def test_q20_matches_duckdb(ray_session):
+    _check_any(
+        tpch.q20_excess_stock(SF),
+        _PS_SQL
+        + """
+, agg AS (SELECT l_partkey::BIGINT AS apk, l_suppkey::BIGINT AS ask,
+                 sum(round(l_quantity)::BIGINT) AS sq
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2)
+SELECT s_suppkey::BIGINT AS s_suppkey, any_value(s_name) AS s_name,
+       count(*)::BIGINT AS n_pairs
+FROM ps2
+JOIN part ON ps_partkey = p_partkey
+JOIN agg ON apk = ps_partkey AND ask = ps_suppkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_name LIKE '%red%' AND r_name = 'MIDDLE EAST' AND 2*ps_availqty > sq
+GROUP BY 1""",
+    )
+
+
+def test_q20_empty_window_is_empty_with_stable_schema(ray_session):
+    """No shipped lines in the window → the agg side is only its sentinel;
+    the matched-sentinel join stays schema-total and the result is empty."""
+    got = tpch.q20_excess_stock(SF, date_lo_us=0, date_hi_us=1)
+    assert len(got) == 0
+    assert list(got.columns) == ["s_suppkey", "s_name", "n_pairs"]
