@@ -1736,6 +1736,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": lambda sf: relational.events_tumbling(sf),
         # displaced from the window by relational_meta2; oracle retained
         "events_daily": relational.events_daily,
+        # ROLLUP multi-level aggregate: three grouping levels, ONE scan
+        "events_rollup": lambda sf: relational.events_rollup(sf),
+        # Benford leading-digit forensics, integer-exact digit extraction
+        "v_benford_digits": lambda sf: relational.benford_digit_audit(sf),
+        # tokenizer-fertility profile: chars-per-word tenths, never a float
+        "docs_fertility_hist": lambda sf: text.fertility_histogram(docs(sf)),
         # displaced from the window by graph_pagerank; oracle retained
         "top_customers": relational.top_customers,
         # fused-union legs of incremental_meta, independently queryable
@@ -3253,6 +3259,36 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        # ROLLUP: three grouping levels; the engine derives the coarse
+        # levels from the finest grain (additive aggregates), the twin
+        # spells them as GROUP BY ROLLUP with COALESCE markers
+        "events_rollup": """
+WITH e AS (SELECT event_type,
+                  datediff('day', TIMESTAMP '1970-01-01', ts)::BIGINT AS day,
+                  round(value*100)::BIGINT AS cents
+           FROM events)
+SELECT coalesce(event_type, '<ALL>') AS event_type,
+       coalesce(day, -1)::BIGINT AS day,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM e GROUP BY ROLLUP(event_type, day)""",
+        # Benford leading digit == first character of the decimal spelling
+        # (the engine's searchsorted-over-powers-of-ten is the same map);
+        # non-positive cents dropped on both engines (mirrored WHERE)
+        "v_benford_digits": """
+WITH e AS (SELECT event_type, round(value*100)::BIGINT AS cents FROM events)
+SELECT event_type,
+       substr(CAST(cents AS VARCHAR), 1, 1)::BIGINT AS first_digit,
+       count(*)::BIGINT AS n
+FROM e WHERE cents > 0 GROUP BY 1, 2""",
+        # fertility tenths: one integer multiply-then-divide; the space
+        # split counts empty segments on both engines ('' -> 1 word)
+        "docs_fertility_hist": """
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source,
+                  ((10*length(text)) // len(string_split(text, ' ')))::BIGINT AS fert_x10
+           FROM documents WHERE text IS NOT NULL)
+SELECT source, fert_x10, count(*)::BIGINT AS n_docs
+FROM d GROUP BY 1, 2""",
         "filtered_lineitem_count": """
 SELECT l_returnflag, count(*)::BIGINT AS n
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'

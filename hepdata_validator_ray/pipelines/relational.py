@@ -3634,3 +3634,122 @@ def events_interarrival_spectrum(sf_dir: str, num_buckets: int | None = None) ->
         )
 
     return agg.map_batches(finale, batch_format="pyarrow")
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level ROLLUP aggregate over events — the three grouping levels
+    of ``GROUP BY ROLLUP(event_type, day)`` from ONE row-scale pass: the
+    coarser levels (per-type, grand total) are DERIVED from the finest
+    (type, day) grain, exact because both aggregates are additive (row
+    count, integer cents sum).  At 100 TB that is one corpus scan instead
+    of one per level; the derivation runs driver-side over the
+    |types|×|days|-bounded finest table.
+
+    The exchange key is the single packed string ``type|day`` (the
+    two-column-groupby wedge workaround, see events_interarrival_spectrum);
+    day is integer days since epoch (== SQL ``datediff('day', …)``).
+    Rolled-up markers: event_type '<ALL>', day −1 — matching the twin's
+    COALESCE spelling, which requires event_type to be genuinely NULL-free
+    (asserted; a NULL type would conflate with the marker on BOTH engines
+    identically, but the contract is cleaner as a refusal).
+
+    Output (event_type, day, n_events, sum_cents) over all three levels."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df["event_type"].isna().any():
+            raise ValueError("NULL event_type conflates with the rollup marker")
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        key = (df["event_type"].to_numpy(dtype=object) + "|" + day.astype(str).astype(object))
+        g = (
+            pd.DataFrame({"key": key, "n_events": np.int64(1), "sum_cents": cents})
+            .groupby("key", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    fin = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()  # |types|×|days|-bounded by construction
+    )
+    split = fin["key"].str.rsplit("|", n=1, expand=True)
+    fin["event_type"] = split[0]
+    fin["day"] = split[1].astype("int64")
+    finest = fin[["event_type", "day", "n_events", "sum_cents"]]
+    lvl1 = (
+        finest.groupby("event_type", as_index=False)[["n_events", "sum_cents"]]
+        .sum()
+        .assign(day=np.int64(-1))
+    )
+    grand = pd.DataFrame(
+        {
+            "event_type": ["<ALL>"],
+            "day": np.array([-1], dtype=np.int64),
+            "n_events": [finest["n_events"].sum()],
+            "sum_cents": [finest["sum_cents"].sum()],
+        }
+    )
+    out = pd.concat(
+        [finest, lvl1[["event_type", "day", "n_events", "sum_cents"]], grand],
+        ignore_index=True,
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+_POW10 = 10 ** np.arange(19, dtype=np.int64)  # 10^18 is the last int64 decade
+
+
+def benford_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit counts of the integer cent value per event
+    type — the Benford's-law forensics profile (fabricated or truncated
+    numeric feeds bend the leading-digit distribution long before any
+    range check fires).  The first digit is INTEGER-exact: decimal digit
+    count via searchsorted over the powers of ten, then one integer
+    divide — never float log10, which misclassifies at the decade
+    boundaries (the events_interarrival_spectrum discipline; the SQL twin
+    is ``substr(CAST(cents AS VARCHAR), 1, 1)``).
+
+    Non-positive cents carry no leading digit and are dropped on BOTH
+    engines (mirrored WHERE, not a raise — zero is a legitimate value for
+    a metered feed).  One |types|×9-bounded packed-string exchange.
+
+    Output (event_type, first_digit, n)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        keep = cents > 0
+        cents = cents[keep]
+        et = df["event_type"].to_numpy(dtype=object)[keep]
+        nd = np.searchsorted(_POW10[1:], cents, side="right")  # floor(log10)
+        fd = cents // _POW10[nd]
+        key = et + "|" + fd.astype(str).astype(object)
+        g = (
+            pd.DataFrame({"key": key, "n": np.int64(1)})
+            .groupby("key", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return g
+
+    fin = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # |types|×9-bounded
+    )
+    split = fin["key"].str.rsplit("|", n=1, expand=True)
+    out = pd.DataFrame(
+        {
+            "event_type": split[0],
+            "first_digit": split[1].astype("int64"),
+            "n": fin["n"].astype("int64"),
+        }
+    )
+    return out.sort_values(["event_type", "first_digit"]).reset_index(drop=True)

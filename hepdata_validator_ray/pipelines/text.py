@@ -1344,3 +1344,65 @@ def lang_confusion_matrix(docs_path: str, concurrency: int = 2) -> "ray.data.Dat
         .groupby(["lang", "pred_lang"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def fertility_histogram(docs_path: str) -> "ray.data.Dataset":
+    """Per-(source, fertility-bucket) document counts, where fertility is
+    characters per whitespace word in TENTHS: bucket = (10·len(text)) //
+    n_words — the tokenizer-fertility profile that sizes token budgets
+    (a corpus drifting toward high chars-per-word inflates sequence
+    lengths under any subword tokenizer long before mean length moves).
+    The ratio never becomes a float: one integer multiply-then-divide on
+    both engines (== SQL ``(10*length(text)) // len(string_split(text,' '))``).
+
+    Conventions shared with the twin: NULL text is dropped (no length to
+    profile — the mirrored WHERE, unlike quality_scores' empty-doc
+    scoring, because a bucket for absent text is a lie); the space split
+    counts empty segments (``''`` → 1 word, ``'a  b'`` → 3), so the
+    denominator is always ≥ 1; NULL source keys '<NULL>'.  One
+    |sources|×|buckets|-bounded packed-string exchange (buckets top out
+    near 10× the longest word)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
+        ln = df["text"].str.len().astype("int64").to_numpy()
+        nw = df["text"].str.split(" ").str.len().astype("int64").to_numpy()
+        bucket = (np.int64(10) * ln) // nw
+        key = (
+            df["source"].fillna("<NULL>").to_numpy(dtype=object)
+            + "|"
+            + bucket.astype(str).astype(object)
+        )
+        return (
+            pd.DataFrame({"key": key, "n_docs": np.int64(1)})
+            .groupby("key", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # rsplit(expand=True) on empty yields 0 columns
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "fert_x10": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                }
+            )
+        split = df["key"].str.rsplit("|", n=1, expand=True)
+        return pd.DataFrame(
+            {
+                "source": split[0],
+                "fert_x10": split[1].astype("int64"),
+                "n_docs": df["n_docs"].astype("int64"),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(docs_path, columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("key")
+        .aggregate(_Sum("n_docs", alias_name="n_docs"))
+        .map_batches(unpack, batch_format="pandas")
+    )

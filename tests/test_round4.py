@@ -2051,3 +2051,89 @@ def test_file_compaction_plan_crafted(tmp_path, ray_session):
     assert got.loc["d.parquet", "group_size"] == 1
     assert got.loc["e.parquet", "group_size"] == 1
     assert len(set(got["merge_group"])) == 3
+
+
+def test_events_rollup_levels_reconcile(tmp_path, ray_session):
+    """Crafted 2-type × 2-day events: the derived per-type and grand
+    levels must equal the additive roll-up of the finest grain, with the
+    '<ALL>'/-1 markers; a NULL event_type refuses (marker conflation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import events_rollup
+
+    ts = pa.array(
+        [1704067200_000000, 1704067200_000000, 1704153600_000000, 1704153600_000000],
+        pa.timestamp("us"),
+    )  # 2024-01-01 ×2, 2024-01-02 ×2
+    tbl = pa.table(
+        {
+            "ts": ts,
+            "event_type": pa.array(["a", "b", "a", "a"], pa.string()),
+            "value": pa.array([1.00, 2.50, 0.25, 0.25], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_rollup(str(tmp_path))
+    idx = got.set_index(["event_type", "day"])
+    d1, d2 = 19723, 19724  # days since epoch for 2024-01-01/02
+    assert tuple(idx.loc[("a", d1)][["n_events", "sum_cents"]]) == (1, 100)
+    assert tuple(idx.loc[("a", d2)][["n_events", "sum_cents"]]) == (2, 50)
+    assert tuple(idx.loc[("b", d1)][["n_events", "sum_cents"]]) == (1, 250)
+    assert tuple(idx.loc[("a", -1)][["n_events", "sum_cents"]]) == (3, 150)
+    assert tuple(idx.loc[("b", -1)][["n_events", "sum_cents"]]) == (1, 250)
+    assert tuple(idx.loc[("<ALL>", -1)][["n_events", "sum_cents"]]) == (4, 400)
+    assert len(got) == 6
+
+    tbl2 = tbl.set_column(1, "event_type", pa.array(["a", None, "b", "a"], pa.string()))
+    pq.write_table(tbl2, tmp_path / "events.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL event_type"):
+        events_rollup(str(tmp_path))
+
+
+def test_benford_decade_boundaries_exact(tmp_path, ray_session):
+    """Cents 1/9/10/99/100/999/1000 land on digits 1/9/1/9/1/9/1 — the
+    float-log10 failure points; zero cents drops (mirrored WHERE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.relational import benford_digit_audit
+
+    vals = [0.01, 0.09, 0.10, 0.99, 1.00, 9.99, 10.00, 0.00]
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["t"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = benford_digit_audit(str(tmp_path)).set_index("first_digit")["n"]
+    assert int(got.loc[1]) == 4  # 1, 10, 100, 1000 cents
+    assert int(got.loc[9]) == 3  # 9, 99, 999 cents
+    assert int(got.sum()) == 7  # the 0.00 row dropped
+
+
+def test_fertility_histogram_conventions(tmp_path, ray_session):
+    """'' is 1 word / 0 chars → bucket 0; 'a  b' splits to 3 words (empty
+    segment counted) → (10·4)//3 = 13; NULL text drops; NULL source keys
+    '<NULL>'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.text import fertility_histogram
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["s", "s", None, "s"], pa.string()),
+            "text": pa.array(["", "a  b", "xy", None], pa.string()),
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    pq.write_table(tbl, path)
+    got = fertility_histogram(str(path)).to_pandas().set_index(["source", "fert_x10"])
+    assert int(got.loc[("s", 0), "n_docs"]) == 1
+    assert int(got.loc[("s", 13), "n_docs"]) == 1
+    assert int(got.loc[("<NULL>", 20), "n_docs"]) == 1  # 'xy': 20//1
+    assert int(got["n_docs"].sum()) == 3  # NULL text dropped
