@@ -1690,6 +1690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).minhash_lsh_pairs_md5(f"{sf}/documents.parquet"),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
+        # winsorized token budget: cap + capped sums from ONE histogram
+        "v_winsorized_tokens": lambda sf: validation.winsorized_token_stats(_seq(sf)),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
             _seq(sf),
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
@@ -2946,6 +2948,16 @@ d AS (SELECT s.source, m.med, abs(s.v - m.med)::BIGINT AS av
 SELECT source, count(*)::BIGINT AS n, min(med)::BIGINT AS med,
        quantile_disc(av, 0.5)::BIGINT AS mad
 FROM d GROUP BY source""",
+        # winsorized totals: the cap IS quantile_disc(q) (the pinned
+        # disc-quantile convention), capped sum via least()
+        "v_winsorized_tokens": f"""
+WITH s AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL),
+c AS (SELECT source, quantile_disc(v, 0.99)::BIGINT AS cap FROM s GROUP BY source)
+SELECT s.source, count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_tok,
+       sum(least(v, cap))::BIGINT AS wsum_tok,
+       (count(*) FILTER (WHERE v > cap))::BIGINT AS n_capped
+FROM s JOIN c USING (source) GROUP BY s.source""",
         # cross-snapshot n_tok histogram L1 (total-variation numerator):
         # FULL OUTER join of the two bounded histograms, all integers
         # cross-snapshot vocabulary churn: FULL OUTER join of the two

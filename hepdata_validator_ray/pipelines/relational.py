@@ -1139,40 +1139,110 @@ def docs_ntile(sf_dir: str, n: int = 4) -> "ray.data.Dataset":
     tiles by (n_chars, doc_id) order — SQL NTILE semantics (the first
     cnt % n tiles get one extra row).  Completes the ranking-window family
     (top-k-per-group = rank filter, shuffle_ranks = global row_number,
-    this = ntile).
+    this = ntile).  Ordering key coalesces NULL n_chars to 0 (same on the
+    SQL side).
 
-    One source-keyed exchange; in-bucket the tile assignment is a closed-form
-    vectorized expression over the argsort index — no per-row loop, no second
-    pass.  Ordering key coalesces NULL n_chars to 0 (same on the SQL side)."""
+    A window that ranks EVERY row cannot be a bounded aggregate, but it
+    never needs to co-locate a whole source in one task either (the r3
+    plan's skew hazard: one hot source == one giant task).  Two passes:
+
+    1. one |sources|×|value-domain| histogram exchange (the ntok_mad
+       shape) gives each (source, v) run its START rank (cumulative count
+       of strictly smaller values) and each source its total n; both
+       broadcast as value-domain-bounded dicts via ``ray.put``;
+    2. one row-scale exchange hash-bucketed on the packed ``source|v`` key
+       co-locates exactly the rows that still contend (equal values); each
+       bucket mergesorts by (key, doc_id), assigns segment ordinals with
+       run-length arithmetic, and rank = start + ordinal feeds the
+       closed-form tile — no driver row ever, no cross-bucket seam (ranks
+       of distinct values are independent by construction)."""
     import pyarrow as pa
 
-    from hepdata_validator_ray.ops import bucketed_aggregate
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+    from ray.data.aggregate import Count
 
-    def combine(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["n_chars"] = df["n_chars"].fillna(0).astype("int64")
-        df = df.sort_values(["source", "n_chars", "doc_id"], kind="mergesort").reset_index(drop=True)
-        cnt = df.groupby("source")["doc_id"].transform("size").to_numpy()
-        idx = df.groupby("source").cumcount().to_numpy()
+    hist = (
+        ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["source", "n_chars"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.coalesce(pc.cast(t["n_chars"], pa.int64()), pa.scalar(0, pa.int64())),
+                ],
+                names=["skey", "v"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["skey", "v"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # |sources| × |value domain|, bounded
+    )
+    starts: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for src, grp in hist.groupby("skey", sort=True):
+        grp = grp.sort_values("v")
+        c = grp["c"].to_numpy(np.int64)
+        run_starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+        for v, s in zip(grp["v"].to_numpy(np.int64), run_starts):
+            starts[f"{src}|{v}"] = int(s)
+        ns[src] = int(c.sum())
+    maps_ref = ray.put((starts, ns))
+
+    def project(t: pa.Table) -> pa.Table:
+        skey = pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string()))
+        v = pc.coalesce(pc.cast(t["n_chars"], pa.int64()), pa.scalar(0, pa.int64()))
+        out = pa.Table.from_arrays(
+            [
+                pc.cast(t["doc_id"], pa.int64()),
+                t["source"],
+                pc.binary_join_element_wise(skey, pc.cast(v, pa.string()), "|"),
+                skey,
+            ],
+            names=["doc_id", "source", "key", "skey"],
+        )
+        return with_bucket(out, "key", nb)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                    "tile": pd.Series(dtype="int64"),
+                }
+            )
+        smap, nmap = ray.get(maps_ref)
+        df = df.sort_values(["key", "doc_id"], kind="mergesort").reset_index(drop=True)
+        key = df["key"].to_numpy(dtype=object)
+        seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ordinal = np.arange(len(df), dtype=np.int64) - np.repeat(seg, np.diff(np.r_[seg, len(df)]))
+        start = df["key"].map(smap).to_numpy(np.int64)
+        cnt = df["skey"].map(nmap).to_numpy(np.int64)
+        r = start + ordinal  # 0-based within-source rank, globally exact
         base = cnt // n  # small-tile size (0 when cnt < n)
         rem = cnt % n
         boundary = rem * (base + 1)  # rows in the one-extra tiles
         tile = np.where(
-            idx < boundary,
-            idx // (base + 1),
-            rem + (idx - boundary) // np.maximum(base, 1),
+            r < boundary,
+            r // (base + 1),
+            rem + (r - boundary) // np.maximum(base, 1),
         )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype("int64"),
                 "source": df["source"],
                 "tile": (tile + 1).astype("int64"),  # SQL NTILE is 1-based
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     ds = ray.data.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
-    return bucketed_aggregate(ds, "source", None, combine, num_buckets=8)
+    nb = derive_num_buckets(ds, target_rows_per_bucket=2_000_000, lo=8)
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def docs_rank_windows(sf_dir: str) -> "ray.data.Dataset":

@@ -2250,3 +2250,74 @@ def file_compaction_plan(seq_path: str) -> "ray.data.Dataset":
     spans["group_size"] = sizes
     out = spans[["file", "merge_group", "group_size"]].sort_values("file").reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def winsorized_token_stats(seq_path: str, q: float = 0.99) -> "ray.data.Dataset":
+    """Per-source winsorized token totals: raw sum, the sum with n_tok
+    capped at the source's discrete q-quantile, and how many rows the cap
+    touched — the heavy-tail-robust budget a mixture planner uses when a
+    few pathological documents would otherwise own a source's token count.
+
+    Everything comes from ONE |sources|×|length-domain| histogram exchange
+    (the ks_drift / ntok_mad shape): the cap is the value at 1-based rank
+    ceil(q·n) of the cumulative counts (the pinned quantile_disc
+    convention, q·n in the same IEEE double on both engines), and the
+    winsorized sum is Σ min(v, cap)·c over the SAME histogram — the corpus
+    is never re-scanned after the cap is known, where a naive two-pass
+    plan would pay a second 100-TB read.
+
+    Output (source, n, sum_tok, wsum_tok, n_capped), all int64."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(t["n_tok"], pa.int64()),
+                ],
+                names=["source", "v"],
+            ).filter(pc.is_valid(pc.cast(t["n_tok"], pa.int64()))),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "v"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # |sources| × |length domain|, bounded
+    )
+    rows = []
+    for src, grp in hist.groupby("source", sort=True):
+        grp = grp.sort_values("v")
+        v = grp["v"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        rank = max(int(np.ceil(q * n)), 1)  # 1-based disc-quantile rank
+        cap = np.int64(v[np.searchsorted(cum, rank)])
+        over = v > cap
+        rows.append(
+            {
+                "source": src,
+                "n": n,
+                "sum_tok": int((v * c).sum()),
+                "wsum_tok": int((np.minimum(v, cap) * c).sum()),
+                "n_capped": int(c[over].sum()),
+            }
+        )
+    if not rows:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "sum_tok": pd.Series(dtype="int64"),
+                    "wsum_tok": pd.Series(dtype="int64"),
+                    "n_capped": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype(
+            {"n": "int64", "sum_tok": "int64", "wsum_tok": "int64", "n_capped": "int64"}
+        )
+    )

@@ -2137,3 +2137,32 @@ def test_fertility_histogram_conventions(tmp_path, ray_session):
     assert int(got.loc[("s", 13), "n_docs"]) == 1
     assert int(got.loc[("<NULL>", 20), "n_docs"]) == 1  # 'xy': 20//1
     assert int(got["n_docs"].sum()) == 3  # NULL text dropped
+
+
+def test_winsorized_token_stats_conventions(tmp_path, ray_session):
+    """Cap = discrete 0.99-quantile (1-based rank ceil(q*n)); capped sum
+    uses min(v, cap); NULL n_tok dropped, NULL source keys '<NULL>'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import winsorized_token_stats
+
+    # source s: values 1..10 -> with q=0.5, rank ceil(5)=5 -> cap=5
+    tbl = pa.table(
+        {
+            "source": pa.array(["s"] * 10 + [None, None], pa.string()),
+            "n_tok": pa.array(list(range(1, 11)) + [7, None], pa.int64()),
+        }
+    )
+    path = tmp_path / "sequences.parquet"
+    pq.write_table(tbl, path)
+    got = winsorized_token_stats(str(path), q=0.5).to_pandas().set_index("source")
+    assert int(got.loc["s", "n"]) == 10
+    assert int(got.loc["s", "sum_tok"]) == 55
+    # cap 5: 1+2+3+4+5 + 5*5 = 40; 5 rows above the cap
+    assert int(got.loc["s", "wsum_tok"]) == 40
+    assert int(got.loc["s", "n_capped"]) == 5
+    # NULL source bucket: single non-null value, cap=7, nothing capped
+    assert int(got.loc["<NULL>", "n"]) == 1
+    assert int(got.loc["<NULL>", "wsum_tok"]) == 7
+    assert int(got.loc["<NULL>", "n_capped"]) == 0
