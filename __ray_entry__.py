@@ -1692,6 +1692,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         # winsorized token budget: cap + capped sums from ONE histogram
         "v_winsorized_tokens": lambda sf: validation.winsorized_token_stats(_seq(sf)),
+        # wrong-typed contract column (documents.doc_id is int64) becomes
+        # per-row column_type violations, never a crashed job
+        "v_doc_coltype": lambda sf: validation.violation_counts(f"{sf}/documents.parquet"),
+        # PSI drift over reference-decile buckets (old snapshot = reference)
+        "v_snapshot_psi": lambda sf: validation.snapshot_psi(
+            _seq(sf),
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+        ),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
             _seq(sf),
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
@@ -2958,6 +2966,16 @@ SELECT s.source, count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_tok,
        sum(least(v, cap))::BIGINT AS wsum_tok,
        (count(*) FILTER (WHERE v > cap))::BIGINT AS n_capped
 FROM s JOIN c USING (source) GROUP BY s.source""",
+        # the type-gate twin: every row of a wrong-typed column violates
+        # `column_type`; the enum check still runs on the well-typed source
+        # column; zero-count checks are absent on both engines
+        "v_doc_coltype": """
+SELECT * FROM (
+  SELECT 'column_type' AS check_name, count(*)::BIGINT AS n FROM documents
+  UNION ALL
+  SELECT 'source_membership', count(*)::BIGINT FROM documents
+  WHERE source IS NULL OR source NOT IN ('web', 'books', 'code', 'wiki', 'news')
+) WHERE n > 0""",
         # cross-snapshot n_tok histogram L1 (total-variation numerator):
         # FULL OUTER join of the two bounded histograms, all integers
         # cross-snapshot vocabulary churn: FULL OUTER join of the two
@@ -3073,6 +3091,41 @@ j AS (SELECT coalesce(ho.s, hn.s) AS source,
 SELECT source, sum(co)::BIGINT AS n_old, sum(cn)::BIGINT AS n_new,
        sum(abs(co - cn))::BIGINT AS l1
 FROM j GROUP BY source""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
+        # PSI over old-snapshot decile buckets: edges = quantile_disc
+        # (the pinned ceil(q*n) rank rule), bucket = #edges strictly below
+        # v, one-sided-empty buckets surfaced not epsilon'd, psi spelled
+        # exactly as the engine's float expression
+        "v_snapshot_psi": f"""
+WITH o AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL),
+nn AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+       FROM read_parquet('{{shifted}}') WHERE n_tok IS NOT NULL),
+e AS (SELECT source, quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM o GROUP BY source),
+ob AS (SELECT o.source, len(list_filter(e.edges, x -> o.v > x)) AS b
+       FROM o JOIN e USING (source)),
+nb AS (SELECT nn.source, len(list_filter(e.edges, x -> nn.v > x)) AS b
+       FROM nn JOIN e USING (source)),
+oc AS (SELECT source, b, count(*)::BIGINT AS co FROM ob GROUP BY ALL),
+nc AS (SELECT source, b, count(*)::BIGINT AS cn FROM nb GROUP BY ALL),
+j AS (SELECT coalesce(oc.source, nc.source) AS source,
+             coalesce(oc.co, 0)::BIGINT AS co, coalesce(nc.cn, 0)::BIGINT AS cn
+      FROM oc FULL OUTER JOIN nc ON oc.source = nc.source AND oc.b = nc.b),
+t AS (SELECT source, sum(co)::BIGINT AS n_old, sum(cn)::BIGINT AS n_new
+      FROM j GROUP BY source)
+SELECT j.source, t.n_old, t.n_new,
+       (count(*) FILTER (WHERE (co = 0) != (cn = 0)))::BIGINT AS n_zero_buckets,
+       coalesce(sum(CASE WHEN co > 0 AND cn > 0 THEN
+         ((cn::DOUBLE / t.n_new) - (co::DOUBLE / t.n_old))
+           * ln((cn::DOUBLE / t.n_new) / (co::DOUBLE / t.n_old))
+         ELSE 0.0 END), 0.0) AS psi
+FROM j JOIN t USING (source) GROUP BY j.source, t.n_old, t.n_new""".replace(
             "{shifted}",
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
                 "/root/testdata/sf0.01"

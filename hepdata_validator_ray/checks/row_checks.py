@@ -24,19 +24,82 @@ from hepdata_validator_ray.checks.base import Check, CheckContext, CheckResult, 
 _EMPTY = CheckResult(np.empty(0, dtype=np.int64), [])
 
 
+def _is_stringish(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _is_int_list(t: pa.DataType) -> bool:
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_integer(t.value_type)
+
+
+#: expected Arrow type family per contract column: (predicate, canonical
+#: type to coerce benign encodings into, jsonschema 'type' word).  A column
+#: failing its predicate is EXCLUDED from the view (its kernels would crash
+#: on the wrong physical type) and every row reports a `column_type` schema
+#: violation — a validator must turn a drifted shard into violation rows,
+#: never into an aborted job.
+_COLUMN_TYPE_SPECS: dict = {
+    "doc_id": (_is_stringish, pa.string(), "string"),
+    "tokens": (_is_int_list, pa.list_(pa.int64()), "array of integers"),
+    "n_tok": (pa.types.is_integer, pa.int64(), "integer"),
+    "source": (_is_stringish, pa.string(), "string"),
+}
+
+
+def _coerce_column(col: pa.Array, canonical: pa.DataType) -> pa.Array | None:
+    """Losslessly normalize benign physical encodings (dictionary-encoded
+    strings, all-null untyped columns) to the canonical type; None when the
+    column is genuinely wrong-typed."""
+    t = col.type
+    if pa.types.is_null(t) or (pa.types.is_dictionary(t) and not pa.types.is_dictionary(canonical)):
+        try:
+            return col.cast(canonical)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+    return None
+
+
 def prepare_view(batch: pa.Table) -> dict:
     """Compute shared per-batch views once: flattened token buffer, offsets,
-    list lengths, numpy casts.  All zero-copy or O(batch) numpy ops."""
+    list lengths, numpy casts.  All zero-copy or O(batch) numpy ops.
+
+    Contract columns with the wrong physical type are diverted into
+    ``view["wrong_type"]`` (column → actual type string) instead of being
+    built — the ``column_type`` check turns them into per-row violations
+    and the stage skips every kernel that needs them."""
     batch = batch.combine_chunks()
     view: dict = {"n": batch.num_rows, "batch": batch}
 
-    if "doc_id" in batch.column_names:
+    wrong: dict[str, str] = {}
+    coerced: dict[str, pa.Array] = {}
+    for col_name, (pred, canonical, _expected) in _COLUMN_TYPE_SPECS.items():
+        if col_name not in batch.column_names:
+            continue
+        col = batch.column(col_name)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pred(col.type):
+            continue
+        fixed = _coerce_column(col, canonical)
+        if fixed is not None:
+            coerced[col_name] = fixed
+        else:
+            wrong[col_name] = str(col.type)
+    if wrong:
+        view["wrong_type"] = wrong
+    if coerced:
+        batch = pa.Table.from_arrays(
+            [coerced.get(name, batch.column(name)) for name in batch.column_names],
+            names=batch.column_names,
+        ).combine_chunks()
+        view["batch"] = batch
+
+    if "doc_id" in batch.column_names and "doc_id" not in wrong:
         doc = batch.column("doc_id")
         doc = doc.combine_chunks() if isinstance(doc, pa.ChunkedArray) else doc
         view["doc_id"] = doc
         view["doc_null"] = pc.is_null(doc).to_numpy(zero_copy_only=False)
 
-    if "tokens" in batch.column_names:
+    if "tokens" in batch.column_names and "tokens" not in wrong:
         toks = batch.column("tokens")
         toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -56,18 +119,27 @@ def prepare_view(batch: pa.Table) -> dict:
             # flatten() drops null entries' values → offsets above stay aligned
             view["flat"] = toks.flatten().to_numpy(zero_copy_only=False)
 
-    if "n_tok" in batch.column_names:
+    if "n_tok" in batch.column_names and "n_tok" not in wrong:
         ntk = batch.column("n_tok")
         ntk = ntk.combine_chunks() if isinstance(ntk, pa.ChunkedArray) else ntk
         view["n_tok_null"] = pc.is_null(ntk).to_numpy(zero_copy_only=False)
         view["n_tok"] = ntk.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    if "source" in batch.column_names:
+    if "source" in batch.column_names and "source" not in wrong:
         src = batch.column("source")
         src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
         view["source"] = src
 
     return view
+
+
+def runnable_checks(checks, batch: pa.Table, view: dict) -> list:
+    """The subset of ``checks`` whose input columns are present AND
+    correctly typed in this batch — the gate every direct check-iteration
+    site must apply (CheckStage applies it inline); a skipped kernel is a
+    missing-column/wrong-type verdict elsewhere, never a crash here."""
+    usable = set(batch.column_names) - set(view.get("wrong_type") or ())
+    return [c for c in checks if all(col in usable for col in c.columns)]
 
 
 def _segment_any(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -103,6 +175,25 @@ def _result(idx: np.ndarray, details: list[str], level: str = "error") -> CheckR
 # ---------------------------------------------------------------------------
 # Schema-keyword checks (P1/P2 family — jsonschema type/pattern/enum/minimum)
 # ---------------------------------------------------------------------------
+
+def check_column_type(v: dict, ctx: CheckContext) -> CheckResult:
+    # ≙ the jsonschema `type` keyword at the column level: a contract
+    # column whose physical Arrow type is wrong fails EVERY row of the
+    # batch (the reference would error each document individually); the
+    # stage additionally skips all kernels that need the column, so the
+    # wrong type yields violation rows instead of an aborted job
+    wrong = v.get("wrong_type")
+    if not wrong or not v["n"]:
+        return _EMPTY
+    n = v["n"]
+    idxs: list[np.ndarray] = []
+    details: list[str] = []
+    for col in sorted(wrong):
+        msg = M.msg_wrong_type(wrong[col], _COLUMN_TYPE_SPECS[col][2], col)
+        idxs.append(np.arange(n, dtype=np.int64))
+        details.extend([msg] * n)
+    return _result(np.concatenate(idxs), details)
+
 
 def check_doc_id_non_null(v: dict, ctx: CheckContext) -> CheckResult:
     # ≙ required/type keyword: "None is not of type 'string'"
@@ -334,6 +425,8 @@ def one_of(name: str, branches: list[Check], min_version: str = "0.1.0") -> Chec
 # ---------------------------------------------------------------------------
 
 DEFAULT_ROW_CHECKS: list[Check] = [
+    # columns=() — always runs; it reads only the wrong_type view entry
+    Check("column_type", check_column_type, kind="schema", columns=()),
     Check("doc_id_non_null", check_doc_id_non_null, kind="schema", columns=("doc_id",)),
     Check("doc_id_format", check_doc_id_format, kind="schema", columns=("doc_id",)),
     Check("doc_id_max_length", check_doc_id_max_length, kind="schema", columns=("doc_id",)),

@@ -295,7 +295,9 @@ class CheckStage:
             batch = batch.drop_columns(["path"])
         view = prepare_view(batch)
         n = view["n"]
-        present = set(batch.column_names)
+        # wrong-typed contract columns are absent from the view (their
+        # kernels would crash); the column_type check reports them per-row
+        present = set(batch.column_names) - set(view.get("wrong_type") or ())
 
         # ---- run checks (vectorized) ----------------------------------
         out_idx: list[np.ndarray] = []
@@ -592,6 +594,20 @@ def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray
     return grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
 
 
+def _dup_member_count(ds: "ray.data.Dataset", num_buckets: int = 64) -> int:
+    """Total rows carrying a non-unique doc_id, as ONE distributed Sum over
+    the collapsed (doc_id, cnt) dup-class table — the driver receives a
+    single int, never the class list (at an adversarial dup rate the class
+    table is corpus-scale)."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    classes = grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
+    agg = classes.aggregate(Sum("cnt", alias_name="n_dup"))
+    return int(agg["n_dup"] or 0)
+
+
 def _merge_sketch_batch(batch: pa.Table) -> pa.Table:
     """Merge all sketch payload rows in a batch into one row (per partition
     set) — a tree-reduce step."""
@@ -662,19 +678,17 @@ class ValidationEngine:
         res = self._postprocess_mixed(mixed, chunk_index=0, out_dir=None)
         wall = time.perf_counter() - t0
         total_violations = res["n_violations"]
-        dup_df = None
         # degrade like CheckStage does for missing columns: no doc_id
         # column → dup check skipped (the required-column sweep reports
         # it), not an opaque crash at execution
         has_doc_id = any(f == "doc_id" for f in ds.schema().names)
         if cfg.dup_check and has_doc_id:
-            from hepdata_validator_ray.ops import grouped_value_counts
-
-            dup_df = grouped_value_counts(ds.select_columns(["doc_id"]), "doc_id", min_count=2).to_pandas()
             # n_dup counts ALL members of each duplicate group (the synth
             # ground truth, oracles and verdicts share this convention:
-            # every row carrying a non-unique id is in violation)
-            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            # every row carrying a non-unique id is in violation); the
+            # dup-class table is summed DISTRIBUTED — it never lands on
+            # the driver (adversarial dup rates make it corpus-scale)
+            n_dup = _dup_member_count(ds.select_columns(["doc_id"]))
             if n_dup:
                 res["violation_counts"]["doc_id_duplicates"] = n_dup
                 total_violations += n_dup
@@ -870,12 +884,8 @@ class ValidationEngine:
         except Exception:
             bundle_has_doc_id = False
         if cfg.dup_check and bundle_has_doc_id:
-            from hepdata_validator_ray.ops import grouped_value_counts
-
-            dup_df = grouped_value_counts(
-                ray.data.read_parquet(bundle_path, columns=["doc_id"]), "doc_id", min_count=2
-            ).to_pandas()
-            n_dup = int(dup_df["cnt"].sum()) if len(dup_df) else 0
+            # distributed sum over the dup-class table (never driver-resident)
+            n_dup = _dup_member_count(ray.data.read_parquet(bundle_path, columns=["doc_id"]))
             if n_dup:
                 res["violation_counts"]["doc_id_duplicates"] = n_dup
                 total_violations += n_dup

@@ -78,6 +78,19 @@ def msg_non_null(field: str, expected: Mapping | None = None) -> str:
     return format_message(f"None is not of type 'string'", [field], expected)
 
 
+def msg_wrong_type(actual_type: str, expected: str, field: str) -> str:
+    # jsonschema draft type message, lifted to the columnar setting: every
+    # row of a wrong-typed column violates, and the detail names the
+    # column's PHYSICAL Arrow type rather than repr-ing each value (one
+    # shared string per column per batch — O(1) formatting however dirty
+    # the shard)
+    return format_message(
+        f"value of Arrow type '{actual_type}' is not of type '{expected}'",
+        [field],
+        {"type": expected},
+    )
+
+
 def msg_pattern(value: str, pattern: str, field: str) -> str:
     # jsonschema draft: "'<value>' does not match '<pattern>'"
     return format_message(f"{value!r} does not match {pattern!r}", [field], {"pattern": pattern})

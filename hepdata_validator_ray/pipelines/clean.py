@@ -20,15 +20,18 @@ import ray
 import ray.data
 
 from hepdata_validator_ray.checks.base import CheckContext
-from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view, runnable_checks
 from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
 def failing_row_mask(batch: pa.Table, ctx: CheckContext) -> np.ndarray:
-    """True where the row fails ANY active row-local check."""
+    """True where the row fails ANY active row-local check.  Checks whose
+    columns are absent or wrong-typed are skipped (the column_type check
+    still fails every row of a wrong-typed column, so drifted shards are
+    cleaned OUT, not crashed on)."""
     view = prepare_view(batch)
     bad = np.zeros(batch.num_rows, dtype=bool)
-    for check in DEFAULT_ACTIVE_CHECKS:
+    for check in runnable_checks(DEFAULT_ACTIVE_CHECKS, batch, view):
         res = check.fn(view, ctx)
         if len(res.indices):
             bad[res.indices] = True

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from hepdata_validator_ray.checks.base import CheckContext
-from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view
+from hepdata_validator_ray.checks.row_checks import DEFAULT_ACTIVE_CHECKS, prepare_view, runnable_checks
 from hepdata_validator_ray.engine import duplicate_ids_dataset
 
 
@@ -30,7 +30,7 @@ def _violation_pairs_batch(batch: pa.Table, ctx: CheckContext, checks=None) -> p
     doc = view.get("doc_id")
     ids: list = []
     names_out: list[str] = []
-    for check in (DEFAULT_ACTIVE_CHECKS if checks is None else checks):
+    for check in runnable_checks(DEFAULT_ACTIVE_CHECKS if checks is None else checks, batch, view):
         res = check.fn(view, ctx)
         if len(res.indices):
             vals = doc.take(pa.array(res.indices)).to_pylist() if doc is not None else [None] * len(res.indices)
@@ -67,7 +67,7 @@ def violation_counts(seq_path: str, ctx: CheckContext | None = None) -> "ray.dat
     def partial(batch: pa.Table) -> pa.Table:
         view = prepare_view(batch)
         names, counts = [], []
-        for check in DEFAULT_ACTIVE_CHECKS:
+        for check in runnable_checks(DEFAULT_ACTIVE_CHECKS, batch, view):
             res = check.fn(view, ctx)
             if len(res.indices):
                 names.append(check.name)
@@ -98,11 +98,12 @@ def bundle_violations_by_table(bundle_path: str, ctx: CheckContext | None = None
     def partial(batch: pa.Table) -> pa.Table:
         tags = batch.column("table")
         tags_np = np.asarray(tags.to_numpy(zero_copy_only=False))
-        view = prepare_view(batch.drop_columns(["table"]))
+        inner = batch.drop_columns(["table"])
+        view = prepare_view(inner)
         out_tab: list = []
         out_check: list[str] = []
         out_n: list[int] = []
-        for check in DEFAULT_ACTIVE_CHECKS:
+        for check in runnable_checks(DEFAULT_ACTIVE_CHECKS, inner, view):
             res = check.fn(view, ctx)
             if len(res.indices):
                 u, c = np.unique(tags_np[res.indices], return_counts=True)
@@ -203,11 +204,12 @@ def violations_by_partition(seq_path: str, ctx: CheckContext | None = None) -> "
         enc = pc.dictionary_encode(paths.combine_chunks() if isinstance(paths, pa.ChunkedArray) else paths)
         codes = enc.indices.to_numpy(zero_copy_only=False)
         uniq = enc.dictionary.to_pylist()
-        view = prepare_view(batch.drop_columns(["path"]))
+        inner = batch.drop_columns(["path"])
+        view = prepare_view(inner)
         parts: list[str] = []
         checks: list[str] = []
         ns: list[int] = []
-        for check in DEFAULT_ACTIVE_CHECKS:
+        for check in runnable_checks(DEFAULT_ACTIVE_CHECKS, inner, view):
             res = check.fn(view, ctx)
             if len(res.indices):
                 cnt = np.bincount(codes[res.indices], minlength=len(uniq))
@@ -2319,5 +2321,115 @@ def winsorized_token_stats(seq_path: str, q: float = 0.99) -> "ray.data.Dataset"
     return ray.data.from_pandas(
         pd.DataFrame(rows).astype(
             {"n": "int64", "sum_tok": "int64", "wsum_tok": "int64", "n_capped": "int64"}
+        )
+    )
+
+
+def snapshot_psi(old_path: str, new_path: str, deciles: int = 9) -> "ray.data.Dataset":
+    """Population Stability Index between two snapshots' per-source n_tok
+    distributions — the industry drift gate (PSI < 0.1 stable, > 0.25
+    action) that complements the exact-integer L1 (`snapshot_length_drift`)
+    and the KS / chi² legs with the score operators actually page on.
+
+    Bucketing follows the PSI convention: bin edges are the OLD (reference)
+    snapshot's per-source deciles — disc-quantiles at q = 1/10 .. 9/10
+    under the pinned 1-based-rank-ceil(q·n) convention (== DuckDB
+    quantile_disc, verified across sizes); bucket(v) = #edges strictly
+    below v, so buckets cover ±∞ and every row lands somewhere.  Sources
+    with no OLD rows have no reference bins and are excluded (the vocab
+    churn op reports them).  A bucket empty on exactly one side would make
+    a PSI term infinite — those are EXCLUDED from the sum and surfaced in
+    ``n_zero_buckets`` (refusal-made-visible, never a silent epsilon).
+
+    psi is the ONE float: per bucket ``(pn − po) * ln(pn / po)`` with
+    pn = cn/n_new, po = co/n_old — spelled identically in the SQL twin
+    (the TfIdf ln-parity convention; the 6-sig-digit gate hash absorbs
+    sum-order ulps).
+
+    Scale shape: everything derives from the two |sources|×|length-domain|
+    histogram exchanges (the snapshot_length_drift shape) — bucketing is
+    driver arithmetic over the bounded histograms, weighted by their
+    counts; the corpora are never re-read.
+
+    Output (source, n_old, n_new, n_zero_buckets, psi)."""
+    from ray.data.aggregate import Count
+
+    def hist(path: str) -> pd.DataFrame:
+        return (
+            ray.data.read_parquet(path, columns=["source", "n_tok"])
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                        pc.cast(t["n_tok"], pa.int64()),
+                    ],
+                    names=["source", "v"],
+                ).filter(pc.is_valid(pc.cast(t["n_tok"], pa.int64()))),
+                batch_format="pyarrow",
+            )
+            .groupby(["source", "v"])
+            .aggregate(Count(alias_name="c"))
+            .to_pandas()  # |sources| × |length domain|, bounded
+        )
+
+    ho = hist(old_path)
+    hn = hist(new_path)
+    out_rows = []
+    qs = [(i + 1) / 10 for i in range(deciles)]
+    for src, grp in ho.groupby("source", sort=True):
+        grp = grp.sort_values("v")
+        v = grp["v"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n_old = int(c.sum())
+        cum = np.cumsum(c)
+        edges = np.array(
+            [v[np.searchsorted(cum, max(int(np.ceil(q * n_old)), 1))] for q in qs],
+            dtype=np.int64,
+        )
+        # bucket(v) = #edges strictly below v: searchsorted(side='left')
+        # returns the index of the first edge >= v == the count of edges
+        # < v, duplicates-safe — the same count the SQL twin's
+        # list_filter(edges, e -> v > e) yields; weighted by the histogram
+        # count, buckets 0..deciles cover the whole line
+        co = np.zeros(deciles + 1, dtype=np.int64)
+        np.add.at(co, np.searchsorted(edges, v, side="left"), c)
+        gn = hn[hn["source"] == src]
+        cn = np.zeros(deciles + 1, dtype=np.int64)
+        if len(gn):
+            nv = gn["v"].to_numpy(np.int64)
+            nc = gn["c"].to_numpy(np.int64)
+            np.add.at(cn, np.searchsorted(edges, nv, side="left"), nc)
+        n_new = int(cn.sum())
+        both = (co > 0) & (cn > 0)
+        n_zero = int(((co > 0) != (cn > 0)).sum())
+        psi = 0.0
+        if n_new > 0 and both.any():
+            po = co[both] / n_old
+            pn = cn[both] / n_new
+            psi = float(np.sum((pn - po) * np.log(pn / po)))
+        out_rows.append(
+            {
+                "source": src,
+                "n_old": n_old,
+                "n_new": n_new,
+                "n_zero_buckets": n_zero,
+                "psi": psi,
+            }
+        )
+    if not out_rows:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="object"),
+                    "n_old": pd.Series(dtype="int64"),
+                    "n_new": pd.Series(dtype="int64"),
+                    "n_zero_buckets": pd.Series(dtype="int64"),
+                    "psi": pd.Series(dtype="float64"),
+                }
+            )
+        )
+    return ray.data.from_pandas(
+        pd.DataFrame(out_rows).astype(
+            {"n_old": "int64", "n_new": "int64", "n_zero_buckets": "int64", "psi": "float64"}
         )
     )

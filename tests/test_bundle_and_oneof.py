@@ -47,6 +47,10 @@ def test_validate_bundle_split_write(tmp_path):
     assert total == 2000
 
 
+def _check_by_name(name: str):
+    return next(c for c in DEFAULT_ROW_CHECKS if c.name == name)
+
+
 def _mini_batch():
     return pa.table(
         {
@@ -63,7 +67,7 @@ def test_any_of_reports_single_best_error():
     chosen by relevance (deeper column path wins) — by_relevance semantics
     (__init__.py:116-121)."""
     comp = any_of("id_or_nonempty", [
-        DEFAULT_ROW_CHECKS[1],  # doc_id_format (columns=('doc_id',))
+        _check_by_name("doc_id_format"),  # columns=('doc_id',)
         Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
     ])
     ctx = CheckContext()
@@ -82,7 +86,7 @@ def test_one_of_is_strict_xor():
     under exactly one passes; a row valid under none gets the best
     sub-error."""
     comp = one_of("id_xor_nonempty", [
-        DEFAULT_ROW_CHECKS[1],  # doc_id_format
+        _check_by_name("doc_id_format"),
         Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
     ])
     ctx = CheckContext()
@@ -113,7 +117,7 @@ def test_compound_in_suite_via_engine():
     import ray.data
 
     comp = any_of("id_or_nonempty", [
-        DEFAULT_ROW_CHECKS[1],
+        _check_by_name("doc_id_format"),
         Check("tokens_not_empty", check_tokens_not_empty, kind="semantic", columns=("tokens", "n_tok")),
     ])
     suite = CheckSuite(name="compound_suite", checks=[comp])

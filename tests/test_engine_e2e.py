@@ -67,8 +67,9 @@ def test_verdicts_per_partition(result):
     res, _ = result
     v = res.verdicts
     assert set(v.columns) == {"partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"}
-    # 4 files × (10 row checks + 1 partition-level padding-limit check)
-    assert len(v) == 44
+    # 4 files × (11 row checks incl. column_type + 1 partition-level
+    # padding-limit check)
+    assert len(v) == 48
     assert v.groupby("partition_id").n_rows.first().sum() == N
     # every check with ground-truth violations fails in at least one partition;
     # the padding-limit check passes (1 all-padding row per file ≤ limit 1)
@@ -345,7 +346,7 @@ def test_verdicts_parquet_written(result):
 
     _, out = result
     t = pq.read_table(out / "verdicts" / "verdicts.parquet")
-    assert t.num_rows == 44
+    assert t.num_rows == 48
     assert set(t.column_names) == {"partition_id", "check_name", "passed", "n_rows", "n_violations", "detail"}
 
 

@@ -56,7 +56,7 @@ def test_registry_and_cli_suite_lookup():
     from hepdata_validator_ray.checks.base import get_check_suite
 
     s = get_check_suite("sequence_default")
-    assert len(s.checks) == 10
+    assert len(s.checks) == 11  # incl. the column_type gate
     s0 = get_check_suite("sequence_default@0.1.0")
     assert len(s0.checks) < len(s.checks)
     # unsupported-schema error shape (≙ UnsupportedDataSchemaException,

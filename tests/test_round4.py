@@ -2166,3 +2166,130 @@ def test_winsorized_token_stats_conventions(tmp_path, ray_session):
     assert int(got.loc["<NULL>", "n"]) == 1
     assert int(got.loc["<NULL>", "wsum_tok"]) == 7
     assert int(got.loc["<NULL>", "n_capped"]) == 0
+
+
+def _wrong_type_table():
+    import pyarrow as pa
+
+    # doc_id int64 (wrong: expect string), n_tok string (wrong: expect
+    # integer), tokens + source correct
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "tokens": pa.array([[1, 2], [3], [4, 5]], pa.list_(pa.int32())),
+            "n_tok": pa.array(["2", "1", "2"], pa.string()),
+            "source": pa.array(["web", "web", "books"], pa.string()),
+        }
+    )
+
+
+def test_wrong_typed_columns_become_violations_not_crashes(tmp_path, ray_session):
+    """A shard whose contract columns drifted to the wrong physical type
+    must yield per-row column_type violations — never an aborted job
+    (the r3 crash: match_substring_regex on int64 doc_id)."""
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.engine import ValidationEngine
+
+    pq.write_table(_wrong_type_table(), tmp_path / "part-0.parquet")
+    res = ValidationEngine().validate(str(tmp_path))
+    assert not res.valid
+    # 3 rows x 2 wrong columns
+    assert res.violation_counts["column_type"] == 6
+    # kernels over the wrong columns were skipped, not crashed: no
+    # doc_id_format / n_tok_non_negative rows
+    assert "doc_id_format" not in res.violation_counts
+    assert "n_tok_non_negative" not in res.violation_counts
+    # well-typed columns still checked (token checks ran)
+    assert res.n_rows == 3
+
+
+def test_wrong_type_message_grammar():
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.checks.row_checks import check_column_type, prepare_view
+
+    view = prepare_view(_wrong_type_table())
+    assert view["wrong_type"] == {"doc_id": "int64", "n_tok": "string"}
+    res = check_column_type(view, CheckContext())
+    assert len(res.indices) == 6
+    assert (
+        res.details[0]
+        == "value of Arrow type 'int64' is not of type 'string' in 'doc_id' (expected: {'type': 'string'})"
+    )
+
+
+def test_benign_encodings_are_coerced_not_flagged(ray_session):
+    """Dictionary-encoded strings and all-null untyped columns are valid
+    physical spellings of the contract types — they coerce, not flag."""
+    import pyarrow as pa
+
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.checks.row_checks import prepare_view
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()).dictionary_encode(),
+            "n_tok": pa.array([None, None], pa.null()),
+        }
+    )
+    view = prepare_view(t)
+    assert "wrong_type" not in view
+    assert view["n_tok_null"].all()
+    assert view["doc_id"].type == pa.string()
+
+
+def test_clean_sequences_drops_wrong_typed_rows(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.clean import clean_sequences
+
+    pq.write_table(_wrong_type_table(), tmp_path / "part-0.parquet")
+    out = clean_sequences(str(tmp_path / "part-0.parquet")).to_pandas()
+    assert len(out) == 0  # every row fails column_type
+
+
+def test_snapshot_psi_conventions(tmp_path, ray_session):
+    """Edges from OLD deciles; new-only sources excluded; one-sided-empty
+    buckets surfaced in n_zero_buckets, not epsilon'd; identical snapshots
+    give psi == 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import snapshot_psi
+
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    # source s: old values 1..100; new values shifted up by 50
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s"] * 100 + ["old_only"], pa.string()),
+                "n_tok": pa.array(list(range(1, 101)) + [7], pa.int64()),
+            }
+        ),
+        old,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["s"] * 100 + ["new_only"], pa.string()),
+                "n_tok": pa.array(list(range(51, 151)) + [7], pa.int64()),
+            }
+        ),
+        new,
+    )
+    got = snapshot_psi(str(old), str(new)).to_pandas().set_index("source")
+    assert "new_only" not in got.index  # no reference bins
+    assert "old_only" in got.index  # reference exists, new side empty
+    assert int(got.loc["old_only", "n_new"]) == 0
+    # old_only: 1 non-empty old bucket, 0 new -> that bucket is one-sided
+    assert int(got.loc["old_only", "n_zero_buckets"]) == 1
+    s = got.loc["s"]
+    # shift by 50: new mass vacates the low deciles -> buckets 0..4 hold
+    # old-only mass except... at least one one-sided bucket and psi > 0
+    assert float(s["psi"]) > 0.5
+    assert int(s["n_zero_buckets"]) >= 1
+    # identical snapshots -> psi exactly 0, no zero buckets
+    same = snapshot_psi(str(old), str(old)).to_pandas().set_index("source")
+    assert (same["psi"] == 0.0).all()
+    assert (same["n_zero_buckets"] == 0).all()
