@@ -1695,6 +1695,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wrong-typed contract column (documents.doc_id is int64) becomes
         # per-row column_type violations, never a crashed job
         "v_doc_coltype": lambda sf: validation.violation_counts(f"{sf}/documents.parquet"),
+        # collocation mining: top bigrams by PMI (one tagged exchange
+        # carries bigram + unigram counts; marginals broadcast)
+        "v_bigram_pmi_top": lambda sf: validation.bigram_pmi_top(_seq(sf), k=50),
+        # Efraimidis–Spirakis weighted sample without replacement (top-k
+        # of ln(u)/w priorities, u content-derived) — one pass, no shuffle
+        "weighted_priority_sample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).weighted_priority_sample(f"{sf}/documents.parquet"),
         # PSI drift over reference-decile buckets (old snapshot = reference)
         "v_snapshot_psi": lambda sf: validation.snapshot_psi(
             _seq(sf),
@@ -2966,6 +2974,40 @@ SELECT s.source, count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_tok,
        sum(least(v, cap))::BIGINT AS wsum_tok,
        (count(*) FILTER (WHERE v > cap))::BIGINT AS n_capped
 FROM s JOIN c USING (source) GROUP BY s.source""",
+        # PMI twin: identical valid-id / row-boundary conventions as the
+        # bigram oracle, marginals and totals recomputed in SQL, the one
+        # float spelled exactly as the engine kernel
+        "v_bigram_pmi_top": f"""
+WITH tok AS (SELECT unnest(tokens) AS t FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT t::BIGINT AS t, count(*)::BIGINT AS c FROM tok
+      WHERE t >= 0 AND t < {V} GROUP BY 1),
+nu AS (SELECT sum(c)::BIGINT AS nuni FROM u),
+b AS (SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+      FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2),
+cb AS (SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b
+       WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V} GROUP BY 1, 2),
+nb AS (SELECT sum(cnt)::BIGINT AS nbi FROM cb),
+sel AS (SELECT cb.t1, cb.t2, cb.cnt,
+               ln((cb.cnt::DOUBLE / nb.nbi)
+                  / ((u1.c::DOUBLE / nu.nuni) * (u2.c::DOUBLE / nu.nuni))) AS pmi
+        FROM cb, nu, nb
+        JOIN u u1 ON u1.t = cb.t1
+        JOIN u u2 ON u2.t = cb.t2
+        WHERE cb.cnt >= 2)
+SELECT t1, t2, cnt, pmi FROM sel ORDER BY pmi DESC, t1, t2 LIMIT 50""",
+        # A-ES twin: the SAME ln(u)/w double expression (u = (md5-hash64|1)
+        # / 2^64), strict LIMIT deterministic under the (pri DESC, doc_id)
+        # total order; NULL/non-positive weights excluded on both engines
+        "weighted_priority_sample": """
+WITH d AS (
+  SELECT doc_id,
+         n_chars::BIGINT AS w,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT | 1)::DOUBLE
+            / 18446744073709551616.0) / n_chars::BIGINT AS pri
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, w, pri FROM d ORDER BY pri DESC, doc_id LIMIT 50""",
         # the type-gate twin: every row of a wrong-typed column violates
         # `column_type`; the enum check still runs on the well-typed source
         # column; zero-count checks are absent on both engines

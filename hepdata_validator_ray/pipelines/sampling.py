@@ -768,3 +768,65 @@ def shard_skew_forecast(
         )
 
     return agg.map_batches(finale, batch_format="pyarrow")
+
+
+def weighted_priority_sample(
+    docs_path: str,
+    k: int = 50,
+    key: str = "doc_id",
+    weight: str = "n_chars",
+    key_fn: str = "md5",
+) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement via priority
+    sampling (Efraimidis–Spirakis A-ES): every row gets the priority
+    ``ln(u) / w`` with u a content-derived uniform in (0, 1], and the
+    global top-k priorities ARE a weight-proportional sample — the
+    one-pass distributed algorithm for "sample 50 docs proportional to
+    length" that needs no global shuffle, no rejection loop and no state.
+
+    Determinism/parity: u = (hash64(key) | 1) / 2^64 — the bit-or avoids
+    both u = 0 (ln −inf) and the +1 overflow a 2^64−1 hash would hit; the
+    md5 path is DuckDB-recomputable so the SQL twin orders by the SAME
+    double expression (the TfIdf ln-parity convention; selection could
+    flip only if two priorities collide within one ulp AT the k boundary —
+    distinct md5s keep them ~1e-5 apart).  Rows with NULL key / NULL or
+    non-positive weight are excluded on both engines (a weight ≤ 0 has no
+    sampling mass).
+
+    Physical shape: per-batch vectorized partial top-k (argpartition), the
+    driver merges n_batches × k candidate rows — the ANN partial-top-k
+    pattern; the corpus is read column-pruned once.  Output
+    (doc_id, w, pri) sorted by (pri DESC, doc_id), exactly k rows (fewer
+    when the table is smaller)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = pd.to_numeric(df[weight], errors="raise")
+        ok = df[key].notna() & w.notna() & (w > 0)
+        df = df.loc[ok]
+        if not len(df):
+            return pd.DataFrame(
+                {key: pd.Series(dtype="int64"), "w": pd.Series(dtype="int64"), "pri": pd.Series(dtype="float64")}
+            )
+        wv = w.loc[ok].to_numpy(np.int64)
+        h = _hash64(df[key].to_numpy(), key_fn=key_fn) | np.uint64(1)
+        u = h.astype(np.float64) / 2.0**64
+        pri = np.log(u) / wv
+        if len(pri) > k:
+            idx = np.argpartition(-pri, k - 1)[:k]
+        else:
+            idx = np.arange(len(pri))
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[idx],
+                "w": wv[idx],
+                "pri": pri[idx],
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(docs_path, columns=[key, weight])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()  # n_batches × k, bounded
+    )
+    cand = cand.sort_values(["pri", key], ascending=[False, True], kind="mergesort").head(k)
+    return cand.reset_index(drop=True)

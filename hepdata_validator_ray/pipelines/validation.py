@@ -2433,3 +2433,108 @@ def snapshot_psi(old_path: str, new_path: str, deciles: int = 9) -> "ray.data.Da
             {"n_old": "int64", "n_new": "int64", "n_zero_buckets": "int64", "psi": "float64"}
         )
     )
+
+
+def bigram_pmi_top(
+    seq_path: str, k: int = 50, min_count: int = 2, vocab_size: int | None = None
+) -> "ray.data.Dataset":
+    """Top-k token bigrams by pointwise mutual information — the
+    association rescoring that separates COLLOCATIONS from merely-frequent
+    pairs (raw top-bigrams is dominated by frequent-token products;
+    PMI = ln(p(x,y) / (p(x)·p(y))) surfaces pairs that co-occur far above
+    chance — the phrase-mining / tokenizer-merge-candidate signal).
+
+    ONE corpus pass, ONE tagged exchange: the per-batch partial emits
+    bigram keys (t1·V + t2) AND unigram keys offset into V² + t, so both
+    count tables ride the same bucketed sum (valid token ids only, pairs
+    never cross row boundaries — the token_bigrams_top conventions).  The
+    unigram marginals are vocab-bounded → broadcast as ONE int64 array via
+    ``ray.put``; totals are aggregates of the collapsed counts table; the
+    PMI stage then maps over the DISTRIBUTED bigram rows (vocab²-bounded
+    but corpus-shaped — never driver-resident) with per-block partial
+    top-k before the global (pmi DESC, key) sort of ≤ k·num_blocks rows.
+
+    pmi is the ONE float — ln((cnt/N_bi) / ((c_x/N_uni)·(c_y/N_uni))) —
+    spelled identically in the SQL twin (ln-parity convention); the
+    ``min_count`` filter and both totals are exact integers.  Output
+    (t1, t2, cnt, pmi), exactly k rows under the strict deterministic
+    LIMIT."""
+    from ray.data.aggregate import Sum
+
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    V = vocab_size or CheckContext().vocab_size
+    V2 = V * V
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
+        t = flat.astype(np.int64)
+        tok_valid = (t >= 0) & (t < V)
+        keys = [np.int64(V2) + t[tok_valid]]
+        cnts = []
+        n = len(flat)
+        if n >= 2:
+            t1, t2 = t[:-1], t[1:]
+            last_positions = offsets[1:][lens > 0] - 1
+            valid = np.ones(n - 1, dtype=bool)
+            valid[last_positions[last_positions < n - 1]] = False
+            valid &= tok_valid[:-1] & tok_valid[1:]
+            keys.append(t1[valid] * np.int64(V) + t2[valid])
+        allk = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        uniq, cnt = np.unique(allk, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, type=pa.int64()), "cnt": pa.array(cnt, type=pa.int64())}
+        )
+
+    counts = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["tokens"]), "key", partial, sum_counts_combine("key")
+    ).materialize()
+
+    uni = counts.filter(expr=f"key >= {V2}").to_pandas()  # vocab-bounded
+    uarr = np.zeros(V, dtype=np.int64)
+    if len(uni):
+        uarr[(uni["key"].to_numpy(np.int64) - V2)] = uni["cnt"].to_numpy(np.int64)
+    nuni = int(uarr.sum())
+    bi = counts.filter(expr=f"key < {V2}")
+    agg = bi.aggregate(Sum("cnt", alias_name="nbi"))
+    nbi = int(agg["nbi"] or 0)
+    uref = ray.put(uarr)
+
+    def pmi_block(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        keep = cnt >= min_count
+        key, cnt = key[keep], cnt[keep]
+        if not len(key):
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())}
+            )
+        u = ray.get(uref)
+        cx = u[key // V]
+        cy = u[key % V]
+        pmi = np.log((cnt / nbi) / ((cx / nuni) * (cy / nuni)))
+        out = pa.table(
+            {"key": pa.array(key, pa.int64()), "cnt": pa.array(cnt, pa.int64()), "pmi": pa.array(pmi, pa.float64())}
+        )
+        idx = pc.sort_indices(out, sort_keys=[("pmi", "descending"), ("key", "ascending")])
+        return out.take(idx[: min(k, out.num_rows)])
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t1": pa.array(key // V, pa.int64()),
+                "t2": pa.array(key % V, pa.int64()),
+                "cnt": t["cnt"],
+                "pmi": t["pmi"],
+            }
+        )
+
+    return (
+        bi.map_batches(pmi_block, batch_format="pyarrow")
+        .sort(["pmi", "key"], descending=[True, False])
+        .limit(k)
+        .map_batches(decode, batch_format="pyarrow")
+    )

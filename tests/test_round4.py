@@ -2293,3 +2293,73 @@ def test_snapshot_psi_conventions(tmp_path, ray_session):
     same = snapshot_psi(str(old), str(old)).to_pandas().set_index("source")
     assert (same["psi"] == 0.0).all()
     assert (same["n_zero_buckets"] == 0).all()
+
+
+def test_weighted_priority_sample_properties(tmp_path, ray_session):
+    """A-ES correctness: weight-proportional inclusion, deterministic
+    (content-derived priorities), NULL / non-positive weights excluded,
+    k > n degrades to all qualifying rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import weighted_priority_sample
+
+    n = 400
+    # docs 0..199 weight 1, docs 200..399 weight 2000 (heavy)
+    ids = list(range(n)) + [n, n + 1, n + 2]
+    w = [1] * 200 + [2000] * 200 + [0, -5, None]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "n_chars": pa.array(w, pa.int64())}),
+        tmp_path / "documents.parquet",
+    )
+    p = str(tmp_path / "documents.parquet")
+    got = weighted_priority_sample(p, k=50)
+    assert len(got) == 50
+    # excluded rows never sampled
+    assert not set(got["doc_id"]).intersection({n, n + 1, n + 2})
+    # 2000:1 weights -> heavy docs dominate any reasonable draw
+    heavy = (got["doc_id"] >= 200).sum()
+    assert heavy >= 45
+    # deterministic: same input -> identical frame
+    again = weighted_priority_sample(p, k=50)
+    assert got.equals(again)
+    # k > qualifying rows -> all 400, still sorted by priority
+    allrows = weighted_priority_sample(p, k=1000)
+    assert len(allrows) == 400
+    assert (allrows["pri"].to_numpy()[:-1] >= allrows["pri"].to_numpy()[1:]).all()
+
+
+def test_bigram_pmi_crafted(tmp_path, ray_session):
+    """Hand-computable PMI: the always-adjacent pair beats the frequent
+    pair; min_count excludes singletons; row-boundary pairs never form."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import bigram_pmi_top
+
+    # corpus (V small): rows [7,8] x4  -> (7,8) always together;
+    # [1,2] x4 and [1,3],[2,4],[3,4],[4,1] spread 1..4 everywhere;
+    # [5] alone (no bigram); one (9,9) singleton pair (excluded at min 2)
+    rows = [[7, 8]] * 4 + [[1, 2]] * 4 + [[1, 3], [2, 4], [3, 4], [4, 1], [5], [9, 9]]
+    pq.write_table(
+        pa.table({"tokens": pa.array(rows, pa.list_(pa.int32()))}),
+        tmp_path / "seq.parquet",
+    )
+    got = bigram_pmi_top(str(tmp_path / "seq.parquet"), k=10, min_count=2, vocab_size=16).to_pandas()
+    # singleton (9,9) excluded; (5,*) never formed
+    assert not ((got["t1"] == 9) & (got["t2"] == 9)).any()
+    # totals: unigrams = 4*2 + 4*2 + 4*2 + 1 + 2 = 27; bigrams = 4+4+4+1 = 13
+    nuni, nbi = 27, 13
+    def pmi(cxy, cx, cy):
+        return math.log((cxy / nbi) / ((cx / nuni) * (cy / nuni)))
+    # (7,8): cnt 4, c7 = c8 = 4  -> the exclusive pair
+    top = got.iloc[0]
+    assert (int(top["t1"]), int(top["t2"])) == (7, 8)
+    assert abs(float(top["pmi"]) - pmi(4, 4, 4)) < 1e-12
+    # (1,2): cnt 4 but c1 = 6 (4x[1,2] + [1,3] + [4,1]), c2 = 5
+    # (4x[1,2] + [2,4]) -> lower pmi than the exclusive (7,8)
+    r12 = got[(got["t1"] == 1) & (got["t2"] == 2)].iloc[0]
+    assert abs(float(r12["pmi"]) - pmi(4, 6, 5)) < 1e-12
+    assert float(r12["pmi"]) < float(top["pmi"])
