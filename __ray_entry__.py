@@ -1698,6 +1698,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation mining: top bigrams by PMI (one tagged exchange
         # carries bigram + unigram counts; marginals broadcast)
         "v_bigram_pmi_top": lambda sf: validation.bigram_pmi_top(_seq(sf), k=50),
+        # positional-artifact detector: token entropy per position bucket
+        "v_token_position_entropy": lambda sf: validation.token_position_entropy(_seq(sf)),
+        # tokenizer-health power-law fit: OLS ln(count) ~ ln(rank) per source
+        "v_zipf_fit": lambda sf: validation.zipf_fit_by_source(_seq(sf)),
         # Efraimidis–Spirakis weighted sample without replacement (top-k
         # of ln(u)/w priorities, u content-derived) — one pass, no shuffle
         "weighted_priority_sample": lambda sf: __import__(
@@ -2995,6 +2999,42 @@ sel AS (SELECT cb.t1, cb.t2, cb.cnt,
         JOIN u u2 ON u2.t = cb.t2
         WHERE cb.cnt >= 2)
 SELECT t1, t2, cnt, pmi FROM sel ORDER BY pmi DESC, t1, t2 LIMIT 50""",
+        # positional entropy twin: generate_subscripts gives the 1-based
+        # position (−1 to 0-base), // the bucket; H spelled as the kernel
+        "v_token_position_entropy": f"""
+WITH t AS (SELECT unnest(tokens) AS tok, generate_subscripts(tokens, 1) - 1 AS pos
+           FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+c AS (SELECT (pos // 64)::BIGINT AS bucket, tok::BIGINT AS tok, count(*)::BIGINT AS c
+      FROM t WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+nb AS (SELECT bucket, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_distinct
+       FROM c GROUP BY bucket)
+SELECT nb.bucket, nb.n, nb.n_distinct,
+       -sum((c.c::DOUBLE / nb.n) * ln(c.c::DOUBLE / nb.n)) AS entropy
+FROM c JOIN nb USING (bucket) GROUP BY nb.bucket, nb.n, nb.n_distinct""",
+        # Zipf twin: per-source row_number rank under the (c DESC, tok)
+        # total order; the five OLS sums and the textbook slope/intercept
+        # expressions spelled exactly as the kernel; single-type sources
+        # take the degenerate-design CASE
+        "v_zipf_fit": f"""
+WITH tk AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS tok
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT source, tok::BIGINT AS tok, count(*)::BIGINT AS c FROM tk
+      WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+r AS (SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rnk
+      FROM u),
+s AS (SELECT source, count(*)::BIGINT AS m, sum(c)::BIGINT AS n_tokens,
+             sum(ln(rnk::DOUBLE)) AS sx, sum(ln(c::DOUBLE)) AS sy,
+             sum(ln(rnk::DOUBLE) * ln(rnk::DOUBLE)) AS sxx,
+             sum(ln(rnk::DOUBLE) * ln(c::DOUBLE)) AS sxy
+      FROM r GROUP BY source)
+SELECT source, m AS n_types, n_tokens,
+       CASE WHEN m * sxx - sx * sx > 0.0
+            THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) ELSE 0.0 END AS slope,
+       CASE WHEN m * sxx - sx * sx > 0.0
+            THEN (sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx) / m
+            ELSE 0.0 END AS intercept
+FROM s""",
         # A-ES twin: the SAME ln(u)/w double expression (u = (md5-hash64|1)
         # / 2^64), strict LIMIT deterministic under the (pri DESC, doc_id)
         # total order; NULL/non-positive weights excluded on both engines

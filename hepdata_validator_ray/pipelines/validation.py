@@ -2538,3 +2538,164 @@ def bigram_pmi_top(
         .limit(k)
         .map_batches(decode, batch_format="pyarrow")
     )
+
+
+def token_position_entropy(
+    seq_path: str, bucket_len: int = 64, vocab_size: int | None = None
+) -> pd.DataFrame:
+    """Token-distribution entropy per POSITION bucket (positions 0..63,
+    64..127, …) — the positional-artifact detector: a template/BOS token
+    pinned at position 0, boilerplate headers, or packing bugs show up as
+    an entropy CRATER in early buckets while healthy text is near-flat.
+
+    Per batch the flat token buffer and Arrow offsets give every token its
+    within-row position vectorized (arange minus repeated segment starts);
+    counts collapse per packed (bucket·V + token) key through ONE bounded
+    exchange (≤ ⌈max_len/bucket_len⌉ · V rows however large the corpus).
+    Entropy is the one float: H = −Σ (c/n)·ln(c/n) per bucket, spelled
+    identically in the SQL twin (ln-parity convention; 6-sig-digit gate
+    hash absorbs sum-order ulps).  Invalid token ids are excluded by the
+    token_bigrams_top convention (mirrored WHERE).
+
+    Output (bucket, n, n_distinct, entropy) over the tiny bucket table."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    V = vocab_size or CheckContext().vocab_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
+        t = flat.astype(np.int64)
+        if not len(t):
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        starts = offsets[:-1][lens > 0]
+        seg_len = np.diff(np.r_[starts, offsets[-1]]) if len(starts) else np.empty(0, np.int64)
+        pos = np.arange(len(t), dtype=np.int64) - np.repeat(starts, seg_len)
+        ok = (t >= 0) & (t < V)
+        key = (pos[ok] // bucket_len) * np.int64(V) + t[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    counts = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["tokens"]), "key", partial, sum_counts_combine("key")
+    ).to_pandas()  # |pos buckets| × V, bounded
+    if not len(counts):
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64"),
+            }
+        )
+    counts["bucket"] = counts["key"].to_numpy(np.int64) // V
+    out_rows = []
+    for b, grp in counts.groupby("bucket", sort=True):
+        c = grp["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        p = c / n
+        out_rows.append(
+            {
+                "bucket": int(b),
+                "n": n,
+                "n_distinct": int(len(c)),
+                "entropy": float(-np.sum(p * np.log(p))),
+            }
+        )
+    return pd.DataFrame(out_rows).astype(
+        {"bucket": "int64", "n": "int64", "n_distinct": "int64", "entropy": "float64"}
+    )
+
+
+def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Per-source Zipf power-law fit over the token unigram distribution:
+    OLS of ln(count) on ln(rank) — slope ≈ −1 is the healthy natural-text
+    signature; a flat slope means near-uniform ids (synthetic/noise), a
+    cliff means a degenerate vocabulary.  The tokenizer-health audit that
+    complements fertility and vocab-churn.
+
+    One (source, token)-keyed bounded exchange (≤ |sources|·V rows) gives
+    the unigram table; ranks are per-source (count DESC, token ASC) —
+    row_number semantics, ties broken by token id so both engines rank
+    identically.  slope/intercept are the floats, computed from the five
+    OLS sums with the textbook expressions spelled identically in the SQL
+    twin.  Sources with a single distinct token have a degenerate design
+    matrix and report slope/intercept 0 (the SQL CASE twin).
+
+    Output (source, n_types, n_tokens, slope, intercept)."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from hepdata_validator_ray.checks.base import CheckContext
+
+    V = vocab_size or CheckContext().vocab_size
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
+        src = view.get("source")
+        n_rows = view["n"]
+        if src is None or not len(flat):
+            return pa.Table.from_pydict(
+                {"source": pa.array([], pa.string()), "tok": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        srcv = np.asarray(
+            pc.coalesce(src, pa.scalar("<NULL>", pa.string())).to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64)[lens > 0], lens[lens > 0])
+        t = flat.astype(np.int64)
+        ok = (t >= 0) & (t < V)
+        df = pd.DataFrame({"source": srcv[row_of[ok]], "tok": t[ok]})
+        g = df.groupby(["source", "tok"], sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = (
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(_Sum("c", alias_name="c"))
+        .to_pandas()  # |sources| × V, bounded
+    )
+    out_rows = []
+    for s, grp in uni.groupby("source", sort=True):
+        grp = grp.sort_values(["c", "tok"], ascending=[False, True], kind="mergesort")
+        c = grp["c"].to_numpy(np.int64)
+        m = len(c)
+        x = np.log(np.arange(1, m + 1, dtype=np.float64))
+        y = np.log(c.astype(np.float64))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        den = m * sxx - sx * sx
+        if den > 0.0:
+            slope = (m * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / m
+        else:
+            slope = 0.0
+            intercept = 0.0
+        out_rows.append(
+            {
+                "source": s,
+                "n_types": m,
+                "n_tokens": int(c.sum()),
+                "slope": slope,
+                "intercept": intercept,
+            }
+        )
+    if not out_rows:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_types": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "slope": pd.Series(dtype="float64"),
+                "intercept": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out_rows).astype(
+        {"n_types": "int64", "n_tokens": "int64", "slope": "float64", "intercept": "float64"}
+    )

@@ -2363,3 +2363,68 @@ def test_bigram_pmi_crafted(tmp_path, ray_session):
     r12 = got[(got["t1"] == 1) & (got["t2"] == 2)].iloc[0]
     assert abs(float(r12["pmi"]) - pmi(4, 6, 5)) < 1e-12
     assert float(r12["pmi"]) < float(top["pmi"])
+
+
+def test_token_position_entropy_crafted(tmp_path, ray_session):
+    """Position 0 pinned to one token -> entropy 0 in bucket 0 (with
+    bucket_len=1); later position uniform over 4 tokens -> ln(4);
+    invalid ids excluded; bucket grouping by position//bucket_len."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import token_position_entropy
+
+    rows = [[7, 1], [7, 2], [7, 3], [7, 4], [7, 99999]]  # 99999 invalid (V=16 below... use V=100)
+    pq.write_table(
+        pa.table({"tokens": pa.array(rows, pa.list_(pa.int32()))}),
+        tmp_path / "seq.parquet",
+    )
+    got = token_position_entropy(str(tmp_path / "seq.parquet"), bucket_len=1, vocab_size=100)
+    got = got.set_index("bucket")
+    assert int(got.loc[0, "n"]) == 5 and int(got.loc[0, "n_distinct"]) == 1
+    assert float(got.loc[0, "entropy"]) == 0.0
+    # position 1: tokens 1..4 uniform (the 99999 excluded) -> ln(4)
+    assert int(got.loc[1, "n"]) == 4 and int(got.loc[1, "n_distinct"]) == 4
+    assert abs(float(got.loc[1, "entropy"]) - math.log(4)) < 1e-12
+    # bucket_len=2 folds both positions into bucket 0
+    folded = token_position_entropy(str(tmp_path / "seq.parquet"), bucket_len=2, vocab_size=100)
+    assert folded["bucket"].tolist() == [0]
+    assert int(folded.loc[0, "n"]) == 9
+
+
+def test_zipf_fit_crafted(tmp_path, ray_session):
+    """Slope matches an independent OLS (np.polyfit) on the ln-ln points
+    and is steeply negative for the geometric count profile; a single-type
+    source has a degenerate design matrix and reports 0; NULL source keys
+    '<NULL>'."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.validation import zipf_fit_by_source
+
+    # source a: token 1 x8, token 2 x4, token 3 x2, token 4 x1
+    toks_a = [1] * 8 + [2] * 4 + [3] * 2 + [4]
+    rows = [toks_a, [5] * 6]  # source b: single type
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["a", None], pa.string()),
+                "tokens": pa.array(rows, pa.list_(pa.int32())),
+            }
+        ),
+        tmp_path / "seq.parquet",
+    )
+    got = zipf_fit_by_source(str(tmp_path / "seq.parquet"), vocab_size=100).set_index("source")
+    a = got.loc["a"]
+    assert int(a["n_types"]) == 4 and int(a["n_tokens"]) == 15
+    x = np.log(np.arange(1, 5, dtype=np.float64))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope_ref = float(np.polyfit(x, y, 1)[0])
+    assert abs(float(a["slope"]) - slope_ref) < 1e-10
+    assert float(a["slope"]) < -0.9  # steeply Zipfian
+    b = got.loc["<NULL>"]
+    assert int(b["n_types"]) == 1
+    assert float(b["slope"]) == 0.0 and float(b["intercept"]) == 0.0
