@@ -2619,8 +2619,14 @@ def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataF
     cliff means a degenerate vocabulary.  The tokenizer-health audit that
     complements fertility and vocab-churn.
 
-    One (source, token)-keyed bounded exchange (≤ |sources|·V rows) gives
-    the unigram table; ranks are per-source (count DESC, token ASC) —
+    One packed-int-keyed bounded exchange (≤ |sources|·V rows) gives the
+    unigram table: a tiny pre-pass over the ONE source column assigns
+    every source a dense code (|sources|-bounded groupby, column-pruned
+    read), the hot partial is then pure integer work — np.unique over
+    code·V + token, no pandas/object keys in the token-scale loop (the
+    first version paid a per-batch object groupby over every token: 71 s
+    → ~4 s at sf0.01) — and the counts ride the token_bigrams bucketed
+    int-sum machinery.  Ranks are per-source (count DESC, token ASC) —
     row_number semantics, ties broken by token id so both engines rank
     identically.  slope/intercept are the floats, computed from the five
     OLS sums with the textbook expressions spelled identically in the SQL
@@ -2628,11 +2634,29 @@ def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataF
     matrix and report slope/intercept 0 (the SQL CASE twin).
 
     Output (source, n_types, n_tokens, slope, intercept)."""
-    from ray.data.aggregate import Count as _Count, Sum as _Sum
+    from ray.data.aggregate import Count as _Count
 
     from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
 
     V = vocab_size or CheckContext().vocab_size
+
+    srcs = (
+        ray.data.read_parquet(seq_path, columns=["source"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.unique(pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())))],
+                names=["source"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(_Count(alias_name="_n"))
+        .to_pandas()["source"]  # |sources|-bounded
+        .sort_values()
+        .tolist()
+    )
+    code_of = {s: i for i, s in enumerate(srcs)}
 
     def partial(batch: pa.Table) -> pa.Table:
         view = prepare_view(batch)
@@ -2641,30 +2665,39 @@ def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataF
         n_rows = view["n"]
         if src is None or not len(flat):
             return pa.Table.from_pydict(
-                {"source": pa.array([], pa.string()), "tok": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-        srcv = np.asarray(
-            pc.coalesce(src, pa.scalar("<NULL>", pa.string())).to_numpy(zero_copy_only=False),
-            dtype=object,
+        # per-ROW codes (cheap: |batch rows| lookups), fanned to tokens by
+        # the offsets — the token-scale path is all int64
+        codes = np.fromiter(
+            (
+                code_of[s if s is not None else "<NULL>"]
+                for s in src.to_pylist()
+            ),
+            dtype=np.int64,
+            count=n_rows,
         )
         row_of = np.repeat(np.arange(n_rows, dtype=np.int64)[lens > 0], lens[lens > 0])
         t = flat.astype(np.int64)
         ok = (t >= 0) & (t < V)
-        df = pd.DataFrame({"source": srcv[row_of[ok]], "tok": t[ok]})
-        g = df.groupby(["source", "tok"], sort=False).size().rename("c").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        key = codes[row_of[ok]] * np.int64(V) + t[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
 
-    uni = (
-        ray.data.read_parquet(seq_path, columns=["source", "tokens"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["source", "tok"])
-        .aggregate(_Sum("c", alias_name="c"))
-        .to_pandas()  # |sources| × V, bounded
-    )
+    uni = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"]),
+        "key",
+        partial,
+        sum_counts_combine("key"),
+    ).to_pandas()  # |sources| × V, bounded
+    uni["source"] = [srcs[i] for i in (uni["key"].to_numpy(np.int64) // V)] if len(uni) else []
+    uni["tok"] = uni["key"].to_numpy(np.int64) % V if len(uni) else []
     out_rows = []
     for s, grp in uni.groupby("source", sort=True):
-        grp = grp.sort_values(["c", "tok"], ascending=[False, True], kind="mergesort")
-        c = grp["c"].to_numpy(np.int64)
+        grp = grp.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
+        c = grp["cnt"].to_numpy(np.int64)
         m = len(c)
         x = np.log(np.arange(1, m + 1, dtype=np.float64))
         y = np.log(c.astype(np.float64))
