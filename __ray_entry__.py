@@ -1707,6 +1707,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_priority_sample": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).weighted_priority_sample(f"{sf}/documents.parquet"),
+        # stratified A-ES: per-source weighted top-k (row_number window twin)
+        "weighted_sample_by_source": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).weighted_priority_sample_by_group(f"{sf}/documents.parquet", k=10),
         # PSI drift over reference-decile buckets (old snapshot = reference)
         "v_snapshot_psi": lambda sf: validation.snapshot_psi(
             _seq(sf),
@@ -3048,6 +3052,20 @@ WITH d AS (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
 )
 SELECT doc_id, w, pri FROM d ORDER BY pri DESC, doc_id LIMIT 50""",
+        # stratified A-ES twin: the same priority ranked within each
+        # source by the row_number window; '<NULL>' stratum for unlabeled
+        "weighted_sample_by_source": """
+WITH d AS (
+  SELECT doc_id, coalesce(source, '<NULL>') AS source,
+         n_chars::BIGINT AS w,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT | 1)::DOUBLE
+            / 18446744073709551616.0) / n_chars::BIGINT AS pri
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rn
+      FROM d)
+SELECT doc_id, source, w, pri FROM r WHERE rn <= 10""",
         # the type-gate twin: every row of a wrong-typed column violates
         # `column_type`; the enum check still runs on the well-typed source
         # column; zero-count checks are absent on both engines

@@ -830,3 +830,71 @@ def weighted_priority_sample(
     )
     cand = cand.sort_values(["pri", key], ascending=[False, True], kind="mergesort").head(k)
     return cand.reset_index(drop=True)
+
+
+def weighted_priority_sample_by_group(
+    docs_path: str,
+    k: int = 10,
+    group: str = "source",
+    key: str = "doc_id",
+    weight: str = "n_chars",
+    key_fn: str = "md5",
+) -> pd.DataFrame:
+    """Per-GROUP weighted sample without replacement: the A-ES priority
+    (`weighted_priority_sample` conventions — same u, same ln(u)/w, same
+    exclusions) ranked WITHIN each group, top-k per group — the stratified
+    curation draw ("50 docs per source, proportional to length") that a
+    mixture builder runs per stratum.
+
+    Per batch: vectorized priorities, then a per-(batch, group) top-k via
+    one lexsort + run-length cut (no per-group Python loop); the driver
+    merges ≤ n_batches · |groups| · k candidate rows and takes each
+    group's final top-k — |groups| is bounded (it is a stratum label), so
+    the merge table is tiny.  NULL group keys '<NULL>' (a stratum for
+    unlabeled rows is still a stratum).  Output
+    (doc_id, group, w, pri) sorted by (group, pri DESC, doc_id) ==
+    the SQL twin's row_number() <= k window."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = pd.to_numeric(df[weight], errors="raise")
+        ok = df[key].notna() & w.notna() & (w > 0)
+        df = df.loc[ok]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="int64"),
+                    group: pd.Series(dtype="object"),
+                    "w": pd.Series(dtype="int64"),
+                    "pri": pd.Series(dtype="float64"),
+                }
+            )
+        wv = w.loc[ok].to_numpy(np.int64)
+        g = df[group].fillna("<NULL>").to_numpy(dtype=object)
+        h = _hash64(df[key].to_numpy(), key_fn=key_fn) | np.uint64(1)
+        pri = np.log(h.astype(np.float64) / 2.0**64) / wv
+        # per-group top-k: one lexsort (group asc, pri desc), then keep the
+        # first k positions of each group run — vectorized run-length cut
+        order = np.lexsort((-pri, g))
+        gs = g[order]
+        run_start = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        within = np.arange(len(gs)) - np.repeat(run_start, np.diff(np.r_[run_start, len(gs)]))
+        keep = order[within < k]
+        return pd.DataFrame(
+            {
+                key: df[key].to_numpy()[keep],
+                group: g[keep],
+                "w": wv[keep],
+                "pri": pri[keep],
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(docs_path, columns=[key, group, weight])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()  # n_batches × |groups| × k, bounded
+    )
+    if not len(cand):
+        return cand
+    cand = cand.sort_values([group, "pri", key], ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby(group, sort=True).head(k)
+    return out.reset_index(drop=True)

@@ -2428,3 +2428,38 @@ def test_zipf_fit_crafted(tmp_path, ray_session):
     b = got.loc["<NULL>"]
     assert int(b["n_types"]) == 1
     assert float(b["slope"]) == 0.0 and float(b["intercept"]) == 0.0
+
+
+def test_weighted_sample_by_group_properties(tmp_path, ray_session):
+    """Exactly k per group (fewer when the stratum is smaller); the
+    batch-boundary cut never loses a global winner; NULL group keys
+    '<NULL>'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines.sampling import (
+        weighted_priority_sample_by_group,
+        weighted_priority_sample,
+    )
+
+    ids = list(range(300))
+    src = ["a"] * 150 + ["b"] * 145 + [None] * 3 + ["tiny"] * 2
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "n_chars": pa.array([10] * 300, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    p = str(tmp_path / "documents.parquet")
+    got = weighted_priority_sample_by_group(p, k=5)
+    sizes = got.groupby("source").size().to_dict()
+    assert sizes == {"a": 5, "b": 5, "<NULL>": 3, "tiny": 2}
+    # uniform weights degenerate to the unweighted hash draw: group 'a's
+    # members must equal the global A-ES top-5 restricted to a
+    solo = weighted_priority_sample(p, k=300)
+    a_top = solo[solo["doc_id"] < 150].head(5)["doc_id"].tolist()
+    assert sorted(got[got["source"] == "a"]["doc_id"]) == sorted(a_top)
