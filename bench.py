@@ -373,6 +373,27 @@ def pipeline_tpch_batch(sf_dir: str) -> int:
     return n
 
 
+def pipeline_tokstats(sf_dir: str) -> int:
+    """The session-6 tokenizer-health family as one number: bigram PMI,
+    positional entropy and the per-source Zipf fit — three vocab-bounded
+    exchanges over the token payload.  Serial by necessity: entropy and
+    zipf are EAGER (they return the bounded result table, executing
+    inside the call), so thread-pooling the calls would just move the
+    fsspec import race into threads for zero overlap."""
+    from hepdata_validator_ray.pipelines.validation import (
+        bigram_pmi_top,
+        token_position_entropy,
+        zipf_fit_by_source,
+    )
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(sf_dir)
+    n = _consume(bigram_pmi_top(p, k=50))
+    n += len(token_position_entropy(p))
+    n += len(zipf_fit_by_source(p))
+    return n
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -397,6 +418,7 @@ PIPELINES = {
     "seq_audit": pipeline_seq_audit,
     "seq_forecast": pipeline_seq_forecast,
     "tpch_batch": pipeline_tpch_batch,
+    "tokstats": pipeline_tokstats,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -426,6 +448,7 @@ BAND_TYP_HI = {
     "seq_audit": 90.0,
     "seq_forecast": 15.0,
     "tpch_batch": 15.0,
+    "tokstats": 20.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
