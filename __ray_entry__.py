@@ -1740,6 +1740,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_membership(sf),
+        # multi-source BFS hop distance (level-synchronous frontier; two
+        # bucketed exchanges per level, recursive-CTE twin)
+        "graph_bfs_hops": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).bfs_hops(sf),
+        # exact per-source ROC AUC (Mann–Whitney rank-sum over the bounded
+        # (source, n_chars) pos/neg histogram — never a corpus-scale sort)
+        "profile_score_auc": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).score_auc_by_source(docs(sf)),
+        # per-source token-budget concentration (grouped-data Gini from
+        # ONE bounded histogram exchange; exact Python-int rank sums)
+        "v_gini_ntok": lambda sf: validation.gini_ntok_by_source(_seq(sf)),
+        # top tokens by source↔token mutual information (the bounded
+        # unigram exchange shared with the Zipf fit)
+        "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
@@ -4482,6 +4498,56 @@ FROM s""",
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),
+        # bounded-depth recursive-CTE BFS twin (identical edge build and
+        # seed rule; UNION dedups (node, d) so the walk is node-bounded)
+        "graph_bfs_hops": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).bfs_oracle_sql(),
+        # Mann–Whitney rank-sum AUC twin: tie half-credit via the
+        # 2·negbelow + neg integer identity, HUGEINT sums, same CASE for
+        # degenerate (single-class) sources
+        "profile_score_auc": """
+WITH d AS (SELECT coalesce(source,'<NULL>') AS source,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, n_chars::BIGINT AS v
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+h AS (SELECT source, v, sum(pos)::BIGINT AS pos, sum(1-pos)::BIGINT AS neg FROM d GROUP BY source, v),
+cum AS (SELECT source, v, pos, neg,
+        sum(neg) OVER (PARTITION BY source ORDER BY v) - neg AS negbelow FROM h),
+ag AS (SELECT source, sum(pos*(2*negbelow+neg)) AS u2,
+              sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+       FROM cum GROUP BY source)
+SELECT source, n_pos, n_neg,
+       CASE WHEN n_pos * n_neg > 0 THEN u2/(2.0*n_pos*n_neg) ELSE 0.0 END AS auc
+FROM ag""",
+        # grouped-data Gini twin: per tie block c·nprev·v + v·c(c+1)//2
+        # (always-even product, so // is exact), HUGEINT rank sums
+        "v_gini_ntok": f"""
+WITH d AS (SELECT coalesce(source,'<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY ALL),
+cum AS (SELECT source, v, c,
+        sum(c) OVER (PARTITION BY source ORDER BY v) - c AS nprev FROM h),
+a AS (SELECT source, sum(c*nprev*v + v*c*(c+1)//2) AS s_iv,
+             sum(c*v)::BIGINT AS sum_tok, sum(c)::BIGINT AS n FROM cum GROUP BY source)
+SELECT source, n, sum_tok,
+       CASE WHEN n * sum_tok > 0 THEN 2.0*s_iv/(n*sum_tok) - (n+1.0)/n ELSE 0.0 END AS gini
+FROM a""",
+        # mutual-information twin: the identical (c/N)·ln(cN/(ns·nt))
+        # double expression (PMI ln-parity convention), top-k under the
+        # strict (mi DESC, tok) total order
+        "v_token_source_mi": f"""
+WITH tk AS (SELECT coalesce(source,'<NULL>') AS source, unnest(tokens) AS tok
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT source, tok::BIGINT AS tok, count(*)::BIGINT AS c FROM tk
+      WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+ms AS (SELECT source, sum(c)::BIGINT AS ns FROM u GROUP BY 1),
+mt AS (SELECT tok, sum(c)::BIGINT AS nt FROM u GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM u),
+mi AS (SELECT u.tok,
+              sum((u.c::DOUBLE / t.n) * ln((u.c::DOUBLE * t.n) / (ms.ns::DOUBLE * mt.nt))) AS mi
+       FROM u JOIN ms USING (source) JOIN mt USING (tok) CROSS JOIN tot t GROUP BY u.tok)
+SELECT mi.tok, mt.nt AS n_occ, mi.mi FROM mi JOIN mt USING (tok)
+ORDER BY mi.mi DESC, mi.tok LIMIT 50""",
         # same explicit ASCII classes as the pandas kernel; length() counts
         # CHARACTERS (like pandas .str.len(); strlen counts bytes and would
         # diverge on any non-ASCII char); null text stays null on both sides

@@ -728,3 +728,144 @@ e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e
 SELECT src AS node, count(*)::BIGINT AS deg_core FROM e{max_iter} GROUP BY src"""
     )
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance (level-synchronous frontier expansion)
+# --------------------------------------------------------------------------
+
+
+def bfs_hops(
+    sf_dir: str, max_hops: int = 4, seed_mod: int = 7, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Minimum hop distance from a deterministic seed set (``node %
+    seed_mod == 0``) over the undirected trade graph — the multi-source
+    BFS every graph-curation pass needs (e.g. "documents within k link
+    hops of a trusted set").
+
+    Level-synchronous frontier expansion, the textbook distributed BFS:
+    the frontier at level i is exactly the nodes first settled at
+    distance i, so each edge is relaxed at most once per endpoint
+    settlement and total work is O(|E| · settled fraction), not
+    O(|E| · max_hops).  Each level is two bucketed exchanges, both
+    node/edge-scale and fully distributed:
+
+    1. frontier meets edges on hash(src) via the sentinel-tagged union
+       (the pagerank/connected-components pattern — no driver-side
+       frontier, no node-scale broadcast);
+    2. candidate (dst, i) rows min-combine with the settled table on
+       hash(node); map-side partials bound the exchange.
+
+    The settled table is materialized per level (it feeds both the next
+    frontier and the final result); everything is int64, so the
+    recursive-CTE oracle (same seed rule, same bounded depth) is
+    hash-exact.  Unreached nodes are absent on both engines.
+
+    Output (ntype, key, hops) in the pagerank node decoding.
+    """
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, derive_num_buckets, with_bucket
+
+    edges = trade_edges(sf_dir, num_buckets=num_buckets).materialize()
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        edges, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        # seeds drawn from the src column: e holds both orientations, so
+        # src ranges over EVERY node (same closure as the SQL seed CTE)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        s = np.unique(src[src % seed_mod == 0])
+        return pa.Table.from_arrays(
+            [pa.array(s), pa.array(np.zeros(len(s), dtype=np.int64))], names=["node", "d"]
+        )
+
+    def min_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("d", "min")])
+        return g.rename_columns(["node", "d"])
+
+    # settled(node, d): map-side partial min bounds every exchange
+    settled = bucketed_aggregate(
+        edges.map_batches(seed_rows, batch_format="pyarrow"),
+        "node",
+        lambda t: min_combine(t),
+        min_combine,
+        num_buckets=nb,
+    ).materialize()
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["src"], t["dst"], pa.array(np.full(t.num_rows, _TAG, dtype=np.int64))],
+            names=["src", "dst", "d"],
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+
+    for level in range(1, max_hops + 1):
+        front_d = level - 1
+
+        def tag_frontier(t: pa.Table, _fd: int = front_d) -> pa.Table:
+            keep = pc.equal(t["d"], pa.scalar(_fd, pa.int64()))
+            f = t.filter(keep)
+            fill = pa.array(np.full(f.num_rows, _TAG, dtype=np.int64))
+            return pa.Table.from_arrays([f["node"], fill, f["d"]], names=["src", "dst", "d"])
+
+        def expand(df: pd.DataFrame, _lvl: int = level) -> pa.Table:
+            # returns Arrow so the settled ∪ candidates union is a single
+            # block type (mixed pandas/arrow blocks break the batcher)
+            df = df.drop(columns=[BUCKET_COL])
+            is_front = df["dst"].to_numpy() == _TAG
+            fset = set(df.loc[is_front, "src"].tolist())
+            if not fset:
+                return pa.Table.from_pydict(
+                    {"node": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+                )
+            e = df[~is_front]
+            hit = e.loc[e["src"].isin(fset), "dst"]
+            # in-bucket dedup bounds the min-combine exchange at the
+            # bucket's distinct-dst count
+            nodes = np.unique(hit.to_numpy(dtype=np.int64))
+            return pa.Table.from_pydict(
+                {"node": pa.array(nodes), "d": pa.array(np.full(len(nodes), _lvl, dtype=np.int64))}
+            )
+
+        candidates = (
+            tagged_edges.union(settled.map_batches(tag_frontier, batch_format="pyarrow"))
+            .map_batches(lambda t: with_bucket(t, "src", nb), batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(expand, batch_format="pandas")
+        )
+        settled = bucketed_aggregate(
+            settled.union(candidates),
+            "node",
+            lambda t: min_combine(t),
+            min_combine,
+            num_buckets=nb,
+        ).materialize()
+
+    def decode(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        ntype = np.where(node % 2 == 0, "c", "s")
+        return pa.Table.from_arrays(
+            [pa.array(ntype), pa.array(node // 2), t["d"]], names=["ntype", "key", "hops"]
+        )
+
+    return settled.map_batches(decode, batch_format="pyarrow")
+
+
+def bfs_oracle_sql(max_hops: int = 4, seed_mod: int = 7) -> str:
+    """Generated DuckDB oracle: identical edge construction and seed rule,
+    bounded-depth recursive CTE (UNION dedups (node, d) pairs, so the walk
+    is bounded by |nodes| · (max_hops+1)), min-hop per node."""
+    return f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+walk(node, d) AS (
+  SELECT DISTINCT src AS node, 0 AS d FROM e WHERE src % {seed_mod} = 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < {max_hops}
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS ntype,
+       (node // 2)::BIGINT AS key, min(d)::BIGINT AS hops
+FROM walk GROUP BY node"""

@@ -253,3 +253,96 @@ def k_anonymity_stats(docs_path: str, k: int = 5) -> "ray.data.Dataset":
         )
     )
     return ray.data.from_pandas(g)
+
+
+def score_auc_by_source(docs_path: str, pos_lang: str = "en") -> pd.DataFrame:
+    """Exact ROC AUC per source of the n_chars score predicting
+    ``lang == pos_lang`` — the ranking-quality audit for any data-quality
+    scorer: AUC is the probability a random positive outranks a random
+    negative (the Mann–Whitney U statistic), computed EXACTLY from the
+    bounded (source, n_chars) → (pos, neg) histogram, never from a
+    corpus-scale sort.
+
+    One packed-key bucketed exchange (code·2^40 + n_chars; dense source
+    codes from the |sources|-bounded pre-pass) carries two count columns;
+    per source the rank-sum identity over the value-sorted histogram is
+
+        U·2 = Σ_v pos_v · (2·neg_below(v) + neg_v),   AUC = U2 / (2·P·N)
+
+    — ties contribute the standard half credit, and every term is exact
+    Python-int arithmetic over the bounded table (DuckDB's HUGEINT sum is
+    the twin).  Degenerate sources (all-positive or all-negative) report
+    AUC 0 via the same CASE as the SQL.  NULL lang counts as negative
+    (SQL CASE WHEN lang = pos THEN 1 ELSE 0); NULL n_chars rows are
+    excluded on both engines.
+
+    Output (source, n_pos, n_neg, auc)."""
+    import pyarrow.compute as pc
+
+    from hepdata_validator_ray.ops import bucketed_aggregate
+    from hepdata_validator_ray.pipelines.validation import _source_codes
+
+    M = np.int64(1) << np.int64(40)  # n_chars < 2^40 by the packed-key contract
+    srcs = _source_codes(docs_path)
+    code_of = {s: i for i, s in enumerate(srcs)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.coalesce(batch["source"], pa.scalar("<NULL>", pa.string())).to_pylist()
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        codes = np.fromiter((code_of[s] for s in src), dtype=np.int64, count=len(src))
+        ok = ~pd.isna(v)
+        vi = v[ok].astype(np.int64)
+        keep = vi >= 0
+        key = codes[ok][keep] * M + vi[keep]
+        is_pos = (lang[ok][keep] == pos_lang).astype(np.int64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        pos = np.bincount(inv, weights=is_pos, minlength=len(uniq)).astype(np.int64)
+        neg = np.bincount(inv, weights=1 - is_pos, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "neg": pa.array(neg, pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("pos", "sum"), ("neg", "sum")])
+        return g.rename_columns(["key", "pos", "neg"])
+
+    hist = bucketed_aggregate(
+        ray.data.read_parquet(docs_path, columns=["source", "lang", "n_chars"]),
+        "key",
+        partial,
+        combine,
+    ).to_pandas()  # ≤ |sources| × |distinct n_chars|, bounded
+    out = []
+    if len(hist):
+        hist["code"] = hist["key"].to_numpy(np.int64) // M
+        hist["v"] = hist["key"].to_numpy(np.int64) % M
+        for code, grp in hist.groupby("code", sort=True):
+            grp = grp.sort_values("v", kind="mergesort")
+            u2 = 0
+            negbelow = 0
+            p_tot = 0
+            n_tot = 0
+            # bounded histogram rows: exact Python ints (U overflows int64
+            # at the 10^12-row tier; DuckDB HUGEINT is the twin)
+            for p_v, n_v in zip(grp["pos"].tolist(), grp["neg"].tolist()):
+                u2 += p_v * (2 * negbelow + n_v)
+                negbelow += n_v
+                p_tot += p_v
+                n_tot += n_v
+            auc = u2 / (2.0 * p_tot * n_tot) if p_tot * n_tot > 0 else 0.0
+            out.append({"source": srcs[code], "n_pos": p_tot, "n_neg": n_tot, "auc": auc})
+    if not out:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_pos": pd.Series(dtype="int64"),
+                "n_neg": pd.Series(dtype="int64"),
+                "auc": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_pos": "int64", "n_neg": "int64", "auc": "float64"})

@@ -2612,6 +2612,200 @@ def token_position_entropy(
     )
 
 
+def _source_codes(path: str, column: str = "source") -> list[str]:
+    """Sorted distinct coalesced source labels — the |sources|-bounded
+    dense-code pre-pass shared by every per-source histogram op (the fix
+    that took zipf's partial from a per-token object groupby to pure
+    int64: 71 s → ~4 s at sf0.01)."""
+    from ray.data.aggregate import Count as _Count
+
+    return (
+        ray.data.read_parquet(path, columns=[column])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.unique(pc.coalesce(t[column], pa.scalar("<NULL>", pa.string())))],
+                names=[column],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(column)
+        .aggregate(_Count(alias_name="_n"))
+        .to_pandas()[column]  # |sources|-bounded
+        .sort_values()
+        .tolist()
+    )
+
+
+def _source_token_unigram(seq_path: str, V: int) -> tuple[pd.DataFrame, list[str]]:
+    """The per-(source, token) unigram count table as a bounded pandas
+    frame (≤ |sources|·V rows however large the corpus) plus the sorted
+    source list.  ONE packed-int-keyed bucketed exchange: dense source
+    codes from the pre-pass keep the token-scale partial pure int64
+    (np.unique over code·V + token), and the counts ride the
+    token_bigrams bucketed int-sum machinery.  Shared by the Zipf fit
+    and the token↔source mutual-information ranking."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    srcs = _source_codes(seq_path)
+    code_of = {s: i for i, s in enumerate(srcs)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        flat, lens = view["flat"], view["lens"]
+        src = view.get("source")
+        n_rows = view["n"]
+        if src is None or not len(flat):
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        # per-ROW codes (cheap: |batch rows| lookups), fanned to tokens by
+        # the offsets — the token-scale path is all int64
+        codes = np.fromiter(
+            (code_of[s if s is not None else "<NULL>"] for s in src.to_pylist()),
+            dtype=np.int64,
+            count=n_rows,
+        )
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64)[lens > 0], lens[lens > 0])
+        t = flat.astype(np.int64)
+        ok = (t >= 0) & (t < V)
+        key = codes[row_of[ok]] * np.int64(V) + t[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    uni = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"]),
+        "key",
+        partial,
+        sum_counts_combine("key"),
+    ).to_pandas()  # |sources| × V, bounded
+    uni["source"] = [srcs[i] for i in (uni["key"].to_numpy(np.int64) // V)] if len(uni) else []
+    uni["tok"] = uni["key"].to_numpy(np.int64) % V if len(uni) else []
+    return uni, srcs
+
+
+def token_source_mi_top(seq_path: str, k: int = 50, vocab_size: int | None = None) -> pd.DataFrame:
+    """Top-k tokens by their contribution to the source↔token mutual
+    information I(S;T) = Σ p(s,t)·ln(p(s,t)/(p(s)p(t))) over token draws
+    — the feature-selection view of the unigram table: the tokens whose
+    presence most identifies WHERE a document came from.  Uniformly
+    spread tokens score ~0; a source-exclusive template token scores
+    ln(1/p(s)).  Complements PMI (token↔token) and the Zipf fit
+    (within-source shape) in the tokenizer/mix-health family.
+
+    The corpus-scale work is the ONE bounded unigram exchange shared
+    with the Zipf fit; marginals (V-array, |S|-array) and the per-token
+    contributions are numpy over that ≤|S|·V-row table — never
+    corpus-proportional.  The ln parity with DuckDB is the empirically
+    certified PMI convention; the mi expression is spelled identically
+    in the SQL twin, and the top-k boundary is deterministic under
+    (mi DESC, tok).
+
+    Output (tok, n_occ, mi)."""
+    V = vocab_size or CheckContext().vocab_size
+    uni, srcs = _source_token_unigram(seq_path, V)
+    if not len(uni):
+        return pd.DataFrame(
+            {
+                "tok": pd.Series(dtype="int64"),
+                "n_occ": pd.Series(dtype="int64"),
+                "mi": pd.Series(dtype="float64"),
+            }
+        )
+    code = uni["key"].to_numpy(np.int64) // V
+    tok = uni["tok"].to_numpy(np.int64)
+    c = uni["cnt"].to_numpy(np.int64)
+    ns = np.bincount(code, weights=c, minlength=len(srcs))  # per-source totals
+    nt = np.bincount(tok, weights=c, minlength=V)  # per-token totals
+    N = float(c.sum())
+    cf = c.astype(np.float64)
+    # the identical double expression as the SQL twin: (c/N)·ln(cN/(ns·nt))
+    term = (cf / N) * np.log((cf * N) / (ns[code] * nt[tok]))
+    mi = np.bincount(tok, weights=term, minlength=V)
+    seen = np.flatnonzero(nt > 0)  # the SQL twin's u table: seen tokens only
+    order = seen[np.lexsort((seen, -mi[seen]))][:k]
+    return pd.DataFrame(
+        {
+            "tok": order.astype("int64"),
+            "n_occ": nt[order].astype("int64"),
+            "mi": mi[order],
+        }
+    ).reset_index(drop=True)
+
+
+def gini_ntok_by_source(seq_path: str) -> pd.DataFrame:
+    """Per-source Gini coefficient of the n_tok distribution — the token-
+    budget concentration audit: gini ≈ 0 means every document carries a
+    similar share of the source's tokens, gini → 1 means a few giant
+    documents dominate (a skew signal for packing, sampling weights and
+    dedup cost models).
+
+    ONE bounded histogram exchange (packed code·2^40 + n_tok keys, the
+    per-source dense-code pre-pass) — the corpus is read once,
+    column-pruned to (source, n_tok).  The Gini itself comes from the
+    grouped-data identity G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n, where the
+    tie blocks contribute c·nprev·v + v·c(c+1)/2 with EXACT integer
+    arithmetic (Python ints over the bounded histogram — no int64
+    overflow at any scale; DuckDB's HUGEINT sum is the twin).  Sources
+    with zero total tokens report gini 0 (the SQL CASE).
+
+    Output (source, n, sum_tok, gini)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    M = np.int64(1) << np.int64(40)  # n_tok < 2^40 by the packed-key contract
+    srcs = _source_codes(seq_path)
+    code_of = {s: i for i, s in enumerate(srcs)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.coalesce(batch["source"], pa.scalar("<NULL>", pa.string())).to_pylist()
+        v = batch["n_tok"].to_numpy(zero_copy_only=False)
+        codes = np.fromiter((code_of[s] for s in src), dtype=np.int64, count=len(src))
+        ok = ~pd.isna(v)
+        vi = v[ok].astype(np.int64)
+        keep = vi >= 0
+        key = codes[ok][keep] * M + vi[keep]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["source", "n_tok"]),
+        "key",
+        partial,
+        sum_counts_combine("key"),
+    ).to_pandas()  # ≤ |sources| × |distinct n_tok|, bounded
+    out = []
+    if len(hist):
+        hist["code"] = hist["key"].to_numpy(np.int64) // M
+        hist["v"] = hist["key"].to_numpy(np.int64) % M
+        for code, grp in hist.groupby("code", sort=True):
+            grp = grp.sort_values("v", kind="mergesort")
+            s_iv = 0
+            nprev = 0
+            s_v = 0
+            # bounded histogram rows: exact Python-int arithmetic (the
+            # rank-sum products overflow int64 at the 10^12-row tier)
+            for v, cc in zip(grp["v"].tolist(), grp["cnt"].tolist()):
+                s_iv += cc * nprev * v + v * cc * (cc + 1) // 2
+                s_v += cc * v
+                nprev += cc
+            n = nprev
+            gini = 2.0 * s_iv / (n * s_v) - (n + 1.0) / n if n * s_v > 0 else 0.0
+            out.append({"source": srcs[code], "n": n, "sum_tok": s_v, "gini": gini})
+    if not out:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "sum_tok": pd.Series(dtype="int64"),
+                "gini": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n": "int64", "sum_tok": "int64", "gini": "float64"})
+
+
 def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
     """Per-source Zipf power-law fit over the token unigram distribution:
     OLS of ln(count) on ln(rank) — slope ≈ −1 is the healthy natural-text
@@ -2634,66 +2828,8 @@ def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataF
     matrix and report slope/intercept 0 (the SQL CASE twin).
 
     Output (source, n_types, n_tokens, slope, intercept)."""
-    from ray.data.aggregate import Count as _Count
-
-    from hepdata_validator_ray.checks.base import CheckContext
-    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
-
     V = vocab_size or CheckContext().vocab_size
-
-    srcs = (
-        ray.data.read_parquet(seq_path, columns=["source"])
-        .map_batches(
-            lambda t: pa.Table.from_arrays(
-                [pc.unique(pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())))],
-                names=["source"],
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("source")
-        .aggregate(_Count(alias_name="_n"))
-        .to_pandas()["source"]  # |sources|-bounded
-        .sort_values()
-        .tolist()
-    )
-    code_of = {s: i for i, s in enumerate(srcs)}
-
-    def partial(batch: pa.Table) -> pa.Table:
-        view = prepare_view(batch)
-        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
-        src = view.get("source")
-        n_rows = view["n"]
-        if src is None or not len(flat):
-            return pa.Table.from_pydict(
-                {"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
-            )
-        # per-ROW codes (cheap: |batch rows| lookups), fanned to tokens by
-        # the offsets — the token-scale path is all int64
-        codes = np.fromiter(
-            (
-                code_of[s if s is not None else "<NULL>"]
-                for s in src.to_pylist()
-            ),
-            dtype=np.int64,
-            count=n_rows,
-        )
-        row_of = np.repeat(np.arange(n_rows, dtype=np.int64)[lens > 0], lens[lens > 0])
-        t = flat.astype(np.int64)
-        ok = (t >= 0) & (t < V)
-        key = codes[row_of[ok]] * np.int64(V) + t[ok]
-        uniq, cnt = np.unique(key, return_counts=True)
-        return pa.Table.from_pydict(
-            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
-        )
-
-    uni = bucketed_aggregate(
-        ray.data.read_parquet(seq_path, columns=["source", "tokens"]),
-        "key",
-        partial,
-        sum_counts_combine("key"),
-    ).to_pandas()  # |sources| × V, bounded
-    uni["source"] = [srcs[i] for i in (uni["key"].to_numpy(np.int64) // V)] if len(uni) else []
-    uni["tok"] = uni["key"].to_numpy(np.int64) % V if len(uni) else []
+    uni, srcs = _source_token_unigram(seq_path, V)
     out_rows = []
     for s, grp in uni.groupby("source", sort=True):
         grp = grp.sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")

@@ -1,0 +1,167 @@
+"""Round-4 session-7 operators: BFS hop distance, grouped-data Gini,
+rank-sum AUC, token↔source mutual information — crafted-fixture pins for
+the conventions the sf gate can't isolate (seed rule, max-hops cutoff,
+tie half-credit, degenerate strata, out-of-vocab exclusion)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from hepdata_validator_ray.pipelines.graph import bfs_hops
+from hepdata_validator_ray.pipelines.profile import score_auc_by_source
+from hepdata_validator_ray.pipelines.validation import (
+    gini_ntok_by_source,
+    token_source_mi_top,
+)
+
+
+def _write_chain_graph(tmp_path):
+    """Path graph c0–s1–c1–s2–c2–s4–c3–s5–c4–s8–c5 via one order+lineitem
+    per trade pair.  Node ids: c→2c, s→2s+1; keys chosen so the ONLY
+    node ≡ 0 (mod 7) is c0 (node 0) — a single BFS seed."""
+    pairs = [(0, 1), (1, 1), (1, 2), (2, 2), (2, 4), (3, 4), (3, 5), (4, 5), (4, 8), (5, 8)]
+    for c, s in pairs:
+        assert (2 * c) % 7 != 0 or c == 0
+        assert (2 * s + 1) % 7 != 0
+    pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(pairs), dtype=np.int64),
+            "o_custkey": np.array([c for c, _ in pairs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": np.arange(len(pairs), dtype=np.int64),
+            "l_suppkey": np.array([s for _, s in pairs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_bfs_hops_chain_cutoff_and_unreached(tmp_path, ray_session):
+    """Hop distances along the chain are exact; nodes beyond max_hops are
+    ABSENT (not clamped); the seed itself reports 0."""
+    sf = _write_chain_graph(tmp_path)
+    got = bfs_hops(sf, max_hops=4).to_pandas()
+    dist = {(r.ntype, r.key): r.hops for r in got.itertuples()}
+    assert dist == {("c", 0): 0, ("s", 1): 1, ("c", 1): 2, ("s", 2): 3, ("c", 2): 4}
+
+
+def test_bfs_hops_full_depth_settles_chain(tmp_path, ray_session):
+    sf = _write_chain_graph(tmp_path)
+    got = bfs_hops(sf, max_hops=10).to_pandas()
+    dist = {(r.ntype, r.key): r.hops for r in got.itertuples()}
+    # the full chain: alternating c/s, 11 nodes, distances 0..10
+    assert len(dist) == 11
+    assert dist[("c", 5)] == 10 and dist[("s", 8)] == 9
+
+
+def test_bfs_hops_min_over_multiple_seeds(tmp_path, ray_session):
+    """With seed_mod=1 every node is a seed: all hops are 0 (the min-
+    combine never lets a later level overwrite an earlier settlement)."""
+    sf = _write_chain_graph(tmp_path)
+    got = bfs_hops(sf, max_hops=3, seed_mod=1).to_pandas()
+    assert len(got) == 11 and set(got["hops"]) == {0}
+
+
+def _write_seq(tmp_path, rows):
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(rows))], pa.string()),
+            "tokens": pa.array([r.get("tokens") for r in rows], pa.list_(pa.int64())),
+            "n_tok": pa.array([r.get("n_tok") for r in rows], pa.int64()),
+            "source": pa.array([r.get("source") for r in rows], pa.string()),
+        }
+    )
+    p = str(tmp_path / "seq.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_gini_conventions(tmp_path, ray_session):
+    """All-equal → 0; one-doc-dominates [0,0,0,10] → 0.75 exactly; an
+    all-zero stratum hits the degenerate CASE (0.0, not NaN); NULL n_tok
+    rows drop; NULL source lands in the '<NULL>' stratum."""
+    rows = (
+        [{"source": "eq", "n_tok": 5, "tokens": []}] * 4
+        + [{"source": "skew", "n_tok": v, "tokens": []} for v in (0, 0, 0, 10)]
+        + [{"source": "zero", "n_tok": 0, "tokens": []}] * 3
+        + [{"source": "eq", "n_tok": None, "tokens": []}]
+        + [{"source": None, "n_tok": 7, "tokens": []}]
+    )
+    got = gini_ntok_by_source(_write_seq(tmp_path, rows)).set_index("source")
+    assert got.loc["eq", "n"] == 4 and got.loc["eq", "gini"] == pytest.approx(0.0)
+    assert got.loc["skew", "gini"] == pytest.approx(0.75)
+    assert got.loc["zero", "gini"] == 0.0 and got.loc["zero", "sum_tok"] == 0
+    assert got.loc["<NULL>", "n"] == 1 and got.loc["<NULL>", "gini"] == pytest.approx(0.0)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(len(rows), dtype=np.int64),
+            "source": [r[0] for r in rows],
+            "lang": [r[1] for r in rows],
+            "n_chars": pd.array([r[2] for r in rows], dtype="Int64"),
+        }
+    ).to_parquet(str(tmp_path / "docs.parquet"), index=False)
+    return str(tmp_path / "docs.parquet")
+
+
+def test_auc_conventions(tmp_path, ray_session):
+    """Perfect separation → 1; inverted → 0; pure ties → 0.5; the mixed
+    tie case earns exactly half credit (0.625 by hand); single-class
+    strata report 0 via the degenerate CASE; NULL lang counts negative;
+    NULL n_chars rows drop."""
+    rows = (
+        [("perfect", "en", 10), ("perfect", "en", 20), ("perfect", "de", 1), ("perfect", "de", 2)]
+        + [("inv", "en", 1), ("inv", "en", 2), ("inv", "de", 10), ("inv", "de", 20)]
+        + [("tie", "en", 5), ("tie", "de", 5)]
+        + [("mix", "en", 1), ("mix", "en", 3), ("mix", "de", 1), ("mix", "de", 2)]
+        + [("onlypos", "en", 4), ("onlypos", "en", 9)]
+        + [("nulls", "en", 8), ("nulls", None, 3), ("nulls", "en", None)]
+    )
+    got = score_auc_by_source(_write_docs(tmp_path, rows)).set_index("source")
+    assert got.loc["perfect", "auc"] == 1.0
+    assert got.loc["inv", "auc"] == 0.0
+    assert got.loc["tie", "auc"] == 0.5
+    assert got.loc["mix", "auc"] == pytest.approx(0.625)
+    assert got.loc["onlypos", "auc"] == 0.0 and got.loc["onlypos", "n_neg"] == 0
+    assert got.loc["nulls", "n_pos"] == 1 and got.loc["nulls", "n_neg"] == 1
+    assert got.loc["nulls", "auc"] == 1.0  # en@8 beats NULL-lang@3
+
+
+def test_token_source_mi_hand_computed(tmp_path, ray_session):
+    """A: [0,0,1], B: [1,2] — mi(0)=.4·ln(10/6), mi(2)=.2·ln(2.5),
+    mi(1)=.2·ln(5/6)+.2·ln(5/4); ranking 0 > 2 > 1; out-of-vocab tokens
+    (negative or ≥V) never count."""
+    rows = [
+        {"source": "A", "tokens": [0, 0, 1], "n_tok": 3},
+        {"source": "B", "tokens": [1, 2, -1, 10], "n_tok": 4},
+    ]
+    got = token_source_mi_top(_write_seq(tmp_path, rows), k=3, vocab_size=10)
+    assert list(got["tok"]) == [0, 2, 1]
+    assert got["mi"].iloc[0] == pytest.approx(0.4 * math.log(10 / 6))
+    assert got["mi"].iloc[1] == pytest.approx(0.2 * math.log(2.5))
+    assert got["mi"].iloc[2] == pytest.approx(0.2 * math.log(5 / 6) + 0.2 * math.log(5 / 4))
+    assert list(got["n_occ"]) == [2, 1, 2]
+    # per-token contribution is p(t)·KL(p(s|t)‖p(s)) — never negative
+    assert (got["mi"] >= -1e-15).all()
+
+
+def test_token_source_mi_uniform_spread_scores_zero(tmp_path, ray_session):
+    """A token distributed exactly proportionally to the source marginals
+    carries no information: mi == 0 (and never outranks a real signal)."""
+    rows = [
+        {"source": "A", "tokens": [3, 5], "n_tok": 2},
+        {"source": "B", "tokens": [3, 7], "n_tok": 2},
+    ]
+    got = token_source_mi_top(_write_seq(tmp_path, rows), k=3, vocab_size=10)
+    by_tok = got.set_index("tok")["mi"]
+    assert by_tok.loc[3] == pytest.approx(0.0)
+    assert by_tok.loc[5] > 0 and by_tok.loc[7] > 0
+    assert list(got["tok"])[:2] == [5, 7]
