@@ -1753,6 +1753,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source token-budget concentration (grouped-data Gini from
         # ONE bounded histogram exchange; exact Python-int rank sums)
         "v_gini_ntok": lambda sf: validation.gini_ntok_by_source(_seq(sf)),
+        # ordered first/last aggregate WITHOUT a global sort: per-batch
+        # candidates re-reduced per bucket under the same (ts, event_id)
+        # total order
+        "events_ohlc": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_ohlc(sf),
+        # broadcast-small-side percentile transform: bounded histogram →
+        # ray.put → per-batch searchsorted; output streams per document
+        "v_ntok_percentile": lambda sf: validation.ntok_percentile(_seq(sf)),
+        # pairwise Jensen–Shannon between per-source token distributions
+        # (data-mix similarity matrix; all pairs, disjoint included)
+        "v_source_js": lambda sf: validation.source_js_divergence(_seq(sf)),
         # top tokens by source↔token mutual information (the bounded
         # unigram exchange shared with the Zipf fit)
         "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
@@ -4519,6 +4531,50 @@ ag AS (SELECT source, sum(pos*(2*negbelow+neg)) AS u2,
 SELECT source, n_pos, n_neg,
        CASE WHEN n_pos * n_neg > 0 THEN u2/(2.0*n_pos*n_neg) ELSE 0.0 END AS auc
 FROM ag""",
+        # OHLC twin: first/last under the strict (ts, event_id) total
+        # order via the two row_number windows; values are SELECTED
+        # doubles (no arithmetic), so the hash is exact
+        "events_ohlc": """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts, event_id, value
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT event_type, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_events
+FROM r GROUP BY event_type, day""",
+        # mid-rank percentile twin: (nprev + (c+1)/2.0)/n per tie block,
+        # joined back to every document
+        "v_ntok_percentile": f"""
+WITH d AS (SELECT doc_id, n_tok::BIGINT AS v FROM read_parquet('{p}')
+           WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT v, count(*)::BIGINT AS c FROM d GROUP BY 1),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS nprev FROM h),
+tot AS (SELECT sum(c)::BIGINT AS n FROM h)
+SELECT d.doc_id, d.v AS n_tok, (cum.nprev + (cum.c + 1) / 2.0) / t.n AS pct
+FROM d JOIN cum ON d.v = cum.v CROSS JOIN tot t""",
+        # JS twin: inner-join sum over the joint support + 0.5·ln2 times
+        # the exclusive mass (coalesce covers fully disjoint pairs)
+        "v_source_js": f"""
+WITH tk AS (SELECT coalesce(source,'<NULL>') AS source, unnest(tokens) AS tok
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT source, tok::BIGINT AS tok, count(*)::BIGINT AS c FROM tk
+      WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+ms AS (SELECT source, sum(c)::BIGINT AS ns FROM u GROUP BY 1),
+pr AS (SELECT u.source, u.tok, u.c::DOUBLE / ms.ns AS p FROM u JOIN ms USING (source)),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM ms a JOIN ms b ON a.source < b.source),
+it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
+              sum(0.5*a.p*ln(2*a.p/(a.p+b.p)) + 0.5*b.p*ln(2*b.p/(a.p+b.p))) AS s_in,
+              sum(a.p) AS cov_a, sum(b.p) AS cov_b
+       FROM pr a JOIN pr b ON a.tok = b.tok AND a.source < b.source GROUP BY 1,2)
+SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
+       coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
+FROM pairs LEFT JOIN it USING (src_a, src_b)""",
         # grouped-data Gini twin: per tie block c·nprev·v + v·c(c+1)//2
         # (always-even product, so // is exact), HUGEINT rank sums
         "v_gini_ntok": f"""

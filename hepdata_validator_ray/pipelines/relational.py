@@ -3823,3 +3823,119 @@ def benford_digit_audit(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["event_type", "first_digit"]).reset_index(drop=True)
+
+
+def events_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Per-(event_type, day) OHLC candle — open/close are the values of
+    the FIRST/LAST event under the strict (ts, event_id) total order
+    (event_id is unique, so both engines pick the same row even with
+    equal timestamps), high/low the extrema, n_events the count.  The
+    ordered-first/last aggregate every time-series rollup needs, done
+    WITHOUT a global sort: ordered selection is associative, so a
+    per-batch partial (each key's first/last candidate trio + extrema)
+    meets a per-bucket combine that re-applies the same order rule over
+    partials — the exchange is bounded by |keys|·|batches| however many
+    events a day holds.  NULL values are excluded on both engines;
+    open/high/low/close are SELECTED doubles (no arithmetic), so the
+    hash comparison is exact.
+
+    Output (event_type, day, open, high, low, close, n_events)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    schema = pa.schema(
+        [
+            ("key", pa.string()),
+            ("o_ts", pa.int64()),
+            ("o_id", pa.int64()),
+            ("open", pa.float64()),
+            ("c_ts", pa.int64()),
+            ("c_id", pa.int64()),
+            ("close", pa.float64()),
+            ("high", pa.float64()),
+            ("low", pa.float64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["value"])
+        t = t.filter(keep)
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        df = pd.DataFrame(
+            {
+                "key": pc.binary_join_element_wise(t["event_type"], day, "|").to_pandas(),
+                "ts_us": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "eid": t["event_id"].to_numpy(zero_copy_only=False),
+                "v": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.Table.from_pandas(_ohlc_reduce(df), schema=schema, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # re-reduce partials: first/last re-selected under the SAME
+        # (ts, event_id) order, extrema and counts merge associatively
+        lo = df.rename(columns={"o_ts": "ts_us", "o_id": "eid", "open": "v"})
+        hi = df.rename(columns={"c_ts": "ts_us", "c_id": "eid", "close": "v"})
+        merged = _ohlc_reduce(pd.concat([lo, hi], ignore_index=True)[["key", "ts_us", "eid", "v"]])
+        ext = df.groupby("key", as_index=False).agg(
+            high=("high", "max"), low=("low", "min"), n_events=("n_events", "sum")
+        )
+        out = merged.drop(columns=["high", "low", "n_events"]).merge(ext, on="key")
+        return pa.Table.from_pandas(out[[f.name for f in schema]], schema=schema, preserve_index=False)
+
+    def _ohlc_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="object"),
+                    "o_ts": pd.Series(dtype="int64"),
+                    "o_id": pd.Series(dtype="int64"),
+                    "open": pd.Series(dtype="float64"),
+                    "c_ts": pd.Series(dtype="int64"),
+                    "c_id": pd.Series(dtype="int64"),
+                    "close": pd.Series(dtype="float64"),
+                    "high": pd.Series(dtype="float64"),
+                    "low": pd.Series(dtype="float64"),
+                    "n_events": pd.Series(dtype="int64"),
+                }
+            )
+        s = df.sort_values(["key", "ts_us", "eid"], kind="mergesort")
+        g = s.groupby("key", sort=False)
+        first = g.nth(0)
+        last = g.nth(-1)
+        agg = g.agg(high=("v", "max"), low=("v", "min"), n_events=("v", "size")).reset_index()
+        return pd.DataFrame(
+            {
+                "key": agg["key"],
+                "o_ts": first["ts_us"].to_numpy(dtype=np.int64),
+                "o_id": first["eid"].to_numpy(dtype=np.int64),
+                "open": first["v"].to_numpy(dtype=np.float64),
+                "c_ts": last["ts_us"].to_numpy(dtype=np.int64),
+                "c_id": last["eid"].to_numpy(dtype=np.int64),
+                "close": last["v"].to_numpy(dtype=np.float64),
+                "high": agg["high"].to_numpy(dtype=np.float64),
+                "low": agg["low"].to_numpy(dtype=np.float64),
+                "n_events": agg["n_events"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    res = bucketed_aggregate(
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"]),
+        "key",
+        partial,
+        combine,
+    ).to_pandas()  # |event_type|·|days| rows, bounded
+    split = res["key"].str.split("|", n=1, expand=True)
+    out = pd.DataFrame(
+        {
+            "event_type": split[0],
+            "day": split[1],
+            "open": res["open"].astype("float64"),
+            "high": res["high"].astype("float64"),
+            "low": res["low"].astype("float64"),
+            "close": res["close"].astype("float64"),
+            "n_events": res["n_events"].astype("int64"),
+        }
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

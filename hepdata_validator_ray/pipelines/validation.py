@@ -2868,3 +2868,131 @@ def zipf_fit_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataF
     return pd.DataFrame(out_rows).astype(
         {"n_types": "int64", "n_tokens": "int64", "slope": "float64", "intercept": "float64"}
     )
+
+
+def ntok_percentile(seq_path: str) -> "ray.data.Dataset":
+    """Per-document mid-rank percentile of n_tok against the GLOBAL
+    length distribution — the normalized length feature samplers and
+    curricula key on.  The broadcast-small-side pattern end to end: ONE
+    bounded histogram exchange (distinct n_tok values) builds the
+    value → percentile map, which ships once via ray.put and is applied
+    per batch with np.searchsorted — the corpus is read twice,
+    column-pruned, and the output streams; nothing corpus-scale ever
+    sits on the driver.
+
+    Percentile is the tie-block average rank over n:
+    (nprev + (c+1)/2.0) / n — spelled identically in the SQL twin.
+
+    Output (doc_id, n_tok, pct), one row per valid-length document."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch["n_tok"].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(v)
+        vi = v[ok].astype(np.int64)
+        vi = vi[vi >= 0]
+        uniq, cnt = np.unique(vi, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = (
+        bucketed_aggregate(
+            ray.data.read_parquet(seq_path, columns=["n_tok"]),
+            "key",
+            hist_partial,
+            sum_counts_combine("key"),
+        )
+        .to_pandas()
+        .sort_values("key")
+    )  # |distinct n_tok| rows, bounded
+    vs = hist["key"].to_numpy(np.int64)
+    c = hist["cnt"].to_numpy(np.int64)
+    nprev = np.concatenate([[0], np.cumsum(c)[:-1]])
+    n = int(c.sum())
+    pcts = (nprev + (c + 1) / 2.0) / n if n else np.zeros(0)
+    table_ref = ray.put((vs, pcts))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vs_b, pcts_b = ray.get(table_ref)
+        v = batch["n_tok"].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(v)
+        vi = v.copy()
+        vi[~ok] = 0
+        vi = vi.astype(np.int64)
+        keep = ok & (vi >= 0)
+        idx = np.searchsorted(vs_b, vi[keep])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "n_tok": pa.array(vi[keep], pa.int64()),
+                "pct": pa.array(pcts_b[idx], pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "n_tok"]).map_batches(
+        attach, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def source_js_divergence(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-source token
+    distributions — the data-mix similarity matrix (0 = identical
+    unigram mix, ln 2 = disjoint vocabularies).  Every pair is emitted,
+    including fully disjoint ones.
+
+    The corpus-scale work is the ONE bounded unigram exchange shared
+    with the Zipf fit and the MI ranking; the |S|²/2 pairwise terms are
+    numpy merges over that ≤|S|·V-row table.  Tokens outside the joint
+    support contribute exactly 0.5·ln 2 of their mass, so the inner sum
+    runs over the JOINT support only:
+
+        js = Σ_joint [0.5·pa·ln(2pa/(pa+pb)) + 0.5·pb·ln(2pb/(pa+pb))]
+             + 0.5·ln 2 · ((1 − cov_a) + (1 − cov_b))
+
+    with cov the joint-support probability mass — the identical double
+    expression as the SQL twin (inner join + coalesce for empty pairs).
+
+    Output (src_a, src_b, n_joint, js), src_a < src_b."""
+    V = vocab_size or CheckContext().vocab_size
+    uni, srcs = _source_token_unigram(seq_path, V)
+    out = []
+    if len(uni):
+        code = uni["key"].to_numpy(np.int64) // V
+        tok = uni["tok"].to_numpy(np.int64)
+        c = uni["cnt"].to_numpy(np.int64)
+        ns = np.bincount(code, weights=c, minlength=len(srcs))
+        by_code: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for k in range(len(srcs)):
+            m = code == k
+            order = np.argsort(tok[m], kind="stable")
+            by_code[k] = (tok[m][order], (c[m][order].astype(np.float64) / ns[k]) if ns[k] else c[m][order].astype(np.float64))
+        for a in range(len(srcs)):
+            ta, pa_ = by_code[a]
+            for b in range(a + 1, len(srcs)):
+                tb, pb_ = by_code[b]
+                ia = np.isin(ta, tb)
+                ib = np.isin(tb, ta)
+                pra, prb = pa_[ia], pb_[ib]  # aligned: both token-sorted
+                if len(pra):
+                    s_in = float(
+                        (0.5 * pra * np.log(2 * pra / (pra + prb))
+                         + 0.5 * prb * np.log(2 * prb / (pra + prb))).sum()
+                    )
+                    cov_a, cov_b = float(pra.sum()), float(prb.sum())
+                else:
+                    s_in, cov_a, cov_b = 0.0, 0.0, 0.0
+                js = s_in + 0.5 * np.log(2.0) * ((1 - cov_a) + (1 - cov_b))
+                out.append(
+                    {"src_a": srcs[a], "src_b": srcs[b], "n_joint": int(ia.sum()), "js": js}
+                )
+    if not out:
+        return pd.DataFrame(
+            {
+                "src_a": pd.Series(dtype="object"),
+                "src_b": pd.Series(dtype="object"),
+                "n_joint": pd.Series(dtype="int64"),
+                "js": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_joint": "int64", "js": "float64"})

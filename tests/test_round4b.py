@@ -165,3 +165,72 @@ def test_token_source_mi_uniform_spread_scores_zero(tmp_path, ray_session):
     assert by_tok.loc[3] == pytest.approx(0.0)
     assert by_tok.loc[5] > 0 and by_tok.loc[7] > 0
     assert list(got["tok"])[:2] == [5, 7]
+
+
+def test_events_ohlc_tie_and_null_conventions(tmp_path, ray_session):
+    """Equal timestamps break by event_id (lowest opens, highest closes);
+    NULL values are invisible to ALL of open/high/low/close/n; a
+    single-event day has open=close=high=low."""
+    ts = pd.Timestamp("2026-01-05 10:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([3, 1, 2, 9, 4], dtype=np.int64),
+            "ts": [ts, ts, ts, ts, pd.Timestamp("2026-01-06 00:00:00")],
+            "event_type": ["a", "a", "a", "a", "a"],
+            "value": [5.0, 7.0, None, 2.0, 42.0],
+            "user_id": np.zeros(5, dtype=np.int64),
+        }
+    )
+    df.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_ohlc
+
+    got = events_ohlc(str(tmp_path)).set_index("day")
+    d1 = got.loc["2026-01-05"]
+    # same ts: event_id 1 opens (7.0), event_id 9 closes (2.0); the NULL
+    # (event_id 2) never counts
+    assert (d1["open"], d1["close"], d1["high"], d1["low"], d1["n_events"]) == (
+        7.0, 2.0, 7.0, 2.0, 3,
+    )
+    d2 = got.loc["2026-01-06"]
+    assert d2["open"] == d2["close"] == d2["high"] == d2["low"] == 42.0
+
+
+def test_ntok_percentile_midrank(tmp_path, ray_session):
+    """[10,10,20,30]: tie block of two 10s averages ranks 1-2 → 0.375;
+    20 → 0.75; 30 → 1.0; NULL n_tok rows are absent from the output."""
+    rows = [
+        {"source": "s", "n_tok": 10, "tokens": []},
+        {"source": "s", "n_tok": 10, "tokens": []},
+        {"source": "s", "n_tok": 20, "tokens": []},
+        {"source": "s", "n_tok": 30, "tokens": []},
+        {"source": "s", "n_tok": None, "tokens": []},
+    ]
+    from hepdata_validator_ray.pipelines.validation import ntok_percentile
+
+    got = ntok_percentile(_write_seq(tmp_path, rows)).to_pandas()
+    assert len(got) == 4
+    by_v = got.groupby("n_tok")["pct"].first()
+    assert by_v.loc[10] == pytest.approx(0.375)
+    assert by_v.loc[20] == pytest.approx(0.75)
+    assert by_v.loc[30] == pytest.approx(1.0)
+
+
+def test_source_js_divergence_extremes(tmp_path, ray_session):
+    """Identical unigram mixes → 0; disjoint vocabularies → ln 2; the
+    half-overlap case matches the hand-computed decomposition."""
+    rows = [
+        {"source": "A", "tokens": [1, 2], "n_tok": 2},
+        {"source": "B", "tokens": [1, 2], "n_tok": 2},  # identical to A
+        {"source": "C", "tokens": [8, 9], "n_tok": 2},  # disjoint from A/B
+        {"source": "D", "tokens": [1, 8], "n_tok": 2},  # half-overlaps both
+    ]
+    from hepdata_validator_ray.pipelines.validation import source_js_divergence
+
+    got = source_js_divergence(_write_seq(tmp_path, rows), vocab_size=16)
+    j = {(r.src_a, r.src_b): (r.n_joint, r.js) for r in got.itertuples()}
+    assert len(j) == 6
+    assert j[("A", "B")][1] == pytest.approx(0.0) and j[("A", "B")][0] == 2
+    assert j[("A", "C")][1] == pytest.approx(math.log(2)) and j[("A", "C")][0] == 0
+    # A={1:.5,2:.5}, D={1:.5,8:.5}: joint tok 1 contributes 0 (equal p),
+    # exclusive mass .5 on each side → js = 0.5·ln2
+    assert j[("A", "D")][1] == pytest.approx(0.5 * math.log(2))
