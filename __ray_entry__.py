@@ -1765,6 +1765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise Jensen–Shannon between per-source token distributions
         # (data-mix similarity matrix; all pairs, disjoint included)
         "v_source_js": lambda sf: validation.source_js_divergence(_seq(sf)),
+        # per-source Spearman ρ(length, distinct-count): exact integer
+        # doubled-mid-rank sums over the value-bounded joint histogram
+        "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
         # top tokens by source↔token mutual information (the bounded
         # unigram exchange shared with the Zipf fit)
         "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
@@ -4575,6 +4578,26 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # Spearman twin: doubled mid-ranks 2·rank() + tie-count − 1 are
+        # integers, the five sums are HUGEINT-exact, ρ spelled identically
+        "v_spearman_repetition": f"""
+WITH d AS (SELECT coalesce(source,'<NULL>') AS source,
+                  len(tokens)::BIGINT AS a, len(list_distinct(tokens))::BIGINT AS b
+           FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+r AS (SELECT source, a, b,
+        2*rank() OVER (PARTITION BY source ORDER BY a)
+          + count(*) OVER (PARTITION BY source, a) - 1 AS r2a,
+        2*rank() OVER (PARTITION BY source ORDER BY b)
+          + count(*) OVER (PARTITION BY source, b) - 1 AS r2b
+      FROM d),
+s AS (SELECT source, count(*)::BIGINT AS n, sum(r2a) AS sx, sum(r2b) AS sy,
+             sum(r2a*r2a) AS sxx, sum(r2b*r2b) AS syy, sum(r2a*r2b) AS sxy
+      FROM r GROUP BY source)
+SELECT source, n,
+  CASE WHEN (n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE > 0.0
+       THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       ELSE 0.0 END AS rho
+FROM s""",
         # grouped-data Gini twin: per tie block c·nprev·v + v·c(c+1)//2
         # (always-even product, so // is exact), HUGEINT rank sums
         "v_gini_ntok": f"""

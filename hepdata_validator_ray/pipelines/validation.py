@@ -2996,3 +2996,106 @@ def source_js_divergence(seq_path: str, vocab_size: int | None = None) -> pd.Dat
             }
         )
     return pd.DataFrame(out).astype({"n_joint": "int64", "js": "float64"})
+
+
+def spearman_len_distinct_by_source(seq_path: str) -> pd.DataFrame:
+    """Per-source Spearman rank correlation between sequence length
+    (len(tokens)) and its DISTINCT token count — the repetition-health
+    correlate: healthy text keeps ρ high (longer docs keep introducing
+    types); looping/degenerate generations flatten the distinct curve and
+    crater ρ.
+
+    Exactness at any scale comes from three facts: (1) the joint
+    (length, distinct) distribution of integer features is VALUE-bounded,
+    so ONE packed-key histogram exchange (code·2⁴² + a·2²¹ + b) carries
+    the whole corpus; (2) doubled mid-ranks 2r = 2·nprev + c + 1 are
+    integers, so every Spearman sum is exact Python-int arithmetic over
+    the bounded histogram (DuckDB HUGEINT twin — the SQL spells the same
+    2·rank() + count(*)-over-tie − 1 identity); (3) the textbook ρ
+    expression is spelled identically in both engines.  Constant-feature
+    sources hit the degenerate CASE (ρ = 0).
+
+    Output (source, n, rho)."""
+    import math
+
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    SH_A, SH_B = np.int64(1) << np.int64(42), np.int64(1) << np.int64(21)
+    srcs = _source_codes(seq_path)
+    code_of = {s: i for i, s in enumerate(srcs)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        src = pc.coalesce(batch["source"], pa.scalar("<NULL>", pa.string())).to_pylist()
+        codes = np.fromiter((code_of[s] for s in src), dtype=np.int64, count=len(src))
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)[offs[0] : offs[-1]]
+        n = len(col)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if len(vals):
+            seq_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            width = int(vals.max()) - int(vals.min()) + 1
+            pairs = np.unique(seq_idx * width + (vals - int(vals.min())))
+            n_distinct += np.bincount(pairs // width, minlength=n)
+        a = lens.astype(np.int64)
+        ok = valid & (a < (1 << 21)) & (n_distinct < (1 << 21))
+        key = codes[ok] * SH_A + a[ok] * SH_B + n_distinct[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = bucketed_aggregate(
+        ray.data.read_parquet(seq_path, columns=["source", "tokens"]),
+        "key",
+        partial,
+        sum_counts_combine("key"),
+    ).to_pandas()  # value-bounded joint histogram
+    out = []
+    if len(hist):
+        key = hist["key"].to_numpy(np.int64)
+        hist["code"] = key // SH_A
+        hist["a"] = (key // SH_B) % (1 << 21)
+        hist["b"] = key % SH_B
+        for code, grp in hist.groupby("code", sort=True):
+            a = grp["a"].to_numpy(np.int64)
+            b = grp["b"].to_numpy(np.int64)
+            c = grp["cnt"].to_numpy(np.int64)
+            n = int(c.sum())
+
+            def ranks2(v: np.ndarray) -> np.ndarray:
+                # doubled mid-rank per distinct value: 2·nprev + c_v + 1
+                order = np.argsort(v, kind="stable")
+                vs = v[order]
+                cs = c[order]
+                # collapse equal values (v may repeat across joint cells)
+                uv, inv = np.unique(vs, return_inverse=True)
+                cu = np.bincount(inv, weights=cs).astype(np.int64)
+                nprev = np.concatenate([[0], np.cumsum(cu)[:-1]])
+                r2u = 2 * nprev + cu + 1
+                r2 = np.empty(len(v), dtype=np.int64)
+                r2[order] = r2u[inv]
+                return r2
+
+            r2a, r2b = ranks2(a), ranks2(b)
+            sx = sum(int(r) * int(cc) for r, cc in zip(r2a, c))
+            sy = sum(int(r) * int(cc) for r, cc in zip(r2b, c))
+            sxx = sum(int(r) * int(r) * int(cc) for r, cc in zip(r2a, c))
+            syy = sum(int(r) * int(r) * int(cc) for r, cc in zip(r2b, c))
+            sxy = sum(int(ra) * int(rb) * int(cc) for ra, rb, cc in zip(r2a, r2b, c))
+            den2 = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+            rho = (n * sxy - sx * sy) / math.sqrt(den2) if den2 > 0.0 else 0.0
+            out.append({"source": srcs[code], "n": n, "rho": rho})
+    if not out:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "rho": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n": "int64", "rho": "float64"})

@@ -234,3 +234,26 @@ def test_source_js_divergence_extremes(tmp_path, ray_session):
     # A={1:.5,2:.5}, D={1:.5,8:.5}: joint tok 1 contributes 0 (equal p),
     # exclusive mass .5 on each side → js = 0.5·ln2
     assert j[("A", "D")][1] == pytest.approx(0.5 * math.log(2))
+
+
+def test_spearman_repetition_extremes(tmp_path, ray_session):
+    """Monotone (length, distinct) → ρ=1; anti-monotone → ρ=−1; a
+    constant-length source hits the degenerate CASE (ρ=0, not NaN)."""
+    rows = (
+        [{"source": "mono", "tokens": list(range(k)), "n_tok": k} for k in (1, 2, 3)]
+        + [
+            {"source": "anti", "tokens": [1, 2, 3], "n_tok": 3},
+            {"source": "anti", "tokens": [4, 4, 5, 5], "n_tok": 4},
+            {"source": "anti", "tokens": [6, 6, 6, 6, 6], "n_tok": 5},
+        ]
+        + [
+            {"source": "const", "tokens": [1, 2], "n_tok": 2},
+            {"source": "const", "tokens": [3, 3], "n_tok": 2},
+        ]
+    )
+    from hepdata_validator_ray.pipelines.validation import spearman_len_distinct_by_source
+
+    got = spearman_len_distinct_by_source(_write_seq(tmp_path, rows)).set_index("source")
+    assert got.loc["mono", "rho"] == pytest.approx(1.0)
+    assert got.loc["anti", "rho"] == pytest.approx(-1.0)
+    assert got.loc["const", "rho"] == 0.0
