@@ -1768,6 +1768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # cross-source quantile normalization: within-source mid-rank →
+        # global inverse CDF, every rank boundary decided in integers;
+        # histogram-sized broadcast map, streaming per-doc output
+        "v_quantile_normalize": lambda sf: validation.quantile_normalize_ntok(_seq(sf)),
         # top tokens by source↔token mutual information (the bounded
         # unigram exchange shared with the Zipf fit)
         "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
@@ -4578,6 +4582,24 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # quantile-normalization twin: the same integer ceil-rank rule
+        # ((2·nprev+c+1)·N + 2n_s − 1) // (2n_s), inverse CDF = min global
+        # value with cum ≥ target
+        "v_quantile_normalize": f"""
+WITH d AS (SELECT doc_id, coalesce(source,'<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY ALL),
+sc AS (SELECT source, v, c, sum(c) OVER (PARTITION BY source ORDER BY v) - c AS nprev,
+              sum(c) OVER (PARTITION BY source) AS n_s FROM h),
+g AS (SELECT v, sum(c)::BIGINT AS gc FROM h GROUP BY v),
+gcum AS (SELECT v, sum(gc) OVER (ORDER BY v) AS cum FROM g),
+tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+tr AS (SELECT source, v, ((2*nprev + c + 1) * t.n + 2*n_s - 1) // (2*n_s) AS tgt
+       FROM sc CROSS JOIN tot t),
+nm AS (SELECT tr.source AS source, tr.v AS v, min(gcum.v)::BIGINT AS norm
+       FROM tr JOIN gcum ON gcum.cum >= tr.tgt GROUP BY tr.source, tr.v)
+SELECT d.doc_id, d.source AS source, d.v AS n_tok, nm.norm
+FROM d JOIN nm ON d.source = nm.source AND d.v = nm.v""",
         # Spearman twin: doubled mid-ranks 2·rank() + tie-count − 1 are
         # integers, the five sums are HUGEINT-exact, ρ spelled identically
         "v_spearman_repetition": f"""

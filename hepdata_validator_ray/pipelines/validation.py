@@ -2734,26 +2734,20 @@ def token_source_mi_top(seq_path: str, k: int = 50, vocab_size: int | None = Non
     ).reset_index(drop=True)
 
 
-def gini_ntok_by_source(seq_path: str) -> pd.DataFrame:
-    """Per-source Gini coefficient of the n_tok distribution — the token-
-    budget concentration audit: gini ≈ 0 means every document carries a
-    similar share of the source's tokens, gini → 1 means a few giant
-    documents dominate (a skew signal for packing, sampling weights and
-    dedup cost models).
+#: packed-key shift for (source-code, value) histograms — values < 2^40
+_HIST_SHIFT = np.int64(1) << np.int64(40)
 
-    ONE bounded histogram exchange (packed code·2^40 + n_tok keys, the
-    per-source dense-code pre-pass) — the corpus is read once,
-    column-pruned to (source, n_tok).  The Gini itself comes from the
-    grouped-data identity G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n, where the
-    tie blocks contribute c·nprev·v + v·c(c+1)/2 with EXACT integer
-    arithmetic (Python ints over the bounded histogram — no int64
-    overflow at any scale; DuckDB's HUGEINT sum is the twin).  Sources
-    with zero total tokens report gini 0 (the SQL CASE).
 
-    Output (source, n, sum_tok, gini)."""
+def _source_ntok_histogram(seq_path: str) -> tuple[pd.DataFrame, list[str]]:
+    """The per-(source, n_tok) count table as a bounded pandas frame
+    (≤ |sources| × |distinct n_tok| rows however large the corpus) with
+    dense codes decoded into ``code``/``v`` columns, plus the sorted
+    source list.  One packed-key bucketed exchange over the column-pruned
+    (source, n_tok) read; NULL/negative n_tok excluded, NULL source →
+    '<NULL>'.  Shared by the Gini audit and quantile normalization."""
     from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
 
-    M = np.int64(1) << np.int64(40)  # n_tok < 2^40 by the packed-key contract
+    M = _HIST_SHIFT
     srcs = _source_codes(seq_path)
     code_of = {s: i for i, s in enumerate(srcs)}
 
@@ -2776,10 +2770,32 @@ def gini_ntok_by_source(seq_path: str) -> pd.DataFrame:
         partial,
         sum_counts_combine("key"),
     ).to_pandas()  # ≤ |sources| × |distinct n_tok|, bounded
-    out = []
     if len(hist):
         hist["code"] = hist["key"].to_numpy(np.int64) // M
         hist["v"] = hist["key"].to_numpy(np.int64) % M
+    return hist, srcs
+
+
+def gini_ntok_by_source(seq_path: str) -> pd.DataFrame:
+    """Per-source Gini coefficient of the n_tok distribution — the token-
+    budget concentration audit: gini ≈ 0 means every document carries a
+    similar share of the source's tokens, gini → 1 means a few giant
+    documents dominate (a skew signal for packing, sampling weights and
+    dedup cost models).
+
+    ONE bounded histogram exchange (packed code·2^40 + n_tok keys, the
+    per-source dense-code pre-pass) — the corpus is read once,
+    column-pruned to (source, n_tok).  The Gini itself comes from the
+    grouped-data identity G = 2·Σᵢ rankᵢ·xᵢ / (n·Σx) − (n+1)/n, where the
+    tie blocks contribute c·nprev·v + v·c(c+1)/2 with EXACT integer
+    arithmetic (Python ints over the bounded histogram — no int64
+    overflow at any scale; DuckDB's HUGEINT sum is the twin).  Sources
+    with zero total tokens report gini 0 (the SQL CASE).
+
+    Output (source, n, sum_tok, gini)."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    out = []
+    if len(hist):
         for code, grp in hist.groupby("code", sort=True):
             grp = grp.sort_values("v", kind="mergesort")
             s_iv = 0
@@ -3099,3 +3115,83 @@ def spearman_len_distinct_by_source(seq_path: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"n": "int64", "rho": "float64"})
+
+
+def quantile_normalize_ntok(seq_path: str) -> "ray.data.Dataset":
+    """Quantile normalization of n_tok ACROSS sources: every document's
+    length maps to the GLOBAL length at its within-source quantile, so
+    all sources share one length distribution afterwards — the classic
+    cross-batch normalization (microarray quantile normalization / rank
+    matching), the mix-balancing transform samplers apply before
+    length-stratified selection.
+
+    All rank arithmetic is integer-exact on both engines: the
+    within-source mid-rank is the rational (2·nprev + c + 1) / (2·n_s),
+    and the global target rank is its ceiling against N computed in
+    INTEGERS — t = (num·N + den − 1) // den — so no float quantile ever
+    decides a bucket boundary (the snapshot_psi/quantile_disc rank-rule
+    discipline).  norm = smallest global value whose cumulative count
+    ≥ t (the inverse empirical CDF).
+
+    Physical plan: the bounded (source, n_tok) histogram exchange shared
+    with the Gini audit builds the complete (source, v) → norm map on
+    the driver (histogram-sized), which broadcasts once via ray.put; a
+    second column-pruned pass attaches norm per document with two
+    searchsorted lookups.  Corpus-scale data never sits on the driver;
+    the output streams.
+
+    Output (doc_id, source, n_tok, norm), one row per valid-length doc."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    M = _HIST_SHIFT
+    if len(hist):
+        hist = hist.sort_values(["code", "v"], kind="mergesort")
+        gv = hist.groupby("v")["cnt"].sum().sort_index()
+        gvals = gv.index.to_numpy(np.int64)
+        gcum = np.cumsum(gv.to_numpy(np.int64))
+        N = int(gcum[-1])
+        keys_out = []
+        norms_out = []
+        for code, grp in hist.groupby("code", sort=True):
+            c = grp["cnt"].to_numpy(np.int64)
+            v = grp["v"].to_numpy(np.int64)
+            nprev = np.concatenate([[0], np.cumsum(c)[:-1]])
+            den = 2 * int(c.sum())
+            # integer ceil((2·nprev+c+1)/den · N): no float decides a rank
+            t = [(int(2 * np_ + cc + 1) * N + den - 1) // den for np_, cc in zip(nprev, c)]
+            idx = np.searchsorted(gcum, np.asarray(t, dtype=np.int64), side="left")
+            keys_out.append(int(code) * M + v)
+            norms_out.append(gvals[idx])
+        map_keys = np.concatenate(keys_out)
+        map_norms = np.concatenate(norms_out)
+        order = np.argsort(map_keys)
+        map_keys, map_norms = map_keys[order], map_norms[order]
+    else:
+        map_keys = np.zeros(0, dtype=np.int64)
+        map_norms = np.zeros(0, dtype=np.int64)
+    code_of = {s: i for i, s in enumerate(srcs)}
+    table_ref = ray.put((map_keys, map_norms))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mk, mn = ray.get(table_ref)
+        src = pc.coalesce(batch["source"], pa.scalar("<NULL>", pa.string())).to_pylist()
+        v = batch["n_tok"].to_numpy(zero_copy_only=False)
+        codes = np.fromiter((code_of[s] for s in src), dtype=np.int64, count=len(src))
+        ok = ~pd.isna(v)
+        vi = v.copy()
+        vi[~ok] = 0
+        vi = vi.astype(np.int64)
+        keep = ok & (vi >= 0)
+        key = codes[keep] * M + vi[keep]
+        idx = np.searchsorted(mk, key)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)),
+                "source": pa.array(np.asarray(src, dtype=object)[keep], pa.string()),
+                "n_tok": pa.array(vi[keep], pa.int64()),
+                "norm": pa.array(mn[idx], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "source", "n_tok"]).map_batches(
+        attach, batch_format="pyarrow", batch_size=65536
+    )

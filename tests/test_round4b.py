@@ -257,3 +257,19 @@ def test_spearman_repetition_extremes(tmp_path, ray_session):
     assert got.loc["mono", "rho"] == pytest.approx(1.0)
     assert got.loc["anti", "rho"] == pytest.approx(-1.0)
     assert got.loc["const", "rho"] == 0.0
+
+
+def test_quantile_normalize_rank_matching(tmp_path, ray_session):
+    """Two sources on disjoint scales (1-4 vs 101-104) land on the SAME
+    normalized values at equal within-source ranks — the rank-matching
+    property that defines quantile normalization; integer ceil-rank rule
+    hand-checked ([2, 4, 102, 104] for both)."""
+    rows = [{"source": "lo", "n_tok": v, "tokens": []} for v in (1, 2, 3, 4)] + [
+        {"source": "hi", "n_tok": v, "tokens": []} for v in (101, 102, 103, 104)
+    ]
+    from hepdata_validator_ray.pipelines.validation import quantile_normalize_ntok
+
+    got = quantile_normalize_ntok(_write_seq(tmp_path, rows)).to_pandas()
+    lo = got[got["source"] == "lo"].sort_values("n_tok")["norm"].tolist()
+    hi = got[got["source"] == "hi"].sort_values("n_tok")["norm"].tolist()
+    assert lo == hi == [2, 4, 102, 104]
