@@ -1768,6 +1768,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # per-user fixed-point EWMA (α=1/2): the sequential per-key scan
+        # distributed by user co-location; both engines walk the identical
+        # truncating-integer trajectory (list_reduce twin)
+        "events_ewma": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_ewma(sf),
+        # (lang × source) contingency Pearson residuals — the
+        # rare-combination detector over one low-cardinality exchange
+        "profile_lang_source": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).lang_source_residuals(docs(sf)),
         # cross-source quantile normalization: within-source mid-rank →
         # global inverse CDF, every rank boundary decided in integers;
         # histogram-sized broadcast map, streaming per-doc output
@@ -4582,6 +4593,30 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # EWMA twin: one list_reduce over the per-user (ts, event_id)-
+        # ordered quantized values; `//` truncates toward zero on BOTH
+        # engines (numpy mirrors via sign(s)·(|s|//2))
+        "events_ewma": """
+WITH e AS (SELECT user_id, ts, event_id, floor(value*10000.0 + 0.5)::BIGINT AS v_fp
+           FROM events WHERE value IS NOT NULL)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       list_reduce(list(v_fp ORDER BY ts, event_id), (s, x) -> s // 2 + x) AS ewma_fp4
+FROM e GROUP BY user_id""",
+        # contingency twin: window marginals, E = row::DOUBLE·col/N,
+        # Pearson residual (O−E)/√E spelled identically
+        "profile_lang_source": """
+WITH d AS (SELECT coalesce(lang,'<NULL>') AS lang, coalesce(source,'<NULL>') AS source
+           FROM documents),
+c AS (SELECT lang, source, count(*)::BIGINT AS n FROM d GROUP BY ALL),
+m AS (SELECT lang, source, n,
+             sum(n) OVER (PARTITION BY lang) AS row_tot,
+             sum(n) OVER (PARTITION BY source) AS col_tot,
+             sum(n) OVER () AS total
+      FROM c)
+SELECT lang, source, n,
+       row_tot::DOUBLE * col_tot / total AS expected,
+       (n - row_tot::DOUBLE * col_tot / total) / sqrt(row_tot::DOUBLE * col_tot / total) AS residual
+FROM m""",
         # quantile-normalization twin: the same integer ceil-rank rule
         # ((2·nprev+c+1)·N + 2n_s − 1) // (2n_s), inverse CDF = min global
         # value with cum ≥ target

@@ -346,3 +346,63 @@ def score_auc_by_source(docs_path: str, pos_lang: str = "en") -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"n_pos": "int64", "n_neg": "int64", "auc": "float64"})
+
+
+def lang_source_residuals(docs_path: str) -> pd.DataFrame:
+    """(lang × source) contingency audit: observed cell counts against
+    independence-expected counts with Pearson residuals (O−E)/√E — the
+    rare/over-represented-combination detector (e.g. a crawl slice where
+    one language floods one source).  |langs|·|sources| is tiny however
+    large the corpus: ONE low-cardinality grouped count is the only
+    exchange; marginals and residuals are arithmetic over the bounded
+    cell table, the expression spelled identically in the SQL twin
+    (E = row_tot·col_tot/N as DOUBLE).
+
+    Output (lang, source, n, expected, residual)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count as _Count
+
+    cells = (
+        ray.data.read_parquet(docs_path, columns=["lang", "source"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["lang"], pa.scalar("<NULL>", pa.string())),
+                    pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())),
+                ],
+                names=["lang", "source"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["lang", "source"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |langs| × |sources|, bounded
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "expected": pd.Series(dtype="float64"),
+                "residual": pd.Series(dtype="float64"),
+            }
+        )
+    n = cells["n"].astype("int64")
+    row_tot = cells.groupby("lang")["n"].transform("sum").astype("int64")
+    col_tot = cells.groupby("source")["n"].transform("sum").astype("int64")
+    total = int(n.sum())
+    expected = (row_tot.to_numpy(np.float64) * col_tot.to_numpy(np.float64)) / total
+    residual = (n.to_numpy(np.float64) - expected) / np.sqrt(expected)
+    out = pd.DataFrame(
+        {
+            "lang": cells["lang"],
+            "source": cells["source"],
+            "n": n,
+            "expected": expected,
+            "residual": residual,
+        }
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)

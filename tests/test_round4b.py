@@ -273,3 +273,47 @@ def test_quantile_normalize_rank_matching(tmp_path, ray_session):
     lo = got[got["source"] == "lo"].sort_values("n_tok")["norm"].tolist()
     hi = got[got["source"] == "hi"].sort_values("n_tok")["norm"].tolist()
     assert lo == hi == [2, 4, 102, 104]
+
+
+def test_events_ewma_truncation_and_tie_order(tmp_path, ray_session):
+    """The α=1/2 recurrence follows DuckDB's TRUNCATING // (toward zero):
+    s=-1 halves to 0, not −1 (floor would differ); equal timestamps order
+    by event_id; the three-step trajectory is hand-walked."""
+    ts0 = pd.Timestamp("2026-03-01 00:00:00")
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2, 3, 10, 11], dtype=np.int64),
+            "ts": [ts0, ts0 + pd.Timedelta("1s"), ts0 + pd.Timedelta("2s"), ts0, ts0],
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["t"] * 5,
+            "value": [-0.0001, 0.0, 3.0, 100.0, 0.0],
+        }
+    )
+    df.to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_ewma
+
+    got = events_ewma(str(tmp_path)).set_index("user_id")
+    # user 1: s=-1 → trunc(-1/2)=0 → +0 = 0 → trunc(0/2)+30000 = 30000
+    assert got.loc[1, "ewma_fp4"] == 30000 and got.loc[1, "n_events"] == 3
+    # user 2 (same ts): eid 10 seeds (1000000), eid 11 halves it
+    assert got.loc[2, "ewma_fp4"] == 500000
+
+
+def test_lang_source_residuals_hand_computed(tmp_path, ray_session):
+    """2×2 contingency: E(a,x) = 40·40/100 = 16 → residual 14/4 = 3.5."""
+    rows = [("a", "x")] * 30 + [("a", "y")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 50
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "lang": [r[0] for r in rows],
+            "source": [r[1] for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "docs.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.profile import lang_source_residuals
+
+    got = lang_source_residuals(str(tmp_path / "docs.parquet")).set_index(["lang", "source"])
+    assert got.loc[("a", "x"), "expected"] == pytest.approx(16.0)
+    assert got.loc[("a", "x"), "residual"] == pytest.approx(3.5)
+    assert got.loc[("b", "y"), "n"] == 50
+    # residuals of a 2×2 table are equal in magnitude, alternating sign
+    assert got.loc[("a", "y"), "residual"] < 0 and got.loc[("b", "x"), "residual"] < 0
