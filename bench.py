@@ -394,6 +394,27 @@ def pipeline_tokstats(sf_dir: str) -> int:
     return n
 
 
+def pipeline_health_stats(sf_dir: str) -> int:
+    """The session-7 additions as one number: bounded-histogram stats
+    (Gini, AUC, quantile-normalize), the ordered OHLC/EWMA aggregates,
+    the contingency profile and the iterative BFS — one representative
+    from each new exchange shape (histogram, broadcast-map, ordered
+    first/last, sequential per-key scan, level-synchronous frontier)."""
+    from hepdata_validator_ray.pipelines import graph, profile, relational, validation
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(sf_dir)
+    docs = f"{sf_dir}/documents.parquet"
+    n = len(validation.gini_ntok_by_source(p))
+    n += len(profile.score_auc_by_source(docs))
+    n += _consume(validation.quantile_normalize_ntok(p))
+    n += len(relational.events_ohlc(sf_dir))
+    n += len(relational.events_ewma(sf_dir))
+    n += len(profile.lang_source_residuals(docs))
+    n += _consume(graph.bfs_hops(sf_dir))
+    return n
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -419,6 +440,7 @@ PIPELINES = {
     "seq_forecast": pipeline_seq_forecast,
     "tpch_batch": pipeline_tpch_batch,
     "tokstats": pipeline_tokstats,
+    "health_stats": pipeline_health_stats,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -449,6 +471,7 @@ BAND_TYP_HI = {
     "seq_forecast": 15.0,
     "tpch_batch": 15.0,
     "tokstats": 20.0,
+    "health_stats": 25.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
