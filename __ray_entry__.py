@@ -1768,6 +1768,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # Good–Turing frequency-of-frequencies over the distributed bigram
+        # table (n_1/N = unseen-mass estimate; spikes betray templates)
+        "v_bigram_coc": lambda sf: validation.bigram_count_of_counts(_seq(sf)),
+        # class-balanced downsample: every stratum keeps min-class-count
+        # rows under the deterministic (md5-hash, key) order
+        "balanced_downsample": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).balanced_downsample(docs(sf)),
         # per-user fixed-point EWMA (α=1/2): the sequential per-key scan
         # distributed by user co-location; both engines walk the identical
         # truncating-integer trajectory (list_reduce twin)
@@ -4593,6 +4601,34 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # count-of-counts twin: the shared bigram construction, then one
+        # GROUP BY over c; frac_mass division spelled identically
+        "v_bigram_coc": f"""
+WITH b AS (
+  SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+  FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2
+),
+bc AS (
+  SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b
+  WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V}
+  GROUP BY 1, 2
+),
+coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
+tot AS (SELECT sum(c * n_c) AS total FROM coc)
+SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
+FROM coc CROSS JOIN tot t""",
+        # balanced-downsample twin: k = min class count, same row_number
+        # total order as exact_k_per_group
+        "balanced_downsample": """
+WITH k AS (SELECT min(n) AS k_min FROM (
+  SELECT count(*)::BIGINT AS n FROM documents GROUP BY coalesce(source, '<NULL>'))),
+r AS (
+  SELECT coalesce(source, '<NULL>') AS source, doc_id,
+         row_number() OVER (PARTITION BY coalesce(source, '<NULL>')
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id)::BIGINT AS rank
+  FROM documents)
+SELECT source, rank, doc_id FROM r CROSS JOIN k WHERE rank <= k.k_min""",
         # EWMA twin: one list_reduce over the per-user (ts, event_id)-
         # ordered quantized values; `//` truncates toward zero on BOTH
         # engines (numpy mirrors via sign(s)·(|s|//2))

@@ -898,3 +898,38 @@ def weighted_priority_sample_by_group(
     cand = cand.sort_values([group, "pri", key], ascending=[True, False, True], kind="mergesort")
     out = cand.groupby(group, sort=True).head(k)
     return out.reset_index(drop=True)
+
+
+def balanced_downsample(
+    docs_path: str,
+    strata_col: str = "source",
+    key: str = "doc_id",
+    key_fn: str = "md5",
+) -> "ray.data.Dataset":
+    """Class-balanced downsampling: every stratum keeps exactly
+    min-class-count rows — the label-balancing pass before classifier
+    training / eval-set construction.  Pass 1 is a |strata|-bounded
+    grouped count (k = its minimum, one tiny exchange); pass 2 is the
+    stratified exact-k machinery (per stratum the k smallest
+    (hash64(key), key) rows — deterministic, layout-independent, no
+    per-group Python).  The SQL twin derives the same k via
+    min(count(*)) and the same row_number total order."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        ray.data.read_parquet(docs_path, columns=[strata_col])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.coalesce(t[strata_col], pa.scalar("<NULL>", pa.string()))],
+                names=[strata_col],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(strata_col)
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |strata|-bounded
+    k_min = int(counts["n"].min()) if len(counts) else 0
+    return exact_k_per_group(docs_path, k=k_min, key=key, strata_col=strata_col, key_fn=key_fn)

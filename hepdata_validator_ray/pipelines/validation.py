@@ -305,10 +305,40 @@ def token_bigrams_top(seq_path: str, k: int = 100, vocab_size: int | None = None
     boundaries), pre-counted per batch (map-side combine) and summed in the
     bucketed exchange; a final distributed sort takes the top k with a
     fully deterministic (cnt desc, t1, t2) order."""
-    from hepdata_validator_ray.checks.base import CheckContext
-    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
-
     V = vocab_size or CheckContext().vocab_size
+    counts = _bigram_count_dataset(seq_path, V)
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "t1": pa.array(key // V, type=pa.int64()),
+                "t2": pa.array(key % V, type=pa.int64()),
+                "cnt": t["cnt"],
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        # per-block (= per-bucket) partial top-k so the global sort moves
+        # ≤ k × num_buckets rows instead of every distinct bigram
+        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"), ("key", "ascending")])
+        return t.take(idx[: min(k, t.num_rows)])
+
+    return (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["cnt", "key"], descending=[True, False])
+        .limit(k)
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+def _bigram_count_dataset(seq_path: str, V: int) -> "ray.data.Dataset":
+    """The distributed (key = t1·V + t2, cnt) bigram count table — the
+    corpus-scale intermediate shared by the top-k ranking and the
+    count-of-counts spectrum.  Map-side pre-count, one bucketed int-sum
+    exchange; pairs never cross row boundaries; only valid token ids
+    (the encoding's injectivity domain) count."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
 
     def partial(batch: pa.Table) -> pa.Table:
         view = prepare_view(batch)
@@ -334,32 +364,58 @@ def token_bigrams_top(seq_path: str, k: int = 100, vocab_size: int | None = None
             {"key": pa.array(uniq, type=pa.int64()), "cnt": pa.array(cnt, type=pa.int64())}
         )
 
-    counts = bucketed_aggregate(
+    return bucketed_aggregate(
         ray.data.read_parquet(seq_path, columns=["tokens"]), "key", partial, sum_counts_combine("key")
     )
 
-    def decode(t: pa.Table) -> pa.Table:
-        key = t["key"].to_numpy(zero_copy_only=False)
+
+def bigram_count_of_counts(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Frequency-of-frequencies spectrum of the bigram table — how many
+    distinct bigrams occur exactly c times — the Good–Turing ingredient:
+    n_1/N estimates the unseen-bigram probability mass, and a healthy
+    natural-language spectrum decays smoothly in c (spikes betray
+    templated/duplicated text).  frac_mass = c·n_c / N is each
+    frequency class's share of all bigram occurrences.
+
+    The corpus-scale bigram table (shared builder with top-k and PMI)
+    stays distributed; a SECOND tiny exchange collapses it to the
+    count-of-counts (bounded by |distinct c| ≤ √(2N)); the driver sees
+    only that spectrum.  Exact integers except frac_mass, whose division
+    is spelled identically in the twin.
+
+    Output (c, n_c, frac_mass)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    V = vocab_size or CheckContext().vocab_size
+    counts = _bigram_count_dataset(seq_path, V)
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        uniq, n_c = np.unique(c, return_counts=True)
         return pa.Table.from_pydict(
-            {
-                "t1": pa.array(key // V, type=pa.int64()),
-                "t2": pa.array(key % V, type=pa.int64()),
-                "cnt": t["cnt"],
-            }
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(n_c, pa.int64())}
         )
 
-    def block_topk(t: pa.Table) -> pa.Table:
-        # per-block (= per-bucket) partial top-k so the global sort moves
-        # ≤ k × num_buckets rows instead of every distinct bigram
-        idx = pc.sort_indices(t, sort_keys=[("cnt", "descending"), ("key", "ascending")])
-        return t.take(idx[: min(k, t.num_rows)])
-
-    return (
-        counts.map_batches(block_topk, batch_format="pyarrow")
-        .sort(["cnt", "key"], descending=[True, False])
-        .limit(k)
-        .map_batches(decode, batch_format="pyarrow")
-    )
+    coc = (
+        bucketed_aggregate(counts, "key", coc_partial, sum_counts_combine("key"))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )  # |distinct c| rows, bounded by sqrt(2N)
+    if not len(coc):
+        return pd.DataFrame(
+            {
+                "c": pd.Series(dtype="int64"),
+                "n_c": pd.Series(dtype="int64"),
+                "frac_mass": pd.Series(dtype="float64"),
+            }
+        )
+    c = coc["key"].to_numpy(np.int64)
+    n_c = coc["cnt"].to_numpy(np.int64)
+    # exact Python-int total (c·n_c sums past int64 at the 10^12 tier)
+    total = sum(int(a) * int(b) for a, b in zip(c, n_c))
+    frac = np.array([(int(a) * int(b)) / total for a, b in zip(c, n_c)], dtype=np.float64)
+    return pd.DataFrame({"c": c, "n_c": n_c, "frac_mass": frac})
 
 
 def ntok_quantiles_by_source(seq_path: str) -> "ray.data.Dataset":

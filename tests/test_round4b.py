@@ -317,3 +317,31 @@ def test_lang_source_residuals_hand_computed(tmp_path, ray_session):
     assert got.loc[("b", "y"), "n"] == 50
     # residuals of a 2×2 table are equal in magnitude, alternating sign
     assert got.loc[("a", "y"), "residual"] < 0 and got.loc[("b", "x"), "residual"] < 0
+
+
+def test_bigram_count_of_counts_spectrum(tmp_path, ray_session):
+    """[1,2,1,2,1] yields (1,2)×2 and (2,1)×2; [3,4] yields one singleton
+    → spectrum {1: 1, 2: 2}; frac_mass = c·n_c / 5; row boundaries never
+    form a bigram."""
+    rows = [
+        {"source": "s", "tokens": [1, 2, 1, 2, 1], "n_tok": 5},
+        {"source": "s", "tokens": [3, 4], "n_tok": 2},
+    ]
+    from hepdata_validator_ray.pipelines.validation import bigram_count_of_counts
+
+    got = bigram_count_of_counts(_write_seq(tmp_path, rows), vocab_size=10).set_index("c")
+    assert got.loc[1, "n_c"] == 1 and got.loc[2, "n_c"] == 2
+    assert got.loc[1, "frac_mass"] == pytest.approx(0.2)
+    assert got.loc[2, "frac_mass"] == pytest.approx(0.8)
+
+
+def test_balanced_downsample_min_class(tmp_path, ray_session):
+    """Strata of sizes 5/3/2 all downsample to the min (2), ranks 1..2."""
+    rows = [("a", None, 1)] * 5 + [("b", None, 1)] * 3 + [("c", None, 1)] * 2
+    p = _write_docs(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.sampling import balanced_downsample
+
+    got = balanced_downsample(p).to_pandas()
+    sizes = got.groupby("source")["doc_id"].count()
+    assert sizes.to_dict() == {"a": 2, "b": 2, "c": 2}
+    assert set(got["rank"]) == {1, 2}
