@@ -1768,6 +1768,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # cross-snapshot bigram novelty: tagged keyed exchange over two
+        # distinct-bigram tables (never a broadcast set)
+        "v_bigram_novelty": lambda sf: validation.bigram_novelty(
+            _seq(sf),
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+        ),
         # Good–Turing frequency-of-frequencies over the distributed bigram
         # table (n_1/N = unseen-mass estimate; spikes betray templates)
         "v_bigram_coc": lambda sf: validation.bigram_count_of_counts(_seq(sf)),
@@ -4601,6 +4607,36 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # bigram-novelty twin: LEFT JOIN of the two distinct-bigram tables,
+        # FILTER counts, the two fractions spelled identically
+        "v_bigram_novelty": f"""
+WITH bn AS (
+  SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+    FROM read_parquet('{{shifted}}') WHERE tokens IS NOT NULL AND len(tokens) >= 2)
+  WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V} GROUP BY 1, 2
+),
+bo AS (
+  SELECT DISTINCT t1::BIGINT AS t1, t2::BIGINT AS t2 FROM (
+    SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+    FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2)
+  WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V}
+),
+a AS (SELECT count(*)::BIGINT AS n_bigrams_new,
+             count(*) FILTER (bo.t1 IS NULL)::BIGINT AS n_unseen,
+             sum(bn.cnt)::BIGINT AS mass_new,
+             coalesce(sum(bn.cnt) FILTER (bo.t1 IS NULL), 0)::BIGINT AS mass_unseen
+      FROM bn LEFT JOIN bo USING (t1, t2))
+SELECT n_bigrams_new, n_unseen, mass_new, mass_unseen,
+       n_unseen / n_bigrams_new AS frac_types_unseen,
+       mass_unseen / mass_new AS frac_mass_unseen
+FROM a""".replace(
+            "{shifted}",
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(
+                "/root/testdata/sf0.01"
+            )
+            + "/*.parquet",
+        ),
         # count-of-counts twin: the shared bigram construction, then one
         # GROUP BY over c; frac_mass division spelled identically
         "v_bigram_coc": f"""

@@ -3251,3 +3251,79 @@ def quantile_normalize_ntok(seq_path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(seq_path, columns=["doc_id", "source", "n_tok"]).map_batches(
         attach, batch_format="pyarrow", batch_size=65536
     )
+
+
+def bigram_novelty(old_path: str, new_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Cross-snapshot bigram novelty — the LM-drift metric one level above
+    vocab churn: what fraction of the NEW snapshot's distinct bigrams
+    (and of its bigram occurrence MASS) was never seen in the reference
+    snapshot.  High type-novelty with low mass-novelty = a long tail of
+    fresh contexts (healthy growth); high mass-novelty = a distribution
+    break.
+
+    Both corpus-scale bigram tables come from the shared builder and are
+    ALREADY collapsed to distinct keys, so novelty is one tagged keyed
+    exchange over the two bounded-by-distinct-bigrams tables (ref rows
+    carry cnt=−1 as the tag; a bucket groups by key and checks for the
+    tag) — never a broadcast of a bigram set, never driver-resident.
+    Counts and masses are exact integers; the two fractions are the only
+    doubles, spelled identically in the EXCEPT-free LEFT-JOIN twin.
+
+    Output one row: (n_bigrams_new, n_unseen, mass_new, mass_unseen,
+    frac_types_unseen, frac_mass_unseen)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+
+    V = vocab_size or CheckContext().vocab_size
+    new_counts = _bigram_count_dataset(new_path, V)
+    ref_keys = _bigram_count_dataset(old_path, V).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "key": t["key"],
+                "cnt": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_ref = df["cnt"].to_numpy() < 0
+        new = df[~is_ref]
+        seen = new["key"].isin(set(df.loc[is_ref, "key"].tolist())).to_numpy()
+        c = new["cnt"].to_numpy(dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "n_bigrams_new": pa.array([len(new)], pa.int64()),
+                "n_unseen": pa.array([int((~seen).sum())], pa.int64()),
+                "mass_new": pa.array([int(c.sum())], pa.int64()),
+                "mass_unseen": pa.array([int(c[~seen].sum())], pa.int64()),
+            }
+        )
+
+    parts = bucketed_aggregate(
+        new_counts.union(ref_keys), "key", None, combine
+    ).to_pandas()  # num_buckets summary rows
+    tot = parts.sum()
+    n_new, n_uns = int(tot["n_bigrams_new"]), int(tot["n_unseen"])
+    m_new, m_uns = int(tot["mass_new"]), int(tot["mass_unseen"])
+    return pd.DataFrame(
+        [
+            {
+                "n_bigrams_new": n_new,
+                "n_unseen": n_uns,
+                "mass_new": m_new,
+                "mass_unseen": m_uns,
+                "frac_types_unseen": n_uns / n_new if n_new else 0.0,
+                "frac_mass_unseen": m_uns / m_new if m_new else 0.0,
+            }
+        ]
+    ).astype(
+        {
+            "n_bigrams_new": "int64",
+            "n_unseen": "int64",
+            "mass_new": "int64",
+            "mass_unseen": "int64",
+            "frac_types_unseen": "float64",
+            "frac_mass_unseen": "float64",
+        }
+    )

@@ -345,3 +345,44 @@ def test_balanced_downsample_min_class(tmp_path, ray_session):
     sizes = got.groupby("source")["doc_id"].count()
     assert sizes.to_dict() == {"a": 2, "b": 2, "c": 2}
     assert set(got["rank"]) == {1, 2}
+
+
+def test_bigram_novelty_crafted(tmp_path, ray_session):
+    """Ref has bigrams {(1,2),(2,3)}; new has (1,2)×2 (seen) and (7,8),
+    (8,9) (unseen) → 3 distinct, 2 unseen, mass 4, unseen mass 2."""
+    import pyarrow.parquet as _pq
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    old.mkdir()
+    new.mkdir()
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["a"], pa.string()),
+                "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int64())),
+                "n_tok": pa.array([3], pa.int64()),
+                "source": pa.array(["s"], pa.string()),
+            }
+        ),
+        str(old / "part.parquet"),
+    )
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["b", "c"], pa.string()),
+                "tokens": pa.array([[1, 2, 1, 2], [7, 8, 9]], pa.list_(pa.int64())),
+                "n_tok": pa.array([4, 3], pa.int64()),
+                "source": pa.array(["s", "s"], pa.string()),
+            }
+        ),
+        str(new / "part.parquet"),
+    )
+    from hepdata_validator_ray.pipelines.validation import bigram_novelty
+
+    got = bigram_novelty(str(old), str(new), vocab_size=16).iloc[0]
+    # new bigrams: (1,2)x2, (2,1)x1, (7,8)x1, (8,9)x1 -> 4 distinct; seen: (1,2)
+    assert got["n_bigrams_new"] == 4 and got["n_unseen"] == 3
+    assert got["mass_new"] == 5 and got["mass_unseen"] == 3
+    assert got["frac_types_unseen"] == pytest.approx(0.75)
+    assert got["frac_mass_unseen"] == pytest.approx(0.6)
