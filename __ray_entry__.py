@@ -408,6 +408,23 @@ def _jsonl_violations(sf_dir: str):
     )
 
 
+def _ipc_violations(sf_dir: str):
+    """Same check suite over the Arrow-IPC (Feather v2) wire format —
+    sources/ipc.py memory-maps one file per task and streams its record
+    batches.  Oracle = the parquet violation SQL: the IPC mirror carries
+    identical rows, so hash-equality certifies cross-format equivalence
+    (the archive-mode discipline)."""
+    from hepdata_validator_ray.checks.base import CheckContext
+    from hepdata_validator_ray.pipelines.validation import _violation_pairs_batch
+    from hepdata_validator_ray.sources.ipc import ensure_sequences_ipc, read_sequences_ipc
+
+    path = ensure_sequences_ipc(sf_dir)
+    ctx = CheckContext()
+    return read_sequences_ipc(path).map_batches(
+        lambda b: _violation_pairs_batch(b, ctx), batch_format="pyarrow", batch_size=4096
+    )
+
+
 def _orc_violations(sf_dir: str):
     """Same check suite over the ORC wire format (source breadth; Ray has
     no read_orc, so sources/orc.py decodes one file per task).  The oracle
@@ -1481,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_partition_stats": lambda sf: validation.partition_stats(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
         "v_row_violations_orc": _orc_violations,
+        "v_row_violations_ipc": _ipc_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
         "v_row_violations_csv": _csv_violations,
         "v_compound_check": _compound_violations,
@@ -5424,6 +5442,8 @@ FROM chars GROUP BY doc_id, bin""",
     # ORC mirror carries identical rows to the parquet corpus: the parquet
     # violation SQL doubles as the cross-format-equivalence oracle
     o["v_row_violations_orc"] = o["v_row_violations"]
+    # same argument for the Arrow-IPC mirror
+    o["v_row_violations_ipc"] = o["v_row_violations"]
     # compaction plan composed from the spans oracle (two spellings can
     # never desync); sentinel files get degenerate [-1, -2] intervals so
     # one gaps-and-islands window covers real and counter-less files alike

@@ -122,3 +122,43 @@ def test_csv_roundtrip_matches_parquet_checks():
     assert tbl.column_names == ["doc_id", "tokens", "n_tok", "source"]
     assert tbl.num_rows == 2000
     assert str(tbl.schema.field("tokens").type) == "list<item: int32>"
+
+
+def test_ipc_source_round_trip(ray_session):
+    """The IPC mirror carries byte-identical rows to the parquet corpus
+    and streams record batches (multi-batch files stay multi-block)."""
+    import pandas as pd
+
+    from hepdata_validator_ray.sources.ipc import ensure_sequences_ipc, read_sequences_ipc
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    sf = "/root/testdata/sf0.001"
+    pq_dir = ensure_sequences_parquet(sf)
+    ipc_dir = ensure_sequences_ipc(sf)
+    a = (
+        read_sequences_ipc(ipc_dir)
+        .to_pandas()
+        .sort_values(["doc_id", "n_tok"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import ray.data
+
+    b = (
+        ray.data.read_parquet(pq_dir)
+        .to_pandas()
+        .sort_values(["doc_id", "n_tok"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "n_tok", "source"]], b[["doc_id", "n_tok", "source"]]
+    )
+
+
+def test_ipc_source_missing_dir_raises(tmp_path, ray_session):
+    import pytest as _pytest
+
+    from hepdata_validator_ray.sources.ipc import read_sequences_ipc
+
+    with _pytest.raises(FileNotFoundError):
+        read_sequences_ipc(str(tmp_path))
