@@ -1786,6 +1786,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # directional cross-entropy between source unigram LMs (add-one
+        # smoothing; the perplexity view of domain similarity)
+        "v_source_xent": lambda sf: validation.source_cross_entropy(_seq(sf)),
+        # temperature-scaled mixture weights (w ∝ n^α) from the bounded count
+        "sampling_temperature": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
+        ).temperature_weights(docs(sf)),
         # cross-snapshot bigram novelty: tagged keyed exchange over two
         # distinct-bigram tables (never a broadcast set)
         "v_bigram_novelty": lambda sf: validation.bigram_novelty(
@@ -4625,6 +4632,31 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # cross-entropy twin: H = ln(n_b+V) − Σ_{t∈a∩b} p_a·ln(c_bt+1)
+        # (zero-count tokens contribute ln 1 = 0, so the inner join is the
+        # whole sum); all ordered pairs incl. the diagonal baseline
+        "v_source_xent": f"""
+WITH tk AS (SELECT coalesce(source,'<NULL>') AS source, unnest(tokens) AS tok
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT source, tok::BIGINT AS tok, count(*)::BIGINT AS c FROM tk
+      WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+ms AS (SELECT source, sum(c)::BIGINT AS ns FROM u GROUP BY 1),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b, b.ns AS nb
+          FROM ms a CROSS JOIN ms b),
+it AS (SELECT ua.source AS src_a, ub.source AS src_b,
+              sum((ua.c::DOUBLE / msa.ns) * ln(ub.c + 1.0)) AS s_in
+       FROM u ua JOIN ms msa ON ua.source = msa.source
+            JOIN u ub ON ub.tok = ua.tok
+       GROUP BY 1, 2)
+SELECT pr.src_a, pr.src_b,
+       ln((pr.nb + {V})::DOUBLE) - coalesce(it.s_in, 0) AS xent
+FROM pairs pr LEFT JOIN it ON it.src_a = pr.src_a AND it.src_b = pr.src_b""",
+        # temperature twin: pow + window normalization, identical doubles
+        "sampling_temperature": """
+WITH c AS (SELECT coalesce(source,'<NULL>') AS source, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+w AS (SELECT source, n, pow(n::DOUBLE, 0.7) AS pw, sum(pow(n::DOUBLE, 0.7)) OVER () AS tot FROM c)
+SELECT source, n, pw / tot AS weight, pw / tot * 10000.0 AS expected_k FROM w""",
         # bigram-novelty twin: LEFT JOIN of the two distinct-bigram tables,
         # FILTER counts, the two fractions spelled identically
         "v_bigram_novelty": f"""

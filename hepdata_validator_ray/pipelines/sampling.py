@@ -933,3 +933,55 @@ def balanced_downsample(
     )  # |strata|-bounded
     k_min = int(counts["n"].min()) if len(counts) else 0
     return exact_k_per_group(docs_path, k=k_min, key=key, strata_col=strata_col, key_fn=key_fn)
+
+
+def temperature_weights(
+    docs_path: str, alpha: float = 0.7, k_total: int = 10000, strata_col: str = "source"
+) -> pd.DataFrame:
+    """Temperature-scaled mixture weights — the multilingual/multi-domain
+    rebalancing rule (w_s ∝ n_s^α, α<1 upsamples small sources): from the
+    ONE |strata|-bounded grouped count, each source's sampling weight and
+    its expected draw count at a k_total budget.  pow/normalization are
+    the only doubles, spelled identically in the twin; the exact ln/pow
+    parity is the empirically-certified PMI convention.
+
+    Output (source, n, weight, expected_k)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        ray.data.read_parquet(docs_path, columns=[strata_col])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.coalesce(t[strata_col], pa.scalar("<NULL>", pa.string()))],
+                names=[strata_col],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(strata_col)
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(strata_col)
+        .reset_index(drop=True)
+    )  # |strata|-bounded
+    if not len(counts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "weight": pd.Series(dtype="float64"),
+                "expected_k": pd.Series(dtype="float64"),
+            }
+        )
+    n = counts["n"].astype("int64").to_numpy()
+    pw = np.power(n.astype(np.float64), alpha)
+    w = pw / pw.sum()
+    return pd.DataFrame(
+        {
+            "source": counts[strata_col],
+            "n": n,
+            "weight": w,
+            "expected_k": w * float(k_total),
+        }
+    )

@@ -3327,3 +3327,59 @@ def bigram_novelty(old_path: str, new_path: str, vocab_size: int | None = None) 
             "frac_mass_unseen": "float64",
         }
     )
+
+
+def source_cross_entropy(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Directional cross-entropy H(pₐ; q_b) = −Σ_t pₐ(t)·ln q_b(t) between
+    per-source unigram LMs with add-one smoothing — "how surprised is a
+    model of b by text from a", the perplexity view of domain similarity
+    that complements the symmetric JS matrix (a ⊂ b scores low in one
+    direction and high in the other, which JS can't show).
+
+    q_b(t) = (c_bt + 1)/(n_b + V) — smoothing makes every term finite, so
+    the sum runs over a's support only and needs b's counts JUST on that
+    support: the |S|² pairs are numpy merges over the ONE shared bounded
+    unigram exchange, decomposed as
+
+        H = ln(n_b + V) − Σ_{t∈a} pₐ(t)·ln(c_bt + 1)
+
+    (tokens where c_bt = 0 contribute ln 1 = 0) — the identical double
+    expression as the LEFT-JOIN-free SQL twin.  Diagonal = each source's
+    own smoothed entropy, included as the baseline row.
+
+    Output (src_a, src_b, xent), all ordered pairs including a = b."""
+    V = vocab_size or CheckContext().vocab_size
+    uni, srcs = _source_token_unigram(seq_path, V)
+    out = []
+    if len(uni):
+        code = uni["key"].to_numpy(np.int64) // V
+        tok = uni["tok"].to_numpy(np.int64)
+        c = uni["cnt"].to_numpy(np.int64)
+        ns = np.bincount(code, weights=c, minlength=len(srcs)).astype(np.int64)
+        by_code: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for k in range(len(srcs)):
+            m = code == k
+            order = np.argsort(tok[m], kind="stable")
+            by_code[k] = (tok[m][order], c[m][order])
+        for a in range(len(srcs)):
+            ta, ca = by_code[a]
+            pa_ = ca.astype(np.float64) / ns[a] if ns[a] else ca.astype(np.float64)
+            for b in range(len(srcs)):
+                tb, cb = by_code[b]
+                # c_bt on a's support (0 where absent): searchsorted merge
+                idx = np.searchsorted(tb, ta)
+                idx_c = np.clip(idx, 0, max(len(tb) - 1, 0))
+                cbt = np.where(
+                    (idx < len(tb)) & (tb[idx_c] == ta), cb[idx_c], 0
+                ).astype(np.float64) if len(tb) else np.zeros(len(ta))
+                xent = float(np.log(float(ns[b] + V)) - (pa_ * np.log(cbt + 1.0)).sum())
+                out.append({"src_a": srcs[a], "src_b": srcs[b], "xent": xent})
+    if not out:
+        return pd.DataFrame(
+            {
+                "src_a": pd.Series(dtype="object"),
+                "src_b": pd.Series(dtype="object"),
+                "xent": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"xent": "float64"})

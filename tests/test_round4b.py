@@ -386,3 +386,39 @@ def test_bigram_novelty_crafted(tmp_path, ray_session):
     assert got["mass_new"] == 5 and got["mass_unseen"] == 3
     assert got["frac_types_unseen"] == pytest.approx(0.75)
     assert got["frac_mass_unseen"] == pytest.approx(0.6)
+
+
+def test_source_cross_entropy_hand_computed(tmp_path, ray_session):
+    """A=[0,0,1], B=[1], V=4: H(A;B) = ln5 − (1/3)ln2; the matrix is
+    directional (H(A;B) ≠ H(B;A)) and includes the diagonal baseline."""
+    rows = [
+        {"source": "A", "tokens": [0, 0, 1], "n_tok": 3},
+        {"source": "B", "tokens": [1], "n_tok": 1},
+    ]
+    from hepdata_validator_ray.pipelines.validation import source_cross_entropy
+
+    got = source_cross_entropy(_write_seq(tmp_path, rows), vocab_size=4).set_index(
+        ["src_a", "src_b"]
+    )["xent"]
+    assert got.loc[("A", "B")] == pytest.approx(math.log(5) - math.log(2) / 3)
+    assert got.loc[("A", "A")] == pytest.approx(
+        math.log(7) - (2 / 3) * math.log(3) - (1 / 3) * math.log(2)
+    )
+    assert got.loc[("B", "A")] == pytest.approx(math.log(7) - math.log(2))
+    assert len(got) == 4 and got.loc[("A", "B")] != got.loc[("B", "A")]
+
+
+def test_temperature_weights_upsamples_small_sources(tmp_path, ray_session):
+    """α=0.7 gives the small source MORE than its proportional share;
+    weights sum to 1; expected_k scales by the budget."""
+    rows = [("big", None, 1)] * 100 + [("small", None, 1)] * 1
+    p = _write_docs(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.sampling import temperature_weights
+
+    got = temperature_weights(p, alpha=0.7, k_total=1000).set_index("source")
+    assert got["weight"].sum() == pytest.approx(1.0)
+    assert got.loc["small", "weight"] > 1 / 101  # upsampled vs proportional
+    assert got.loc["big", "weight"] < 100 / 101
+    assert got.loc["small", "expected_k"] == pytest.approx(
+        1000 * 1 / (1 + 100**0.7)
+    )
