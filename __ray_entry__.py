@@ -1758,6 +1758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_membership(sf),
+        # degree assortativity: Pearson corr of endpoint degrees over all
+        # directed edges (one tagged exchange attaches deg(dst))
+        "graph_assortativity": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).degree_assortativity(sf),
         # multi-source BFS hop distance (level-synchronous frontier; two
         # bucketed exchanges per level, recursive-CTE twin)
         "graph_bfs_hops": lambda sf: __import__(
@@ -4567,6 +4572,11 @@ FROM s""",
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),
+        # assortativity twin: five HUGEINT sums over the same distinct
+        # edge set, identical r expression
+        "graph_assortativity": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).assortativity_oracle_sql(),
         # bounded-depth recursive-CTE BFS twin (identical edge build and
         # seed rule; UNION dedups (node, d) so the walk is node-bounded)
         "graph_bfs_hops": __import__(

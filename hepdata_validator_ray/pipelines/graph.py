@@ -869,3 +869,117 @@ walk(node, d) AS (
 SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS ntype,
        (node // 2)::BIGINT AS key, min(d)::BIGINT AS hops
 FROM walk GROUP BY node"""
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (Pearson correlation of endpoint degrees over edges)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+    """Degree assortativity of the undirected trade graph — the Pearson
+    correlation of (deg(src), deg(dst)) over every directed edge: r > 0
+    means hubs link to hubs (social-graph shape), r < 0 means hubs fan
+    out to leaves (bipartite/star shape, the expected signature here).
+    The one-number structural-health check for any derived link graph.
+
+    Plan: trade_edges already carries deg(src) (=outdeg; the graph holds
+    both orientations, so out-degree IS degree).  deg(dst) attaches via
+    ONE sentinel-tagged union exchange on hash(dst) against the distinct
+    (node, deg) table — the pagerank join pattern, no node-scale
+    broadcast.  The five correlation sums reduce per bucket in int64
+    (bounded: deg² · bucket rows < 2⁶³ needs deg < 2³¹·√…, fine for any
+    real degree at these bucket sizes — asserted, not assumed) and merge
+    as Python ints on the driver (one row per bucket); the textbook r is
+    spelled identically in the HUGEINT SQL twin.  Since both edge
+    orientations are present, sx = sy — a free internal consistency
+    assert on both engines.
+
+    Output one row: (n_edges, r)."""
+    import math
+
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    edges = trade_edges(sf_dir, num_buckets=num_buckets).materialize()
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        edges, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        # distinct (node, deg) inside the block; the exchange dedups fully
+        df = pd.DataFrame(
+            {
+                "src": t["src"].to_numpy(zero_copy_only=False),
+                "dst": np.full(t.num_rows, _TAG, dtype=np.int64),
+                "outdeg": t["outdeg"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates("src")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        # key edges by DST so they co-locate with the dst node's deg row
+        return pa.Table.from_arrays(
+            [t["dst"], t["src"], t["outdeg"]], names=["src", "dst", "outdeg"]
+        )
+
+    def sums(df: pd.DataFrame) -> pa.Table:
+        df = df.drop(columns=[BUCKET_COL])
+        is_deg = df["dst"].to_numpy() == _TAG
+        dmap = (
+            df[is_deg].drop_duplicates("src").set_index("src")["outdeg"]
+        )
+        e = df[~is_deg]
+        if not len(e):
+            z = pa.array([0], pa.int64())
+            return pa.Table.from_pydict(
+                {k: z for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            )
+        # here src column = original dst (the co-location key)
+        da = e["src"].map(dmap).to_numpy(dtype=np.int64)  # deg of dst endpoint
+        db = e["outdeg"].to_numpy(dtype=np.int64)  # deg of src endpoint
+        assert da.max(initial=0) < (1 << 31) and db.max(initial=0) < (1 << 31)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(e)], pa.int64()),
+                "sx": pa.array([int(db.sum())], pa.int64()),
+                "sy": pa.array([int(da.sum())], pa.int64()),
+                "sxx": pa.array([int((db * db).sum())], pa.int64()),
+                "syy": pa.array([int((da * da).sum())], pa.int64()),
+                "sxy": pa.array([int((da * db).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+        .union(edges.map_batches(deg_rows, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "src", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(sums, batch_format="pandas")
+        .to_pandas()
+    )  # one row per bucket
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy, sxy = int(parts["sxx"].sum()), int(parts["syy"].sum()), int(parts["sxy"].sum())
+    assert sx == sy, "both orientations present ⇒ symmetric sums"
+    den2 = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / math.sqrt(den2) if den2 > 0.0 else 0.0
+    return pd.DataFrame([{"n_edges": n, "r": r}]).astype({"n_edges": "int64", "r": "float64"})
+
+
+def assortativity_oracle_sql() -> str:
+    """Generated DuckDB oracle: same distinct-edge construction, degrees
+    by GROUP BY, five HUGEINT sums, identical r expression."""
+    return """
+WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY src),
+j AS (SELECT d1.d AS dx, d2.d AS dy FROM e
+      JOIN deg d1 ON d1.node = e.src JOIN deg d2 ON d2.node = e.dst),
+s AS (SELECT count(*)::BIGINT AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx*dx) AS sxx, sum(dy*dy) AS syy, sum(dx*dy) AS sxy FROM j)
+SELECT n AS n_edges,
+  CASE WHEN (n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE > 0.0
+       THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
+       ELSE 0.0 END AS r
+FROM s"""

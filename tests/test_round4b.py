@@ -422,3 +422,22 @@ def test_temperature_weights_upsamples_small_sources(tmp_path, ray_session):
     assert got.loc["small", "expected_k"] == pytest.approx(
         1000 * 1 / (1 + 100**0.7)
     )
+
+
+def test_degree_assortativity_path_graph(tmp_path, ray_session):
+    """The 11-node chain: endpoint degrees replicate np.corrcoef over the
+    20 directed edges (independent replication of the five-sum formula);
+    n_edges counts BOTH orientations."""
+    sf = _write_chain_graph(tmp_path)
+    from hepdata_validator_ray.pipelines.graph import degree_assortativity
+
+    got = degree_assortativity(sf).iloc[0]
+    assert got["n_edges"] == 20
+    # replicate: chain nodes have degree 1 (ends) / 2 (middle)
+    chain = [0, 3, 2, 5, 4, 9, 6, 11, 8, 17, 10]  # node ids along the chain
+    deg = {n: (1 if i in (0, len(chain) - 1) else 2) for i, n in enumerate(chain)}
+    dx, dy = [], []
+    for a, b in zip(chain[:-1], chain[1:]):
+        dx += [deg[a], deg[b]]
+        dy += [deg[b], deg[a]]
+    assert got["r"] == pytest.approx(np.corrcoef(dx, dy)[0, 1])
