@@ -1758,6 +1758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_membership(sf),
+        # k-NN label agreement (label-noise QC): targets broadcast, corpus
+        # streamed, per-batch partial top-k carries neighbor labels
+        "knn_label_agreement": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.similarity", fromlist=["x"]
+        ).knn_label_agreement(emb(sf), k=10, target_mod=5),
         # degree assortativity: Pearson corr of endpoint degrees over all
         # directed edges (one tagged exchange attaches deg(dst))
         "graph_assortativity": lambda sf: __import__(
@@ -4572,6 +4577,22 @@ FROM s""",
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),
+        # k-NN agreement twin: exact cross-join ranking under the same
+        # (cos DESC, vec_id) tie order, self excluded, agreement counted
+        "knn_label_agreement": """
+WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 5 = 0),
+scored AS (
+  SELECT t.vec_id, t.label AS qlabel, e.label AS nlabel,
+         row_number() OVER (PARTITION BY t.vec_id
+           ORDER BY list_cosine_similarity(t.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS rk
+  FROM t CROSS JOIN embeddings e WHERE e.vec_id != t.vec_id
+)
+SELECT vec_id, qlabel::BIGINT AS label,
+       sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       count(*)::BIGINT AS k_eff
+FROM scored WHERE rk <= 10 GROUP BY vec_id, qlabel""",
         # assortativity twin: five HUGEINT sums over the same distinct
         # edge set, identical r expression
         "graph_assortativity": __import__(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -271,4 +272,94 @@ def similarity_calibration(
         .map_groups(_bucket_pairs, batch_format="pandas")
         .groupby("thr_x100")
         .aggregate(Sum("n_pairs", alias_name="n_pairs"), Sum("n_above", alias_name="n_above"))
+    )
+
+
+def knn_label_agreement(emb_path: str, k: int = 10, target_mod: int = 5) -> pd.DataFrame:
+    """Label-noise detection by k-NN agreement: for each target vector,
+    how many of its k nearest cosine neighbors (self excluded) carry the
+    SAME label — a low count flags a mislabeled / out-of-cluster point,
+    the standard embedding-space QC before contrastive training.
+
+    Targets are the deterministic subset ``vec_id % target_mod == 0``
+    (the broadcast side — the ann_topk query discipline: the target
+    matrix ships once via ray.put, the corpus streams, each batch emits
+    a per-target partial top-k carrying neighbor labels, the driver
+    merges |targets|·k·n_batches bounded candidates).  For whole-corpus
+    self-agreement at the 10^12 tier the target set itself is
+    corpus-scale and this becomes the IVF-bucketed variant (each cell
+    computes agreement locally) — ann_topk_ivf is that routing; here the
+    brute path is the gated baseline.  Ranking ties break on
+    (cos DESC, neighbor_id) in both engines.
+
+    Output (vec_id, label, n_agree, k_eff)."""
+    import pyarrow.dataset as pads
+
+    def keep_targets(t):
+        if target_mod <= 1:
+            return t
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % target_mod == 0))
+
+    tgt = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+        .map_batches(keep_targets, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    t_ids = tgt["vec_id"].to_numpy(np.int64)
+    t_labels = tgt["label"].to_numpy(np.int64)
+    q = np.stack(tgt["embedding"].to_numpy()).astype(np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((t_ids, q))
+
+    class Partial:
+        def __init__(self, r):
+            self.t_ids, self.q = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = self.q @ mat.T  # (targets × batch)
+            ids = df["vec_id"].to_numpy(np.int64)
+            labels = df["label"].to_numpy(np.int64)
+            recs = []
+            for qi in range(len(self.t_ids)):
+                s = sims[qi]
+                mask = ids != self.t_ids[qi]  # self excluded
+                cand = np.flatnonzero(mask)
+                kk = min(k, len(cand))
+                if not kk:
+                    continue
+                top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+                for j in top:
+                    recs.append(
+                        (int(self.t_ids[qi]), int(ids[j]), float(s[j]), int(labels[j]))
+                    )
+            return pd.DataFrame(recs, columns=["query_id", "neighbor_id", "cos", "n_label"])
+
+    partials = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding", "label"])
+        .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pandas", batch_size=4096, concurrency=2)
+        .to_pandas()
+    )
+    top = (
+        partials.sort_values(
+            ["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        .groupby("query_id", as_index=False)
+        .head(k)
+    )
+    lab_of = dict(zip(t_ids, t_labels))
+    same = top.assign(
+        same=(top["n_label"].to_numpy() == top["query_id"].map(lab_of).to_numpy()).astype(np.int64)
+    )
+    agg = same.groupby("query_id").agg(k_eff=("neighbor_id", "size"), n_agree=("same", "sum"))
+    out = agg.reset_index().rename(columns={"query_id": "vec_id"})
+    out["label"] = out["vec_id"].map(lab_of)
+    return (
+        out[["vec_id", "label", "n_agree", "k_eff"]]
+        .astype({"vec_id": "int64", "label": "int64", "n_agree": "int64", "k_eff": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
     )

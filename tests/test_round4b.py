@@ -441,3 +441,27 @@ def test_degree_assortativity_path_graph(tmp_path, ray_session):
         dx += [deg[a], deg[b]]
         dy += [deg[b], deg[a]]
     assert got["r"] == pytest.approx(np.corrcoef(dx, dy)[0, 1])
+
+
+def test_knn_label_agreement_planted_outlier(tmp_path, ray_session):
+    """Two tight clusters with one mislabeled point: the outlier's
+    neighbors all disagree (n_agree 0), cluster members agree fully;
+    self is never its own neighbor (k_eff caps at n−1)."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.01, (6, 8)) + np.r_[[np.ones(8)]] * 5
+    b = rng.normal(0, 0.01, (6, 8)) - np.r_[[np.ones(8)]] * 5
+    vecs = np.vstack([a, b]).astype(np.float32)
+    labels = np.array([0] * 6 + [1] * 5 + [0], dtype=np.int32)  # last b-point mislabeled 0
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(12, dtype=np.int64),
+            "embedding": list(vecs),
+            "label": labels,
+        }
+    ).to_parquet(str(tmp_path / "emb.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.similarity import knn_label_agreement
+
+    got = knn_label_agreement(str(tmp_path / "emb.parquet"), k=5, target_mod=1).set_index("vec_id")
+    assert got.loc[11, "n_agree"] == 0  # mislabeled: all 5 neighbors are label 1
+    assert got.loc[0, "n_agree"] == 5  # tight a-cluster: all neighbors label 0
+    assert (got["k_eff"] == 5).all()
