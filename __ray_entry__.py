@@ -1823,6 +1823,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_ewma(sf),
+        # hour-of-day burst profile per event type (contingency residuals
+        # over a derived time key)
+        "events_hour_profile": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_hour_profile(sf),
         # (lang × source) contingency Pearson residuals — the
         # rare-combination detector over one low-cardinality exchange
         "profile_lang_source": lambda sf: __import__(
@@ -4755,6 +4760,21 @@ WITH e AS (SELECT user_id, ts, event_id, floor(value*10000.0 + 0.5)::BIGINT AS v
 SELECT user_id, count(*)::BIGINT AS n_events,
        list_reduce(list(v_fp ORDER BY ts, event_id), (s, x) -> s // 2 + x) AS ewma_fp4
 FROM e GROUP BY user_id""",
+        # hour-profile twin: same contingency algebra over extract(hour)
+        "events_hour_profile": """
+WITH d AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  extract(hour FROM ts)::BIGINT AS hour FROM events),
+c AS (SELECT event_type, hour, count(*)::BIGINT AS n FROM d GROUP BY ALL),
+m AS (SELECT event_type, hour, n,
+             sum(n) OVER (PARTITION BY event_type) AS row_tot,
+             sum(n) OVER (PARTITION BY hour) AS col_tot,
+             sum(n) OVER () AS total
+      FROM c)
+SELECT event_type, hour, n,
+       row_tot::DOUBLE * col_tot / total AS expected,
+       (n - row_tot::DOUBLE * col_tot / total)
+         / sqrt(row_tot::DOUBLE * col_tot / total) AS residual
+FROM m""",
         # contingency twin: window marginals, E = row::DOUBLE·col/N,
         # Pearson residual (O−E)/√E spelled identically
         "profile_lang_source": """

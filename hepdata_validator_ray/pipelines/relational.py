@@ -4017,3 +4017,65 @@ def events_ewma(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
         .to_pandas()
     )  # |users| rows, bounded
     return res.sort_values("user_id").reset_index(drop=True)
+
+
+def events_hour_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day seasonality audit per event type: observed counts per
+    (type, hour 0-23) against the independence expectation (type margin ×
+    hour margin / N) with Pearson residuals — the burst/bot detector (a
+    type that fires only at one hour lights up its residual; organic
+    traffic follows the global diurnal curve).  Same contingency
+    machinery as the lang×source audit, but over a DERIVED time key:
+    hours extract vectorized per batch, one |types|·24-bounded grouped
+    count is the only exchange, residual arithmetic over the bounded
+    cell table with the expression spelled identically in the twin.
+
+    Output (event_type, hour, n, expected, residual)."""
+    from ray.data.aggregate import Count as _Count
+
+    cells = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.hour(t["ts"]), pa.int64()),
+                ],
+                names=["event_type", "hour"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "hour"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × 24, bounded
+    if not len(cells):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "hour": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "expected": pd.Series(dtype="float64"),
+                "residual": pd.Series(dtype="float64"),
+            }
+        )
+    n = cells["n"].astype("int64")
+    row_tot = cells.groupby("event_type")["n"].transform("sum").astype("int64")
+    col_tot = cells.groupby("hour")["n"].transform("sum").astype("int64")
+    total = int(n.sum())
+    expected = row_tot.to_numpy(np.float64) * col_tot.to_numpy(np.int64) / total
+    residual = (n.to_numpy(np.float64) - expected) / np.sqrt(expected)
+    return (
+        pd.DataFrame(
+            {
+                "event_type": cells["event_type"],
+                "hour": cells["hour"].astype("int64"),
+                "n": n,
+                "expected": expected,
+                "residual": residual,
+            }
+        )
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )

@@ -465,3 +465,25 @@ def test_knn_label_agreement_planted_outlier(tmp_path, ray_session):
     assert got.loc[11, "n_agree"] == 0  # mislabeled: all 5 neighbors are label 1
     assert got.loc[0, "n_agree"] == 5  # tight a-cluster: all neighbors label 0
     assert (got["k_eff"] == 5).all()
+
+
+def test_events_hour_profile_burst(tmp_path, ray_session):
+    """A type firing only at hour 3 yields E = 10·11/20 = 5.5 and
+    residual (10−5.5)/√5.5; the uniform type's hour-3 cell is depressed."""
+    ts_a = [pd.Timestamp(f"2026-04-01 03:{m:02d}:00") for m in range(10)]
+    ts_b = [pd.Timestamp(f"2026-04-01 {h:02d}:00:00") for h in range(10)]
+    pd.DataFrame(
+        {
+            "event_id": np.arange(20, dtype=np.int64),
+            "ts": ts_a + ts_b,
+            "user_id": np.zeros(20, dtype=np.int64),
+            "event_type": ["burst"] * 10 + ["flat"] * 10,
+            "value": np.ones(20),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_hour_profile
+
+    got = events_hour_profile(str(tmp_path)).set_index(["event_type", "hour"])
+    assert got.loc[("burst", 3), "expected"] == pytest.approx(5.5)
+    assert got.loc[("burst", 3), "residual"] == pytest.approx((10 - 5.5) / math.sqrt(5.5))
+    assert got.loc[("flat", 3), "residual"] < 0
