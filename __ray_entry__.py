@@ -1758,6 +1758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_membership(sf),
+        # c-TF-IDF cluster labeling (BERTopic shape): quantized assignment
+        # + word stream meet in one id-keyed tagged exchange
+        "cluster_top_terms": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).cluster_top_terms(sf, k_terms=5),
         # k-NN label agreement (label-noise QC): targets broadcast, corpus
         # streamed, per-batch partial top-k carries neighbor labels
         "knn_label_agreement": lambda sf: __import__(
@@ -4582,6 +4587,26 @@ FROM s""",
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),
+        # c-TF-IDF twin: the embedding_kmeans assignment CTE + the
+        # string_split(' ') word convention + the identical score
+        "cluster_top_terms": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1),
+w AS (SELECT a.cid AS cluster, unnest(string_split(dd.text, ' ')) AS word
+      FROM documents dd JOIN asg a ON dd.doc_id = a.vec_id WHERE dd.text IS NOT NULL),
+tf AS (SELECT cluster, word, count(*)::BIGINT AS tf FROM w GROUP BY ALL),
+dfw AS (SELECT word, count(DISTINCT cluster)::BIGINT AS df_w FROM tf GROUP BY word),
+ncs AS (SELECT cluster, sum(tf)::BIGINT AS n_c FROM tf GROUP BY cluster),
+nk AS (SELECT count(DISTINCT cluster)::BIGINT AS nk FROM tf),
+sc AS (SELECT t.cluster, t.word, t.tf,
+              (t.tf::DOUBLE / s.n_c) * ln(1.0 + k.nk / d2.df_w) AS score
+       FROM tf t JOIN ncs s USING (cluster) JOIN dfw d2 USING (word) CROSS JOIN nk k),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, word)::BIGINT AS rank FROM sc)
+SELECT cluster, rank, word, tf, score FROM r WHERE rank <= 5""",
         # k-NN agreement twin: exact cross-join ranking under the same
         # (cos DESC, vec_id) tie order, self excluded, agreement counted
         "knn_label_agreement": """

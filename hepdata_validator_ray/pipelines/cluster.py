@@ -504,3 +504,123 @@ def embedding_label_outliers(emb_path: str, k: int = 5) -> "ray.data.Dataset":
         .groupby("label")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def cluster_top_terms(
+    sf_dir: str,
+    k_terms: int = 5,
+    centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """c-TF-IDF cluster labeling (the BERTopic move): for each embedding
+    cluster, the words whose within-cluster frequency is most distinctive
+    — score = (tf_cw / n_c) · ln(1 + K / df_w), where df_w counts the
+    CLUSTERS containing the word (not documents).  Labels clusters of a
+    semantic-dedup / mixture pass with human-readable terms.
+
+    Plan (all corpus-scale stages distributed): per-batch quantized
+    assignment gives (vec_id, cluster) — the exact integer rule shared
+    with embedding_kmeans, so the SQL twin reproduces assignments
+    hash-exactly; documents explode to (doc_id, word) under the
+    string_split(' ') convention; the two streams meet in ONE id-keyed
+    tagged exchange (cluster = −1 marks word rows) where words inherit
+    their doc's cluster and pre-count; a second exchange sums to the
+    |clusters|·|vocab|-bounded (cluster, word) table, from which
+    marginals and the score are driver arithmetic.  Ties break on
+    (score DESC, word) in both engines.
+
+    Output (cluster, rank, word, tf, score)."""
+    import math
+
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+
+    cents, cids = _load_rows(f"{sf_dir}/embeddings.parquet", centroid_ids)
+    cq = _quantize(cents)
+
+    def assign_rows(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        amin, _ = _assign_quantized(q, cq)
+        return pd.DataFrame(
+            {
+                "id": df["vec_id"].to_numpy(dtype=np.int64),
+                "cluster": cids[amin].astype(np.int64),
+                "word": np.full(len(df), "", dtype=object),
+            }
+        )
+
+    def word_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"]
+        ok = texts.notna()
+        words = texts[ok].str.split(" ")
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        ids = np.repeat(df.loc[ok, "doc_id"].to_numpy(dtype=np.int64), lens)
+        import itertools as _it
+
+        flat = np.fromiter(_it.chain.from_iterable(words), dtype=object, count=int(lens.sum()))
+        return pd.DataFrame(
+            {"id": ids, "cluster": np.full(len(ids), -1, dtype=np.int64), "word": flat}
+        )
+
+    def attach_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_asg = df["cluster"].to_numpy() >= 0
+        cmap = dict(zip(df.loc[is_asg, "id"], df.loc[is_asg, "cluster"]))
+        w = df[~is_asg]
+        cl = w["id"].map(cmap)
+        ok = cl.notna()
+        g = (
+            pd.DataFrame({"cluster": cl[ok].astype(np.int64), "word": w.loc[ok, "word"]})
+            .groupby(["cluster", "word"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["key"] = g["cluster"].astype(str) + "|" + g["word"]
+        return g[["key", "cnt"]]
+
+    asg = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign_rows, batch_format="pandas", batch_size=4096)
+    words = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(word_rows, batch_format="pandas", batch_size=4096)
+
+    joined = (
+        asg.union(words)
+        .map_batches(lambda t: with_bucket(t, "id", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach_and_count, batch_format="pandas")
+    )
+
+    def sum_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("cnt", "sum")])
+        return g.rename_columns(["key", "cnt"])
+
+    tfcw = bucketed_aggregate(joined, "key", None, sum_combine).to_pandas()
+    # |clusters| × |vocab| bounded
+    if not len(tfcw):
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "word": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+    split = tfcw["key"].str.split("|", n=1, expand=True)
+    tfcw["cluster"] = split[0].astype(np.int64)
+    tfcw["word"] = split[1]
+    n_c = tfcw.groupby("cluster")["cnt"].transform("sum").astype("int64")
+    df_w = tfcw.groupby("word")["cluster"].transform("nunique").astype("int64")
+    nk = int(tfcw["cluster"].nunique())
+    tfcw["score"] = (tfcw["cnt"].to_numpy(np.float64) / n_c.to_numpy(np.int64)) * np.log(
+        1.0 + nk / df_w.to_numpy(np.int64)
+    )
+    tfcw = tfcw.sort_values(["cluster", "score", "word"], ascending=[True, False, True], kind="mergesort")
+    top = tfcw.groupby("cluster", sort=True).head(k_terms).copy()
+    top["rank"] = top.groupby("cluster", sort=False).cumcount() + 1
+    return (
+        top.rename(columns={"cnt": "tf"})[["cluster", "rank", "word", "tf", "score"]]
+        .astype({"cluster": "int64", "rank": "int64", "tf": "int64", "score": "float64"})
+        .reset_index(drop=True)
+    )

@@ -487,3 +487,27 @@ def test_events_hour_profile_burst(tmp_path, ray_session):
     assert got.loc[("burst", 3), "expected"] == pytest.approx(5.5)
     assert got.loc[("burst", 3), "residual"] == pytest.approx((10 - 5.5) / math.sqrt(5.5))
     assert got.loc[("flat", 3), "residual"] < 0
+
+
+def test_cluster_top_terms_exclusive_vocab(tmp_path, ray_session):
+    """Two well-separated clusters with disjoint-ish vocab: each cluster's
+    top term is its exclusive word (shared filler scores ln(1+K/K) low),
+    and df counts CLUSTERS, not documents."""
+    vecs = np.vstack(
+        [np.tile([1.0, 0.0], (3, 1)) + np.random.default_rng(1).normal(0, 0.001, (3, 2)),
+         np.tile([0.0, 1.0], (3, 1)) + np.random.default_rng(2).normal(0, 0.001, (3, 2))]
+    ).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": np.arange(6, dtype=np.int64), "embedding": list(vecs),
+         "label": np.zeros(6, dtype=np.int32)}
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    texts = ["alpha filler", "alpha filler", "alpha filler",
+             "beta filler", "beta filler", "beta filler"]
+    pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.cluster import cluster_top_terms
+
+    got = cluster_top_terms(str(tmp_path), k_terms=1, centroid_ids=(0, 3))
+    top = got.set_index("cluster")["word"]
+    assert top.loc[0] == "alpha" and top.loc[3] == "beta"
