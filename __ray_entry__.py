@@ -1828,6 +1828,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_ewma(sf),
+        # single-changepoint per type over daily counts: integer CUSUM
+        # G_k = |m·P_k − k·T|, argmax with earliest-day tie rule
+        "events_changepoint": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_changepoint(sf),
         # hour-of-day burst profile per event type (contingency residuals
         # over a derived time key)
         "events_hour_profile": lambda sf: __import__(
@@ -4785,6 +4790,23 @@ WITH e AS (SELECT user_id, ts, event_id, floor(value*10000.0 + 0.5)::BIGINT AS v
 SELECT user_id, count(*)::BIGINT AS n_events,
        list_reduce(list(v_fp ORDER BY ts, event_id), (s, x) -> s // 2 + x) AS ewma_fp4
 FROM e GROUP BY user_id""",
+        # changepoint twin: window prefix sums, the same integer G_k and
+        # the (gk DESC, day) earliest-tie row_number rule
+        "events_changepoint": """
+WITH d AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  strftime(ts, '%Y-%m-%d') AS day FROM events),
+c AS (SELECT event_type, day, count(*)::BIGINT AS n FROM d GROUP BY ALL),
+s AS (SELECT event_type, day, n,
+        sum(n) OVER (PARTITION BY event_type ORDER BY day) AS pk,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        sum(n) OVER (PARTITION BY event_type) AS t,
+        count(*) OVER (PARTITION BY event_type) AS m
+      FROM c),
+g AS (SELECT event_type, day, abs(m*pk - k*t) AS gk, m, t FROM s WHERE k <= m - 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gk DESC, day) AS rk FROM g)
+SELECT event_type, day AS split_day, gk::BIGINT AS g_stat,
+       gk / (m*t)::DOUBLE AS g_norm, m::BIGINT AS n_days
+FROM r WHERE rk = 1""",
         # hour-profile twin: same contingency algebra over extract(hour)
         "events_hour_profile": """
 WITH d AS (SELECT coalesce(event_type,'<NULL>') AS event_type,

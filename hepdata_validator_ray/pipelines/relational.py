@@ -4079,3 +4079,76 @@ def events_hour_profile(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "hour"])
         .reset_index(drop=True)
     )
+
+
+def events_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Single-changepoint detection per event type over its daily-count
+    series — the drift monitor's "did the level shift, and when": the
+    CUSUM-style statistic G_k = |m·P_k − k·T| (P = prefix sum of daily
+    counts, T = total, m = #days) peaks at the day after which the mean
+    level changes; all arithmetic is INTEGER, so the argmax (ties → the
+    earliest day, the row_number rule) is hash-exact on both engines.
+    g_norm = G*/(m·T) ∈ [0,1) is the only double (identically spelled) —
+    near 0 means a flat series.
+
+    One |types|·|days|-bounded grouped-count exchange is the only
+    corpus-scale stage; the per-type scan over days is driver arithmetic
+    on the bounded table.  Types with a single day emit no row (no
+    interior split exists), matching the twin's k ≤ m−1 window.
+
+    Output (event_type, split_day, g_stat, g_norm, n_days)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.strftime(t["ts"], format="%Y-%m-%d"),
+                ],
+                names=["event_type", "day"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "day"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        grp = grp.sort_values("day", kind="mergesort")
+        c = grp["n"].astype("int64").tolist()
+        m = len(c)
+        if m < 2:
+            continue
+        T = sum(c)
+        # exact Python ints: m·P_k and k·T overflow int64 at the 10^12 tier
+        best_k, best_g = 0, -1
+        P = 0
+        for k in range(1, m):
+            P += c[k - 1]
+            g = abs(m * P - k * T)
+            if g > best_g:
+                best_k, best_g = k, g
+        out.append(
+            {
+                "event_type": et,
+                "split_day": grp["day"].iloc[best_k - 1],
+                "g_stat": best_g,
+                "g_norm": best_g / (m * T) if m * T > 0 else 0.0,
+                "n_days": m,
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "split_day": pd.Series(dtype="object"),
+                "g_stat": pd.Series(dtype="int64"),
+                "g_norm": pd.Series(dtype="float64"),
+                "n_days": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"g_stat": "int64", "g_norm": "float64", "n_days": "int64"})

@@ -511,3 +511,37 @@ def test_cluster_top_terms_exclusive_vocab(tmp_path, ray_session):
     got = cluster_top_terms(str(tmp_path), k_terms=1, centroid_ids=(0, 3))
     top = got.set_index("cluster")["word"]
     assert top.loc[0] == "alpha" and top.loc[3] == "beta"
+
+
+def test_events_changepoint_planted_shift(tmp_path, ray_session):
+    """Level 1/day for 5 days then 10/day for 5 days: the split lands on
+    day 5 (last day of the left regime); a flat series has g_norm far
+    smaller; single-day types emit no row."""
+    rows = []
+    eid = 0
+    for d in range(10):
+        per_day = 1 if d < 5 else 10
+        for _ in range(per_day):
+            rows.append(("shift", pd.Timestamp(f"2026-05-{d+1:02d} 12:00:00")))
+            eid += 1
+    for d in range(10):
+        rows.append(("flat", pd.Timestamp(f"2026-05-{d+1:02d} 12:00:00")))
+    rows.append(("oneday", pd.Timestamp("2026-05-01 12:00:00")))
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": [r[1] for r in rows],
+            "user_id": np.zeros(len(rows), dtype=np.int64),
+            "event_type": [r[0] for r in rows],
+            "value": np.ones(len(rows)),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_changepoint
+
+    got = events_changepoint(str(tmp_path)).set_index("event_type")
+    assert got.loc["shift", "split_day"] == "2026-05-05"
+    # G_5 = |10·5 − 5·55| = 225; g_norm = 225/550
+    assert got.loc["shift", "g_stat"] == 225
+    assert got.loc["shift", "g_norm"] == pytest.approx(225 / 550)
+    assert got.loc["flat", "g_norm"] == pytest.approx(0.0)
+    assert "oneday" not in got.index
