@@ -1828,6 +1828,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_ewma(sf),
+        # Markov predictability: next-type entropy given current type
+        "events_transition_entropy": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_transition_entropy(sf),
         # single-changepoint per type over daily counts: integer CUSUM
         # G_k = |m·P_k − k·T|, argmax with earliest-day tie rule
         "events_changepoint": lambda sf: __import__(
@@ -4790,6 +4794,18 @@ WITH e AS (SELECT user_id, ts, event_id, floor(value*10000.0 + 0.5)::BIGINT AS v
 SELECT user_id, count(*)::BIGINT AS n_events,
        list_reduce(list(v_fp ORDER BY ts, event_id), (s, x) -> s // 2 + x) AS ewma_fp4
 FROM e GROUP BY user_id""",
+        # transition-entropy twin: the transitions CTE + window sums,
+        # −Σ (n/ni)·ln(n/ni) spelled identically
+        "events_transition_entropy": """
+WITH o AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS prev_type, event_type AS cur_type, count(*)::BIGINT AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT prev_type, cur_type, n, sum(n) OVER (PARTITION BY prev_type) AS ni FROM t)
+SELECT prev_type, sum(n)::BIGINT AS n, count(*)::BIGINT AS n_successors,
+       -sum((n::DOUBLE / ni) * ln(n::DOUBLE / ni)) AS entropy
+FROM m GROUP BY prev_type""",
         # changepoint twin: window prefix sums, the same integer G_k and
         # the (gk DESC, day) earliest-tie row_number rule
         "events_changepoint": """

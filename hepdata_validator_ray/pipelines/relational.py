@@ -4152,3 +4152,41 @@ def events_changepoint(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"g_stat": "int64", "g_norm": "float64", "n_days": "int64"})
+
+
+def events_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-type Markov predictability: Shannon entropy of the next-type
+    distribution given the current type, H_i = −Σ_j p(j|i)·ln p(j|i) —
+    near 0 means the type deterministically chains into one successor
+    (bot/funnel signature), ln(|types|) means maximal branching.  Built
+    ON the transitions table: the user-keyed exchange of
+    events_type_transitions is the only corpus-scale stage; the |types|²
+    -bounded count table reduces to entropies in driver arithmetic with
+    the expression spelled identically in the window-sum twin.
+
+    Output (prev_type, n, n_successors, entropy)."""
+    tr = events_type_transitions(sf_dir).to_pandas()  # |types|², bounded
+    if not len(tr):
+        return pd.DataFrame(
+            {
+                "prev_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "n_successors": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64"),
+            }
+        )
+    out = []
+    for prev, grp in tr.groupby("prev_type", sort=True):
+        n_i = int(grp["n"].sum())
+        p = grp["n"].to_numpy(np.float64) / n_i
+        out.append(
+            {
+                "prev_type": prev,
+                "n": n_i,
+                "n_successors": len(grp),
+                "entropy": float(-(p * np.log(p)).sum()),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "n_successors": "int64", "entropy": "float64"}
+    )

@@ -545,3 +545,24 @@ def test_events_changepoint_planted_shift(tmp_path, ray_session):
     assert got.loc["shift", "g_norm"] == pytest.approx(225 / 550)
     assert got.loc["flat", "g_norm"] == pytest.approx(0.0)
     assert "oneday" not in got.index
+
+
+def test_transition_entropy_deterministic_vs_branching(tmp_path, ray_session):
+    """a→b always (H=0); b→{a,c} evenly (H=ln 2); successors counted."""
+    seq = ["a", "b", "a", "b", "c", "a", "b", "a", "b", "c"]  # one user's chain
+    ts = [pd.Timestamp("2026-06-01") + pd.Timedelta(seconds=i) for i in range(len(seq))]
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(seq), dtype=np.int64),
+            "ts": ts,
+            "user_id": np.zeros(len(seq), dtype=np.int64),
+            "event_type": seq,
+            "value": np.ones(len(seq)),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_transition_entropy
+
+    got = events_transition_entropy(str(tmp_path)).set_index("prev_type")
+    assert got.loc["a", "entropy"] == pytest.approx(0.0)  # a→b always
+    assert got.loc["a", "n_successors"] == 1
+    assert got.loc["b", "entropy"] == pytest.approx(math.log(2))  # b→a/c 2:2
