@@ -1828,6 +1828,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_ewma(sf),
+        # reciprocal-rank fusion of BM25 and raw-TF rankings (hybrid
+        # retrieval merge; one pass, two partial top-k heads per batch)
+        "bm25_rrf": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_rrf_fusion(docs(sf), ["hash", "join", "stream"], k=10),
         # Markov predictability: next-type entropy given current type
         "events_transition_entropy": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -4794,6 +4799,11 @@ WITH e AS (SELECT user_id, ts, event_id, floor(value*10000.0 + 0.5)::BIGINT AS v
 SELECT user_id, count(*)::BIGINT AS n_events,
        list_reduce(list(v_fp ORDER BY ts, event_id), (s, x) -> s // 2 + x) AS ewma_fp4
 FROM e GROUP BY user_id""",
+        # RRF twin: shared scored CTE, both rankings, FULL OUTER JOIN,
+        # identical coalesce sum (generated next to the kernel)
+        "bm25_rrf": __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).bm25_rrf_oracle_sql(["hash", "join", "stream"], k=10),
         # transition-entropy twin: the transitions CTE + window sums,
         # −Σ (n/ni)·ln(n/ni) spelled identically
         "events_transition_entropy": """

@@ -135,10 +135,10 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = BM25_K1, b: float = BM25_B) -> str:
-    """DuckDB SQL computing the identical BM25 top-k — the score expression
-    is generated with the same parenthesization and term order the Ray
-    kernel accumulates in."""
+def _bm25_scored_cte(terms: list[str], k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """The generated WITH-block computing per-doc (dl, tf_total, score)
+    with the same parenthesization and term order the Ray kernel
+    accumulates in — shared by the top-k oracle and the RRF fusion twin."""
     terms = sorted(terms)
     # coalesce: string_split(NULL) is NULL in SQL but the Ray kernel treats
     # null text as an empty word list (dl=0, tf=0, score exactly 0.0)
@@ -174,10 +174,111 @@ scored AS (
   SELECT d.doc_id, d.dl, ({tf_total})::BIGINT AS tf_total,
          {score_terms} AS score
   FROM d, s
-)
+)"""
+
+
+def bm25_oracle_sql(terms: list[str], k: int = 10, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB SQL computing the identical BM25 top-k — the score expression
+    is generated with the same parenthesization and term order the Ray
+    kernel accumulates in."""
+    return f"""{_bm25_scored_cte(terms, k1, b)}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
        doc_id, dl, tf_total
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def bm25_rrf_fusion(
+    docs_path: str,
+    terms: list[str],
+    k: int = 10,
+    k_rrf: int = 60,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two rankings for one term bag — BM25 and
+    raw term frequency — the standard hybrid-retrieval merge:
+    rrf(d) = Σ_r 1/(k_rrf + rank_r(d)) over the rankings that placed d in
+    their top-k (absent rank contributes 0, reported as rank 0).  TF and
+    BM25 disagree exactly where document-length normalization matters, so
+    the fusion surfaces both short exact matches and long high-score docs.
+
+    ONE corpus pass: each batch emits partial top-k under BOTH orders
+    (score DESC, doc_id) and (tf_total DESC, doc_id) — 2k candidate rows
+    per batch, the ANN merge discipline — and the driver re-ranks the
+    bounded candidate set; each global top-k is provably inside its own
+    per-batch partials.  The rrf sum adds the BM25 term then the TF term
+    (two doubles, same order as the SQL twin's coalesce sum).
+
+    Output (doc_id, r_bm25, r_tf, rrf) for the union of both top-ks."""
+    terms = sorted(terms)
+    n_docs, sum_dl, df_t = bm25_corpus_stats(docs_path, terms)
+    if n_docs == 0:
+        return pd.DataFrame(columns=["doc_id", "r_bm25", "r_tf", "rrf"]).astype(
+            {"doc_id": "int64", "r_bm25": "int64", "r_tf": "int64", "rrf": "float64"}
+        )
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.array(
+        [np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for d in df_t], dtype=np.float64
+    )
+    ref = ray.put((terms, idf, avgdl))
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q_terms, q_idf, q_avgdl = ray.get(ref)
+        dl, tf = _term_tfs(df["text"], q_terms)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(len(dl), dtype=np.float64)
+        for j in range(len(q_terms)):
+            tfj = tf[:, j].astype(np.float64)
+            score = score + (q_idf[j] * tfj) / (
+                tfj + k1 * ((1.0 - b) + b * (dlf / q_avgdl))
+            )
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "tf_total": tf.sum(axis=1).astype("int64"),
+                "score": score,
+            }
+        )
+        kk = min(k, len(out))
+        by_score = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(kk)
+        by_tf = out.sort_values(["tf_total", "doc_id"], ascending=[False, True]).head(kk)
+        return pd.concat([by_score, by_tf], ignore_index=True).drop_duplicates("doc_id")
+
+    cand = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(score_partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .drop_duplicates("doc_id")
+    )
+    top_s = cand.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    top_t = cand.sort_values(["tf_total", "doc_id"], ascending=[False, True]).head(k)
+    r_bm25 = {d: i + 1 for i, d in enumerate(top_s["doc_id"])}
+    r_tf = {d: i + 1 for i, d in enumerate(top_t["doc_id"])}
+    ids = sorted(set(r_bm25) | set(r_tf))
+    rows = []
+    for d in ids:
+        a, t = r_bm25.get(d, 0), r_tf.get(d, 0)
+        rrf = (1.0 / (k_rrf + a) if a else 0.0) + (1.0 / (k_rrf + t) if t else 0.0)
+        rows.append({"doc_id": int(d), "r_bm25": a, "r_tf": t, "rrf": rrf})
+    return pd.DataFrame(rows).astype(
+        {"doc_id": "int64", "r_bm25": "int64", "r_tf": "int64", "rrf": "float64"}
+    )
+
+
+def bm25_rrf_oracle_sql(
+    terms: list[str], k: int = 10, k_rrf: int = 60, k1: float = BM25_K1, b: float = BM25_B
+) -> str:
+    """Fusion twin: the shared scored CTE, both row_number rankings, FULL
+    OUTER JOIN, the identical coalesce rrf sum (BM25 term first)."""
+    return f"""{_bm25_scored_cte(terms, k1, b)},
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS r
+       FROM scored ORDER BY score DESC, doc_id LIMIT {k}),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY tf_total DESC, doc_id)::BIGINT AS r
+       FROM scored ORDER BY tf_total DESC, doc_id LIMIT {k})
+SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+       coalesce(r1.r, 0)::BIGINT AS r_bm25, coalesce(r2.r, 0)::BIGINT AS r_tf,
+       coalesce(1.0 / ({k_rrf} + r1.r), 0) + coalesce(1.0 / ({k_rrf} + r2.r), 0) AS rrf
+FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id"""
 
 
 # ---------------------------------------------------------------------------

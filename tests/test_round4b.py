@@ -566,3 +566,33 @@ def test_transition_entropy_deterministic_vs_branching(tmp_path, ray_session):
     assert got.loc["a", "entropy"] == pytest.approx(0.0)  # a→b always
     assert got.loc["a", "n_successors"] == 1
     assert got.loc["b", "entropy"] == pytest.approx(math.log(2))  # b→a/c 2:2
+
+
+def test_bm25_rrf_fusion_crafted(tmp_path, ray_session):
+    """A doc in both top-k lists gets two reciprocal terms; a doc in only
+    one list gets rank 0 on the other side and a single term; short
+    exact-match (TF favors) vs long high-idf (BM25 favors) diverge."""
+    texts = [
+        "hash hash hash hash",                     # short, TF-heavy
+        "hash " + "filler " * 200 + "join stream", # long, multi-term (BM25 likes idf terms)
+        "join stream",                              # short multi-term
+        "nothing relevant here",
+    ]
+    pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64), "text": [t.strip() for t in texts]}
+    ).to_parquet(str(tmp_path / "docs.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.retrieval import bm25_rrf_fusion
+
+    got = bm25_rrf_fusion(
+        str(tmp_path / "docs.parquet"), ["hash", "join", "stream"], k=2
+    ).set_index("doc_id")
+    # doc 3 matches nothing: never in either top-2
+    assert 3 not in got.index
+    # every present doc's rrf equals the sum of its two reciprocal terms
+    for d, row in got.iterrows():
+        want = (1 / (60 + row["r_bm25"]) if row["r_bm25"] else 0) + (
+            1 / (60 + row["r_tf"]) if row["r_tf"] else 0
+        )
+        assert row["rrf"] == pytest.approx(want)
+    # at least one doc appears in only one of the two rankings
+    assert ((got["r_bm25"] == 0) | (got["r_tf"] == 0)).any()
