@@ -1801,6 +1801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Spearman ρ(length, distinct-count): exact integer
         # doubled-mid-rank sums over the value-bounded joint histogram
         "v_spearman_repetition": lambda sf: validation.spearman_len_distinct_by_source(_seq(sf)),
+        # per-source lexical-diversity panel (entropy/Simpson/TTR) from
+        # the shared unigram exchange
+        "v_source_diversity": lambda sf: validation.source_diversity(_seq(sf)),
         # directional cross-entropy between source unigram LMs (add-one
         # smoothing; the perplexity view of domain similarity)
         "v_source_xent": lambda sf: validation.source_cross_entropy(_seq(sf)),
@@ -4707,6 +4710,21 @@ it AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_joint,
 SELECT pairs.src_a, pairs.src_b, coalesce(n_joint, 0)::BIGINT AS n_joint,
        coalesce(s_in, 0) + 0.5*ln(2)*((1-coalesce(cov_a,0))+(1-coalesce(cov_b,0))) AS js
 FROM pairs LEFT JOIN it USING (src_a, src_b)""",
+        # diversity twin: the unigram CTE + identical panel expressions
+        "v_source_diversity": f"""
+WITH tk AS (SELECT coalesce(source,'<NULL>') AS source, unnest(tokens) AS tok
+            FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+u AS (SELECT source, tok::BIGINT AS tok, count(*)::BIGINT AS c FROM tk
+      WHERE tok >= 0 AND tok < {V} GROUP BY ALL),
+m AS (SELECT source, tok, c, sum(c) OVER (PARTITION BY source) AS ns FROM u),
+s AS (SELECT source, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens,
+             -sum((c::DOUBLE / ns) * ln(c::DOUBLE / ns)) AS entropy,
+             sum((c::DOUBLE / ns) * (c::DOUBLE / ns)) AS simpson
+      FROM m GROUP BY source)
+SELECT source, n_types, n_tokens, entropy, simpson,
+       n_types / n_tokens::DOUBLE AS ttr,
+       CASE WHEN n_types > 1 THEN entropy / ln(n_types::DOUBLE) ELSE 0.0 END AS norm_entropy
+FROM s""",
         # cross-entropy twin: H = ln(n_b+V) − Σ_{t∈a∩b} p_a·ln(c_bt+1)
         # (zero-count tokens contribute ln 1 = 0, so the inner join is the
         # whole sum); all ordered pairs incl. the diagonal baseline

@@ -3383,3 +3383,64 @@ def source_cross_entropy(seq_path: str, vocab_size: int | None = None) -> pd.Dat
             }
         )
     return pd.DataFrame(out).astype({"xent": "float64"})
+
+
+def source_diversity(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Per-source lexical-diversity panel from the shared unigram
+    exchange: Shannon entropy (−Σ p ln p), Simpson concentration (Σ p²,
+    the collision probability / HHI), type-token ratio, and normalized
+    entropy H/ln(types) — the four standard "is this source degenerate
+    or rich" numbers in one bounded pass.  All expressions spelled
+    identically in the twin; single-type sources report norm_entropy 0
+    via the same CASE (ln 1 = 0 denominator).
+
+    Output (source, n_types, n_tokens, entropy, simpson, ttr,
+    norm_entropy)."""
+    V = vocab_size or CheckContext().vocab_size
+    uni, srcs = _source_token_unigram(seq_path, V)
+    out = []
+    if len(uni):
+        code = uni["key"].to_numpy(np.int64) // V
+        c = uni["cnt"].to_numpy(np.int64)
+        for k in range(len(srcs)):
+            ck = c[code == k]
+            if not len(ck):
+                continue
+            n_tok = int(ck.sum())
+            p = ck.astype(np.float64) / n_tok
+            h = float(-(p * np.log(p)).sum())
+            simpson = float((p * p).sum())
+            m = len(ck)
+            out.append(
+                {
+                    "source": srcs[k],
+                    "n_types": m,
+                    "n_tokens": n_tok,
+                    "entropy": h,
+                    "simpson": simpson,
+                    "ttr": m / n_tok,
+                    "norm_entropy": h / np.log(float(m)) if m > 1 else 0.0,
+                }
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_types": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64"),
+                "simpson": pd.Series(dtype="float64"),
+                "ttr": pd.Series(dtype="float64"),
+                "norm_entropy": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {
+            "n_types": "int64",
+            "n_tokens": "int64",
+            "entropy": "float64",
+            "simpson": "float64",
+            "ttr": "float64",
+            "norm_entropy": "float64",
+        }
+    )

@@ -596,3 +596,23 @@ def test_bm25_rrf_fusion_crafted(tmp_path, ray_session):
         assert row["rrf"] == pytest.approx(want)
     # at least one doc appears in only one of the two rankings
     assert ((got["r_bm25"] == 0) | (got["r_tf"] == 0)).any()
+
+
+def test_source_diversity_panel(tmp_path, ray_session):
+    """Uniform 4-type source: H=ln4, Simpson=1/4, norm=1; single-type
+    source: H=0, Simpson=1, norm=0 (degenerate CASE); TTR exact."""
+    rows = [
+        {"source": "uni", "tokens": [0, 1, 2, 3], "n_tok": 4},
+        {"source": "one", "tokens": [7, 7, 7, 7], "n_tok": 4},
+    ]
+    from hepdata_validator_ray.pipelines.validation import source_diversity
+
+    got = source_diversity(_write_seq(tmp_path, rows), vocab_size=10).set_index("source")
+    assert got.loc["uni", "entropy"] == pytest.approx(math.log(4))
+    assert got.loc["uni", "simpson"] == pytest.approx(0.25)
+    assert got.loc["uni", "norm_entropy"] == pytest.approx(1.0)
+    assert got.loc["uni", "ttr"] == pytest.approx(1.0)
+    assert got.loc["one", "entropy"] == pytest.approx(0.0)
+    assert got.loc["one", "simpson"] == pytest.approx(1.0)
+    assert got.loc["one", "norm_entropy"] == 0.0
+    assert got.loc["one", "ttr"] == pytest.approx(0.25)
