@@ -1836,6 +1836,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rrf": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_rrf_fusion(docs(sf), ["hash", "join", "stream"], k=10),
+        # engagement inequality: Gini of per-user event counts
+        "events_user_gini": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_user_gini(sf),
         # Markov predictability: next-type entropy given current type
         "events_transition_entropy": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -4822,6 +4826,17 @@ FROM e GROUP BY user_id""",
         "bm25_rrf": __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_rrf_oracle_sql(["hash", "join", "stream"], k=10),
+        # user-Gini twin: per-user counts → count-of-counts → the same
+        # grouped-data tie-block identity
+        "events_user_gini": """
+WITH pu AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY user_id),
+h AS (SELECT v, count(*)::BIGINT AS c FROM pu GROUP BY v),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS nprev FROM h),
+a AS (SELECT sum(c*nprev*v + v*c*(c+1)//2) AS s_iv,
+             sum(c*v)::BIGINT AS n_events, sum(c)::BIGINT AS n FROM cum)
+SELECT n AS n_users, n_events,
+       CASE WHEN n * n_events > 0 THEN 2.0*s_iv/(n*n_events) - (n+1.0)/n ELSE 0.0 END AS gini
+FROM a""",
         # transition-entropy twin: the transitions CTE + window sums,
         # −Σ (n/ni)·ln(n/ni) spelled identically
         "events_transition_entropy": """

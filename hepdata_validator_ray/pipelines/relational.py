@@ -4190,3 +4190,53 @@ def events_transition_entropy(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n": "int64", "n_successors": "int64", "entropy": "float64"}
     )
+
+
+def events_user_gini(sf_dir: str) -> pd.DataFrame:
+    """Engagement-inequality audit: the Gini coefficient of per-user event
+    counts — 0 means uniform activity, → 1 means a few power users (or
+    bots) generate everything.  Two bounded reductions after the one
+    user-keyed exchange: per-user counts collapse to their
+    count-of-counts histogram (bounded by √(2N) distinct activity
+    levels), from which the grouped-data Gini identity runs in exact
+    Python ints (c·nprev·v + v·c(c+1)//2 per tie block — the
+    v_gini_ntok discipline, HUGEINT twin).
+
+    Output one row: (n_users, n_events, gini)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+    from ray.data.aggregate import Count as _Count
+
+    per_user = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="n"))
+    )
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        v = t["n"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    coc = (
+        bucketed_aggregate(per_user, "key", coc_partial, sum_counts_combine("key"))
+        .to_pandas()
+        .sort_values("key")
+    )  # |distinct activity levels|, bounded
+    if not len(coc):
+        return pd.DataFrame(
+            [{"n_users": 0, "n_events": 0, "gini": 0.0}]
+        ).astype({"n_users": "int64", "n_events": "int64", "gini": "float64"})
+    s_iv = 0
+    nprev = 0
+    s_v = 0
+    for v, cc in zip(coc["key"].tolist(), coc["cnt"].tolist()):
+        s_iv += cc * nprev * v + v * cc * (cc + 1) // 2
+        s_v += cc * v
+        nprev += cc
+    n = nprev
+    gini = 2.0 * s_iv / (n * s_v) - (n + 1.0) / n if n * s_v > 0 else 0.0
+    return pd.DataFrame(
+        [{"n_users": n, "n_events": s_v, "gini": gini}]
+    ).astype({"n_users": "int64", "n_events": "int64", "gini": "float64"})

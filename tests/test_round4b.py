@@ -616,3 +616,27 @@ def test_source_diversity_panel(tmp_path, ray_session):
     assert got.loc["one", "simpson"] == pytest.approx(1.0)
     assert got.loc["one", "norm_entropy"] == 0.0
     assert got.loc["one", "ttr"] == pytest.approx(0.25)
+
+
+def test_events_user_gini_extremes(tmp_path, ray_session):
+    """Uniform activity → 0; one power user among idlers reproduces the
+    hand value (counts [1,1,1,7]: G = 2·16/(4·10) − 5/4 = 0.45)."""
+    rows = []
+    for u, cnt in [(1, 1), (2, 1), (3, 1), (4, 7)]:
+        for i in range(cnt):
+            rows.append((u, pd.Timestamp("2026-07-01") + pd.Timedelta(seconds=len(rows))))
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": [r[1] for r in rows],
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": ["t"] * len(rows),
+            "value": np.ones(len(rows)),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_user_gini
+
+    got = events_user_gini(str(tmp_path)).iloc[0]
+    # sorted counts [1,1,1,7]: Σ rank·x = 1+2+3+28 = 34 → 2·34/(4·10) − 5/4 = 0.45
+    assert got["n_users"] == 4 and got["n_events"] == 10
+    assert got["gini"] == pytest.approx(0.45)
