@@ -1849,6 +1849,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_changepoint(sf),
+        # CCNet-style perplexity filter: per-sequence cross-entropy under
+        # the corpus's own add-one-smoothed bigram LM (tagged key exchange
+        # against the shared bigram table; per-doc output streams)
+        "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
         # hour-of-day burst profile per event type (contingency residuals
         # over a derived time key)
         "events_hour_profile": lambda sf: __import__(
@@ -4800,6 +4804,24 @@ coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
 tot AS (SELECT sum(c * n_c) AS total FROM coc)
 SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
 FROM coc CROSS JOIN tot t""",
+        # perplexity-filter twin: the same bigram/context CTEs, add-one
+        # smoothing spelled identically — avg_nll = Σ dcnt·(ln(ctx+V) −
+        # ln(cnt+1)) / Σ dcnt; NULL-doc rows feed the LM but score no doc
+        "v_seq_perplexity": f"""
+WITH b AS (
+  SELECT doc_id, unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+  FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2
+),
+v AS (SELECT doc_id, t1::BIGINT AS t1, t2::BIGINT AS t2 FROM b
+      WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V}),
+bc AS (SELECT t1, t2, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+cx AS (SELECT t1, sum(cnt)::BIGINT AS ctx FROM bc GROUP BY t1),
+d AS (SELECT doc_id, t1, t2, count(*)::BIGINT AS dcnt FROM v
+      WHERE doc_id IS NOT NULL GROUP BY 1, 2, 3)
+SELECT d.doc_id, sum(d.dcnt)::BIGINT AS m,
+       sum(d.dcnt * (ln(cx.ctx + {V}) - ln(bc.cnt + 1))) / sum(d.dcnt) AS avg_nll
+FROM d JOIN bc ON d.t1 = bc.t1 AND d.t2 = bc.t2 JOIN cx ON d.t1 = cx.t1
+GROUP BY d.doc_id""",
         # balanced-downsample twin: k = min class count, same row_number
         # total order as exact_k_per_group
         "balanced_downsample": """

@@ -3444,3 +3444,169 @@ def source_diversity(seq_path: str, vocab_size: int | None = None) -> pd.DataFra
             "norm_entropy": "float64",
         }
     )
+
+
+def seq_lm_perplexity(
+    seq_path: str, vocab_size: int | None = None, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per-sequence cross-entropy under the corpus's OWN bigram LM with
+    add-one smoothing — the CCNet-style perplexity filter (score every
+    document by how surprising it is to a model of the corpus; extreme
+    scores in either direction flag boilerplate / noise before training):
+
+        avg_nll(d) = (1/m_d) · Σ_{(t1,t2)∈d} [ln(ctx(t1)+V) − ln(c(t1,t2)+1)]
+
+    where c is the corpus bigram count, ctx(t1) = Σ_t2 c(t1,t2) the
+    context count, and m_d the number of valid bigrams in d.  Every doc
+    bigram exists in its own corpus's LM, so the count join is total;
+    unseen-bigram handling is bigram_novelty's domain.
+
+    Physical plan (every corpus-scale stage distributed): the shared
+    _bigram_count_dataset exchange materializes ONCE (bounded by
+    min(Σtok, V²) — far below corpus scale — and consumed twice); context
+    counts collapse to a V-bounded table broadcast via ray.put; docs
+    explode to per-doc DISTINCT bigram rows (row-local np.unique, ≤ one
+    exchanged row per (doc, bigram)); LM rows ride the SAME key-bucketed
+    exchange tagged by sign(dcnt) (< 0 ⇒ LM row); each bucket attaches
+    counts by searchsorted and emits per-(bucket, doc) partials; a final
+    doc_id-keyed exchange sums to (doc_id, m, avg_nll).  Output is
+    corpus-scale per-doc rows and STREAMS — never driver-resident.
+
+    Rows with NULL doc_id or no valid bigram emit nothing (mirrored
+    WHERE/no-group); NULL-doc rows still count toward the LM; duplicate
+    doc_ids merge under GROUP BY semantics on both engines.
+
+    Output (doc_id, m, avg_nll)."""
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        bucketed_aggregate,
+        sum_counts_combine,
+        with_bucket,
+    )
+
+    V = int(vocab_size or CheckContext().vocab_size)
+    V2 = np.int64(V) * np.int64(V)
+    counts = _bigram_count_dataset(seq_path, V).materialize()
+
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key // V, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cnt)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(s, pa.int64())}
+        )
+
+    ctx_pd = bucketed_aggregate(counts, "key", ctx_partial, sum_counts_combine("key")).to_pandas()
+    ctx_arr = np.zeros(V, dtype=np.int64)
+    if len(ctx_pd):
+        ctx_arr[ctx_pd["key"].to_numpy(np.int64)] = ctx_pd["cnt"].to_numpy(np.int64)
+    ctx_ref = ray.put(ctx_arr)
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "key": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.string()),
+            "dcnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        if "flat" not in view or "doc_id" not in view:
+            return _EMPTY
+        flat, offsets, lens = view["flat"], view["offsets"], view["lens"]
+        n = len(flat)
+        if n < 2:
+            return _EMPTY
+        t1 = flat[:-1].astype(np.int64)
+        t2 = flat[1:].astype(np.int64)
+        key = t1 * np.int64(V) + t2
+        last_positions = offsets[1:][lens > 0] - 1
+        valid = np.ones(n - 1, dtype=bool)
+        valid[last_positions[last_positions < n - 1]] = False
+        valid &= (t1 >= 0) & (t1 < V) & (t2 >= 0) & (t2 < V)
+        row_of = np.repeat(np.arange(view["n"], dtype=np.int64), np.maximum(lens, 0))
+        ridx = row_of[:-1]
+        valid &= ~view["doc_null"][ridx]
+        if not valid.any():
+            return _EMPTY
+        packed = ridx[valid] * V2 + key[valid]
+        uniq, dcnt = np.unique(packed, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(uniq % V2, pa.int64()),
+                "doc_id": view["doc_id"].take(pa.array(uniq // V2)),
+                "dcnt": pa.array(dcnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def lm_rows(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "key": t["key"],
+                "doc_id": pa.array([""] * len(t), pa.string()),
+                "dcnt": pa.array(-cnt, pa.int64()),
+            }
+        )
+
+    lm = counts.map_batches(lm_rows, batch_format="pyarrow")
+    docs = ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=4096
+    )
+    _EMPTY_P = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="object"),
+            "s_nll": pd.Series(dtype="float64"),
+            "m": pd.Series(dtype="int64"),
+        }
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        dcnt = df["dcnt"].to_numpy(np.int64)
+        is_lm = dcnt < 0
+        d = df[~is_lm]
+        if not len(d):
+            return _EMPTY_P
+        lm_keys = df.loc[is_lm, "key"].to_numpy(np.int64)
+        lm_cnt = -dcnt[is_lm]
+        order = np.argsort(lm_keys, kind="mergesort")
+        lm_keys, lm_cnt = lm_keys[order], lm_cnt[order]
+        dk = d["key"].to_numpy(np.int64)
+        pos = np.searchsorted(lm_keys, dk)
+        # self-scoring invariant: every doc bigram is in its own LM
+        assert len(lm_keys) and (pos < len(lm_keys)).all() and (lm_keys[pos] == dk).all()
+        ctx = ray.get(ctx_ref)[dk // V]
+        dc = d["dcnt"].to_numpy(np.float64)
+        nll = dc * (np.log(ctx + np.float64(V)) - np.log(lm_cnt[pos] + 1.0))
+        out = pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy(), "s_nll": nll, "m": d["dcnt"].to_numpy(np.int64)}
+        )
+        return out.groupby("doc_id", sort=False).agg(
+            s_nll=("s_nll", "sum"), m=("m", "sum")
+        ).reset_index()
+
+    joined = (
+        lm.union(docs)
+        .map_batches(lambda t: with_bucket(t, "key", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        g = pdf.groupby("doc_id", sort=False).agg(s_nll=("s_nll", "sum"), m=("m", "sum")).reset_index()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(g["doc_id"], pa.string()),
+                "m": pa.array(g["m"].to_numpy(np.int64), pa.int64()),
+                "avg_nll": pa.array(
+                    g["s_nll"].to_numpy(np.float64) / g["m"].to_numpy(np.int64), pa.float64()
+                ),
+            }
+        )
+
+    return bucketed_aggregate(joined, "doc_id", None, per_doc)
