@@ -1844,6 +1844,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_entropy": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_transition_entropy(sf),
+        # gap-filled daily-count autocorrelation at lags 1..7 (exact
+        # integer numerator/denominator; weekly cycles light up lag 7)
+        "events_acf": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_acf(sf),
         # single-changepoint per type over daily counts: integer CUSUM
         # G_k = |m·P_k − k·T|, argmax with earliest-day tie rule
         "events_changepoint": lambda sf: __import__(
@@ -4871,6 +4876,31 @@ m AS (SELECT prev_type, cur_type, n, sum(n) OVER (PARTITION BY prev_type) AS ni 
 SELECT prev_type, sum(n)::BIGINT AS n, count(*)::BIGINT AS n_successors,
        -sum((n::DOUBLE / ni) * ln(n::DOUBLE / ni)) AS entropy
 FROM m GROUP BY prev_type""",
+        # ACF twin: gap-fill via lateral generate_series, per-lag self-join,
+        # the identical m²-cleared integer num/den in HUGEINT, CASE 0.0
+        "events_acf": """
+WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+r AS (SELECT event_type, min(d) AS md, max(d) AS xd FROM c GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(md, xd)) AS d FROM r),
+f AS (SELECT g.event_type, g.d, coalesce(c.n, 0)::BIGINT AS n
+      FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d),
+s AS (SELECT event_type, count(*)::HUGEINT AS m, sum(n)::HUGEINT AS t,
+             sum(n::HUGEINT * n)::HUGEINT AS q
+      FROM f GROUP BY event_type),
+l AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+p AS (SELECT a.event_type, l.lag,
+             sum(a.n::HUGEINT * b.n)::HUGEINT AS s_l,
+             sum(a.n)::HUGEINT AS a_l, sum(b.n)::HUGEINT AS b_l
+      FROM f a CROSS JOIN l JOIN f b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+      GROUP BY 1, 2)
+SELECT s.event_type, p.lag::BIGINT AS lag, s.m::BIGINT AS n_days,
+       CASE WHEN s.m*s.m*s.q - s.m*s.t*s.t = 0 THEN 0.0
+            ELSE (s.m*s.m*p.s_l - s.m*s.t*(p.a_l + p.b_l) + (s.m - p.lag)*s.t*s.t)
+                 / (s.m*s.m*s.q - s.m*s.t*s.t)::DOUBLE END AS acf
+FROM p JOIN s ON s.event_type = p.event_type""",
         # changepoint twin: window prefix sums, the same integer G_k and
         # the (gk DESC, day) earliest-tie row_number rule
         "events_changepoint": """

@@ -4240,3 +4240,84 @@ def events_user_gini(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         [{"n_users": n, "n_events": s_v, "gini": gini}]
     ).astype({"n_users": "int64", "n_events": "int64", "gini": "float64"})
+
+
+def events_acf(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Per-type autocorrelation of the GAP-FILLED daily-count series at
+    lags 1..max_lag — the seasonality/burst detector (a weekly cycle
+    lights up lag 7; near-zero everywhere means memoryless traffic; a
+    slow decay means trends/regime shifts).  Sample ACF with the overall
+    mean:
+
+        r_L = Σ_{t≤m−L} (x_t−x̄)(x_{t+L}−x̄) / Σ_t (x_t−x̄)²
+
+    Multiplying through by m² clears the rational mean, so both numerator
+    and denominator are exact integers (Python ints — m²·Σx_t·x_{t+L}
+    overflows int64 at the 10^12 tier; HUGEINT twin):
+
+        num = m²·S_L − m·T·(A_L+B_L) + (m−L)·T²,   den = m²·Q − m·T²
+
+    and acf = float(num)/float(den) mirrors DuckDB's separate
+    HUGEINT→DOUBLE casts exactly.  Days are integer epoch days
+    (ts::DATE), zero-filled over each type's own [min, max] span — a
+    lag over observed-days-only would silently skip gaps.
+
+    One |types|×|days|-bounded grouped-count exchange is the only
+    corpus-scale stage; the per-type scan is driver arithmetic on the
+    bounded table.  Constant series take the degenerate CASE (0.0);
+    lags ≥ m emit no row.
+
+    Output (event_type, lag, n_days, acf)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy(np.int64)
+        md, xd = int(d.min()), int(d.max())
+        series = np.zeros(xd - md + 1, dtype=np.int64)
+        series[d - md] = grp["n"].to_numpy(np.int64)
+        x = [int(v) for v in series]
+        m = len(x)
+        T = sum(x)
+        Q = sum(v * v for v in x)
+        den = m * m * Q - m * T * T
+        for lag in range(1, min(max_lag, m - 1) + 1):
+            s_l = sum(x[t] * x[t + lag] for t in range(m - lag))
+            a_l = sum(x[: m - lag])
+            b_l = sum(x[lag:])
+            num = m * m * s_l - m * T * (a_l + b_l) + (m - lag) * T * T
+            out.append(
+                {
+                    "event_type": et,
+                    "lag": lag,
+                    "n_days": m,
+                    "acf": float(num) / float(den) if den != 0 else 0.0,
+                }
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "lag": pd.Series(dtype="int64"),
+                "n_days": pd.Series(dtype="int64"),
+                "acf": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"lag": "int64", "n_days": "int64", "acf": "float64"})

@@ -57,3 +57,39 @@ def test_seq_lm_perplexity_uniform_corpus_scores_flat(tmp_path, ray_session):
     assert got["avg_nll"].nunique() == 1
     # ctx(3)=ctx(4)=20; p(4|3) = 21/28, p(5|4) = 21/28
     assert got["avg_nll"].iloc[0] == pytest.approx(math.log(28) - math.log(21), rel=1e-12)
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (day_offset, event_type); ts = epoch + day·86400s."""
+    ts = pd.to_datetime([86400 * d for d, _ in rows], unit="s")
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": ts,
+            "event_type": [t for _, t in rows],
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_events_acf_period2_and_degenerates(tmp_path, ray_session):
+    """Alternating 3-on/0-off days give the textbook period-2 signature
+    (r1 = −0.8, r2 = 0.56667 on a length-5 window — the zeros come from
+    GAP-FILL, not from rows); a constant series takes the degenerate
+    CASE 0.0; a single-day type emits nothing."""
+    rows = []
+    for d in (0, 2, 4):  # type 'p2' fires 3× on even days only
+        rows += [(d, "p2")] * 3
+    rows += [(d, "flat") for d in range(4)]  # constant 1/day
+    rows += [(0, "once")]
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_acf
+
+    got = events_acf(sf).set_index(["event_type", "lag"])
+    assert got.loc[("p2", 1), "acf"] == pytest.approx(-0.8, rel=1e-12)
+    assert got.loc[("p2", 2), "acf"] == pytest.approx(6.12 / 10.8, rel=1e-12)
+    assert got.loc[("p2", 1), "n_days"] == 5
+    # lags ≥ m emit no row: p2 spans 5 days → lags 1..4 only
+    assert set(got.loc["p2"].index) == {1, 2, 3, 4}
+    assert (got.loc["flat", "acf"] == 0.0).all()
+    assert "once" not in got.index.get_level_values(0)
