@@ -1844,6 +1844,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_entropy": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_transition_entropy(sf),
+        # SCD-type-2 history: per-user consecutive same-type runs collapse
+        # to validity segments (gaps-and-islands under (ts, event_id))
+        "events_scd2": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_scd2_history(sf),
         # gap-filled daily-count autocorrelation at lags 1..7 (exact
         # integer numerator/denominator; weekly cycles light up lag 7)
         "events_acf": lambda sf: __import__(
@@ -4876,6 +4881,20 @@ m AS (SELECT prev_type, cur_type, n, sum(n) OVER (PARTITION BY prev_type) AS ni 
 SELECT prev_type, sum(n)::BIGINT AS n, count(*)::BIGINT AS n_successors,
        -sum((n::DOUBLE / ni) * ln(n::DOUBLE / ni)) AS entropy
 FROM m GROUP BY prev_type""",
+        # SCD2 twin: lag-change flag + windowed cumsum = segment number,
+        # strftime'd first/last per (user, seg)
+        "events_scd2": """
+WITH o AS (SELECT user_id, coalesce(event_type, '<NULL>') AS event_type, ts, event_id,
+                  lag(coalesce(event_type, '<NULL>'))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+s AS (SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM o)
+SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
+FROM s GROUP BY user_id, seg, event_type""",
         # ACF twin: gap-fill via lateral generate_series, per-lag self-join,
         # the identical m²-cleared integer num/den in HUGEINT, CASE 0.0
         "events_acf": """

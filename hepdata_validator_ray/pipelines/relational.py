@@ -4321,3 +4321,49 @@ def events_acf(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"lag": "int64", "n_days": "int64", "acf": "float64"})
+
+
+def events_scd2_history(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """SCD-type-2 history build: per user, collapse consecutive runs of
+    the same event_type (under the strict (ts, event_id) total order)
+    into validity segments — the dimension-table "current value with
+    from/to timestamps" op every warehouse pipeline needs, and the
+    run-length view of a user's behavioral phases.  A segment closes
+    exactly when the NEXT event has a different type (NULL type is the
+    '<NULL>' phase, a real value — it opens/closes segments like any
+    other).
+
+    Physical plan: users hash-bucket (the sessionize discipline — one
+    user's history fits one bucket task, bucket count derived from input
+    size); inside a bucket the segment assignment is one vectorized
+    sort + shift + cumsum over ALL the bucket's users; per-segment
+    first/last/count collapse via groupby.  Segment numbers restart per
+    user (cumsum of change flags within user), matching the twin's
+    windowed sum.  Output is corpus-scale and streams.
+
+    Output (user_id, seg, event_type, n_events, ts_first, ts_last)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL]).sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        et = df["event_type"].fillna("<NULL>")
+        prev = et.groupby(df["user_id"]).shift()
+        change = prev.isna() | (et != prev)
+        df = df.assign(event_type=et, seg=change.groupby(df["user_id"]).cumsum().astype("int64"))
+        out = df.groupby(["user_id", "seg", "event_type"], as_index=False, sort=False).agg(
+            n_events=("event_id", "size"), ts_first=("ts", "min"), ts_last=("ts", "max")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["ts_first"] = out["ts_first"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        out["ts_last"] = out["ts_last"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[["user_id", "seg", "event_type", "n_events", "ts_first", "ts_last"]]
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(collapse, batch_format="pandas")
+    )

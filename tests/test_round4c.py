@@ -93,3 +93,36 @@ def test_events_acf_period2_and_degenerates(tmp_path, ray_session):
     assert set(got.loc["p2"].index) == {1, 2, 3, 4}
     assert (got.loc["flat", "acf"] == 0.0).all()
     assert "once" not in got.index.get_level_values(0)
+
+
+def test_events_scd2_runs_and_null_phase(tmp_path, ray_session):
+    """A,A,B,A collapses to 3 segments (the re-opened A is a NEW segment,
+    not a merge); a NULL type is the '<NULL>' phase and breaks runs like
+    any other value; equal timestamps order by event_id."""
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("u1", ts0, 0, "A"),
+        ("u1", ts0, 1, "A"),  # same ts: event_id breaks the tie
+        ("u1", ts0 + pd.Timedelta("1h"), 2, "B"),
+        ("u1", ts0 + pd.Timedelta("2h"), 3, "A"),
+        ("u2", ts0, 4, None),
+        ("u2", ts0 + pd.Timedelta("1h"), 5, "A"),
+        ("u2", ts0 + pd.Timedelta("2h"), 6, None),
+    ]
+    pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"]).to_parquet(
+        str(tmp_path / "events.parquet"), index=False
+    )
+    from hepdata_validator_ray.pipelines.relational import events_scd2_history
+
+    got = (
+        events_scd2_history(str(tmp_path), num_buckets=2)
+        .to_pandas()
+        .set_index(["user_id", "seg"])
+        .sort_index()
+    )
+    assert got.loc[("u1", 1), "event_type"] == "A" and got.loc[("u1", 1), "n_events"] == 2
+    assert got.loc[("u1", 2), "event_type"] == "B"
+    assert got.loc[("u1", 3), "event_type"] == "A" and got.loc[("u1", 3), "n_events"] == 1
+    assert got.loc[("u2", 1), "event_type"] == "<NULL>"
+    assert got.loc[("u2", 3), "event_type"] == "<NULL>"
+    assert got.loc[("u1", 1), "ts_first"] == "2024-01-01 00:00:00"
