@@ -1873,6 +1873,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lang_source": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).lang_source_residuals(docs(sf)),
+        # 2-D pareto/skyline: docs no other doc beats on BOTH axes
+        # (n_chars max, n_words min); per-batch frontiers, driver re-rule
+        "profile_pareto_frontier": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).docs_pareto_frontier(docs(sf)),
         # cross-source quantile normalization: within-source mid-rank →
         # global inverse CDF, every rank boundary decided in integers;
         # histogram-sized broadcast map, streaming per-doc output
@@ -4881,6 +4886,15 @@ m AS (SELECT prev_type, cur_type, n, sum(n) OVER (PARTITION BY prev_type) AS ni 
 SELECT prev_type, sum(n)::BIGINT AS n, count(*)::BIGINT AS n_successors,
        -sum((n::DOUBLE / ni) * ln(n::DOUBLE / ni)) AS entropy
 FROM m GROUP BY prev_type""",
+        # skyline twin: strict-domination NOT EXISTS anti-join over the
+        # same (n_chars, string_split-word-count) axes
+        "profile_pareto_frontier": """
+WITH f AS (SELECT doc_id, n_chars::BIGINT AS x, len(string_split(text, ' '))::BIGINT AS y
+           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL)
+SELECT a.doc_id, a.x AS n_chars, a.y AS n_words
+FROM f a
+WHERE NOT EXISTS (SELECT 1 FROM f b
+                  WHERE b.x >= a.x AND b.y <= a.y AND (b.x > a.x OR b.y < a.y))""",
         # SCD2 twin: lag-change flag + windowed cumsum = segment number,
         # strftime'd first/last per (user, seg)
         "events_scd2": """

@@ -406,3 +406,74 @@ def lang_source_residuals(docs_path: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Keep-mask of the (maximize x, minimize y) pareto frontier under
+    strict domination: a dominates b iff a.x ≥ b.x, a.y ≤ b.y and one is
+    strict — so coordinate-identical points survive together.  Vectorized:
+    sort (x DESC, y ASC); within an x-group only the group-min y survives
+    (same x, smaller y dominates); across groups a point survives iff its
+    y is strictly below every strictly-larger-x group's minimum."""
+    order = np.lexsort((y, -x))
+    xs, ys = x[order], y[order]
+    new_group = np.ones(len(xs), dtype=bool)
+    new_group[1:] = xs[1:] != xs[:-1]
+    gidx = np.cumsum(new_group) - 1
+    gm = ys[new_group]  # per-group min y (first y: ties sort ascending)
+    prevmin = np.full(len(gm), np.inf)
+    if len(gm) > 1:
+        prevmin[1:] = np.minimum.accumulate(gm[:-1])
+    keep_sorted = (ys == gm[gidx]) & (gm[gidx] < prevmin[gidx])
+    keep = np.zeros(len(x), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def docs_pareto_frontier(docs_path: str, batch_size: int = 8192) -> pd.DataFrame:
+    """Pareto/skyline extremes of the corpus on (n_chars ↑, n_words ↓) —
+    the docs no other doc beats on BOTH axes: maximal characters with
+    minimal whitespace words, i.e. the extreme-fertility outliers a
+    tokenizer budget review looks at first.  The operator is the generic
+    2-D skyline; the axes are the length-vs-wordcount pair every doc
+    already carries.  n_words follows the repo's string_split(' ')
+    convention (empty segments count); NULL text / n_chars rows drop
+    (mirrored WHERE).
+
+    Physical plan: every global frontier point is on its own batch's
+    local frontier, so per-batch vectorized skylines emit candidates and
+    the driver re-runs the identical rule once over the merged candidate
+    set (the partial-top-k/ANN merge discipline).  Candidate volume is
+    Σ per-batch frontier sizes — tiny on real corpora; adversarially
+    anti-correlated data degrades toward a full pass, which the NOT
+    EXISTS twin shares.
+
+    Output (doc_id, n_chars, n_words)."""
+
+    def local_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["text"].notna() & df["n_chars"].notna()
+        d = df[ok]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=df["doc_id"].dtype),
+                    "n_chars": pd.Series(dtype="int64"),
+                    "n_words": pd.Series(dtype="int64"),
+                }
+            )
+        x = d["n_chars"].to_numpy(np.int64)
+        y = d["text"].str.split(" ").str.len().to_numpy(np.int64)
+        keep = _skyline_mask(x, y)
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].to_numpy()[keep], "n_chars": x[keep], "n_words": y[keep]}
+        )
+
+    cands = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text", "n_chars"])
+        .map_batches(local_frontier, batch_format="pandas", batch_size=batch_size)
+        .to_pandas()
+    )  # Σ per-batch frontiers — the documented merge bound
+    if not len(cands):
+        return cands
+    keep = _skyline_mask(cands["n_chars"].to_numpy(np.int64), cands["n_words"].to_numpy(np.int64))
+    return cands[keep].reset_index(drop=True)

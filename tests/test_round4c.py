@@ -126,3 +126,51 @@ def test_events_scd2_runs_and_null_phase(tmp_path, ray_session):
     assert got.loc[("u2", 1), "event_type"] == "<NULL>"
     assert got.loc[("u2", 3), "event_type"] == "<NULL>"
     assert got.loc[("u1", 1), "ts_first"] == "2024-01-01 00:00:00"
+
+
+def test_pareto_frontier_strict_domination(tmp_path, ray_session):
+    """Frontier of (x max, y min): (10,1) and (12,3) are incomparable and
+    both survive; (10,3) is dominated by BOTH; coordinate-identical twins
+    survive together; equal-x points keep only the group-min y."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            # text word counts: y = len(split(' ')) = spaces + 1
+            "text": ["a", "a b c", "a b c", "a", "a", "a b"],
+            "n_chars": [10, 12, 10, 10, 10, 9],
+        }
+    )
+    # y values:     1    3      3     1    1    2
+    # (10,1)×3 survive together; (12,3) survives (larger x);
+    # (10,3) dominated by (10,1); (9,2) dominated by (10,1)
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.profile import docs_pareto_frontier
+
+    got = docs_pareto_frontier(p)
+    kept = set(got["doc_id"].tolist())
+    assert kept == {0, 1, 3, 4}
+    assert got.set_index("doc_id").loc[1, "n_words"] == 3
+
+
+def test_skyline_mask_batch_merge_invariance(tmp_path, ray_session):
+    """The global frontier is invariant to batch boundaries: tiny batches
+    (forcing many local frontiers) and one batch agree."""
+    rng = np.random.default_rng(7)
+    n = 400
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["w " * int(k) + "w" for k in rng.integers(0, 30, n)],
+            "n_chars": rng.integers(1, 200, n),
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.profile import _skyline_mask, docs_pareto_frontier
+
+    got = set(docs_pareto_frontier(p, batch_size=16)["doc_id"].tolist())
+    x = docs["n_chars"].to_numpy(np.int64)
+    y = docs["text"].str.split(" ").str.len().to_numpy(np.int64)
+    exp = set(docs["doc_id"].to_numpy()[_skyline_mask(x, y)].tolist())
+    assert got == exp and len(got) > 0
