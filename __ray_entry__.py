@@ -1986,6 +1986,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).triangle_counts(sf),
+        # local clustering coefficient: degrees LEFT JOIN triangles over
+        # one co-purchase build; 0-triangle deg>=2 nodes report 0
+        "graph_clustering": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).clustering_coefficient(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -4624,6 +4629,10 @@ FROM s""",
         "graph_triangles": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).triangle_oracle_sql(),
+        # lcc twin: shared triangle CTEs + distinct-neighbor degrees
+        "graph_clustering": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).clustering_oracle_sql(),
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),

@@ -302,7 +302,9 @@ def copurchase_edges(sf_dir: str, num_buckets: int | None = None) -> "ray.data.D
     )
 
 
-def triangle_counts(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+def triangle_counts(
+    sf_dir: str, num_buckets: int | None = None, return_degrees: bool = False
+):
     """Per-node triangle counts over the co-purchase graph — the classic
     degree-ordered wedge join (Cohen / Suri–Vassilvitskii MR algorithm),
     expressed as bucketed exchanges end to end; no driver-side adjacency,
@@ -506,14 +508,14 @@ def triangle_counts(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Da
             preserve_index=False,
         )
 
-    return bucketed_aggregate(matched, "node", None, final_sum, num_buckets=max(8, nb // 2))
+    tri = bucketed_aggregate(matched, "node", None, final_sum, num_buckets=max(8, nb // 2))
+    return (tri, degrees) if return_degrees else tri
 
 
-def triangle_oracle_sql() -> str:
-    """DuckDB oracle: DISTINCT co-purchase edges, then the canonical triple
-    self-join (each triangle materializes once as a < b < c by part id —
-    orientation-invariant, so it matches the degree-ordered kernel count)."""
-    return """
+#: shared CTE prefix of the triangle-family oracles — DISTINCT co-purchase
+#: edges + the canonical a < b < c triple self-join (one row per triangle,
+#: orientation-invariant) — factored so the two spellings cannot desync
+_TRI_CTES = """
 WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 edges AS (
   SELECT DISTINCT l1.p AS a, l2.p AS b
@@ -524,7 +526,12 @@ tri AS (
   FROM edges e1
   JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
   JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
-)
+)"""
+
+
+def triangle_oracle_sql() -> str:
+    """DuckDB oracle: the shared triangle CTEs, counted per corner."""
+    return _TRI_CTES + """
 SELECT node, count(*)::BIGINT AS n_tri
 FROM (
   SELECT x AS node FROM tri
@@ -532,6 +539,24 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node"""
+
+
+def clustering_oracle_sql() -> str:
+    """DuckDB twin of clustering_coefficient: the shared triangle CTEs +
+    distinct-neighbor degrees, lcc spelled identically."""
+    return _TRI_CTES + """,
+tcnt AS (SELECT node, count(*)::BIGINT AS n_tri
+         FROM (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+         GROUP BY node),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY node)
+SELECT d.node, d.deg, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+       2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1)) AS lcc
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.deg >= 2"""
 
 
 def frequent_part_pairs(
@@ -983,3 +1008,68 @@ SELECT n AS n_edges,
        THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)
        ELSE 0.0 END AS r
 FROM s"""
+
+
+def clustering_coefficient(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph:
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the fraction of a node's
+    neighbor pairs that are themselves connected; near 1 flags cliques
+    (bundle/template purchases), near 0 tree-like reach.  Defined for
+    deg ≥ 2; 0-triangle nodes REPORT 0 (they are the interesting ones),
+    which is why this is a degrees-LEFT-JOIN-triangles, not a filter on
+    the triangle table.
+
+    Reuses triangle_counts' internal degree table (return_degrees=True —
+    ONE co-purchase build feeds both legs); the two bounded node tables
+    meet in one node-keyed tagged exchange (deg rows carry n_tri = −1).
+
+    Output (node, deg, n_tri, lcc)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    tri, degrees = triangle_counts(sf_dir, num_buckets=num_buckets, return_degrees=True)
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        degrees, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def tag_tri(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        return pa.Table.from_arrays([t["node"], fill, t["n_tri"]], names=["node", "deg", "n_tri"])
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        fill = pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+        return pa.Table.from_arrays([t["node"], t["deg"], fill], names=["node", "deg", "n_tri"])
+
+    def join_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_tri = df["deg"].to_numpy() < 0
+        t = df[is_tri]
+        d = df[~is_tri]
+        d = d[d["deg"] >= 2]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "deg": pd.Series(dtype="int64"),
+                    "n_tri": pd.Series(dtype="int64"),
+                    "lcc": pd.Series(dtype="float64"),
+                }
+            )
+        tmap = dict(zip(t["node"], t["n_tri"]))
+        n_tri = d["node"].map(tmap).fillna(0).astype("int64")
+        deg = d["deg"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": d["node"].to_numpy(np.int64),
+                "deg": deg,
+                "n_tri": n_tri.to_numpy(np.int64),
+                "lcc": 2.0 * n_tri.to_numpy(np.int64) / (deg * (deg - 1)),
+            }
+        )
+
+    return (
+        degrees.map_batches(tag_deg, batch_format="pyarrow")
+        .union(tri.map_batches(tag_tri, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "node", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(join_and_score, batch_format="pandas")
+    )

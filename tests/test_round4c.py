@@ -174,3 +174,38 @@ def test_skyline_mask_batch_merge_invariance(tmp_path, ray_session):
     y = docs["text"].str.split(" ").str.len().to_numpy(np.int64)
     exp = set(docs["doc_id"].to_numpy()[_skyline_mask(x, y)].tolist())
     assert got == exp and len(got) > 0
+
+
+def test_clustering_coefficient_triangle_plus_tail(tmp_path, ray_session):
+    """Co-purchase graph: order 0 buys parts {1,2,3} (a triangle), order 1
+    buys {3,4} (a tail).  deg: 1→2, 2→2, 3→3, 4→1.  lcc(1)=lcc(2)=1;
+    lcc(3)=2·1/(3·2)=1/3; node 4 (deg 1) is absent — and its absence is
+    the deg≥2 rule, not a missing-triangle artifact."""
+    pd.DataFrame(
+        {
+            "l_orderkey": np.array([0, 0, 0, 1, 1], dtype=np.int64),
+            "l_partkey": np.array([1, 2, 3, 3, 4], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.graph import clustering_coefficient
+
+    got = clustering_coefficient(str(tmp_path), num_buckets=4).to_pandas().set_index("node")
+    assert set(got.index) == {1, 2, 3}
+    assert got.loc[1, "lcc"] == 1.0 and got.loc[2, "lcc"] == 1.0
+    assert got.loc[3, "lcc"] == pytest.approx(1 / 3)
+    assert got.loc[3, "deg"] == 3 and got.loc[3, "n_tri"] == 1
+
+
+def test_clustering_coefficient_zero_triangles_reported(tmp_path, ray_session):
+    """A pure star (center 9 with leaves 1..3, no leaf co-purchases beyond
+    the hub) has deg(9)=3, zero triangles → lcc 0.0 ROW, not absence."""
+    pd.DataFrame(
+        {
+            "l_orderkey": np.array([0, 0, 1, 1, 2, 2], dtype=np.int64),
+            "l_partkey": np.array([9, 1, 9, 2, 9, 3], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.graph import clustering_coefficient
+
+    got = clustering_coefficient(str(tmp_path), num_buckets=4).to_pandas().set_index("node")
+    assert got.loc[9, "n_tri"] == 0 and got.loc[9, "lcc"] == 0.0 and got.loc[9, "deg"] == 3
