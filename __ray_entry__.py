@@ -1991,6 +1991,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).clustering_coefficient(sf),
+        # Adamic-Adar link prediction: customer pairs by shared suppliers,
+        # hub-capped wedge enumeration, integer (n_common, c1, c2) rank
+        "graph_adamic_adar": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).adamic_adar_topk(sf),
         # C4-style text normalization (lower, strip punct, collapse ws)
         "text_normalize": lambda sf: text.normalize_texts(docs(sf)),
         # per-column table profile (SUMMARIZE analogue)
@@ -4633,6 +4638,10 @@ FROM s""",
         "graph_clustering": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).clustering_oracle_sql(),
+        # AA twin: generated next to the kernel (capped degrees, c1<c2)
+        "graph_adamic_adar": __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).adamic_adar_oracle_sql(),
         "graph_kcore": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).kcore_oracle_sql(),

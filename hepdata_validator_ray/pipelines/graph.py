@@ -1073,3 +1073,127 @@ def clustering_coefficient(sf_dir: str, num_buckets: int | None = None) -> pd.Da
         .groupby(BUCKET_COL)
         .map_groups(join_and_score, batch_format="pandas")
     )
+
+
+def adamic_adar_topk(
+    sf_dir: str,
+    k: int = 50,
+    max_deg: int = 64,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Link prediction / co-purchase affinity over the part–order
+    bipartite graph: for every part pair sharing ≥1 order, the
+    common-order count and the Adamic–Adar score Σ_o 1/ln(|o|) — a pair
+    met in small baskets signals affinity; giant baskets say little
+    (that IS the 1/ln weighting).  Top-k pairs under the INTEGER
+    (n_common DESC, p1, p2) order, so the cutoff never rides a float.
+
+    Wedge enumeration is Σ |o|² — the hot-node hazard — so orders with
+    more than ``max_deg`` distinct parts are excluded (the hub cap,
+    MIRRORED in the twin's WHERE; basket size is naturally small, the
+    cap guards the adversarial tail).  Pipeline: order-keyed exchange
+    over lineitem (dedup + degree + vectorized within-group pairs,
+    p1 < p2 free from the sort) → pair-keyed exchange (pairs pack into
+    one int64) whose buckets emit scores AND their own top-k partial;
+    the driver merges the bounded n_buckets×k candidate table
+    (partial-top-k discipline: a pair lives wholly in one bucket).
+
+    Output (p1, p2, n_common, aa_score)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    line = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        line, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def sc_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "s": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "c": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()  # map-side dedup shrinks the exchange
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates(["s", "c"])
+            .sort_values(["s", "c"], kind="mergesort")
+        )
+        deg = df.groupby("s")["c"].transform("size").astype("int64")
+        df = df[(deg >= 2) & (deg <= max_deg)]
+        if not len(df):
+            return pd.DataFrame({col: pd.Series(dtype="int64") for col in ("pk", "deg")})
+        s_arr = df["s"].to_numpy(np.int64)
+        c_arr = df["c"].to_numpy(np.int64)
+        d_arr = df.groupby("s")["c"].transform("size").to_numpy(np.int64)
+        fi, si = _within_group_pairs(s_arr)
+        p1, p2 = c_arr[fi], c_arr[si]  # sorted within s → p1 < p2
+        if len(p1) and (int(p1.max()) >> 32 or int(p2.max()) >> 32):
+            raise ValueError("adamic_adar_topk packs part ids into 32-bit halves")
+        pk = ((p1.astype(np.uint64) << np.uint64(32)) | p2.astype(np.uint64)).view(np.int64)
+        return pd.DataFrame({"pk": pk, "deg": d_arr[fi]})
+
+    def bucket_scores_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "p1": pd.Series(dtype="int64"),
+                    "p2": pd.Series(dtype="int64"),
+                    "n_common": pd.Series(dtype="int64"),
+                    "aa_score": pd.Series(dtype="float64"),
+                }
+            )
+        g = df.assign(w=1.0 / np.log(df["deg"].to_numpy(np.float64))).groupby(
+            "pk", as_index=False
+        ).agg(n_common=("deg", "size"), aa_score=("w", "sum"))
+        upk = g["pk"].to_numpy(np.int64).view(np.uint64)
+        g["p1"] = (upk >> np.uint64(32)).astype(np.int64)
+        g["p2"] = (upk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        g = g.sort_values(
+            ["n_common", "p1", "p2"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        g["n_common"] = g["n_common"].astype("int64")
+        return g[["p1", "p2", "n_common", "aa_score"]]
+
+    cands = (
+        line.map_batches(sc_rows, batch_format="pyarrow")
+        .map_batches(lambda t: with_bucket(t, "s", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(pairs_per_order, batch_format="pandas")
+        .map_batches(lambda t: with_bucket(t, "pk", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(bucket_scores_topk, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ n_buckets × k rows — the bounded merge
+    if not len(cands):
+        return pd.DataFrame(
+            {
+                "p1": pd.Series(dtype="int64"),
+                "p2": pd.Series(dtype="int64"),
+                "n_common": pd.Series(dtype="int64"),
+                "aa_score": pd.Series(dtype="float64"),
+            }
+        )
+    return (
+        cands.sort_values(["n_common", "p1", "p2"], ascending=[False, True, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def adamic_adar_oracle_sql(k: int = 50, max_deg: int = 64) -> str:
+    """DuckDB twin: distinct bipartite edges, capped degrees, pair join
+    under p1 < p2, the identical 1/ln(deg) sum and integer rank order."""
+    return f"""
+WITH e AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS c FROM lineitem),
+d AS (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+el AS (SELECT s, deg FROM d WHERE deg >= 2 AND deg <= {max_deg}),
+p AS (SELECT e1.c AS p1, e2.c AS p2, el.deg
+      FROM el JOIN e e1 ON e1.s = el.s JOIN e e2 ON e2.s = el.s AND e1.c < e2.c),
+g AS (SELECT p1, p2, count(*)::BIGINT AS n_common, sum(1.0 / ln(deg)) AS aa_score
+      FROM p GROUP BY p1, p2),
+r AS (SELECT *, row_number() OVER (ORDER BY n_common DESC, p1, p2) AS rk FROM g)
+SELECT p1, p2, n_common, aa_score FROM r WHERE rk <= {k}"""

@@ -209,3 +209,33 @@ def test_clustering_coefficient_zero_triangles_reported(tmp_path, ray_session):
 
     got = clustering_coefficient(str(tmp_path), num_buckets=4).to_pandas().set_index("node")
     assert got.loc[9, "n_tri"] == 0 and got.loc[9, "lcc"] == 0.0 and got.loc[9, "deg"] == 3
+
+
+def test_adamic_adar_weighting_and_cap(tmp_path, ray_session):
+    """Pair (1,2) co-occurs in two 2-part baskets (AA = 2/ln2 ≈ 2.885);
+    pair (3,4) in one 3-part basket (AA = 1/ln3); the max_deg cap drops
+    the giant basket entirely, so (5,6) never appears; ranking is by
+    n_common DESC then part ids."""
+    rows = [
+        (0, 1), (0, 2),          # basket {1,2}
+        (1, 1), (1, 2),          # basket {1,2} again
+        (2, 3), (2, 4), (2, 7),  # basket {3,4,7}
+        (3, 5), (3, 6), (3, 8),  # giant basket (capped out)
+    ]
+    pd.DataFrame(
+        {
+            "l_orderkey": np.array([o for o, _ in rows], dtype=np.int64),
+            "l_partkey": np.array([p for _, p in rows], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.graph import adamic_adar_topk
+
+    got = adamic_adar_topk(str(tmp_path), k=10, max_deg=2, num_buckets=4)
+    pairs = {(r.p1, r.p2): (r.n_common, r.aa_score) for r in got.itertuples()}
+    assert pairs == {(1, 2): (2, pytest.approx(2 / math.log(2)))}
+
+    got2 = adamic_adar_topk(str(tmp_path), k=10, max_deg=3, num_buckets=4)
+    assert got2.iloc[0][["p1", "p2"]].tolist() == [1, 2]  # n_common=2 ranks first
+    m = {(r.p1, r.p2): r.aa_score for r in got2.itertuples()}
+    assert m[(3, 4)] == pytest.approx(1 / math.log(3))
+    assert (5, 6) in m and m[(5, 6)] == pytest.approx(1 / math.log(3))
