@@ -1567,6 +1567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_topk(docs(sf), terms=["hash", "join", "stream"], k=10),
+        # Rocchio PRF query expansion: feedback-doc words ranked by
+        # tf_fb * ln(N/df) — four streamed passes, no shuffle
+        "bm25_prf_expansion": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).prf_expansion_terms(docs(sf), terms=["hash", "join", "stream"], k=10, m=20),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(
             emb(sf), threshold=0.4, n_planes=3, n_tables=24
         ),
@@ -4623,6 +4628,11 @@ FROM s""",
         "bm25_topk": __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_oracle_sql(["hash", "join", "stream"], k=10),
+        # PRF twin: the shared scored CTE -> top-k -> feedback TFs ->
+        # candidate dfs -> identical tf*ln(N/df) rank
+        "bm25_prf_expansion": __import__(
+            "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
+        ).prf_oracle_sql(["hash", "join", "stream"], k=10, m=20),
         # fixed-point PageRank: generated unrolled-CTE oracle with the
         # kernel's exact integer constants and floor divisions
         "graph_pagerank": __import__(

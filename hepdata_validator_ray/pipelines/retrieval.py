@@ -357,3 +357,144 @@ def inverted_index(
         return df[t[pos] == h]
 
     return postings.map_batches(keep, batch_format="pandas", batch_size=65536)
+
+
+def prf_expansion_terms(
+    docs_path: str,
+    terms: list[str],
+    k: int = 10,
+    m: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> pd.DataFrame:
+    """Pseudo-relevance-feedback query expansion (the Rocchio move): take
+    the BM25 top-k for the query bag, then rank every word those feedback
+    docs contain by prf_score = tf_fb(w) · ln(N / df(w)) — frequent in
+    the feedback set, rare in the corpus ⇒ a good expansion term.  The
+    original query terms are excluded (mirrored NOT IN); candidate words
+    have df ≥ 1 by construction (they occur in a feedback doc), so the
+    idf is total.
+
+    Four streamed passes, NO shuffle, every driver table bounded: BM25's
+    stats + score passes (bm25_topk), a feedback-TF pass (the k doc ids
+    broadcast via ray.put; partials bounded by the feedback vocabulary),
+    and a candidate-df pass (the candidate vocab broadcast once; per-row
+    distinct hits via the packed row·C+code unique — never a |corpus|
+    × |vocab| matrix).  Score ties: identical (tf_fb, df) pairs agree on
+    both engines and break on word; distinct inputs near-tying would
+    need a transcendental coincidence (the bm25/tfidf argument).
+
+    Output (rank, word, tf_fb, df, prf_score), top-m by
+    (prf_score DESC, word)."""
+    from hepdata_validator_ray.pipelines.text import _explode_words
+
+    terms = sorted(terms)
+    fb = bm25_topk(docs_path, terms, k=k, k1=k1, b=b)
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series(dtype="int64"),
+            "word": pd.Series(dtype="object"),
+            "tf_fb": pd.Series(dtype="int64"),
+            "df": pd.Series(dtype="int64"),
+            "prf_score": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(fb):
+        return empty
+    fb_ref = ray.put(fb["doc_id"].to_numpy(np.int64))
+
+    def fb_tf_partial(df_b: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(fb_ref)
+        sel = df_b[df_b["doc_id"].isin(ids) & df_b["text"].notna()]
+        if not len(sel):
+            return pd.DataFrame({"word": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64")})
+        flat, _ = _explode_words(sel["text"].str.split(" "))
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"word": u, "cnt": c.astype(np.int64)})
+
+    tf_fb = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(fb_tf_partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    if not len(tf_fb):
+        return empty
+    tf_fb = tf_fb.groupby("word", as_index=False)["cnt"].sum()
+    tf_fb = tf_fb[~tf_fb["word"].isin(terms)]
+    if not len(tf_fb):
+        return empty
+    cands = np.sort(tf_fb["word"].to_numpy(dtype=object))
+    cand_ref = ray.put(cands)
+    C = len(cands)
+
+    def df_partial(df_b: pd.DataFrame) -> pd.DataFrame:
+        cv = ray.get(cand_ref)
+        texts = df_b["text"]
+        ok = texts.notna()
+        flat, offs = _explode_words(texts[ok].str.split(" "))
+        row = {"n_docs": len(df_b)}
+        out = pd.DataFrame([row])
+        if len(flat):
+            code = np.searchsorted(cv, flat)
+            hit = (code < len(cv)) & (cv[np.minimum(code, len(cv) - 1)] == flat)
+            row_of = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+            packed = row_of[hit] * np.int64(len(cv)) + code[hit]
+            dcodes = np.unique(packed) % np.int64(len(cv))
+            u, c = np.unique(dcodes, return_counts=True)
+            dfv = np.zeros(len(cv), dtype=np.int64)
+            dfv[u] = c
+        else:
+            dfv = np.zeros(len(cv), dtype=np.int64)
+        for j in range(len(cv)):
+            out[f"d_{j}"] = dfv[j]
+        return out
+
+    # candidate vocab is feedback-doc-bounded; a partial row per batch
+    parts = (
+        ray.data.read_parquet(docs_path, columns=["text"])
+        .map_batches(df_partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    n_docs = int(parts["n_docs"].sum())
+    dfv = np.array([int(parts[f"d_{j}"].sum()) for j in range(C)], dtype=np.int64)
+    dmap = dict(zip(cands.tolist(), dfv.tolist()))
+    tf_fb = tf_fb.assign(df=tf_fb["word"].map(dmap).astype("int64"))
+    tfv = tf_fb["cnt"].to_numpy(np.int64)
+    tf_fb = tf_fb.assign(
+        prf_score=tfv * np.log(np.float64(n_docs) / tf_fb["df"].to_numpy(np.float64))
+    )
+    out = (
+        tf_fb.sort_values(["prf_score", "word"], ascending=[False, True], kind="mergesort")
+        .head(m)
+        .reset_index(drop=True)
+        .rename(columns={"cnt": "tf_fb"})
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "word", "tf_fb", "df", "prf_score"]].astype(
+        {"rank": "int64", "tf_fb": "int64", "df": "int64", "prf_score": "float64"}
+    )
+
+
+def prf_oracle_sql(
+    terms: list[str], k: int = 10, m: int = 20, k1: float = BM25_K1, b: float = BM25_B
+) -> str:
+    """DuckDB twin: the shared BM25 scored CTE → feedback top-k →
+    feedback-word TFs (query terms excluded) → corpus df per candidate →
+    the identical tf·ln(N/df) score and (score DESC, word) rank."""
+    terms = sorted(terms)
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""{_bm25_scored_cte(terms, k1, b)},
+fb AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT {k}),
+fw AS (SELECT unnest(string_split(text, ' ')) AS word
+       FROM documents JOIN fb USING (doc_id) WHERE text IS NOT NULL),
+tfd AS (SELECT word, count(*)::BIGINT AS tf_fb FROM fw
+        WHERE word NOT IN ({quoted}) GROUP BY word),
+cw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       FROM documents WHERE text IS NOT NULL),
+dft AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM cw
+        WHERE word IN (SELECT word FROM tfd) GROUP BY word),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (SELECT t.word, t.tf_fb, d.df, t.tf_fb * ln(nn.n::DOUBLE / d.df) AS prf_score
+       FROM tfd t JOIN dft d USING (word) CROSS JOIN nn),
+r AS (SELECT *, row_number() OVER (ORDER BY prf_score DESC, word) AS rk FROM sc)
+SELECT rk::BIGINT AS rank, word, tf_fb, df, prf_score FROM r WHERE rk <= {m}"""

@@ -239,3 +239,32 @@ def test_adamic_adar_weighting_and_cap(tmp_path, ray_session):
     m = {(r.p1, r.p2): r.aa_score for r in got2.itertuples()}
     assert m[(3, 4)] == pytest.approx(1 / math.log(3))
     assert (5, 6) in m and m[(5, 6)] == pytest.approx(1 / math.log(3))
+
+
+def test_prf_expansion_hand_computed(tmp_path, ray_session):
+    """Query 'q' matches docs 0,1 (the feedback set with k=2).  Candidate
+    words: 'rare' (tf_fb=2, df=2), 'common' (tf_fb=1, df=3), and 'q'
+    itself is EXCLUDED.  N=4: score(rare)=2·ln2 > score(common)=ln(4/3) —
+    feedback-frequent corpus-rare words win."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "q rare common",
+                "q rare",
+                "common noise noise",
+                "common",
+            ],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.retrieval import prf_expansion_terms
+
+    got = prf_expansion_terms(p, terms=["q"], k=2, m=10).set_index("word")
+    assert "q" not in got.index
+    assert got.loc["rare", "tf_fb"] == 2 and got.loc["rare", "df"] == 2
+    assert got.loc["rare", "prf_score"] == pytest.approx(2 * math.log(2), rel=1e-12)
+    assert got.loc["common", "df"] == 3
+    assert got.loc["common", "prf_score"] == pytest.approx(math.log(4 / 3), rel=1e-12)
+    assert got.loc["rare", "rank"] == 1
