@@ -1854,6 +1854,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # seasonal-naive (lag-7) forecast error over gap-filled daily
+        # counts: integer total abs error + mae per type
+        "events_seasonal_error": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_seasonal_error(sf),
         # gap-filled daily-count autocorrelation at lags 1..7 (exact
         # integer numerator/denominator; weekly cycles light up lag 7)
         "events_acf": lambda sf: __import__(
@@ -1864,6 +1869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_changepoint(sf),
+        # per-doc within-sequence token entropy: the doc-level degeneracy
+        # score; entirely map-side, streaming per-doc output
+        "v_doc_entropy": lambda sf: validation.doc_token_entropy(_seq(sf)),
         # CCNet-style perplexity filter: per-sequence cross-entropy under
         # the corpus's own add-one-smoothed bigram LM (tagged key exchange
         # against the shared bigram table; per-doc output streams)
@@ -4847,6 +4855,19 @@ coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
 tot AS (SELECT sum(c * n_c) AS total FROM coc)
 SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
 FROM coc CROSS JOIN tot t""",
+        # per-doc entropy twin: row-preserving unnest (rn disambiguates
+        # duplicate doc_ids but never leaves the query), 0.0−sum keeps
+        # the single-type doc at +0.0 on both engines
+        "v_doc_entropy": f"""
+WITH t AS (SELECT doc_id, tokens, row_number() OVER () AS rn
+           FROM read_parquet('{p}') WHERE doc_id IS NOT NULL AND tokens IS NOT NULL),
+u AS (SELECT doc_id, rn, unnest(tokens) AS tok FROM t),
+v AS (SELECT doc_id, rn, tok::BIGINT AS tok FROM u WHERE tok >= 0 AND tok < {V}),
+c AS (SELECT doc_id, rn, tok, count(*)::BIGINT AS c FROM v GROUP BY ALL),
+s AS (SELECT doc_id, rn, c, sum(c) OVER (PARTITION BY rn) AS m FROM c)
+SELECT doc_id, m::BIGINT AS n_valid, count(*)::BIGINT AS n_types,
+       0.0 - sum((c::DOUBLE / m) * ln(c::DOUBLE / m)) AS entropy
+FROM s GROUP BY doc_id, rn, m""",
         # perplexity-filter twin: the same bigram/context CTEs, add-one
         # smoothing spelled identically — avg_nll = Σ dcnt·(ln(ctx+V) −
         # ln(cnt+1)) / Σ dcnt; NULL-doc rows feed the LM but score no doc
@@ -4937,6 +4958,21 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # seasonal-error twin: the ACF gap-fill CTEs + a d+7 self-join
+        "events_seasonal_error": """
+WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+r AS (SELECT event_type, min(d) AS md, max(d) AS xd FROM c GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(md, xd)) AS d FROM r),
+f AS (SELECT g.event_type, g.d, coalesce(c.n, 0)::BIGINT AS n
+      FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d),
+p AS (SELECT a.event_type, abs(b.n - a.n)::BIGINT AS err
+      FROM f a JOIN f b ON b.event_type = a.event_type AND b.d = a.d + 7)
+SELECT event_type, count(*)::BIGINT AS n_pred, sum(err)::BIGINT AS total_abs_err,
+       sum(err)::DOUBLE / count(*) AS mae
+FROM p GROUP BY event_type""",
         # ACF twin: gap-fill via lateral generate_series, per-lag self-join,
         # the identical m²-cleared integer num/den in HUGEINT, CASE 0.0
         "events_acf": """

@@ -4367,3 +4367,70 @@ def events_scd2_history(sf_dir: str, num_buckets: int | None = None) -> "ray.dat
         .groupby(BUCKET_COL)
         .map_groups(collapse, batch_format="pandas")
     )
+
+
+def events_seasonal_error(sf_dir: str, period: int = 7) -> pd.DataFrame:
+    """Seasonal-naive forecastability audit: per type, the error of the
+    "this day looks like the same weekday last week" forecast
+    x̂_t = x_{t−period} over the gap-filled daily series — a LOW MAE says
+    the series is dominated by its weekly cycle (schedulable, cacheable);
+    a high one says bursts rule.  total_abs_err = Σ|x_t − x_{t−P}| is an
+    exact integer; mae divides it by the prediction count (identical
+    spelling both engines).  Types spanning ≤ period days emit no row.
+
+    Same bounded |types|×|days| exchange + driver arithmetic as
+    events_acf (the daily-count discipline); the twin self-joins the
+    gap-filled CTE at d+period.
+
+    Output (event_type, n_pred, total_abs_err, mae)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy(np.int64)
+        md, xd = int(d.min()), int(d.max())
+        series = np.zeros(xd - md + 1, dtype=np.int64)
+        series[d - md] = grp["n"].to_numpy(np.int64)
+        m = len(series)
+        if m <= period:
+            continue
+        err = np.abs(series[period:] - series[:-period])
+        n_pred = m - period
+        total = int(err.sum())
+        out.append(
+            {
+                "event_type": et,
+                "n_pred": n_pred,
+                "total_abs_err": total,
+                "mae": float(total) / float(n_pred),
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_pred": pd.Series(dtype="int64"),
+                "total_abs_err": pd.Series(dtype="int64"),
+                "mae": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n_pred": "int64", "total_abs_err": "int64", "mae": "float64"}
+    )

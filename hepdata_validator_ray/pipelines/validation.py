@@ -3610,3 +3610,73 @@ def seq_lm_perplexity(
         )
 
     return bucketed_aggregate(joined, "doc_id", None, per_doc)
+
+
+def doc_token_entropy(seq_path: str, vocab_size: int | None = None) -> "ray.data.Dataset":
+    """Per-document Shannon entropy of the WITHIN-doc token distribution,
+    H_d = −Σ_t (c_t/m)·ln(c_t/m) — the doc-level degeneracy score (a
+    looping generation craters toward 0; healthy text sits near
+    ln(distinct)); the per-doc companion of the per-source diversity
+    panel.  Valid token ids only; rows with NULL doc_id or no valid
+    token emit nothing (mirrored WHERE/no-group).
+
+    ENTIRELY map-side — no exchange: a doc's tokens never leave their
+    batch, so each batch emits its own (doc_id, n_valid, n_types,
+    entropy) rows via one packed row·V+token unique + segment reduction;
+    output is corpus-scale and streams.  Duplicate doc_ids stay separate
+    physical rows here (no grouping is the point: the score is per
+    SEQUENCE); the twin groups by (doc_id, rn) via a row-preserving
+    unnest — both engines emit one row per input row, so GROUP BY
+    doc_id hash-collisions of dup ids are avoided by construction."""
+    V = int(vocab_size or CheckContext().vocab_size)
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "n_valid": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        if "flat" not in view or "doc_id" not in view:
+            return _EMPTY
+        flat, lens = view["flat"], view["lens"]
+        n = len(flat)
+        if n == 0:
+            return _EMPTY
+        tok = flat.astype(np.int64)
+        row_of = np.repeat(np.arange(view["n"], dtype=np.int64), np.maximum(lens, 0))
+        valid = (tok >= 0) & (tok < V) & ~view["doc_null"][row_of]
+        if not valid.any():
+            return _EMPTY
+        packed = row_of[valid] * np.int64(V) + tok[valid]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        urow = uniq // V
+        # segment boundaries per doc over the sorted unique keys
+        new_doc = np.ones(len(urow), dtype=bool)
+        new_doc[1:] = urow[1:] != urow[:-1]
+        seg = np.cumsum(new_doc) - 1
+        n_seg = int(seg[-1]) + 1
+        m = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(m, seg, cnt)
+        n_types = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(n_types, seg, 1)
+        p = cnt.astype(np.float64) / m[seg].astype(np.float64)
+        h = np.zeros(n_seg, dtype=np.float64)
+        np.add.at(h, seg, -(p * np.log(p)))
+        rows = urow[new_doc]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": view["doc_id"].take(pa.array(rows)),
+                "n_valid": pa.array(m, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "entropy": pa.array(h, pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
+        per_doc, batch_format="pyarrow", batch_size=8192
+    )

@@ -268,3 +268,44 @@ def test_prf_expansion_hand_computed(tmp_path, ray_session):
     assert got.loc["common", "df"] == 3
     assert got.loc["common", "prf_score"] == pytest.approx(math.log(4 / 3), rel=1e-12)
     assert got.loc["rare", "rank"] == 1
+
+
+def test_doc_token_entropy_conventions(tmp_path, ray_session):
+    """[1,1,2,2] → ln2; [5,5,5] → 0.0 (positively signed); OOV ids drop
+    from the distribution; all-OOV and NULL-doc rows emit nothing;
+    duplicate doc_ids stay separate rows."""
+    p = _write_seq(
+        tmp_path,
+        ["A", "B", None, "C", "A"],
+        [[1, 1, 2, 2], [5, 5, 5], [1, 2], [99, 1], [7]],
+    )
+    from hepdata_validator_ray.pipelines.validation import doc_token_entropy
+
+    got = doc_token_entropy(p, vocab_size=10).to_pandas()
+    assert len(got) == 4  # null-doc row gone; dup 'A' twice
+    a_rows = got[got["doc_id"] == "A"].sort_values("n_valid")
+    assert len(a_rows) == 2
+    assert a_rows.iloc[1]["entropy"] == pytest.approx(math.log(2), rel=1e-12)
+    b = got[got["doc_id"] == "B"].iloc[0]
+    assert b["entropy"] == 0.0 and math.copysign(1, b["entropy"]) == 1.0
+    c = got[got["doc_id"] == "C"].iloc[0]
+    assert c["n_valid"] == 1 and c["n_types"] == 1  # 99 is OOV, only 1 counts
+
+
+def test_events_seasonal_error_hand_computed(tmp_path, ray_session):
+    """Perfectly 7-periodic series → mae 0; a one-day burst at t=8 over a
+    flat 1/day baseline costs |5−1| once + |1−5| once = 8 over n_pred."""
+    rows = []
+    for d in range(14):
+        rows += [(d, "periodic")] * (3 if d % 7 == 0 else 1)
+    for d in range(16):
+        rows += [(d, "burst")] * (5 if d == 8 else 1)
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_seasonal_error
+
+    got = events_seasonal_error(sf).set_index("event_type")
+    assert got.loc["periodic", "total_abs_err"] == 0 and got.loc["periodic", "mae"] == 0.0
+    assert got.loc["periodic", "n_pred"] == 7
+    assert got.loc["burst", "n_pred"] == 9
+    assert got.loc["burst", "total_abs_err"] == 8
+    assert got.loc["burst", "mae"] == pytest.approx(8 / 9)
