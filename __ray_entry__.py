@@ -1841,6 +1841,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rrf": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_rrf_fusion(docs(sf), ["hash", "join", "stream"], k=10),
+        # Hill tail-index of per-user activity (top-k order statistics
+        # from the bounded count-of-counts histogram; no corpus sort)
+        "events_hill_tail": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_hill_tail(sf),
         # engagement inequality: Gini of per-user event counts
         "events_user_gini": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -4914,6 +4919,18 @@ FROM e GROUP BY user_id""",
         ).bm25_rrf_oracle_sql(["hash", "join", "stream"], k=10),
         # user-Gini twin: per-user counts → count-of-counts → the same
         # grouped-data tie-block identity
+        # Hill twin: row_number order statistics, the same k rule and
+        # ln(v/x_k1) sum, degenerate CASE at lsum = 0
+        "events_hill_tail": """
+WITH pu AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY user_id),
+n AS (SELECT count(*)::BIGINT AS n_users FROM pu),
+k AS (SELECT greatest(1, least(100, n_users // 10))::BIGINT AS k, n_users FROM n),
+r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rk FROM pu),
+xk AS (SELECT r.v AS x_k1 FROM r, k WHERE r.rk = k.k + 1),
+s AS (SELECT sum(ln(r.v::DOUBLE / xk.x_k1)) AS lsum FROM r, xk, k WHERE r.rk <= k.k)
+SELECT k.n_users, k.k, xk.x_k1,
+       CASE WHEN s.lsum > 0 THEN k.k / s.lsum ELSE 0.0 END AS hill_alpha
+FROM k, xk, s""",
         "events_user_gini": """
 WITH pu AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY user_id),
 h AS (SELECT v, count(*)::BIGINT AS c FROM pu GROUP BY v),

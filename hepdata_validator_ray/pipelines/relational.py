@@ -4434,3 +4434,76 @@ def events_seasonal_error(sf_dir: str, period: int = 7) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n_pred": "int64", "total_abs_err": "int64", "mae": "float64"}
     )
+
+
+def events_hill_tail(sf_dir: str, k_cap: int = 100) -> pd.DataFrame:
+    """Heavy-tail audit: the Hill estimator of the per-user activity
+    distribution's tail index, α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the
+    top-k order statistics — α near 1 means an extreme power-user/bot
+    tail (infinite-mean territory), large α a light tail.  k is the
+    deterministic rule max(1, min(k_cap, n_users // 10)); needs the
+    (k+1)-th largest activity to exist, else no row (mirrored by the
+    twin's empty cross join).
+
+    Order statistics come from the SAME count-of-counts histogram as the
+    user Gini (one user-keyed exchange, then a √(2N)-bounded spectrum):
+    walking the bounded histogram from the top replaces the twin's
+    row_number sort — never a corpus-scale order-by.  The ln sum groups
+    per level (cnt·ln(v/x_k1)); lsum = 0 exactly iff all top-k equal
+    x_(k+1) (ln 1 = 0 is exact), the degenerate CASE on both engines.
+
+    Output one row (n_users, k, x_k1, hill_alpha)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+    from ray.data.aggregate import Count as _Count
+
+    per_user = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="n"))
+    )
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        v = t["n"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    coc = (
+        bucketed_aggregate(per_user, "key", coc_partial, sum_counts_combine("key"))
+        .to_pandas()
+        .sort_values("key", ascending=False)
+    )  # bounded spectrum, largest activity level first
+    empty = pd.DataFrame(
+        {
+            "n_users": pd.Series(dtype="int64"),
+            "k": pd.Series(dtype="int64"),
+            "x_k1": pd.Series(dtype="int64"),
+            "hill_alpha": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(coc):
+        return empty
+    vals = coc["key"].to_numpy(np.int64)
+    cnts = coc["cnt"].to_numpy(np.int64)
+    n_users = int(cnts.sum())
+    k = max(1, min(k_cap, n_users // 10))
+    if n_users < k + 1:
+        return empty
+    # walk the histogram: how many of each level fall inside the top-k,
+    # and which level holds order statistic k+1
+    cum = np.cumsum(cnts)
+    idx_k1 = int(np.searchsorted(cum, k + 1))  # first level with cum ≥ k+1
+    x_k1 = int(vals[idx_k1])
+    lsum = 0.0
+    taken = 0
+    for v, c in zip(vals.tolist(), cnts.tolist()):
+        take = min(c, k - taken)
+        if take <= 0:
+            break
+        lsum += take * np.log(np.float64(v) / np.float64(x_k1))
+        taken += take
+    alpha = k / lsum if lsum > 0 else 0.0
+    return pd.DataFrame(
+        [{"n_users": n_users, "k": k, "x_k1": x_k1, "hill_alpha": alpha}]
+    ).astype({"n_users": "int64", "k": "int64", "x_k1": "int64", "hill_alpha": "float64"})

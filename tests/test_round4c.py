@@ -309,3 +309,48 @@ def test_events_seasonal_error_hand_computed(tmp_path, ray_session):
     assert got.loc["burst", "n_pred"] == 9
     assert got.loc["burst", "total_abs_err"] == 8
     assert got.loc["burst", "mae"] == pytest.approx(8 / 9)
+
+
+def test_hill_tail_hand_computed(tmp_path, ray_session):
+    """20 users: one with 8 events, one with 4, the rest with 1 →
+    k = max(1, 20//10) = 2, x_(3) = 1, α = 2/(ln8 + ln4) = 2/(5·ln2);
+    a tie-block spanning the k boundary resolves by multiplicity, not
+    order; an all-equal top (uniform users) takes the degenerate 0.0."""
+    recs = []
+    eid = 0
+    for _ in range(8):
+        recs.append((eid, "power")); eid += 1
+    for _ in range(4):
+        recs.append((eid, "mid")); eid += 1
+    for i in range(18):
+        recs.append((eid, f"one{i}")); eid += 1
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": [u for _, u in recs],
+            "event_type": ["t"] * len(recs),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_hill_tail
+
+    got = events_hill_tail(str(tmp_path)).iloc[0]
+    assert got["n_users"] == 20 and got["k"] == 2 and got["x_k1"] == 1
+    assert got["hill_alpha"] == pytest.approx(2 / (5 * math.log(2)), rel=1e-12)
+
+
+def test_hill_tail_degenerate_uniform(tmp_path, ray_session):
+    """All users equally active → every ln ratio is exactly 0 → CASE 0.0."""
+    recs = [(i, f"u{i % 30}") for i in range(30)]
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": [u for _, u in recs],
+            "event_type": ["t"] * len(recs),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_hill_tail
+
+    got = events_hill_tail(str(tmp_path)).iloc[0]
+    assert got["hill_alpha"] == 0.0 and got["k"] == 3
