@@ -2061,6 +2061,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).kmeans_assign_quantized(emb(sf)),
+        # per-point silhouette of the label clustering (cosine distance;
+        # O(n*k) via per-label normalized sums, not the n^2 join)
+        "embedding_silhouette": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).embedding_silhouette(emb(sf)),
         "semantic_dedup": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).semantic_dedup_removed(emb(sf), threshold=0.4),
@@ -5275,6 +5280,20 @@ d AS (SELECT q.vec_id, c.cid,
 asg AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
 SELECT cid AS cluster, count(*)::BIGINT AS n, sum(d2)::BIGINT AS inertia
 FROM asg GROUP BY cid""",
+        # silhouette twin: the n^2 pair join (same means by algebra);
+        # singleton labels drop via the inner join
+        "embedding_silhouette": """
+WITH e AS (SELECT vec_id, label::BIGINT AS label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+p AS (SELECT a.vec_id, a.label AS la, b.label AS lb,
+             1 - list_cosine_similarity(a.v, b.v) AS d
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+m AS (SELECT vec_id, la, lb, avg(d) AS md FROM p GROUP BY ALL),
+aa AS (SELECT vec_id, la AS label, md AS a_val FROM m WHERE lb = la),
+bb AS (SELECT vec_id, min(md) AS b_val FROM m WHERE lb <> la GROUP BY vec_id)
+SELECT aa.vec_id, aa.label, aa.a_val, bb.b_val,
+       (bb.b_val - aa.a_val) / greatest(aa.a_val, bb.b_val) AS silhouette
+FROM aa JOIN bb USING (vec_id)""",
         "semantic_dedup": f"""
 WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
 c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),

@@ -624,3 +624,104 @@ def cluster_top_terms(
         .astype({"cluster": "int64", "rank": "int64", "tf": "int64", "score": "float64"})
         .reset_index(drop=True)
     )
+
+
+def embedding_silhouette(emb_path: str) -> "ray.data.Dataset":
+    """Per-point silhouette of the LABEL clustering under cosine distance
+    — the label-quality QC (s near 1: point sits deep in its cluster;
+    s < 0: it is closer to another label's cluster = mislabel suspect;
+    the mean per label is the classic cluster-health score):
+
+        a(i) = mean_{j∈L(i), j≠i} (1 − cos(i,j)),
+        b(i) = min_{M≠L(i)} mean_{j∈M} (1 − cos(i,j)),
+        s(i) = (b − a) / max(a, b).
+
+    The O(n²) pair sums collapse to O(n·k): with q = v/‖v‖, the mean
+    cosine from i to a label is q_i·S_M/|M| where S_M = Σ_{j∈M} q_j — so
+    ONE bounded per-label normalized-sum pass (k×dim driver table,
+    broadcast via ray.put) and one streaming scoring pass replace the
+    twin's n² join.  Singleton-label points are EXCLUDED (a is undefined;
+    mirrored by the twin's inner join), as are corpora with one label.
+
+    Output (vec_id, label, a_val, b_val, silhouette) — per-point rows,
+    streaming."""
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = v / np.linalg.norm(v, axis=1, keepdims=True)
+        lab = df["label"].to_numpy(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        out = pd.DataFrame({"label": uniq, "cnt": cnt})
+        out["sums"] = [row.tobytes() for row in sums]
+        return out
+
+    parts = (
+        ray.data.read_parquet(emb_path, columns=["embedding", "label"])
+        .map_batches(sum_partial, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )  # ≤ |labels| rows per batch — bounded
+    if not len(parts):
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int64"),
+                    "a_val": pd.Series(dtype="float64"),
+                    "b_val": pd.Series(dtype="float64"),
+                    "silhouette": pd.Series(dtype="float64"),
+                }
+            )
+        )
+    dim = len(np.frombuffer(parts["sums"].iloc[0], dtype=np.float64))
+    labels = np.sort(parts["label"].unique())
+    lidx = {int(l): i for i, l in enumerate(labels)}
+    S = np.zeros((len(labels), dim), dtype=np.float64)
+    C = np.zeros(len(labels), dtype=np.int64)
+    for _, r in parts.iterrows():
+        i = lidx[int(r["label"])]
+        S[i] += np.frombuffer(r["sums"], dtype=np.float64)
+        C[i] += int(r["cnt"])
+    state = ray.put((labels.astype(np.int64), S, C))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        labs, Sm, Cm = ray.get(state)
+        v = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = v / np.linalg.norm(v, axis=1, keepdims=True)
+        lab = df["label"].to_numpy(np.int64)
+        li = np.searchsorted(labs, lab)
+        dots = q @ Sm.T  # n × k: Σ_j∈M cos(i, j)
+        self_cos = np.einsum("ij,ij->i", q, q)
+        own = Cm[li] >= 2
+        mean_d = 1.0 - dots / Cm[np.newaxis, :]  # mean dist to each label
+        a_val = 1.0 - (dots[np.arange(len(q)), li] - self_cos) / (Cm[li] - np.where(own, 1, 0))
+        other = np.ones_like(mean_d, dtype=bool)
+        other[np.arange(len(q)), li] = False
+        b_val = np.where(other, mean_d, np.inf).min(axis=1)
+        keep = own & np.isfinite(b_val)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int64"),
+                    "a_val": pd.Series(dtype="float64"),
+                    "b_val": pd.Series(dtype="float64"),
+                    "silhouette": pd.Series(dtype="float64"),
+                }
+            )
+        a, b = a_val[keep], b_val[keep]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64)[keep],
+                "label": lab[keep],
+                "a_val": a,
+                "b_val": b,
+                "silhouette": (b - a) / np.maximum(a, b),
+            }
+        )
+
+    return ray.data.read_parquet(emb_path, columns=["vec_id", "embedding", "label"]).map_batches(
+        score, batch_format="pandas", batch_size=4096
+    )

@@ -354,3 +354,33 @@ def test_hill_tail_degenerate_uniform(tmp_path, ray_session):
 
     got = events_hill_tail(str(tmp_path)).iloc[0]
     assert got["hill_alpha"] == 0.0 and got["k"] == 3
+
+
+def test_embedding_silhouette_two_tight_clusters(tmp_path, ray_session):
+    """Two well-separated tight clusters → silhouettes near 1; a planted
+    point sitting in the OTHER cluster's direction scores negative; a
+    singleton label is excluded (a undefined), and its points never
+    appear — but it still serves as a 'b' target for others."""
+    rng = np.random.default_rng(3)
+    ax1 = np.zeros(8); ax1[0] = 1.0
+    ax2 = np.zeros(8); ax2[1] = 1.0
+    rows = []
+    for i in range(10):
+        rows.append((i, (ax1 + rng.normal(0, 0.01, 8)).astype(np.float32), 0))
+    for i in range(10, 20):
+        rows.append((i, (ax2 + rng.normal(0, 0.01, 8)).astype(np.float32), 1))
+    rows.append((20, ax2.astype(np.float32), 0))  # mislabeled: points along cluster 1
+    rows.append((21, (np.ones(8) / np.sqrt(8)).astype(np.float32), 7))  # singleton label
+    pd.DataFrame(
+        {
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "embedding": [r[1] for r in rows],
+            "label": np.array([r[2] for r in rows], dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.cluster import embedding_silhouette
+
+    got = embedding_silhouette(str(tmp_path / "embeddings.parquet")).to_pandas().set_index("vec_id")
+    assert 21 not in got.index  # singleton label excluded
+    assert (got.loc[:9, "silhouette"] > 0.8).all()
+    assert got.loc[20, "silhouette"] < 0  # the mislabel suspect
