@@ -415,6 +415,22 @@ def pipeline_health_stats(sf_dir: str) -> int:
     return n
 
 
+def pipeline_lm_quality(sf_dir: str) -> int:
+    """The session-8 perplexity family: per-sequence cross-entropy under
+    the corpus's own bigram LM (two corpus-scale tagged exchanges) +
+    the map-side per-doc entropy pass — the LM-quality filter pair."""
+    from hepdata_validator_ray.pipelines.validation import (
+        doc_token_entropy,
+        seq_lm_perplexity,
+    )
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    p = ensure_sequences_parquet(sf_dir)
+    n = _consume(seq_lm_perplexity(p))
+    n += _consume(doc_token_entropy(p))
+    return n
+
+
 PIPELINES = {
     "validate_full": pipeline_validate_full,
     "validate_full_big": pipeline_validate_full_big,
@@ -441,6 +457,7 @@ PIPELINES = {
     "tpch_batch": pipeline_tpch_batch,
     "tokstats": pipeline_tokstats,
     "health_stats": pipeline_health_stats,
+    "lm_quality": pipeline_lm_quality,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -472,6 +489,7 @@ BAND_TYP_HI = {
     "tpch_batch": 15.0,
     "tokstats": 20.0,
     "health_stats": 25.0,
+    "lm_quality": 25.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
