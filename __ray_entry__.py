@@ -1841,6 +1841,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rrf": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_rrf_fusion(docs(sf), ["hash", "join", "stream"], k=10),
+        # market-basket association rules: top-k pairs by integer support,
+        # both directions with confidence and lift (conf-vs-lift is the op)
+        "basket_rules": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).association_rules(sf),
         # Hill tail-index of per-user activity (top-k order statistics
         # from the bounded count-of-counts histogram; no corpus sort)
         "events_hill_tail": lambda sf: __import__(
@@ -4924,6 +4929,24 @@ FROM e GROUP BY user_id""",
         ).bm25_rrf_oracle_sql(["hash", "join", "stream"], k=10),
         # user-Gini twin: per-user counts → count-of-counts → the same
         # grouped-data tie-block identity
+        # rules twin: distinct baskets, HAVING min-support, integer
+        # (supp DESC, p1, p2) top-k, both directions via UNION ALL
+        "basket_rules": """
+WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o)::BIGINT AS n FROM e),
+sup AS (SELECT p, count(*)::BIGINT AS s FROM e GROUP BY p),
+pr AS (SELECT e1.p AS p1, e2.p AS p2, count(*)::BIGINT AS sp
+       FROM e e1 JOIN e e2 ON e1.o = e2.o AND e1.p < e2.p GROUP BY 1, 2
+       HAVING count(*) >= 2),
+top AS (SELECT * FROM pr ORDER BY sp DESC, p1, p2 LIMIT 50),
+r AS (SELECT p1 AS antecedent, p2 AS consequent, sp FROM top
+      UNION ALL SELECT p2, p1, sp FROM top)
+SELECT r.antecedent, r.consequent, r.sp AS supp_pair,
+       sa.s AS supp_ante, sc.s AS supp_cons,
+       r.sp::DOUBLE / sa.s AS confidence,
+       (r.sp::DOUBLE * n.n) / (sa.s * sc.s) AS lift
+FROM r JOIN sup sa ON sa.p = r.antecedent
+       JOIN sup sc ON sc.p = r.consequent CROSS JOIN n""",
         # Hill twin: row_number order statistics, the same k rule and
         # ln(v/x_k1) sum, degenerate CASE at lsum = 0
         "events_hill_tail": """

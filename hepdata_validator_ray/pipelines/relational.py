@@ -4507,3 +4507,173 @@ def events_hill_tail(sf_dir: str, k_cap: int = 100) -> pd.DataFrame:
     return pd.DataFrame(
         [{"n_users": n_users, "k": k, "x_k1": x_k1, "hill_alpha": alpha}]
     ).astype({"n_users": "int64", "k": "int64", "x_k1": "int64", "hill_alpha": "float64"})
+
+
+def association_rules(
+    sf_dir: str,
+    k: int = 50,
+    min_support: int = 2,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Market-basket association rules over (order, part) baskets: for the
+    top-k part pairs by co-occurrence support, BOTH directed rules a→c
+    with confidence = supp(pair)/supp(a) and lift = N·supp(pair)/
+    (supp(a)·supp(c)) — lift > 1 is genuine affinity, ≈1 is popularity
+    coincidence (the conf-vs-lift distinction is the whole point of the
+    op).  Pair ranking is INTEGER (supp DESC, p1, p2): the float conf and
+    lift are reported values, never the cutoff.
+
+    ONE order-keyed exchange materializes basket-local facts — distinct
+    within-order pairs (Σ|o|² grain), per-part distinct-order partials
+    (negative key space −(part+2)) and the basket count (key −1) — so
+    supports and N cost no extra corpus pass; the |parts|-bounded support
+    table broadcasts via ray.put and attaches inside the pair-keyed count
+    exchange, whose buckets emit top-k partials (a pair lives in one
+    bucket).  min_support is mirrored in the twin's HAVING.
+
+    Output (antecedent, consequent, supp_pair, supp_ante, supp_cons,
+    confidence, lift) — 2k rows (both directions of k pairs)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    line = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        line, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def op_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "p": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def basket_facts(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.drop(columns=[BUCKET_COL])
+            .drop_duplicates(["o", "p"])
+            .sort_values(["o", "p"], kind="mergesort")
+        )
+        out = [pd.DataFrame({"pk": [np.int64(-1)], "cnt": [df["o"].nunique()]})]
+        sup = df.groupby("p", as_index=False)["o"].size()
+        out.append(
+            pd.DataFrame(
+                {
+                    "pk": -(sup["p"].to_numpy(np.int64) + 2),
+                    "cnt": sup["size"].to_numpy(np.int64),
+                }
+            )
+        )
+        from hepdata_validator_ray.pipelines.graph import _within_group_pairs
+
+        fi, si = _within_group_pairs(df["o"].to_numpy(np.int64))
+        if len(fi):
+            p_arr = df["p"].to_numpy(np.int64)
+            p1, p2 = p_arr[fi], p_arr[si]
+            if int(p1.max()) >> 32 or int(p2.max()) >> 32:
+                raise ValueError("association_rules packs part ids into 32-bit halves")
+            pk = ((p1.astype(np.uint64) << np.uint64(32)) | p2.astype(np.uint64)).view(np.int64)
+            out.append(pd.DataFrame({"pk": pk, "cnt": np.ones(len(pk), dtype=np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    facts = (
+        line.map_batches(op_rows, batch_format="pyarrow")
+        .map_batches(lambda t: with_bucket(t, "o", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(basket_facts, batch_format="pandas")
+    ).materialize()
+
+    def _neg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["pk"], 0))
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["pk"], 0))
+
+    side = facts.map_batches(_neg, batch_format="pyarrow").to_pandas()  # |parts|-bounded
+    n_baskets = int(side.loc[side["pk"] == -1, "cnt"].sum())
+    items = side[side["pk"] < -1]
+    sup_parts = (-(items["pk"].to_numpy(np.int64)) - 2).astype(np.int64)
+    sup_tbl = pd.DataFrame({"p": sup_parts, "s": items["cnt"].to_numpy(np.int64)})
+    sup_tbl = sup_tbl.groupby("p", as_index=False)["s"].sum()
+    sup_ref = ray.put(
+        (sup_tbl["p"].to_numpy(np.int64), sup_tbl["s"].to_numpy(np.int64), n_baskets)
+    )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "antecedent": pd.Series(dtype="int64"),
+            "consequent": pd.Series(dtype="int64"),
+            "supp_pair": pd.Series(dtype="int64"),
+            "supp_ante": pd.Series(dtype="int64"),
+            "supp_cons": pd.Series(dtype="int64"),
+            "confidence": pd.Series(dtype="float64"),
+            "lift": pd.Series(dtype="float64"),
+        }
+    )
+
+    def bucket_rules_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        g = df.groupby("pk", as_index=False)["cnt"].sum()
+        g = g[g["cnt"] >= min_support]
+        if not len(g):
+            return _EMPTY
+        upk = g["pk"].to_numpy(np.int64).view(np.uint64)
+        p1 = (upk >> np.uint64(32)).astype(np.int64)
+        p2 = (upk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        sp = g["cnt"].to_numpy(np.int64)
+        order = np.lexsort((p2, p1, -sp))[: k]
+        p1, p2, sp = p1[order], p2[order], sp[order]
+        keys, svals, nb_total = ray.get(sup_ref)
+        s1 = svals[np.searchsorted(keys, p1)]
+        s2 = svals[np.searchsorted(keys, p2)]
+        rows = pd.DataFrame(
+            {
+                "antecedent": np.concatenate([p1, p2]),
+                "consequent": np.concatenate([p2, p1]),
+                "supp_pair": np.concatenate([sp, sp]),
+                "supp_ante": np.concatenate([s1, s2]),
+                "supp_cons": np.concatenate([s2, s1]),
+            }
+        )
+        rows["confidence"] = rows["supp_pair"].to_numpy(np.float64) / rows["supp_ante"].to_numpy(np.int64)
+        rows["lift"] = (rows["supp_pair"].to_numpy(np.float64) * nb_total) / (
+            rows["supp_ante"].to_numpy(np.int64) * rows["supp_cons"].to_numpy(np.int64)
+        )
+        return rows
+
+    cands = (
+        facts.map_batches(_pos, batch_format="pyarrow")
+        .map_batches(lambda t: with_bucket(t, "pk", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(bucket_rules_topk, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ n_buckets × 2k rows — the bounded merge
+    if not len(cands):
+        return _EMPTY
+    # driver re-applies the pair rank: order by (supp DESC, p1, p2) over
+    # the canonical (p1 < p2) representative = rows where antecedent < consequent
+    canon = cands[cands["antecedent"] < cands["consequent"]]
+    canon = canon.sort_values(
+        ["supp_pair", "antecedent", "consequent"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    def _canon_pk(a: np.ndarray, c: np.ndarray) -> np.ndarray:
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        return ((lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)).view(np.int64)
+
+    win = _canon_pk(canon["antecedent"].to_numpy(np.int64), canon["consequent"].to_numpy(np.int64))
+    keep = np.isin(
+        _canon_pk(cands["antecedent"].to_numpy(np.int64), cands["consequent"].to_numpy(np.int64)),
+        win,
+    )
+    return cands[keep].reset_index(drop=True).astype(
+        {
+            "antecedent": "int64",
+            "consequent": "int64",
+            "supp_pair": "int64",
+            "supp_ante": "int64",
+            "supp_cons": "int64",
+            "confidence": "float64",
+            "lift": "float64",
+        }
+    )

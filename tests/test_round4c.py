@@ -384,3 +384,25 @@ def test_embedding_silhouette_two_tight_clusters(tmp_path, ray_session):
     assert 21 not in got.index  # singleton label excluded
     assert (got.loc[:9, "silhouette"] > 0.8).all()
     assert got.loc[20, "silhouette"] < 0  # the mislabel suspect
+
+
+def test_association_rules_conf_lift(tmp_path, ray_session):
+    """4 baskets: {1,2} ×3 and {1,3} ×1.  supp(1)=4, supp(2)=3, supp(3)=1.
+    Rule 1→2: conf 3/4, lift 4·3/(4·3)=1; rule 2→1: conf 1, lift 1;
+    pair (1,3) dies at min_support=2.  Both directions emitted."""
+    recs = [(0, 1), (0, 2), (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3)]
+    pd.DataFrame(
+        {
+            "l_orderkey": np.array([o for o, _ in recs], dtype=np.int64),
+            "l_partkey": np.array([p for _, p in recs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import association_rules
+
+    got = association_rules(str(tmp_path), k=10, min_support=2, num_buckets=4)
+    rules = {(r.antecedent, r.consequent): r for r in got.itertuples()}
+    assert set(rules) == {(1, 2), (2, 1)}
+    assert rules[(1, 2)].confidence == pytest.approx(0.75)
+    assert rules[(1, 2)].lift == pytest.approx(1.0)
+    assert rules[(2, 1)].confidence == pytest.approx(1.0)
+    assert rules[(1, 2)].supp_pair == 3 and rules[(1, 2)].supp_ante == 4
