@@ -1864,6 +1864,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # Mann-Kendall monotonic trend per type (integer S, tau_a)
+        "events_trend_mk": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_trend_mk(sf),
         # seasonal-naive (lag-7) forecast error over gap-filled daily
         # counts: integer total abs error + mae per type
         "events_seasonal_error": lambda sf: __import__(
@@ -5003,6 +5007,23 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # MK twin: the gap-fill CTEs + a.d < b.d self-join, sign sum
+        "events_trend_mk": """
+WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+r AS (SELECT event_type, min(d) AS md, max(d) AS xd FROM c GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(md, xd)) AS d FROM r),
+f AS (SELECT g.event_type, g.d, coalesce(c.n, 0)::BIGINT AS n
+      FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d),
+m AS (SELECT event_type, count(*)::BIGINT AS m FROM f GROUP BY event_type),
+p AS (SELECT a.event_type, sum(sign(b.n - a.n))::BIGINT AS s
+      FROM f a JOIN f b ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY a.event_type)
+SELECT m.event_type, m.m AS n_days, p.s AS s_stat,
+       p.s::DOUBLE / (m.m * (m.m - 1) // 2) AS tau
+FROM p JOIN m ON m.event_type = p.event_type""",
         # seasonal-error twin: the ACF gap-fill CTEs + a d+7 self-join
         "events_seasonal_error": """
 WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,

@@ -4677,3 +4677,64 @@ def association_rules(
             "lift": "float64",
         }
     )
+
+
+def events_trend_mk(sf_dir: str) -> pd.DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over the
+    gap-filled daily-count series: S = Σ_{i<j} sign(x_j − x_i) (exact
+    integer; positive = rising, near 0 = trendless) and Kendall's
+    tau_a = S / (m(m−1)/2) — the nonparametric "is this type growing"
+    audit that outlives outliers (signs, not magnitudes).  Same bounded
+    |types|×|days| exchange + driver arithmetic as events_acf; the twin
+    self-joins the gap-filled CTE on a.d < b.d.  Single-day types emit
+    no row (no pair exists).
+
+    Output (event_type, n_days, s_stat, tau)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy(np.int64)
+        md, xd = int(d.min()), int(d.max())
+        x = np.zeros(xd - md + 1, dtype=np.int64)
+        x[d - md] = grp["n"].to_numpy(np.int64)
+        m = len(x)
+        if m < 2:
+            continue
+        diff = np.sign(x[np.newaxis, :] - x[:, np.newaxis])  # m ≤ |days|: tiny
+        s = int(np.triu(diff, 1).sum())
+        out.append(
+            {
+                "event_type": et,
+                "n_days": m,
+                "s_stat": s,
+                "tau": float(s) / float(m * (m - 1) // 2),
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_days": pd.Series(dtype="int64"),
+                "s_stat": pd.Series(dtype="int64"),
+                "tau": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_days": "int64", "s_stat": "int64", "tau": "float64"})

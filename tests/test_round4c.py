@@ -406,3 +406,22 @@ def test_association_rules_conf_lift(tmp_path, ray_session):
     assert rules[(1, 2)].lift == pytest.approx(1.0)
     assert rules[(2, 1)].confidence == pytest.approx(1.0)
     assert rules[(1, 2)].supp_pair == 3 and rules[(1, 2)].supp_ante == 4
+
+
+def test_mann_kendall_trends(tmp_path, ray_session):
+    """Strictly rising daily counts (1,2,3,4) → S = 6 = m(m−1)/2, tau 1;
+    a flat series → S 0; the gap-fill zero makes day 1 of 'gap' (0
+    events) COUNT as a value: series (1,0,2) → S = sign(-1)+sign(1)+
+    sign(2) = 1."""
+    rows = []
+    for d in range(4):
+        rows += [(d, "up")] * (d + 1)
+    rows += [(d, "flat") for d in range(3)]
+    rows += [(0, "gap"), (2, "gap"), (2, "gap")]
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_trend_mk
+
+    got = events_trend_mk(sf).set_index("event_type")
+    assert got.loc["up", "s_stat"] == 6 and got.loc["up", "tau"] == 1.0
+    assert got.loc["flat", "s_stat"] == 0
+    assert got.loc["gap", "s_stat"] == 1 and got.loc["gap", "n_days"] == 3
