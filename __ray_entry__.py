@@ -1900,6 +1900,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lang_source": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).lang_source_residuals(docs(sf)),
+        # hive-partitioned copy + PATH-level partition pruning: per-lang
+        # counts of ONE source read from source=... dirs only
+        "v_partition_pruned_read": lambda sf: validation.partition_pruned_counts(
+            docs(sf), source="src0"
+        ),
         # 2-D pareto/skyline: docs no other doc beats on BOTH axes
         # (n_chars max, n_words min); per-batch frontiers, driver re-rule
         "profile_pareto_frontier": lambda sf: __import__(
@@ -4984,6 +4989,11 @@ m AS (SELECT prev_type, cur_type, n, sum(n) OVER (PARTITION BY prev_type) AS ni 
 SELECT prev_type, sum(n)::BIGINT AS n, count(*)::BIGINT AS n_successors,
        -sum((n::DOUBLE / ni) * ln(n::DOUBLE / ni)) AS entropy
 FROM m GROUP BY prev_type""",
+        # partition-pruning twin: the flat table WHERE source = 'src0'
+        "v_partition_pruned_read": """
+SELECT coalesce(lang, '<NULL>') AS lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE source = 'src0' GROUP BY 1""",
         # skyline twin: strict-domination NOT EXISTS anti-join over the
         # same (n_chars, string_split-word-count) axes
         "profile_pareto_frontier": """

@@ -3680,3 +3680,79 @@ def doc_token_entropy(seq_path: str, vocab_size: int | None = None) -> "ray.data
     return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
         per_doc, batch_format="pyarrow", batch_size=8192
     )
+
+
+def ensure_partitioned_documents(docs_path: str) -> str:
+    """Materialize a hive-partitioned (source=…) copy of the documents
+    table under /tmp — the RESUMABLE-OUTPUT layout this engine writes at
+    scale (one directory per key, so a failed run skips finished
+    partitions and a reader prunes whole directories).  Deterministic and
+    idempotent: the copy is keyed by the input path digest, written to a
+    unique temp dir and atomically os.replace'd (two concurrent callers
+    race benignly — ADVICE r3 events_first_seen discipline)."""
+    import hashlib
+    import os
+    import uuid
+    from pathlib import Path
+
+    digest = hashlib.md5(os.path.abspath(docs_path).encode()).hexdigest()[:12]
+    out = Path("/tmp/hvr_partitioned") / digest / "documents"
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    tmp = out.parent / f".tmp-{uuid.uuid4().hex[:8]}"
+    ray.data.read_parquet(docs_path).write_parquet(str(tmp), partition_cols=["source"])
+    (tmp / "_SUCCESS").touch()
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.replace(tmp, out)
+    except OSError:  # concurrent winner already moved theirs in
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return str(out)
+
+
+def partition_pruned_counts(docs_path: str, source: str = "src0") -> pd.DataFrame:
+    """Per-lang doc counts + char budget for ONE source, read from the
+    hive-partitioned copy with a PATH-level partition filter — whole
+    directories of other sources are never opened (the prune-at-the-read
+    contract; the pruning itself is pinned by the input_files() test).
+    Oracle = the same aggregate over the flat table WHERE source = …
+
+    Output (lang, n_docs, sum_chars)."""
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    part_dir = ensure_partitioned_documents(docs_path)
+    ds = ray.data.read_parquet(
+        part_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("source") == source, style="hive"
+        ),
+        file_extensions=["parquet"],
+        columns=["lang", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pandas().fillna("<NULL>"),
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(n_docs=("lang", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # |langs|×|blocks|
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+                "sum_chars": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        parts.groupby("lang", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+        .astype({"n_docs": "int64", "sum_chars": "int64"})
+    )

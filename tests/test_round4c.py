@@ -425,3 +425,45 @@ def test_mann_kendall_trends(tmp_path, ray_session):
     assert got.loc["up", "s_stat"] == 6 and got.loc["up", "tau"] == 1.0
     assert got.loc["flat", "s_stat"] == 0
     assert got.loc["gap", "s_stat"] == 1 and got.loc["gap", "n_days"] == 3
+
+
+def test_partition_pruned_read_touches_only_one_dir(tmp_path, ray_session):
+    """The partition filter prunes at the PATH level: the dataset's input
+    files all live under source=a/, and the counts match a flat filter."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": ["x"] * 40,
+            "lang": (["en"] * 3 + ["de"] * 1) * 10,
+            "source": (["a"] * 2 + ["b"] * 2) * 10,
+            "n_chars": np.arange(40, dtype=np.int64),
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    from hepdata_validator_ray.pipelines.validation import (
+        ensure_partitioned_documents,
+        partition_pruned_counts,
+    )
+
+    part_dir = ensure_partitioned_documents(p)
+    ds = rd.read_parquet(
+        part_dir,
+        partition_filter=PathPartitionFilter.of(lambda kv: kv.get("source") == "a", style="hive"),
+        file_extensions=["parquet"],
+    )
+    files = ds.input_files()
+    assert files and all("source=a" in f for f in files)  # b/ dirs never opened
+
+    got = partition_pruned_counts(p, source="a").set_index("lang")
+    flat = docs[docs["source"] == "a"].groupby("lang").agg(
+        n_docs=("lang", "size"), sum_chars=("n_chars", "sum")
+    )
+    assert got["n_docs"].to_dict() == flat["n_docs"].to_dict()
+    assert got["sum_chars"].to_dict() == {k: int(v) for k, v in flat["sum_chars"].items()}
+
+    # idempotent: second call reuses the materialized copy
+    assert ensure_partitioned_documents(p) == part_dir
