@@ -2075,6 +2075,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).kmeans_assign_quantized(emb(sf)),
+        # IVF recall@k vs exact brute force (quantized-cell probing, one
+        # corpus pass serves both sides; the ANN quality dial)
+        "ann_ivf_recall": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.similarity", fromlist=["x"]
+        ).ann_ivf_recall(emb(sf), k=10, n_queries=20, n_probe=2),
         # per-point silhouette of the label clustering (cosine distance;
         # O(n*k) via per-label normalized sums, not the n^2 join)
         "embedding_silhouette": lambda sf: __import__(
@@ -5334,6 +5339,33 @@ d AS (SELECT q.vec_id, c.cid,
 asg AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
 SELECT cid AS cluster, count(*)::BIGINT AS n, sum(d2)::BIGINT AS inertia
 FROM asg GROUP BY cid""",
+        # IVF-recall twin: the kmeans assignment CTE + (d2, cid) probe
+        # ranking + two row_number top-k legs + intersection count
+        "ann_ivf_recall": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1),
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
+probe AS (SELECT vec_id AS qid, cid FROM (SELECT d.*, row_number() OVER (PARTITION BY d.vec_id ORDER BY d2, cid) AS rk FROM d JOIN qs ON qs.qid = d.vec_id) WHERE rk <= 2),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (SELECT qs.qid, e.vec_id, list_cosine_similarity(eq.v, e.v) AS cos
+         FROM qs JOIN e eq ON eq.vec_id = qs.qid CROSS JOIN e),
+brute AS (SELECT qid, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM sims) WHERE rk <= 10),
+ivf AS (SELECT qid, vec_id FROM (
+          SELECT s.qid, s.vec_id, s.cos,
+                 row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rk
+          FROM sims s JOIN asg a ON a.vec_id = s.vec_id
+               JOIN probe p ON p.qid = s.qid AND p.cid = a.cid) WHERE rk <= 10),
+nivf AS (SELECT qid, count(*)::BIGINT AS n_ivf FROM ivf GROUP BY qid),
+hits AS (SELECT b.qid, count(*)::BIGINT AS n_hit
+         FROM brute b JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY b.qid)
+SELECT qs.qid AS query_id, coalesce(nivf.n_ivf, 0)::BIGINT AS n_ivf,
+       coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(hits.n_hit, 0) / 10.0 AS recall
+FROM qs LEFT JOIN nivf ON nivf.qid = qs.qid LEFT JOIN hits ON hits.qid = qs.qid""",
         # silhouette twin: the n^2 pair join (same means by algebra);
         # singleton labels drop via the inner join
         "embedding_silhouette": """

@@ -363,3 +363,116 @@ def knn_label_agreement(emb_path: str, k: int = 10, target_mod: int = 5) -> pd.D
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def ann_ivf_recall(
+    emb_path: str,
+    k: int = 10,
+    n_queries: int = 20,
+    n_probe: int = 2,
+    centroid_ids: tuple[int, ...] | None = None,
+) -> pd.DataFrame:
+    """Recall@k evaluation of IVF probing against exact brute force — the
+    ANN quality dial every similarity deployment needs BEFORE trusting a
+    probe budget: per query, |IVF top-k ∩ exact top-k| / k, where the IVF
+    side searches only the ``n_probe`` cells nearest the query.
+
+    Cells use the embedding_kmeans QUANTIZED integer assignment (argmin
+    d2, ties → lowest centroid id) so routing is exact on both engines
+    and the whole evaluation is SQL-expressible — unlike the sampled-
+    centroid ann_topk_ivf, whose rng centroids have no SQL twin.  ONE
+    corpus pass serves both sides: each batch assigns cells, scores all
+    queries, and emits per-query partial top-k twice (tag 0 = brute over
+    everything, tag 1 = probed cells only); the driver merges the
+    bounded 2 × n_batches × n_queries × k candidate table.  n_ivf < k
+    happens when the probed cells hold fewer than k vectors (mirrored).
+
+    Output (query_id, n_ivf, n_hit, recall)."""
+    from hepdata_validator_ray.pipelines.cluster import (
+        DEFAULT_CENTROID_IDS,
+        _assign_quantized,
+        _load_rows,
+        _quantize,
+    )
+
+    cids = tuple(centroid_ids) if centroid_ids is not None else DEFAULT_CENTROID_IDS
+    cents, cid_arr = _load_rows(emb_path, cids)
+    cq = _quantize(cents)
+    q_ids, q_mat = _load_queries(emb_path, n_queries)
+    # probe ranking under the same integer rule: (d2, cid) ascending
+    qq = _quantize(
+        np.stack(
+            ray.data.read_parquet(
+                emb_path,
+                columns=["vec_id", "embedding"],
+                filter=__import__("pyarrow.dataset", fromlist=["x"]).field("vec_id")
+                < int(q_ids.max()) + 1,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .head(len(q_ids))["embedding"]
+            .to_numpy()
+        )
+    )
+    d2 = (
+        (qq * qq).sum(axis=1)[:, None]
+        + (cq * cq).sum(axis=1)[None, :]
+        - 2 * (qq @ cq.T)
+    )
+    probe_mask = np.zeros((len(q_ids), len(cid_arr)), dtype=bool)
+    for i in range(len(q_ids)):
+        order = np.lexsort((np.arange(len(cid_arr)), d2[i]))[:n_probe]
+        probe_mask[i, order] = True
+    ref = ray.put((cq, probe_mask, q_ids, q_mat))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cq_l, probe_l, qi_l, qm_l = ray.get(ref)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cell, _ = _assign_quantized(_quantize(raw), cq_l)
+        m = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+        ids = df["vec_id"].to_numpy(np.int64)
+        sims = qm_l @ m.T
+        recs = []
+        for qi in range(len(qi_l)):
+            s = sims[qi]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            for j in top:
+                recs.append((int(qi_l[qi]), int(ids[j]), float(s[j]), 0))
+            pm = probe_l[qi, cell]
+            if pm.any():
+                sj = s[pm]
+                idj = ids[pm]
+                kk = min(k, len(sj))
+                top = np.argpartition(-sj, kk - 1)[:kk]
+                for j in top:
+                    recs.append((int(qi_l[qi]), int(idj[j]), float(sj[j]), 1))
+        return pd.DataFrame(recs, columns=["query_id", "vec_id", "cos", "tag"])
+
+    cands = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )  # ≤ 2 × n_batches × n_queries × k — the bounded merge
+    out = []
+    for qid in q_ids:
+        sub = cands[cands["query_id"] == qid]
+        tops = {}
+        for tag in (0, 1):
+            t = sub[sub["tag"] == tag].sort_values(
+                ["cos", "vec_id"], ascending=[False, True], kind="mergesort"
+            )
+            t = t.drop_duplicates("vec_id").head(k)
+            tops[tag] = set(t["vec_id"].tolist())
+        n_hit = len(tops[0] & tops[1])
+        out.append(
+            {
+                "query_id": int(qid),
+                "n_ivf": len(tops[1]),
+                "n_hit": n_hit,
+                "recall": n_hit / float(k),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"query_id": "int64", "n_ivf": "int64", "n_hit": "int64", "recall": "float64"}
+    )

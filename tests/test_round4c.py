@@ -467,3 +467,59 @@ def test_partition_pruned_read_touches_only_one_dir(tmp_path, ray_session):
 
     # idempotent: second call reuses the materialized copy
     assert ensure_partitioned_documents(p) == part_dir
+
+
+def test_ann_ivf_recall_full_probe_is_exact(tmp_path, ray_session):
+    """Probing ALL cells makes IVF ≡ brute (recall 1.0 everywhere); a
+    1-probe budget on a two-lobe corpus stays 1.0 for in-lobe queries —
+    their true neighbors live in their own cell."""
+    rng = np.random.default_rng(5)
+    ax1 = np.zeros(8); ax1[0] = 1.0
+    ax2 = np.zeros(8); ax2[1] = 1.0
+    vecs = [((ax1 if i % 2 == 0 else ax2) + rng.normal(0, 0.02, 8)).astype(np.float32) for i in range(60)]
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(60, dtype=np.int64),
+            "embedding": vecs,
+            "label": np.zeros(60, dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.similarity import ann_ivf_recall
+
+    full = ann_ivf_recall(
+        str(tmp_path / "embeddings.parquet"), k=5, n_queries=6, n_probe=2, centroid_ids=(0, 1)
+    )
+    assert (full["recall"] == 1.0).all() and (full["n_ivf"] == 5).all()
+
+    one = ann_ivf_recall(
+        str(tmp_path / "embeddings.parquet"), k=5, n_queries=6, n_probe=1, centroid_ids=(0, 1)
+    )
+    assert (one["recall"] == 1.0).all()  # lobes are separable: 1 probe suffices
+
+
+def test_ann_ivf_recall_degrades_for_straddling_query(tmp_path, ray_session):
+    """A query sitting exactly BETWEEN two tight lobes has true neighbors
+    in both cells; a 1-probe budget can only see one → recall < 1, while
+    2 probes recover 1.0.  That asymmetry is the op's whole point."""
+    rng = np.random.default_rng(9)
+    ax1 = np.zeros(8); ax1[0] = 1.0
+    ax2 = np.zeros(8); ax2[1] = 1.0
+    mid = (ax1 + ax2) / np.sqrt(2)
+    vecs = [mid.astype(np.float32)]
+    for i in range(1, 41):
+        base = ax1 if i % 2 == 0 else ax2
+        vecs.append((base + rng.normal(0, 0.02, 8)).astype(np.float32))
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(41, dtype=np.int64),
+            "embedding": vecs,
+            "label": np.zeros(41, dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.similarity import ann_ivf_recall
+
+    kw = dict(k=10, n_queries=1, centroid_ids=(2, 3))  # one centroid per lobe
+    one = ann_ivf_recall(str(tmp_path / "embeddings.parquet"), n_probe=1, **kw)
+    two = ann_ivf_recall(str(tmp_path / "embeddings.parquet"), n_probe=2, **kw)
+    assert two.loc[0, "recall"] == 1.0
+    assert one.loc[0, "recall"] < 1.0  # the unseen lobe's neighbors are lost
