@@ -1883,6 +1883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_changepoint(sf),
+        # token-budget-weighted median length per source (integer 2cum>=tot
+        # rank rule over the shared bounded histogram)
+        "v_weighted_median": lambda sf: validation.weighted_median_ntok(_seq(sf)),
         # per-doc within-sequence token entropy: the doc-level degeneracy
         # score; entirely map-side, streaming per-doc output
         "v_doc_entropy": lambda sf: validation.doc_token_entropy(_seq(sf)),
@@ -1905,6 +1908,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_partition_pruned_read": lambda sf: validation.partition_pruned_counts(
             docs(sf), source="src0"
         ),
+        # per-source fertility scaling law: OLS of ln(n_chars) on
+        # ln(n_words) over the bounded joint histogram
+        "docs_length_scaling": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).docs_length_scaling(docs(sf)),
+        # per-source duplication rate (hash-distinct scale path vs the
+        # twin's COUNT(DISTINCT text)); the first curation number
+        "docs_dup_rate": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).docs_dup_rate_by_source(docs(sf)),
         # 2-D pareto/skyline: docs no other doc beats on BOTH axes
         # (n_chars max, n_words min); per-batch frontiers, driver re-rule
         "profile_pareto_frontier": lambda sf: __import__(
@@ -4884,6 +4897,17 @@ coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
 tot AS (SELECT sum(c * n_c) AS total FROM coc)
 SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
 FROM coc CROSS JOIN tot t""",
+        # weighted-median twin: window cumsum of v*c, min v with 2cum>=tot
+        "v_weighted_median": f"""
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY ALL),
+w AS (SELECT source, v, sum(v*c) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(v*c) OVER (PARTITION BY source) AS tot
+      FROM h)
+SELECT source, min(tot)::BIGINT AS total_tokens,
+       min(v) FILTER (WHERE 2*cum >= tot)::BIGINT AS wmedian
+FROM w GROUP BY source""",
         # per-doc entropy twin: row-preserving unnest (rn disambiguates
         # duplicate doc_ids but never leaves the query), 0.0−sum keeps
         # the single-type doc at +0.0 on both engines
@@ -4999,6 +5023,30 @@ FROM m GROUP BY prev_type""",
 SELECT coalesce(lang, '<NULL>') AS lang, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS sum_chars
 FROM documents WHERE source = 'src0' GROUP BY 1""",
+        # scaling-law twin: the SAME joint histogram CTE, c-weighted ln
+        # sums, textbook slope/intercept, degenerate CASE 0
+        "docs_length_scaling": """
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source,
+                  len(string_split(text, ' '))::BIGINT AS nw, n_chars::BIGINT AS nc
+           FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+h AS (SELECT source, nw, nc, count(*)::BIGINT AS c FROM d
+      WHERE nw >= 1 AND nc >= 1 GROUP BY ALL),
+s AS (SELECT source, sum(c)::BIGINT AS n, count(DISTINCT nw)::BIGINT AS nxs,
+             sum(c * ln(nw)) AS sx, sum(c * ln(nc)) AS sy,
+             sum(c * ln(nw) * ln(nw)) AS sxx, sum(c * ln(nw) * ln(nc)) AS sxy
+      FROM h GROUP BY source),
+t AS (SELECT source, n, sx, sy,
+             CASE WHEN nxs <= 1 THEN 0.0
+                  ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+      FROM s)
+SELECT source, n AS n_docs, slope, (sy - slope*sx) / n AS intercept FROM t""",
+        # dup-rate twin: COUNT(DISTINCT text) per source
+        "docs_dup_rate": """
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, text
+           FROM documents WHERE text IS NOT NULL)
+SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT text)::BIGINT AS n_distinct,
+       1.0 - count(DISTINCT text) / count(*)::DOUBLE AS dup_rate
+FROM d GROUP BY source""",
         # skyline twin: strict-domination NOT EXISTS anti-join over the
         # same (n_chars, string_split-word-count) axes
         "profile_pareto_frontier": """

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -477,3 +478,193 @@ def docs_pareto_frontier(docs_path: str, batch_size: int = 8192) -> pd.DataFrame
         return cands
     keep = _skyline_mask(cands["n_chars"].to_numpy(np.int64), cands["n_words"].to_numpy(np.int64))
     return cands[keep].reset_index(drop=True)
+
+
+def docs_dup_rate_by_source(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Per-source duplication rate: 1 − distinct(text)/n — the FIRST
+    number a curation run reads per source (a 40%-dup crawl slice gets a
+    different pipeline than a 2% one).  NULL-text rows are excluded from
+    both counts (a missing doc is not a duplicate of another missing
+    doc); NULL source is the '<NULL>' stratum.
+
+    Distinctness is hash-distinct (the profile/tfidf-df scale path,
+    ~2⁻⁶⁴ collision odds vs the twin's COUNT(DISTINCT text)): per batch
+    one C-siphash pass emits distinct (hash, source) pairs, the
+    hash-keyed exchange co-locates each pair in ONE bucket, buckets
+    count distinct pairs per source, the driver sums the |sources|-
+    bounded partials.  Full texts never leave their batch.
+
+    Output (source, n_docs, n_distinct, dup_rate)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["source"].to_pandas().fillna("<NULL>"),
+                "txt": t["text"].to_pandas(),
+            }
+        )
+        df = df[df["txt"].notna()]
+        if not len(df):
+            return pa.Table.from_pydict(
+                {"h": pa.array([], pa.int64()), "src": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        h = pd.util.hash_array(
+            df["txt"].to_numpy(dtype=object), hash_key=_PROFILE_KEY, categorize=False
+        ).view(np.int64)
+        g = pd.DataFrame({"h": h, "src": df["src"].to_numpy()})
+        counts = g.groupby("src", as_index=False).size()
+        g = g.drop_duplicates()
+        out = pd.concat(
+            [
+                pd.DataFrame({"h": g["h"], "src": g["src"], "cnt": np.zeros(len(g), np.int64)}),
+                pd.DataFrame(
+                    {
+                        "h": np.full(len(counts), -1, dtype=np.int64),
+                        "src": counts["src"],
+                        "cnt": counts["size"].to_numpy(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_cnt = df["cnt"].to_numpy() > 0
+        rows = df[is_cnt].groupby("src", as_index=False)["cnt"].sum().rename(columns={"cnt": "n_docs"})
+        dis = (
+            df[~is_cnt]
+            .drop_duplicates(["h", "src"])
+            .groupby("src", as_index=False)
+            .size()
+            .rename(columns={"size": "n_distinct"})
+        )
+        out = rows.merge(dis, on="src", how="outer").fillna(0)
+        return out.astype({"n_docs": "int64", "n_distinct": "int64"})
+
+    ds = ray.data.read_parquet(docs_path, columns=["source", "text"])
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .map_batches(lambda t: with_bucket(t, "h", num_buckets), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ |sources| × n_buckets, bounded
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "dup_rate": pd.Series(dtype="float64"),
+            }
+        )
+    out = parts.groupby("src", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum")
+    )
+    out["dup_rate"] = 1.0 - out["n_distinct"].to_numpy(np.int64) / out["n_docs"].to_numpy(np.int64)
+    return out.rename(columns={"src": "source"}).astype(
+        {"n_docs": "int64", "n_distinct": "int64", "dup_rate": "float64"}
+    )
+
+
+def docs_length_scaling(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
+    """Per-source fertility scaling law: OLS of ln(n_chars) on ln(n_words)
+    — the exponent says how characters grow with word count (slope ≈ 1 is
+    linear text; a flat slope flags templated payloads where length is
+    decoupled from word count), the per-source calibration number for
+    byte→token budget planning.  Docs need text, n_chars ≥ 1 and
+    n_words ≥ 1 (mirrored WHERE).
+
+    Both engines sum the FIVE OLS terms over the SAME bounded
+    (source, n_words, n_chars) joint histogram (integer features ⇒
+    value-bounded; one packed-key exchange, the Spearman discipline), so
+    parity rides c-weighted lns of identical integers — never corpus-
+    order float sums.  Degeneracy (a single distinct n_words) is decided
+    STRUCTURALLY via count(DISTINCT nw) — a float den == 0 test would
+    land epsilon-nonzero on one engine and zero on the other.
+
+    Output (source, n_docs, slope, intercept)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    SH_W = np.int64(1) << np.int64(21)
+    SH_C = np.int64(1) << np.int64(42)
+    srcs = sorted(
+        ray.data.read_parquet(docs_path, columns=["source"])
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"source": pc.unique(pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string())))}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["source"]
+        .unique()
+        .tolist()
+    )
+    code_of = {s: i for i, s in enumerate(srcs)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["source"].to_pandas().fillna("<NULL>"),
+                "txt": t["text"].to_pandas(),
+                "nc": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[df["txt"].notna() & pd.notna(df["nc"])]
+        if not len(df):
+            return pa.Table.from_pydict({"key": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        nw = df["txt"].str.split(" ").str.len().to_numpy(np.int64)
+        nc = df["nc"].to_numpy(np.int64)
+        code = np.fromiter((code_of[s] for s in df["src"]), dtype=np.int64, count=len(df))
+        keep = (nw >= 1) & (nc >= 1)
+        assert not len(nc[keep]) or (int(nw[keep].max()) < (1 << 21) and int(nc[keep].max()) < (1 << 21))
+        key = code[keep] * SH_C + nw[keep] * SH_W + nc[keep]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    hist = bucketed_aggregate(
+        ray.data.read_parquet(docs_path, columns=["source", "text", "n_chars"]),
+        "key",
+        partial,
+        sum_counts_combine("key"),
+        num_buckets=num_buckets,
+    ).to_pandas()  # bounded by |sources| × |value pairs|
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "slope": pd.Series(dtype="float64"),
+            "intercept": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(hist):
+        return empty
+    key = hist["key"].to_numpy(np.int64)
+    c = hist["cnt"].to_numpy(np.int64)
+    code = key // SH_C
+    x = np.log(((key % SH_C) // SH_W).astype(np.float64))
+    y = np.log((key % SH_W).astype(np.float64))
+    out = []
+    for ci in np.unique(code):
+        m = code == ci
+        n = int(c[m].sum())
+        cw = c[m].astype(np.float64)
+        sx, sy = float((cw * x[m]).sum()), float((cw * y[m]).sum())
+        sxx, sxy = float((cw * x[m] * x[m]).sum()), float((cw * x[m] * y[m]).sum())
+        # degeneracy is decided STRUCTURALLY (one distinct integer x), not
+        # by den == 0 — constant-x float dens land epsilon-nonzero and the
+        # two engines would disagree on the branch
+        n_x = len(np.unique(x[m]))
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if n_x > 1 else 0.0
+        intercept = (sy - slope * sx) / n
+        out.append(
+            {"source": srcs[int(ci)], "n_docs": n, "slope": slope, "intercept": intercept}
+        )
+    return pd.DataFrame(out).astype({"n_docs": "int64", "slope": "float64", "intercept": "float64"})

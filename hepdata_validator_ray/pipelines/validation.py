@@ -3756,3 +3756,35 @@ def partition_pruned_counts(docs_path: str, source: str = "src0") -> pd.DataFram
         .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
         .astype({"n_docs": "int64", "sum_chars": "int64"})
     )
+
+
+def weighted_median_ntok(seq_path: str) -> pd.DataFrame:
+    """Per-source TOKEN-BUDGET-weighted median length: the smallest length
+    v such that sequences of length ≤ v carry at least half the source's
+    tokens (2·Σ_{u≤v} u·c_u ≥ Σ u·c_u — the all-integer rank rule, no
+    float ever decides the boundary).  Differs from the row median
+    exactly when long docs dominate the budget — THE number that says
+    where half the compute goes, not half the rows.  Rides the shared
+    (source, n_tok) bounded histogram exchange; NULL/negative n_tok
+    drops, NULL source is '<NULL>' (the histogram's conventions).
+
+    Output (source, total_tokens, wmedian)."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "total_tokens": pd.Series(dtype="int64"),
+                "wmedian": pd.Series(dtype="int64"),
+            }
+        )
+    out = []
+    for ci, grp in hist.groupby("code", sort=True):
+        grp = grp.sort_values("v", kind="mergesort")
+        v = grp["v"].to_numpy(np.int64)
+        w = v * grp["cnt"].to_numpy(np.int64)
+        tot = int(w.sum())
+        cum = np.cumsum(w)
+        idx = int(np.argmax(2 * cum >= tot))  # first v with 2·cum ≥ tot
+        out.append({"source": srcs[int(ci)], "total_tokens": tot, "wmedian": int(v[idx])})
+    return pd.DataFrame(out).astype({"total_tokens": "int64", "wmedian": "int64"})

@@ -523,3 +523,78 @@ def test_ann_ivf_recall_degrades_for_straddling_query(tmp_path, ray_session):
     two = ann_ivf_recall(str(tmp_path / "embeddings.parquet"), n_probe=2, **kw)
     assert two.loc[0, "recall"] == 1.0
     assert one.loc[0, "recall"] < 1.0  # the unseen lobe's neighbors are lost
+
+
+def test_docs_dup_rate_by_source(tmp_path, ray_session):
+    """Source a: 4 docs, 2 distinct texts → dup_rate 0.5; source b: all
+    unique → 0; NULL texts are excluded from BOTH counts; the same text
+    in two sources counts distinct in each."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": ["x", "x", "y", "y", "p", "q", None, "x"],
+            "source": ["a", "a", "a", "a", "b", "b", "b", "b"],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.profile import docs_dup_rate_by_source
+
+    got = docs_dup_rate_by_source(p, num_buckets=4).set_index("source")
+    assert got.loc["a", "n_docs"] == 4 and got.loc["a", "n_distinct"] == 2
+    assert got.loc["a", "dup_rate"] == pytest.approx(0.5)
+    assert got.loc["b", "n_docs"] == 3 and got.loc["b", "n_distinct"] == 3
+    assert got.loc["b", "dup_rate"] == 0.0
+
+
+def test_docs_length_scaling_exact_power_law(tmp_path, ray_session):
+    """n_chars = n_words² gives slope exactly 2 (ln-ln OLS on a perfect
+    power law); a constant-n_words source is a degenerate design → 0."""
+    rows = []
+    for w in (1, 2, 4, 8):
+        rows.append(("pow", "w " * (w - 1) + "w", w * w))
+    for _ in range(3):
+        rows.append(("flat", "a b", 7))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(rows), dtype=np.int64),
+            "source": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "n_chars": np.array([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.profile import docs_length_scaling
+
+    got = docs_length_scaling(p, num_buckets=4).set_index("source")
+    assert got.loc["pow", "slope"] == pytest.approx(2.0, rel=1e-12)
+    assert got.loc["pow", "intercept"] == pytest.approx(0.0, abs=1e-12)
+    assert got.loc["flat", "slope"] == 0.0 and got.loc["flat", "n_docs"] == 3
+
+
+def test_weighted_median_vs_row_median(tmp_path, ray_session):
+    """Lengths [1×9, 100]: row median is 1 but the 100-token doc carries
+    >half the budget → weighted median 100.  All-zero source → 0."""
+    rows = [{"source": "skew", "n_tok": 1, "tokens": []}] * 9
+    rows += [{"source": "skew", "n_tok": 100, "tokens": []}]
+    rows += [{"source": "zero", "n_tok": 0, "tokens": []}] * 2
+    from hepdata_validator_ray.pipelines.validation import weighted_median_ntok
+
+    got = weighted_median_ntok(_write_seq_rows(tmp_path, rows)).set_index("source")
+    assert got.loc["skew", "wmedian"] == 100 and got.loc["skew", "total_tokens"] == 109
+    assert got.loc["zero", "wmedian"] == 0
+
+
+def _write_seq_rows(tmp_path, rows):
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(rows))], pa.string()),
+            "tokens": pa.array([r.get("tokens") for r in rows], pa.list_(pa.int64())),
+            "n_tok": pa.array([r.get("n_tok") for r in rows], pa.int64()),
+            "source": pa.array([r.get("source") for r in rows], pa.string()),
+        }
+    )
+    p = str(tmp_path / "seqw.parquet")
+    pq.write_table(t, p)
+    return p
