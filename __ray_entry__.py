@@ -1864,6 +1864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # grouped top-k WITH TIES: dense_rank <= k per type (leaderboard
+        # semantics — top k SCORES, not k rows off a tie)
+        "events_top_users_ties": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).top_users_per_type_with_ties(sf),
         # Mann-Kendall monotonic trend per type (integer S, tau_a)
         "events_trend_mk": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -5070,6 +5075,14 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # ties twin: dense_rank window, identical <= k predicate
+        "events_top_users_ties": """
+WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY ALL),
+r AS (SELECT *, dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC)::BIGINT AS rank
+      FROM c)
+SELECT event_type, user_id, n, rank FROM r WHERE rank <= 3""",
         # MK twin: the gap-fill CTEs + a.d < b.d self-join, sign sum
         "events_trend_mk": """
 WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,

@@ -4738,3 +4738,79 @@ def events_trend_mk(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"n_days": "int64", "s_stat": "int64", "tau": "float64"})
+
+
+def top_users_per_type_with_ties(
+    sf_dir: str, k: int = 3, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Grouped top-k WITH TIES: per event type, every user whose event
+    count reaches the k-th DISTINCT count level (dense_rank ≤ k) — the
+    leaderboard semantics where "top 3" means top three SCORES, not three
+    arbitrary rows off a tie.  Row-number top-k (top_parts_per_brand)
+    truncates ties; this is the other contract, and the output size is
+    data-dependent by design.
+
+    Two exchanges: (type, user) counts collapse map-side then sum in one
+    packed-key exchange; the bounded count table re-buckets BY TYPE so
+    each type's level ranking is one in-bucket vectorized dense-rank
+    (counts are collapsed — the bucket holds at most |users of type|
+    rows, not events).  Output (event_type, user_id, n, rank) streams.
+
+    Twin: dense_rank() window with the identical ≤ k predicate."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+    from ray.data.aggregate import Count as _Count
+
+    counts = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "user_id"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())), t["user_id"]],
+                names=["event_type", "user_id"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(_Count(alias_name="n"))
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        counts, target_rows_per_bucket=500_000, lo=8
+    )
+
+    def dense_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        out = []
+        for et, grp in df.groupby("event_type", sort=False):
+            grp = grp.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+            n = grp["n"].to_numpy(np.int64)
+            new_level = np.ones(len(n), dtype=bool)
+            new_level[1:] = n[1:] != n[:-1]
+            rank = np.cumsum(new_level)
+            keep = rank <= k
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "event_type": et,
+                            "user_id": grp["user_id"].to_numpy()[keep],
+                            "n": n[keep],
+                            "rank": rank[keep].astype(np.int64),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "user_id": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        counts.map_batches(lambda t: with_bucket(t, "event_type", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(dense_topk, batch_format="pandas")
+    )

@@ -598,3 +598,26 @@ def _write_seq_rows(tmp_path, rows):
     p = str(tmp_path / "seqw.parquet")
     pq.write_table(t, p)
     return p
+
+
+def test_top_users_with_ties_keeps_whole_level(tmp_path, ray_session):
+    """Counts 5,5,3,3,3,1 with k=2 keep BOTH 5s and ALL THREE 3s (5 rows)
+    — dense-rank semantics; row-number top-2 would keep 2 rows."""
+    recs = []
+    eid = 0
+    for u, c in (("a", 5), ("b", 5), ("c", 3), ("d", 3), ("e", 3), ("f", 1)):
+        for _ in range(c):
+            recs.append((eid, u)); eid += 1
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": [u for _, u in recs],
+            "event_type": ["t"] * len(recs),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import top_users_per_type_with_ties
+
+    got = top_users_per_type_with_ties(str(tmp_path), k=2, num_buckets=2).to_pandas()
+    assert len(got) == 5 and set(got["user_id"]) == {"a", "b", "c", "d", "e"}
+    assert set(got.loc[got["rank"] == 2, "user_id"]) == {"c", "d", "e"}
