@@ -1864,6 +1864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # RFM segmentation cube: per-user (recency, frequency, monetary)
+        # quartiles under the pinned disc-quantile rule; <= 64 rows out
+        "events_rfm": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_rfm_segments(sf),
         # grouped top-k WITH TIES: dense_rank <= k per type (leaderboard
         # semantics — top k SCORES, not k rows off a tie)
         "events_top_users_ties": lambda sf: __import__(
@@ -5075,6 +5080,24 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # RFM twin: quantile_disc edges + the strictly-below list_filter
+        # bucket rule (the snapshot_psi convention) per dimension
+        "events_rfm": """
+WITH u AS (SELECT user_id,
+                  max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))::BIGINT AS r,
+                  count(*)::BIGINT AS f,
+                  sum(CASE WHEN value IS NULL THEN 0
+                           ELSE floor(value*100 + 0.5)::BIGINT END)::BIGINT AS m
+           FROM events GROUP BY user_id),
+e AS (SELECT quantile_disc(r, [0.25, 0.5, 0.75]) AS er,
+             quantile_disc(f, [0.25, 0.5, 0.75]) AS ef,
+             quantile_disc(m, [0.25, 0.5, 0.75]) AS em FROM u),
+b AS (SELECT len(list_filter(e.er, x -> x < u.r))::BIGINT AS r_bucket,
+             len(list_filter(e.ef, x -> x < u.f))::BIGINT AS f_bucket,
+             len(list_filter(e.em, x -> x < u.m))::BIGINT AS m_bucket
+      FROM u CROSS JOIN e)
+SELECT r_bucket, f_bucket, m_bucket, count(*)::BIGINT AS n_users
+FROM b GROUP BY ALL""",
         # ties twin: dense_rank window, identical <= k predicate
         "events_top_users_ties": """
 WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id,

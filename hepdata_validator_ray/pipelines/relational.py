@@ -4814,3 +4814,109 @@ def top_users_per_type_with_ties(
         .groupby(BUCKET_COL)
         .map_groups(dense_topk, batch_format="pandas")
     )
+
+
+def events_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation — the classic engagement cube: per user compute
+    Recency (epoch day of last event), Frequency (event count) and
+    Monetary (Σ cents, floor(value·100+0.5), NULLs → 0), quartile each
+    dimension under the pinned 1-based-ceil(q·n) disc-quantile rank rule
+    (the snapshot_psi convention; bucket = #edges strictly below v, so
+    ties share a bucket deterministically), and count users per
+    (r, f, m) cell — ≤ 4³ output rows however large the corpus.
+
+    Shape: ONE user-keyed exchange collapses events to the per-user
+    triple (max/count/sum are associative — map-side partials); three
+    histogram exchanges over that table bound the driver at |distinct
+    recency days| + |distinct counts| + |distinct cent totals| rows.
+    The first two are value-bounded (time span; √(2N) activity levels);
+    the M histogram is |users|-worst-case — at the 10⁹-user tier the M
+    edges would come from the docs_order_statistics distributed-selection
+    primitive instead (documented scale path); the quartile rule is
+    identical either way.
+
+    Output (r_bucket, f_bucket, m_bucket, n_users)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_pandas(),
+                "d": pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()).to_pandas(),
+                "cents": np.where(
+                    pc.is_valid(t["value"]).to_numpy(zero_copy_only=False),
+                    np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5),
+                    0.0,
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(
+            r=("d", "max"), f=("d", "size"), m=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def user_combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    users = bucketed_aggregate(
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "value"]),
+        "user_id",
+        user_partial,
+        user_combine,
+    ).materialize()
+
+    def hist_of(col: str) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, cnt = np.unique(v, return_counts=True)
+            return pa.Table.from_pydict(
+                {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+            )
+
+        return (
+            bucketed_aggregate(users, "key", partial, sum_counts_combine("key"))
+            .to_pandas()
+            .sort_values("key")
+        )
+
+    def edges_of(hist: pd.DataFrame) -> np.ndarray:
+        v = hist["key"].to_numpy(np.int64)
+        c = hist["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        return np.array(
+            [v[np.searchsorted(cum, max(int(np.ceil(q * n)), 1))] for q in (0.25, 0.5, 0.75)],
+            dtype=np.int64,
+        )
+
+    hists = {c: hist_of(c) for c in ("r", "f", "m")}
+    if not len(hists["r"]):
+        return pd.DataFrame(
+            {
+                "r_bucket": pd.Series(dtype="int64"),
+                "f_bucket": pd.Series(dtype="int64"),
+                "m_bucket": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
+    edges = {c: edges_of(h) for c, h in hists.items()}
+    e_ref = ray.put(edges)
+
+    def assign(t: pa.Table) -> pa.Table:
+        e = ray.get(e_ref)
+        df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in ("r", "f", "m")})
+        out = {}
+        for c in ("r", "f", "m"):
+            # bucket = #edges strictly below v (the snapshot_psi rule)
+            out[f"{c}_bucket"] = (df[c].to_numpy()[:, None] > e[c][None, :]).sum(axis=1)
+        g = pd.DataFrame(out).groupby(["r_bucket", "f_bucket", "m_bucket"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_users"}), preserve_index=False)
+
+    parts = users.map_batches(assign, batch_format="pyarrow").to_pandas()  # ≤ 64 × blocks
+    return (
+        parts.groupby(["r_bucket", "f_bucket", "m_bucket"], as_index=False)["n_users"]
+        .sum()
+        .astype({"r_bucket": "int64", "f_bucket": "int64", "m_bucket": "int64", "n_users": "int64"})
+    )

@@ -621,3 +621,32 @@ def test_top_users_with_ties_keeps_whole_level(tmp_path, ray_session):
     got = top_users_per_type_with_ties(str(tmp_path), k=2, num_buckets=2).to_pandas()
     assert len(got) == 5 and set(got["user_id"]) == {"a", "b", "c", "d", "e"}
     assert set(got.loc[got["rank"] == 2, "user_id"]) == {"c", "d", "e"}
+
+
+def test_rfm_segments_hand_computed(tmp_path, ray_session):
+    """8 users with distinct frequencies 1..8 → quartile edges (ceil rank)
+    at 2, 4, 6; frequency buckets are {1,2}=0, {3,4}=1, {5,6}=2, {7,8}=3.
+    Everyone shares one day and value, so r/m collapse to bucket 0 and
+    the cube is the 4-cell frequency marginal, 2 users each."""
+    recs = []
+    eid = 0
+    for i in range(1, 9):
+        for _ in range(i):
+            recs.append((eid, f"u{i}")); eid += 1
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": [u for _, u in recs],
+            "event_type": ["t"] * len(recs),
+            "value": np.ones(len(recs)),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_rfm_segments
+
+    got = events_rfm_segments(str(tmp_path))
+    assert (got["r_bucket"] == 0).all()
+    f_marginal = got.groupby("f_bucket")["n_users"].sum().to_dict()
+    assert f_marginal == {0: 2, 1: 2, 2: 2, 3: 2}
+    # monetary = cents sum = 100·f, so m buckets mirror f buckets exactly
+    assert (got["m_bucket"] == got["f_bucket"]).all()
