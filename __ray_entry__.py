@@ -1893,6 +1893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_changepoint(sf),
+        # corpus bigram entropy rate H(t2|t1) via the distributive
+        # ln N - sum(c ln c)/N identity over the distributed tables
+        "v_entropy_rate": lambda sf: validation.corpus_entropy_rate(_seq(sf)),
         # token-budget-weighted median length per source (integer 2cum>=tot
         # rank rule over the shared bounded histogram)
         "v_weighted_median": lambda sf: validation.weighted_median_ntok(_seq(sf)),
@@ -4907,6 +4910,24 @@ coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
 tot AS (SELECT sum(c * n_c) AS total FROM coc)
 SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
 FROM coc CROSS JOIN tot t""",
+        # entropy-rate twin: the same bigram/context CTEs and the
+        # identical ln(n) - sum(c*ln(c))/n decomposition
+        "v_entropy_rate": f"""
+WITH b AS (
+  SELECT unnest(tokens[1:len(tokens)-1]) AS t1, unnest(tokens[2:len(tokens)]) AS t2
+  FROM read_parquet('{p}') WHERE tokens IS NOT NULL AND len(tokens) >= 2
+),
+bc AS (SELECT t1::BIGINT AS t1, t2::BIGINT AS t2, count(*)::BIGINT AS cnt FROM b
+       WHERE t1 >= 0 AND t1 < {V} AND t2 >= 0 AND t2 < {V} GROUP BY 1, 2),
+cx AS (SELECT t1, sum(cnt)::BIGINT AS cnt FROM bc GROUP BY t1),
+s AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS d,
+             sum(cnt * ln(cnt)) AS clc FROM bc),
+t AS (SELECT sum(cnt * ln(cnt)) AS clc FROM cx)
+SELECT s.n AS n_bigrams, s.d AS n_distinct_bigrams,
+       ln(s.n) - s.clc / s.n AS h_bigram,
+       ln(s.n) - t.clc / s.n AS h_context,
+       (ln(s.n) - s.clc / s.n) - (ln(s.n) - t.clc / s.n) AS h_rate
+FROM s, t""",
         # weighted-median twin: window cumsum of v*c, min v with 2cum>=tot
         "v_weighted_median": f"""
 WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v

@@ -3788,3 +3788,68 @@ def weighted_median_ntok(seq_path: str) -> pd.DataFrame:
         idx = int(np.argmax(2 * cum >= tot))  # first v with 2·cum ≥ tot
         out.append({"source": srcs[int(ci)], "total_tokens": tot, "wmedian": int(v[idx])})
     return pd.DataFrame(out).astype({"total_tokens": "int64", "wmedian": "int64"})
+
+
+def corpus_entropy_rate(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Corpus-level bigram entropy rate H(t₂|t₁) = H(bigram) − H(context)
+    — the one-number compressibility/diversity summary of the token
+    stream (natural text sits well below ln V; near ln V means noise,
+    near 0 means template loops).  Uses the distributive identity
+    H = ln N − (Σ c·ln c)/N so each entropy is ONE pass of per-batch
+    partials (Σ c ln c, Σ c) over the DISTRIBUTED bigram/context tables —
+    the corpus-scale tables never reach the driver; the twin spells the
+    identical decomposition.
+
+    Output one row (n_bigrams, n_distinct_bigrams, h_bigram, h_context,
+    h_rate)."""
+    V = int(vocab_size or CheckContext().vocab_size)
+    counts = _bigram_count_dataset(seq_path, V).materialize()
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([int(c.sum())], pa.int64()),
+                "d": pa.array([len(c)], pa.int64()),
+                "clc": pa.array([float((c * np.log(c)).sum())], pa.float64()),
+            }
+        )
+
+    def ctx_partial(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key // V, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cnt)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(s, pa.int64())}
+        )
+
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+
+    bp = counts.map_batches(big_partial, batch_format="pyarrow").to_pandas()
+    ctx = bucketed_aggregate(counts, "key", ctx_partial, sum_counts_combine("key"))
+
+    def ctx_sum(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({"clc": pa.array([float((c * np.log(c)).sum())], pa.float64())})
+
+    cp = ctx.map_batches(ctx_sum, batch_format="pyarrow").to_pandas()
+    n = int(bp["n"].sum()) if len(bp) else 0
+    if n == 0:
+        return pd.DataFrame(
+            [{"n_bigrams": 0, "n_distinct_bigrams": 0, "h_bigram": 0.0, "h_context": 0.0, "h_rate": 0.0}]
+        ).astype({"n_bigrams": "int64", "n_distinct_bigrams": "int64"})
+    h_big = float(np.log(n) - bp["clc"].sum() / n)
+    h_ctx = float(np.log(n) - cp["clc"].sum() / n)
+    return pd.DataFrame(
+        [
+            {
+                "n_bigrams": n,
+                "n_distinct_bigrams": int(bp["d"].sum()),
+                "h_bigram": h_big,
+                "h_context": h_ctx,
+                "h_rate": h_big - h_ctx,
+            }
+        ]
+    ).astype({"n_bigrams": "int64", "n_distinct_bigrams": "int64"})

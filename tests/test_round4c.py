@@ -650,3 +650,21 @@ def test_rfm_segments_hand_computed(tmp_path, ray_session):
     assert f_marginal == {0: 2, 1: 2, 2: 2, 3: 2}
     # monetary = cents sum = 100·f, so m buckets mirror f buckets exactly
     assert (got["m_bucket"] == got["f_bucket"]).all()
+
+
+def test_entropy_rate_deterministic_vs_uniform(tmp_path, ray_session):
+    """A deterministic cycle 1,2,1,2,... has h_rate 0 (each context has
+    ONE successor); an even two-way branch costs exactly ln 2."""
+    from hepdata_validator_ray.pipelines.validation import corpus_entropy_rate
+
+    p1 = _write_seq(tmp_path, ["A"], [[1, 2] * 8])
+    got = corpus_entropy_rate(p1, vocab_size=8).iloc[0]
+    assert got["h_rate"] == pytest.approx(0.0, abs=1e-12)
+
+    # context 1 → {2, 3} evenly; contexts 2,3 always → 1
+    seq = [1, 2, 1, 3] * 6
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    got2 = corpus_entropy_rate(_write_seq(d2, ["A"], [seq]), vocab_size=8).iloc[0]
+    # 12 of 23 bigrams leave context 1 with H=ln2; the rest are deterministic
+    assert got2["h_rate"] == pytest.approx((12 / 23) * math.log(2), rel=1e-9)
