@@ -1864,6 +1864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # expected shortfall (CVaR) of cent values per type: exact integer
+        # top-k tail sum off the bounded cents histogram
+        "events_cvar": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_value_cvar(sf),
         # RFM segmentation cube: per-user (recency, frequency, monetary)
         # quartiles under the pinned disc-quantile rule; <= 64 rows out
         "events_rfm": lambda sf: __import__(
@@ -5101,6 +5106,20 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # CVaR twin: row_number DESC top-k sum, the same ceil(0.05*n)
+        "events_cvar": """
+WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  floor(value*100 + 0.5)::BIGINT AS c
+           FROM events WHERE value IS NOT NULL),
+n AS (SELECT event_type, count(*)::BIGINT AS n,
+             ceil(0.05 * count(*))::BIGINT AS k FROM e GROUP BY 1),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c DESC) AS rk FROM e),
+t AS (SELECT r.event_type, sum(c)::BIGINT AS tail_sum
+      FROM r JOIN n USING (event_type) WHERE rk <= n.k GROUP BY 1)
+SELECT n.event_type, n.n, n.k, t.tail_sum AS tail_sum_cents,
+       t.tail_sum::DOUBLE / n.k AS cvar_cents
+FROM n JOIN t USING (event_type)""",
         # RFM twin: quantile_disc edges + the strictly-below list_filter
         # bucket rule (the snapshot_psi convention) per dimension
         "events_rfm": """

@@ -4920,3 +4920,78 @@ def events_rfm_segments(sf_dir: str) -> pd.DataFrame:
         .sum()
         .astype({"r_bucket": "int64", "f_bucket": "int64", "m_bucket": "int64", "n_users": "int64"})
     )
+
+
+def events_value_cvar(sf_dir: str, tail: float = 0.05) -> pd.DataFrame:
+    """Expected shortfall / CVaR of event values per type: the mean of the
+    worst (largest) ``tail`` fraction of cent-quantized values — the
+    tail-risk number a p99 alone understates (it averages EVERYTHING
+    beyond the cut, so one monster event moves it).  k = ceil(tail·n)
+    uses the raw double product on BOTH engines (the identical-expression
+    discipline — 0.05·n is not exact in binary and must round the same
+    way twice); the top-k sum is an exact integer off the per-type cents
+    histogram (levels walked from the top, the boundary level contributing
+    its partial count — order statistics of a multiset are tie-order-free,
+    so the twin's row_number DESC sum matches exactly).
+
+    One |types|×|distinct cents|-bounded exchange; NULL values drop
+    (mirrored WHERE).  Output (event_type, n, k, tail_sum_cents,
+    cvar_cents)."""
+    from ray.data.aggregate import Count as _Count
+
+    hist = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(
+                        pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+                        pa.int64(),
+                    ),
+                ],
+                names=["event_type", "c"],
+            ).filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "c"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |distinct cents|, bounded
+    out = []
+    for et, grp in hist.groupby("event_type", sort=True):
+        grp = grp.sort_values("c", ascending=False, kind="mergesort")
+        v = grp["c"].to_numpy(np.int64)
+        cnt = grp["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        k = int(np.ceil(tail * n))
+        taken, s = 0, 0
+        for vi, ci in zip(v.tolist(), cnt.tolist()):
+            take = min(ci, k - taken)
+            if take <= 0:
+                break
+            s += take * vi
+            taken += take
+        out.append(
+            {
+                "event_type": et,
+                "n": n,
+                "k": k,
+                "tail_sum_cents": s,
+                "cvar_cents": float(s) / float(k) if k else 0.0,
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "k": pd.Series(dtype="int64"),
+                "tail_sum_cents": pd.Series(dtype="int64"),
+                "cvar_cents": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "k": "int64", "tail_sum_cents": "int64", "cvar_cents": "float64"}
+    )

@@ -668,3 +668,43 @@ def test_entropy_rate_deterministic_vs_uniform(tmp_path, ray_session):
     got2 = corpus_entropy_rate(_write_seq(d2, ["A"], [seq]), vocab_size=8).iloc[0]
     # 12 of 23 bigrams leave context 1 with H=ln2; the rest are deterministic
     assert got2["h_rate"] == pytest.approx((12 / 23) * math.log(2), rel=1e-9)
+
+
+def test_events_cvar_tail_mean(tmp_path, ray_session):
+    """Values 1..100 (cents 100..10000), tail 5% → k=5, top values
+    9600..10000 → tail mean 9800; a boundary TIE contributes only its
+    partial count (multiset order statistics, not whole levels)."""
+    recs = [(i, float(i + 1)) for i in range(100)]
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": ["u"] * len(recs),
+            "event_type": ["t"] * len(recs),
+            "value": np.array([v for _, v in recs]),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_value_cvar
+
+    got = events_value_cvar(str(tmp_path)).set_index("event_type")
+    assert got.loc["t", "k"] == 5
+    assert got.loc["t", "tail_sum_cents"] == (9600 + 9700 + 9800 + 9900 + 10000)
+    assert got.loc["t", "cvar_cents"] == pytest.approx(9800.0)
+
+
+def test_events_cvar_boundary_tie_partial(tmp_path, ray_session):
+    """Ten equal values with k=1: the tie level contributes exactly ONE
+    copy to the tail sum, not the whole level."""
+    pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "ts": pd.to_datetime([0] * 10, unit="s"),
+            "user_id": ["u"] * 10,
+            "event_type": ["t"] * 10,
+            "value": np.full(10, 7.0),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_value_cvar
+
+    got = events_value_cvar(str(tmp_path)).iloc[0]
+    assert got["k"] == 1 and got["tail_sum_cents"] == 700 and got["cvar_cents"] == 700.0
