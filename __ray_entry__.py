@@ -1864,6 +1864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd2": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_scd2_history(sf),
+        # nearest-in-time join (both-directions as-of): per error event,
+        # the same user's click minimizing (|dt|, ts, event_id)
+        "events_nearest_join": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_nearest_join(sf),
         # expected shortfall (CVaR) of cent values per type: exact integer
         # top-k tail sum off the bounded cents histogram
         "events_cvar": lambda sf: __import__(
@@ -5106,6 +5111,17 @@ SELECT user_id, seg::BIGINT AS seg, event_type, count(*)::BIGINT AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_first,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_last
 FROM s GROUP BY user_id, seg, event_type""",
+        # nearest-join twin: same-user cross join, the total
+        # (abs(dt), ts, event_id) rank, rk = 1
+        "events_nearest_join": """
+WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT a.event_id, b.event_id AS nearest_event_id,
+             date_diff('microsecond', a.ts, b.ts)::BIGINT AS dt_us,
+             row_number() OVER (PARTITION BY a.event_id
+               ORDER BY abs(date_diff('microsecond', a.ts, b.ts)), b.ts, b.event_id) AS rk
+      FROM a JOIN b ON a.user_id = b.user_id)
+SELECT event_id, nearest_event_id, dt_us FROM r WHERE rk = 1""",
         # CVaR twin: row_number DESC top-k sum, the same ceil(0.05*n)
         "events_cvar": """
 WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

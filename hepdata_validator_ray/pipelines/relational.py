@@ -4995,3 +4995,101 @@ def events_value_cvar(sf_dir: str, tail: float = 0.05) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n": "int64", "k": "int64", "tail_sum_cents": "int64", "cvar_cents": "float64"}
     )
+
+
+def events_nearest_join(
+    sf_dir: str,
+    left_type: str = "error",
+    right_type: str = "click",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Nearest-in-TIME join: for every ``left_type`` event, the single
+    ``right_type`` event of the same user minimizing (|Δt|, ts, event_id)
+    — the both-directions cousin of the as-of join (an as-of only looks
+    back; root-causing an error wants the click on EITHER side).  The
+    tie rule is total and mirrored: equal |Δt| prefers the earlier
+    event, equal ts the smaller event_id.
+
+    Per user-bucket: right events collapse per (user, ts) to the min
+    event_id (the within-ts winner under the rule), then TWO vectorized
+    merge_asofs (backward + forward) race — backward wins ties because
+    its Δt carries the smaller ts.  Left events with no right-side user
+    match drop (inner semantics, mirrored).  dt_us = right − left in
+    exact integer microseconds.
+
+    Output (event_id, nearest_event_id, dt_us) — corpus-scale, streams."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    def nearest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        a = df[df["event_type"] == left_type][["user_id", "event_id", "ts"]]
+        b = df[df["event_type"] == right_type][["user_id", "event_id", "ts"]]
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "nearest_event_id": pd.Series(dtype="int64"),
+                "dt_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(a) or not len(b):
+            return empty
+        # within-ts winner: the smallest event_id per (user, ts)
+        b = (
+            b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .drop_duplicates(["user_id", "ts"], keep="first")
+            .sort_values(["ts", "user_id"], kind="mergesort")
+        )
+        a = a.sort_values(["ts", "user_id"], kind="mergesort")
+        back = pd.merge_asof(
+            a, b, on="ts", by="user_id", direction="backward", suffixes=("", "_b")
+        )
+        fwd = pd.merge_asof(
+            a, b, on="ts", by="user_id", direction="forward", suffixes=("", "_f")
+        )
+        # unit-safe µs: pandas may hold datetime64[ns] OR [us] depending
+        # on the parquet reader — normalize explicitly, never //1000
+        t = a["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return _nearest_choose(a, b, back, fwd, t, empty)
+
+    def _nearest_choose(a, b, back, fwd, t, empty):
+        bmap = dict(
+            zip(
+                b["event_id"].to_numpy(np.int64),
+                b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            )
+        )
+        eb = back["event_id_b"].to_numpy()
+        ef = fwd["event_id_f"].to_numpy()
+        has_b = pd.notna(eb)
+        has_f = pd.notna(ef)
+        INF = np.int64(1) << np.int64(62)
+        ts_b = np.array([bmap[int(x)] if ok else 0 for x, ok in zip(eb, has_b)], dtype=np.int64)
+        ts_f = np.array([bmap[int(x)] if ok else 0 for x, ok in zip(ef, has_f)], dtype=np.int64)
+        dt_b = np.where(has_b, t - ts_b, INF)
+        dt_f = np.where(has_f, ts_f - t, INF)
+        pick_b = has_b & (~has_f | (dt_b <= dt_f))
+        any_match = has_b | has_f
+        nid = np.where(pick_b, np.where(has_b, eb, 0), np.where(has_f, ef, 0))
+        dt = np.where(pick_b, -dt_b, dt_f)
+        out = pd.DataFrame(
+            {
+                "event_id": a["event_id"].to_numpy(np.int64),
+                "nearest_event_id": nid,
+                "dt_us": dt,
+            }
+        )[any_match]
+        out["nearest_event_id"] = out["nearest_event_id"].astype("int64")
+        out["dt_us"] = out["dt_us"].astype("int64")
+        return out if len(out) else empty
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        ds, target_rows_per_bucket=500_000, lo=32
+    )
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(nearest, batch_format="pandas")
+    )

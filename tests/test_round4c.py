@@ -708,3 +708,35 @@ def test_events_cvar_boundary_tie_partial(tmp_path, ray_session):
 
     got = events_value_cvar(str(tmp_path)).iloc[0]
     assert got["k"] == 1 and got["tail_sum_cents"] == 700 and got["cvar_cents"] == 700.0
+
+
+def test_nearest_join_tie_prefers_earlier(tmp_path, ray_session):
+    """An error at t=100 with clicks at t=90 and t=110 (equal |dt|=10s)
+    picks the EARLIER click; two clicks at the same ts pick the smaller
+    event_id; a user with no clicks emits nothing; dt_us is signed."""
+    rows = [
+        # user A: error 1 at 100s; clicks 0 at 90s, 2 at 110s (tie)
+        ("A", 1, 100, "error"),
+        ("A", 0, 90, "click"),
+        ("A", 2, 110, "click"),
+        # user B: error 10 at 50s; clicks 11,12 both at 60s (same-ts tie)
+        ("B", 10, 50, "error"),
+        ("B", 12, 60, "click"),
+        ("B", 11, 60, "click"),
+        # user C: error with no click
+        ("C", 20, 10, "error"),
+    ]
+    pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": np.array([r[1] for r in rows], dtype=np.int64),
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "event_type": [r[3] for r in rows],
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_nearest_join
+
+    got = events_nearest_join(str(tmp_path), num_buckets=2).to_pandas().set_index("event_id")
+    assert got.loc[1, "nearest_event_id"] == 0 and got.loc[1, "dt_us"] == -10_000_000
+    assert got.loc[10, "nearest_event_id"] == 11 and got.loc[10, "dt_us"] == 10_000_000
+    assert 20 not in got.index
