@@ -1869,6 +1869,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest_join": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_nearest_join(sf),
+        # Kruskal-Wallis H across types (nonparametric ANOVA on ranks;
+        # doubled-mid-rank integer identity, tie-corrected)
+        "events_kruskal": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_kruskal(sf),
         # expected shortfall (CVaR) of cent values per type: exact integer
         # top-k tail sum off the bounded cents histogram
         "events_cvar": lambda sf: __import__(
@@ -5122,6 +5127,30 @@ r AS (SELECT a.event_id, b.event_id AS nearest_event_id,
                ORDER BY abs(date_diff('microsecond', a.ts, b.ts)), b.ts, b.event_id) AS rk
       FROM a JOIN b ON a.user_id = b.user_id)
 SELECT event_id, nearest_event_id, dt_us FROM r WHERE rk = 1""",
+        # KW twin: value-level window ranks, HUGEINT doubled mid-rank
+        # sums, identical H/tie-correction expressions (HUGEINT bounds
+        # S_i^2 to ~1e38 — fine at gate scale; engine ints are unbounded)
+        "events_kruskal": """
+WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  floor(value*100 + 0.5)::BIGINT AS c
+           FROM events WHERE value IS NOT NULL),
+lv AS (SELECT c, count(*)::BIGINT AS cv FROM e GROUP BY c),
+lr AS (SELECT c, cv, (sum(cv) OVER (ORDER BY c) - cv)::BIGINT AS nprev FROM lv),
+cell AS (SELECT event_type, c, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+si AS (SELECT cell.event_type,
+              sum(cell.n::HUGEINT * (2*lr.nprev + lr.cv + 1))::HUGEINT AS s,
+              sum(cell.n)::BIGINT AS ni
+       FROM cell JOIN lr ON lr.c = cell.c GROUP BY 1),
+tot AS (SELECT sum(ni)::BIGINT AS n, count(*)::BIGINT AS n_types FROM si),
+tie AS (SELECT sum(cv::HUGEINT*cv*cv - cv)::HUGEINT AS t, count(*)::BIGINT AS n_levels FROM lv),
+hh AS (SELECT tot.n, tot.n_types, tie.n_levels, tie.t,
+              12.0 * sum((si.s*si.s) / si.ni / 4.0) / (tot.n * (tot.n + 1))
+                - 3.0*(tot.n + 1) AS h
+       FROM si, tot, tie GROUP BY tot.n, tot.n_types, tie.n_levels, tie.t)
+SELECT n, n_types, n_levels, h AS h_stat,
+       CASE WHEN t = n::HUGEINT*n*n - n THEN 0.0
+            ELSE h / (1.0 - t / (n::HUGEINT*n*n - n)) END AS h_corrected
+FROM hh""",
         # CVaR twin: row_number DESC top-k sum, the same ceil(0.05*n)
         "events_cvar": """
 WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

@@ -5093,3 +5093,87 @@ def events_nearest_join(
         .groupby(BUCKET_COL)
         .map_groups(nearest, batch_format="pandas")
     )
+
+
+def events_kruskal(sf_dir: str) -> pd.DataFrame:
+    """Kruskal–Wallis H across event types over cent-quantized values —
+    the nonparametric ANOVA: do the types draw from the same value
+    distribution at all?  (The per-type moments can agree while ranks
+    scream; H is the one-number gate before reading any per-type panel.)
+
+        H = 3·Σ_i S_i²/n_i / (N(N+1)) − 3(N+1),   H_c = H / C,
+        C = 1 − Σ_v (c_v³ − c_v)/(N³ − N)
+
+    with S_i = Σ_v c_iv·(2·nprev_v + c_v + 1) the DOUBLED mid-rank sum —
+    the AUC/Spearman integer identity, so every sum is exact (Python
+    ints past int64; HUGEINT twin) and the two floats (H, H_c) are
+    spelled identically.  All-equal values make C = 0 → degenerate CASE
+    (H_c = 0.0, surfaced by n_levels = 1).
+
+    One |types|×|distinct cents|-bounded exchange (shared shape with
+    events_value_cvar); rank arithmetic is driver work on the bounded
+    table.  Output one row (n, n_types, n_levels, h_stat, h_corrected)."""
+    from ray.data.aggregate import Count as _Count
+
+    hist = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(
+                        pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+                        pa.int64(),
+                    ),
+                ],
+                names=["event_type", "c"],
+            ).filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "c"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |distinct cents|, bounded
+    empty = pd.DataFrame(
+        {
+            "n": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "n_levels": pd.Series(dtype="int64"),
+            "h_stat": pd.Series(dtype="float64"),
+            "h_corrected": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(hist):
+        return empty
+    lv = hist.groupby("c", as_index=False)["n"].sum().sort_values("c")
+    vals = lv["c"].to_numpy(np.int64)
+    c_v = lv["n"].to_numpy(np.int64)
+    N = int(c_v.sum())
+    nprev = np.concatenate([[0], np.cumsum(c_v)[:-1]])
+    dmid = {int(v): 2 * int(p) + int(cc) + 1 for v, p, cc in zip(vals, nprev, c_v)}
+    cmap = {int(v): int(cc) for v, cc in zip(vals, c_v)}
+    s_sq_over_n = 0.0
+    n_types = 0
+    for et, grp in hist.groupby("event_type", sort=True):
+        n_i = int(grp["n"].sum())
+        s_i = sum(int(c) * dmid[int(v)] for v, c in zip(grp["c"], grp["n"]))  # exact int
+        s_sq_over_n += (s_i * s_i) / n_i / 4.0
+        n_types += 1
+    h = 12.0 * s_sq_over_n / (N * (N + 1)) - 3.0 * (N + 1)
+    ties = sum(int(cc) ** 3 - int(cc) for cc in c_v)  # exact int
+    denom = N**3 - N
+    # degenerate = STRUCTURAL integer test (ties == denom <=> one level),
+    # never a float-zero comparison (the docs_length_scaling lesson)
+    h_c = h / (1.0 - ties / denom) if denom and ties != denom else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n": N,
+                "n_types": n_types,
+                "n_levels": len(vals),
+                "h_stat": h,
+                "h_corrected": h_c,
+            }
+        ]
+    ).astype({"n": "int64", "n_types": "int64", "n_levels": "int64"})

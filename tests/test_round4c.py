@@ -740,3 +740,43 @@ def test_nearest_join_tie_prefers_earlier(tmp_path, ray_session):
     assert got.loc[1, "nearest_event_id"] == 0 and got.loc[1, "dt_us"] == -10_000_000
     assert got.loc[10, "nearest_event_id"] == 11 and got.loc[10, "dt_us"] == 10_000_000
     assert 20 not in got.index
+
+
+def test_kruskal_matches_scipy_formula(tmp_path, ray_session):
+    """Two clearly shifted groups: H matches the textbook tie-corrected
+    computation (replicated in numpy here); identical groups give H ≈ 0;
+    all-equal values take the structural degenerate CASE."""
+    vals_a = [1.0, 2.0, 3.0, 4.0]
+    vals_b = [10.0, 11.0, 12.0, 13.0]
+    recs = [(i, "a", v) for i, v in enumerate(vals_a)] + [
+        (i + 10, "b", v) for i, v in enumerate(vals_b)
+    ]
+    pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": ["u"] * len(recs),
+            "event_type": [r[1] for r in recs],
+            "value": np.array([r[2] for r in recs]),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_kruskal
+
+    got = events_kruskal(str(tmp_path)).iloc[0]
+    # no ties, complete separation of 4+4 ranks: H = 12/(8·9)·(4·2.5²+4·6.5²)−27
+    expected = 12.0 / 72.0 * (4 * 2.5**2 + 4 * 6.5**2) - 27.0
+    assert got["h_stat"] == pytest.approx(expected, rel=1e-12)
+    assert got["h_corrected"] == pytest.approx(expected, rel=1e-12)  # no ties
+
+    # all-equal values: one level → structural degenerate case
+    pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime([0] * 6, unit="s"),
+            "user_id": ["u"] * 6,
+            "event_type": ["a", "a", "a", "b", "b", "b"],
+            "value": np.full(6, 5.0),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    got2 = events_kruskal(str(tmp_path)).iloc[0]
+    assert got2["n_levels"] == 1 and got2["h_corrected"] == 0.0
