@@ -1869,6 +1869,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest_join": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_nearest_join(sf),
+        # per-user behavioral feature table (the join-me precursor for
+        # bot/churn/segmentation models); one user-keyed exchange
+        "events_user_features": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_user_features(sf),
         # Kruskal-Wallis H across types (nonparametric ANOVA on ranks;
         # doubled-mid-rank integer identity, tie-corrected)
         "events_kruskal": lambda sf: __import__(
@@ -5127,6 +5132,17 @@ r AS (SELECT a.event_id, b.event_id AS nearest_event_id,
                ORDER BY abs(date_diff('microsecond', a.ts, b.ts)), b.ts, b.event_id) AS rk
       FROM a JOIN b ON a.user_id = b.user_id)
 SELECT event_id, nearest_event_id, dt_us FROM r WHERE rk = 1""",
+        # feature-table twin: plain grouped aggregates + distinct counts
+        "events_user_features": """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(DISTINCT coalesce(event_type, '<NULL>'))::BIGINT AS n_types,
+       count(DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))::BIGINT AS n_days,
+       min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))::BIGINT AS first_day,
+       max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))::BIGINT AS last_day,
+       (max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        - min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))))::BIGINT AS span_days,
+       sum(CASE WHEN value IS NULL THEN 0 ELSE floor(value*100 + 0.5)::BIGINT END)::BIGINT AS total_cents
+FROM events GROUP BY user_id""",
         # KW twin: value-level window ranks, HUGEINT doubled mid-rank
         # sums, identical H/tie-correction expressions (HUGEINT bounds
         # S_i^2 to ~1e38 — fine at gate scale; engine ints are unbounded)

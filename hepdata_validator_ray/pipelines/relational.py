@@ -5177,3 +5177,76 @@ def events_kruskal(sf_dir: str) -> pd.DataFrame:
             }
         ]
     ).astype({"n": "int64", "n_types": "int64", "n_levels": "int64"})
+
+
+def events_user_features(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-user behavioral feature table — the feature-engineering
+    precursor every downstream model (bot score, churn, segmentation)
+    joins against: event count, distinct types, distinct active days,
+    first/last epoch day, activity span, and the exact cents total
+    (floor(value·100+0.5), NULLs → 0).  Everything here is associative,
+    so map-side partials collapse per batch and ONE user-keyed exchange
+    finishes each feature — distinct counts ride per-batch DISTINCT
+    (type, day) sets that re-distinct in the bucket (a user's partials
+    co-locate), never a corpus-scale set on the driver.
+
+    Output (user_id, n_events, n_types, n_days, first_day, last_day,
+    span_days, total_cents) — corpus-scale, streams."""
+    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, derive_num_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_pandas(),
+                "et": pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())).to_pandas(),
+                "d": pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()).to_pandas(),
+                "cents": np.where(
+                    pc.is_valid(t["value"]).to_numpy(zero_copy_only=False),
+                    np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5),
+                    0.0,
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id").agg(
+            n_events=("d", "size"), first_day=("d", "min"), last_day=("d", "max"),
+            total_cents=("cents", "sum"),
+        )
+        types = df[["user_id", "et"]].drop_duplicates().groupby("user_id")["et"].agg(list)
+        days = df[["user_id", "d"]].drop_duplicates().groupby("user_id")["d"].agg(list)
+        g = g.assign(types=types, days=days).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        base = df.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            first_day=("first_day", "min"),
+            last_day=("last_day", "max"),
+            total_cents=("total_cents", "sum"),
+        )
+        # vectorized distinct-of-partial-lists: explode + drop_duplicates
+        nt = (
+            df[["user_id", "types"]].explode("types").drop_duplicates()
+            .groupby("user_id").size().rename("n_types")
+        )
+        ndv = (
+            df[["user_id", "days"]].explode("days").drop_duplicates()
+            .groupby("user_id").size().rename("n_days")
+        )
+        base = base.merge(nt, on="user_id").merge(ndv, on="user_id")
+        base["span_days"] = base["last_day"] - base["first_day"]
+        base = base[
+            ["user_id", "n_events", "n_types", "n_days", "first_day", "last_day", "span_days", "total_cents"]
+        ].astype(
+            {
+                "n_events": "int64", "n_types": "int64", "n_days": "int64",
+                "first_day": "int64", "last_day": "int64", "span_days": "int64",
+                "total_cents": "int64",
+            }
+        )
+        return pa.Table.from_pandas(base, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value"]
+    )
+    return bucketed_aggregate(ds, "user_id", partial, combine, batch_size=32768)

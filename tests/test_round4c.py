@@ -780,3 +780,29 @@ def test_kruskal_matches_scipy_formula(tmp_path, ray_session):
     ).to_parquet(str(tmp_path / "events.parquet"), index=False)
     got2 = events_kruskal(str(tmp_path)).iloc[0]
     assert got2["n_levels"] == 1 and got2["h_corrected"] == 0.0
+
+
+def test_user_features_distinct_across_batches(tmp_path, ray_session):
+    """Distinct type/day counts survive batch splits: a user whose
+    duplicate (type, day) pairs land in different partials still counts
+    them once; NULL value → 0 cents; NULL type is a real '<NULL>' type."""
+    recs = []
+    for i in range(10):  # same type+day repeated → 1 type, 1 day
+        recs.append((i, "u1", 0, "A", 2.0))
+    recs.append((10, "u1", 86400 * 3, None, None))  # day 3, NULL type+value
+    pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in recs], dtype=np.int64),
+            "user_id": [r[1] for r in recs],
+            "ts": pd.to_datetime([r[2] for r in recs], unit="s"),
+            "event_type": [r[3] for r in recs],
+            "value": np.array([r[4] for r in recs], dtype=np.float64),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_user_features
+
+    got = events_user_features(str(tmp_path)).to_pandas().set_index("user_id")
+    u = got.loc["u1"]
+    assert u["n_events"] == 11 and u["n_types"] == 2 and u["n_days"] == 2
+    assert u["first_day"] == 0 and u["last_day"] == 3 and u["span_days"] == 3
+    assert u["total_cents"] == 10 * 200
