@@ -1916,6 +1916,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus bigram entropy rate H(t2|t1) via the distributive
         # ln N - sum(c ln c)/N identity over the distributed tables
         "v_entropy_rate": lambda sf: validation.corpus_entropy_rate(_seq(sf)),
+        # context-length budget curve: docs fitting + tokens kept/lost per
+        # candidate max_len, all off the ONE bounded n_tok histogram
+        "training_truncation_curve": lambda sf: validation.truncation_loss_curve(_seq(sf)),
         # token-budget-weighted median length per source (integer 2cum>=tot
         # rank rule over the shared bounded histogram)
         "v_weighted_median": lambda sf: validation.weighted_median_ntok(_seq(sf)),
@@ -1946,6 +1949,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_scaling": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).docs_length_scaling(docs(sf)),
+        # per-source character-class panel (alpha/digit/space counts +
+        # fractions): the cheap script/noise detector, one streamed pass
+        "docs_charclass": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).docs_charclass_by_source(docs(sf)),
         # per-source duplication rate (hash-distinct scale path vs the
         # twin's COUNT(DISTINCT text)); the first curation number
         "docs_dup_rate": lambda sf: __import__(
@@ -4948,6 +4956,19 @@ SELECT s.n AS n_bigrams, s.d AS n_distinct_bigrams,
        ln(s.n) - t.clc / s.n AS h_context,
        (ln(s.n) - s.clc / s.n) - (ln(s.n) - t.clc / s.n) AS h_rate
 FROM s, t""",
+        # truncation twin: budgets cross-join the n_tok rows; least() is
+        # the per-doc kept-token count
+        "training_truncation_curve": f"""
+WITH d AS (SELECT n_tok::BIGINT AS v FROM read_parquet('{p}')
+           WHERE n_tok IS NOT NULL AND n_tok >= 0),
+b AS (SELECT unnest([128, 256, 512, 1024, 2048, 4096, 8192]) AS budget)
+SELECT b.budget::BIGINT AS budget, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE v <= b.budget)::BIGINT AS n_fit,
+       sum(v)::BIGINT AS tokens_total,
+       sum(least(v, b.budget))::BIGINT AS tokens_kept,
+       (sum(v) - sum(least(v, b.budget)))::BIGINT AS tokens_lost,
+       sum(least(v, b.budget)) / sum(v)::DOUBLE AS frac_kept
+FROM d CROSS JOIN b GROUP BY b.budget""",
         # weighted-median twin: window cumsum of v*c, min v with 2cum>=tot
         "v_weighted_median": f"""
 WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
@@ -5091,6 +5112,22 @@ t AS (SELECT source, n, sx, sy,
                   ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
       FROM s)
 SELECT source, n AS n_docs, slope, (sy - slope*sx) / n AS intercept FROM t""",
+        # charclass twin: length(regexp_replace(keep-class)) sums; the
+        # zero-chars source takes the mirrored CASE 0.0
+        "docs_charclass": """
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, text FROM documents
+           WHERE text IS NOT NULL),
+c AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum(length(text))::BIGINT AS n_chars,
+             sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))::BIGINT AS n_alpha,
+             sum(length(regexp_replace(text, '[^0-9]', '', 'g')))::BIGINT AS n_digit,
+             sum(length(text) - length(replace(text, ' ', '')))::BIGINT AS n_space
+      FROM d GROUP BY source)
+SELECT source, n_docs, n_chars, n_alpha, n_digit, n_space,
+       CASE WHEN n_chars > 0 THEN n_alpha / n_chars::DOUBLE ELSE 0.0 END AS frac_alpha,
+       CASE WHEN n_chars > 0 THEN n_digit / n_chars::DOUBLE ELSE 0.0 END AS frac_digit,
+       CASE WHEN n_chars > 0 THEN n_space / n_chars::DOUBLE ELSE 0.0 END AS frac_space
+FROM c""",
         # dup-rate twin: COUNT(DISTINCT text) per source
         "docs_dup_rate": """
 WITH d AS (SELECT coalesce(source, '<NULL>') AS source, text

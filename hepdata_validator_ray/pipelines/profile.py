@@ -668,3 +668,73 @@ def docs_length_scaling(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
             {"source": srcs[int(ci)], "n_docs": n, "slope": slope, "intercept": intercept}
         )
     return pd.DataFrame(out).astype({"n_docs": "int64", "slope": "float64", "intercept": "float64"})
+
+
+def docs_charclass_by_source(docs_path: str) -> pd.DataFrame:
+    """Per-source character-class panel: total chars plus alpha / digit /
+    space counts and their fractions — the cheap script/noise detector
+    (HTML debris inflates punct-other, scraped tables inflate digits,
+    CJK text craters ASCII-alpha).  Counts are exact integers from ONE
+    streamed pass of per-batch vectorized regex counts (compiled once per
+    class, |sources|-bounded partials); fractions are the only doubles,
+    spelled identically.  NULL text drops; NULL source is '<NULL>'.
+
+    Output (source, n_docs, n_chars, n_alpha, n_digit, n_space,
+    frac_alpha, frac_digit, frac_space)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["text"].notna()
+        d = df[ok]
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64" if c != "source" else "object")
+                    for c in ("source", "n_docs", "n_chars", "n_alpha", "n_digit", "n_space")
+                }
+            )
+        src = d["source"].fillna("<NULL>")
+        txt = d["text"]
+        g = pd.DataFrame(
+            {
+                "source": src,
+                "n_docs": 1,
+                "n_chars": txt.str.len().to_numpy(np.int64),
+                "n_alpha": txt.str.count(r"[A-Za-z]").to_numpy(np.int64),
+                "n_digit": txt.str.count(r"[0-9]").to_numpy(np.int64),
+                "n_space": txt.str.count(r" ").to_numpy(np.int64),
+            }
+        )
+        return g.groupby("source", as_index=False).sum()
+
+    parts = (
+        ray.data.read_parquet(docs_path, columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )  # |sources| × n_batches, bounded
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_chars": pd.Series(dtype="int64"),
+            "n_alpha": pd.Series(dtype="int64"),
+            "n_digit": pd.Series(dtype="int64"),
+            "n_space": pd.Series(dtype="int64"),
+            "frac_alpha": pd.Series(dtype="float64"),
+            "frac_digit": pd.Series(dtype="float64"),
+            "frac_space": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby("source", as_index=False).sum()
+    nc = g["n_chars"].to_numpy(np.int64).astype(np.float64)
+    for cls in ("alpha", "digit", "space"):
+        with np.errstate(invalid="ignore"):
+            g[f"frac_{cls}"] = np.where(nc > 0, g[f"n_{cls}"].to_numpy(np.int64) / nc, 0.0)
+    return g.astype(
+        {
+            "n_docs": "int64", "n_chars": "int64", "n_alpha": "int64",
+            "n_digit": "int64", "n_space": "int64",
+            "frac_alpha": "float64", "frac_digit": "float64", "frac_space": "float64",
+        }
+    )

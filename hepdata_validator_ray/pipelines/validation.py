@@ -3853,3 +3853,64 @@ def corpus_entropy_rate(seq_path: str, vocab_size: int | None = None) -> pd.Data
             }
         ]
     ).astype({"n_bigrams": "int64", "n_distinct_bigrams": "int64"})
+
+
+def truncation_loss_curve(
+    seq_path: str, budgets: tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192)
+) -> pd.DataFrame:
+    """Context-length budget curve: for each candidate max_len, how many
+    docs fit whole, how many tokens survive, and how many fall to
+    truncation — THE table a context-window decision is made from
+    (the marginal token yield of each doubling).  All exact integers off
+    the ONE value-bounded n_tok histogram (Σ over the bounded table per
+    budget, never a corpus re-scan per budget); NULL/negative n_tok
+    drops (histogram conventions).
+
+    Output (budget, n_docs, n_fit, tokens_total, tokens_kept,
+    tokens_lost, frac_kept)."""
+    hist, _srcs = _source_ntok_histogram(seq_path)
+    empty = pd.DataFrame(
+        {
+            "budget": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_fit": pd.Series(dtype="int64"),
+            "tokens_total": pd.Series(dtype="int64"),
+            "tokens_kept": pd.Series(dtype="int64"),
+            "tokens_lost": pd.Series(dtype="int64"),
+            "frac_kept": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(hist):
+        return empty
+    g = hist.groupby("v", as_index=False)["cnt"].sum()
+    v = g["v"].to_numpy(np.int64)
+    c = g["cnt"].to_numpy(np.int64)
+    n_docs = int(c.sum())
+    tok_total = int((v * c).sum())
+    out = []
+    for b in budgets:
+        fit = v <= b
+        n_fit = int(c[fit].sum())
+        kept = int((np.minimum(v, b) * c).sum())
+        out.append(
+            {
+                "budget": b,
+                "n_docs": n_docs,
+                "n_fit": n_fit,
+                "tokens_total": tok_total,
+                "tokens_kept": kept,
+                "tokens_lost": tok_total - kept,
+                "frac_kept": kept / tok_total if tok_total else 0.0,
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {
+            "budget": "int64",
+            "n_docs": "int64",
+            "n_fit": "int64",
+            "tokens_total": "int64",
+            "tokens_kept": "int64",
+            "tokens_lost": "int64",
+            "frac_kept": "float64",
+        }
+    )

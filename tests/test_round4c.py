@@ -806,3 +806,38 @@ def test_user_features_distinct_across_batches(tmp_path, ray_session):
     assert u["n_events"] == 11 and u["n_types"] == 2 and u["n_days"] == 2
     assert u["first_day"] == 0 and u["last_day"] == 3 and u["span_days"] == 3
     assert u["total_cents"] == 10 * 200
+
+
+def test_truncation_curve_hand_computed(tmp_path, ray_session):
+    """Lengths [100, 200, 600]: at budget 128 only the 100 fits and kept
+    = 100+128+128 = 356 of 900; at 1024 everything fits, zero loss."""
+    rows = [{"source": "s", "n_tok": v, "tokens": []} for v in (100, 200, 600)]
+    from hepdata_validator_ray.pipelines.validation import truncation_loss_curve
+
+    got = truncation_loss_curve(
+        _write_seq_rows(tmp_path, rows), budgets=(128, 1024)
+    ).set_index("budget")
+    assert got.loc[128, "n_fit"] == 1 and got.loc[128, "tokens_kept"] == 356
+    assert got.loc[128, "tokens_lost"] == 544
+    assert got.loc[128, "frac_kept"] == pytest.approx(356 / 900)
+    assert got.loc[1024, "n_fit"] == 3 and got.loc[1024, "tokens_lost"] == 0
+
+
+def test_charclass_panel_hand_computed(tmp_path, ray_session):
+    """'ab1 c' → 5 chars, 3 alpha, 1 digit, 1 space; NULL text drops."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["ab1 c", None, "99"],
+            "source": ["a", "a", "b"],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    from hepdata_validator_ray.pipelines.profile import docs_charclass_by_source
+
+    got = docs_charclass_by_source(p).set_index("source")
+    assert got.loc["a", "n_docs"] == 1 and got.loc["a", "n_chars"] == 5
+    assert got.loc["a", "n_alpha"] == 3 and got.loc["a", "n_digit"] == 1
+    assert got.loc["a", "frac_space"] == pytest.approx(0.2)
+    assert got.loc["b", "frac_digit"] == 1.0
