@@ -2129,6 +2129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).kmeans_assign_quantized(emb(sf)),
+        # per-dimension embedding health (mean/var/min/max — the dead-dim
+        # and variance-collapse detector); one streamed moment pass
+        "embedding_dim_stats": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).embedding_dim_stats(emb(sf)),
         # IVF recall@k vs exact brute force (quantized-cell probing, one
         # corpus pass serves both sides; the ANN quality dial)
         "ann_ivf_recall": lambda sf: __import__(
@@ -5561,6 +5566,16 @@ d AS (SELECT q.vec_id, c.cid,
 asg AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1)
 SELECT cid AS cluster, count(*)::BIGINT AS n, sum(d2)::BIGINT AS inertia
 FROM asg GROUP BY cid""",
+        # dim-stats twin: generate_subscripts explode, the identical
+        # moment-identity variance
+        "embedding_dim_stats": """
+WITH u AS (SELECT generate_subscripts(embedding, 1)::BIGINT AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings)
+SELECT dim, count(*)::BIGINT AS n, sum(x) / count(*) AS mean,
+       sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)) AS var_pop,
+       min(x) AS min_v, max(x) AS max_v
+FROM u GROUP BY dim""",
         # IVF-recall twin: the kmeans assignment CTE + (d2, cid) probe
         # ranking + two row_number top-k legs + intersection count
         "ann_ivf_recall": f"""

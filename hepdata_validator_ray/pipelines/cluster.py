@@ -725,3 +725,58 @@ def embedding_silhouette(emb_path: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(emb_path, columns=["vec_id", "embedding", "label"]).map_batches(
         score, batch_format="pandas", batch_size=4096
     )
+
+
+def embedding_dim_stats(emb_path: str) -> pd.DataFrame:
+    """Per-dimension embedding health panel: mean, population variance,
+    min, max for every coordinate — the dead-dimension / variance-
+    collapse detector read before ANY geometry op (a dim with var ≈ 0
+    wastes index bits; a runaway max flags an unnormalized shard).
+    Variance uses the moment identity Σx²/n − (Σx/n)² spelled identically
+    in the twin.  One streamed pass of per-batch (Σx, Σx², min, max)
+    partials — a dim×4 table per batch, reduced on the driver; the
+    corpus never concentrates anywhere.
+
+    Output (dim, n, mean, var_pop, min_v, max_v) — dim is 1-based to
+    match the twin's generate_subscripts."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.full(m.shape[1], m.shape[0], dtype=np.int64),
+                "s": m.sum(axis=0),
+                "s2": (m * m).sum(axis=0),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(emb_path, columns=["embedding"])
+        .map_batches(partial, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )  # dim × n_batches, bounded
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "dim": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "mean": pd.Series(dtype="float64"),
+                "var_pop": pd.Series(dtype="float64"),
+                "min_v": pd.Series(dtype="float64"),
+                "max_v": pd.Series(dtype="float64"),
+            }
+        )
+    g = parts.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"), min_v=("mn", "min"), max_v=("mx", "max")
+    )
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    s2 = g["s2"].to_numpy(np.float64)
+    g["mean"] = s / n
+    g["var_pop"] = s2 / n - (s / n) * (s / n)
+    return g[["dim", "n", "mean", "var_pop", "min_v", "max_v"]].astype(
+        {"dim": "int64", "n": "int64"}
+    )

@@ -841,3 +841,26 @@ def test_charclass_panel_hand_computed(tmp_path, ray_session):
     assert got.loc["a", "n_alpha"] == 3 and got.loc["a", "n_digit"] == 1
     assert got.loc["a", "frac_space"] == pytest.approx(0.2)
     assert got.loc["b", "frac_digit"] == 1.0
+
+
+def test_embedding_dim_stats_dead_dim(tmp_path, ray_session):
+    """A constant (dead) dimension reports var 0 and mean = the constant;
+    a live dimension matches numpy's population moments."""
+    rng = np.random.default_rng(2)
+    live = rng.normal(0, 1, 50)
+    vecs = [np.array([7.0, live[i]], dtype=np.float32) for i in range(50)]
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(50, dtype=np.int64),
+            "embedding": vecs,
+            "label": np.zeros(50, dtype=np.int32),
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.cluster import embedding_dim_stats
+
+    got = embedding_dim_stats(str(tmp_path / "embeddings.parquet")).set_index("dim")
+    assert got.loc[1, "mean"] == pytest.approx(7.0) and got.loc[1, "var_pop"] == pytest.approx(0.0, abs=1e-12)
+    lf = live.astype(np.float32).astype(np.float64)
+    assert got.loc[2, "mean"] == pytest.approx(lf.mean(), rel=1e-12)
+    assert got.loc[2, "var_pop"] == pytest.approx(lf.var(), rel=1e-9)
+    assert got.loc[2, "min_v"] == pytest.approx(lf.min())
