@@ -1851,6 +1851,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hill_tail": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_hill_tail(sf),
+        # Theil-T inequality of per-user activity (the decomposable
+        # companion of the Gini; same bounded count-of-counts exchange)
+        "events_user_theil": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_user_theil(sf),
         # engagement inequality: Gini of per-user event counts
         "events_user_gini": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -5062,6 +5067,14 @@ SELECT r.antecedent, r.consequent, r.sp AS supp_pair,
        (r.sp::DOUBLE * n.n) / (sa.s * sc.s) AS lift
 FROM r JOIN sup sa ON sa.p = r.antecedent
        JOIN sup sc ON sc.p = r.consequent CROSS JOIN n""",
+        # Theil twin: per-user counts, the identical (x*n/tot)*ln ratio
+        "events_user_theil": """
+WITH pu AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY user_id),
+h AS (SELECT v, count(*)::BIGINT AS c FROM pu GROUP BY v),
+s AS (SELECT sum(c)::BIGINT AS n, sum(v*c)::BIGINT AS tot FROM h)
+SELECT s.n AS n_users, s.tot AS n_events,
+       sum(h.c * ((h.v * s.n) / s.tot::DOUBLE) * ln((h.v * s.n) / s.tot::DOUBLE)) / s.n AS theil
+FROM h, s GROUP BY s.n, s.tot""",
         # Hill twin: row_number order statistics, the same k rule and
         # ln(v/x_k1) sum, degenerate CASE at lsum = 0
         "events_hill_tail": """

@@ -5250,3 +5250,47 @@ def events_user_features(sf_dir: str, num_buckets: int | None = None) -> "ray.da
         _pq(sf_dir, "events"), columns=["user_id", "ts", "event_type", "value"]
     )
     return bucketed_aggregate(ds, "user_id", partial, combine, batch_size=32768)
+
+
+def events_user_theil(sf_dir: str) -> pd.DataFrame:
+    """Theil-T inequality of per-user event counts — the DECOMPOSABLE
+    inequality measure (unlike Gini, Theil sums across subgroups, so
+    per-source legs can later attribute the inequality): T = (1/n)·
+    Σ (x/μ)·ln(x/μ), 0 = uniform, ln(n) = one user owns everything.
+    Same one user-keyed exchange + √(2N)-bounded count-of-counts
+    histogram as the Gini/Hill pair (completing the inequality panel);
+    the per-level term c_v·(v·n/tot)·ln(v·n/tot)/n is spelled identically
+    in the twin (ln of the same rational; uniform corpora hit ln 1 = 0
+    EXACTLY on both engines, no epsilon).
+
+    Output one row (n_users, n_events, theil)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+    from ray.data.aggregate import Count as _Count
+
+    per_user = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="n"))
+    )
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        v = t["n"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict(
+            {"key": pa.array(uniq, pa.int64()), "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    coc = bucketed_aggregate(per_user, "key", coc_partial, sum_counts_combine("key")).to_pandas()
+    if not len(coc):
+        return pd.DataFrame(
+            [{"n_users": 0, "n_events": 0, "theil": 0.0}]
+        ).astype({"n_users": "int64", "n_events": "int64"})
+    v = coc["key"].to_numpy(np.int64)
+    c = coc["cnt"].to_numpy(np.int64)
+    n = int(c.sum())
+    tot = int((v * c).sum())
+    r = (v.astype(np.float64) * n) / tot  # x/μ per level, the shared rational
+    theil = float((c * r * np.log(r)).sum() / n)
+    return pd.DataFrame(
+        [{"n_users": n, "n_events": tot, "theil": theil}]
+    ).astype({"n_users": "int64", "n_events": "int64"})

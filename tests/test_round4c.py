@@ -864,3 +864,35 @@ def test_embedding_dim_stats_dead_dim(tmp_path, ray_session):
     assert got.loc[2, "mean"] == pytest.approx(lf.mean(), rel=1e-12)
     assert got.loc[2, "var_pop"] == pytest.approx(lf.var(), rel=1e-9)
     assert got.loc[2, "min_v"] == pytest.approx(lf.min())
+
+
+def test_theil_uniform_and_concentrated(tmp_path, ray_session):
+    """Uniform users → exactly 0.0 (ln 1 is exact, no epsilon); one user
+    owning everything among n would approach ln(n): 2 users at (9, 1)
+    events give T = (1/2)[(9/5)ln(9/5) + (1/5)ln(1/5)]."""
+    recs = [(i, f"u{i % 5}") for i in range(20)]  # 5 users × 4 events
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs], dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(recs), unit="s"),
+            "user_id": [u for _, u in recs],
+            "event_type": ["t"] * len(recs),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_user_theil
+
+    got = events_user_theil(str(tmp_path)).iloc[0]
+    assert got["theil"] == 0.0
+
+    recs2 = [(i, "a") for i in range(9)] + [(9, "b")]
+    pd.DataFrame(
+        {
+            "event_id": np.array([e for e, _ in recs2], dtype=np.int64),
+            "ts": pd.to_datetime([0] * 10, unit="s"),
+            "user_id": [u for _, u in recs2],
+            "event_type": ["t"] * 10,
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    got2 = events_user_theil(str(tmp_path)).iloc[0]
+    exp = 0.5 * ((9 / 5) * math.log(9 / 5) + (1 / 5) * math.log(1 / 5))
+    assert got2["theil"] == pytest.approx(exp, rel=1e-12)
