@@ -1899,6 +1899,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_ties": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).top_users_per_type_with_ties(sf),
+        # Fano factor (burstiness) of gap-filled daily counts per type
+        "events_fano": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_fano(sf),
         # Mann-Kendall monotonic trend per type (integer S, tau_a)
         "events_trend_mk": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -5254,6 +5258,22 @@ b AS (SELECT len(list_filter(e.er, x -> x < u.r))::BIGINT AS r_bucket,
       FROM u CROSS JOIN e)
 SELECT r_bucket, f_bucket, m_bucket, count(*)::BIGINT AS n_users
 FROM b GROUP BY ALL""",
+        # Fano twin: the gap-fill CTEs + the m²-cleared integer VMR
+        "events_fano": """
+WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+r AS (SELECT event_type, min(d) AS md, max(d) AS xd FROM c GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(md, xd)) AS d FROM r),
+f AS (SELECT g.event_type, g.d, coalesce(c.n, 0)::BIGINT AS n
+      FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d),
+s AS (SELECT event_type, count(*)::HUGEINT AS m, sum(n)::HUGEINT AS t,
+             sum(n::HUGEINT * n)::HUGEINT AS q
+      FROM f GROUP BY event_type)
+SELECT event_type, m::BIGINT AS n_days, t / m::DOUBLE AS mean_per_day,
+       (m*q - t*t) / (m*t)::DOUBLE AS fano
+FROM s""",
         # ties twin: dense_rank window, identical <= k predicate
         "events_top_users_ties": """
 WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id,

@@ -5294,3 +5294,64 @@ def events_user_theil(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         [{"n_users": n, "n_events": tot, "theil": theil}]
     ).astype({"n_users": "int64", "n_events": "int64"})
+
+
+def events_fano(sf_dir: str) -> pd.DataFrame:
+    """Burstiness / dispersion per type: the Fano factor of the gap-filled
+    daily-count series, VMR = population-variance / mean — 1 is Poisson
+    (memoryless arrivals), ≫ 1 bursty, < 1 metronomic; the dispersion
+    member of the daily panel (MK = direction, ACF = cycles, CUSUM =
+    where, Fano = clumpiness).  m²-cleared arithmetic keeps both sides
+    integer: vmr = (m·Q − T²) / (m·T) with Q = Σx², T = Σx (Python ints
+    past int64; HUGEINT twin); all-empty... T = 0 types cannot occur
+    (a type exists only via events), T > 0 always, so the division is
+    total.  Same bounded |types|×|days| exchange + driver arithmetic.
+
+    Output (event_type, n_days, mean_per_day, fano)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy(np.int64)
+        md, xd = int(d.min()), int(d.max())
+        x = np.zeros(xd - md + 1, dtype=np.int64)
+        x[d - md] = grp["n"].to_numpy(np.int64)
+        xs = [int(v) for v in x]
+        m = len(xs)
+        T = sum(xs)
+        Q = sum(v * v for v in xs)
+        out.append(
+            {
+                "event_type": et,
+                "n_days": m,
+                "mean_per_day": float(T) / float(m),
+                "fano": float(m * Q - T * T) / float(m * T),
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_days": pd.Series(dtype="int64"),
+                "mean_per_day": pd.Series(dtype="float64"),
+                "fano": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"n_days": "int64"})

@@ -896,3 +896,19 @@ def test_theil_uniform_and_concentrated(tmp_path, ray_session):
     got2 = events_user_theil(str(tmp_path)).iloc[0]
     exp = 0.5 * ((9 / 5) * math.log(9 / 5) + (1 / 5) * math.log(1 / 5))
     assert got2["theil"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_fano_bursty_vs_metronomic(tmp_path, ray_session):
+    """Alternating 3/0 days: VMR = (5·27 − 81)/(5·9) = 1.2 (bursty);
+    constant 1/day: exactly 0 (metronomic, below-Poisson)."""
+    rows = []
+    for d in (0, 2, 4):
+        rows += [(d, "burst")] * 3
+    rows += [(d, "flat") for d in range(4)]
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_fano
+
+    got = events_fano(sf).set_index("event_type")
+    assert got.loc["burst", "fano"] == pytest.approx(1.2, rel=1e-12)
+    assert got.loc["burst", "mean_per_day"] == pytest.approx(1.8)
+    assert got.loc["flat", "fano"] == 0.0
