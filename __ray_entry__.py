@@ -2275,6 +2275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced from the window by relational_meta3 (evidence
         # subsumed by v_row_violations' row-exact gate); oracle retained
         "v_violation_counts": lambda sf: validation.violation_counts(_seq(sf)),
+        # the sink behind the gate: violations WRITTEN to a partitioned
+        # parquet dir and read back before aggregating (unique tmp path)
+        "v_violation_roundtrip": lambda sf: validation.violation_counts_roundtrip(_seq(sf)),
         # C4-style boilerplate removal: drop 2-word chunks occurring in
         # >= 12 distinct docs, report surviving words per doc (also an
         # in-window training_meta leg, metric 'bp_words_kept')
@@ -2466,6 +2469,8 @@ SELECT doc_id, 'n_tok_maximum' AS check_name FROM s WHERE n_tok > 365
 UNION ALL SELECT doc_id, 'source_pattern' FROM s
   WHERE source IS NOT NULL AND NOT regexp_matches(source, '^(web|books|code|wiki|news)$')""",
         "v_violation_counts": row_violations_cte
+        + "\nSELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name",
+        "v_violation_roundtrip": row_violations_cte
         + "\nSELECT check_name, count(*)::BIGINT AS n FROM v GROUP BY check_name",
         "flagship_validation_suite": row_violations_cte
         + f"""

@@ -3914,3 +3914,42 @@ def truncation_loss_curve(
             "frac_kept": "float64",
         }
     )
+
+
+def violation_counts_roundtrip(seq_path: str) -> pd.DataFrame:
+    """The SINK behind the gate: run the row-violation pass, WRITE the
+    per-violation rows to a fresh partitioned parquet directory (one
+    subdir per check_name — the resumable layout), then READ the
+    directory back and aggregate — so the driver's hash compares bytes
+    that made a full write→read round trip through the production sink,
+    not an in-memory shortcut.  The output dir is unique per invocation
+    (tmp + uuid; cleaned after the read) — two concurrent gates never
+    share a path (the events_first_seen ADVICE discipline).
+
+    Output (check_name, n) — identical to v_violation_counts by
+    construction; the twin IS that oracle."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from hepdata_validator_ray.checks.base import CheckContext
+
+    out = Path("/tmp/hvr_roundtrip") / uuid.uuid4().hex[:12]
+    pairs = ray.data.read_parquet(seq_path).map_batches(
+        lambda b: _violation_pairs_batch(b, CheckContext()),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    pairs.write_parquet(str(out), partition_cols=["check_name"])
+    try:
+        back = (
+            ray.data.read_parquet(str(out))
+            .groupby("check_name")
+            .count()
+            .to_pandas()
+            .rename(columns={"count()": "n"})
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    back["n"] = back["n"].astype("int64")
+    return back[["check_name", "n"]]

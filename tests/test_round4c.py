@@ -912,3 +912,21 @@ def test_fano_bursty_vs_metronomic(tmp_path, ray_session):
     assert got.loc["burst", "fano"] == pytest.approx(1.2, rel=1e-12)
     assert got.loc["burst", "mean_per_day"] == pytest.approx(1.8)
     assert got.loc["flat", "fano"] == 0.0
+
+
+def test_violation_roundtrip_partitioned_and_cleaned(tmp_path, ray_session):
+    """The roundtrip writes one subdir per check_name and removes its
+    unique output dir after the read; counts match the in-memory pass."""
+    import glob as _glob
+
+    from hepdata_validator_ray.pipelines.validation import (
+        violation_counts,
+        violation_counts_roundtrip,
+    )
+
+    p = _write_seq(tmp_path, ["A", None, "C"], [[1, 2], [1], [999999999]])
+    before = set(_glob.glob("/tmp/hvr_roundtrip/*"))
+    got = violation_counts_roundtrip(p).set_index("check_name")["n"].to_dict()
+    mem = violation_counts(p).to_pandas().set_index("check_name")["n"].to_dict()
+    assert got == mem and len(got) > 0
+    assert set(_glob.glob("/tmp/hvr_roundtrip/*")) == before  # cleaned up
