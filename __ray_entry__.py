@@ -2086,6 +2086,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).clustering_coefficient(sf),
+        # rich-club profile: edge density among deg>k nodes per threshold
+        "graph_rich_club": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
+        ).rich_club(sf),
         # Adamic-Adar link prediction: customer pairs by shared suppliers,
         # hub-capped wedge enumeration, integer (n_common, c1, c2) rank
         "graph_adamic_adar": lambda sf: __import__(
@@ -4758,6 +4762,23 @@ FROM s""",
         "graph_clustering": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]
         ).clustering_oracle_sql(),
+        # rich-club twin: distinct bipartite edges, degree CTE, per-k
+        # qualifying-node and both-endpoints-qualify edge counts
+        "graph_rich_club": """
+WITH li AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+e AS (SELECT c*2 AS a, s*2 + 1 AS b FROM li),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+k AS (SELECT unnest([2, 4, 8, 16]) AS k),
+nk AS (SELECT k.k, count(*)::BIGINT AS n_k FROM deg, k WHERE deg.deg > k.k GROUP BY k.k),
+ek AS (SELECT k.k, count(*)::BIGINT AS e_k
+       FROM e JOIN deg d1 ON d1.node = e.a JOIN deg d2 ON d2.node = e.b CROSS JOIN k
+       WHERE d1.deg > k.k AND d2.deg > k.k GROUP BY k.k)
+SELECT nk.k::BIGINT AS k, nk.n_k, coalesce(ek.e_k, 0)::BIGINT AS e_k,
+       CASE WHEN nk.n_k >= 2 THEN 2.0 * coalesce(ek.e_k, 0) / (nk.n_k * (nk.n_k - 1.0))
+            ELSE 0.0 END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k""",
         # AA twin: generated next to the kernel (capped degrees, c1<c2)
         "graph_adamic_adar": __import__(
             "hepdata_validator_ray.pipelines.graph", fromlist=["x"]

@@ -1197,3 +1197,115 @@ g AS (SELECT p1, p2, count(*)::BIGINT AS n_common, sum(1.0 / ln(deg)) AS aa_scor
       FROM p GROUP BY p1, p2),
 r AS (SELECT *, row_number() OVER (ORDER BY n_common DESC, p1, p2) AS rk FROM g)
 SELECT p1, p2, n_common, aa_score FROM r WHERE rk <= {k}"""
+
+
+def rich_club(
+    sf_dir: str, ks: tuple[int, ...] = (2, 4, 8, 16), num_buckets: int | None = None
+) -> pd.DataFrame:
+    """Rich-club coefficient of the undirected trade graph: for each
+    degree threshold k, φ(k) = 2·E_k / (N_k(N_k−1)) — the edge density
+    among nodes of degree > k.  A rising φ(k) says the hubs form their
+    own dense core (oligopoly trade structure); flat/falling says hubs
+    reach outward.  Complements assortativity (one number) with the
+    full threshold profile.
+
+    Reuses the assortativity plan verbatim: trade_edges carries deg(src),
+    deg(dst) attaches via the SAME dst-keyed sentinel-tagged exchange; a
+    bucket emits per-k counts of edges with BOTH endpoint degrees > k,
+    counted once per undirected edge via the src < dst orientation pick
+    (node parity makes exactly one orientation satisfy it).  N_k comes
+    from the bounded distinct (node, deg) table.  k levels with no
+    qualifying node emit no row (mirrored GROUP BY-over-empty); N_k = 1
+    takes the CASE 0.0.
+
+    Output (k, n_k, e_k, phi)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    ks = tuple(sorted(ks))
+    edges = trade_edges(sf_dir, num_buckets=num_buckets).materialize()
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(
+        edges, target_rows_per_bucket=500_000, lo=16
+    )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["src"].to_numpy(zero_copy_only=False),
+                "dst": np.full(t.num_rows, _TAG, dtype=np.int64),
+                "outdeg": t["outdeg"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates("src")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["dst"], t["src"], t["outdeg"]], names=["src", "dst", "outdeg"]
+        )
+
+    def per_k_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        is_deg = df["dst"].to_numpy() == _TAG
+        dmap = df[is_deg].drop_duplicates("src").set_index("src")["outdeg"]
+        e = df[~is_deg]
+        # undirected-once: keep the orientation whose ORIGINAL src < dst
+        # (columns are swapped here: src holds the original dst)
+        e = e[e["dst"].to_numpy() < e["src"].to_numpy()]
+        if not len(e):
+            return pd.DataFrame({"k": pd.Series(dtype="int64"), "e_k": pd.Series(dtype="int64")})
+        d_dst = e["src"].map(dmap).to_numpy(dtype=np.int64)
+        d_src = e["outdeg"].to_numpy(dtype=np.int64)
+        lo = np.minimum(d_src, d_dst)
+        return pd.DataFrame(
+            {"k": np.asarray(ks, dtype=np.int64), "e_k": [int((lo > k).sum()) for k in ks]}
+        )
+
+    parts = (
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+        .union(edges.map_batches(deg_rows, batch_format="pyarrow"))
+        .map_batches(lambda t: with_bucket(t, "src", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_k_counts, batch_format="pandas")
+        .to_pandas()
+    )  # |ks| × n_buckets, bounded
+    # N_k from the DEGREE HISTOGRAM (bounded by distinct degree values):
+    # per-batch distinct (node, deg) partials, a node-keyed exchange
+    # dedups fully, buckets emit (deg, n) — never node-scale driver rows
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "node": t["src"].to_numpy(zero_copy_only=False),
+                "deg": t["outdeg"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates("node")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def deg_hist(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates("node")
+        g = df.groupby("deg", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dh = bucketed_aggregate(edges, "node", node_partial, deg_hist).to_pandas()
+    dh = dh.groupby("deg", as_index=False)["n"].sum()
+    out = []
+    e_k = parts.groupby("k")["e_k"].sum() if len(parts) else pd.Series(dtype="int64")
+    dv = dh["deg"].to_numpy(np.int64)
+    dn = dh["n"].to_numpy(np.int64)
+    for k in ks:
+        n_k = int(dn[dv > k].sum())
+        if n_k == 0:
+            continue
+        ek = int(e_k.get(k, 0))
+        phi = 2.0 * ek / (n_k * (n_k - 1.0)) if n_k >= 2 else 0.0
+        out.append({"k": k, "n_k": n_k, "e_k": ek, "phi": phi})
+    if not out:
+        return pd.DataFrame(
+            {
+                "k": pd.Series(dtype="int64"),
+                "n_k": pd.Series(dtype="int64"),
+                "e_k": pd.Series(dtype="int64"),
+                "phi": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype({"k": "int64", "n_k": "int64", "e_k": "int64", "phi": "float64"})

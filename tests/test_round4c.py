@@ -930,3 +930,41 @@ def test_violation_roundtrip_partitioned_and_cleaned(tmp_path, ray_session):
     mem = violation_counts(p).to_pandas().set_index("check_name")["n"].to_dict()
     assert got == mem and len(got) > 0
     assert set(_glob.glob("/tmp/hvr_roundtrip/*")) == before  # cleaned up
+
+
+def test_rich_club_star_vs_clique_core(tmp_path, ray_session):
+    """A 3×3 biclique (all deg 3) plus pendant leaves: at k=2 only the
+    core qualifies (n_k=6, e_k=9, φ=2·9/30=0.6); at k=4 nobody
+    qualifies and the row is ABSENT."""
+    pairs = [(c, s) for c in range(3) for s in range(3)]  # biclique
+    pairs += [(10, 0), (11, 1), (12, 2), (0, 10), (1, 11), (2, 12)]  # leaves
+    pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(pairs), dtype=np.int64),
+            "o_custkey": np.array([c for c, _ in pairs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "orders.parquet"), index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": np.arange(len(pairs), dtype=np.int64),
+            "l_suppkey": np.array([s for _, s in pairs], dtype=np.int64),
+        }
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.graph import rich_club
+
+    got = rich_club(str(tmp_path), ks=(2, 4), num_buckets=4).set_index("k")
+    # brute-force reference on the same undirected node-encoded graph
+    edges = {(min(2 * c, 2 * s + 1), max(2 * c, 2 * s + 1)) for c, s in pairs}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in (2, 4):
+        n_k = sum(1 for v in deg.values() if v > k)
+        e_k = sum(1 for a, b in edges if deg[a] > k and deg[b] > k)
+        if n_k == 0:
+            assert k not in got.index
+            continue
+        row = got.loc[k]
+        assert row["n_k"] == n_k and row["e_k"] == e_k
+        assert row["phi"] == pytest.approx(2.0 * e_k / (n_k * (n_k - 1.0)))
