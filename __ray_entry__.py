@@ -1922,6 +1922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_changepoint(sf),
+        # pairwise two-sample KS between sources' length CDFs (exact
+        # integer cross-product numerator; one shared histogram exchange)
+        "v_source_ks_matrix": lambda sf: validation.source_ks_matrix(_seq(sf)),
         # corpus bigram entropy rate H(t2|t1) via the distributive
         # ln N - sum(c ln c)/N identity over the distributed tables
         "v_entropy_rate": lambda sf: validation.corpus_entropy_rate(_seq(sf)),
@@ -4978,6 +4981,27 @@ coc AS (SELECT cnt AS c, count(*)::BIGINT AS n_c FROM bc GROUP BY cnt),
 tot AS (SELECT sum(c * n_c) AS total FROM coc)
 SELECT c, n_c, (c * n_c) / t.total::DOUBLE AS frac_mass
 FROM coc CROSS JOIN tot t""",
+        # KS-matrix twin: gridded cumulative counts, HUGEINT cross
+        # products, identical division
+        "v_source_ks_matrix": f"""
+WITH d AS (SELECT coalesce(source, '<NULL>') AS s, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT s, v, count(*)::BIGINT AS c FROM d GROUP BY ALL),
+vals AS (SELECT DISTINCT v FROM h),
+srcs AS (SELECT DISTINCT s FROM h),
+grid AS (SELECT srcs.s, vals.v FROM srcs CROSS JOIN vals),
+cum AS (SELECT g.s, g.v,
+               sum(coalesce(h.c, 0)) OVER (PARTITION BY g.s ORDER BY g.v)::BIGINT AS cum
+        FROM grid g LEFT JOIN h ON h.s = g.s AND h.v = g.v),
+n AS (SELECT s, max(cum)::BIGINT AS n FROM cum GROUP BY s),
+p2 AS (SELECT a.s AS source_a, b.s AS source_b,
+              abs(a.cum::HUGEINT * nb.n - b.cum::HUGEINT * na.n) AS diff,
+              na.n AS n_a, nb.n AS n_b
+       FROM cum a JOIN cum b ON a.v = b.v AND a.s < b.s
+            JOIN n na ON na.s = a.s JOIN n nb ON nb.s = b.s)
+SELECT source_a, source_b, n_a, n_b, max(diff)::BIGINT AS ks_num,
+       max(diff) / (n_a::DOUBLE * n_b) AS ks
+FROM p2 GROUP BY source_a, source_b, n_a, n_b""",
         # entropy-rate twin: the same bigram/context CTEs and the
         # identical ln(n) - sum(c*ln(c))/n decomposition
         "v_entropy_rate": f"""

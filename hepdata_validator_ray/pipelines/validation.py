@@ -3953,3 +3953,62 @@ def violation_counts_roundtrip(seq_path: str) -> pd.DataFrame:
         shutil.rmtree(out, ignore_errors=True)
     back["n"] = back["n"].astype("int64")
     return back[["check_name", "n"]]
+
+
+def source_ks_matrix(seq_path: str) -> pd.DataFrame:
+    """Pairwise two-sample Kolmogorov–Smirnov distance between every two
+    sources' n_tok distributions — the shape-difference leg of the
+    cross-source panel (JS sees token mix, xent sees LM fit; KS sees the
+    LENGTH CDF, the thing curriculum packing actually consumes).  The KS
+    numerator is exact: max_v |cum_a·n_b − cum_b·n_a| in Python ints
+    (cum·n overflows int64 at the 10¹² tier; HUGEINT twin); the single
+    float is its division by n_a·n_b, spelled identically.
+
+    Everything derives from the ONE shared (source, n_tok) bounded
+    histogram exchange — |S|²·|V| driver arithmetic, the corpora never
+    re-read.  Output (source_a, source_b, n_a, n_b, ks_num, ks) for
+    a < b pairs."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "ks_num": pd.Series(dtype="int64"),
+            "ks": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(hist) or len(srcs) < 2:
+        return empty
+    vals = np.sort(hist["v"].unique())
+    cums = {}
+    ns = {}
+    for ci, grp in hist.groupby("code"):
+        grp = grp.sort_values("v")
+        c = np.zeros(len(vals), dtype=np.int64)
+        idx = np.searchsorted(vals, grp["v"].to_numpy(np.int64))
+        c[idx] = grp["cnt"].to_numpy(np.int64)
+        cums[int(ci)] = np.cumsum(c)
+        ns[int(ci)] = int(c.sum())
+    out = []
+    codes = sorted(cums)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            na, nb = ns[a], ns[b]
+            # Python-int cross products: exact at any scale
+            diffs = [abs(int(ca) * nb - int(cb) * na) for ca, cb in zip(cums[a], cums[b])]
+            num = max(diffs)
+            out.append(
+                {
+                    "source_a": srcs[a],
+                    "source_b": srcs[b],
+                    "n_a": na,
+                    "n_b": nb,
+                    "ks_num": num,
+                    "ks": float(num) / (float(na) * float(nb)),
+                }
+            )
+    return pd.DataFrame(out).astype(
+        {"n_a": "int64", "n_b": "int64", "ks_num": "int64", "ks": "float64"}
+    )

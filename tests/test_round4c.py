@@ -968,3 +968,22 @@ def test_rich_club_star_vs_clique_core(tmp_path, ray_session):
         row = got.loc[k]
         assert row["n_k"] == n_k and row["e_k"] == e_k
         assert row["phi"] == pytest.approx(2.0 * e_k / (n_k * (n_k - 1.0)))
+
+
+def test_source_ks_matrix_identical_and_disjoint(tmp_path, ray_session):
+    """Identical distributions → ks 0; fully separated supports → ks 1;
+    half-shifted → the exact hand value (cdfs [1, 2]/2 vs [0, 1, 2]/2:
+    max |cum_a·n_b − cum_b·n_a| at v=1 gives 2/4 = 0.5)."""
+    rows = (
+        [{"source": "a", "n_tok": 1, "tokens": []}, {"source": "a", "n_tok": 2, "tokens": []}]
+        + [{"source": "b", "n_tok": 1, "tokens": []}, {"source": "b", "n_tok": 2, "tokens": []}]
+        + [{"source": "c", "n_tok": 10, "tokens": []}, {"source": "c", "n_tok": 11, "tokens": []}]
+        + [{"source": "d", "n_tok": 2, "tokens": []}, {"source": "d", "n_tok": 3, "tokens": []}]
+    )
+    from hepdata_validator_ray.pipelines.validation import source_ks_matrix
+
+    got = source_ks_matrix(_write_seq_rows(tmp_path, rows)).set_index(["source_a", "source_b"])
+    assert got.loc[("a", "b"), "ks"] == 0.0
+    assert got.loc[("a", "c"), "ks"] == 1.0
+    assert got.loc[("a", "d"), "ks"] == pytest.approx(0.5)
+    assert got.loc[("a", "d"), "ks_num"] == 2
