@@ -1899,6 +1899,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_ties": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).top_users_per_type_with_ties(sf),
+        # max drawdown of the daily series per type (worst collapse from
+        # the running peak; earliest trough day on ties)
+        "events_drawdown": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_drawdown(sf),
         # Fano factor (burstiness) of gap-filled daily counts per type
         "events_fano": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -5308,6 +5313,28 @@ b AS (SELECT len(list_filter(e.er, x -> x < u.r))::BIGINT AS r_bucket,
       FROM u CROSS JOIN e)
 SELECT r_bucket, f_bucket, m_bucket, count(*)::BIGINT AS n_users
 FROM b GROUP BY ALL""",
+        # drawdown twin: running window max − n, earliest-day argmax
+        "events_drawdown": """
+WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type, d, count(*)::BIGINT AS n FROM e GROUP BY ALL),
+r AS (SELECT event_type, min(d) AS md, max(d) AS xd FROM c GROUP BY event_type),
+g AS (SELECT event_type, unnest(generate_series(md, xd)) AS d FROM r),
+f AS (SELECT g.event_type, g.d, coalesce(c.n, 0)::BIGINT AS n
+      FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.d = g.d),
+w AS (SELECT event_type, d, n,
+             max(n) OVER (PARTITION BY event_type ORDER BY d) AS pk,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM f),
+x AS (SELECT event_type, d, m, pk - n AS dd,
+             last_value(pk) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_pk,
+             row_number() OVER (PARTITION BY event_type ORDER BY pk - n DESC, d) AS rk
+      FROM w)
+SELECT event_type, m::BIGINT AS n_days, final_pk::BIGINT AS peak,
+       dd::BIGINT AS max_drawdown, d::BIGINT AS trough_day
+FROM x WHERE rk = 1""",
         # Fano twin: the gap-fill CTEs + the m²-cleared integer VMR
         "events_fano": """
 WITH e AS (SELECT coalesce(event_type,'<NULL>') AS event_type,

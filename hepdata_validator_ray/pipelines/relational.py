@@ -5355,3 +5355,66 @@ def events_fano(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(out).astype({"n_days": "int64"})
+
+
+def events_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Worst-collapse audit: per type, the maximum drawdown of the
+    gap-filled daily-count series — max over days of (running peak − that
+    day's count), in exact integers (a traffic series that once did 500/day
+    and now does 40 has drawdown 460 however it meanders back).  Also
+    reports the running peak and the day the worst drawdown bottomed
+    (earliest day on ties — the row_number rule).  Same bounded
+    |types|×|days| exchange + driver scan as the rest of the daily panel;
+    window-max twin.
+
+    Output (event_type, n_days, peak, max_drawdown, trough_day)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    out = []
+    for et, grp in daily.groupby("event_type", sort=True):
+        d = grp["d"].to_numpy(np.int64)
+        md, xd = int(d.min()), int(d.max())
+        x = np.zeros(xd - md + 1, dtype=np.int64)
+        x[d - md] = grp["n"].to_numpy(np.int64)
+        peaks = np.maximum.accumulate(x)
+        dd = peaks - x
+        best = int(dd.argmax())  # earliest day on ties
+        out.append(
+            {
+                "event_type": et,
+                "n_days": len(x),
+                "peak": int(peaks[-1]),
+                "max_drawdown": int(dd[best]),
+                "trough_day": md + best,
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_days": pd.Series(dtype="int64"),
+                "peak": pd.Series(dtype="int64"),
+                "max_drawdown": pd.Series(dtype="int64"),
+                "trough_day": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n_days": "int64", "peak": "int64", "max_drawdown": "int64", "trough_day": "int64"}
+    )

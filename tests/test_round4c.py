@@ -987,3 +987,19 @@ def test_source_ks_matrix_identical_and_disjoint(tmp_path, ray_session):
     assert got.loc[("a", "c"), "ks"] == 1.0
     assert got.loc[("a", "d"), "ks"] == pytest.approx(0.5)
     assert got.loc[("a", "d"), "ks_num"] == 2
+
+
+def test_events_drawdown_peak_to_trough(tmp_path, ray_session):
+    """Series 5,3,0(gap),4: running peaks 5,5,5,5 → worst drawdown 5 at
+    the GAP day (zero from gap-fill counts); monotone-rising series → 0
+    with trough at the first day (earliest-tie rule)."""
+    rows = []
+    rows += [(0, "crash")] * 5 + [(1, "crash")] * 3 + [(3, "crash")] * 4
+    rows += [(d, "up") for d in range(3) for _ in range(d + 1)]
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_drawdown
+
+    got = events_drawdown(sf).set_index("event_type")
+    assert got.loc["crash", "max_drawdown"] == 5 and got.loc["crash", "trough_day"] == 2
+    assert got.loc["crash", "peak"] == 5 and got.loc["crash", "n_days"] == 4
+    assert got.loc["up", "max_drawdown"] == 0 and got.loc["up", "trough_day"] == 0
