@@ -1966,6 +1966,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_scaling": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).docs_length_scaling(docs(sf)),
+        # cross-source doc-share concentration: HHI + CR4 (the "is this
+        # corpus secretly one crawl?" number)
+        "docs_source_concentration": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
+        ).source_concentration(docs(sf)),
         # per-source character-class panel (alpha/digit/space counts +
         # fractions): the cheap script/noise detector, one streamed pass
         "docs_charclass": lambda sf: __import__(
@@ -5189,6 +5194,18 @@ t AS (SELECT source, n, sx, sy,
                   ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
       FROM s)
 SELECT source, n AS n_docs, slope, (sy - slope*sx) / n AS intercept FROM t""",
+        # concentration twin: HUGEINT squares, (cnt DESC, source) top-4
+        "docs_source_concentration": """
+WITH c AS (SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, source) AS rk FROM c),
+s AS (SELECT count(*)::BIGINT AS n_sources, sum(cnt)::BIGINT AS n_docs,
+             sum(cnt::HUGEINT * cnt)::HUGEINT AS sq FROM c),
+t AS (SELECT sum(cnt)::BIGINT AS top4 FROM r WHERE rk <= 4)
+SELECT s.n_sources, s.n_docs,
+       s.sq / (s.n_docs::DOUBLE * s.n_docs) AS hhi,
+       t.top4 / s.n_docs::DOUBLE AS cr4
+FROM s, t""",
         # charclass twin: length(regexp_replace(keep-class)) sums; the
         # zero-chars source takes the mirrored CASE 0.0
         "docs_charclass": """

@@ -738,3 +738,51 @@ def docs_charclass_by_source(docs_path: str) -> pd.DataFrame:
             "frac_alpha": "float64", "frac_digit": "float64", "frac_space": "float64",
         }
     )
+
+
+def source_concentration(docs_path: str) -> pd.DataFrame:
+    """Corpus-level source concentration: the Herfindahl index of doc
+    shares across sources (Σ share², 1/|S| = even mix → 1 = single
+    source) and CR4, the top-4 sources' combined share — the "is this
+    corpus secretly one crawl?" number a mixture plan starts from.
+    (source_diversity is per-source over TOKENS; this is cross-source
+    over DOCS.)  One |sources|-bounded value-counts exchange; the integer
+    top-4 sum breaks count ties by source name (mirrored row_number);
+    hhi = Σc²/N² and cr4 = top4/N are the only doubles, spelled
+    identically (HUGEINT squares in the twin).
+
+    Output one row (n_sources, n_docs, hhi, cr4)."""
+    from hepdata_validator_ray.ops import grouped_value_counts
+
+    counts = (
+        grouped_value_counts(
+            ray.data.read_parquet(docs_path, columns=["source"]).map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pc.coalesce(t["source"], pa.scalar("<NULL>", pa.string()))],
+                    names=["source"],
+                ),
+                batch_format="pyarrow",
+            ),
+            "source",
+        )
+        .to_pandas()
+        .sort_values(["cnt", "source"], ascending=[False, True], kind="mergesort")
+    )  # |sources|, bounded
+    if not len(counts):
+        return pd.DataFrame(
+            [{"n_sources": 0, "n_docs": 0, "hhi": 0.0, "cr4": 0.0}]
+        ).astype({"n_sources": "int64", "n_docs": "int64"})
+    c = counts["cnt"].to_numpy(np.int64)
+    n = int(c.sum())
+    top4 = int(c[:4].sum())
+    sq = sum(int(v) * int(v) for v in c)  # exact past int64
+    return pd.DataFrame(
+        [
+            {
+                "n_sources": len(c),
+                "n_docs": n,
+                "hhi": float(sq) / (float(n) * float(n)),
+                "cr4": float(top4) / float(n),
+            }
+        ]
+    ).astype({"n_sources": "int64", "n_docs": "int64"})

@@ -1003,3 +1003,24 @@ def test_events_drawdown_peak_to_trough(tmp_path, ray_session):
     assert got.loc["crash", "max_drawdown"] == 5 and got.loc["crash", "trough_day"] == 2
     assert got.loc["crash", "peak"] == 5 and got.loc["crash", "n_days"] == 4
     assert got.loc["up", "max_drawdown"] == 0 and got.loc["up", "trough_day"] == 0
+
+
+def test_source_concentration_even_vs_single(tmp_path, ray_session):
+    """Even 4-way mix → hhi 0.25, cr4 1.0; one dominant source of 9/12
+    with three singletons → hhi (81+3)/144, cr4 1.0; NULL source is a
+    real '<NULL>' stratum."""
+    from hepdata_validator_ray.pipelines.profile import source_concentration
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": ["x"] * 12,
+            "source": ["a"] * 9 + ["b", "c", None],
+        }
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.to_parquet(p, index=False)
+    got = source_concentration(p).iloc[0]
+    assert got["n_sources"] == 4 and got["n_docs"] == 12
+    assert got["hhi"] == pytest.approx((81 + 1 + 1 + 1) / 144)
+    assert got["cr4"] == 1.0
