@@ -1946,6 +1946,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the corpus's own add-one-smoothed bigram LM (tagged key exchange
         # against the shared bigram table; per-doc output streams)
         "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
+        # peak-hour concentration per type (busiest hour + its share; the
+        # quick cron/bot sniff over the same |types|x24 exchange)
+        "events_peak_hour": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_peak_hour(sf),
         # hour-of-day burst profile per event type (contingency residuals
         # over a derived time key)
         "events_hour_profile": lambda sf: __import__(
@@ -5449,6 +5454,17 @@ g AS (SELECT event_type, day, abs(m*pk - k*t) AS gk, m, t FROM s WHERE k <= m - 
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gk DESC, day) AS rk FROM g)
 SELECT event_type, day AS split_day, gk::BIGINT AS g_stat,
        gk / (m*t)::DOUBLE AS g_norm, m::BIGINT AS n_days
+FROM r WHERE rk = 1""",
+        # peak-hour twin: (n DESC, hour) row_number over the hour counts
+        "events_peak_hour": """
+WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  extract(hour FROM ts)::BIGINT AS hour FROM events),
+c AS (SELECT event_type, hour, count(*)::BIGINT AS n FROM d GROUP BY ALL),
+r AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS tot,
+             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hour) AS rk
+      FROM c)
+SELECT event_type, tot::BIGINT AS n, hour AS peak_hour, n AS peak_n,
+       n / tot::DOUBLE AS peak_share
 FROM r WHERE rk = 1""",
         # hour-profile twin: same contingency algebra over extract(hour)
         "events_hour_profile": """

@@ -1024,3 +1024,25 @@ def test_source_concentration_even_vs_single(tmp_path, ray_session):
     assert got["n_sources"] == 4 and got["n_docs"] == 12
     assert got["hhi"] == pytest.approx((81 + 1 + 1 + 1) / 144)
     assert got["cr4"] == 1.0
+
+
+def test_peak_hour_cron_signature(tmp_path, ray_session):
+    """A cron type firing 10× at hour 7 (+1 stray at hour 9) reports
+    peak_hour 7 with share 10/11; an even two-hour type takes the
+    EARLIER hour on the tie."""
+    rows = [(7 * 3600, "cron")] * 10 + [(9 * 3600, "cron")]
+    rows += [(4 * 3600, "even"), (16 * 3600, "even")]
+    recs = [(i, ts, et) for i, (ts, et) in enumerate(rows)]
+    pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in recs], dtype=np.int64),
+            "ts": pd.to_datetime([r[1] for r in recs], unit="s"),
+            "user_id": ["u"] * len(recs),
+            "event_type": [r[2] for r in recs],
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_peak_hour
+
+    got = events_peak_hour(str(tmp_path)).set_index("event_type")
+    assert got.loc["cron", "peak_hour"] == 7 and got.loc["cron", "peak_share"] == pytest.approx(10 / 11)
+    assert got.loc["even", "peak_hour"] == 4 and got.loc["even", "peak_share"] == 0.5
