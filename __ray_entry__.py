@@ -1939,6 +1939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-budget-weighted median length per source (integer 2cum>=tot
         # rank rule over the shared bounded histogram)
         "v_weighted_median": lambda sf: validation.weighted_median_ntok(_seq(sf)),
+        # per-doc longest identical-token run (stutter/pad-leak detector;
+        # invalid positions break runs on both engines); map-side only
+        "v_doc_max_run": lambda sf: validation.doc_max_token_run(_seq(sf)),
         # per-doc within-sequence token entropy: the doc-level degeneracy
         # score; entirely map-side, streaming per-doc output
         "v_doc_entropy": lambda sf: validation.doc_token_entropy(_seq(sf)),
@@ -5059,6 +5062,22 @@ w AS (SELECT source, v, sum(v*c) OVER (PARTITION BY source ORDER BY v) AS cum,
 SELECT source, min(tot)::BIGINT AS total_tokens,
        min(v) FILTER (WHERE 2*cum >= tot)::BIGINT AS wmedian
 FROM w GROUP BY source""",
+        # max-run twin: gaps-and-islands on RAW positions (a filtered-out
+        # invalid position splits the group), row-preserving rn
+        "v_doc_max_run": f"""
+WITH t AS (SELECT doc_id, tokens, row_number() OVER () AS rn
+           FROM read_parquet('{p}')
+           WHERE doc_id IS NOT NULL AND tokens IS NOT NULL AND len(tokens) >= 1),
+u AS (SELECT doc_id, rn, len(tokens)::BIGINT AS n_tok,
+             unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS pos FROM t),
+v AS (SELECT * FROM u WHERE tok >= 0 AND tok < {V}),
+g AS (SELECT doc_id, rn, n_tok, tok, pos,
+             pos - row_number() OVER (PARTITION BY rn, tok ORDER BY pos) AS grp
+      FROM v),
+runs AS (SELECT doc_id, rn, n_tok, count(*)::BIGINT AS run
+         FROM g GROUP BY doc_id, rn, n_tok, tok, grp)
+SELECT doc_id, n_tok, max(run)::BIGINT AS max_run
+FROM runs GROUP BY doc_id, rn, n_tok""",
         # per-doc entropy twin: row-preserving unnest (rn disambiguates
         # duplicate doc_ids but never leaves the query), 0.0−sum keeps
         # the single-type doc at +0.0 on both engines

@@ -4012,3 +4012,72 @@ def source_ks_matrix(seq_path: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n_a": "int64", "n_b": "int64", "ks_num": "int64", "ks": "float64"}
     )
+
+
+def doc_max_token_run(seq_path: str, vocab_size: int | None = None) -> "ray.data.Dataset":
+    """Per-document longest run of one repeated VALID token — the
+    stutter/padding-leak detector orthogonal to entropy (a doc can have
+    healthy global entropy yet carry a 500-token pad run).  Invalid
+    (out-of-vocab) positions BREAK runs on both engines: the twin's run
+    grouper keys on raw positions, so a removed position splits the
+    group, and the kernel mirrors that by making every invalid position
+    its own never-counted segment.  Rows with NULL doc_id or no valid
+    token emit nothing; duplicate doc_ids stay separate rows (the
+    doc_token_entropy row-preserving discipline).
+
+    ENTIRELY map-side — one boundary-mask pass over the flat token
+    buffer per batch; corpus-scale per-doc output streams.
+
+    Output (doc_id, n_tok, max_run)."""
+    V = int(vocab_size or CheckContext().vocab_size)
+
+    _EMPTY = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "n_tok": pa.array([], pa.int64()),
+            "max_run": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        view = prepare_view(batch)
+        if "flat" not in view or "doc_id" not in view:
+            return _EMPTY
+        flat, lens = view["flat"], view["lens"]
+        n = len(flat)
+        if n == 0:
+            return _EMPTY
+        tok = flat.astype(np.int64)
+        row_of = np.repeat(np.arange(view["n"], dtype=np.int64), np.maximum(lens, 0))
+        valid = (tok >= 0) & (tok < V) & ~view["doc_null"][row_of]
+        if not valid.any():
+            return _EMPTY
+        new_seg = np.ones(n, dtype=bool)
+        if n > 1:
+            new_seg[1:] = (
+                (tok[1:] != tok[:-1])
+                | (row_of[1:] != row_of[:-1])
+                | ~valid[1:]
+                | ~valid[:-1]
+            )
+        seg = np.cumsum(new_seg) - 1
+        nseg = int(seg[-1]) + 1
+        counts = np.bincount(seg[valid], minlength=nseg)
+        starts = np.flatnonzero(new_seg)
+        seg_row = row_of[starts]  # segments are position-contiguous per row
+        mr = np.zeros(view["n"], dtype=np.int64)
+        live = counts > 0
+        np.maximum.at(mr, seg_row[live], counts[live])
+        keep = mr > 0
+        rows = np.flatnonzero(keep)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": view["doc_id"].take(pa.array(rows)),
+                "n_tok": pa.array(np.maximum(lens, 0)[rows].astype(np.int64), pa.int64()),
+                "max_run": pa.array(mr[rows], pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
+        per_doc, batch_format="pyarrow", batch_size=8192
+    )

@@ -1046,3 +1046,21 @@ def test_peak_hour_cron_signature(tmp_path, ray_session):
     got = events_peak_hour(str(tmp_path)).set_index("event_type")
     assert got.loc["cron", "peak_hour"] == 7 and got.loc["cron", "peak_share"] == pytest.approx(10 / 11)
     assert got.loc["even", "peak_hour"] == 4 and got.loc["even", "peak_share"] == 0.5
+
+
+def test_doc_max_run_invalid_breaks(tmp_path, ray_session):
+    """[5,5,99,5,5,5] (99 OOV at V=10): the OOV BREAKS the run → max 3,
+    n_tok counts all 6 positions; [1,2,3] → 1; all-OOV row emits
+    nothing; a pad-leak [7]*8 reports 8."""
+    from hepdata_validator_ray.pipelines.validation import doc_max_token_run
+
+    p = _write_seq(
+        tmp_path,
+        ["A", "B", "C", "D"],
+        [[5, 5, 99, 5, 5, 5], [1, 2, 3], [99, 99], [7] * 8],
+    )
+    got = doc_max_token_run(p, vocab_size=10).to_pandas().set_index("doc_id")
+    assert got.loc["A", "max_run"] == 3 and got.loc["A", "n_tok"] == 6
+    assert got.loc["B", "max_run"] == 1
+    assert "C" not in got.index
+    assert got.loc["D", "max_run"] == 8
