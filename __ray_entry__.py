@@ -1949,6 +1949,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the corpus's own add-one-smoothed bigram LM (tagged key exchange
         # against the shared bigram table; per-doc output streams)
         "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
+        # traffic-mix drift: type shares early (d <= median day) vs late
+        # under the pinned disc-quantile split
+        "events_mix_drift": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_mix_drift(sf),
         # peak-hour concentration per type (busiest hour + its share; the
         # quick cron/bot sniff over the same |types|x24 exchange)
         "events_peak_hour": lambda sf: __import__(
@@ -5474,6 +5479,24 @@ r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gk DESC, day
 SELECT event_type, day AS split_day, gk::BIGINT AS g_stat,
        gk / (m*t)::DOUBLE AS g_norm, m::BIGINT AS n_days
 FROM r WHERE rk = 1""",
+        # mix-drift twin: quantile_disc(d, 0.5) split, FILTER counts,
+        # identical share divisions
+        "events_mix_drift": """
+WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+m AS (SELECT quantile_disc(d, 0.5) AS md FROM e),
+c AS (SELECT event_type,
+             count(*) FILTER (WHERE d <= m.md)::BIGINT AS n_early,
+             count(*) FILTER (WHERE d > m.md)::BIGINT AS n_late
+      FROM e, m GROUP BY event_type),
+t AS (SELECT sum(n_early)::BIGINT AS te, sum(n_late)::BIGINT AS tl FROM c)
+SELECT c.event_type, c.n_early, c.n_late,
+       CASE WHEN t.te > 0 THEN c.n_early / t.te::DOUBLE ELSE 0.0 END AS share_early,
+       CASE WHEN t.tl > 0 THEN c.n_late / t.tl::DOUBLE ELSE 0.0 END AS share_late,
+       CASE WHEN t.tl > 0 THEN c.n_late / t.tl::DOUBLE ELSE 0.0 END
+         - CASE WHEN t.te > 0 THEN c.n_early / t.te::DOUBLE ELSE 0.0 END AS share_delta
+FROM c, t""",
         # peak-hour twin: (n DESC, hour) row_number over the hour counts
         "events_peak_hour": """
 WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

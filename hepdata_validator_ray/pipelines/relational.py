@@ -5474,3 +5474,84 @@ def events_peak_hour(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n": "int64", "peak_hour": "int64", "peak_n": "int64", "peak_share": "float64"}
     )
+
+
+def events_mix_drift(sf_dir: str) -> pd.DataFrame:
+    """Traffic-mix drift: split the corpus at the MEDIAN epoch day (the
+    pinned 1-based-ceil(q·n) disc-quantile rule over the bounded day
+    histogram == quantile_disc) and compare each type's share of early
+    (d ≤ median) vs late traffic — the "did the mix rotate under us"
+    audit that per-type changepoints can't see (every type can hold its
+    own level while the MIX shifts).  Counts exact integers; the two
+    shares and their delta are the only doubles, spelled identically.
+
+    Derived entirely from the ONE |types|×|days|-bounded exchange the
+    daily panel shares; the corpus is never re-read.
+
+    Output (event_type, n_early, n_late, share_early, share_late,
+    share_delta)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series(dtype="object"),
+            "n_early": pd.Series(dtype="int64"),
+            "n_late": pd.Series(dtype="int64"),
+            "share_early": pd.Series(dtype="float64"),
+            "share_late": pd.Series(dtype="float64"),
+            "share_delta": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(daily):
+        return empty
+    dh = daily.groupby("d", as_index=False)["n"].sum().sort_values("d")
+    c = dh["n"].to_numpy(np.int64)
+    n_total = int(c.sum())
+    cum = np.cumsum(c)
+    median_d = int(dh["d"].to_numpy(np.int64)[np.searchsorted(cum, max(int(np.ceil(0.5 * n_total)), 1))])
+    early = daily[daily["d"] <= median_d].groupby("event_type")["n"].sum()
+    late = daily[daily["d"] > median_d].groupby("event_type")["n"].sum()
+    tot_e = int(early.sum())
+    tot_l = int(late.sum())
+    out = []
+    for et in sorted(set(daily["event_type"])):
+        ne = int(early.get(et, 0))
+        nl = int(late.get(et, 0))
+        se = ne / float(tot_e) if tot_e else 0.0
+        sl = nl / float(tot_l) if tot_l else 0.0
+        out.append(
+            {
+                "event_type": et,
+                "n_early": ne,
+                "n_late": nl,
+                "share_early": se,
+                "share_late": sl,
+                "share_delta": sl - se,
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {
+            "n_early": "int64",
+            "n_late": "int64",
+            "share_early": "float64",
+            "share_late": "float64",
+            "share_delta": "float64",
+        }
+    )

@@ -1064,3 +1064,19 @@ def test_doc_max_run_invalid_breaks(tmp_path, ray_session):
     assert got.loc["B", "max_run"] == 1
     assert "C" not in got.index
     assert got.loc["D", "max_run"] == 8
+
+
+def test_mix_drift_rotation(tmp_path, ray_session):
+    """Days 0..3 (median = day 1 under the ceil rank rule on 8 events):
+    type A dominates early (3 of 4), B late (3 of 4) → A's share_delta
+    = 0.25 − 0.75 = −0.5, B's +0.5; shares sum to 1 in each half."""
+    rows = [(0, "A"), (0, "A"), (1, "A"), (1, "B"), (2, "B"), (2, "B"), (3, "B"), (3, "A")]
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_mix_drift
+
+    got = events_mix_drift(sf).set_index("event_type")
+    assert got.loc["A", "n_early"] == 3 and got.loc["A", "n_late"] == 1
+    assert got.loc["A", "share_delta"] == pytest.approx(-0.5)
+    assert got.loc["B", "share_delta"] == pytest.approx(0.5)
+    assert got["share_early"].sum() == pytest.approx(1.0)
+    assert got["share_late"].sum() == pytest.approx(1.0)
