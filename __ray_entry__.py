@@ -1949,6 +1949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the corpus's own add-one-smoothed bigram LM (tagged key exchange
         # against the shared bigram table; per-doc output streams)
         "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
+        # weekday/weekend split per type (integer dow = (d+4)%7, Sun=0)
+        "events_weekend_profile": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_weekend_profile(sf),
         # traffic-mix drift: type shares early (d <= median day) vs late
         # under the pinned disc-quantile split
         "events_mix_drift": lambda sf: __import__(
@@ -5479,6 +5483,18 @@ r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY gk DESC, day
 SELECT event_type, day AS split_day, gk::BIGINT AS g_stat,
        gk / (m*t)::DOUBLE AS g_norm, m::BIGINT AS n_days
 FROM r WHERE rk = 1""",
+        # weekend twin: the same (d+4)%7 integer arithmetic
+        "events_weekend_profile": """
+WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS d
+           FROM events),
+c AS (SELECT event_type,
+             count(*) FILTER (WHERE (d + 4) % 7 NOT IN (0, 6))::BIGINT AS n_weekday,
+             count(*) FILTER (WHERE (d + 4) % 7 IN (0, 6))::BIGINT AS n_weekend,
+             count(*)::BIGINT AS n
+      FROM e GROUP BY event_type)
+SELECT event_type, n_weekday, n_weekend, n_weekend / n::DOUBLE AS weekend_share
+FROM c""",
         # mix-drift twin: quantile_disc(d, 0.5) split, FILTER counts,
         # identical share divisions
         "events_mix_drift": """

@@ -5555,3 +5555,52 @@ def events_mix_drift(sf_dir: str) -> pd.DataFrame:
             "share_delta": "float64",
         }
     )
+
+
+def events_weekend_profile(sf_dir: str) -> pd.DataFrame:
+    """Weekday/weekend split per type — the coarse seasonality summary
+    (B2B types crater on weekends, consumer types spike; a flat split on
+    a human-driven type is itself a bot flag).  Day-of-week comes from
+    INTEGER epoch-day arithmetic, dow = (d + 4) % 7 with Sunday = 0
+    (1970-01-01 was a Thursday) — mirrored literally in the twin, never
+    locale-dependent day names.  Counts exact; weekend_share the only
+    double.  Same bounded |types|×|days| exchange as the daily panel.
+
+    Output (event_type, n_weekday, n_weekend, weekend_share)."""
+    from ray.data.aggregate import Count as _Count
+
+    daily = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "d"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |days|, bounded
+    if not len(daily):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_weekday": pd.Series(dtype="int64"),
+                "n_weekend": pd.Series(dtype="int64"),
+                "weekend_share": pd.Series(dtype="float64"),
+            }
+        )
+    dow = (daily["d"].to_numpy(np.int64) + 4) % 7  # Sunday = 0
+    is_we = (dow == 0) | (dow == 6)
+    daily = daily.assign(we=np.where(is_we, daily["n"].to_numpy(np.int64), 0))
+    g = daily.groupby("event_type", as_index=False).agg(n=("n", "sum"), n_weekend=("we", "sum"))
+    g["n_weekday"] = g["n"] - g["n_weekend"]
+    g["weekend_share"] = g["n_weekend"].to_numpy(np.int64) / g["n"].to_numpy(np.int64)
+    return g[["event_type", "n_weekday", "n_weekend", "weekend_share"]].astype(
+        {"n_weekday": "int64", "n_weekend": "int64", "weekend_share": "float64"}
+    )

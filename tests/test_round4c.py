@@ -1080,3 +1080,15 @@ def test_mix_drift_rotation(tmp_path, ray_session):
     assert got.loc["B", "share_delta"] == pytest.approx(0.5)
     assert got["share_early"].sum() == pytest.approx(1.0)
     assert got["share_late"].sum() == pytest.approx(1.0)
+
+
+def test_weekend_profile_known_epoch_days(tmp_path, ray_session):
+    """Epoch day 0 = Thursday (weekday), day 2 = Saturday, day 3 = Sunday
+    — the (d+4)%7 arithmetic, never locale day names."""
+    rows = [(0, "t")] * 2 + [(2, "t")] + [(3, "t")] + [(4, "t")]  # Thu×2, Sat, Sun, Mon
+    sf = _write_events(tmp_path, rows)
+    from hepdata_validator_ray.pipelines.relational import events_weekend_profile
+
+    got = events_weekend_profile(sf).set_index("event_type")
+    assert got.loc["t", "n_weekday"] == 3 and got.loc["t", "n_weekend"] == 2
+    assert got.loc["t", "weekend_share"] == pytest.approx(0.4)
