@@ -2007,6 +2007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global inverse CDF, every rank boundary decided in integers;
         # histogram-sized broadcast map, streaming per-doc output
         "v_quantile_normalize": lambda sf: validation.quantile_normalize_ntok(_seq(sf)),
+        # per-source vocab utilization (distinct valid ids / V; rides the
+        # shared unigram exchange)
+        "v_vocab_utilization": lambda sf: validation.vocab_utilization_by_source(_seq(sf)),
         # top tokens by source↔token mutual information (the bounded
         # unigram exchange shared with the Zipf fit)
         "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
@@ -5087,6 +5090,14 @@ runs AS (SELECT doc_id, rn, n_tok, count(*)::BIGINT AS run
          FROM g GROUP BY doc_id, rn, n_tok, tok, grp)
 SELECT doc_id, n_tok, max(run)::BIGINT AS max_run
 FROM runs GROUP BY doc_id, rn, n_tok""",
+        # utilization twin: unnest + validity filter + COUNT(DISTINCT)
+        "v_vocab_utilization": f"""
+WITH u AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS tok
+           FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+v AS (SELECT source, tok::BIGINT AS tok FROM u WHERE tok >= 0 AND tok < {V})
+SELECT source, count(DISTINCT tok)::BIGINT AS n_distinct, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT tok) / {V}.0 AS utilization
+FROM v GROUP BY source""",
         # per-doc entropy twin: row-preserving unnest (rn disambiguates
         # duplicate doc_ids but never leaves the query), 0.0−sum keeps
         # the single-type doc at +0.0 on both engines

@@ -4081,3 +4081,29 @@ def doc_max_token_run(seq_path: str, vocab_size: int | None = None) -> "ray.data
     return ray.data.read_parquet(seq_path, columns=["doc_id", "tokens"]).map_batches(
         per_doc, batch_format="pyarrow", batch_size=8192
     )
+
+
+def vocab_utilization_by_source(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Per-source vocabulary utilization: how many distinct VALID token
+    ids the source touches and what fraction of the tokenizer's V that
+    is — the "is this source exercising the vocab or looping a template"
+    number, and the per-source companion of vocab growth/churn.  Rides
+    the shared bounded unigram exchange (|sources|·V however large the
+    corpus); validity [0, V) matches the builder; utilization = the only
+    double.
+
+    Output (source, n_distinct, n_tokens, utilization)."""
+    V = int(vocab_size or CheckContext().vocab_size)
+    uni, _srcs = _source_token_unigram(seq_path, V)
+    if not len(uni):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "utilization": pd.Series(dtype="float64"),
+            }
+        )
+    g = uni.groupby("source", as_index=False).agg(n_distinct=("tok", "size"), n_tokens=("cnt", "sum"))
+    g["utilization"] = g["n_distinct"].to_numpy(np.int64) / float(V)
+    return g.astype({"n_distinct": "int64", "n_tokens": "int64", "utilization": "float64"})

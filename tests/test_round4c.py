@@ -1092,3 +1092,32 @@ def test_weekend_profile_known_epoch_days(tmp_path, ray_session):
     got = events_weekend_profile(sf).set_index("event_type")
     assert got.loc["t", "n_weekday"] == 3 and got.loc["t", "n_weekend"] == 2
     assert got.loc["t", "weekend_share"] == pytest.approx(0.4)
+
+
+def test_vocab_utilization_template_vs_rich(tmp_path, ray_session):
+    """A template source looping one token uses 1/V; a rich source using
+    5 of 10 ids reports 0.5; OOV ids don't count toward either number."""
+    from hepdata_validator_ray.pipelines.validation import vocab_utilization_by_source
+
+    p = _write_seq(
+        tmp_path,
+        ["A", "B", "C"],
+        [[3, 3, 3, 3], [0, 1, 2, 3, 4], [0, 99]],
+    )
+    # patch sources: _write_seq uses source 's' for all — write custom
+    import pyarrow.parquet as _pq2
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["A", "B", "C"], pa.string()),
+            "tokens": pa.array([[3, 3, 3, 3], [0, 1, 2, 3, 4], [0, 99]], pa.list_(pa.int64())),
+            "n_tok": pa.array([4, 5, 2], pa.int64()),
+            "source": pa.array(["tmpl", "rich", "oov"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "seq2.parquet")
+    _pq2.write_table(t, p)
+    got = vocab_utilization_by_source(p, vocab_size=10).set_index("source")
+    assert got.loc["tmpl", "n_distinct"] == 1 and got.loc["tmpl", "utilization"] == 0.1
+    assert got.loc["rich", "n_distinct"] == 5 and got.loc["rich", "utilization"] == 0.5
+    assert got.loc["oov", "n_distinct"] == 1 and got.loc["oov", "n_tokens"] == 1
