@@ -1099,14 +1099,6 @@ def test_vocab_utilization_template_vs_rich(tmp_path, ray_session):
     5 of 10 ids reports 0.5; OOV ids don't count toward either number."""
     from hepdata_validator_ray.pipelines.validation import vocab_utilization_by_source
 
-    p = _write_seq(
-        tmp_path,
-        ["A", "B", "C"],
-        [[3, 3, 3, 3], [0, 1, 2, 3, 4], [0, 99]],
-    )
-    # patch sources: _write_seq uses source 's' for all — write custom
-    import pyarrow.parquet as _pq2
-
     t = pa.table(
         {
             "doc_id": pa.array(["A", "B", "C"], pa.string()),
@@ -1116,7 +1108,7 @@ def test_vocab_utilization_template_vs_rich(tmp_path, ray_session):
         }
     )
     p = str(tmp_path / "seq2.parquet")
-    _pq2.write_table(t, p)
+    pq.write_table(t, p)
     got = vocab_utilization_by_source(p, vocab_size=10).set_index("source")
     assert got.loc["tmpl", "n_distinct"] == 1 and got.loc["tmpl", "utilization"] == 0.1
     assert got.loc["rich", "n_distinct"] == 5 and got.loc["rich", "utilization"] == 0.5
