@@ -1489,6 +1489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
+        # per-source p50/p90/p99 tail panel (pinned disc-quantile rule
+        # over the shared bounded histogram)
+        "v_source_quantiles": lambda sf: validation.source_ntok_quantiles(_seq(sf)),
         # hopping window + JSON props + ROLLUP driver-gated as one union
         # (v_ntok_hist moved to the tail: its histogram evidence overlaps
         # the gated v_ntok_quantiles + profile_documents)
@@ -5090,6 +5093,14 @@ runs AS (SELECT doc_id, rn, n_tok, count(*)::BIGINT AS run
          FROM g GROUP BY doc_id, rn, n_tok, tok, grp)
 SELECT doc_id, n_tok, max(run)::BIGINT AS max_run
 FROM runs GROUP BY doc_id, rn, n_tok""",
+        # per-source quantile twin: quantile_disc == the ceil-rank rule
+        "v_source_quantiles": f"""
+SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n,
+       quantile_disc(n_tok, 0.5)::BIGINT AS p50,
+       quantile_disc(n_tok, 0.9)::BIGINT AS p90,
+       quantile_disc(n_tok, 0.99)::BIGINT AS p99
+FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0
+GROUP BY 1""",
         # utilization twin: unnest + validity filter + COUNT(DISTINCT)
         "v_vocab_utilization": f"""
 WITH u AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS tok

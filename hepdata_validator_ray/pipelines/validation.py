@@ -4107,3 +4107,37 @@ def vocab_utilization_by_source(seq_path: str, vocab_size: int | None = None) ->
     g = uni.groupby("source", as_index=False).agg(n_distinct=("tok", "size"), n_tokens=("cnt", "sum"))
     g["utilization"] = g["n_distinct"].to_numpy(np.int64) / float(V)
     return g.astype({"n_distinct": "int64", "n_tokens": "int64", "utilization": "float64"})
+
+
+def source_ntok_quantiles(seq_path: str) -> pd.DataFrame:
+    """Per-source p50/p90/p99 of n_tok under the pinned 1-based-ceil(q·n)
+    disc-quantile rank rule — the per-source tail panel that picks each
+    stratum's packing budget (the global quantiles hide a long-doc
+    source behind a short-doc majority).  Pure rank arithmetic on the
+    shared bounded (source, n_tok) histogram; all-integer output.
+
+    Output (source, n, p50, p90, p99)."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "p50": pd.Series(dtype="int64"),
+                "p90": pd.Series(dtype="int64"),
+                "p99": pd.Series(dtype="int64"),
+            }
+        )
+    out = []
+    for ci, grp in hist.groupby("code", sort=True):
+        grp = grp.sort_values("v", kind="mergesort")
+        v = grp["v"].to_numpy(np.int64)
+        c = grp["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        q = {
+            name: int(v[np.searchsorted(cum, max(int(np.ceil(frac * n)), 1))])
+            for name, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        }
+        out.append({"source": srcs[int(ci)], "n": n, **q})
+    return pd.DataFrame(out).astype({"n": "int64", "p50": "int64", "p90": "int64", "p99": "int64"})

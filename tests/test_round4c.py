@@ -1113,3 +1113,13 @@ def test_vocab_utilization_template_vs_rich(tmp_path, ray_session):
     assert got.loc["tmpl", "n_distinct"] == 1 and got.loc["tmpl", "utilization"] == 0.1
     assert got.loc["rich", "n_distinct"] == 5 and got.loc["rich", "utilization"] == 0.5
     assert got.loc["oov", "n_distinct"] == 1 and got.loc["oov", "n_tokens"] == 1
+
+
+def test_source_quantiles_ceil_rank_rule(tmp_path, ray_session):
+    """10 docs of lengths 1..10: ceil-rank gives p50 = 5th smallest = 5,
+    p90 = 9, p99 = ceil(9.9) = 10th = 10."""
+    rows = [{"source": "s", "n_tok": v, "tokens": []} for v in range(1, 11)]
+    from hepdata_validator_ray.pipelines.validation import source_ntok_quantiles
+
+    got = source_ntok_quantiles(_write_seq_rows(tmp_path, rows)).set_index("source")
+    assert got.loc["s", "p50"] == 5 and got.loc["s", "p90"] == 9 and got.loc["s", "p99"] == 10
