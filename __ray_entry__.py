@@ -1489,6 +1489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
+        # length-bias pair: token-weighted vs plain mean length (the
+        # waiting-time-paradox heavy-tail flag)
+        "v_length_bias": lambda sf: validation.length_bias_by_source(_seq(sf)),
         # per-source p50/p90/p99 tail panel (pinned disc-quantile rule
         # over the shared bounded histogram)
         "v_source_quantiles": lambda sf: validation.source_ntok_quantiles(_seq(sf)),
@@ -5093,6 +5096,17 @@ runs AS (SELECT doc_id, rn, n_tok, count(*)::BIGINT AS run
          FROM g GROUP BY doc_id, rn, n_tok, tok, grp)
 SELECT doc_id, n_tok, max(run)::BIGINT AS max_run
 FROM runs GROUP BY doc_id, rn, n_tok""",
+        # length-bias twin: HUGEINT second moment, identical divisions
+        "v_length_bias": f"""
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+s AS (SELECT source, count(*)::BIGINT AS n, sum(v)::HUGEINT AS t,
+             sum(v::HUGEINT * v)::HUGEINT AS t2
+      FROM d GROUP BY source)
+SELECT source, n AS n_docs, t / n::DOUBLE AS mean_len,
+       CASE WHEN t > 0 THEN t2 / t::DOUBLE ELSE 0.0 END AS token_weighted_len,
+       CASE WHEN t > 0 THEN (t2 / t::DOUBLE) / (t / n::DOUBLE) ELSE 0.0 END AS bias
+FROM s""",
         # per-source quantile twin: quantile_disc == the ceil-rank rule
         "v_source_quantiles": f"""
 SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n,

@@ -4141,3 +4141,48 @@ def source_ntok_quantiles(seq_path: str) -> pd.DataFrame:
         }
         out.append({"source": srcs[int(ci)], "n": n, **q})
     return pd.DataFrame(out).astype({"n": "int64", "p50": "int64", "p90": "int64", "p99": "int64"})
+
+
+def length_bias_by_source(seq_path: str) -> pd.DataFrame:
+    """Per-source length-bias pair: the plain mean doc length Σvc/Σc vs
+    the TOKEN-WEIGHTED mean Σv²c/Σvc (the length of the doc a random
+    TOKEN sits in — the waiting-time-paradox view).  Their ratio ≥ 1 is
+    the heavy-tail flag: 1 means uniform lengths, 2 means half the
+    budget lives in docs twice the average.  All three sums exact
+    integers off the shared bounded histogram (Σv²c in Python ints —
+    HUGEINT twin); the three doubles spelled identically.  Sources with
+    zero total tokens take the mirrored CASE 0.
+
+    Output (source, n_docs, mean_len, token_weighted_len, bias)."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n_docs": pd.Series(dtype="int64"),
+                "mean_len": pd.Series(dtype="float64"),
+                "token_weighted_len": pd.Series(dtype="float64"),
+                "bias": pd.Series(dtype="float64"),
+            }
+        )
+    out = []
+    for ci, grp in hist.groupby("code", sort=True):
+        v = [int(x) for x in grp["v"]]
+        c = [int(x) for x in grp["cnt"]]
+        n = sum(c)
+        t = sum(vi * ci_ for vi, ci_ in zip(v, c))
+        t2 = sum(vi * vi * ci_ for vi, ci_ in zip(v, c))  # exact past int64
+        mean = t / n
+        twl = t2 / t if t > 0 else 0.0
+        out.append(
+            {
+                "source": srcs[int(ci)],
+                "n_docs": n,
+                "mean_len": mean,
+                "token_weighted_len": twl,
+                "bias": twl / mean if t > 0 else 0.0,
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n_docs": "int64", "mean_len": "float64", "token_weighted_len": "float64", "bias": "float64"}
+    )
