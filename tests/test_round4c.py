@@ -1126,8 +1126,8 @@ def test_source_quantiles_ceil_rank_rule(tmp_path, ray_session):
 
 
 def test_length_bias_waiting_time_paradox(tmp_path, ray_session):
-    """Lengths [1×9, 91]: mean 10, token-weighted (81+8281)/100 = 83.62
-    → bias 8.362 (a random TOKEN almost surely sits in the long doc);
+    """Lengths [1×9, 91]: mean 10, token-weighted (9+8281)/100 = 82.9
+    → bias 8.29 (a random TOKEN almost surely sits in the long doc);
     uniform lengths give bias exactly 1."""
     rows = [{"source": "skew", "n_tok": 1, "tokens": []}] * 9
     rows += [{"source": "skew", "n_tok": 91, "tokens": []}]
@@ -1136,6 +1136,6 @@ def test_length_bias_waiting_time_paradox(tmp_path, ray_session):
 
     got = length_bias_by_source(_write_seq_rows(tmp_path, rows)).set_index("source")
     assert got.loc["skew", "mean_len"] == pytest.approx(10.0)
-    assert got.loc["skew", "token_weighted_len"] == pytest.approx(83.62)
-    assert got.loc["skew", "bias"] == pytest.approx(8.362)
+    assert got.loc["skew", "token_weighted_len"] == pytest.approx(82.9)
+    assert got.loc["skew", "bias"] == pytest.approx(8.29)
     assert got.loc["uni", "bias"] == 1.0
