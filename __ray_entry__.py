@@ -1489,6 +1489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
+        # per-source modal length (padding/template spike tell; smallest
+        # length on ties)
+        "v_ntok_mode": lambda sf: validation.ntok_mode_by_source(_seq(sf)),
         # length-bias pair: token-weighted vs plain mean length (the
         # waiting-time-paradox heavy-tail flag)
         "v_length_bias": lambda sf: validation.length_bias_by_source(_seq(sf)),
@@ -5096,6 +5099,17 @@ runs AS (SELECT doc_id, rn, n_tok, count(*)::BIGINT AS run
          FROM g GROUP BY doc_id, rn, n_tok, tok, grp)
 SELECT doc_id, n_tok, max(run)::BIGINT AS max_run
 FROM runs GROUP BY doc_id, rn, n_tok""",
+        # mode twin: (cnt DESC, v) row_number over the value counts
+        "v_ntok_mode": f"""
+WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v
+           FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0),
+h AS (SELECT source, v, count(*)::BIGINT AS c FROM d GROUP BY ALL),
+r AS (SELECT *, sum(c) OVER (PARTITION BY source) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, v) AS rk
+      FROM h)
+SELECT source, n::BIGINT AS n, v AS mode_len, c AS mode_count,
+       c / n::DOUBLE AS mode_share
+FROM r WHERE rk = 1""",
         # length-bias twin: HUGEINT second moment, identical divisions
         "v_length_bias": f"""
 WITH d AS (SELECT coalesce(source, '<NULL>') AS source, n_tok::BIGINT AS v

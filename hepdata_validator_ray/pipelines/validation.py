@@ -4186,3 +4186,40 @@ def length_bias_by_source(seq_path: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n_docs": "int64", "mean_len": "float64", "token_weighted_len": "float64", "bias": "float64"}
     )
+
+
+def ntok_mode_by_source(seq_path: str) -> pd.DataFrame:
+    """Per-source modal doc length — the padding/template tell the mean
+    and quantiles both smear out (a hard spike at one length means
+    machine-generated records; natural text has a broad mode).  Smallest
+    length on count ties (row_number rule).  Pure argmax on the shared
+    bounded histogram; all-integer output plus the one mirrored share.
+
+    Output (source, n, mode_len, mode_count, mode_share)."""
+    hist, srcs = _source_ntok_histogram(seq_path)
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "mode_len": pd.Series(dtype="int64"),
+                "mode_count": pd.Series(dtype="int64"),
+                "mode_share": pd.Series(dtype="float64"),
+            }
+        )
+    out = []
+    for ci, grp in hist.groupby("code", sort=True):
+        grp = grp.sort_values(["cnt", "v"], ascending=[False, True], kind="mergesort")
+        n = int(grp["cnt"].sum())
+        out.append(
+            {
+                "source": srcs[int(ci)],
+                "n": n,
+                "mode_len": int(grp["v"].iloc[0]),
+                "mode_count": int(grp["cnt"].iloc[0]),
+                "mode_share": int(grp["cnt"].iloc[0]) / float(n),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "mode_len": "int64", "mode_count": "int64", "mode_share": "float64"}
+    )

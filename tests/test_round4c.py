@@ -1139,3 +1139,18 @@ def test_length_bias_waiting_time_paradox(tmp_path, ray_session):
     assert got.loc["skew", "token_weighted_len"] == pytest.approx(82.9)
     assert got.loc["skew", "bias"] == pytest.approx(8.29)
     assert got.loc["uni", "bias"] == 1.0
+
+
+def test_ntok_mode_spike_and_tie(tmp_path, ray_session):
+    """A template source spiking at length 512 reports mode 512 with its
+    exact share; on a count tie the SMALLER length wins."""
+    rows = [{"source": "tmpl", "n_tok": 512, "tokens": []}] * 5
+    rows += [{"source": "tmpl", "n_tok": v, "tokens": []} for v in (3, 9)]
+    rows += [{"source": "tie", "n_tok": 8, "tokens": []}] * 2
+    rows += [{"source": "tie", "n_tok": 2, "tokens": []}] * 2
+    from hepdata_validator_ray.pipelines.validation import ntok_mode_by_source
+
+    got = ntok_mode_by_source(_write_seq_rows(tmp_path, rows)).set_index("source")
+    assert got.loc["tmpl", "mode_len"] == 512 and got.loc["tmpl", "mode_count"] == 5
+    assert got.loc["tmpl", "mode_share"] == pytest.approx(5 / 7)
+    assert got.loc["tie", "mode_len"] == 2  # smaller length wins the tie
