@@ -1893,6 +1893,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kruskal": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_kruskal(sf),
+        # Tukey-fence outlier census per type (integer Q1/Q3 fences at
+        # 3*IQR; the box-plot convention next to the MAD census)
+        "events_iqr_outliers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_iqr_outliers(sf),
         # expected shortfall (CVaR) of cent values per type: exact integer
         # top-k tail sum off the bounded cents histogram
         "events_cvar": lambda sf: __import__(
@@ -5381,6 +5386,20 @@ SELECT n, n_types, n_levels, h AS h_stat,
        CASE WHEN t = n::HUGEINT*n*n - n THEN 0.0
             ELSE h / (1.0 - t / (n::HUGEINT*n*n - n)) END AS h_corrected
 FROM hh""",
+        # IQR twin: quantile_disc Q1/Q3, integer fences, FILTER count
+        "events_iqr_outliers": """
+WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  floor(value*100 + 0.5)::BIGINT AS c
+           FROM events WHERE value IS NOT NULL),
+q AS (SELECT event_type, count(*)::BIGINT AS n,
+             quantile_disc(c, 0.25)::BIGINT AS q1,
+             quantile_disc(c, 0.75)::BIGINT AS q3
+      FROM e GROUP BY event_type)
+SELECT q.event_type, q.n, q.q1, q.q3,
+       (SELECT count(*) FROM e WHERE e.event_type = q.event_type
+          AND (e.c < q.q1 - 3*(q.q3 - q.q1) OR e.c > q.q3 + 3*(q.q3 - q.q1)))::BIGINT
+         AS n_outliers
+FROM q""",
         # CVaR twin: row_number DESC top-k sum, the same ceil(0.05*n)
         "events_cvar": """
 WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

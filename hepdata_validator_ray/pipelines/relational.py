@@ -5604,3 +5604,63 @@ def events_weekend_profile(sf_dir: str) -> pd.DataFrame:
     return g[["event_type", "n_weekday", "n_weekend", "weekend_share"]].astype(
         {"n_weekday": "int64", "n_weekend": "int64", "weekend_share": "float64"}
     )
+
+
+def events_iqr_outliers(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier census per type over cent-quantized values:
+    Q1/Q3 under the pinned ceil(q·n) disc-quantile rule, fences at
+    Q1 − 3·IQR / Q3 + 3·IQR computed in EXACT integers (the 1.5 classic
+    doubles to 3 to keep the fence integral — mirrored literally), and
+    the count outside either fence — the box-plot convention next to the
+    MAD census (events_mad_outliers), which trims differently on skew.
+    One |types|×|cents|-bounded exchange; all-integer output.
+
+    Output (event_type, n, q1, q3, n_outliers)."""
+    from ray.data.aggregate import Count as _Count
+
+    hist = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(
+                        pc.floor(pc.add(pc.multiply(t["value"], pa.scalar(100.0)), pa.scalar(0.5))),
+                        pa.int64(),
+                    ),
+                ],
+                names=["event_type", "c"],
+            ).filter(pc.is_valid(t["value"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "c"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × |distinct cents|, bounded
+    out = []
+    for et, grp in hist.groupby("event_type", sort=True):
+        grp = grp.sort_values("c", kind="mergesort")
+        v = grp["c"].to_numpy(np.int64)
+        cnt = grp["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        q1 = int(v[np.searchsorted(cum, max(int(np.ceil(0.25 * n)), 1))])
+        q3 = int(v[np.searchsorted(cum, max(int(np.ceil(0.75 * n)), 1))])
+        lo = q1 - 3 * (q3 - q1)
+        hi = q3 + 3 * (q3 - q1)
+        n_out = int(cnt[(v < lo) | (v > hi)].sum())
+        out.append({"event_type": et, "n": n, "q1": q1, "q3": q3, "n_outliers": n_out})
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "q1": pd.Series(dtype="int64"),
+                "q3": pd.Series(dtype="int64"),
+                "n_outliers": pd.Series(dtype="int64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "q1": "int64", "q3": "int64", "n_outliers": "int64"}
+    )

@@ -1154,3 +1154,25 @@ def test_ntok_mode_spike_and_tie(tmp_path, ray_session):
     assert got.loc["tmpl", "mode_len"] == 512 and got.loc["tmpl", "mode_count"] == 5
     assert got.loc["tmpl", "mode_share"] == pytest.approx(5 / 7)
     assert got.loc["tie", "mode_len"] == 2  # smaller length wins the tie
+
+
+def test_iqr_outliers_fence(tmp_path, ray_session):
+    """Values 1..8 (cents 100..800) + a 100.0 monster: Q1 = ceil-rank
+    3rd = 300¢? — compute from the rule: n=9, Q1 at rank ceil(2.25)=3 →
+    300, Q3 at rank ceil(6.75)=7 → 700, IQR 400, hi fence 700+1200=1900
+    → only the 10000¢ monster is outside."""
+    vals = [float(v) for v in range(1, 9)] + [100.0]
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(vals), dtype=np.int64),
+            "ts": pd.to_datetime([0] * len(vals), unit="s"),
+            "user_id": ["u"] * len(vals),
+            "event_type": ["t"] * len(vals),
+            "value": np.array(vals),
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_iqr_outliers
+
+    got = events_iqr_outliers(str(tmp_path)).iloc[0]
+    assert got["q1"] == 300 and got["q3"] == 700
+    assert got["n_outliers"] == 1
