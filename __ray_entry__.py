@@ -2021,6 +2021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global inverse CDF, every rank boundary decided in integers;
         # histogram-sized broadcast map, streaming per-doc output
         "v_quantile_normalize": lambda sf: validation.quantile_normalize_ntok(_seq(sf)),
+        # corpus token-frequency Gini (vocabulary concentration beside
+        # the Zipf slope; exact tie-block identity)
+        "v_token_gini": lambda sf: validation.token_gini(_seq(sf)),
         # per-source vocab utilization (distinct valid ids / V; rides the
         # shared unigram exchange)
         "v_vocab_utilization": lambda sf: validation.vocab_utilization_by_source(_seq(sf)),
@@ -5134,6 +5137,19 @@ SELECT coalesce(source, '<NULL>') AS source, count(*)::BIGINT AS n,
        quantile_disc(n_tok, 0.99)::BIGINT AS p99
 FROM read_parquet('{p}') WHERE n_tok IS NOT NULL AND n_tok >= 0
 GROUP BY 1""",
+        # token-Gini twin: unigram counts -> count-of-counts -> the same
+        # grouped-data tie-block identity (the user-Gini HUGEINT shape)
+        "v_token_gini": f"""
+WITH u AS (SELECT unnest(tokens) AS tok FROM read_parquet('{p}') WHERE tokens IS NOT NULL),
+tc AS (SELECT tok::BIGINT AS tok, count(*)::BIGINT AS v FROM u
+       WHERE tok >= 0 AND tok < {V} GROUP BY 1),
+h AS (SELECT v, count(*)::BIGINT AS c FROM tc GROUP BY v),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS nprev FROM h),
+a AS (SELECT sum(c*nprev*v + v*c*(c+1)//2) AS s_iv,
+             sum(c*v)::BIGINT AS n_tokens, sum(c)::BIGINT AS n FROM cum)
+SELECT n AS n_types, n_tokens,
+       CASE WHEN n * n_tokens > 0 THEN 2.0*s_iv/(n*n_tokens) - (n+1.0)/n ELSE 0.0 END AS gini
+FROM a""",
         # utilization twin: unnest + validity filter + COUNT(DISTINCT)
         "v_vocab_utilization": f"""
 WITH u AS (SELECT coalesce(source, '<NULL>') AS source, unnest(tokens) AS tok

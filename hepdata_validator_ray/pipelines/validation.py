@@ -4223,3 +4223,36 @@ def ntok_mode_by_source(seq_path: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n": "int64", "mode_len": "int64", "mode_count": "int64", "mode_share": "float64"}
     )
+
+
+def token_gini(seq_path: str, vocab_size: int | None = None) -> pd.DataFrame:
+    """Gini of the corpus token-frequency distribution over the ids that
+    OCCUR — the vocabulary-concentration number beside the Zipf slope
+    (natural text is highly concentrated, ≈0.95+; uniform synthetic noise
+    sits near 0) and the count-of-counts spectrum.  Exact arithmetic: the
+    V-bounded unigram counts collapse to their count-of-counts and the
+    grouped-data tie-block identity runs in Python ints (the v_gini_ntok
+    discipline, HUGEINT twin); the Gini itself is the only double,
+    spelled identically.
+
+    Output one row (n_types, n_tokens, gini)."""
+    V = int(vocab_size or CheckContext().vocab_size)
+    uni, _srcs = _source_token_unigram(seq_path, V)
+    if not len(uni):
+        return pd.DataFrame(
+            [{"n_types": 0, "n_tokens": 0, "gini": 0.0}]
+        ).astype({"n_types": "int64", "n_tokens": "int64"})
+    tok_counts = uni.groupby("tok")["cnt"].sum()  # ≤ V rows
+    vals, reps = np.unique(tok_counts.to_numpy(np.int64), return_counts=True)
+    s_iv = 0
+    nprev = 0
+    s_v = 0
+    for v, cc in zip(vals.tolist(), reps.tolist()):
+        s_iv += cc * nprev * v + v * cc * (cc + 1) // 2
+        s_v += cc * v
+        nprev += cc
+    n = nprev
+    gini = 2.0 * s_iv / (n * s_v) - (n + 1.0) / n if n * s_v > 0 else 0.0
+    return pd.DataFrame(
+        [{"n_types": n, "n_tokens": s_v, "gini": gini}]
+    ).astype({"n_types": "int64", "n_tokens": "int64"})

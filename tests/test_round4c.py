@@ -1176,3 +1176,19 @@ def test_iqr_outliers_fence(tmp_path, ray_session):
     got = events_iqr_outliers(str(tmp_path)).iloc[0]
     assert got["q1"] == 300 and got["q3"] == 700
     assert got["n_outliers"] == 1
+
+
+def test_token_gini_uniform_vs_spike(tmp_path, ray_session):
+    """Four ids at equal counts → 0; counts [1,1,1,7] replicate the
+    pinned 0.45 grouped-data value (the user-Gini fixture's twin)."""
+    from hepdata_validator_ray.pipelines.validation import token_gini
+
+    p = _write_seq(tmp_path, ["A"], [[0, 1, 2, 3] * 5])
+    assert token_gini(p, vocab_size=8).iloc[0]["gini"] == 0.0
+
+    d2 = tmp_path / "g2"
+    d2.mkdir()
+    p2 = _write_seq(d2, ["A"], [[0, 1, 2] + [3] * 7])
+    got = token_gini(p2, vocab_size=8).iloc[0]
+    assert got["n_types"] == 4 and got["n_tokens"] == 10
+    assert got["gini"] == pytest.approx(0.45)
