@@ -1893,6 +1893,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kruskal": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_kruskal(sf),
+        # same-day repeat-user rate per type (refresh-loop/scraper tell)
+        "events_repeat_rate": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_repeat_rate(sf),
         # Tukey-fence outlier census per type (integer Q1/Q3 fences at
         # 3*IQR; the box-plot convention next to the MAD census)
         "events_iqr_outliers": lambda sf: __import__(
@@ -5402,6 +5406,16 @@ SELECT n, n_types, n_levels, h AS h_stat,
        CASE WHEN t = n::HUGEINT*n*n - n THEN 0.0
             ELSE h / (1.0 - t / (n::HUGEINT*n*n - n)) END AS h_corrected
 FROM hh""",
+        # repeat-rate twin: (type,user,day) counts, FILTER cnt > 1
+        "events_repeat_rate": """
+WITH c AS (SELECT coalesce(event_type, '<NULL>') AS event_type, user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                  count(*)::BIGINT AS n
+           FROM events GROUP BY ALL)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+       count(*) FILTER (WHERE n > 1)::BIGINT AS n_repeat,
+       count(*) FILTER (WHERE n > 1) / count(*)::DOUBLE AS repeat_rate
+FROM c GROUP BY event_type""",
         # IQR twin: quantile_disc Q1/Q3, integer fences, FILTER count
         "events_iqr_outliers": """
 WITH e AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

@@ -5664,3 +5664,58 @@ def events_iqr_outliers(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype(
         {"n": "int64", "q1": "int64", "q3": "int64", "n_outliers": "int64"}
     )
+
+
+def events_repeat_rate(sf_dir: str) -> pd.DataFrame:
+    """Same-day repeat rate per type: of all (user, day) pairs that
+    touched the type, the fraction that fired MORE than once that day —
+    the refresh-loop/retry tell (organic actions mostly happen once per
+    user-day; a client bug or scraper repeats).  One packed-key exchange
+    collapses (type, user, day) counts map-side (associative), a second
+    tiny reduction per type counts pairs and repeat pairs; integers
+    exact, the rate the only double.
+
+    Output (event_type, n_pairs, n_repeat, repeat_rate)."""
+    from ray.data.aggregate import Count as _Count
+
+    triple = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    t["user_id"],
+                    pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()),
+                ],
+                names=["event_type", "user_id", "d"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "user_id", "d"])
+        .aggregate(_Count(alias_name="n"))
+    )
+
+    def per_type(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "rep": (t["n"].to_numpy(zero_copy_only=False) > 1).astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(n_pairs=("rep", "size"), n_repeat=("rep", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = triple.map_batches(per_type, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "n_repeat": pd.Series(dtype="int64"),
+                "repeat_rate": pd.Series(dtype="float64"),
+            }
+        )
+    g = parts.groupby("event_type", as_index=False).agg(n_pairs=("n_pairs", "sum"), n_repeat=("n_repeat", "sum"))
+    g["repeat_rate"] = g["n_repeat"].to_numpy(np.int64) / g["n_pairs"].to_numpy(np.int64)
+    return g.astype({"n_pairs": "int64", "n_repeat": "int64", "repeat_rate": "float64"})

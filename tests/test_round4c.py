@@ -1192,3 +1192,26 @@ def test_token_gini_uniform_vs_spike(tmp_path, ray_session):
     got = token_gini(p2, vocab_size=8).iloc[0]
     assert got["n_types"] == 4 and got["n_tokens"] == 10
     assert got["gini"] == pytest.approx(0.45)
+
+
+def test_repeat_rate_refresh_loop(tmp_path, ray_session):
+    """User u1 fires 'view' 3× on one day (repeat pair) and once the next
+    (clean pair); u2 once → rate 1/3; a crossing-midnight pair is NOT a
+    repeat."""
+    rows = [(0, "u1", "view"), (1, "u1", "view"), (2, "u1", "view")]  # same day 0 (hours)
+    recs = [(i, 3600 * h, u, t) for i, (h, u, t) in enumerate(rows)]
+    recs.append((3, 86400 + 10, "u1", "view"))  # day 1
+    recs.append((4, 20, "u2", "view"))
+    pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in recs], dtype=np.int64),
+            "ts": pd.to_datetime([r[1] for r in recs], unit="s"),
+            "user_id": [r[2] for r in recs],
+            "event_type": [r[3] for r in recs],
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_repeat_rate
+
+    got = events_repeat_rate(str(tmp_path)).set_index("event_type")
+    assert got.loc["view", "n_pairs"] == 3 and got.loc["view", "n_repeat"] == 1
+    assert got.loc["view", "repeat_rate"] == pytest.approx(1 / 3)
