@@ -1976,6 +1976,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mix_drift": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
         ).events_mix_drift(sf),
+        # diurnal flatness: hour-of-day entropy per type (+ normalized;
+        # the whole-profile companion of peak-share)
+        "events_hour_entropy": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
+        ).events_hour_entropy(sf),
         # peak-hour concentration per type (busiest hour + its share; the
         # quick cron/bot sniff over the same |types|x24 exchange)
         "events_peak_hour": lambda sf: __import__(
@@ -5612,6 +5617,21 @@ SELECT c.event_type, c.n_early, c.n_late,
        CASE WHEN t.tl > 0 THEN c.n_late / t.tl::DOUBLE ELSE 0.0 END
          - CASE WHEN t.te > 0 THEN c.n_early / t.te::DOUBLE ELSE 0.0 END AS share_delta
 FROM c, t""",
+        # hour-entropy twin: window total, the identical -sum(p ln p),
+        # 0.0-guard via the single-hour CASE
+        "events_hour_entropy": """
+WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  extract(hour FROM ts)::BIGINT AS hour FROM events),
+c AS (SELECT event_type, hour, count(*)::BIGINT AS n FROM d GROUP BY ALL),
+m AS (SELECT event_type, n, sum(n) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS k
+      FROM c)
+SELECT event_type, min(tot)::BIGINT AS n, min(k)::BIGINT AS n_hours,
+       0.0 - sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot)) AS entropy,
+       CASE WHEN min(k) > 1
+            THEN (0.0 - sum((n::DOUBLE / tot) * ln(n::DOUBLE / tot))) / ln(min(k))
+            ELSE 0.0 END AS norm_entropy
+FROM m GROUP BY event_type""",
         # peak-hour twin: (n DESC, hour) row_number over the hour counts
         "events_peak_hour": """
 WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

@@ -5719,3 +5719,64 @@ def events_repeat_rate(sf_dir: str) -> pd.DataFrame:
     g = parts.groupby("event_type", as_index=False).agg(n_pairs=("n_pairs", "sum"), n_repeat=("n_repeat", "sum"))
     g["repeat_rate"] = g["n_repeat"].to_numpy(np.int64) / g["n_pairs"].to_numpy(np.int64)
     return g.astype({"n_pairs": "int64", "n_repeat": "int64", "repeat_rate": "float64"})
+
+
+def events_hour_entropy(sf_dir: str) -> pd.DataFrame:
+    """Diurnal flatness per type: Shannon entropy of the hour-of-day
+    distribution, plus its normalization by ln(n_active_hours) — the
+    continuous companion of peak-share (peak-share reads the single
+    busiest hour; entropy reads the whole profile: 1.0 = perfectly even
+    across the hours the type uses at all, → 0 = one-hour cron).  The
+    −Σ(n/N)ln(n/N) expression is spelled identically (the
+    transition-entropy discipline); single-hour types take the
+    degenerate CASE (norm_entropy 0).  Same |types|×24-bounded exchange
+    as the hour profile.
+
+    Output (event_type, n, n_hours, entropy, norm_entropy)."""
+    from ray.data.aggregate import Count as _Count
+
+    hist = (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pc.coalesce(t["event_type"], pa.scalar("<NULL>", pa.string())),
+                    pc.cast(pc.hour(t["ts"]), pa.int64()),
+                ],
+                names=["event_type", "hour"],
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["event_type", "hour"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )  # |types| × 24, bounded
+    out = []
+    for et, grp in hist.groupby("event_type", sort=True):
+        n = int(grp["n"].sum())
+        p = grp["n"].to_numpy(np.float64) / n
+        h = float(-(p * np.log(p)).sum())
+        k = len(grp)
+        out.append(
+            {
+                "event_type": et,
+                "n": n,
+                "n_hours": k,
+                "entropy": h,
+                "norm_entropy": h / np.log(k) if k > 1 else 0.0,
+            }
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "n_hours": pd.Series(dtype="int64"),
+                "entropy": pd.Series(dtype="float64"),
+                "norm_entropy": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"n": "int64", "n_hours": "int64", "entropy": "float64", "norm_entropy": "float64"}
+    )

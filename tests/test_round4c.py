@@ -1215,3 +1215,26 @@ def test_repeat_rate_refresh_loop(tmp_path, ray_session):
     got = events_repeat_rate(str(tmp_path)).set_index("event_type")
     assert got.loc["view", "n_pairs"] == 3 and got.loc["view", "n_repeat"] == 1
     assert got.loc["view", "repeat_rate"] == pytest.approx(1 / 3)
+
+
+def test_hour_entropy_cron_vs_even(tmp_path, ray_session):
+    """A one-hour cron type has entropy 0 via the degenerate CASE (and
+    +0.0, not −0.0); an even two-hour type reports ln2 with norm 1."""
+    rows = [(7 * 3600, "cron")] * 5 + [(4 * 3600, "even"), (16 * 3600, "even")]
+    recs = [(i, ts, et) for i, (ts, et) in enumerate(rows)]
+    pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in recs], dtype=np.int64),
+            "ts": pd.to_datetime([r[1] for r in recs], unit="s"),
+            "user_id": ["u"] * len(recs),
+            "event_type": [r[2] for r in recs],
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from hepdata_validator_ray.pipelines.relational import events_hour_entropy
+
+    got = events_hour_entropy(str(tmp_path)).set_index("event_type")
+    assert got.loc["cron", "entropy"] == 0.0
+    assert math.copysign(1, got.loc["cron", "entropy"]) == 1.0
+    assert got.loc["cron", "norm_entropy"] == 0.0
+    assert got.loc["even", "entropy"] == pytest.approx(math.log(2), rel=1e-12)
+    assert got.loc["even", "norm_entropy"] == pytest.approx(1.0, rel=1e-12)
