@@ -5756,7 +5756,9 @@ def events_hour_entropy(sf_dir: str) -> pd.DataFrame:
     for et, grp in hist.groupby("event_type", sort=True):
         n = int(grp["n"].sum())
         p = grp["n"].to_numpy(np.float64) / n
-        h = float(-(p * np.log(p)).sum())
+        # 0.0 − sum, NOT -(sum): a single-hour type's sum is +0.0 and bare
+        # negation would emit −0.0 (the doc-entropy format hazard)
+        h = float(0.0 - (p * np.log(p)).sum())
         k = len(grp)
         out.append(
             {
