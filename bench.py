@@ -103,6 +103,16 @@ def pipeline_row_checks(sf_dir: str) -> int:
     return _consume(violation_counts(ensure_sequences_parquet(sf_dir)))
 
 
+def pipeline_clean(sf_dir: str) -> int:
+    """Round-5 distributed clean: row-check filter + Bloom-prefiltered
+    candidate-verify dedup exchange, consumed as survivor stats (the
+    cleaned stream is fully executed)."""
+    from hepdata_validator_ray.pipelines.clean import clean_survivor_stats
+    from hepdata_validator_ray.synth import ensure_sequences_parquet
+
+    return _consume(clean_survivor_stats(ensure_sequences_parquet(sf_dir)))
+
+
 def pipeline_q1(sf_dir: str) -> int:
     from hepdata_validator_ray.pipelines.relational import q1_pricing_summary
 
@@ -458,6 +468,7 @@ PIPELINES = {
     "tokstats": pipeline_tokstats,
     "health_stats": pipeline_health_stats,
     "lm_quality": pipeline_lm_quality,
+    "clean": pipeline_clean,
 }
 
 #: committed typical-band UPPER bounds (sec) from BASELINE.md — a sweep
@@ -490,6 +501,7 @@ BAND_TYP_HI = {
     "tokstats": 20.0,
     "health_stats": 25.0,
     "lm_quality": 25.0,
+    "clean": 6.0,
 }
 
 #: rows processed by the flagship (for throughput) — n returned by pipeline
