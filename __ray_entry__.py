@@ -1489,15 +1489,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_declarative_check": lambda sf: validation.declared_violations(_seq(sf), _DECL_SPECS),
         "v_duplicates": lambda sf: validation.duplicate_doc_ids(_seq(sf)),
         "v_stats_by_source": lambda sf: validation.stats_by_source(_seq(sf)),
-        # per-source modal length (padding/template spike tell; smallest
-        # length on ties)
-        "v_ntok_mode": lambda sf: validation.ntok_mode_by_source(_seq(sf)),
-        # length-bias pair: token-weighted vs plain mean length (the
-        # waiting-time-paradox heavy-tail flag)
-        "v_length_bias": lambda sf: validation.length_bias_by_source(_seq(sf)),
-        # per-source p50/p90/p99 tail panel (pinned disc-quantile rule
-        # over the shared bounded histogram)
-        "v_source_quantiles": lambda sf: validation.source_ntok_quantiles(_seq(sf)),
         # hopping window + JSON props + ROLLUP driver-gated as one union
         # (v_ntok_hist moved to the tail: its histogram evidence overlaps
         # the gated v_ntok_quantiles + profile_documents)
@@ -1506,14 +1497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (frees a window slot; both legs stay independently queryable below)
         "v_partition_stats": lambda sf: validation.partition_stats(_seq(sf)),
         "v_row_violations_jsonl": _jsonl_violations,
-        "v_row_violations_orc": _orc_violations,
-        "v_row_violations_ipc": _ipc_violations,
         "v_bundle_violations": lambda sf: validation.bundle_violations_by_table(ensure_bundle_parquet(sf)),
-        "v_row_violations_csv": _csv_violations,
         "v_compound_check": _compound_violations,
         "v_ntok_quantiles": lambda sf: validation.ntok_quantiles_combined(_seq(sf)),
-        "v_token_bigrams_top": lambda sf: validation.token_bigrams_top(_seq(sf), k=100),
-        "v_p99_filter": lambda sf: validation.ntok_p99_filter_counts(_seq(sf)),
         # incremental counts + bidirectional snapshot diff as one union
         # (content_incremental_new moved to the tail; oracle retained)
         "incremental_meta": _incremental_meta,
@@ -1527,20 +1513,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents_stats": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.clean", fromlist=["x"]
         ).clean_documents_stats(docs(sf)),
+        # --- round-4 flagships rotated INTO the window (VERDICT r4 #3) -------
+        # token-framing audit (BOS/EOS discipline, footer-only fast path)
+        "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
+        # order-invariant modular content digest (resumable equality cert)
+        "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
+        # PSI drift over reference-decile buckets (old snapshot = reference)
+        "v_snapshot_psi": lambda sf: validation.snapshot_psi(
+            _seq(sf),
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
+        ),
+        "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
+        # CCNet-style perplexity filter: per-sequence cross-entropy under
+        # the corpus's own add-one-smoothed bigram LM (tagged key exchange
+        # against the shared bigram table; per-doc output streams)
+        "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
         # --- general relational over the TPC-H-ish tables --------------------
         "q1_pricing_summary": relational.q1_pricing_summary,
         "segment_revenue": relational.segment_revenue,
-        "nation_order_stats": relational.nation_order_stats,
+        # TPC-H deep chains in-window (VERDICT r4 #3): per-part-numeric
+        # profit expression (q9), EXISTS+NOT-EXISTS sibling logic (q21),
+        # and the derived-partsupp trio completing the 22/22 matrix
+        "q9_nation_profit": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q9_nation_profit(sf),
+        "q21_blocked_suppliers": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q21_blocked_suppliers(sf),
+        "q2_min_cost_supplier": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q2_min_cost_supplier(sf),
+        "q11_stock_value": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q11_stock_value(sf),
+        "q20_excess_stock": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
+        ).q20_excess_stock(sf),
         # funnel + per-group quantile_disc + Markov transitions as one union
         # (events_daily moved to the tail: its daily-count evidence overlaps
         # the gated events_tumbling/pivot legs of relational_meta; oracle
         # retained)
         "relational_meta2": _relational_meta2,
         "events_sessionize": relational.events_sessionize,
-        "events_lag_trailing": relational.events_lag_trailing,
         "events_asof_join": relational.events_asof_join,
-        "filtered_lineitem_count": relational.filtered_lineitem_count,
-        "orders_customer_native_join": relational.orders_customer_native_join,
         # the graph-algorithm gate: fixed-point PageRank + degree-ordered
         # triangle counting as one union (top_customers moved to the tail:
         # its global top-k evidence overlaps v_longest_sequences +
@@ -1571,19 +1586,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verify pass (the heaviest pipeline no longer runs twice); both
         # legs stay independently queryable + oracled in the tail
         "dedup_ngram_meta": lambda sf: dedup.ngram_dedup_meta(docs(sf), threshold=0.3),
+        # md5-twin near-dup certificates in-window (VERDICT r4 #3): banded
+        # pair search certified complete by a brute-force/all-bands SQL twin
+        "dedup_simhash_md5": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).simhash_pairs(f"{sf}/documents.parquet", key_fn="md5"),
+        "dedup_minhash_md5": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
+        ).minhash_lsh_pairs_md5(f"{sf}/documents.parquet"),
+        # AllPairs prefix-filter EXACT similarity self-join (cap-certified)
+        "dedup_prefix_join": lambda sf: dedup.prefix_similarity_join(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_nearpair_documents_parquet(sf)
+        ),
         # BM25 bag-of-words retrieval (Lucene idf) — integer-only output,
         # generated oracle sharing the kernel's float parenthesization
         "bm25_topk": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_topk(docs(sf), terms=["hash", "join", "stream"], k=10),
+        "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(
+            emb(sf), threshold=0.4, n_planes=3, n_tables=24
+        ),
+        # ==== end of the driver's 50-query gate window ========================
+        # --- rotated OUT of the window r5 (oracles retained; evidence
+        # overlaps gated siblings: stats/quantile panels, wire-format
+        # variants of the gated jsonl leg, trivial joins/counts subsumed
+        # by the TPC-H deep chains) --------------------------------------------
+        "v_ntok_mode": lambda sf: validation.ntok_mode_by_source(_seq(sf)),
+        "v_length_bias": lambda sf: validation.length_bias_by_source(_seq(sf)),
+        "v_source_quantiles": lambda sf: validation.source_ntok_quantiles(_seq(sf)),
+        "v_row_violations_orc": _orc_violations,
+        "v_row_violations_ipc": _ipc_violations,
+        "v_row_violations_csv": _csv_violations,
+        "v_token_bigrams_top": lambda sf: validation.token_bigrams_top(_seq(sf), k=100),
+        "v_p99_filter": lambda sf: validation.ntok_p99_filter_counts(_seq(sf)),
+        "nation_order_stats": relational.nation_order_stats,
+        "events_lag_trailing": relational.events_lag_trailing,
+        "filtered_lineitem_count": relational.filtered_lineitem_count,
+        "orders_customer_native_join": relational.orders_customer_native_join,
         # Rocchio PRF query expansion: feedback-doc words ranked by
         # tf_fb * ln(N/df) — four streamed passes, no shuffle
         "bm25_prf_expansion": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).prf_expansion_terms(docs(sf), terms=["hash", "join", "stream"], k=10, m=20),
-        "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(
-            emb(sf), threshold=0.4, n_planes=3, n_tables=24
-        ),
         # --- sampling / splitting ---------------------------------------------
         # split counts + deterministic-sample id set + epoch-weighted
         # mixture plan fused into one union
@@ -1618,7 +1662,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).proportional_allocation(_seq(sf), k_total=100),
         "text_lang_confusion": lambda sf: text.lang_confusion_matrix(docs(sf)),
         "v_id_source_consistency": lambda sf: validation.id_source_consistency(_seq(sf)),
-        "v_token_framing": lambda sf: validation.token_framing_stats(_seq(sf)),
         "v_token_periodicity": lambda sf: validation.token_periodicity_stats(_seq(sf)),
         "v_vocab_churn": lambda sf: validation.vocab_churn_stats(
             _seq(sf),
@@ -1640,7 +1683,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_footer_stats_truth": lambda sf: validation.footer_stats_truth_audit(_seq(sf)),
         "v_token_concentration": lambda sf: validation.token_concentration_stats(_seq(sf)),
         "v_token_rank_mass": lambda sf: validation.token_rank_mass_stats(_seq(sf)),
-        "v_corpus_digest": lambda sf: validation.corpus_digest_stats(_seq(sf)),
         "q12_priority_lines": lambda sf: relational.q12_priority_lines(sf),
         # TPC-H composite batch (pipelines/tpch.py): five DISTINCT physical
         # join/aggregate shapes — EXISTS-with-cross-side-predicate (q4),
@@ -1682,44 +1724,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q17_small_quantity_revenue(sf),
-        "q21_blocked_suppliers": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
-        ).q21_blocked_suppliers(sf),
-        # TPC-H batch 3: deep-chain composites — conditional-numerator
-        # market share (q8) and per-part-numeric profit expression (q9)
+        # TPC-H batch 3/4 siblings staying in the tail (q9/q21 and the
+        # derived-partsupp trio moved INTO the window, r5 rotation)
         "q8_market_share": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q8_market_share(sf),
-        "q9_nation_profit": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
-        ).q9_nation_profit(sf),
         "q6_forecast_revenue": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
         ).q6_forecast_revenue(sf),
-        # TPC-H batch 4 completes the matrix (22/22): the partsupp-shaped
-        # queries run over a DETERMINISTICALLY DERIVED partsupp (dbgen's
-        # rotation + integer availqty/cost formulas, recomputed identically
-        # as a CTE in the oracle — the relation never exists on disk)
-        "q2_min_cost_supplier": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
-        ).q2_min_cost_supplier(sf),
-        "q11_stock_value": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
-        ).q11_stock_value(sf),
-        "q20_excess_stock": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.tpch", fromlist=["x"]
-        ).q20_excess_stock(sf),
-        # md5-parity simhash twin: the banded pair search gets an
-        # algorithm-INDEPENDENT brute-force oracle (completeness certified
-        # by hash equality, the prefix-join discipline); siphash variant
-        # stays the rows-only production path
-        "dedup_simhash_md5": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
-        ).simhash_pairs(f"{sf}/documents.parquet", key_fn="md5"),
-        # md5-per-perm minhash twin: banding certified end-to-end in SQL
-        "dedup_minhash_md5": lambda sf: __import__(
-            "hepdata_validator_ray.pipelines.dedup", fromlist=["x"]
-        ).minhash_lsh_pairs_md5(f"{sf}/documents.parquet"),
         "v_file_integrity": lambda sf: validation.file_integrity_profile(_seq(sf)),
         "v_ntok_mad": lambda sf: validation.ntok_mad_stats(_seq(sf)),
         # winsorized token budget: cap + capped sums from ONE histogram
@@ -1743,11 +1755,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_by_source": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).weighted_priority_sample_by_group(f"{sf}/documents.parquet", k=10),
-        # PSI drift over reference-decile buckets (old snapshot = reference)
-        "v_snapshot_psi": lambda sf: validation.snapshot_psi(
-            _seq(sf),
-            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
-        ),
         "v_snapshot_length_drift": lambda sf: validation.snapshot_length_drift(
             _seq(sf),
             __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_shifted_sequences_parquet(sf),
@@ -1760,7 +1767,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "v_shard_skew": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.sampling", fromlist=["x"]
         ).shard_skew_forecast(_seq(sf)),
-        "v_vocab_growth": lambda sf: validation.vocab_growth_curve(_seq(sf)),
         "events_replay_disorder": lambda sf: relational.events_out_of_order_stats(sf),
         "events_interarrival_spectrum": lambda sf: relational.events_interarrival_spectrum(sf),
         "profile_label_purity": lambda sf: __import__(
@@ -1963,10 +1969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc within-sequence token entropy: the doc-level degeneracy
         # score; entirely map-side, streaming per-doc output
         "v_doc_entropy": lambda sf: validation.doc_token_entropy(_seq(sf)),
-        # CCNet-style perplexity filter: per-sequence cross-entropy under
-        # the corpus's own add-one-smoothed bigram LM (tagged key exchange
-        # against the shared bigram table; per-doc output streams)
-        "v_seq_perplexity": lambda sf: validation.seq_lm_perplexity(_seq(sf)),
         # weekday/weekend split per type (integer dow = (d+4)%7, Sun=0)
         "events_weekend_profile": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.relational", fromlist=["x"]
@@ -2045,9 +2047,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused-union legs of dedup_exact_meta / ann_meta / dedup_ngram_meta,
         # still independently queryable with their own oracle entries
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(docs(sf), threshold=0.3),
-        "dedup_prefix_join": lambda sf: dedup.prefix_similarity_join(
-            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_nearpair_documents_parquet(sf)
-        ),
         "dedup_near_dup_clusters": lambda sf: dedup.near_dup_clusters(
             docs(sf), threshold=0.3, method="ngram", distributed=True
         ),
@@ -2161,7 +2160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hepdata_validator_ray.pipelines.profile", fromlist=["x"]
         ).profile_table(docs(sf), ["doc_id", "text", "lang", "source", "n_chars"]),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(docs(sf), max_hamming=3),
-        "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(emb(sf), k=10, n_queries=5),
+        # fixed-centroid integer-routed IVF — graduated from rows-only via
+        # the ann_ivf_recall machinery (VERDICT r4 #5); the sampled-centroid
+        # ann_topk_ivf stays the library's production scale path
+        "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf_fixed(
+            emb(sf), k=10, n_queries=5, n_probe=2
+        ),
         "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
         "mm_image_features": lambda sf: multimodal.image_features(docs(sf)),
         "mm_audio_features": lambda sf: multimodal.audio_features(docs(sf)),
@@ -5254,13 +5258,19 @@ SELECT s.n AS n_users, s.tot AS n_events,
 FROM h, s GROUP BY s.n, s.tot""",
         # Hill twin: row_number order statistics, the same k rule and
         # ln(v/x_k1) sum, degenerate CASE at lsum = 0
+        # per-LEVEL sum — take·ln(v/x_k1) over the count-of-counts spectrum,
+        # the kernel's exact expression shape (ADVICE r4 #2: a per-user-row
+        # sum spells n repeated additions where the kernel does n·x)
         "events_hill_tail": """
 WITH pu AS (SELECT user_id, count(*)::BIGINT AS v FROM events GROUP BY user_id),
 n AS (SELECT count(*)::BIGINT AS n_users FROM pu),
 k AS (SELECT greatest(1, least(100, n_users // 10))::BIGINT AS k, n_users FROM n),
-r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rk FROM pu),
-xk AS (SELECT r.v AS x_k1 FROM r, k WHERE r.rk = k.k + 1),
-s AS (SELECT sum(ln(r.v::DOUBLE / xk.x_k1)) AS lsum FROM r, xk, k WHERE r.rk <= k.k)
+h AS (SELECT v, count(*)::BIGINT AS c FROM pu GROUP BY v),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v DESC) AS cumc FROM h),
+xk AS (SELECT max(v)::BIGINT AS x_k1 FROM cum, k WHERE cumc >= k.k + 1),
+s AS (SELECT sum(least(cum.c, k.k - (cum.cumc - cum.c)) *
+              ln(cum.v::DOUBLE / xk.x_k1)) AS lsum
+      FROM cum, xk, k WHERE cum.cumc - cum.c < k.k)
 SELECT k.n_users, k.k, xk.x_k1,
        CASE WHEN s.lsum > 0 THEN k.k / s.lsum ELSE 0.0 END AS hill_alpha
 FROM k, xk, s""",
@@ -5923,6 +5933,26 @@ SELECT qs.qid AS query_id, coalesce(nivf.n_ivf, 0)::BIGINT AS n_ivf,
        coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
        coalesce(hits.n_hit, 0) / 10.0 AS recall
 FROM qs LEFT JOIN nivf ON nivf.qid = qs.qid LEFT JOIN hits ON hits.qid = qs.qid""",
+        # fixed-centroid IVF top-k twin: the recall oracle's ivf CTE with
+        # the (cos DESC, vec_id) total order and round-6 cos surfaced
+        "ann_topk_ivf": f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id IN ({_CENTROID_IDS_SQL})),
+d AS (SELECT q.vec_id, c.cid,
+        list_sum(list_transform(list_zip(q.qe, c.ce), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d) WHERE rk = 1),
+qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+probe AS (SELECT vec_id AS qid, cid FROM (SELECT d.*, row_number() OVER (PARTITION BY d.vec_id ORDER BY d2, cid) AS rk FROM d JOIN qs ON qs.qid = d.vec_id) WHERE rk <= 2),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (SELECT qs.qid, e.vec_id, list_cosine_similarity(eq.v, e.v) AS cos
+         FROM qs JOIN e eq ON eq.vec_id = qs.qid CROSS JOIN e),
+ivf AS (SELECT qid, vec_id, cos FROM (
+          SELECT s.qid, s.vec_id, s.cos,
+                 row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rk
+          FROM sims s JOIN asg a ON a.vec_id = s.vec_id
+               JOIN probe p ON p.qid = s.qid AND p.cid = a.cid) WHERE rk <= 10)
+SELECT qid AS query_id, vec_id AS neighbor_id, round(cos, 6) AS cos FROM ivf""",
         # silhouette twin: the n^2 pair join (same means by algebra);
         # singleton labels drop via the inner join
         "embedding_silhouette": """

@@ -560,13 +560,16 @@ class FileCheckReader:
         return merged
 
 
-def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray.data.Dataset":
+def duplicate_ids_dataset(files: list[str] | str, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Cross-partition duplicate doc_ids (the A1 global check): column-pruned
     read → per-batch value_counts (map-side combine, collapses hot duplicate
     classes before the exchange) → bucketed vectorized sum → count > 1.
     The one true all-to-all shuffle in the engine, and it moves only
     pre-combined (doc_id, cnt) partials keyed by a small int bucket."""
-    from hepdata_validator_ray.ops import grouped_value_counts
+    from hepdata_validator_ray.ops import derive_num_buckets_path, grouped_value_counts
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(files)
 
     if isinstance(files, list):
         # parse-error tolerance mirrors FileCheckReader's contract: an
@@ -594,7 +597,7 @@ def duplicate_ids_dataset(files: list[str] | str, num_buckets: int = 64) -> "ray
     return grouped_value_counts(ds, "doc_id", min_count=2, num_buckets=num_buckets)
 
 
-def _dup_member_count(ds: "ray.data.Dataset", num_buckets: int = 64) -> int:
+def _dup_member_count(ds: "ray.data.Dataset", num_buckets: int | None = None) -> int:
     """Total rows carrying a non-unique doc_id, as ONE distributed Sum over
     the collapsed (doc_id, cnt) dup-class table — the driver receives a
     single int, never the class list (at an adversarial dup rate the class

@@ -91,12 +91,12 @@ def clean_sequences(
     """
     import pyarrow.compute as pc
 
-    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets_path, with_bucket
     from hepdata_validator_ray.sketches import BloomFilter
 
     ctx = ctx or CheckContext()
     if num_buckets is None:
-        num_buckets = derive_num_buckets(ray.data.read_parquet(seq_path, columns=["doc_id"]))
+        num_buckets = derive_num_buckets_path(seq_path)
     # distributed dup-class table: feeds the Bloom build AND the exchange
     dup = (
         duplicate_ids_dataset(seq_path, num_buckets=num_buckets)
@@ -200,7 +200,7 @@ def clean_documents_stats(
     min_words: int = 5,
     min_chars: int = 20,
     bloom_bits: int = 1 << 22,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Composite DOCUMENT cleaning — the end-to-end pipeline a training-data
     user runs over a text corpus: exact-dedup with keep-first survivors +
@@ -229,9 +229,17 @@ def clean_documents_stats(
     """
     import pandas as pd
 
-    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        bucketed_aggregate,
+        derive_num_buckets_path,
+        with_bucket,
+    )
     from hepdata_validator_ray.pipelines.dedup import _md5_batch
     from hepdata_validator_ray.sketches import BloomFilter
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def meta_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = _md5_batch(df)

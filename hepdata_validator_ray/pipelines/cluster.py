@@ -510,7 +510,7 @@ def cluster_top_terms(
     sf_dir: str,
     k_terms: int = 5,
     centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """c-TF-IDF cluster labeling (the BERTopic move): for each embedding
     cluster, the words whose within-cluster frequency is most distinctive
@@ -532,7 +532,15 @@ def cluster_top_terms(
     Output (cluster, rank, word, tf, score)."""
     import math
 
-    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        bucketed_aggregate,
+        derive_num_buckets_path,
+        with_bucket,
+    )
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(f"{sf_dir}/documents.parquet")
 
     cents, cids = _load_rows(f"{sf_dir}/embeddings.parquet", centroid_ids)
     cq = _quantize(cents)

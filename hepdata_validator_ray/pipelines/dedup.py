@@ -30,6 +30,7 @@ import ray
 import ray.data
 
 from hepdata_validator_ray.ops import TAG_INT64 as _TAG64
+from hepdata_validator_ray.ops import derive_num_buckets_path
 from hepdata_validator_ray.ops import splitmix64 as _splitmix64
 
 # ---------------------------------------------------------------------------
@@ -73,7 +74,9 @@ def exact_dup_groups(docs_path: str, key_fn: str = "md5") -> pd.DataFrame:
     hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
     )
-    groups = grouped_value_counts(hashed, "h", min_count=2).to_pandas()
+    groups = grouped_value_counts(
+        hashed, "h", min_count=2, num_buckets=derive_num_buckets_path(docs_path)
+    ).to_pandas()
     n_groups = int(len(groups))
     n_docs = int(groups["cnt"].sum()) if n_groups else 0
     return pd.DataFrame([{"n_dup_groups": n_groups, "n_dup_docs": n_docs}])
@@ -95,7 +98,9 @@ def exact_keep_first(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
     )
-    return bucketed_aggregate(hashed, "h", None, combine)
+    return bucketed_aggregate(
+        hashed, "h", None, combine, num_buckets=derive_num_buckets_path(docs_path)
+    )
 
 
 def exact_dedup_meta(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
@@ -124,7 +129,9 @@ def exact_dedup_meta(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         _KEY_FNS[key_fn], batch_format="pandas", batch_size=4096
     )
-    agg = bucketed_aggregate(hashed, "h", partial, combine).materialize()
+    agg = bucketed_aggregate(
+        hashed, "h", partial, combine, num_buckets=derive_num_buckets_path(docs_path)
+    ).materialize()
 
     def keep_rows(t: pa.Table) -> pa.Table:
         kind = pa.array(["keep_first"] * len(t), type=pa.string())
@@ -220,7 +227,9 @@ def sequence_content_dedup(seq_path: str) -> "ray.data.Dataset":
     keyed = ray.data.read_parquet(seq_path, columns=["tokens"]).map_batches(
         _strong_content_keys, batch_format="pyarrow", batch_size=16384
     )
-    return bucketed_aggregate(keyed, "h1", partial, combine)
+    return bucketed_aggregate(
+        keyed, "h1", partial, combine, num_buckets=derive_num_buckets_path(seq_path)
+    )
 
 
 def content_incremental_new(new_path: str, old_path: str) -> pd.DataFrame:
@@ -266,7 +275,7 @@ def content_incremental_new(new_path: str, old_path: str) -> pd.DataFrame:
     )
 
 
-def snapshot_diff(old_path: str, new_path: str, num_buckets: int = 64) -> "ray.data.Dataset":
+def snapshot_diff(old_path: str, new_path: str, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Bidirectional two-snapshot diff keyed on doc_id: which documents
     were ADDED, REMOVED, or CHANGED between two crawls (unchanged rows —
     the overwhelming majority at scale — are never emitted).  The SCD /
@@ -283,6 +292,10 @@ def snapshot_diff(old_path: str, new_path: str, num_buckets: int = 64) -> "ray.d
     touches the driver.  Output: (doc_id, status ∈ added|removed|changed).
     Assumes doc_id is unique within each snapshot (primary-key contract,
     same as the exact-dedup keep-first family)."""
+    from hepdata_validator_ray.ops import derive_num_buckets_path
+
+    if num_buckets is None:
+        num_buckets = max(derive_num_buckets_path(old_path), derive_num_buckets_path(new_path))
     from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
 
     def keyed(path: str, side: int) -> "ray.data.Dataset":
@@ -1676,7 +1689,7 @@ def prefix_filter_candidates(
     thr_num: int = 1,
     thr_den: int = 2,
     shingle_k: int = 3,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     cap: int = PREFIX_GROUP_CAP,
 ) -> "ray.data.Dataset":
     """COMPLETE candidate pairs for word-shingle Jaccard ≥ thr_num/thr_den,
@@ -1696,6 +1709,11 @@ def prefix_filter_candidates(
     cross-bucket duplicates remain (consumers dedupe — the verified join
     collects the small side anyway)."""
     from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+
+    from hepdata_validator_ray.ops import derive_num_buckets_path
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def gen(df: pd.DataFrame) -> pa.Table:
         wh, offs = _word_hashes(df["text"].fillna(""), _WORD_KEY_MINHASH)

@@ -1010,7 +1010,7 @@ SELECT n AS n_edges,
 FROM s"""
 
 
-def clustering_coefficient(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+def clustering_coefficient(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Per-node local clustering coefficient over the co-purchase graph:
     lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the fraction of a node's
     neighbor pairs that are themselves connected; near 1 flags cliques

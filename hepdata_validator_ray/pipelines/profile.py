@@ -480,7 +480,7 @@ def docs_pareto_frontier(docs_path: str, batch_size: int = 8192) -> pd.DataFrame
     return cands[keep].reset_index(drop=True)
 
 
-def docs_dup_rate_by_source(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
+def docs_dup_rate_by_source(docs_path: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Per-source duplication rate: 1 − distinct(text)/n — the FIRST
     number a curation run reads per source (a 40%-dup crawl slice gets a
     different pipeline than a 2% one).  NULL-text rows are excluded from
@@ -495,7 +495,15 @@ def docs_dup_rate_by_source(docs_path: str, num_buckets: int = 64) -> pd.DataFra
     bounded partials.  Full texts never leave their batch.
 
     Output (source, n_docs, n_distinct, dup_rate)."""
-    from hepdata_validator_ray.ops import BUCKET_COL, bucketed_aggregate, with_bucket
+    from hepdata_validator_ray.ops import (
+        BUCKET_COL,
+        bucketed_aggregate,
+        derive_num_buckets_path,
+        with_bucket,
+    )
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -571,7 +579,7 @@ def docs_dup_rate_by_source(docs_path: str, num_buckets: int = 64) -> pd.DataFra
     )
 
 
-def docs_length_scaling(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
+def docs_length_scaling(docs_path: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Per-source fertility scaling law: OLS of ln(n_chars) on ln(n_words)
     — the exponent says how characters grow with word count (slope ≈ 1 is
     linear text; a flat slope flags templated payloads where length is
@@ -588,7 +596,14 @@ def docs_length_scaling(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
     land epsilon-nonzero on one engine and zero on the other.
 
     Output (source, n_docs, slope, intercept)."""
-    from hepdata_validator_ray.ops import bucketed_aggregate, sum_counts_combine
+    from hepdata_validator_ray.ops import (
+        bucketed_aggregate,
+        derive_num_buckets_path,
+        sum_counts_combine,
+    )
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     SH_W = np.int64(1) << np.int64(21)
     SH_C = np.int64(1) << np.int64(42)
@@ -621,7 +636,10 @@ def docs_length_scaling(docs_path: str, num_buckets: int = 64) -> pd.DataFrame:
         nc = df["nc"].to_numpy(np.int64)
         code = np.fromiter((code_of[s] for s in df["src"]), dtype=np.int64, count=len(df))
         keep = (nw >= 1) & (nc >= 1)
-        assert not len(nc[keep]) or (int(nw[keep].max()) < (1 << 21) and int(nc[keep].max()) < (1 << 21))
+        if len(nc[keep]) and (int(nw[keep].max()) >= (1 << 21) or int(nc[keep].max()) >= (1 << 21)):
+            # explicit raise, not assert: python -O must not let an
+            # oversized feature silently corrupt the packed key
+            raise ValueError("n_words/n_chars exceed the 21-bit packing bound")
         key = code[keep] * SH_C + nw[keep] * SH_W + nc[keep]
         uniq, cnt = np.unique(key, return_counts=True)
         return pa.Table.from_pydict(

@@ -3941,7 +3941,7 @@ def events_ohlc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
-def events_ewma(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
+def events_ewma(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Per-user exponential moving average of event values (α = 1/2) —
     the inherently SEQUENTIAL per-key scan (s_t = s_{t-1}/2 + v_t, seeded
     s_1 = v_1) that streaming feature stores maintain, done distributed
@@ -3962,7 +3962,10 @@ def events_ewma(sf_dir: str, num_buckets: int = 64) -> pd.DataFrame:
     is user-bounded.
 
     Output (user_id, n_events, ewma_fp4)."""
-    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets_path, with_bucket
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(_pq(sf_dir, "events"))
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["value"]))

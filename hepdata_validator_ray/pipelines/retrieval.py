@@ -287,7 +287,7 @@ FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id"""
 
 
 def inverted_index(
-    docs_path: str, min_df: int = 2, num_buckets: int = 64
+    docs_path: str, min_df: int = 2, num_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """Distributed inverted-index build — the index-construction
     counterpart of ``bm25_topk``'s query side: one long-form posting row
@@ -302,8 +302,11 @@ def inverted_index(
     plain value count), and the qualifying term set — vocabulary-bounded
     by construction — broadcasts back as the final filter.  The corpus
     text is read once; nothing corpus-scale touches the driver."""
-    from hepdata_validator_ray.ops import grouped_value_counts
+    from hepdata_validator_ray.ops import derive_num_buckets_path, grouped_value_counts
     from hepdata_validator_ray.pipelines.text import _explode_words
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def stats_batch(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["text"].notna()]

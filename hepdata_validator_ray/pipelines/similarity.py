@@ -365,32 +365,14 @@ def knn_label_agreement(emb_path: str, k: int = 10, target_mod: int = 5) -> pd.D
     )
 
 
-def ann_ivf_recall(
-    emb_path: str,
-    k: int = 10,
-    n_queries: int = 20,
-    n_probe: int = 2,
-    centroid_ids: tuple[int, ...] | None = None,
-) -> pd.DataFrame:
-    """Recall@k evaluation of IVF probing against exact brute force — the
-    ANN quality dial every similarity deployment needs BEFORE trusting a
-    probe budget: per query, |IVF top-k ∩ exact top-k| / k, where the IVF
-    side searches only the ``n_probe`` cells nearest the query.
-
-    Cells use the embedding_kmeans QUANTIZED integer assignment (argmin
-    d2, ties → lowest centroid id) so routing is exact on both engines
-    and the whole evaluation is SQL-expressible — unlike the sampled-
-    centroid ann_topk_ivf, whose rng centroids have no SQL twin.  ONE
-    corpus pass serves both sides: each batch assigns cells, scores all
-    queries, and emits per-query partial top-k twice (tag 0 = brute over
-    everything, tag 1 = probed cells only); the driver merges the
-    bounded 2 × n_batches × n_queries × k candidate table.  n_ivf < k
-    happens when the probed cells hold fewer than k vectors (mirrored).
-
-    Output (query_id, n_ivf, n_hit, recall)."""
+def _fixed_ivf_state(
+    emb_path: str, n_queries: int, n_probe: int, centroid_ids: tuple[int, ...] | None
+):
+    """(cq, probe_mask, q_ids, q_mat): quantized fixed centroids + per-query
+    probe mask under the integer (d2, cid) rule — shared by ann_ivf_recall
+    and the gated ann_topk_ivf_fixed."""
     from hepdata_validator_ray.pipelines.cluster import (
         DEFAULT_CENTROID_IDS,
-        _assign_quantized,
         _load_rows,
         _quantize,
     )
@@ -399,7 +381,6 @@ def ann_ivf_recall(
     cents, cid_arr = _load_rows(emb_path, cids)
     cq = _quantize(cents)
     q_ids, q_mat = _load_queries(emb_path, n_queries)
-    # probe ranking under the same integer rule: (d2, cid) ascending
     qq = _quantize(
         np.stack(
             ray.data.read_parquet(
@@ -423,6 +404,101 @@ def ann_ivf_recall(
     for i in range(len(q_ids)):
         order = np.lexsort((np.arange(len(cid_arr)), d2[i]))[:n_probe]
         probe_mask[i, order] = True
+    return cq, probe_mask, q_ids, q_mat
+
+
+def ann_topk_ivf_fixed(
+    emb_path: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_probe: int = 2,
+    centroid_ids: tuple[int, ...] | None = None,
+) -> pd.DataFrame:
+    """IVF top-k under the FIXED quantized centroids + integer routing rule
+    (embedding_kmeans assignment; probe ranking by (d2, cid)) — the
+    SQL-expressible IVF search that graduates ``ann_topk_ivf`` from
+    rows-only to hash-gated (VERDICT r4 #5; the sampled-centroid variant
+    stays the production scale path).  Per batch: route vectors to cells,
+    keep probed-cell candidates for each query, emit per-query partial
+    top-k; the driver merges n_batches × n_queries × k bounded partials
+    under the (cos DESC, vec_id) total order and rounds cos to 6 decimals
+    (the ann_meta float discipline).
+
+    Output (query_id, neighbor_id, cos)."""
+    from hepdata_validator_ray.pipelines.cluster import _assign_quantized, _quantize
+
+    cq, probe_mask, q_ids, q_mat = _fixed_ivf_state(emb_path, n_queries, n_probe, centroid_ids)
+    ref = ray.put((cq, probe_mask, q_ids, q_mat))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cq_l, probe_l, qi_l, qm_l = ray.get(ref)
+        raw = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cell, _ = _assign_quantized(_quantize(raw), cq_l)
+        m = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+        ids = df["vec_id"].to_numpy(np.int64)
+        sims = qm_l @ m.T
+        recs = []
+        for qi in range(len(qi_l)):
+            pm = probe_l[qi, cell]
+            if not pm.any():
+                continue
+            s = sims[qi][pm]
+            idj = ids[pm]
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            for j in top:
+                recs.append((int(qi_l[qi]), int(idj[j]), float(s[j])))
+        return pd.DataFrame(recs, columns=["query_id", "neighbor_id", "cos"])
+
+    cands = (
+        ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+    )  # ≤ n_batches × n_queries × k — the bounded merge
+    if not len(cands):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+    out = (
+        cands.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["cos"] = out["cos"].round(6)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "cos": "float64"})
+
+
+def ann_ivf_recall(
+    emb_path: str,
+    k: int = 10,
+    n_queries: int = 20,
+    n_probe: int = 2,
+    centroid_ids: tuple[int, ...] | None = None,
+) -> pd.DataFrame:
+    """Recall@k evaluation of IVF probing against exact brute force — the
+    ANN quality dial every similarity deployment needs BEFORE trusting a
+    probe budget: per query, |IVF top-k ∩ exact top-k| / k, where the IVF
+    side searches only the ``n_probe`` cells nearest the query.
+
+    Cells use the embedding_kmeans QUANTIZED integer assignment (argmin
+    d2, ties → lowest centroid id) so routing is exact on both engines
+    and the whole evaluation is SQL-expressible — unlike the sampled-
+    centroid ann_topk_ivf, whose rng centroids have no SQL twin.  ONE
+    corpus pass serves both sides: each batch assigns cells, scores all
+    queries, and emits per-query partial top-k twice (tag 0 = brute over
+    everything, tag 1 = probed cells only); the driver merges the
+    bounded 2 × n_batches × n_queries × k candidate table.  n_ivf < k
+    happens when the probed cells hold fewer than k vectors (mirrored).
+
+    Output (query_id, n_ivf, n_hit, recall)."""
+    from hepdata_validator_ray.pipelines.cluster import _assign_quantized, _quantize
+
+    cq, probe_mask, q_ids, q_mat = _fixed_ivf_state(emb_path, n_queries, n_probe, centroid_ids)
     ref = ray.put((cq, probe_mask, q_ids, q_mat))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

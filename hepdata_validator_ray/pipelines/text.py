@@ -785,14 +785,17 @@ def _chunk_strings(
 
 
 def boilerplate_chunk_df(
-    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int = 64
+    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """(h, cnt) for chunk CONTENT classes occurring in >= min_df distinct
     docs — the boilerplate table.  Per-batch: chunk strings → siphash →
     per-doc distinct (shared _per_row_distinct kernel) → distributed
     value counts.  The qualifying set is bounded by corpus_chunks/min_df
     (boilerplate is by definition common), i.e. vocabulary-scale."""
-    from hepdata_validator_ray.ops import grouped_value_counts
+    from hepdata_validator_ray.ops import derive_num_buckets_path, grouped_value_counts
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def distinct_chunk_hashes(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["text"].notna()]
@@ -812,7 +815,7 @@ def boilerplate_chunk_df(
 
 
 def boilerplate_scrub_stats(
-    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int = 64
+    docs_path: str, chunk_words: int = 2, min_df: int = 12, num_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """C4/RefinedWeb-style boilerplate removal, summarized per doc: split
     each doc into non-overlapping ``chunk_words``-word chunks, drop every
@@ -889,7 +892,8 @@ def _shingle_strings(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def heavy_hitter_shingles(
-    docs_path: str, k: int = 20, capacity: int = 8192, shingle_k: int = 3, num_buckets: int = 64
+    docs_path: str, k: int = 20, capacity: int = 8192, shingle_k: int = 3,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """EXACT top-k shingles over an UNBOUNDED key space with BOUNDED
     memory — the Misra-Gries 2-pass (``top_words`` relies on a
@@ -916,7 +920,10 @@ def heavy_hitter_shingles(
     Output (shingle, n), top-k by (n DESC, shingle ASC)."""
     from ray.data.aggregate import Sum
 
-    from hepdata_validator_ray.ops import BUCKET_COL, with_bucket
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets_path, with_bucket
+
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(docs_path)
 
     def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
         sh, _ = _shingle_strings(df["text"], shingle_k)

@@ -3447,7 +3447,7 @@ def source_diversity(seq_path: str, vocab_size: int | None = None) -> pd.DataFra
 
 
 def seq_lm_perplexity(
-    seq_path: str, vocab_size: int | None = None, num_buckets: int = 64
+    seq_path: str, vocab_size: int | None = None, num_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """Per-sequence cross-entropy under the corpus's OWN bigram LM with
     add-one smoothing — the CCNet-style perplexity filter (score every
@@ -3480,10 +3480,13 @@ def seq_lm_perplexity(
     from hepdata_validator_ray.ops import (
         BUCKET_COL,
         bucketed_aggregate,
+        derive_num_buckets_path,
         sum_counts_combine,
         with_bucket,
     )
 
+    if num_buckets is None:
+        num_buckets = derive_num_buckets_path(seq_path)
     V = int(vocab_size or CheckContext().vocab_size)
     V2 = np.int64(V) * np.int64(V)
     counts = _bigram_count_dataset(seq_path, V).materialize()
@@ -3577,8 +3580,11 @@ def seq_lm_perplexity(
         lm_keys, lm_cnt = lm_keys[order], lm_cnt[order]
         dk = d["key"].to_numpy(np.int64)
         pos = np.searchsorted(lm_keys, dk)
-        # self-scoring invariant: every doc bigram is in its own LM
-        assert len(lm_keys) and (pos < len(lm_keys)).all() and (lm_keys[pos] == dk).all()
+        # self-scoring invariant: every doc bigram is in its own LM —
+        # explicit raise (python -O strips asserts; a miss here would
+        # silently score against the wrong LM row)
+        if not (len(lm_keys) and (pos < len(lm_keys)).all() and (lm_keys[pos] == dk).all()):
+            raise ValueError("doc bigram missing from its own corpus LM (self-scoring invariant)")
         ctx = ray.get(ctx_ref)[dk // V]
         dc = d["dcnt"].to_numpy(np.float64)
         nll = dc * (np.log(ctx + np.float64(V)) - np.log(lm_cnt[pos] + 1.0))
@@ -3695,7 +3701,13 @@ def ensure_partitioned_documents(docs_path: str) -> str:
     import uuid
     from pathlib import Path
 
-    digest = hashlib.md5(os.path.abspath(docs_path).encode()).hexdigest()[:12]
+    # key = path + content fingerprint (size+mtime of every part): a
+    # regenerated source invalidates the cached partitioned copy instead
+    # of silently serving stale partitions (ADVICE r4 #1)
+    src = Path(docs_path)
+    parts = [src] if src.is_file() else sorted(src.glob("*.parquet"))
+    fp = ";".join(f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}" for p in parts)
+    digest = hashlib.md5(f"{os.path.abspath(docs_path)}|{fp}".encode()).hexdigest()[:12]
     out = Path("/tmp/hvr_partitioned") / digest / "documents"
     if (out / "_SUCCESS").exists():
         return str(out)

@@ -190,5 +190,69 @@ def apply() -> bool:
 
     _hs.HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner_fixed
     _hs._hvr_schema_fix = True
+    _apply_schema_warning_fixes()
     _APPLIED = True
     return True
+
+
+def _apply_schema_warning_fixes() -> None:
+    """Two COSMETIC-but-load-bearing warning fixes (VERDICT r4 #6: constant
+    false-positive schema warnings will mask a real drift one day).
+
+    3. ``dedupe_schemas_with_validation``: Ray drops the schema from any
+       ZERO-ROW RefBundle (``bundle.schema`` comes back empty even when the
+       underlying Arrow table carries the stream's exact schema), so every
+       sentinel/filtered-empty block fires "produced a RefBundle with a
+       different schema".  An empty bundle in a typed stream is NOT
+       divergence: stamp the stream schema on it and return
+       ``diverged=False`` — which also keeps the one-shot warning ARMED for
+       a genuine non-empty schema drift (upstream latches the warned flag
+       on the first false positive and then never warns again).
+    4. The "Failed to hash the schemas (for deduplication)" warning fires
+       whenever an input parquet footer embeds pandas metadata (a dict →
+       ``pa.Schema`` unhashable; the driver's testdata does).  The hash is
+       only an early-exit optimization — the code falls through to the
+       full unify — so the specific message is filtered, not the logger.
+
+    Failure to install either is logged but does not disable the
+    hash-shuffle patches above (different failure domain: noise, not
+    correctness)."""
+    try:
+        from ray.data._internal.execution import streaming_executor_state as _ses
+        from ray.data._internal.execution.interfaces import RefBundle as _RefBundle
+        from ray.data.block import _is_empty_schema as _empty
+
+        if not getattr(_ses, "_hvr_empty_bundle_fix", False):
+            _orig_dedupe = _ses.dedupe_schemas_with_validation
+
+            def _dedupe_fixed(old_schema, bundle, warn=True, enforce_schemas=False):
+                if not _empty(old_schema) and _empty(getattr(bundle, "schema", None)):
+                    return (
+                        _RefBundle(
+                            bundle.blocks,
+                            schema=old_schema,
+                            owns_blocks=bundle.owns_blocks,
+                        ),
+                        False,
+                    )
+                return _orig_dedupe(
+                    old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas
+                )
+
+            _ses.dedupe_schemas_with_validation = _dedupe_fixed
+            _ses._hvr_empty_bundle_fix = True
+    except Exception as exc:  # pragma: no cover - ray layout drift
+        logger.warning("rayfix: empty-bundle schema patch not applied (%s)", exc)
+
+    try:
+        from ray.data._internal.arrow_ops import transform_pyarrow as _tp
+
+        class _DropSchemaHashNoise(logging.Filter):
+            def filter(self, record: logging.LogRecord) -> bool:
+                return "Failed to hash the schemas" not in record.getMessage()
+
+        lg = getattr(_tp, "logger", None) or logging.getLogger(_tp.__name__)
+        if not any(isinstance(f, _DropSchemaHashNoise) for f in lg.filters):
+            lg.addFilter(_DropSchemaHashNoise())
+    except Exception as exc:  # pragma: no cover - ray layout drift
+        logger.warning("rayfix: schema-hash warning filter not applied (%s)", exc)

@@ -121,3 +121,54 @@ def test_hash_shuffle_finalize_yields_one_block_per_partition():
         "partition — re-audit q21_blocked_suppliers and any other "
         "batch_size=None whole-block consumer of join output"
     )
+
+
+def test_empty_bundle_schema_warning_suppressed_real_drift_still_warns(ray_session):
+    """VERDICT r4 #6 pin: a zero-row block in a typed stream (sentinel /
+    fully-filtered batch) must NOT fire the 'different schema' warning —
+    Ray drops the schema from empty RefBundles, so before the rayfix patch
+    every sentinel union warned and latched the one-shot flag, masking any
+    later REAL drift.  A genuinely divergent non-empty schema must still
+    warn."""
+    import logging
+
+    import pyarrow as pa
+
+    import ray.data
+
+    # ray's data logger does not propagate to root, so caplog misses it —
+    # attach a handler to the emitting logger directly
+    logger = logging.getLogger("ray.data._internal.execution.streaming_executor_state")
+    records: list = []
+
+    class _Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Grab(level=logging.WARNING)
+    logger.addHandler(h)
+    try:
+
+        def typed(n):
+            return ray.data.range(2).map_batches(
+                lambda b, n=n: pa.table(
+                    {"lang": pa.array(["en"] * n, pa.string()), "n": pa.array([1] * n, pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+
+        typed(1).union(typed(0)).materialize()
+        assert not any("different schema" in m for m in records)
+
+        records.clear()
+
+        def other(n):
+            return ray.data.range(2).map_batches(
+                lambda b, n=n: pa.table({"x": pa.array([1.0] * n, pa.float64())}),
+                batch_format="pyarrow",
+            )
+
+        typed(1).union(other(1)).materialize()
+        assert any("different schema" in m for m in records)
+    finally:
+        logger.removeHandler(h)
