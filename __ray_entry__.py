@@ -171,6 +171,100 @@ def _mm_meta(sf_dir: str):
     return pm.union(rz).union(fr).union(img).union(aud)
 
 
+def _mm_decoded_rows(sf_dir: str):
+    """``decoded_features`` exploded to (doc_id, n_bytes, bin, n) — all 16
+    bins incl. zeros.  The hash-gateable shape of the byte-hist feature leg
+    (VERDICT r4 #5: a list column does not survive the value-hash compare);
+    the actor-pool decode stage itself is unchanged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hepdata_validator_ray.pipelines import multimodal
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hist = (
+            np.asarray(t["byte_hist"].to_pylist(), dtype=np.int64).reshape(n, 16)
+            if n
+            else np.zeros((0, 16), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), 16)),
+                "n_bytes": pa.array(np.repeat(np.asarray(t["n_bytes"].to_pylist(), dtype=np.int64), 16)),
+                "bin": pa.array(np.tile(np.arange(16, dtype=np.int64), n)),
+                "n": pa.array(hist.ravel()),
+            }
+        )
+
+    return multimodal.decoded_features(f"{sf_dir}/documents.parquet").map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _mm_image_feature_rows(sf_dir: str):
+    """``image_features`` exploded to (doc_id, height, width, mean_r,
+    mean_g, mean_b, bin, n): 16 luma-hist rows per doc carrying the
+    per-image scalars — the REAL PPM decode output in a hash-gateable
+    shape (the oracle regenerates the splitmix64 pixel stream in SQL).
+    ok/error legs stay pinned by the malformed-payload tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hepdata_validator_ray.pipelines import multimodal
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hist = (
+            np.asarray(t["luma_hist"].to_pylist(), dtype=np.int64).reshape(n, 16)
+            if n
+            else np.zeros((0, 16), np.int64)
+        )
+        rep = lambda col, dt: pa.array(np.repeat(np.asarray(t[col].to_pylist(), dtype=dt), 16))
+        return pa.table(
+            {
+                "doc_id": rep("doc_id", np.int64),
+                "height": rep("height", np.int64),
+                "width": rep("width", np.int64),
+                "mean_r": rep("mean_r", np.float64),
+                "mean_g": rep("mean_g", np.float64),
+                "mean_b": rep("mean_b", np.float64),
+                "bin": pa.array(np.tile(np.arange(16, dtype=np.int64), n)),
+                "n": pa.array(hist.ravel()),
+            }
+        )
+
+    return multimodal.image_features(f"{sf_dir}/documents.parquet").map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _mm_resized_rows(sf_dir: str):
+    """``image_resized`` with a per-blob byte-sum certificate: (doc_id,
+    n_bytes, payload_sum) — the oracle recomputes the nearest-neighbor
+    gather over the SQL-regenerated pixel stream, so the full
+    decode → resize → re-encode path is content-verified, not just
+    size-verified."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hepdata_validator_ray.pipelines import multimodal
+
+    def withsum(t: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(b, dtype=np.uint8).sum()) for b in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": t["n_bytes"].cast(pa.int64()),
+                "payload_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return multimodal.image_resized(f"{sf_dir}/documents.parquet").map_batches(
+        withsum, batch_format="pyarrow"
+    )
+
+
 def _training_meta(sf_dir: str):
     """The training-data-prep operators as ONE gated union — (doc_id,
     metric, n) — mirroring _mm_meta's slot-saving shape: sequence packing
@@ -2166,12 +2260,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf_fixed(
             emb(sf), k=10, n_queries=5, n_probe=2
         ),
-        "mm_decoded_features": lambda sf: multimodal.decoded_features(docs(sf)),
-        "mm_image_features": lambda sf: multimodal.image_features(docs(sf)),
+        # mm feature legs graduated from rows-only (VERDICT r4 #5): the
+        # synthetic payload streams are splitmix64-derived, and the oracles
+        # regenerate them in SQL (HUGEINT mod-2^64 arithmetic, bit-exact
+        # vs ops.splitmix64 — verified incl. wraparound)
+        "mm_decoded_features": _mm_decoded_rows,
+        "mm_image_features": _mm_image_feature_rows,
         "mm_audio_features": lambda sf: multimodal.audio_features(docs(sf)),
-        "mm_image_resized": lambda sf: multimodal.image_resized(docs(sf)).select_columns(
-            ["doc_id", "n_bytes"]
-        ),
+        "mm_image_resized": _mm_resized_rows,
         "training_packing": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.training", fromlist=["x"]
         ).sequence_packing(docs(sf), ctx_len=512),
@@ -2416,6 +2512,35 @@ ps2 AS (
          ((ps_partkey*7919 + ps_suppkey*104729) % 99901 + 100)::BIGINT AS ps_supplycost_cents
   FROM ps)
 """
+
+
+def _sm64_ctes(src: str, x_expr: str, carry: str, prefix: str) -> tuple[str, str]:
+    """CTE chain computing ``splitmix64(x_expr)`` (bit-exact vs
+    ops.splitmix64, wraparound included) over the rows of ``src`` — the SQL
+    twin of the synthetic media payload generators.  64-bit wrapping
+    multiply is staged through HUGEINT with the constant split into 32-bit
+    halves (a full UBIGINT×UBIGINT product overflows HUGEINT); xors/shifts
+    run on UBIGINT.  Returns (cte_fragment, final_cte_name); the final CTE
+    exposes ``carry`` plus the hash as column ``z``."""
+    T = "18446744073709551616"
+
+    def mm(z: str, b: int) -> str:
+        b0, b1 = b & 0xFFFFFFFF, b >> 32
+        return (
+            f"CAST(((CAST({z} AS HUGEINT) * {b0}) + "
+            f"(((CAST({z} AS HUGEINT) * {b1}) % 4294967296) * 4294967296)) % {T} AS UBIGINT)"
+        )
+
+    p = prefix
+    sql = (
+        f"{p}0 AS (SELECT {carry}, CAST((CAST({x_expr} AS HUGEINT) + 11400714819323198485) % {T} AS UBIGINT) AS z FROM {src}),\n"
+        f"{p}1 AS (SELECT {carry}, xor(z, z >> 30) AS z FROM {p}0),\n"
+        f"{p}2 AS (SELECT {carry}, {mm('z', 0xBF58476D1CE4E5B9)} AS z FROM {p}1),\n"
+        f"{p}3 AS (SELECT {carry}, xor(z, z >> 27) AS z FROM {p}2),\n"
+        f"{p}4 AS (SELECT {carry}, {mm('z', 0x94D049BB133111EB)} AS z FROM {p}3),\n"
+        f"{p}5 AS (SELECT {carry}, xor(z, z >> 31) AS z FROM {p}4)"
+    )
+    return sql, f"{p}5"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6254,6 +6379,108 @@ WITH chars AS (
 )
 SELECT doc_id, bin::BIGINT AS bin, count(*)::BIGINT AS n
 FROM chars GROUP BY doc_id, bin""",
+        # decoded-features twin: 16-bin byte hist of the utf-8 payload with
+        # the full zero-bin spine (ASCII corpus: bytes ≡ code points)
+        "mm_decoded_features": """
+WITH d AS (SELECT doc_id, coalesce(strlen(text), 0)::BIGINT AS L FROM documents),
+chars AS (SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin
+          FROM documents, unnest(range(1, strlen(text) + 1)) AS t(i)),
+h AS (SELECT doc_id, bin, count(*)::BIGINT AS n FROM chars GROUP BY 1, 2),
+spine AS (SELECT d.doc_id, d.L, b.bin FROM d, unnest(range(0, 16)) AS b(bin))
+SELECT spine.doc_id, spine.L AS n_bytes, spine.bin::BIGINT AS bin,
+       coalesce(h.n, 0)::BIGINT AS n
+FROM spine LEFT JOIN h ON h.doc_id = spine.doc_id AND h.bin = spine.bin""",
+        # image-features twin: regenerate the splitmix64 pixel stream
+        # (value = sm64(3p+c + doc_id·2^20) & 255), BT.601 luma with the
+        # kernel's exact float spelling (left-assoc DOUBLE products),
+        # integer-exact channel sums → one-division means
+        "mm_image_features": (
+            """
+WITH d AS (SELECT doc_id, coalesce(strlen(text), 0)::BIGINT AS L FROM documents),
+dims AS (SELECT doc_id, 4 + L % 20 AS h, 4 + (L * 7) % 20 AS w FROM d),
+pxi AS (SELECT doc_id, h, w, unnest(range(0, h * w)) AS p FROM dims),
+ch AS (SELECT doc_id, h, w, p, unnest(range(0, 3)) AS c FROM pxi),
+xin AS (SELECT doc_id, h, w, p, c,
+               CAST((3 * p + c) + doc_id * 1048576 AS UBIGINT) AS xx FROM ch),
+"""
+            + _sm64_ctes("xin", "xx", "doc_id, h, w, p, c", "im")[0]
+            + """,
+v AS (SELECT doc_id, h, w, p, c, CAST(z & 255 AS BIGINT) AS v FROM im5),
+pix AS (SELECT doc_id, h, w, p,
+        max(CASE WHEN c = 0 THEN v END) AS r,
+        max(CASE WHEN c = 1 THEN v END) AS g,
+        max(CASE WHEN c = 2 THEN v END) AS b
+        FROM v GROUP BY 1, 2, 3, 4),
+lum AS (SELECT doc_id, h, w, r, g, b,
+        CAST(floor(least(CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+                         + CAST(0.114 AS DOUBLE) * b, CAST(255.0 AS DOUBLE))) AS BIGINT) // 16 AS bin
+        FROM pix),
+scal AS (SELECT doc_id, any_value(h)::BIGINT AS height, any_value(w)::BIGINT AS width,
+         sum(r)::DOUBLE / (any_value(h) * any_value(w)) AS mean_r,
+         sum(g)::DOUBLE / (any_value(h) * any_value(w)) AS mean_g,
+         sum(b)::DOUBLE / (any_value(h) * any_value(w)) AS mean_b
+         FROM lum GROUP BY doc_id),
+hist AS (SELECT doc_id, bin, count(*)::BIGINT AS n FROM lum GROUP BY 1, 2),
+spine AS (SELECT doc_id, unnest(range(0, 16)) AS bin FROM dims)
+SELECT s.doc_id, sc.height, sc.width, sc.mean_r, sc.mean_g, sc.mean_b,
+       s.bin::BIGINT AS bin, coalesce(hist.n, 0)::BIGINT AS n
+FROM spine s JOIN scal sc ON sc.doc_id = s.doc_id
+LEFT JOIN hist ON hist.doc_id = s.doc_id AND hist.bin = s.bin"""
+        ),
+        # audio-features twin: regenerate the PCM16 stream
+        # (u = sm64(i + doc_id·2^24) & 65535, s = u−65536 if u ≥ 2^15);
+        # rms = sqrt(Σs²/n)/2^15 is BIT-equal to the kernel's
+        # sqrt(mean((s/2^15)²)) because power-of-two scaling commutes with
+        # IEEE rounding and the ≤575-term sum of 40-bit dyadics is exact
+        "mm_audio_features": (
+            """
+WITH d AS (SELECT doc_id, coalesce(strlen(text), 0)::BIGINT AS L FROM documents),
+nn AS (SELECT doc_id, 64 + (L * 13) % 512 AS n FROM d),
+idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM nn),
+xin AS (SELECT doc_id, n, i, CAST(i + doc_id * 16777216 AS UBIGINT) AS xx FROM idx),
+"""
+            + _sm64_ctes("xin", "xx", "doc_id, n, i", "au")[0]
+            + """,
+s AS (SELECT doc_id, n, i,
+      CASE WHEN CAST(z & 65535 AS BIGINT) >= 32768
+           THEN CAST(z & 65535 AS BIGINT) - 65536
+           ELSE CAST(z & 65535 AS BIGINT) END AS s FROM au5),
+lagd AS (SELECT doc_id, n, s, (s < 0) AS neg,
+         lag(s < 0) OVER (PARTITION BY doc_id ORDER BY i) AS pneg FROM s),
+agg AS (SELECT doc_id, any_value(n)::BIGINT AS n, sum(s * s)::BIGINT AS sumsq,
+        max(abs(s))::BIGINT AS mx,
+        count(*) FILTER (WHERE pneg IS NOT NULL AND pneg <> neg)::BIGINT AS zc
+        FROM lagd GROUP BY doc_id)
+SELECT doc_id, TRUE AS ok, NULL::VARCHAR AS error, n AS n_samples,
+       16000::BIGINT AS sample_rate, n / 16000.0 AS duration_s,
+       sqrt(CAST(sumsq AS DOUBLE) / n) / 32768.0 AS rms,
+       CAST(mx AS DOUBLE) / 32768.0 AS peak, zc AS zero_crossings
+FROM agg"""
+        ),
+        # resized-image twin: nearest-neighbor gather over the regenerated
+        # pixel stream (src = min(floor(((i+0.5)·dim)/8), dim−1), the
+        # kernel's float spelling) + the constant 'P6\\n8 8\\n255\\n' header;
+        # n_bytes = 11 + 192, payload_sum = header ascii sum 464 + Σ pixels
+        "mm_image_resized": (
+            """
+WITH d AS (SELECT doc_id, coalesce(strlen(text), 0)::BIGINT AS L FROM documents),
+dims AS (SELECT doc_id, 4 + L % 20 AS h, 4 + (L * 7) % 20 AS w FROM d),
+grid AS (SELECT doc_id, h, w, i, j, c
+         FROM dims, unnest(range(0, 8)) AS ti(i), unnest(range(0, 8)) AS tj(j),
+              unnest(range(0, 3)) AS tc(c)),
+src AS (SELECT doc_id, w,
+        least(CAST(floor(((i + 0.5) * h) / 8.0) AS BIGINT), h - 1) AS si,
+        least(CAST(floor(((j + 0.5) * w) / 8.0) AS BIGINT), w - 1) AS sj,
+        c FROM grid),
+xin AS (SELECT doc_id,
+        CAST((si * w + sj) * 3 + c + doc_id * 1048576 AS UBIGINT) AS xx FROM src),
+"""
+            + _sm64_ctes("xin", "xx", "doc_id", "rz")[0]
+            + """
+SELECT doc_id, 203::BIGINT AS n_bytes,
+       (464 + sum(CAST(z & 255 AS BIGINT)))::BIGINT AS payload_sum
+FROM rz5 GROUP BY doc_id"""
+        ),
     }
 
     # Fused-union oracles are COMPOSED from the standalone leg oracles so
