@@ -78,13 +78,19 @@ def generate_sequences_table(
     mean_len: int = 192,
     inject: bool = True,
     row_offset: int = 0,
+    idx: np.ndarray | None = None,
 ) -> pa.Table:
     """Build one Arrow table of synthetic sequences.
 
     ``row_offset`` lets multi-file generation keep a single global row index
-    so injection ground truth is file-layout independent.
-    """
-    idx = np.arange(row_offset, row_offset + n_rows, dtype=np.int64)
+    so injection ground truth is file-layout independent.  ``idx`` overrides
+    the global row-index array entirely (content is counter-derived, so two
+    rows given the same index get byte-identical content — the skew
+    generator's dup-class mechanism)."""
+    if idx is None:
+        idx = np.arange(row_offset, row_offset + n_rows, dtype=np.int64)
+    else:
+        idx = np.asarray(idx, dtype=np.int64)
     s64 = np.uint64(seed)
 
     # -- lengths: uniform in [1, 2*mean_len-1] (mean ≈ mean_len), counter-based
@@ -246,6 +252,85 @@ def ensure_archive_zip(sf_dir: str) -> str:
 
     tmp = shutil.make_archive(str(seq_dir.parent / "sequences_archive_tmp"), "zip", root_dir=seq_dir)
     os.replace(tmp, out)
+    return str(out)
+
+
+def ensure_skewed_sequences_parquet(
+    sf_dir: str,
+    n_rows: int = 8_000_000,
+    n_files: int = 32,
+    hot_pct: int = 90,
+    dup_pct: int = 20,
+    seed: int = 42,
+) -> str:
+    """Adversarial-skew corpus (the north rule's skew scenario — VERDICT r4
+    #9): ≥``hot_pct``% of rows land on ONE source and ``dup_pct``% of rows
+    collapse onto shared hot dup-id classes (~200 members each).  Built from
+    the clean generator (inject=False) with counter-based column rewrites,
+    so content stays file-layout independent; tokens/n_tok are untouched.
+    Feeds tools/skew_stress.py; results recorded in BASELINE.md."""
+    tag = Path(sf_dir).name or "default"
+    out = (
+        SYNTH_ROOT
+        / f"{tag}-v{SYNTH_VERSION}-skewc{hot_pct}d{dup_pct}-r{n_rows}-f{n_files}"
+        / "sequences"
+    )
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    per_file = (n_rows + n_files - 1) // n_files
+    n_classes = max(1, n_rows // 1000)
+
+    def _write_one(f: int, offset: int, n: int) -> None:
+        idx = np.arange(offset, offset + n, dtype=np.int64)
+        h1 = _splitmix64(idx.astype(np.uint64) * np.uint64(0xA0761D6478BD642F) + np.uint64(seed))
+        h2 = _splitmix64(idx.astype(np.uint64) * np.uint64(0xE7037ED1A0B428DB) + np.uint64(seed))
+        hot = (h1 % np.uint64(100)).astype(np.int64) < hot_pct
+        dup = (h2 % np.uint64(100)).astype(np.int64) < dup_pct
+        pick = (h1 % np.uint64(len(DEFAULT_SOURCES))).astype(np.int64)
+        src = np.array(DEFAULT_SOURCES, dtype=object)[pick]
+        src[hot] = DEFAULT_SOURCES[0]
+        # re-mix before the class modulus: cls must be independent of the
+        # dup-selection residue (both mod-100 residues would correlate and
+        # collapse the class space to a fifth of n_classes)
+        cls = (_splitmix64(h2) % np.uint64(n_classes)).astype(np.int64)
+        # dup rows take their CLASS REPRESENTATIVE's index, so token content
+        # (and n_tok) is byte-identical within a class — both the id-dedup
+        # and the content-dedup exchanges see real hot classes
+        eff_idx = np.where(dup, cls, idx)
+        tbl = generate_sequences_table(n, seed=seed, inject=False, idx=eff_idx)
+        doc_ids = [
+            f"doc-dup-{c:08d}" if d else f"doc-{s}-{i:08d}"
+            for i, s, d, c in zip(idx, src, dup, cls)
+        ]
+        tbl = tbl.set_column(0, SEQUENCE_SCHEMA.field("doc_id"), pa.array(doc_ids, type=pa.string()))
+        tbl = tbl.set_column(3, SEQUENCE_SCHEMA.field("source"), pa.array(src, type=pa.string()))
+        pq.write_table(tbl, out / f"part-{f:05d}.parquet", row_group_size=65536, compression="NONE")
+
+    jobs: list[tuple[int, int, int]] = []
+    off = 0
+    for f in range(n_files):
+        n = min(per_file, n_rows - off)
+        if n <= 0:
+            break
+        jobs.append((f, off, n))
+        off += n
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(jobs) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        w = ray.remote(_write_one)
+        ray.get([w.remote(*j) for j in jobs])
+    else:
+        for j in jobs:
+            _write_one(*j)
+    (out / "_DONE").touch()
     return str(out)
 
 
