@@ -2188,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # projection of events_lag_trailing — all independently queryable
         # with their own oracle entries
         "events_funnel": lambda sf: relational.events_funnel(sf),
+        # first/last-touch conversion attribution (strictly-preceding frame)
+        "events_attribution": lambda sf: relational.events_attribution(sf),
         "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
         "docs_quantile_disc": lambda sf: relational.docs_quantile_disc(sf),
         "events_running_total": lambda sf: relational.events_running_total(sf),
@@ -2306,6 +2308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": lambda sf: __import__(
             "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
         ).embedding_dim_stats(emb(sf)),
+        # exact covariance matrix (upper triangle) via batched int64 GEMM
+        # partials — associative-exact reduction, d²-bounded exchange
+        "embedding_covariance": lambda sf: __import__(
+            "hepdata_validator_ray.pipelines.cluster", fromlist=["x"]
+        ).embedding_covariance(emb(sf)),
         # IVF recall@k vs exact brute force (quantized-cell probing, one
         # corpus pass serves both sides; the ANN quality dial)
         "ann_ivf_recall": lambda sf: __import__(
@@ -3971,6 +3978,23 @@ SELECT step, event_type, n_users FROM (
   SELECT 1::BIGINT AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
   UNION ALL SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
   UNION ALL SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3) u""",
+        # first/last-touch attribution: strictly-preceding window frame
+        # (ROWS ... 1 PRECEDING) over the (ts, event_id) per-user order;
+        # NULL-user rows excluded on both engines
+        "events_attribution": """
+WITH e AS (SELECT event_id, user_id, event_type, ts FROM events WHERE user_id IS NOT NULL),
+w AS (SELECT event_id, user_id, event_type,
+        first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER win AS first_touch_id,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER win AS last_touch_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) OVER win AS n_prior_touches
+      FROM e
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id AS conversion_id, user_id, first_touch_id, last_touch_id,
+       n_prior_touches::BIGINT AS n_prior_touches
+FROM w WHERE event_type = 'purchase'""",
         # first-order Markov transition counts over each user's (ts,
         # event_id) order
         "events_type_transitions": """
@@ -6031,6 +6055,20 @@ SELECT dim, count(*)::BIGINT AS n, sum(x) / count(*) AS mean,
        sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)) AS var_pop,
        min(x) AS min_v, max(x) AS max_v
 FROM u GROUP BY dim""",
+        # covariance twin: quantized per-coordinate rows self-joined per
+        # vector (i <= j), BIGINT product sums (raises on overflow exactly
+        # where the engine's n·maxq² certificate raises), the moment
+        # identity spelled (s/n) − (si/n)·(sj/n)
+        "embedding_covariance": """
+WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+u AS (SELECT vec_id, generate_subscripts(qe, 1)::BIGINT - 1 AS i, unnest(qe) AS qi FROM q),
+m AS (SELECT i, sum(qi)::BIGINT AS si, count(*)::BIGINT AS n FROM u GROUP BY i),
+pr AS (SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi)::BIGINT AS s
+       FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY 1, 2)
+SELECT pr.i, pr.j, ma.n,
+       (pr.s::DOUBLE / ma.n) - (ma.si::DOUBLE / ma.n) * (mb.si::DOUBLE / ma.n) AS cov_q
+FROM pr JOIN m ma ON ma.i = pr.i JOIN m mb ON mb.i = pr.j""",
         # IVF-recall twin: the kmeans assignment CTE + (d2, cid) probe
         # ranking + two row_number top-k legs + intersection count
         "ann_ivf_recall": f"""

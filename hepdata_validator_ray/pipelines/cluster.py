@@ -788,3 +788,82 @@ def embedding_dim_stats(emb_path: str) -> pd.DataFrame:
     return g[["dim", "n", "mean", "var_pop", "min_v", "max_v"]].astype(
         {"dim": "int64", "n": "int64"}
     )
+
+
+def embedding_covariance(emb_path: str, batch_size: int = 4096) -> pd.DataFrame:
+    """Exact population covariance matrix of the embedding space (upper
+    triangle) — the PCA/whitening prerequisite, computed as a batched
+    INTEGER GEMM partial reduction: each batch contributes one d×d int64
+    Gram matrix QᵀQ of the 1000-quantized vectors plus a column-sum vector,
+    so cross-batch reduction is associative-exact (no float summation-order
+    divergence anywhere) and the exchanged volume is d²·n_batches, never
+    the corpus.  cov_q = S_ij/n − (s_i/n)(s_j/n) in quantized² units, the
+    dim-stats moment-identity spelling.
+
+    int64-safety is a CERTIFICATE, not an assumption: numpy's int64 matmul
+    wraps silently, so the driver re-checks n·maxq² < 2⁶² from the reduced
+    (n, max|q|) partials and raises — the DuckDB twin raises on BIGINT
+    overflow at the same bound (re-derive with a smaller QUANT_SCALE or
+    hi/lo words beyond it).
+
+    Output (i, j, n, cov_q), 0-based dims, i ≤ j."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(np.stack(df["embedding"].to_numpy()))
+        d = q.shape[1]
+        gram = q.T @ q
+        iu, ju = np.triu_indices(d)
+        colsum = q.sum(axis=0)
+        return pd.DataFrame(
+            {
+                "i": np.r_[iu, np.arange(d, dtype=np.int64), np.int64(-1)],
+                "j": np.r_[ju, np.full(d, -1, dtype=np.int64), np.int64(-1)],
+                # the -1/-1 row packs (batch row count, batch max|q|) so the
+                # overflow certificate reduces with the same partials
+                "s": np.r_[gram[iu, ju], colsum, np.int64(len(df))],
+                "m": np.r_[
+                    np.zeros(len(iu) + d, dtype=np.int64),
+                    np.int64(np.abs(q).max()) if len(df) else np.int64(0),
+                ],
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(emb_path, columns=["embedding"])
+        .map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .to_pandas()
+    )  # (d²/2 + d + 1) × n_batches, bounded
+    empty = pd.DataFrame(
+        {
+            "i": pd.Series(dtype="int64"),
+            "j": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "cov_q": pd.Series(dtype="float64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    g = parts.groupby(["i", "j"], as_index=False).agg(s=("s", "sum"), m=("m", "max"))
+    meta = g[(g["i"] == -1) & (g["j"] == -1)]
+    n = int(meta["s"].iloc[0])
+    maxq = int(meta["m"].iloc[0])
+    if n == 0:
+        return empty
+    if n * maxq * maxq >= (1 << 62):
+        raise ValueError(
+            f"n·maxq² = {n}·{maxq}² exceeds the int64 Gram bound — "
+            "lower QUANT_SCALE or split hi/lo words"
+        )
+    sums = g[(g["j"] == -1) & (g["i"] >= 0)].set_index("i")["s"]
+    pairs = g[g["j"] >= 0].copy()
+    nn = float(n)
+    si = sums.reindex(pairs["i"]).to_numpy(np.float64)
+    sj = sums.reindex(pairs["j"]).to_numpy(np.float64)
+    pairs["n"] = np.int64(n)
+    pairs["cov_q"] = (pairs["s"].to_numpy(np.float64) / nn) - (si / nn) * (sj / nn)
+    return (
+        pairs[["i", "j", "n", "cov_q"]]
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+        .astype({"i": "int64", "j": "int64", "n": "int64"})
+    )

@@ -485,6 +485,96 @@ def events_running_total(sf_dir: str, num_buckets: int | None = None) -> "ray.da
     )
 
 
+def events_attribution(
+    sf_dir: str,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """First/last-touch conversion attribution: for every conversion event,
+    the id of the user's FIRST and LAST preceding touch event and the count
+    of preceding touches — 'preceding' = strictly earlier in the
+    (ts, event_id) total order (simultaneous-timestamp ties break on
+    event_id, the running-window family's rule).  Conversions with no
+    preceding touch keep NULL touch ids (left semantics); NULL-user rows
+    are excluded on both engines.
+
+    One user-keyed bucketed exchange (the events family's shared
+    partitioning key); in-bucket the three outputs are vectorized scans
+    over the sorted segment array — last touch via a global
+    np.maximum.accumulate whose per-segment validity falls out of position
+    monotonicity (an out-of-segment max is provably < segment start), first
+    touch via one np.minimum.reduceat per segment (valid whenever any
+    prior touch exists, since the segment minimum precedes it), prior
+    count via shifted cumsum minus the segment-start offset.  No per-user
+    Python loop.  SQL twin: first_value/last_value(... IGNORE NULLS) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING).
+
+    Output (conversion_id, user_id, first_touch_id, last_touch_id,
+    n_prior_touches)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    _EMPTY = pd.DataFrame(
+        {
+            "conversion_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "first_touch_id": pd.Series(dtype="object"),
+            "last_touch_id": pd.Series(dtype="object"),
+            "n_prior_touches": pd.Series(dtype="int64"),
+        }
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna()]
+        if not len(df):
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        etype = df["event_type"].to_numpy()
+        n = len(df)
+        touch = etype == touch_type
+        pos = np.arange(n, dtype=np.int64)
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        sizes = np.diff(np.r_[seg_starts, n])
+        start_of = np.repeat(seg_starts, sizes)
+        BIG = np.int64(n + 1)
+        ff_last = np.maximum.accumulate(np.where(touch, pos, -1))
+        first_pos_seg = np.minimum.reduceat(np.where(touch, pos, BIG), seg_starts)
+        first_of = np.repeat(first_pos_seg, sizes)
+        cs = np.cumsum(touch.astype(np.int64))
+        prev_last = np.r_[np.int64(-1), ff_last[:-1]]
+        prev_cs = np.r_[np.int64(0), cs[:-1]]
+        ci = np.flatnonzero(etype == conversion_type)
+        if not len(ci):
+            return _EMPTY
+        n_prior = prev_cs[ci] - prev_cs[start_of[ci]]
+        has = n_prior > 0
+        first_ids = np.where(has, eid[np.minimum(first_of[ci], n - 1)], -1)
+        last_ids = np.where(has, eid[np.maximum(prev_last[ci], 0)], -1)
+        return pd.DataFrame(
+            {
+                "conversion_id": eid[ci],
+                "user_id": users[ci],
+                "first_touch_id": [int(x) if x >= 0 else None for x in first_ids],
+                "last_touch_id": [int(x) if x >= 0 else None for x in last_ids],
+                "n_prior_touches": n_prior,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 def events_funnel(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -91,3 +91,92 @@ def test_derive_num_buckets_path_shapes(tmp_path):
     assert derive_num_buckets_path([str(p), str(p)]) == 16
     assert derive_num_buckets_path("/nonexistent/nope") == 16  # empty glob → lo
     assert derive_num_buckets_path([str(tmp_path / "missing.parquet")]) == 64  # unreadable → fallback
+
+
+def test_events_attribution_edges(ray_session, tmp_path, monkeypatch):
+    """Pins: (a) conversion before any touch → NULL ids, 0 priors;
+    (b) same-timestamp touch with SMALLER event_id counts as preceding,
+    with LARGER event_id does not; (c) touches after the conversion never
+    count; (d) NULL-user rows excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hepdata_validator_ray.pipelines import relational
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # u1 click (e0)
+            "2024-01-01 00:01:00",  # u1 purchase (e1) -> first=last=0, n=1
+            "2024-01-01 00:02:00",  # u1 click (e2)
+            "2024-01-01 00:03:00",  # u1 purchase (e3) -> first=0 last=2 n=2
+            "2024-01-01 00:00:30",  # u2 purchase (e4) -> NULLs (click later)
+            "2024-01-01 00:00:45",  # u2 click (e5)
+            "2024-01-01 00:05:00",  # u3: click e6 same ts as purchase e7
+            "2024-01-01 00:05:00",  # u3 purchase e7 -> e6 counts (smaller id)
+            "2024-01-01 00:06:00",  # u3: purchase e8 same ts as click e9
+            "2024-01-01 00:06:00",  # u3 click e9 (larger id -> not preceding e8)
+            "2024-01-01 00:07:00",  # null-user purchase (excluded)
+        ]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(11)), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 3, 3, 3, 3, None], pa.int64()),
+            "event_type": pa.array(
+                ["click", "purchase", "click", "purchase", "purchase", "click",
+                 "click", "purchase", "purchase", "click", "purchase"]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = (
+        relational.events_attribution(str(d))
+        .to_pandas()
+        .sort_values("conversion_id")
+        .reset_index(drop=True)
+    )
+    assert out["conversion_id"].tolist() == [1, 3, 4, 7, 8]
+    assert out["first_touch_id"].tolist() == [0, 0, None, 6, 6]
+    assert out["last_touch_id"].tolist() == [0, 2, None, 6, 6]
+    assert out["n_prior_touches"].tolist() == [1, 2, 0, 1, 1]
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """cov_q equals the numpy population covariance of the quantized
+    matrix, spelled with the same moment identity."""
+    from hepdata_validator_ray.pipelines.cluster import _quantize, embedding_covariance
+
+    p = f"{SF}/embeddings.parquet"
+    out = embedding_covariance(p)
+    df = pd.read_parquet(p)
+    q = _quantize(np.stack(df["embedding"].to_numpy())).astype(np.float64)
+    n = len(q)
+    s = q.sum(axis=0)
+    for _, r in out.head(50).iterrows():
+        i, j = int(r["i"]), int(r["j"])
+        expect = (q[:, i] * q[:, j]).sum() / n - (s[i] / n) * (s[j] / n)
+        assert abs(r["cov_q"] - expect) < 1e-6 * max(1.0, abs(expect))
+    d = q.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    assert (out["n"] == n).all()
+
+
+def test_embedding_covariance_overflow_certificate(ray_session, tmp_path):
+    """n·maxq² past the int64 Gram bound must raise, never wrap silently."""
+    import pytest
+
+    from hepdata_validator_ray.pipelines.cluster import embedding_covariance
+
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [np.full(4, 4.0e6, dtype=np.float64) for _ in range(4)],
+        }
+    )
+    p = str(tmp_path / "big.parquet")
+    df.to_parquet(p, index=False)
+    with pytest.raises(ValueError, match="Gram bound"):
+        embedding_covariance(p)
