@@ -2136,6 +2136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram exchange shared with the Zipf fit)
         "v_token_source_mi": lambda sf: validation.token_source_mi_top(_seq(sf), k=50),
         "text_langid": lambda sf: text.lang_id(docs(sf)),
+        # C4-style whole-word blocklist filter (map-side only)
+        "text_blocklist": lambda sf: text.blocklist_stats(docs(sf)),
         "text_fingerprint": lambda sf: text.fingerprints(docs(sf)),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(docs(sf), threshold=0.5),
         # fused-union legs of dedup_exact_meta / ann_meta / dedup_ngram_meta,
@@ -2146,6 +2148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "dedup_exact_groups": lambda sf: dedup.exact_dup_groups(docs(sf)),
         "dedup_exact_keep_first": lambda sf: dedup.exact_keep_first(docs(sf)),
+        # quality-aware survivor policy (source priority, dup classes only)
+        # over the rotated-source exact-dup fixture — the raw documents
+        # table has no exact-dup classes, so the policy would be vacuous
+        "dedup_exact_keep_best": lambda sf: dedup.exact_keep_best(
+            __import__("hepdata_validator_ray.synth", fromlist=["x"]).ensure_dupbest_documents_parquet(sf)
+        ),
         "ann_topk": lambda sf: similarity.ann_topk_bruteforce(emb(sf), k=10, n_queries=5),
         # bounded range join standalone (also fused into the gated
         # events_lag_trailing as the n_view_win column)
@@ -2190,6 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": lambda sf: relational.events_funnel(sf),
         # first/last-touch conversion attribution (strictly-preceding frame)
         "events_attribution": lambda sf: relational.events_attribution(sf),
+        # linear multi-touch revenue attribution (integer equal shares)
+        "events_attribution_linear": lambda sf: relational.events_attribution_linear(sf),
         "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
         "docs_quantile_disc": lambda sf: relational.docs_quantile_disc(sf),
         "events_running_total": lambda sf: relational.events_running_total(sf),
@@ -3995,6 +4005,25 @@ w AS (SELECT event_id, user_id, event_type,
 SELECT event_id AS conversion_id, user_id, first_touch_id, last_touch_id,
        n_prior_touches::BIGINT AS n_prior_touches
 FROM w WHERE event_type = 'purchase'""",
+        # linear multi-touch twin: shares = cents // n_prior (BIGINT floor
+        # division, remainder unattributed), touch×conversion inner join on
+        # the strictly-after condition; membership = a later attributable
+        # conversion EXISTS (credit may floor to 0)
+        "events_attribution_linear": """
+WITH e AS (SELECT event_id, user_id, event_type, ts, value FROM events WHERE user_id IS NOT NULL),
+w AS (SELECT *,
+        count(CASE WHEN event_type = 'click' THEN 1 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np
+      FROM e),
+conv AS (SELECT user_id, ts, event_id,
+                CAST(floor(coalesce(value, 0) * 100) AS BIGINT) // np AS term
+         FROM w WHERE event_type = 'purchase' AND np > 0),
+t AS (SELECT event_id AS touch_id, user_id, ts FROM e WHERE event_type = 'click')
+SELECT t.touch_id, t.user_id, sum(c.term)::BIGINT AS credit_cents
+FROM t JOIN conv c ON c.user_id = t.user_id
+     AND (c.ts > t.ts OR (c.ts = t.ts AND c.event_id > t.touch_id))
+GROUP BY 1, 2""",
         # first-order Markov transition counts over each user's (ts,
         # event_id) order
         "events_type_transitions": """
@@ -4917,6 +4946,22 @@ SELECT count(*)::BIGINT AS n_dup_groups, coalesce(sum(cnt), 0)::BIGINT AS n_dup_
         "dedup_exact_keep_first": """
 SELECT coalesce(md5(text), '<NULL>') AS h, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1""",
+        # keep-best twin: source-priority survivor (source DESC NULLS LAST,
+        # doc_id ASC) over duplicated classes of the rotated-source fixture
+        "dedup_exact_keep_best": f"""
+WITH g AS (SELECT coalesce(md5(text), '<NULL>') AS h, doc_id, source
+           FROM read_parquet('{{dupbest}}')),
+r AS (SELECT h, doc_id, source,
+        count(*) OVER (PARTITION BY h) AS n_members,
+        row_number() OVER (PARTITION BY h ORDER BY source DESC NULLS LAST, doc_id) AS rk
+      FROM g)
+SELECT h, doc_id::BIGINT AS keep_doc_id, source AS keep_source,
+       n_members::BIGINT AS n_members
+FROM r WHERE rk = 1 AND n_members >= 2""".format(
+            dupbest=__import__(
+                "hepdata_validator_ray.synth", fromlist=["x"]
+            ).ensure_dupbest_documents_parquet("/root/testdata/sf0.01")
+        ),
         # both exact-dedup legs as the gated (kind, h, n) union — survivors
         # plus the dup-group/dup-doc summary off one GROUP BY
         "dedup_exact_meta": """
@@ -4951,6 +4996,24 @@ FROM s GROUP BY 1, 2""",
         "text_langid": langid_cte + f"""
 SELECT doc_id,{langid_select}
 FROM s""",
+        # blocklist twin: whole-word IN-set over the split-on-space words,
+        # hit docs only; term set generated FROM the kernel's DEFAULT_BLOCKLIST
+        "text_blocklist": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL),
+h AS (SELECT doc_id, word FROM w WHERE word IN ({blk}))
+SELECT doc_id, count(*)::BIGINT AS n_hits,
+       count(DISTINCT word)::BIGINT AS n_distinct_terms
+FROM h GROUP BY doc_id""".format(
+            blk=", ".join(
+                f"'{t}'"
+                for t in sorted(
+                    __import__(
+                        "hepdata_validator_ray.pipelines.text", fromlist=["x"]
+                    ).DEFAULT_BLOCKLIST
+                )
+            )
+        ),
         "bm25_topk": __import__(
             "hepdata_validator_ray.pipelines.retrieval", fromlist=["x"]
         ).bm25_oracle_sql(["hash", "join", "stream"], k=10),

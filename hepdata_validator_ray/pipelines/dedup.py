@@ -103,6 +103,73 @@ def exact_keep_first(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     )
 
 
+def exact_keep_best(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
+    """Quality-aware survivor per duplicated content class — the policy
+    sibling of ``exact_keep_first``: keep the member with the
+    lexicographically LARGEST source (a stand-in priority list: curated
+    beats crawl when content duplicates; NULL source ranks last), tie →
+    min doc_id.  Emitted only for classes with ≥ 2 members, with the class
+    size, so the output IS the dedup decision log a curation run audits.
+
+    Same one bucketed content-hash exchange as the keep-first family;
+    partials carry (h, n, best-by-policy) so hot classes collapse map-side
+    and the policy reduces associatively (best-of-bests).
+
+    Output (h, keep_doc_id, keep_source, n_members)."""
+    from hepdata_validator_ray.ops import bucketed_aggregate
+
+    def best_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # policy order: source DESC (NaN last), doc_id ASC — first row per h
+        df = df.sort_values(
+            ["h", "source", "doc_id"],
+            ascending=[True, False, True],
+            na_position="last",
+            kind="mergesort",
+        )
+        g = df.groupby("h", sort=False)
+        out = df.drop_duplicates("h", keep="first")[["h", "doc_id", "source"]].copy()
+        out["n"] = g.size().reindex(out["h"]).to_numpy(np.int64)
+        return out.rename(columns={"doc_id": "keep_doc_id", "source": "keep_source"})
+
+    _empty_p = pa.table(
+        {
+            "h": pa.array([], pa.string()),
+            "keep_doc_id": pa.array([], pa.int64()),
+            "keep_source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    _empty_c = _empty_p.drop_columns(["n"]).append_column(
+        "n_members", pa.array([], pa.int64())
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_p
+        return pa.Table.from_pandas(best_rows(t.to_pandas()), preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_c
+        df = t.to_pandas().rename(columns={"keep_doc_id": "doc_id", "keep_source": "source"})
+        sizes = df.groupby("h", sort=False)["n"].sum()
+        out = best_rows(df.drop(columns=["n"]))
+        out["n_members"] = sizes.reindex(out["h"]).to_numpy(np.int64)
+        out = out[out["n_members"] >= 2].drop(columns=["n"])
+        if not len(out):
+            return _empty_c
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hashed = ray.data.read_parquet(docs_path, columns=["doc_id", "text", "source"]).map_batches(
+        lambda df: _KEY_FNS[key_fn](df).assign(source=df["source"].to_numpy()),
+        batch_format="pandas",
+        batch_size=4096,
+    )
+    return bucketed_aggregate(
+        hashed, "h", partial, combine, num_buckets=derive_num_buckets_path(docs_path)
+    )
+
+
 def exact_dedup_meta(docs_path: str, key_fn: str = "md5") -> "ray.data.Dataset":
     """Both exact-dedup legs off ONE content-hash exchange, as a (kind, h, n)
     union: 'keep_first' rows carry the min(doc_id) survivor per content hash

@@ -575,6 +575,90 @@ def events_attribution(
     )
 
 
+def events_attribution_linear(
+    sf_dir: str,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Linear multi-touch REVENUE attribution: every touch preceding a
+    conversion (the events_attribution frame: strictly earlier in
+    (ts, event_id) per user) receives an equal integer share
+    ``cents(conversion) // n_prior_touches`` of that conversion's value,
+    summed over all the conversions it precedes — floor division so the
+    per-touch credits are exact int64 on both engines (the remainder is
+    deliberately unattributed, mirrored by the twin's BIGINT ``//``).
+    Touches preceding NO attributable conversion are omitted; a touch
+    whose every share floors to zero still appears with credit 0 (the
+    existence of a later conversion, not the credit, decides membership —
+    matching the twin's inner join).
+
+    Same user-keyed exchange and in-bucket sort as events_attribution; the
+    per-touch sum is one reverse-cumulative pass over the conversion-term
+    array with per-segment end offsets — no per-user loop, no pair
+    materialization (the SQL twin pays the touch×conversion join; the
+    kernel never does).
+
+    Output (touch_id, user_id, credit_cents)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    _EMPTY = pd.DataFrame(
+        {
+            "touch_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "credit_cents": pd.Series(dtype="int64"),
+        }
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna()]
+        if not len(df):
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        etype = df["event_type"].to_numpy()
+        cents = np.floor(np.nan_to_num(df["value"].to_numpy(np.float64)) * 100.0).astype(np.int64)
+        n = len(df)
+        touch = etype == touch_type
+        conv = etype == conversion_type
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        sizes = np.diff(np.r_[seg_starts, n])
+        start_of = np.repeat(seg_starts, sizes)
+        cs = np.cumsum(touch.astype(np.int64))
+        prev_cs = np.r_[np.int64(0), cs[:-1]]
+        n_prior = prev_cs - prev_cs[start_of]
+        term = np.zeros(n, dtype=np.int64)
+        attributable = conv & (n_prior > 0)
+        term[attributable] = cents[attributable] // n_prior[attributable]
+        # suffix sums (terms strictly after each row: term[row]=0 for touches)
+        rs = np.r_[np.cumsum(term[::-1])[::-1], np.int64(0)]
+        cnt = np.r_[np.cumsum(attributable[::-1].astype(np.int64))[::-1], np.int64(0)]
+        seg_end = np.repeat(np.r_[seg_starts[1:], np.int64(n)], sizes)
+        ti = np.flatnonzero(touch)
+        credit = rs[ti] - rs[seg_end[ti]]
+        later = cnt[ti] - cnt[seg_end[ti]]
+        keep = later > 0
+        return pd.DataFrame(
+            {
+                "touch_id": eid[ti][keep],
+                "user_id": users[ti][keep],
+                "credit_cents": credit[keep],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 def events_funnel(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

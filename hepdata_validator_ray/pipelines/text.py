@@ -127,6 +127,63 @@ def _repetition_metrics(
     return distinct, top_bigram, sum_wlen
 
 
+#: default badwords list for the gated blocklist query — whole-word terms
+#: present at every test scale of the word-soup corpus (real deployments
+#: swap in a C4-style list; the kernel is term-count independent)
+DEFAULT_BLOCKLIST = ("slow", "error", "leak", "spill")
+
+
+def blocklist_stats(
+    docs_path: str, terms: tuple[str, ...] = DEFAULT_BLOCKLIST
+) -> "ray.data.Dataset":
+    """C4-style blocklist filter: for every doc containing at least one
+    blocklist term as a WHOLE word (the split-on-space convention shared by
+    the quality/langid family — substring matching is pii_scrub's regex
+    domain), the total hit count and the number of distinct terms hit —
+    the two numbers a curation policy thresholds on.
+
+    Entirely map-side (one exploded-word pass per batch, membership via
+    np.isin against the sorted term array, per-doc reductions via
+    bincount); no exchange, output only hit docs.
+
+    Output (doc_id, n_hits, n_distinct_terms)."""
+    terms_sorted = np.array(sorted(set(terms)), dtype=object)
+    _empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_hits": pd.Series(dtype="int64"),
+            "n_distinct_terms": pd.Series(dtype="int64"),
+        }
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
+        if not len(df):
+            return _empty
+        flat, offs = _explode_words(df["text"].str.split(" "))
+        hit = np.isin(flat, terms_sorted)
+        if not hit.any():
+            return _empty
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), np.diff(offs))
+        hd = doc_of[hit]
+        n_hits = np.bincount(hd, minlength=len(df))
+        ti = np.searchsorted(terms_sorted, flat[hit])
+        upair = np.unique(hd * np.int64(len(terms_sorted)) + ti)
+        nd = np.bincount(upair // len(terms_sorted), minlength=len(df))
+        keep = n_hits > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_hits": n_hits[keep].astype(np.int64),
+                "n_distinct_terms": nd[keep].astype(np.int64),
+            }
+        )
+
+    return ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas", batch_size=4096
+    )
+
+
 def quality_scores(docs_path: str) -> "ray.data.Dataset":
     """Quality metrics per doc: char count, whitespace-token count,
     punctuation count, stopword hits, plus the Gopher/C4-style repetition

@@ -498,6 +498,37 @@ def ensure_nearpair_documents_parquet(sf_dir: str) -> str:
     return str(out)
 
 
+def ensure_dupbest_documents_parquet(sf_dir: str) -> str:
+    """Exact-dup fixture for the quality-aware keep-best policy: the base
+    documents table unioned with an identical-TEXT copy whose doc_ids are
+    offset by 1,000,000 and whose source is rotated srcK → src((K+1) % 20)
+    — every content class has exactly two members with DIFFERENT sources,
+    so the source-priority survivor provably diverges from keep-first
+    (min doc_id) wherever the rotation crosses the lexicographic order."""
+    import pandas as pd
+
+    tag = Path(sf_dir).name or "default"
+    out = SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}-dupbest" / "documents_db.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    twin = base.copy()
+    twin["doc_id"] = twin["doc_id"] + 1_000_000
+
+    def _rot(s):
+        if isinstance(s, str) and s.startswith("src") and s[3:].isdigit():
+            return f"src{(int(s[3:]) + 1) % 20}"
+        return s
+
+    twin["source"] = twin["source"].map(_rot)
+    df = pd.concat([base, twin], ignore_index=True)
+    tmp = out.with_suffix(".tmp")
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return str(out)
+
+
 def ensure_rowgrouped_sequences_parquet(
     sf_dir: str, row_group_size: int = 256, n_files: int = 4, seed: int = 42
 ) -> str:

@@ -180,3 +180,85 @@ def test_embedding_covariance_overflow_certificate(ray_session, tmp_path):
     df.to_parquet(p, index=False)
     with pytest.raises(ValueError, match="Gram bound"):
         embedding_covariance(p)
+
+
+def test_blocklist_whole_word_semantics(ray_session, tmp_path):
+    """Whole-word matches only; n_hits counts occurrences, distinct counts
+    terms; clean docs and null text omitted."""
+    from hepdata_validator_ray.pipelines.text import blocklist_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "slow join slow error",   # 3 hits, 2 terms
+                "slowly but surely",      # substring only -> no hit
+                None,
+                "leak",                   # 1 hit, 1 term
+            ],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    out = blocklist_stats(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 3]
+    assert out["n_hits"].tolist() == [3, 1]
+    assert out["n_distinct_terms"].tolist() == [2, 1]
+
+
+def test_keep_best_policy_lexicographic(ray_session, tmp_path):
+    """Policy = source DESC (LEXICOGRAPHIC: 'src9' > 'src11'), tie -> min
+    doc_id; singleton classes omitted; diverges from keep-first."""
+    from hepdata_validator_ray.pipelines.dedup import exact_keep_best
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": ["aa", "aa", "aa", "bb", "cc"],
+            "source": ["src2", "src11", "src9", "src1", None],
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    df.to_parquet(p, index=False)
+    out = exact_keep_best(p).to_pandas()
+    assert len(out) == 1  # only the 'aa' class has >= 2 members
+    r = out.iloc[0]
+    assert r["keep_doc_id"] == 2 and r["keep_source"] == "src9" and r["n_members"] == 3
+
+
+def test_attribution_linear_floor_shares(ray_session, tmp_path):
+    """Shares are cents // n_prior per conversion (remainder dropped); a
+    touch before a zero-share conversion still appears with credit 0."""
+    from hepdata_validator_ray.pipelines import relational
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00",  # e0 u1 click
+            "2024-01-01 00:01",  # e1 u1 click
+            "2024-01-01 00:02",  # e2 u1 purchase value 0.05 -> 5 cents // 2 = 2 each
+            "2024-01-01 00:03",  # e3 u1 click
+            "2024-01-01 00:04",  # e4 u1 purchase value 0.02 -> 2 cents // 3 = 0 each
+            "2024-01-01 00:05",  # e5 u2 click with no later purchase -> omitted
+        ]
+    )
+    t = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 1, 1, 1, 1, 2], dtype=np.int64),
+            "event_type": ["click", "click", "purchase", "click", "purchase", "click"],
+            "value": [0.0, 0.0, 0.05, 0.0, 0.02, 0.0],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet", index=False)
+    out = (
+        relational.events_attribution_linear(str(d))
+        .to_pandas()
+        .sort_values("touch_id")
+        .reset_index(drop=True)
+    )
+    # e0, e1: 2 (from e2) + 0 (from e4); e3: 0 (from e4 only); e5 omitted
+    assert out["touch_id"].tolist() == [0, 1, 3]
+    assert out["credit_cents"].tolist() == [2, 2, 0]
