@@ -2200,6 +2200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": lambda sf: relational.events_attribution(sf),
         # linear multi-touch revenue attribution (integer equal shares)
         "events_attribution_linear": lambda sf: relational.events_attribution_linear(sf),
+        # per-user time-weighted average value (interval-state weighting)
+        "events_time_weighted": lambda sf: relational.events_time_weighted_value(sf),
         "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
         "docs_quantile_disc": lambda sf: relational.docs_quantile_disc(sf),
         "events_running_total": lambda sf: relational.events_running_total(sf),
@@ -4024,6 +4026,21 @@ SELECT t.touch_id, t.user_id, sum(c.term)::BIGINT AS credit_cents
 FROM t JOIN conv c ON c.user_id = t.user_id
      AND (c.ts > t.ts OR (c.ts = t.ts AND c.event_id > t.touch_id))
 GROUP BY 1, 2""",
+        # time-weighted-average twin: lead(ts) holding intervals in integer
+        # ms, exact int64 num/den sums, NULL on zero total duration
+        "events_time_weighted": """
+WITH e AS (SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+w AS (SELECT user_id, cents,
+        (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+         - epoch_us(ts)) // 1000 AS dms
+      FROM e),
+a AS (SELECT user_id, count(*)::BIGINT AS n_intervals,
+             sum(cents * dms)::BIGINT AS num_cents_ms, sum(dms)::BIGINT AS den_ms
+      FROM w WHERE dms IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_intervals, num_cents_ms, den_ms,
+       CASE WHEN den_ms > 0 THEN num_cents_ms::DOUBLE / den_ms END AS twa_cents
+FROM a""",
         # first-order Markov transition counts over each user's (ts,
         # event_id) order
         "events_type_transitions": """

@@ -659,6 +659,86 @@ def events_attribution_linear(
     )
 
 
+def events_time_weighted_value(
+    sf_dir: str, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Per-user TIME-WEIGHTED average value — the telemetry/state-average
+    primitive (each event's value holds until the user's next event; the
+    mean weights by holding duration, not by event count):
+
+        twa = Σ cents_i · Δms_i / Σ Δms_i,   Δms_i = (t_{i+1} − t_i) // 1000
+
+    over the user's (ts, event_id)-ordered valued events; the last event
+    has no holding interval and contributes nothing.  Both sums are exact
+    int64 (cents ≤ ~10⁴, Δms ≤ ~10¹⁰ per interval — products stay far
+    inside int64 at per-user scale), so the only float is the final
+    one-division ratio; a zero total duration (all events in one
+    millisecond) yields NULL, never a platform-dependent inf.  NULL-value
+    and NULL-user rows are excluded (mirrored WHERE).
+
+    One user-keyed bucketed exchange; in-bucket the intervals are a
+    shifted-difference over the sorted segment array and the per-user sums
+    are np.add.reduceat over segment bounds — no per-user loop.
+
+    Output (user_id, n_intervals, num_cents_ms, den_ms, twa_cents)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "n_intervals": pd.Series(dtype="int64"),
+            "num_cents_ms": pd.Series(dtype="int64"),
+            "den_ms": pd.Series(dtype="int64"),
+            "twa_cents": pd.Series(dtype="float64"),
+        }
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna() & df["value"].notna()]
+        if not len(df):
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        t_us = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        n = len(df)
+        same_next = np.r_[users[1:] == users[:-1], False]
+        dms = np.zeros(n, dtype=np.int64)
+        dms[:-1] = (t_us[1:] - t_us[:-1]) // 1000
+        dms[~same_next] = 0
+        has_iv = same_next
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        num = np.add.reduceat(cents * dms, seg_starts)
+        den = np.add.reduceat(dms, seg_starts)
+        niv = np.add.reduceat(has_iv.astype(np.int64), seg_starts)
+        uid = users[seg_starts]
+        keep = niv > 0
+        num, den, niv, uid = num[keep], den[keep], niv[keep], uid[keep]
+        twa = np.where(den > 0, num.astype(np.float64) / np.where(den > 0, den, 1), np.nan)
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "n_intervals": niv,
+                "num_cents_ms": num,
+                "den_ms": den,
+                "twa_cents": twa,
+            }
+        )
+        out["twa_cents"] = out["twa_cents"].where(den > 0, None)
+        return out
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
 def events_funnel(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),

@@ -262,3 +262,48 @@ def test_attribution_linear_floor_shares(ray_session, tmp_path):
     # e0, e1: 2 (from e2) + 0 (from e4); e3: 0 (from e4 only); e5 omitted
     assert out["touch_id"].tolist() == [0, 1, 3]
     assert out["credit_cents"].tolist() == [2, 2, 0]
+
+
+def test_time_weighted_value_semantics(ray_session, tmp_path):
+    """Holding-interval weighting: value holds until the NEXT event; last
+    event contributes nothing; null-value rows excluded entirely (they
+    neither hold state nor break intervals... they are filtered BEFORE
+    interval construction, so the surrounding interval spans them);
+    zero-duration users yield NULL twa."""
+    from hepdata_validator_ray.pipelines import relational
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # u1 v=1.00 holds 2s
+            "2024-01-01 00:00:02",  # u1 v=3.00 holds 1s
+            "2024-01-01 00:00:03",  # u1 v=9.99 last -> no interval
+            "2024-01-01 00:00:05",  # u2 v=5.00 same-ms pair -> den 0
+            "2024-01-01 00:00:05",  # u2 v=7.00 last
+            "2024-01-01 00:00:06",  # u3 single event -> omitted
+        ]
+    )
+    t = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "event_type": ["view"] * 6,
+            "value": [1.0, 3.0, 9.99, 5.0, 7.0, 2.0],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    t.to_parquet(d / "events.parquet", index=False)
+    out = (
+        relational.events_time_weighted_value(str(d))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    u1 = out.iloc[0]
+    # num = 100*2000 + 300*1000 = 500_000; den = 3000; twa = 166.666...
+    assert u1["num_cents_ms"] == 500_000 and u1["den_ms"] == 3000
+    assert abs(u1["twa_cents"] - 500_000 / 3000) < 1e-12
+    u2 = out.iloc[1]
+    assert u2["den_ms"] == 0 and pd.isna(u2["twa_cents"]) and u2["n_intervals"] == 1
