@@ -2196,12 +2196,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # projection of events_lag_trailing — all independently queryable
         # with their own oracle entries
         "events_funnel": lambda sf: relational.events_funnel(sf),
+        # deadline funnel (exact DP feasibility — greedy is wrong here)
+        "events_funnel_windowed": lambda sf: relational.events_funnel_windowed(sf),
         # first/last-touch conversion attribution (strictly-preceding frame)
         "events_attribution": lambda sf: relational.events_attribution(sf),
         # linear multi-touch revenue attribution (integer equal shares)
         "events_attribution_linear": lambda sf: relational.events_attribution_linear(sf),
         # per-user time-weighted average value (interval-state weighting)
         "events_time_weighted": lambda sf: relational.events_time_weighted_value(sf),
+        # per-user peak sliding-window rate (rate-limit / bot audit)
+        "events_burst_max": lambda sf: relational.events_burst_max(sf),
+        # integer-exact k-sigma anomalous-day verdicts per type
+        "events_anomaly_days": lambda sf: relational.events_anomaly_days(sf),
         "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
         "docs_quantile_disc": lambda sf: relational.docs_quantile_disc(sf),
         "events_running_total": lambda sf: relational.events_running_total(sf),
@@ -4026,6 +4032,46 @@ SELECT t.touch_id, t.user_id, sum(c.term)::BIGINT AS credit_cents
 FROM t JOIN conv c ON c.user_id = t.user_id
      AND (c.ts > t.ts OR (c.ts = t.ts AND c.event_id > t.touch_id))
 GROUP BY 1, 2""",
+        # deadline-funnel twin: per-step feasibility as an EXISTS chain
+        # (feasible prev strictly earlier in (ts, event_id) order, gap <=
+        # the window) — the quadratic spelling of the kernel's exact DP
+        "events_funnel_windowed": """
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id IS NOT NULL),
+f1 AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'view'),
+f2 AS (SELECT c.user_id, c.ts, c.event_id FROM e c WHERE c.event_type = 'click'
+       AND EXISTS (SELECT 1 FROM f1 p WHERE p.user_id = c.user_id
+            AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+            AND c.ts - p.ts <= INTERVAL 60 MINUTE)),
+f3 AS (SELECT c.user_id, c.ts, c.event_id FROM e c WHERE c.event_type = 'purchase'
+       AND EXISTS (SELECT 1 FROM f2 p WHERE p.user_id = c.user_id
+            AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+            AND c.ts - p.ts <= INTERVAL 60 MINUTE))
+SELECT step, event_type, n_users FROM (
+  SELECT 1::BIGINT AS step, 'view' AS event_type, count(DISTINCT user_id)::BIGINT AS n_users FROM f1
+  UNION ALL SELECT 2::BIGINT, 'click', count(DISTINCT user_id)::BIGINT FROM f2
+  UNION ALL SELECT 3::BIGINT, 'purchase', count(DISTINCT user_id)::BIGINT FROM f3) u""",
+        # burst twin: RANGE-frame trailing count (peers + inclusive lower
+        # bound), per-user max + earliest achieving window-end
+        "events_burst_max": """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+w AS (SELECT user_id, epoch_us(ts)::BIGINT AS t_us,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW) AS c
+      FROM e),
+m AS (SELECT user_id, max(c)::BIGINT AS burst_max FROM w GROUP BY user_id)
+SELECT m.user_id, m.burst_max, min(w.t_us)::BIGINT AS at_us
+FROM m JOIN w ON w.user_id = m.user_id AND w.c = m.burst_max
+GROUP BY 1, 2""",
+        # anomaly twin: the same integer cross-multiplied k-sigma verdict
+        "events_anomaly_days": """
+WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,
+                  epoch_us(ts)::BIGINT // 86400000000 AS day_idx, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::BIGINT AS dd, sum(n)::BIGINT AS ss,
+             sum(n * n)::BIGINT AS s2 FROM d GROUP BY 1)
+SELECT d.event_type, d.day_idx, d.n AS n_events,
+       (d.n * s.dd - s.ss) * (d.n * s.dd - s.ss) > 9 * (s.dd * s.s2 - s.ss * s.ss) AS is_anomaly
+FROM d JOIN s USING (event_type)""",
         # time-weighted-average twin: lead(ts) holding intervals in integer
         # ms, exact int64 num/den sums, NULL on zero total duration
         "events_time_weighted": """

@@ -799,6 +799,201 @@ def events_funnel(
     return partials.groupby(["step", "event_type"]).aggregate(Sum("n_users", alias_name="n_users"))
 
 
+def events_funnel_windowed(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_minutes: int = 60,
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Deadline funnel: step k counts users holding a FEASIBLE step-k event
+    — one with a feasible step-(k−1) event strictly earlier in the
+    (ts, event_id) order and at most ``window_minutes`` older.  Unlike the
+    unbounded funnel, greedy earliest matching is NOT optimal under
+    deadlines (an early step-1 event can time out where a later one would
+    chain), so feasibility is the exact DP over all chains.
+
+    The DP stays vectorized: within the per-user sort, times are
+    nondecreasing, so the best feasible predecessor of a candidate is
+    simply the LATEST feasible step-(k−1) row before it in its segment —
+    one searchsorted over the feasible-position array per step, O(1) per
+    candidate, no per-user loop, no quadratic EXISTS (the SQL twin pays
+    that join; the kernel never does).
+
+    Output (step, event_type, n_users)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    steps = tuple(steps)
+    win_ns = np.int64(np.timedelta64(window_minutes, "m") / np.timedelta64(1, "ns"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(steps), dtype=np.int64)
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna()]
+        if len(df):
+            df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            t64 = df["ts"].to_numpy().astype("datetime64[ns]").view("i8")
+            users = df["user_id"].to_numpy(np.int64)
+            types = df["event_type"].to_numpy()
+            n = len(df)
+            seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+            start_of = np.repeat(seg_starts, np.diff(np.r_[seg_starts, n]))
+            feas_pos = np.flatnonzero(types == steps[0])
+            counts[0] = len(np.unique(users[feas_pos]))
+            for si in range(1, len(steps)):
+                ci = np.flatnonzero(types == steps[si])
+                if not len(ci) or not len(feas_pos):
+                    feas_pos = np.empty(0, dtype=np.int64)
+                    break
+                j = np.searchsorted(feas_pos, ci) - 1
+                prev = feas_pos[np.maximum(j, 0)]
+                ok = (j >= 0) & (prev >= start_of[ci]) & (t64[ci] - t64[prev] <= win_ns)
+                feas_pos = ci[ok]
+                counts[si] = len(np.unique(users[feas_pos]))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": list(steps),
+                "n_users": counts,
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+        filter=pads.field("event_type").isin(list(steps)),
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=16)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby(["step", "event_type"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def events_burst_max(
+    sf_dir: str, window_minutes: int = 60, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Per-user peak sliding-window rate — the rate-limit / bot audit: the
+    maximum number of the user's events in any ``window_minutes`` window,
+    measured at event boundaries (where every continuous-window maximum is
+    attained), plus the EARLIEST window-end achieving it (µs epoch).  The
+    window is [t − W, t] inclusive with equal-timestamp peers counted
+    (SQL RANGE-frame semantics, the events_lag_trailing convention).
+
+    One user-keyed exchange; per segment the trailing counts are two
+    searchsorted passes and the argmax is a masked minimum.reduceat —
+    no per-user loop.
+
+    Output (user_id, burst_max, at_us)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    win_us = np.int64(np.timedelta64(window_minutes, "m") / np.timedelta64(1, "us"))
+    _EMPTY = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "burst_max": pd.Series(dtype="int64"),
+            "at_us": pd.Series(dtype="int64"),
+        }
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna()]
+        if not len(df):
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        t_us = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        n = len(df)
+        bounds = np.r_[np.flatnonzero(np.r_[True, users[1:] != users[:-1]]), n]
+        c = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = t_us[s:e]
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            c[s:e] = hi - lo
+        seg_starts = bounds[:-1]
+        sizes = np.diff(bounds)
+        bmax = np.maximum.reduceat(c, seg_starts)
+        at = np.minimum.reduceat(
+            np.where(c == np.repeat(bmax, sizes), t_us, np.iinfo(np.int64).max), seg_starts
+        )
+        return pd.DataFrame(
+            {"user_id": users[seg_starts], "burst_max": bmax, "at_us": at}
+        )
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    return (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def events_anomaly_days(sf_dir: str, k_sigma: int = 3) -> "ray.data.Dataset":
+    """Anomalous-day detection per event type with ZERO float arithmetic:
+    a day is anomalous when |n_d − mean| > k·σ over the type's active
+    days, decided by the integer cross-multiplication
+
+        (n_d·D − S)² > k² · (D·S2 − S²)
+
+    (mean = S/D, var = (D·S2 − S²)/D² — the float mean/σ never exist, so
+    the boundary case is decided identically on both engines).  Every
+    (type, active day) row is emitted with its verdict, so the output is
+    non-degenerate even on a corpus with no anomalies.
+
+    Map-side (type, day) collapse per batch, one |types|-keyed exchange
+    over day-partials, per-type moments from the bounded day table.
+
+    Output (event_type, day_idx, n_events, is_anomaly); day_idx =
+    epoch_us // 86_400_000_000."""
+    _US_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas().fillna("<NULL>"),
+                # explicit µs normalization: a bare int64 cast would yield
+                # whatever unit the file carries (pandas-written parquet is
+                # ns) and silently shift every day boundary
+                "day_idx": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // _US_DAY,
+            }
+        )
+        g = df.groupby(["event_type", "day_idx"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day_idx", as_index=False)["n"].sum()
+        nd = g["n"].to_numpy(np.int64)
+        D = np.int64(len(g))
+        S = np.int64(nd.sum())
+        S2 = np.int64((nd * nd).sum())
+        dev = nd * D - S
+        flag = dev * dev > np.int64(k_sigma * k_sigma) * (D * S2 - S * S)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[0],
+                "day_idx": g["day_idx"].to_numpy(np.int64),
+                "n_events": nd,
+                "is_anomaly": flag,
+            }
+        )
+
+    return (
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )
+
+
 def events_type_transitions(sf_dir: str, num_buckets: int | None = None) -> "ray.data.Dataset":
     """First-order Markov transition counts: for every consecutive pair of
     one user's events in (ts, event_id) order, count the (prev_type →

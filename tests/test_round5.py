@@ -307,3 +307,97 @@ def test_time_weighted_value_semantics(ray_session, tmp_path):
     assert abs(u1["twa_cents"] - 500_000 / 3000) < 1e-12
     u2 = out.iloc[1]
     assert u2["den_ms"] == 0 and pd.isna(u2["twa_cents"]) and u2["n_intervals"] == 1
+
+
+def test_windowed_funnel_dp_not_greedy(ray_session, tmp_path):
+    """The deadline case where greedy earliest matching is WRONG: u1's
+    earliest view times out before the click, but a later view chains —
+    exact DP must count the user at every step.  u2's chain breaks at the
+    click deadline even though an unbounded funnel would pass."""
+    from hepdata_validator_ray.pipelines import relational
+
+    rows = [
+        # u1: view@0 (times out), view@59m, click@90m (chains to view@59m),
+        # purchase@120m (within 60m of click) -> completes
+        (0, "2024-01-01 00:00", 1, "view"),
+        (1, "2024-01-01 00:59", 1, "view"),
+        (2, "2024-01-01 01:30", 1, "click"),
+        (3, "2024-01-01 02:00", 1, "purchase"),
+        # u2: view@0, click@45m (ok), purchase@3h (click too old) -> stops at 2
+        (4, "2024-01-02 00:00", 2, "view"),
+        (5, "2024-01-02 00:45", 2, "click"),
+        (6, "2024-01-02 03:45", 2, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet", index=False)
+    out = (
+        relational.events_funnel_windowed(str(d))
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert out["n_users"].tolist() == [2, 2, 1]
+    # the unbounded funnel would have passed u2 through step 3
+    unb = relational.events_funnel(str(d)).to_pandas().sort_values("step")
+    assert unb["n_users"].tolist() == [2, 2, 2]
+
+
+def test_burst_max_window_and_tie(ray_session, tmp_path):
+    """Peak trailing-window count with [t-W, t] inclusive semantics; ties
+    resolve to the EARLIEST achieving window-end."""
+    from hepdata_validator_ray.pipelines import relational
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 00:50",  # burst 3 @00:50
+            "2024-01-01 03:00", "2024-01-01 03:20", "2024-01-01 03:40",  # burst 3 again later
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": ts,
+            "user_id": np.int64(1),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet", index=False)
+    out = relational.events_burst_max(str(d)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["burst_max"] == 3
+    assert r["at_us"] == int(pd.Timestamp("2024-01-01 00:50").value // 1000)
+
+
+def test_anomaly_days_single_outlier_identity(ray_session, tmp_path):
+    """One outlier over a constant baseline reduces to (D-1) > k²: with 10
+    baseline days the outlier is NOT anomalous (D-1 = 9 = k², strict >),
+    with 11 days it IS — the integer boundary both engines decide
+    identically because no float mean/σ ever exists."""
+    from hepdata_validator_ray.pipelines import relational
+
+    def mk(n_baseline, tmpdir):
+        rows = []
+        eid = 0
+        for day in range(n_baseline):
+            for _ in range(5):
+                rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(days=day, minutes=eid % 60), 1, "view"))
+                eid += 1
+        for _ in range(50):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(days=n_baseline, minutes=eid % 60), 1, "view"))
+            eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+        d = tmpdir
+        d.mkdir(exist_ok=True)
+        df.to_parquet(d / "events.parquet", index=False)
+        return relational.events_anomaly_days(str(d)).to_pandas()
+
+    out9 = mk(9, tmp_path / "a")   # D = 10 -> D-1 = 9, not > 9 -> clean
+    assert not out9["is_anomaly"].any()
+    out10 = mk(10, tmp_path / "b")  # D = 11 -> D-1 = 10 > 9 -> flagged
+    flagged = out10[out10["is_anomaly"]]
+    assert len(flagged) == 1 and flagged.iloc[0]["n_events"] == 50
