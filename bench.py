@@ -268,11 +268,22 @@ SCALING_ROWS = int(os.environ.get("HVR_SCALING_ROWS", "4000000"))
 def pipeline_validate_full_big(sf_dir: str) -> int:
     """Scaling workload: same flagship suite over a large synthetic table
     (~3GB at 4M rows) so the parallel fraction dominates the fixed serial
-    driver work and the N-vs-4N comparison reflects actual scaling."""
-    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
-    from hepdata_validator_ray.synth import ensure_sequences_parquet
+    driver work and the N-vs-4N comparison reflects actual scaling.
 
-    p = ensure_sequences_parquet(sf_dir, n_rows=SCALING_ROWS, n_files=32)
+    ``HVR_SCALING_SKEW=1`` swaps in the adversarial-skew corpus (90% of
+    rows on one source, 20% hot dup classes — ensure_skewed_sequences_
+    parquet) so the ladder measures the north rule's exact criterion:
+    scaling efficiency UNDER skew."""
+    from hepdata_validator_ray.engine import ValidationConfig, ValidationEngine
+    from hepdata_validator_ray.synth import (
+        ensure_sequences_parquet,
+        ensure_skewed_sequences_parquet,
+    )
+
+    if os.environ.get("HVR_SCALING_SKEW"):
+        p = ensure_skewed_sequences_parquet(sf_dir, n_rows=SCALING_ROWS, n_files=32)
+    else:
+        p = ensure_sequences_parquet(sf_dir, n_rows=SCALING_ROWS, n_files=32)
     eng = ValidationEngine(ValidationConfig(batch_size=16384, chunk_files=64))
     res = eng.validate(p)
     return res.n_rows
