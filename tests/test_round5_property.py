@@ -1,0 +1,81 @@
+"""Randomized oracle-equivalence for the round-5 event kernels: each op
+runs side-by-side with its REGISTERED DuckDB twin over seeded random event
+tables (ts collisions, null users, null values, singleton users all
+exercised) and must match rows + columns + the gate's value hash — the
+fixture-randomized generalization of the single sf0.01 gate point."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from check_correctness import to_pandas, value_hash  # noqa: E402
+
+OPS = [
+    "events_attribution",
+    "events_attribution_linear",
+    "events_time_weighted",
+    "events_burst_max",
+    "events_anomaly_days",
+    "events_funnel_windowed",
+]
+
+
+def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    # clustered timestamps with deliberate exact collisions
+    t_us = base + rng.integers(0, 5 * 86_400_000_000, n)
+    collide = rng.random(n) < 0.05
+    t_us[collide] = t_us[rng.integers(0, n, int(collide.sum()))]
+    users = rng.integers(1, 20, n).astype("float64")
+    users[rng.random(n) < 0.03] = np.nan
+    values = np.round(rng.uniform(0, 20, n), 2)
+    values[rng.random(n) < 0.05] = np.nan
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(t_us, unit="us"),
+            "user_id": pd.array(
+                [None if np.isnan(u) else int(u) for u in users], dtype="Int64"
+            ),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n
+            ),
+            "value": values,
+        }
+    )
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    import __ray_entry__ as entrymod
+
+    return entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("op", OPS)
+def test_random_fixture_matches_twin(ray_session, tmp_path, oracles, op, seed):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / f"sf-{op}-{seed}"
+    d.mkdir()
+    _random_events(seed * 7919 + 11).to_parquet(d / "events.parquet", index=False)
+
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d / 'events.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+
+    assert len(ray_df) == len(ora_df), f"{op} seed {seed}: row count"
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op} seed {seed}: value hash"
