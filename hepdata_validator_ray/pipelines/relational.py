@@ -515,12 +515,17 @@ def events_attribution(
     n_prior_touches)."""
     from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
 
+    # nullable touch ids are FLOAT64-with-NaN, never object-with-None: Ray
+    # concatenates pandas blocks, and a mixed int64/object block stream
+    # resolves dtype by CONCAT ORDER — nondeterministic across runs — while
+    # the gate normalizes float NaN ("nan") and None ("<null>") differently
+    # (latent flake caught by the randomized twin-equivalence tests)
     _EMPTY = pd.DataFrame(
         {
             "conversion_id": pd.Series(dtype="int64"),
             "user_id": pd.Series(dtype="int64"),
-            "first_touch_id": pd.Series(dtype="object"),
-            "last_touch_id": pd.Series(dtype="object"),
+            "first_touch_id": pd.Series(dtype="float64"),
+            "last_touch_id": pd.Series(dtype="float64"),
             "n_prior_touches": pd.Series(dtype="int64"),
         }
     )
@@ -552,14 +557,18 @@ def events_attribution(
             return _EMPTY
         n_prior = prev_cs[ci] - prev_cs[start_of[ci]]
         has = n_prior > 0
-        first_ids = np.where(has, eid[np.minimum(first_of[ci], n - 1)], -1)
-        last_ids = np.where(has, eid[np.maximum(prev_last[ci], 0)], -1)
+        first_ids = np.where(
+            has, eid[np.minimum(first_of[ci], n - 1)].astype(np.float64), np.nan
+        )
+        last_ids = np.where(
+            has, eid[np.maximum(prev_last[ci], 0)].astype(np.float64), np.nan
+        )
         return pd.DataFrame(
             {
                 "conversion_id": eid[ci],
                 "user_id": users[ci],
-                "first_touch_id": [int(x) if x >= 0 else None for x in first_ids],
-                "last_touch_id": [int(x) if x >= 0 else None for x in last_ids],
+                "first_touch_id": first_ids,
+                "last_touch_id": last_ids,
                 "n_prior_touches": n_prior,
             }
         )

@@ -139,8 +139,13 @@ def test_events_attribution_edges(ray_session, tmp_path, monkeypatch):
         .reset_index(drop=True)
     )
     assert out["conversion_id"].tolist() == [1, 3, 4, 7, 8]
-    assert out["first_touch_id"].tolist() == [0, 0, None, 6, 6]
-    assert out["last_touch_id"].tolist() == [0, 2, None, 6, 6]
+    # nullable ids are float64-with-NaN by contract (deterministic dtype
+    # across Ray block-concat orders)
+    def _ids(col):
+        return [None if pd.isna(x) else int(x) for x in out[col]]
+
+    assert _ids("first_touch_id") == [0, 0, None, 6, 6]
+    assert _ids("last_touch_id") == [0, 2, None, 6, 6]
     assert out["n_prior_touches"].tolist() == [1, 2, 0, 1, 1]
 
 

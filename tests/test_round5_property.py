@@ -79,3 +79,82 @@ def test_random_fixture_matches_twin(ray_session, tmp_path, oracles, op, seed):
     assert len(ray_df) == len(ora_df), f"{op} seed {seed}: row count"
     assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
     assert value_hash(ray_df) == value_hash(ora_df), f"{op} seed {seed}: value hash"
+
+
+DOC_OPS = ["text_blocklist", "mm_decoded_features", "mm_image_features",
+           "mm_audio_features", "mm_image_resized", "mm_byte_hist"]
+EMB_OPS = ["embedding_covariance", "ann_topk_ivf", "ann_ivf_recall"]
+
+
+def _random_documents(seed: int, n: int = 300) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["slow", "error", "leak", "spill", "join", "hash", "data", "fast",
+             "row", "scan", "merge", "the", "a", "table"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(n)
+    ]
+    texts = [None if rng.random() < 0.04 else t for t in texts]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "source": rng.choice([f"src{i}" for i in range(6)], n),
+            "n_chars": np.int64([len(t) if t else 0 for t in texts]),
+        }
+    )
+
+
+def _random_embeddings(seed: int, n: int = 500, d: int = 8) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.uniform(-1, 1, d).astype(np.float32) for _ in range(n)],
+            "label": rng.integers(0, 5, n).astype(np.int32),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("op", DOC_OPS)
+def test_random_documents_match_twin(ray_session, tmp_path, oracles, op, seed):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / f"sf-{op}-{seed}"
+    d.mkdir()
+    _random_documents(seed * 104729 + 3).to_parquet(d / "documents.parquet", index=False)
+
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d / 'documents.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+    assert len(ray_df) == len(ora_df), f"{op} seed {seed}: rows"
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op} seed {seed}: hash"
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("op", EMB_OPS)
+def test_random_embeddings_match_twin(ray_session, tmp_path, oracles, op, seed):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / f"sf-{op}-{seed}"
+    d.mkdir()
+    _random_embeddings(seed * 48271 + 5).to_parquet(d / "embeddings.parquet", index=False)
+
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d / 'embeddings.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+    assert len(ray_df) == len(ora_df), f"{op} seed {seed}: rows"
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op} seed {seed}: hash"
