@@ -158,3 +158,69 @@ def test_random_embeddings_match_twin(ray_session, tmp_path, oracles, op, seed):
     assert len(ray_df) == len(ora_df), f"{op} seed {seed}: rows"
     assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
     assert value_hash(ray_df) == value_hash(ora_df), f"{op} seed {seed}: hash"
+
+
+# Every events-family op whose oracle is self-contained on the `events`
+# view (no synth-path fixtures, no cross-table reads, no persisted state)
+EVENTS_WIDE = [
+    "events_sessionize", "events_lag_trailing", "events_asof_join",
+    "events_range_join", "events_tumbling", "events_daily", "events_rollup",
+    "events_funnel", "events_type_transitions", "events_running_total",
+    "events_hopping", "events_props_stats", "events_daily_pivot",
+    "events_value_corr", "events_daily_unpivot", "events_value_regression",
+    "events_value_moments", "events_interval_merge", "events_streaks",
+    "events_paths", "events_mad_outliers", "events_window_dedup",
+    "events_daily_gapfill", "events_cohort_retention",
+    "events_cumulative_users", "events_type_overlap", "events_rolling_active",
+    "events_daily_delta", "events_time_band_pairs", "events_wow_growth",
+    "events_ohlc", "events_ewma", "events_hill_tail", "events_user_theil",
+    "events_user_gini", "events_transition_entropy", "events_scd2",
+    "events_nearest_join", "events_user_features", "events_kruskal",
+    "events_repeat_rate", "events_iqr_outliers", "events_cvar", "events_rfm",
+    "events_top_users_ties", "events_drawdown", "events_fano",
+    "events_trend_mk", "events_seasonal_error", "events_acf",
+    "events_changepoint", "events_weekend_profile", "events_mix_drift",
+    "events_hour_entropy", "events_peak_hour", "events_hour_profile",
+    "events_replay_disorder", "events_interarrival_spectrum",
+    "events_rolling_median", "events_type_users",
+]
+
+
+def _random_events_full(seed: int, n: int = 400) -> pd.DataFrame:
+    """Random events WITHIN the driver table's data contract (the real
+    events.parquet is null-free everywhere — the wider family was built
+    against that; null tolerance is pinned separately for the round-5 ops
+    via _random_events).  Timestamp collisions stay in."""
+    df = _random_events(seed, n)
+    rng = np.random.default_rng(seed + 1)
+    df["user_id"] = rng.integers(1, 20, n).astype("int64")
+    df["value"] = np.round(rng.uniform(0, 20, n), 2)
+    df["props"] = [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n)]
+    return df
+
+
+@pytest.mark.parametrize("op", EVENTS_WIDE)
+def test_events_family_random_twin(ray_session, tmp_path, oracles, op):
+    """One random fixture per op across the WHOLE events family: the
+    fixture-randomized generalization of the sf0.01 gate (ts collisions,
+    null users/values/props, 5-day span so seasonal/trend ops hit their
+    degenerate conventions — equality under degeneracy is the point)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    if op not in oracles:
+        pytest.skip("rows-only")
+    d = tmp_path / "sf"
+    d.mkdir()
+    _random_events_full(hash(op) % (2**31)).to_parquet(d / "events.parquet", index=False)
+
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d / 'events.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+    assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"
