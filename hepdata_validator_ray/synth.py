@@ -157,7 +157,12 @@ def generate_sequences_table(
 
 
 def synth_dir_for(
-    sf_dir: str, inject: bool = True, n_rows: int | None = None, n_files: int = 8, row_offset: int = 0
+    sf_dir: str,
+    inject: bool = True,
+    n_rows: int | None = None,
+    n_files: int = 8,
+    row_offset: int = 0,
+    seed: int = 42,
 ) -> Path:
     tag = Path(sf_dir).name or "default"
     suffix = "" if inject else "-clean"
@@ -166,6 +171,10 @@ def synth_dir_for(
     suffix += f"-f{n_files}"
     if row_offset:
         suffix += f"-o{row_offset}"
+    if seed != 42:
+        # non-default seeds get their own cache dir — without this a
+        # seed-7 corpus would silently serve from the seed-42 cache
+        suffix += f"-s{seed}"
     return SYNTH_ROOT / f"{tag}-v{SYNTH_VERSION}{suffix}" / "sequences"
 
 
@@ -187,7 +196,9 @@ def ensure_sequences_parquet(
     """
     tag = Path(sf_dir).name or "default"
     rows = n_rows if n_rows is not None else ROWS_BY_TAG.get(tag, 2_000)
-    out = synth_dir_for(sf_dir, inject=inject, n_rows=n_rows, n_files=n_files, row_offset=row_offset)
+    out = synth_dir_for(
+        sf_dir, inject=inject, n_rows=n_rows, n_files=n_files, row_offset=row_offset, seed=seed
+    )
     done = out / "_DONE"
     if done.exists():
         return str(out)
