@@ -2206,6 +2206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted": lambda sf: relational.events_time_weighted_value(sf),
         # per-user peak sliding-window rate (rate-limit / bot audit)
         "events_burst_max": lambda sf: relational.events_burst_max(sf),
+        # time-to-convert summary (exact int64 partials, one-division mean)
+        "events_conversion_latency": lambda sf: relational.events_conversion_latency(sf),
         # integer-exact k-sigma anomalous-day verdicts per type
         "events_anomaly_days": lambda sf: relational.events_anomaly_days(sf),
         "events_type_transitions": lambda sf: relational.events_type_transitions(sf),
@@ -4062,6 +4064,21 @@ m AS (SELECT user_id, max(c)::BIGINT AS burst_max FROM w GROUP BY user_id)
 SELECT m.user_id, m.burst_max, min(w.t_us)::BIGINT AS at_us
 FROM m JOIN w ON w.user_id = m.user_id AND w.c = m.burst_max
 GROUP BY 1, 2""",
+        # latency twin: last-touch time via the attribution frame, integer
+        # ms, HAVING keeps the empty case zero-row on both engines
+        "events_conversion_latency": """
+WITH e AS (SELECT event_id, user_id, event_type, ts FROM events WHERE user_id IS NOT NULL),
+w AS (SELECT event_type, ts,
+        last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_last
+      FROM e),
+l AS (SELECT (epoch_us(ts) - epoch_us(t_last)) // 1000 AS ms
+      FROM w WHERE event_type = 'purchase' AND t_last IS NOT NULL)
+SELECT count(*)::BIGINT AS n_conversions, min(ms)::BIGINT AS min_ms,
+       max(ms)::BIGINT AS max_ms, sum(ms)::BIGINT AS sum_ms,
+       sum(ms)::DOUBLE / count(*) AS mean_ms
+FROM l HAVING count(*) > 0""",
         # anomaly twin: the same integer cross-multiplied k-sigma verdict
         "events_anomaly_days": """
 WITH d AS (SELECT coalesce(event_type, '<NULL>') AS event_type,

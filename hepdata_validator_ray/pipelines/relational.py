@@ -584,6 +584,104 @@ def events_attribution(
     )
 
 
+def events_conversion_latency(
+    sf_dir: str,
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Time-to-convert summary for the touch→conversion edge: over every
+    conversion with a preceding touch (the events_attribution frame),
+    integer-ms latency to the LAST touch, reduced to ONE exact row —
+    (n, min_ms, max_ms, sum_ms) are int64 partials merged associatively
+    per bucket; mean_ms = sum::DOUBLE / n is the only float (one
+    division, identical spelling in the twin).  Zero-latency (same-ms
+    tie-ordered) conversions count.
+
+    Output one row (n_conversions, min_ms, max_ms, sum_ms, mean_ms);
+    zero attributable conversions → zero rows (mirrored by the twin's
+    empty-group aggregate)."""
+    from hepdata_validator_ray.ops import BUCKET_COL, derive_num_buckets, with_bucket
+
+    _EMPTY = pd.DataFrame(
+        {
+            "n_conversions": pd.Series(dtype="int64"),
+            "min_ms": pd.Series(dtype="int64"),
+            "max_ms": pd.Series(dtype="int64"),
+            "sum_ms": pd.Series(dtype="int64"),
+        }
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=[BUCKET_COL])
+        df = df[df["user_id"].notna()]
+        if not len(df):
+            return _EMPTY
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = df["user_id"].to_numpy(np.int64)
+        t_us = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        etype = df["event_type"].to_numpy()
+        n = len(df)
+        touch = etype == touch_type
+        pos = np.arange(n, dtype=np.int64)
+        seg_starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        start_of = np.repeat(seg_starts, np.diff(np.r_[seg_starts, n]))
+        ff_last = np.maximum.accumulate(np.where(touch, pos, -1))
+        prev_last = np.r_[np.int64(-1), ff_last[:-1]]
+        ci = np.flatnonzero(etype == conversion_type)
+        ok = (prev_last[ci] >= start_of[ci]) if len(ci) else np.zeros(0, bool)
+        ci = ci[ok]
+        if not len(ci):
+            return _EMPTY
+        lat = (t_us[ci] - t_us[prev_last[ci]]) // 1000
+        return pd.DataFrame(
+            {
+                "n_conversions": [np.int64(len(lat))],
+                "min_ms": [np.int64(lat.min())],
+                "max_ms": [np.int64(lat.max())],
+                "sum_ms": [np.int64(lat.sum())],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    nb = num_buckets if num_buckets is not None else derive_num_buckets(ds, target_rows_per_bucket=500_000, lo=32)
+    partials = (
+        ds.map_batches(lambda t: with_bucket(t, "user_id", nb), batch_format="pyarrow")
+        .groupby(BUCKET_COL)
+        .map_groups(scan, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n_conversions": pa.array([], pa.int64()),
+                    "min_ms": pa.array([], pa.int64()),
+                    "max_ms": pa.array([], pa.int64()),
+                    "sum_ms": pa.array([], pa.int64()),
+                    "mean_ms": pa.array([], pa.float64()),
+                }
+            )
+        nn = int(pc.sum(t["n_conversions"]).as_py())
+        sm = int(pc.sum(t["sum_ms"]).as_py())
+        return pa.table(
+            {
+                "n_conversions": pa.array([nn], pa.int64()),
+                "min_ms": pa.array([int(pc.min(t["min_ms"]).as_py())], pa.int64()),
+                "max_ms": pa.array([int(pc.max(t["max_ms"]).as_py())], pa.int64()),
+                "sum_ms": pa.array([sm], pa.int64()),
+                "mean_ms": pa.array([float(sm) / nn], pa.float64()),
+            }
+        )
+
+    # bucket partials are |buckets|-bounded: one tiny driver-side finale
+    return ray.data.from_arrow(
+        finish(pa.Table.from_pandas(partials.to_pandas(), preserve_index=False))
+    )
+
+
 def events_attribution_linear(
     sf_dir: str,
     touch_type: str = "click",

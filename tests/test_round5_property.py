@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/repo/tools")
 from check_correctness import to_pandas, value_hash  # noqa: E402
 
 OPS = [
+    "events_conversion_latency",
     "events_attribution",
     "events_attribution_linear",
     "events_time_weighted",
