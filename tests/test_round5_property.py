@@ -225,3 +225,78 @@ def test_events_family_random_twin(ray_session, tmp_path, oracles, op):
     assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
     assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
     assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"
+
+
+# Documents-family ops whose oracle is self-contained on the `documents`
+# view; the fixture injects exact-dup texts (10%) so dedup shapes are
+# non-degenerate, and carries the bm25 default query terms in-vocabulary
+DOC_WIDE = [
+    "text_token_counts", "text_quality", "text_langid_fp", "text_langid",
+    "text_tfidf_top", "text_top_words", "text_cooccurrence", "text_normalize",
+    "text_boilerplate", "text_inverted_index", "text_vocab_oov",
+    "text_heavy_hitters", "text_bpe_pairs", "text_bpe_train", "text_bpe_encode",
+    "dedup_exact_groups", "dedup_exact_keep_first", "dedup_ngram_jaccard",
+    "dedup_minhash_md5", "dedup_simhash_md5", "dedup_near_dup_clusters",
+    "dedup_dup_spans",
+    "docs_quantile_disc", "docs_quantile_cont", "docs_rollup", "docs_cube",
+    "docs_ntile", "docs_lang_mode", "docs_rank_windows", "docs_row_index",
+    "docs_order_stats", "docs_winsorize", "docs_feature_scaling",
+    "docs_fertility_hist", "docs_charclass", "docs_dup_rate",
+    "docs_source_concentration", "docs_length_scaling",
+    "profile_documents", "profile_lang_source",
+    "split_assignment", "deterministic_sample", "stratified_sample",
+    "weighted_priority_sample", "weighted_sample_by_source",
+    "balanced_downsample", "mixture_counts", "mixture_expand",
+    "exact_k_sample", "exact_k_per_group", "quality_buckets",
+    "shuffle_ranks", "shuffle_adjacency", "source_overlap",
+    "bm25_topk", "bm25_prf_expansion", "bm25_rrf",
+    "training_packing", "training_contamination", "training_lm_scores",
+    "training_pii_scrub", "rag_chunks", "training_contamination_exact",
+    "split_leakage",
+]
+
+
+def _random_documents_wide(seed: int, n: int = 300) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    vocab = ["slow", "error", "leak", "spill", "join", "hash", "data", "fast",
+             "row", "scan", "merge", "the", "a", "table", "stream", "sort",
+             "key", "value", "batch", "line"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 40))) for _ in range(n)]
+    # inject exact-dup classes so dedup shapes bite
+    for i in range(n):
+        if i > 10 and rng.random() < 0.10:
+            texts[i] = texts[int(rng.integers(0, i))]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "source": rng.choice([f"src{i}" for i in range(6)], n),
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df
+
+
+@pytest.mark.parametrize("op", DOC_WIDE)
+def test_documents_family_random_twin(ray_session, tmp_path, oracles, op):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    if op not in oracles:
+        pytest.skip("rows-only")
+    d = tmp_path / "sf"
+    d.mkdir()
+    _random_documents_wide(hash(op) % (2**31)).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d / 'documents.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+    assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"
