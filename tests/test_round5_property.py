@@ -300,3 +300,47 @@ def test_documents_family_random_twin(ray_session, tmp_path, oracles, op):
     assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
     assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
     assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"
+
+
+EMB_WIDE = [
+    "embedding_kmeans", "embedding_dim_stats", "embedding_silhouette",
+    "semantic_dedup", "embedding_label_centroids",
+    "embedding_similarity_calibration", "embedding_projection",
+    "embedding_outliers", "knn_label_agreement", "centroid_pair_dots",
+    "dedup_embedding_lsh", "ann_meta", "embedding_cluster_meta",
+    "v_embedding_integrity",
+]
+
+
+@pytest.mark.parametrize("op", EMB_WIDE)
+def test_embeddings_family_random_twin(ray_session, tmp_path, oracles, op):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    if op not in oracles:
+        pytest.skip("rows-only")
+    d = tmp_path / "sf"
+    d.mkdir()
+    _random_embeddings(hash(op) % (2**31)).to_parquet(
+        d / "embeddings.parquet", index=False
+    )
+    ray_df = to_pandas(entrymod.queries()[op](str(d)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d / 'embeddings.parquet'}')"
+    )
+    ora_df = con.execute(oracles[op]).df()
+    assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
+    if op == "dedup_embedding_lsh":
+        # LSH is recall-complete BY MEASUREMENT at the gate fixture (dim
+        # 64); on an arbitrary random corpus (dim 8 here) the documented
+        # contract is one-sided: NO false positives (exact in-bucket cos
+        # verify) and high recall vs the exact all-pairs oracle
+        rk = set(zip(ray_df["vec_id_a"], ray_df["vec_id_b"]))
+        ok = set(zip(ora_df["vec_id_a"], ora_df["vec_id_b"]))
+        assert rk <= ok, f"{op}: LSH emitted a false-positive pair"
+        assert len(rk) >= 0.99 * len(ok), f"{op}: recall {len(rk)}/{len(ok)}"
+        return
+    assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
+    assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"

@@ -28,7 +28,12 @@ TPCH_OPS = [
     "q17_small_quantity_revenue", "q21_blocked_suppliers", "q8_market_share",
     "q9_nation_profit", "q6_forecast_revenue", "q2_min_cost_supplier",
     "q11_stock_value", "q20_excess_stock", "customer_orders_fulljoin",
-    "top_customers", "basket_pairs",
+    "top_customers", "basket_pairs", "basket_rules",
+    # the graph family builds its bipartite/co-purchase graphs from
+    # orders x lineitem, so it rides the same random facts
+    "graph_pagerank", "graph_triangles", "graph_clustering",
+    "graph_rich_club", "graph_adamic_adar", "graph_kcore",
+    "graph_assortativity", "graph_bfs_hops",
 ]
 
 SEGMENTS = ["MACHINERY", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD", "BUILDING"]
@@ -145,5 +150,9 @@ def test_tpch_random_twin(ray_session, rand_dir, oracles, op):
         )
     ora_df = con.execute(oracles[op]).df()
     assert len(ray_df) == len(ora_df), f"{op}: rows ray={len(ray_df)} oracle={len(ora_df)}"
+    if len(ray_df) == 0:
+        # both empty: Ray's to_pandas drops the schema from all-empty
+        # datasets, so the column comparison is vacuous here
+        return
     assert sorted(map(str, ray_df.columns)) == sorted(map(str, ora_df.columns))
     assert value_hash(ray_df) == value_hash(ora_df), f"{op}: value hash"
